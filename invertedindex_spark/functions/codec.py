@@ -1,0 +1,155 @@
+"""Posting-list physical codec: VByte, docId gaps, skip pointers, block-max.
+
+NumPy-vectorized re-implementation of the reference's byte-level codec
+semantics (``EncodingUtils.java:14-81``):
+
+* **VByte**: big-endian base-128, 7 data bits per byte, MSB set on the
+  **last** byte of each value (continuation bit is 0); ``encode(0) ==
+  b"\\x80"``. Values are non-negative ints (docId gaps, tfs).
+* **Gap encoding** (``BinaryIndexer.java:188-202``): first docId stays
+  absolute, the rest become deltas; applied after TUB computation.
+* **Skip pointers** (``LexiconTermBinaryIndexing.java:70-107``): built
+  only when ``df > 1024`` (``Constants.java:39``); ``block_size =
+  ceil(sqrt(df))``; one entry per block *after the first*:
+  ``(absolute first docId of block i+1, cumulative VByte byte-length of
+  the gap-encoded docIds of blocks 0..i, same for tfs)``.
+* **Block-max** (additive vs the reference, for Block-Max WAND): max of
+  the BM25 tf/doc-length factor per skip block.
+
+Pure functions over NumPy arrays — no Spark dependency; used inside
+Arrow-batched build/query UDFs and unit-tested with round-trips
+(including fixed byte goldens, mirroring ``skipBlocksTest``).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+__all__ = [
+    "SKIP_POINTERS_THRESHOLD",
+    "vbyte_encoded_lengths", "vbyte_encode", "vbyte_decode",
+    "gap_encode", "gap_decode",
+    "build_skip_pointers", "block_maxes",
+]
+
+SKIP_POINTERS_THRESHOLD = 1024  # Constants.java:39
+
+_THRESHOLDS = np.array([128, 128 ** 2, 128 ** 3, 128 ** 4], dtype=np.int64)
+
+
+def vbyte_encoded_lengths(values: np.ndarray) -> np.ndarray:
+    """Per-value encoded byte length (EncodingUtils.getEncodingLength,
+    computed with exact integer comparisons rather than float log)."""
+    v = np.asarray(values, dtype=np.int64)
+    if np.any(v < 0):
+        raise ValueError("VByte encodes non-negative integers only")
+    return 1 + (v[:, None] >= _THRESHOLDS[None, :]).sum(axis=1).astype(np.int64)
+
+
+def vbyte_encode(values: np.ndarray) -> bytes:
+    """Encode an int array to the reference's VByte stream."""
+    v = np.asarray(values, dtype=np.int64)
+    if v.size == 0:
+        return b""
+    lens = vbyte_encoded_lengths(v)
+    ends = np.cumsum(lens)            # index just past each value
+    total = int(ends[-1])
+    out = np.zeros(total, dtype=np.uint8)
+    last = ends - 1                   # position of each terminator byte
+    rem = v.copy()
+    # fill least-significant digit first, moving left; <=5 passes
+    for back in range(int(lens.max())):
+        alive = lens > back
+        pos = last[alive] - back
+        out[pos] = (rem[alive] % 128).astype(np.uint8)
+        rem[alive] //= 128
+    out[last] += 128                  # terminator MSB on the last byte
+    return out.tobytes()
+
+
+def vbyte_decode(stream: bytes) -> np.ndarray:
+    """Decode a VByte stream to int64 values (EncodingUtils.decode)."""
+    b = np.frombuffer(stream, dtype=np.uint8)
+    if b.size == 0:
+        return np.zeros(0, dtype=np.int64)
+    term = np.flatnonzero(b >= 128)   # terminator positions
+    if term.size == 0 or term[-1] != b.size - 1:
+        raise ValueError("truncated VByte stream")
+    starts = np.empty_like(term)
+    starts[0] = 0
+    starts[1:] = term[:-1] + 1
+    digits = (b & 0x7F).astype(np.int64)
+    n = np.zeros(term.size, dtype=np.int64)
+    width = int((term - starts).max()) + 1
+    for k in range(width):
+        pos = starts + k
+        alive = pos <= term
+        n[alive] = n[alive] * 128 + digits[pos[alive]]
+    return n
+
+
+def gap_encode(doc_ids: np.ndarray) -> np.ndarray:
+    """First absolute, rest deltas (BinaryIndexer.java:188-202)."""
+    d = np.asarray(doc_ids, dtype=np.int64)
+    if d.size == 0:
+        return d
+    out = np.empty_like(d)
+    out[0] = d[0]
+    np.subtract(d[1:], d[:-1], out=out[1:])
+    return out
+
+
+def gap_decode(gaps: np.ndarray) -> np.ndarray:
+    g = np.asarray(gaps, dtype=np.int64)
+    return np.cumsum(g)
+
+
+def skip_block_size(df: int) -> int:
+    return int(math.ceil(math.sqrt(df)))
+
+
+def build_skip_pointers(doc_ids: np.ndarray, tfs: np.ndarray):
+    """Skip pointers for one posting list.
+
+    Parameters are the *absolute, docId-ascending* postings. Returns
+    ``(skip_doc_ids, doc_byte_offsets, tf_byte_offsets)`` — empty arrays
+    when ``df <= SKIP_POINTERS_THRESHOLD``. Offsets are cumulative VByte
+    byte-lengths over the **gap-encoded** docIds / raw tfs of the blocks
+    before the pointed-to block, exactly mirroring
+    ``LexiconTermBinaryIndexing.writeToDisk`` (:70-107): skip keys are
+    absolute docIds, offsets are measured over the encoded streams.
+    """
+    d = np.asarray(doc_ids, dtype=np.int64)
+    t = np.asarray(tfs, dtype=np.int64)
+    df = d.size
+    empty = np.zeros(0, dtype=np.int64)
+    if df <= SKIP_POINTERS_THRESHOLD:
+        return empty, empty, empty
+    bs = skip_block_size(df)
+    n_blocks = int(math.ceil(df / bs))
+    gaps = gap_encode(d)
+    doc_cum = np.cumsum(vbyte_encoded_lengths(gaps))
+    tf_cum = np.cumsum(vbyte_encoded_lengths(t))
+    # entries for blocks 1..n_blocks-1; block i+1 starts at index bs*(i+1)
+    idx = bs * np.arange(1, n_blocks, dtype=np.int64)
+    keys = d[idx]
+    doc_off = doc_cum[idx - 1]
+    tf_off = tf_cum[idx - 1]
+    return keys, doc_off, tf_off
+
+
+def block_maxes(values: np.ndarray, df: int) -> np.ndarray:
+    """Per-skip-block max of ``values`` (e.g. BM25 partials) — the
+    block-max column used by Block-Max WAND. One entry per block; a
+    single block (df <= threshold) yields a 1-element array."""
+    v = np.asarray(values, dtype=np.float64)
+    if df <= SKIP_POINTERS_THRESHOLD:
+        return np.array([v.max() if v.size else 0.0])
+    bs = skip_block_size(df)
+    n_blocks = int(math.ceil(df / bs))
+    out = np.empty(n_blocks, dtype=np.float64)
+    for i in range(n_blocks):
+        out[i] = v[i * bs:(i + 1) * bs].max()
+    return out

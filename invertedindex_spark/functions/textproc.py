@@ -1,0 +1,206 @@
+"""Text-processing pipeline: tokenize → stopword filter → truncate → stem.
+
+Semantics replicate the reference exactly (``TextProcessingUtils.java:17-53``,
+call order ``Indexer.java:89-101``):
+
+* ``tokenize``: lowercase → replace ``[^a-zA-Z0-9]`` with a space → split
+  on ``/ +/``. Java's ``Pattern.split`` drops *trailing* empty strings but
+  keeps a *leading* empty token produced by a leading separator
+  (the "empty-token quirk", SURVEY.md §1.3) — a punctuation-only document
+  tokenizes to ``[""]`` and ``""`` becomes a real index term. We reproduce
+  this by right-trimming spaces before splitting, which is equivalent:
+  with separator ``' +'``, empty tokens can only appear first (leading
+  separator) or last (trailing separator, which Java drops).
+* stopword removal: exact 127-word list from the reference's
+  ``resources/stopwords.txt`` (membership is semantic).
+* ``doc_len`` counts non-stopword tokens *before* truncation/stemming
+  (``Indexer.java:93-96``), duplicates and empty tokens included.
+* truncate to 20 chars **then** stem (``Indexer.java:97-101``).
+
+Three interchangeable implementations with identical results:
+
+1. Spark ``Column`` expressions (:func:`tokens_col`, :func:`terms_col`) —
+   JVM-side, whole-stage-codegen'd, the hot path for index builds;
+2. pandas twins (:func:`tokenize_series` etc.) for Arrow UDF internals
+   and the pure-Python oracle;
+3. ANSI-SQL fragments (:func:`tokens_sql`, :func:`terms_sql`) runnable by
+   DuckDB for the driver's oracle comparison (stemming excluded — not
+   SQL-expressible; oracle-checked queries run with ``stem=False``).
+"""
+
+from __future__ import annotations
+
+import re
+
+from .porter2 import stem, stem_tokens
+
+__all__ = [
+    "STOPWORDS", "MAX_TERM_LEN", "MAX_QUERY_LENGTH",
+    "tokens_col", "terms_col", "doc_len_col",
+    "tokenize_text", "process_tokens", "preprocess_query",
+    "tokens_sql", "terms_sql", "doc_len_sql", "stopword_array_sql",
+]
+
+# Exact 127-word list from the reference resources/stopwords.txt
+# (TextProcessingUtils.java:21-31). Order preserved for documentation;
+# membership is what matters.
+STOPWORDS: tuple[str, ...] = (
+    "i", "me", "my", "myself", "we", "our", "ours", "ourselves", "you",
+    "your", "yours", "yourself", "yourselves", "he", "him", "his",
+    "himself", "she", "her", "hers", "herself", "it", "its", "itself",
+    "they", "them", "their", "theirs", "themselves", "what", "which",
+    "who", "whom", "this", "that", "these", "those", "am", "is", "are",
+    "was", "were", "be", "been", "being", "have", "has", "had", "having",
+    "do", "does", "did", "doing", "a", "an", "the", "and", "but", "if",
+    "or", "because", "as", "until", "while", "of", "at", "by", "for",
+    "with", "about", "against", "between", "into", "through", "during",
+    "before", "after", "above", "below", "to", "from", "up", "down",
+    "in", "out", "on", "off", "over", "under", "again", "further",
+    "then", "once", "here", "there", "when", "where", "why", "how",
+    "all", "any", "both", "each", "few", "more", "most", "other",
+    "some", "such", "no", "nor", "not", "only", "own", "same", "so",
+    "than", "too", "very", "s", "t", "can", "will", "just", "don",
+    "should", "now",
+)
+_STOPWORD_SET = frozenset(STOPWORDS)
+
+MAX_TERM_LEN = 20          # Constants.java:42
+MAX_QUERY_LENGTH = 32      # Constants.java:49
+
+_CLEAN_RE = re.compile(r"[^a-zA-Z0-9]")
+_TRAIL_RE = re.compile(r" +$")
+_SPLIT_RE = re.compile(r" +")
+
+
+# --------------------------------------------------------------------
+# Spark Column expressions (JVM-side; preferred in index builds)
+# --------------------------------------------------------------------
+
+def tokens_col(content):
+    """Tokenize a string Column → array<string> of raw tokens.
+
+    Equivalent to the reference tokenize() including the leading
+    empty-token quirk. Spark's ``split`` keeps trailing empties (Java's
+    drops them), hence the trailing-space strip before splitting.
+    """
+    from pyspark.sql import functions as F
+
+    cleaned = F.regexp_replace(F.lower(content), "[^a-zA-Z0-9]", " ")
+    return F.split(F.regexp_replace(cleaned, " +$", ""), " +")
+
+
+def _not_stopword(tok):
+    from pyspark.sql import functions as F
+    return ~tok.isin(*STOPWORDS)
+
+
+def terms_col(tokens, stopwords: bool = True, truncate: bool = True):
+    """array<string> of raw tokens → array of non-stopword, truncated
+    tokens (pre-stemming). Stemming, when enabled, is applied after the
+    explode via the vectorized stem map join (operators/build.py) or a
+    pandas UDF — never per-row Python here.
+    """
+    from pyspark.sql import functions as F
+
+    out = tokens
+    if stopwords:
+        out = F.filter(out, _not_stopword)
+    if truncate:
+        out = F.transform(out, lambda t: F.substring(t, 1, MAX_TERM_LEN))
+    return out
+
+
+def doc_len_col(tokens, stopwords: bool = True):
+    """doc_len = count of non-stopword tokens (Indexer.java:93-96)."""
+    from pyspark.sql import functions as F
+
+    kept = F.filter(tokens, _not_stopword) if stopwords else tokens
+    return F.size(kept)
+
+
+# --------------------------------------------------------------------
+# Pure-Python twins (oracle + Arrow UDF internals)
+# --------------------------------------------------------------------
+
+def tokenize_text(document: str) -> list[str]:
+    """Exact Python twin of the reference tokenize()."""
+    cleaned = _CLEAN_RE.sub(" ", document.lower())
+    cleaned = _TRAIL_RE.sub("", cleaned)
+    return _SPLIT_RE.split(cleaned)
+
+
+def process_tokens(tokens, stopwords=True, truncate=True, stemming=True,
+                   memo=None):
+    """Full token pipeline (post-tokenize). Returns (terms, doc_len)."""
+    kept = [t for t in tokens if t not in _STOPWORD_SET] if stopwords else list(tokens)
+    doc_len = len(kept)
+    if truncate:
+        kept = [t[:MAX_TERM_LEN] for t in kept]
+    if stemming:
+        kept = stem_tokens(kept, memo)
+    return kept, doc_len
+
+
+def preprocess_query(query: str, stopwords=True, stemming=True):
+    """Query preprocessing per ``QueryProcessor.processQuery``
+    (:135-174): tokenize, first token selects the type (``and``/``or``),
+    cap at MAX_QUERY_LENGTH tokens *counting the type token*, stopword
+    removal, truncate, stem, HashSet dedup.
+
+    Returns (query_type, set_of_terms); raises ValueError on a query
+    whose first token is neither ``and`` nor ``or``
+    (IllegalQueryTypeException parity).
+    """
+    tokens = tokenize_text(query)
+    head = tokens[0]
+    if head == "and":
+        qtype = "AND"
+    elif head == "or":
+        qtype = "OR"
+    else:
+        raise ValueError(
+            f"illegal query type {head!r}: expected [AND|OR] term1 ... termN")
+    limit = len(tokens)
+    if len(tokens) > MAX_QUERY_LENGTH:
+        limit = MAX_QUERY_LENGTH + 1
+    terms: set[str] = set()
+    for tok in tokens[1:limit]:
+        if stopwords and tok in _STOPWORD_SET:
+            continue
+        tok = tok[:MAX_TERM_LEN]
+        if stemming:
+            tok = stem(tok)
+        terms.add(tok)
+    return qtype, terms
+
+
+# --------------------------------------------------------------------
+# ANSI-SQL fragments (DuckDB oracle; stemming not expressible)
+# --------------------------------------------------------------------
+
+def tokens_sql(content_expr: str) -> str:
+    """DuckDB SQL producing the same token array as :func:`tokens_col`."""
+    return (
+        "string_split_regex(regexp_replace(regexp_replace("
+        f"lower({content_expr}), '[^a-zA-Z0-9]', ' ', 'g'), ' +$', ''), ' +')"
+    )
+
+
+def stopword_array_sql() -> str:
+    return "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+
+def terms_sql(tokens_expr: str, stopwords: bool = True,
+              truncate: bool = True) -> str:
+    out = tokens_expr
+    if stopwords:
+        out = f"list_filter({out}, t -> NOT list_contains({stopword_array_sql()}, t))"
+    if truncate:
+        out = f"list_transform({out}, t -> t[1:{MAX_TERM_LEN}])"
+    return out
+
+
+def doc_len_sql(tokens_expr: str, stopwords: bool = True) -> str:
+    kept = (f"list_filter({tokens_expr}, t -> NOT list_contains("
+            f"{stopword_array_sql()}, t))") if stopwords else tokens_expr
+    return f"len({kept})"
