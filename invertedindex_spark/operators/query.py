@@ -1,0 +1,269 @@
+"""Top-k BM25 query processing over the built index.
+
+Two physical strategies with identical results (tested against the
+pure-Python oracle and against each other):
+
+* **exact / driver kernel** (:meth:`InvertedIndex.search`) — the
+  reference's query path re-expressed vectorized: lexicon point lookup
+  (parquet predicate pushdown replaces the 60-byte-record binary search,
+  ``DiskDataStructuresSearch.java:36-67``), posting payloads for ≤32
+  terms decoded with the NumPy VByte codec, scores computed as one
+  vectorized BM25 over each list, then the exact top-k queue semantics.
+  Equivalent to the reference's MaxScore DAAT loop
+  (``QueryProcessor.java:251-432``): MaxScore pruning is
+  result-invariant — any doc it skips is one whose upper bound cannot
+  beat the current threshold, and the queue-insert gate
+  (``size<k || score>min``) would reject it anyway — so exhaustive
+  vectorized scoring + exact queue simulation is rank-identical, with
+  SIMD throughput instead of a per-posting cursor loop.
+* **distributed** (:meth:`InvertedIndex.search_distributed`) — a pure
+  DataFrame plan for huge posting lists / batch workloads: filtered
+  posting rows → Arrow decode → JVM-side BM25 column → ``groupBy(doc_id)``
+  → top-k with the same score-distinct semantics, doc_no re-attached by
+  broadcasting the k-row result against ``docs``.
+
+Top-k semantics (``DocumentScore.java:6-12``; TreeSet ordered by score
+only): docs are scored in ascending docId order; equal scores dedup to
+the first (lowest-docId) doc; eviction removes the min. Closed form
+used here: *per distinct score keep the min docId, order by score
+descending, limit k* — proven equivalent in tests/test_topk.py by
+fuzzing against the literal queue simulation.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import OrderedDict
+
+import numpy as np
+
+from ..functions import codec, scoring
+from ..functions.textproc import preprocess_query
+from .build import read_manifest
+
+__all__ = ["InvertedIndex", "queue_topk_np"]
+
+
+def queue_topk_np(doc_ids: np.ndarray, scores: np.ndarray, k: int):
+    """Closed-form reference top-k: min docId per distinct score,
+    score-descending, first k. Returns (doc_ids, scores) arrays."""
+    if doc_ids.size == 0:
+        return doc_ids[:0], scores[:0]
+    order = np.lexsort((doc_ids, -scores))   # score desc, docId asc
+    s_sorted = scores[order]
+    first = np.empty(order.size, dtype=bool)
+    first[0] = True
+    np.not_equal(s_sorted[1:], s_sorted[:-1], out=first[1:])
+    keep = order[first][:k]
+    return doc_ids[keep], scores[keep]
+
+
+class InvertedIndex:
+    """Query handle over a warehouse built by operators.build."""
+
+    def __init__(self, spark, warehouse_dir: str, cache_size: int = 500):
+        self.spark = spark
+        self.warehouse_dir = warehouse_dir
+        manifest = read_manifest(warehouse_dir)
+        cfg = manifest.get("config", {})
+        self.stopwords = cfg.get("stopwords", True)
+        self.stemming = cfg.get("stemming", True)
+        srow = spark.read.parquet(f"{warehouse_dir}/stats").collect()[0]
+        self.num_docs = srow["num_docs"]
+        self.avg_doc_len = srow["avg_doc_len"]
+        self._cache: OrderedDict = OrderedDict()  # Guava LRU parity (:36)
+        self._cache_size = cache_size
+
+    # -- table handles (column-pruned scans) ---------------------------
+    @property
+    def postings(self):
+        return self.spark.read.parquet(f"{self.warehouse_dir}/postings")
+
+    @property
+    def lexicon(self):
+        return self.spark.read.parquet(f"{self.warehouse_dir}/lexicon")
+
+    @property
+    def docs(self):
+        return self.spark.read.parquet(f"{self.warehouse_dir}/docs")
+
+    # -- lexicon point lookup ------------------------------------------
+    def lookup(self, terms):
+        """term → (df, cf, term_upper_bound) for terms present."""
+        rows = (self.lexicon
+                .where(self.lexicon.term.isin(list(terms)))
+                .collect())
+        return {r["term"]: r for r in rows}
+
+    # -- exact path ------------------------------------------------------
+    def _fetch_decoded(self, terms):
+        """Collect + decode posting payloads for the given terms.
+        Returns term -> (doc_ids, tfs, dls, df). Multi-group rows are
+        concatenated in first_doc_id order (docId-range groups)."""
+        from pyspark.sql import functions as F
+
+        rows = (self.postings
+                .where(F.col("term").isin(list(terms)))
+                .select("term", "grp", "df", "first_doc_id",
+                        "doc_ids_vbyte", "freqs_vbyte", "dls_vbyte")
+                .collect())
+        by_term: dict[str, list] = {}
+        for r in rows:
+            by_term.setdefault(r["term"], []).append(r)
+        out = {}
+        for t, rs in by_term.items():
+            rs.sort(key=lambda r: r["first_doc_id"])
+            d = np.concatenate([codec.gap_decode(
+                codec.vbyte_decode(r["doc_ids_vbyte"])) for r in rs])
+            tf = np.concatenate([codec.vbyte_decode(r["freqs_vbyte"])
+                                 for r in rs])
+            dl = np.concatenate([codec.vbyte_decode(r["dls_vbyte"])
+                                 for r in rs])
+            out[t] = (d, tf, dl, int(rs[0]["df"]))
+        return out
+
+    def search(self, query: str, k: int = 20):
+        """[AND|OR] term1 … termN → [(doc_no, score)] descending.
+
+        Unknown term ⇒ AND returns [] / OR skips it
+        (QueryProcessor.java:202-214). Results LRU-cached on
+        (type, tokens, k) like the reference's Guava cache.
+        """
+        qtype, terms = preprocess_query(
+            query, stopwords=self.stopwords, stemming=self.stemming)
+        key = (qtype, frozenset(terms), k)
+        if key in self._cache:
+            self._cache.move_to_end(key)
+            return self._cache[key]
+        doc_ids, scores = self._score_terms(terms, qtype)
+        top_ids, top_scores = queue_topk_np(doc_ids, scores, k)
+        result = self._attach_doc_nos(top_ids, top_scores)
+        self._cache[key] = result
+        if len(self._cache) > self._cache_size:
+            self._cache.popitem(last=False)
+        return result
+
+    def _score_terms(self, terms, qtype):
+        decoded = self._fetch_decoded(terms)
+        if (not decoded) or (qtype == "AND" and len(decoded) < len(terms)):
+            z = np.zeros(0, dtype=np.int64)
+            return z, z.astype(np.float64)
+        all_ids = []
+        all_scores = []
+        for t, (d, tf, dl, df) in decoded.items():
+            all_ids.append(d)
+            all_scores.append(scoring.bm25_np(
+                tf, dl, df, self.num_docs, self.avg_doc_len))
+        ids = np.concatenate(all_ids)
+        sc = np.concatenate(all_scores)
+        order = np.argsort(ids, kind="stable")
+        ids, sc = ids[order], sc[order]
+        uniq, start = np.unique(ids, return_index=True)
+        sums = np.add.reduceat(sc, start)
+        if qtype == "AND":
+            counts = np.diff(np.append(start, ids.size))
+            keep = counts == len(decoded)
+            uniq, sums = uniq[keep], sums[keep]
+        return uniq, sums
+
+    def _attach_doc_nos(self, doc_ids, scores):
+        if doc_ids.size == 0:
+            return []
+        from pyspark.sql import functions as F
+
+        rows = (self.docs
+                .where(F.col("doc_id").isin([int(d) for d in doc_ids]))
+                .select("doc_id", "doc_no").collect())
+        m = {r["doc_id"]: r["doc_no"] for r in rows}
+        return [(m[int(d)], float(s)) for d, s in zip(doc_ids, scores)]
+
+    # -- distributed path -------------------------------------------------
+    def decoded_postings_df(self, terms=None):
+        """Posting payloads → (term, df, doc_id, tf, dl) DataFrame via an
+        Arrow decode pass; filter pushed to the parquet scan."""
+        import pyarrow as pa
+        from pyspark.sql import functions as F
+
+        df = self.postings.select("term", "df", "doc_ids_vbyte",
+                                  "freqs_vbyte", "dls_vbyte")
+        if terms is not None:
+            df = df.where(F.col("term").isin(list(terms)))
+
+        def decode(iterator):
+            for batch in iterator:
+                t = batch.column("term").to_pylist()
+                dfs = batch.column("df").to_pylist()
+                ids_b = batch.column("doc_ids_vbyte").to_pylist()
+                tf_b = batch.column("freqs_vbyte").to_pylist()
+                dl_b = batch.column("dls_vbyte").to_pylist()
+                terms_out, df_out, id_out, tf_out, dl_out = [], [], [], [], []
+                for term, dfv, ib, fb, lb in zip(t, dfs, ids_b, tf_b, dl_b):
+                    d = codec.gap_decode(codec.vbyte_decode(ib))
+                    terms_out.extend([term] * d.size)
+                    df_out.extend([dfv] * d.size)
+                    id_out.append(d)
+                    tf_out.append(codec.vbyte_decode(fb))
+                    dl_out.append(codec.vbyte_decode(lb))
+                if not terms_out:
+                    continue
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(terms_out, pa.string()),
+                     pa.array(df_out, pa.int64()),
+                     pa.array(np.concatenate(id_out)),
+                     pa.array(np.concatenate(tf_out)),
+                     pa.array(np.concatenate(dl_out))],
+                    names=["term", "df", "doc_id", "tf", "dl"])
+
+        return df.mapInArrow(
+            decode, "term string, df long, doc_id long, tf long, dl long")
+
+    def search_distributed(self, query: str, k: int = 20):
+        """Same query, pure DataFrame plan; returns a DataFrame
+        (doc_no, score) ordered by score desc. Scales to posting lists
+        that must never be collected to the driver."""
+        from pyspark.sql import functions as F
+
+        qtype, terms = preprocess_query(
+            query, stopwords=self.stopwords, stemming=self.stemming)
+        present = {r["term"] for r in
+                   self.lexicon.where(F.col("term").isin(list(terms)))
+                   .select("term").collect()}
+        if not present or (qtype == "AND" and len(present) < len(terms)):
+            return self.spark.createDataFrame(
+                [], "doc_no string, score double")
+        exploded = self.decoded_postings_df(present)
+        scored = exploded.withColumn(
+            "partial",
+            scoring.bm25_col(F.col("tf"), F.col("dl"), F.col("df"),
+                             F.lit(float(self.num_docs)),
+                             F.lit(self.avg_doc_len)))
+        agg = (scored.groupBy("doc_id")
+               .agg(F.sum("partial").alias("score"),
+                    F.count("*").alias("nt")))
+        if qtype == "AND":
+            agg = agg.where(F.col("nt") == len(present))
+        # reference top-k semantics: min docId per distinct score
+        top = (agg.groupBy("score").agg(F.min("doc_id").alias("doc_id"))
+               .orderBy(F.desc("score")).limit(k))
+        return (self.docs.join(F.broadcast(top), "doc_id")
+                .select("doc_no", "score").orderBy(F.desc("score")))
+
+    # -- batch (TREC-run style) -------------------------------------------
+    def batch_search(self, queries, k: int = 100):
+        """Sequential exact-path batch: [(qid, query)] → list of
+        (qid, rank, doc_no, score); mirrors QueryProcessorTest.java:76-108."""
+        out = []
+        for qid, q in queries:
+            try:
+                res = self.search(q, k)
+            except ValueError:
+                continue
+            for rank, (doc_no, score) in enumerate(res, start=1):
+                out.append((qid, rank, doc_no, score))
+        return out
+
+    def trec_run_lines(self, queries, k: int = 100, tag: str = "01"):
+        """TREC run format 'qid Q0 docno rank score tag'
+        (QueryProcessorTest.java:100-103)."""
+        return [f"{qid} Q0 {doc_no} {rank} {score} {tag}"
+                for qid, rank, doc_no, score in self.batch_search(queries, k)]

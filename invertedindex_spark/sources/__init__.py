@@ -1,0 +1,3 @@
+from . import corpus
+
+__all__ = ["corpus"]

@@ -1,0 +1,138 @@
+"""Corpus sources: adapters onto the engine's canonical corpus shape.
+
+Canonical corpus = ``(doc_no string, content string)`` plus the ordered
+key columns that define docId assignment order. The reference consumed
+``collection.tar.gz`` lines ``docno \\t content`` in file order
+(``Indexer.java:57-85``); a distributed engine has no "file order", so
+every adapter declares an explicit, deterministic total order
+(SURVEY.md §7.3).
+
+Adapters:
+
+* :func:`from_source_code` — the BASELINE.json ``input_hint`` shape
+  ``(repo, path, commit, lang, content)``; ``doc_no = repo:path@commit``;
+  order = (repo, path, commit).
+* :func:`from_documents` — the driver testdata ``documents`` table
+  ``(doc_id, text, lang, source, n_chars)``; order = doc_id.
+* :func:`synthesize_source_code` — deterministic seeded corpus in the
+  input_hint shape (FIXTURES.md §1) for tests and benchmarks: includes
+  punctuation-only rows (empty-token quirk), all-stopword rows (docId
+  skip rule), empty rows, repeated terms, and one hot term with
+  df > 1024 at ``n >= 2500`` (skip-pointer + skew coverage).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class Corpus:
+    """A DataFrame with (order keys…, doc_no, content)."""
+    df: object                      # pyspark DataFrame
+    order_keys: tuple[str, ...]     # deterministic docId order
+    extra_cols: tuple[str, ...] = ()  # carried into docs table (e.g. lang)
+
+
+def from_source_code(df) -> Corpus:
+    """(repo, path, commit, lang, content) → canonical corpus."""
+    from pyspark.sql import functions as F
+
+    out = df.select(
+        "repo", "path", "commit",
+        F.concat_ws("", F.col("repo"), F.lit(":"), F.col("path"),
+                    F.lit("@"), F.col("commit")).alias("doc_no"),
+        F.col("content"),
+    )
+    return Corpus(out, ("repo", "path", "commit"))
+
+
+def from_documents(df) -> Corpus:
+    """Driver testdata documents(doc_id, text, …) → canonical corpus."""
+    from pyspark.sql import functions as F
+
+    out = df.select(
+        F.col("doc_id").alias("src_doc_id"),
+        F.col("doc_id").cast("string").alias("doc_no"),
+        F.col("text").alias("content"),
+    )
+    return Corpus(out, ("src_doc_id",))
+
+
+def load_documents_corpus(spark, sf_dir: str) -> Corpus:
+    return from_documents(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+# ---------------------------------------------------------------------
+# Deterministic synthetic source-code corpus (input_hint shape)
+# ---------------------------------------------------------------------
+
+_KEYWORDS = (
+    "def class import return public static void int string let const "
+    "function module package println printf assert raise throw catch "
+    "finally lambda yield async await select insert update delete index "
+    "merge partition shuffle broadcast executor driver schema column "
+    "filter aggregate window stream batch commit rollback vector token "
+    "parse compile link build deploy test bench profile trace debug"
+).split()
+
+_WORDS = (
+    "alpha beta gamma delta epsilon zeta theta kappa sigma omega "
+    "quick brown fox jumps lazy dog running jumped swimming parties "
+    "national generation agreement hoping hopped studies "
+    "optimization vectorized throughput latency compression pointer "
+    "dictionary frequency document collection statistic ranking"
+).split()
+
+_EXTS = {"py": "python", "java": "java", "scala": "scala",
+         "md": "markdown", "txt": "text"}
+
+
+def synthesize_source_code_rows(n: int, seed: int = 42,
+                                hot_term: str = "hotterm"):
+    """Pure-Python generator of n corpus rows (used by tests + Spark)."""
+    import hashlib
+    import random
+
+    rng = random.Random(seed)
+    exts = sorted(_EXTS)
+    rows = []
+    for i in range(n):
+        repo = f"org{i % 7}/repo{i % 13}"
+        ext = exts[i % len(exts)]
+        path = f"src/m{i % 11}/file_{i}.{ext}"
+        commit = hashlib.sha1(f"{repo}:{path}:{seed}".encode()).hexdigest()[:8]
+        kind = i % 17
+        if kind == 0:
+            content = ""                           # skipped: empty
+        elif kind == 1:
+            content = "!!! ... ***"                # empty-token quirk
+        elif kind == 2:
+            content = "the of and is are was"      # all stopwords → no docId
+        else:
+            k = rng.randint(3, 40)
+            words = [rng.choice(_KEYWORDS if rng.random() < 0.5 else _WORDS)
+                     for _ in range(k)]
+            if rng.random() < 0.3:                 # repeated terms (tf > 1)
+                words += words[:3]
+            if rng.random() < 0.55:                # hot term: df > n/2
+                words.insert(rng.randrange(len(words) + 1), hot_term)
+            if rng.random() < 0.1:
+                words.append("x" * rng.randint(21, 30))   # truncation path
+            if rng.random() < 0.15:
+                words.append(str(rng.randint(0, 99999)))  # numeric tokens
+            sep = rng.choice([" ", ", ", "(", ") ", "_", "\t"])
+            content = sep.join(words)
+        rows.append((repo, path, commit, _EXTS[ext], content))
+    return rows
+
+
+def synthesize_source_code(spark, n: int, seed: int = 42,
+                           num_partitions: int | None = None) -> Corpus:
+    rows = synthesize_source_code_rows(n, seed)
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+              "content string")
+    if num_partitions:
+        df = df.repartition(num_partitions)
+    return from_source_code(df)

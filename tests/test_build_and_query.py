@@ -1,0 +1,189 @@
+"""End-to-end: Spark-built index must match the pure-Python oracle
+exactly — docs table, lexicon stats, TUBs, postings payloads, and
+rank-identical top-k with scores (SURVEY.md §5)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from invertedindex_spark import (
+    IndexConfig, InvertedIndex, OracleIndex, build_index, corpus,
+)
+from invertedindex_spark.functions import codec
+
+N_DOCS = 400
+SEED = 42
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("warehouse"))
+    rows = corpus.synthesize_source_code_rows(N_DOCS, seed=SEED)
+    c = corpus.synthesize_source_code(spark, N_DOCS, seed=SEED,
+                                      num_partitions=7)
+    cfg = IndexConfig(num_blocks=5)
+    manifest = build_index(spark, c, wh, cfg)
+    oracle_rows = [(f"{r}:{p}@{cm}", content)
+                   for r, p, cm, _lang, content in
+                   sorted(rows, key=lambda x: (x[0], x[1], x[2]))]
+    oracle = OracleIndex(oracle_rows)
+    return spark, wh, manifest, oracle
+
+
+def test_stats_match(built):
+    spark, wh, manifest, oracle = built
+    assert manifest["stats"]["num_docs"] == oracle.num_docs
+    assert manifest["stats"]["avg_doc_len"] == pytest.approx(
+        oracle.avg_doc_len, abs=0, rel=0)
+
+
+def test_docs_table_matches_oracle(built):
+    spark, wh, _m, oracle = built
+    rows = spark.read.parquet(f"{wh}/docs").orderBy("doc_id").collect()
+    assert len(rows) == oracle.num_docs
+    for r in rows:
+        assert r["doc_no"] == oracle.doc_nos[r["doc_id"]]
+        assert r["doc_len"] == oracle.doc_lens[r["doc_id"]]
+        assert len(r["content_sha256"]) == 64
+
+
+def test_content_sha256_invariant(built):
+    """Per-row invariant vs the source table (north rule)."""
+    from pyspark.sql import functions as F
+    spark, wh, _m, _o = built
+    src = corpus.synthesize_source_code(spark, N_DOCS, seed=SEED).df
+    src = src.select("doc_no", F.sha2("content", 256).alias("expected"))
+    docs = spark.read.parquet(f"{wh}/docs")
+    bad = (docs.join(src, "doc_no")
+           .where(F.col("content_sha256") != F.col("expected")).count())
+    assert bad == 0
+    assert docs.count() == docs.join(src, "doc_no").count()
+
+
+def test_lexicon_matches_oracle(built):
+    spark, wh, _m, oracle = built
+    rows = spark.read.parquet(f"{wh}/lexicon").collect()
+    assert {r["term"] for r in rows} == set(oracle.postings)
+    for r in rows:
+        t = r["term"]
+        assert r["df"] == oracle.df(t), t
+        assert r["cf"] == oracle.cf(t), t
+        assert r["term_upper_bound"] == pytest.approx(
+            oracle.term_upper_bound(t), rel=1e-12), t
+
+
+def test_postings_payloads_roundtrip_to_oracle(built):
+    spark, wh, _m, oracle = built
+    rows = spark.read.parquet(f"{wh}/postings").collect()
+    seen = set()
+    for r in rows:
+        t = r["term"]
+        seen.add(t)
+        d = codec.gap_decode(codec.vbyte_decode(r["doc_ids_vbyte"]))
+        tf = codec.vbyte_decode(r["freqs_vbyte"])
+        dl = codec.vbyte_decode(r["dls_vbyte"])
+        o_ids, o_tfs = oracle.postings[t]
+        assert d.tolist() == o_ids, t
+        assert tf.tolist() == o_tfs, t
+        assert dl.tolist() == [oracle.doc_lens[i] for i in o_ids], t
+        assert r["n_postings"] == len(o_ids)
+        assert r["df"] == len(o_ids)
+        # skips only when df > threshold
+        if len(o_ids) <= codec.SKIP_POINTERS_THRESHOLD:
+            assert len(r["skip_doc_ids"]) == 0
+    assert seen == set(oracle.postings)
+
+
+def test_hot_term_present_and_dense(built):
+    _s, _wh, _m, oracle = built
+    df = oracle.df("hotterm")
+    assert df > N_DOCS * 0.3  # skew term exists
+
+
+QUERIES = [
+    "OR hotterm",
+    "OR quick brown fox",
+    "AND hotterm parties",
+    "AND def class import",
+    "OR optimization vectorized throughput latency",
+    "OR the of and",            # all stopwords → no terms → empty
+    "AND quick zzznotaterm",    # unknown term ⇒ AND empty
+    "OR quick zzznotaterm",     # unknown term ⇒ OR skips
+    "OR hoping hoped hopes",    # stem conflation
+    "AND hotterm",
+    "OR generation national agreement",
+    "OR x",                     # single char
+]
+
+
+def test_topk_rank_identical_with_scores(built):
+    spark, wh, _m, oracle = built
+    idx = InvertedIndex(spark, wh)
+    for q in QUERIES:
+        for k in (5, 10, 20):
+            got = idx.search(q, k)
+            want = oracle.topk(q, k)
+            assert [g[0] for g in got] == [w[0] for w in want], (q, k)
+            for (gd, gs), (wd, ws) in zip(got, want):
+                assert gs == pytest.approx(ws, rel=1e-12), (q, k, gd)
+
+
+def test_distributed_path_matches_exact(built):
+    spark, wh, _m, oracle = built
+    idx = InvertedIndex(spark, wh)
+    for q in ["OR quick brown fox", "AND hotterm parties",
+              "OR hotterm optimization"]:
+        exact = idx.search(q, k=10)
+        dist = [(r["doc_no"], r["score"])
+                for r in idx.search_distributed(q, k=10).collect()]
+        assert [d for d, _ in dist] == [d for d, _ in exact]
+        for (gd, gs), (wd, ws) in zip(dist, exact):
+            assert gs == pytest.approx(ws, rel=1e-12)
+
+
+def test_illegal_query_type_raises(built):
+    spark, wh, _m, _o = built
+    idx = InvertedIndex(spark, wh)
+    with pytest.raises(ValueError):
+        idx.search("NEAR foo bar")
+
+
+def test_query_cache_hit_path(built):
+    spark, wh, _m, _o = built
+    idx = InvertedIndex(spark, wh)
+    r1 = idx.search("OR quick brown", 10)
+    r2 = idx.search("OR brown quick", 10)  # same token set → cache hit
+    assert r1 == r2 and len(idx._cache) >= 1
+
+
+def test_resume_skips_completed_stages(built, tmp_path):
+    spark, wh, manifest, _o = built
+    # re-run with resume=True — must complete fast and keep results
+    c = corpus.synthesize_source_code(spark, N_DOCS, seed=SEED)
+    m2 = build_index(spark, c, wh, IndexConfig(num_blocks=5), resume=True)
+    assert m2["stats"]["num_docs"] == manifest["stats"]["num_docs"]
+    assert all(m2["stages"][s]["done"]
+               for s in ("docs", "stats", "partials", "lexicon", "postings"))
+
+
+def test_merge_width_grouping_equivalent(spark, tmp_path):
+    """merge_width>0 shards hot terms into multiple rows; query results
+    must not change."""
+    wh1 = str(tmp_path / "w1")
+    c = corpus.synthesize_source_code(spark, 150, seed=7,
+                                      num_partitions=6)
+    build_index(spark, c, wh1, IndexConfig(num_blocks=6, merge_width=2))
+    idx = InvertedIndex(spark, wh1)
+    rows = corpus.synthesize_source_code_rows(150, seed=7)
+    oracle = OracleIndex([(f"{r}:{p}@{cm}", ct) for r, p, cm, _l, ct in
+                          sorted(rows, key=lambda x: (x[0], x[1], x[2]))])
+    # hot term must actually be sharded
+    from pyspark.sql import functions as F
+    n_groups = (spark.read.parquet(f"{wh1}/postings")
+                .where(F.col("term") == "hotterm").count())
+    assert n_groups > 1
+    for q in ["OR hotterm quick", "AND hotterm parties"]:
+        got = idx.search(q, 10)
+        want = oracle.topk(q, 10)
+        assert [g[0] for g in got] == [w[0] for w in want]
