@@ -1,38 +1,47 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: builds the full inverted index (stemming
+on) over the sf0.001 documents corpus and runs a disjunctive BM25
+top-k query through the distributed query path.
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator
+from SURVEY.md §2 plus the training-data-pipeline families (dedup,
+similarity search, text analysis); DuckDB oracles included for every
+SQL-expressible op (``vbyte_roundtrip`` is byte-level → rows-only).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from invertedindex_spark import entry_queries  # noqa: E402
+
+TESTDATA = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    sf_dir = os.path.join(TESTDATA, "sf0.001")
+    idx = entry_queries.get_index(spark, sf_dir, stemming=True)
+    return idx.search_distributed("OR fast key order data table", k=10)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return entry_queries.all_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    # the driver runs oracles at sf0.01; the ANN oracles need that
+    # scale's query vector (vec_id=0), fetched via duckdb directly
+    import duckdb
+
+    q = duckdb.sql(
+        f"select embedding from '{TESTDATA}/sf0.01/embeddings.parquet' "
+        "where vec_id = 0").fetchone()[0]
+    return entry_queries.all_oracle_sql([float(x) for x in q])

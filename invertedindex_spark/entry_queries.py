@@ -1,0 +1,925 @@
+"""Driver-contract queries: every implemented operator from SURVEY.md §2
+as a (PySpark DataFrame, equivalent DuckDB SQL) pair over the driver's
+testdata tables.
+
+The IR-pipeline queries (doc_table … bm25_topk_*) run the *actual
+engine* — a warehouse is built once per scale factor from the
+``documents`` table (stemming off: Porter2 is not SQL-expressible, so
+oracle-checked queries exercise the stemming-off configuration the
+reference also supports via application.properties; stemming is covered
+by the pure-Python-oracle pytest suite instead).
+
+The training-data-pipeline queries (dedup / similarity / text-analysis
+families) are pure DataFrame plans mirrored in SQL.
+
+Column names and rounding are identical on both sides; floats are
+compared as micro-unit bigints (``cast(round(x*1e6) as bigint)``) so
+value hashes are engine-independent.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+
+from .functions.scoring import bm25_sql
+from .functions.textproc import (
+    STOPWORDS, doc_len_sql, stopword_array_sql, terms_sql, tokens_sql,
+)
+
+# ---------------------------------------------------------------------
+# fixed query constants (documents-table vocabulary)
+# ---------------------------------------------------------------------
+
+OR_TERMS = ["fast", "key", "order", "data", "table"]
+AND_TERMS = ["scan", "join", "hash"]
+LOOKUP_TERMS = ["batch", "dup", "fast", "key", "window"]
+K = 10
+
+MERSENNE31 = 2147483647
+_rng = random.Random(123)
+MINHASH_PERMS = [( _rng.randrange(1, MERSENNE31), _rng.randrange(0, MERSENNE31))
+                 for _ in range(16)]
+N_BANDS, BAND_WIDTH = 4, 4
+
+_rng2 = random.Random(321)
+LSH_PLANES = [[round(_rng2.gauss(0, 1), 6) for _ in range(64)]
+              for _ in range(8)]
+
+WAREHOUSE_ROOT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".cache")
+
+_WAREHOUSES: dict[tuple, object] = {}
+
+
+def get_index(spark, sf_dir: str, stemming: bool = False):
+    """Build (once per process+sf) and return an InvertedIndex over the
+    documents table of sf_dir."""
+    from .operators.build import IndexConfig, build_index
+    from .operators.query import InvertedIndex
+    from .sources.corpus import load_documents_corpus
+
+    key = (sf_dir, stemming)
+    if key in _WAREHOUSES:
+        return _WAREHOUSES[key]
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    wh = os.path.join(WAREHOUSE_ROOT,
+                      f"wh_{tag}_{'stem' if stemming else 'nostem'}")
+    cfg = IndexConfig(stemming=stemming, num_blocks=8)
+    build_index(spark, load_documents_corpus(spark, sf_dir), wh, cfg,
+                resume=True)
+    idx = InvertedIndex(spark, wh)
+    _WAREHOUSES[key] = idx
+    return idx
+
+
+def _docs_df(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb_df(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _u6(col):
+    from pyspark.sql import functions as F
+    return F.round(col * 1e6).cast("long")
+
+
+# ---------------------------------------------------------------------
+# shared DuckDB CTEs (engine semantics, stemming off)
+# ---------------------------------------------------------------------
+
+def _base_cte() -> str:
+    toks = tokens_sql("text")
+    return f"""
+WITH src AS (
+  SELECT doc_id AS src_doc_id, CAST(doc_id AS VARCHAR) AS doc_no, text
+  FROM documents WHERE text IS NOT NULL AND length(text) > 0
+), tok AS (
+  SELECT src_doc_id, doc_no, text,
+         {terms_sql(toks)} AS terms,
+         {doc_len_sql(toks)} AS doc_len
+  FROM src
+), docs AS (
+  SELECT row_number() OVER (ORDER BY src_doc_id) - 1 AS doc_id,
+         doc_no, doc_len, sha256(text) AS content_sha256, terms
+  FROM tok WHERE doc_len > 0
+), post AS (
+  SELECT doc_id, doc_len, unnest(terms) AS term FROM docs
+), tf AS (
+  SELECT term, doc_id, any_value(doc_len) AS dl, count(*) AS tf
+  FROM post GROUP BY term, doc_id
+), lex AS (
+  SELECT term, count(*) AS df, sum(tf) AS cf FROM tf GROUP BY term
+), stats AS (
+  SELECT count(*) AS num_docs, sum(doc_len) AS num_tokens,
+         sum(doc_len) / CAST(count(*) AS DOUBLE) AS avg_doc_len
+  FROM docs
+)"""
+
+
+def _bm25_expr() -> str:
+    return bm25_sql("tf.tf", "tf.dl", "lex.df", "stats.num_docs",
+                    "stats.avg_doc_len")
+
+
+def _topk_sql(terms: list[str], conjunctive: bool, k: int = K) -> str:
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    having = f"HAVING count(*) = {len(terms)}" if conjunctive else ""
+    return _base_cte() + f""",
+scores AS (
+  SELECT tf.doc_id, sum({_bm25_expr()}) AS score
+  FROM tf JOIN lex USING (term) CROSS JOIN stats
+  WHERE tf.term IN ({tlist})
+  GROUP BY tf.doc_id {having}
+), dedup AS (
+  SELECT score, min(doc_id) AS doc_id FROM scores GROUP BY score
+  ORDER BY score DESC LIMIT {k}
+)
+SELECT row_number() OVER (ORDER BY score DESC) AS rank, d.doc_no,
+       CAST(round(score * 1e6) AS BIGINT) AS score_u6
+FROM dedup JOIN docs d USING (doc_id)"""
+
+
+# ---------------------------------------------------------------------
+# raw-token helpers (training-data queries; no stopword filtering)
+# ---------------------------------------------------------------------
+
+def _raw_tok_cte() -> str:
+    return f"""
+WITH src AS (
+  SELECT doc_id, text, {tokens_sql('text')} AS tokens
+  FROM documents WHERE text IS NOT NULL AND length(text) > 0
+)"""
+
+
+_H_SQL_DUCK = ("(CAST(concat('0x', substr(md5({x}), 1, 15)) AS BIGINT) "
+               f"% {MERSENNE31})")
+
+
+def _h_spark(col):
+    from pyspark.sql import functions as F
+    return (F.conv(F.substring(F.md5(col), 1, 15), 16, 10)
+            .cast("long") % MERSENNE31)
+
+
+# =====================================================================
+# the queries
+# =====================================================================
+
+def q_doc_table(spark, sf_dir):
+    idx = get_index(spark, sf_dir)
+    return idx.docs.select("doc_id", "doc_no", "doc_len", "content_sha256")
+
+
+def sql_doc_table():
+    return _base_cte() + \
+        "\nSELECT doc_id, doc_no, doc_len, content_sha256 FROM docs"
+
+
+def q_collection_stats(spark, sf_dir):
+    idx = get_index(spark, sf_dir)
+    return spark.read.parquet(f"{idx.warehouse_dir}/stats") \
+        .select("num_docs", "num_tokens", "avg_doc_len")
+
+
+def sql_collection_stats():
+    return _base_cte() + \
+        "\nSELECT num_docs, num_tokens, avg_doc_len FROM stats"
+
+
+def q_term_stats(spark, sf_dir):
+    idx = get_index(spark, sf_dir)
+    return idx.lexicon.select("term", "df", "cf")
+
+
+def sql_term_stats():
+    return _base_cte() + "\nSELECT term, df, cf FROM lex"
+
+
+def q_lexicon_lookup(spark, sf_dir):
+    from pyspark.sql import functions as F
+    idx = get_index(spark, sf_dir)
+    return (idx.lexicon.where(F.col("term").isin(LOOKUP_TERMS))
+            .select("term", "df", "cf",
+                    _u6(F.col("term_upper_bound")).alias("tub_u6")))
+
+
+def sql_lexicon_lookup():
+    tlist = ", ".join(f"'{t}'" for t in LOOKUP_TERMS)
+    return _base_cte() + f""",
+tub AS (
+  SELECT tf.term, max({_bm25_expr()}) AS t_ub
+  FROM tf JOIN lex USING (term) CROSS JOIN stats
+  GROUP BY tf.term
+)
+SELECT lex.term, lex.df, lex.cf,
+       CAST(round(t_ub * 1e6) AS BIGINT) AS tub_u6
+FROM lex JOIN tub ON lex.term = tub.term
+WHERE lex.term IN ({tlist})"""
+
+
+def q_postings_lists(spark, sf_dir):
+    from pyspark.sql import functions as F
+    idx = get_index(spark, sf_dir)
+    dec = idx.decoded_postings_df()
+    return (dec.groupBy("term")
+            .agg(F.count("*").alias("df"),
+                 F.array_join(F.transform(
+                     F.array_sort(F.collect_list(F.struct("doc_id", "tf"))),
+                     lambda s: s["doc_id"].cast("string")), ",")
+                 .alias("doc_ids_csv"),
+                 F.array_join(F.transform(
+                     F.array_sort(F.collect_list(F.struct("doc_id", "tf"))),
+                     lambda s: s["tf"].cast("string")), ",")
+                 .alias("tfs_csv")))
+
+
+def sql_postings_lists():
+    return _base_cte() + """
+SELECT term, count(*) AS df,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+         AS doc_ids_csv,
+       string_agg(CAST(tf AS VARCHAR), ',' ORDER BY doc_id) AS tfs_csv
+FROM tf GROUP BY term"""
+
+
+def q_postings_gaps(spark, sf_dir):
+    """Validates the *physical* gap encoding: decodes the VByte stream
+    without de-gapping and compares against SQL lag arithmetic."""
+    import pyarrow as pa
+    from invertedindex_spark.functions import codec
+    idx = get_index(spark, sf_dir)
+
+    def decode(iterator):
+        for batch in iterator:
+            terms = batch.column("term").to_pylist()
+            streams = batch.column("doc_ids_vbyte").to_pylist()
+            csvs = [",".join(map(str, codec.vbyte_decode(s)))
+                    for s in streams]
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(terms), pa.array(csvs)],
+                names=["term", "gaps_csv"])
+
+    return (idx.postings.select("term", "doc_ids_vbyte")
+            .mapInArrow(decode, "term string, gaps_csv string"))
+
+
+def sql_postings_gaps():
+    return _base_cte() + """,
+gaps AS (
+  SELECT term, doc_id,
+         COALESCE(doc_id - lag(doc_id) OVER
+                  (PARTITION BY term ORDER BY doc_id), doc_id) AS gap
+  FROM tf
+)
+SELECT term, string_agg(CAST(gap AS VARCHAR), ',' ORDER BY doc_id)
+       AS gaps_csv
+FROM gaps GROUP BY term"""
+
+
+def q_term_upper_bounds(spark, sf_dir):
+    from pyspark.sql import functions as F
+    idx = get_index(spark, sf_dir)
+    return idx.lexicon.select(
+        "term", _u6(F.col("term_upper_bound")).alias("tub_u6"))
+
+
+def sql_term_upper_bounds():
+    return _base_cte() + f"""
+SELECT tf.term, CAST(round(max({_bm25_expr()}) * 1e6) AS BIGINT) AS tub_u6
+FROM tf JOIN lex USING (term) CROSS JOIN stats
+GROUP BY tf.term"""
+
+
+def _topk_df(spark, sf_dir, terms, conjunctive):
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    idx = get_index(spark, sf_dir)
+    q = ("AND " if conjunctive else "OR ") + " ".join(terms)
+    res = idx.search_distributed(q, k=K)
+    w = Window.orderBy(F.desc("score"))
+    return res.select(F.row_number().over(w).alias("rank"), "doc_no",
+                      _u6(F.col("score")).alias("score_u6"))
+
+
+def q_bm25_topk_or(spark, sf_dir):
+    return _topk_df(spark, sf_dir, OR_TERMS, conjunctive=False)
+
+
+def sql_bm25_topk_or():
+    return _topk_sql(OR_TERMS, conjunctive=False)
+
+
+def q_bm25_topk_and(spark, sf_dir):
+    return _topk_df(spark, sf_dir, AND_TERMS, conjunctive=True)
+
+
+def sql_bm25_topk_and():
+    return _topk_sql(AND_TERMS, conjunctive=True)
+
+
+def q_and_intersection(spark, sf_dir):
+    """Full conjunctive match set (posting-list intersection)."""
+    from pyspark.sql import functions as F
+    idx = get_index(spark, sf_dir)
+    dec = idx.decoded_postings_df(AND_TERMS)
+    return (dec.groupBy("doc_id")
+            .agg(F.count("*").alias("nt"))
+            .where(F.col("nt") == len(AND_TERMS))
+            .select("doc_id"))
+
+
+def sql_and_intersection():
+    tlist = ", ".join(f"'{t}'" for t in AND_TERMS)
+    return _base_cte() + f"""
+SELECT doc_id FROM tf WHERE term IN ({tlist})
+GROUP BY doc_id HAVING count(*) = {len(AND_TERMS)}"""
+
+
+def q_top_terms(spark, sf_dir):
+    from pyspark.sql import functions as F
+    idx = get_index(spark, sf_dir)
+    return (idx.lexicon.orderBy(F.desc("cf"), F.asc("term"))
+            .select("term", "cf").limit(20))
+
+
+def sql_top_terms():
+    return _base_cte() + \
+        "\nSELECT term, cf FROM lex ORDER BY cf DESC, term ASC LIMIT 20"
+
+
+# ---------------------------------------------------------------------
+# deduplication family
+# ---------------------------------------------------------------------
+
+def q_exact_dedup(spark, sf_dir):
+    from pyspark.sql import functions as F
+    d = _docs_df(spark, sf_dir)
+    return (d.where(F.col("text").isNotNull())
+            .groupBy(F.sha2("text", 256).alias("content_sha256"))
+            .agg(F.count("*").alias("n_docs"),
+                 F.min("doc_id").alias("keep_doc_id")))
+
+
+def sql_exact_dedup():
+    return """
+SELECT sha256(text) AS content_sha256, count(*) AS n_docs,
+       min(doc_id) AS keep_doc_id
+FROM documents WHERE text IS NOT NULL GROUP BY sha256(text)"""
+
+
+def q_jaccard_top_pairs(spark, sf_dir):
+    """Exact n-gram (unigram-set) Jaccard over all pairs — the O(n²)
+    baseline the LSH variant approximates; broadcast self-join."""
+    from pyspark.sql import functions as F
+    d = _docs_df(spark, sf_dir).where(
+        F.col("text").isNotNull() & (F.length("text") > 0))
+    from .functions.textproc import tokens_col
+    t = d.select(F.col("doc_id"),
+                 F.array_distinct(tokens_col(F.col("text"))).alias("s"))
+    a = t.alias("a")
+    b = t.alias("b")
+    pairs = (a.join(F.broadcast(b),
+                    F.col("a.doc_id") < F.col("b.doc_id"))
+             .select(F.col("a.doc_id").alias("a"),
+                     F.col("b.doc_id").alias("b"),
+                     (F.size(F.array_intersect("a.s", "b.s"))
+                      / F.size(F.array_union("a.s", "b.s"))).alias("j")))
+    return (pairs.orderBy(F.desc("j"), F.asc("a"), F.asc("b")).limit(20)
+            .select("a", "b", _u6(F.col("j")).alias("j_u6")))
+
+
+def sql_jaccard_top_pairs():
+    return _raw_tok_cte() + """,
+sets AS (SELECT doc_id, list_distinct(tokens) AS s FROM src)
+SELECT a.doc_id AS a, b.doc_id AS b,
+       CAST(round(1e6 * len(list_intersect(a.s, b.s)) /
+            (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))))
+            AS BIGINT) AS j_u6
+FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+ORDER BY (CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))) DESC,
+         a ASC, b ASC
+LIMIT 20"""
+
+
+def _shingle_col(tokens):
+    """array of 3-token shingles (Spark Column)."""
+    from pyspark.sql import functions as F
+    n = F.size(tokens)
+    return F.when(n >= 3, F.transform(
+        F.sequence(F.lit(0), n - 3),
+        lambda i: F.concat_ws(" ", F.element_at(tokens, i + 1),
+                              F.element_at(tokens, i + 2),
+                              F.element_at(tokens, i + 3)))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+_SHINGLE_SQL = ("CASE WHEN len(tokens) >= 3 THEN "
+                "[tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2] "
+                "for i in generate_series(1, len(tokens)-2)] "
+                "ELSE [] END")
+
+
+def _minhash_df(spark, sf_dir):
+    from pyspark.sql import functions as F
+    d = _docs_df(spark, sf_dir).where(
+        F.col("text").isNotNull() & (F.length("text") > 0))
+    from .functions.textproc import tokens_col
+    t = d.select("doc_id", tokens_col(F.col("text")).alias("tokens"))
+    sh = (t.select("doc_id",
+                   F.explode(F.array_distinct(_shingle_col(F.col("tokens"))))
+                   .alias("s"))
+          .withColumn("h", _h_spark(F.col("s"))))
+    aggs = [F.min((F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE31)
+            .alias(f"m{i}") for i, (a, b) in enumerate(MINHASH_PERMS)]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def _minhash_cte() -> str:
+    mins = ", ".join(
+        f"min(({a} * h + {b}) % {MERSENNE31}) AS m{i}"
+        for i, (a, b) in enumerate(MINHASH_PERMS))
+    return _raw_tok_cte() + f""",
+shingled AS (
+  SELECT doc_id, {_SHINGLE_SQL} AS shingles FROM src
+), sh AS (
+  SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id, unnest(shingles) AS s FROM shingled)
+), hv AS (
+  SELECT doc_id, {_H_SQL_DUCK.format(x='s')} AS h FROM sh
+), sig AS (
+  SELECT doc_id, {mins} FROM hv GROUP BY doc_id
+)"""
+
+
+def q_minhash_signatures(spark, sf_dir):
+    return _minhash_df(spark, sf_dir)
+
+
+def sql_minhash_signatures():
+    cols = ", ".join(f"m{i}" for i in range(16))
+    return _minhash_cte() + f"\nSELECT doc_id, {cols} FROM sig"
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash-LSH candidate pairs (band join) verified with exact
+    shingle Jaccard — the scale path for near-dup detection: candidates
+    come from equality joins on band signatures, never an O(n²) cross."""
+    from pyspark.sql import functions as F
+    sig = _minhash_df(spark, sf_dir)
+    bands = []
+    for j in range(N_BANDS):
+        cols = [f"m{j * BAND_WIDTH + i}" for i in range(BAND_WIDTH)]
+        bands.append(sig.select(
+            "doc_id", F.lit(j).alias("band"),
+            F.concat_ws("_", *[F.col(c).cast("string") for c in cols])
+            .alias("sig")))
+    allb = bands[0]
+    for b in bands[1:]:
+        allb = allb.unionAll(b)
+    a = allb.alias("a")
+    b = allb.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.sig") == F.col("b.sig"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("a"),
+                    F.col("b.doc_id").alias("b"))
+            .distinct())
+    # verify candidates with exact shingle-set jaccard
+    d = _docs_df(spark, sf_dir).where(
+        F.col("text").isNotNull() & (F.length("text") > 0))
+    from .functions.textproc import tokens_col
+    sets = d.select("doc_id", F.array_distinct(
+        _shingle_col(tokens_col(F.col("text")))).alias("s"))
+    out = (cand
+           .join(sets.withColumnRenamed("doc_id", "a")
+                     .withColumnRenamed("s", "sa"), "a")
+           .join(sets.withColumnRenamed("doc_id", "b")
+                     .withColumnRenamed("s", "sb"), "b")
+           .select("a", "b",
+                   (F.size(F.array_intersect("sa", "sb"))
+                    / F.size(F.array_union("sa", "sb"))).alias("j")))
+    return out.select("a", "b", _u6(F.col("j")).alias("j_u6"))
+
+
+def sql_minhash_lsh_pairs():
+    band_rows = []
+    for j in range(N_BANDS):
+        cols = " || '_' || ".join(
+            f"CAST(m{j * BAND_WIDTH + i} AS VARCHAR)"
+            for i in range(BAND_WIDTH))
+        band_rows.append(
+            f"SELECT doc_id, {j} AS band, {cols} AS sig FROM sig")
+    bands = " UNION ALL ".join(band_rows)
+    return _minhash_cte() + f""",
+bands AS ({bands}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+), sets AS (
+  SELECT doc_id, list_distinct(shingles) AS s FROM shingled
+)
+SELECT cand.a, cand.b,
+       CAST(round(1e6 * len(list_intersect(sa.s, sb.s)) /
+            (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))))
+            AS BIGINT) AS j_u6
+FROM cand JOIN sets sa ON sa.doc_id = cand.a
+          JOIN sets sb ON sb.doc_id = cand.b"""
+
+
+def q_simhash32(spark, sf_dir):
+    from pyspark.sql import functions as F
+    d = _docs_df(spark, sf_dir).where(
+        F.col("text").isNotNull() & (F.length("text") > 0))
+    from .functions.textproc import tokens_col
+    tok = (d.select("doc_id",
+                    F.explode(tokens_col(F.col("text"))).alias("t"))
+           .groupBy("doc_id", "t").agg(F.count("*").alias("tf"))
+           .withColumn("h", _h_spark(F.col("t"))))
+    bit_sums = [F.sum(
+        F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1,
+               F.col("tf")).otherwise(-F.col("tf"))).alias(f"b{j}")
+        for j in range(32)]
+    sums = tok.groupBy("doc_id").agg(*bit_sums)
+    sim = None
+    for j in range(32):
+        bit = F.when(F.col(f"b{j}") >= 0, F.lit(2 ** j)).otherwise(F.lit(0))
+        sim = bit if sim is None else sim + bit
+    return sums.select("doc_id", sim.cast("long").alias("simhash32"))
+
+
+def sql_simhash32():
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN ((h >> {j}) & 1) = 1 THEN tf ELSE -tf END) AS b{j}"
+        for j in range(32))
+    combine = " + ".join(
+        f"(CASE WHEN b{j} >= 0 THEN CAST({2 ** j} AS BIGINT) ELSE 0 END)"
+        for j in range(32))
+    return _raw_tok_cte() + f""",
+tok AS (
+  SELECT doc_id, unnest(tokens) AS t FROM src
+), tf AS (
+  SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY doc_id, t
+), hv AS (
+  SELECT doc_id, tf, {_H_SQL_DUCK.format(x='t')} AS h FROM tf
+), sums AS (
+  SELECT doc_id, {bit_sums} FROM hv GROUP BY doc_id
+)
+SELECT doc_id, {combine} AS simhash32 FROM sums"""
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Rolling-hash (3-gram min) document fingerprint."""
+    from pyspark.sql import functions as F
+    d = _docs_df(spark, sf_dir).where(
+        F.col("text").isNotNull() & (F.length("text") > 0))
+    from .functions.textproc import tokens_col
+    t = d.select("doc_id", tokens_col(F.col("text")).alias("tokens"))
+    hs = F.transform(F.col("tokens"), lambda x: _h_spark(x))
+    t = t.withColumn("hs", hs)
+    n = F.size("hs")
+    kgrams = F.when(n >= 3, F.transform(
+        F.sequence(F.lit(0), n - 3),
+        lambda i: (F.element_at(F.col("hs"), i + 1) * 1000003
+                   + F.element_at(F.col("hs"), i + 2) * 101
+                   + F.element_at(F.col("hs"), i + 3)) % MERSENNE31)
+    ).otherwise(F.array().cast("array<long>"))
+    t = t.withColumn("kg", kgrams)
+    fp = F.coalesce(F.array_min("kg"), F.array_min("hs"))
+    return t.select("doc_id", fp.alias("fingerprint"))
+
+
+def sql_doc_fingerprint():
+    h = _H_SQL_DUCK.format(x="t")
+    return _raw_tok_cte() + f""",
+hv AS (
+  SELECT doc_id, list_transform(tokens, t -> {h}) AS hs FROM src
+), kg AS (
+  SELECT doc_id, hs,
+         CASE WHEN len(hs) >= 3 THEN
+           [(hs[i] * 1000003 + hs[i+1] * 101 + hs[i+2]) % {MERSENNE31}
+            for i in generate_series(1, len(hs)-2)]
+         ELSE [] END AS kgrams
+  FROM hv
+)
+SELECT doc_id,
+       COALESCE(list_aggregate(kgrams, 'min'),
+                list_aggregate(hs, 'min')) AS fingerprint
+FROM kg"""
+
+
+# ---------------------------------------------------------------------
+# text analysis family
+# ---------------------------------------------------------------------
+
+def q_token_stats(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from .functions.textproc import tokens_col
+    d = _docs_df(spark, sf_dir).where(
+        F.col("text").isNotNull() & (F.length("text") > 0))
+    t = d.select(
+        "doc_id", F.length("text").alias("n_chars"),
+        tokens_col(F.col("text")).alias("tokens"),
+        (F.length("text")
+         - F.length(F.regexp_replace("text", "[^a-zA-Z0-9]", "")))
+        .alias("n_sep"))
+    t = t.withColumn("n_tokens", F.size("tokens"))
+    t = t.withColumn(
+        "n_terms",
+        F.size(F.filter("tokens", lambda x: ~x.isin(*STOPWORDS))))
+    stop_ratio = 1.0 - F.col("n_terms") / F.col("n_tokens")
+    punct_ratio = F.col("n_sep") / F.col("n_chars")
+    quality = (0.5 * (1.0 - stop_ratio) + 0.3 * (1.0 - punct_ratio)
+               + 0.2 * F.least(F.lit(1.0), F.col("n_terms") / 50.0))
+    return t.select(
+        "doc_id", "n_chars", "n_tokens", "n_terms",
+        _u6(stop_ratio).alias("stop_ratio_u6"),
+        _u6(punct_ratio).alias("punct_ratio_u6"),
+        _u6(quality).alias("quality_u6"))
+
+
+def sql_token_stats():
+    sw = stopword_array_sql()
+    return _raw_tok_cte() + f""",
+m AS (
+  SELECT doc_id, length(text) AS n_chars, len(tokens) AS n_tokens,
+         len(list_filter(tokens, t -> NOT list_contains({sw}, t)))
+           AS n_terms,
+         length(text) - length(regexp_replace(text, '[^a-zA-Z0-9]', '',
+                                              'g')) AS n_sep
+  FROM src
+)
+SELECT doc_id, n_chars, n_tokens, n_terms,
+  CAST(round(1e6 * (1.0 - CAST(n_terms AS DOUBLE) / n_tokens)) AS BIGINT)
+    AS stop_ratio_u6,
+  CAST(round(1e6 * (CAST(n_sep AS DOUBLE) / n_chars)) AS BIGINT)
+    AS punct_ratio_u6,
+  CAST(round(1e6 * (0.5 * (CAST(n_terms AS DOUBLE) / n_tokens)
+       + 0.3 * (1.0 - CAST(n_sep AS DOUBLE) / n_chars)
+       + 0.2 * least(1.0, CAST(n_terms AS DOUBLE) / 50.0))) AS BIGINT)
+    AS quality_u6
+FROM m"""
+
+
+LANG_MARKERS = {
+    "de": ["der", "die", "und", "das", "ist", "nicht", "mit", "ein",
+           "ich", "zu"],
+    "en": ["the", "and", "is", "of", "to", "in", "that", "it", "was",
+           "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "se", "del",
+           "las"],
+    "fr": ["le", "les", "des", "et", "est", "une", "dans", "que",
+           "pour", "sur"],
+}
+
+
+def q_lang_id(spark, sf_dir):
+    """Marker-word language ID (n-gram heuristic family); deterministic
+    tie-break: priority order de < en < es < fr, unknown if no hits."""
+    from pyspark.sql import functions as F
+    from .functions.textproc import tokens_col
+    d = _docs_df(spark, sf_dir).where(
+        F.col("text").isNotNull() & (F.length("text") > 0))
+    t = d.select("doc_id", tokens_col(F.col("text")).alias("tokens"))
+    for lang, markers in LANG_MARKERS.items():
+        t = t.withColumn(
+            f"c_{lang}",
+            F.size(F.filter("tokens", lambda x: x.isin(*markers))))
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"c_{l}") for l in langs])
+    pred = F.lit("unknown")
+    for lang in reversed(langs):
+        pred = F.when((F.col(f"c_{lang}") == best) & (best > 0),
+                      F.lit(lang)).otherwise(pred)
+    return t.select("doc_id", pred.alias("pred_lang"))
+
+
+def sql_lang_id():
+    langs = sorted(LANG_MARKERS)
+    counts = ", ".join(
+        "len(list_filter(tokens, t -> list_contains(["
+        + ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+        + f"], t))) AS c_{lang}" for lang in langs)
+    best = "greatest(" + ", ".join(f"c_{l}" for l in langs) + ")"
+    case = "'unknown'"
+    for lang in reversed(langs):
+        case = (f"CASE WHEN c_{lang} = {best} AND {best} > 0 "
+                f"THEN '{lang}' ELSE {case} END")
+    return _raw_tok_cte() + f""",
+m AS (SELECT doc_id, {counts} FROM src)
+SELECT doc_id, {case} AS pred_lang FROM m"""
+
+
+# ---------------------------------------------------------------------
+# similarity search family (embeddings)
+# ---------------------------------------------------------------------
+
+def _query_vec(spark, sf_dir):
+    row = (_emb_df(spark, sf_dir).where("vec_id = 0")
+           .select("embedding").collect())
+    return [float(x) for x in row[0]["embedding"]]
+
+
+def _cosine_col(q):
+    from pyspark.sql import functions as F
+    qlit = F.array(*[F.lit(x) for x in q])
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    dot = F.aggregate(F.zip_with(v, qlit, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    n1 = F.sqrt(F.aggregate(F.transform(v, lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    n2 = F.sqrt(F.aggregate(F.transform(qlit, lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    return dot / (n1 * n2)
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k — the exact baseline for ANN."""
+    from pyspark.sql import functions as F
+    q = _query_vec(spark, sf_dir)
+    e = _emb_df(spark, sf_dir).where("vec_id <> 0")
+    scored = e.select("vec_id", _cosine_col(q).alias("cos"))
+    return (scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(K)
+            .select("vec_id", _u6(F.col("cos")).alias("cos_u6")))
+
+
+def _qvec_sql_literal(q):
+    return "[" + ", ".join(repr(x) for x in q) + "]"
+
+
+def sql_ann_cosine_topk(q):
+    lit = _qvec_sql_literal(q)
+    return f"""
+SELECT vec_id,
+       CAST(round(1e6 * list_cosine_similarity(embedding::DOUBLE[], {lit}))
+            AS BIGINT) AS cos_u6
+FROM embeddings WHERE vec_id <> 0
+ORDER BY list_cosine_similarity(embedding::DOUBLE[], {lit}) DESC, vec_id ASC
+LIMIT {K}"""
+
+
+def _bucket_col():
+    from pyspark.sql import functions as F
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    bucket = F.lit(0)
+    for i, plane in enumerate(LSH_PLANES):
+        plit = F.array(*[F.lit(x) for x in plane])
+        dot = F.aggregate(F.zip_with(v, plit, lambda x, y: x * y),
+                          F.lit(0.0), lambda acc, x: acc + x)
+        bucket = bucket + F.when(dot > 0, F.lit(2 ** i)).otherwise(F.lit(0))
+    return bucket
+
+
+def _bucket_sql() -> str:
+    parts = []
+    for i, plane in enumerate(LSH_PLANES):
+        lit = _qvec_sql_literal(plane)
+        parts.append(f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {lit}) > 0 "
+                     f"THEN {2 ** i} ELSE 0 END)")
+    return " + ".join(parts)
+
+
+def q_lsh_buckets(spark, sf_dir):
+    """Random-hyperplane LSH bucket histogram (the ANN scale path:
+    candidates come from one bucket, not the full table)."""
+    from pyspark.sql import functions as F
+    e = _emb_df(spark, sf_dir)
+    return (e.select(_bucket_col().alias("bucket"))
+            .groupBy("bucket").agg(F.count("*").alias("n")))
+
+
+def sql_lsh_buckets():
+    return f"""
+SELECT {_bucket_sql()} AS bucket, count(*) AS n
+FROM embeddings GROUP BY 1"""
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """ANN restricted to the query vector's LSH bucket."""
+    from pyspark.sql import functions as F
+    q = _query_vec(spark, sf_dir)
+    e = _emb_df(spark, sf_dir).withColumn("bucket", _bucket_col())
+    qb = e.where("vec_id = 0").select("bucket").collect()[0]["bucket"]
+    cand = e.where((F.col("bucket") == qb) & (F.col("vec_id") != 0))
+    scored = cand.select("vec_id", _cosine_col(q).alias("cos"))
+    return (scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(K)
+            .select("vec_id", _u6(F.col("cos")).alias("cos_u6")))
+
+
+def sql_ann_lsh_topk(q):
+    lit = _qvec_sql_literal(q)
+    return f"""
+WITH b AS (SELECT vec_id, embedding, {_bucket_sql()} AS bucket
+           FROM embeddings),
+qb AS (SELECT bucket FROM b WHERE vec_id = 0)
+SELECT vec_id,
+       CAST(round(1e6 * list_cosine_similarity(embedding::DOUBLE[], {lit}))
+            AS BIGINT) AS cos_u6
+FROM b, qb WHERE b.bucket = qb.bucket AND vec_id <> 0
+ORDER BY list_cosine_similarity(embedding::DOUBLE[], {lit}) DESC, vec_id ASC
+LIMIT {K}"""
+
+
+# ---------------------------------------------------------------------
+# rows-only checks (non-SQL-expressible physical format ops)
+# ---------------------------------------------------------------------
+
+def q_vbyte_roundtrip(spark, sf_dir):
+    """Physical-format integrity: decode payloads and re-encode; ok must
+    be true for every term. No SQL oracle (byte-level op)."""
+    import pyarrow as pa
+    from .functions import codec
+    idx = get_index(spark, sf_dir)
+
+    def check(iterator):
+        for batch in iterator:
+            terms = batch.column("term").to_pylist()
+            ids_b = batch.column("doc_ids_vbyte").to_pylist()
+            tf_b = batch.column("freqs_vbyte").to_pylist()
+            nps = batch.column("n_postings").to_pylist()
+            oks, ns = [], []
+            for ib, fb, np_ in zip(ids_b, tf_b, nps):
+                gaps = codec.vbyte_decode(ib)
+                tfs = codec.vbyte_decode(fb)
+                ok = (codec.vbyte_encode(gaps) == ib
+                      and codec.vbyte_encode(tfs) == fb
+                      and gaps.size == tfs.size == np_)
+                oks.append(bool(ok))
+                ns.append(int(np_))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(terms), pa.array(ns, pa.int64()),
+                 pa.array(oks)],
+                names=["term", "n_postings", "roundtrip_ok"])
+
+    return (idx.postings
+            .select("term", "n_postings", "doc_ids_vbyte", "freqs_vbyte")
+            .mapInArrow(check,
+                        "term string, n_postings long, roundtrip_ok boolean"))
+
+
+# =====================================================================
+# registry
+# =====================================================================
+
+def all_queries():
+    return {
+        "doc_table": q_doc_table,
+        "collection_stats": q_collection_stats,
+        "term_stats": q_term_stats,
+        "lexicon_lookup": q_lexicon_lookup,
+        "postings_lists": q_postings_lists,
+        "postings_gaps": q_postings_gaps,
+        "term_upper_bounds": q_term_upper_bounds,
+        "bm25_topk_or": q_bm25_topk_or,
+        "bm25_topk_and": q_bm25_topk_and,
+        "and_intersection": q_and_intersection,
+        "top_terms": q_top_terms,
+        "exact_dedup": q_exact_dedup,
+        "jaccard_top_pairs": q_jaccard_top_pairs,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash32": q_simhash32,
+        "doc_fingerprint": q_doc_fingerprint,
+        "token_stats": q_token_stats,
+        "lang_id": q_lang_id,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "lsh_buckets": q_lsh_buckets,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "vbyte_roundtrip": q_vbyte_roundtrip,
+    }
+
+
+def all_oracle_sql(query_vec=None):
+    """query_vec: the sf-specific query embedding; when None the
+    ANN oracles are generated lazily by the caller."""
+    out = {
+        "doc_table": sql_doc_table(),
+        "collection_stats": sql_collection_stats(),
+        "term_stats": sql_term_stats(),
+        "lexicon_lookup": sql_lexicon_lookup(),
+        "postings_lists": sql_postings_lists(),
+        "postings_gaps": sql_postings_gaps(),
+        "term_upper_bounds": sql_term_upper_bounds(),
+        "bm25_topk_or": sql_bm25_topk_or(),
+        "bm25_topk_and": sql_bm25_topk_and(),
+        "and_intersection": sql_and_intersection(),
+        "top_terms": sql_top_terms(),
+        "exact_dedup": sql_exact_dedup(),
+        "jaccard_top_pairs": sql_jaccard_top_pairs(),
+        "minhash_signatures": sql_minhash_signatures(),
+        "minhash_lsh_pairs": sql_minhash_lsh_pairs(),
+        "simhash32": sql_simhash32(),
+        "doc_fingerprint": sql_doc_fingerprint(),
+        "token_stats": sql_token_stats(),
+        "lang_id": sql_lang_id(),
+        "lsh_buckets": sql_lsh_buckets(),
+        # vbyte_roundtrip: rows-only (physical byte format, not SQL)
+    }
+    if query_vec is not None:
+        out["ann_cosine_topk"] = sql_ann_cosine_topk(query_vec)
+        out["ann_lsh_topk"] = sql_ann_lsh_topk(query_vec)
+    return out

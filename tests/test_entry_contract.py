@@ -1,0 +1,74 @@
+"""Replicates the driver's correctness gate: every queries() entry run
+by Spark at sf0.01 must match its oracle_sql() run by DuckDB —
+row count, column names, and order-insensitive values."""
+
+import math
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry_mod  # noqa: E402
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+
+@pytest.fixture(scope="module")
+def duck_views(sf001_dir):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf001_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(
+                f"create view {t} as select * from read_parquet('{p}')")
+    yield con
+    con.close()
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 9)
+    return v
+
+
+def _rowset(cols, rows):
+    return sorted(tuple(_norm(r[c]) for c in cols) for r in rows)
+
+
+@pytest.mark.parametrize("name", sorted(entry_mod.queries()))
+def test_query_matches_oracle(name, spark, duck_views, sf001_dir):
+    q = entry_mod.queries()[name]
+    sdf = q(spark, sf001_dir)
+    spark_rows = sdf.collect()
+    oracles = entry_mod.oracle_sql()
+    if name not in oracles:
+        assert len(spark_rows) >= 0  # rows-only contract
+        if name == "vbyte_roundtrip":
+            assert len(spark_rows) > 0
+            assert all(r["roundtrip_ok"] for r in spark_rows)
+        return
+    res = duck_views.execute(oracles[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    spark_cols = sdf.columns
+    assert sorted(spark_cols) == sorted(duck_cols), name
+    got = _rowset(spark_cols, [r.asDict() for r in spark_rows])
+    want = sorted(tuple(_norm(v) for v in
+                        (dict(zip(duck_cols, row))[c] for c in spark_cols))
+                  for row in duck_rows)
+    assert len(got) == len(want), f"{name}: {len(got)} vs {len(want)} rows"
+    assert got == want, f"{name}: value mismatch"
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert df.columns == ["doc_no", "score"]
+    assert len(rows) > 0
