@@ -1,0 +1,171 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline engine metrics on $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) with local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"<name>": sec, ...}, "sf": <float>, ...extras}
+
+Components (each timed separately in "queries"):
+  index_build      — full index build over a deterministic synthetic
+                     source-code corpus scaled by sf (sf0.1 → 40k docs);
+                     docs_per_sec derived.
+  query_exact_p50  — p50 over 60 distinct AND/OR top-k queries through
+                     the exact (driver-kernel) path, cache off.
+  query_distributed— one disjunctive top-k through the pure-DataFrame
+                     path.
+  batch_queries    — 200-query batch (cache on), throughput q/s.
+  minhash_lsh      — MinHash-LSH near-dup pairs over sf documents.
+  simhash          — SimHash32 over sf documents.
+  ann_bruteforce   — cosine top-10 over sf embeddings.
+  token_stats      — quality/token stats over sf documents.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+ONLY = os.environ.get("BENCH_ONLY", "")  # comma-separated subset
+
+
+def sf_value(sf_dir: str) -> float:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.0
+
+
+def make_spark():
+    from pyspark.sql import SparkSession
+
+    return (SparkSession.builder.master(f"local[{CPUS}]")
+            .appName("invertedindex-bench")
+            .config("spark.sql.shuffle.partitions", str(CPUS))
+            .config("spark.default.parallelism", str(CPUS))
+            .config("spark.sql.adaptive.enabled", "true")
+            .config("spark.driver.memory", "24g")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate())
+
+
+def main():
+    sf = sf_value(SF_DIR)
+    n_docs = max(2000, int(400_000 * sf))
+    timings: dict[str, float] = {}
+    extras: dict[str, object] = {"cpus": CPUS, "n_synth_docs": n_docs}
+
+    spark = make_spark()
+    from invertedindex_spark import (
+        IndexConfig, InvertedIndex, build_index, corpus,
+    )
+    from invertedindex_spark import entry_queries as eq
+
+    def run(name, fn):
+        if ONLY and name not in ONLY.split(","):
+            return None
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        return out
+
+    wh = tempfile.mkdtemp(prefix="iis_bench_wh_")
+    try:
+        # --- index build over synthetic source-code corpus ----------
+        c = corpus.synthesize_source_code(spark, n_docs, seed=42,
+                                          num_partitions=CPUS * 2)
+        c.df.cache().count()  # exclude synth-generation from the timing
+
+        def build():
+            build_index(spark, c, wh,
+                        IndexConfig(num_blocks=CPUS * 2))
+
+        run("index_build", build)
+        if "index_build" in timings:
+            manifest_docs = InvertedIndex(spark, wh).num_docs
+            extras["docs_per_sec"] = round(
+                manifest_docs / timings["index_build"], 1)
+            extras["indexed_docs"] = manifest_docs
+
+        idx = InvertedIndex(spark, wh)
+
+        # --- query latency (exact path, distinct queries, cache off) -
+        vocab = ["hotterm", "quick", "brown", "fox", "optimization",
+                 "vectorized", "throughput", "latency", "compression",
+                 "partition", "shuffle", "broadcast", "executor",
+                 "driver", "schema", "column", "filter", "aggregate",
+                 "window", "stream", "alpha", "beta", "gamma", "delta",
+                 "parties", "national", "generation", "agreement",
+                 "import", "return", "public", "static"]
+        queries = []
+        for i in range(40):
+            terms = [vocab[(i * 3 + j) % len(vocab)] for j in range(1 + i % 4)]
+            queries.append("OR " + " ".join(terms))
+        for i in range(20):
+            terms = [vocab[(i * 5 + j) % len(vocab)] for j in range(2)]
+            queries.append("AND " + " ".join(terms))
+
+        lat = []
+
+        def exact_queries():
+            for q in queries:
+                t0 = time.perf_counter()
+                idx.search(q, k=20)
+                lat.append(time.perf_counter() - t0)
+
+        run("query_exact_p50", exact_queries)
+        if lat:
+            extras["query_p50_ms"] = round(
+                statistics.median(lat) * 1000, 2)
+            extras["query_mean_ms"] = round(
+                sum(lat) / len(lat) * 1000, 2)
+
+        run("query_distributed",
+            lambda: idx.search_distributed(
+                "OR hotterm optimization throughput", k=20).collect())
+
+        def batch():
+            qs = [(i, queries[i % len(queries)]) for i in range(200)]
+            idx.batch_search(qs, k=20)
+
+        run("batch_queries", batch)
+        if "batch_queries" in timings:
+            extras["batch_qps"] = round(200 / timings["batch_queries"], 1)
+
+        # --- training-data operators over the sf testdata ------------
+        run("minhash_lsh",
+            lambda: eq.q_minhash_lsh_pairs(spark, SF_DIR).collect())
+        run("simhash",
+            lambda: eq.q_simhash32(spark, SF_DIR).count())
+        run("ann_bruteforce",
+            lambda: eq.q_ann_cosine_topk(spark, SF_DIR).collect())
+        run("token_stats",
+            lambda: eq.q_token_stats(spark, SF_DIR).count())
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+        spark.stop()
+
+    result = {
+        "metric": "invertedindex_spark end-to-end (build + BM25 top-k "
+                  "+ dedup/ANN operators)",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        **extras,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

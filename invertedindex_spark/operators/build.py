@@ -67,7 +67,6 @@ class IndexConfig:
     num_blocks: int | None = None   # SPIMI blocks (= partitions); auto
     merge_width: int | None = None  # max segments per merged posting row
     keep_partials: bool = True
-    broadcast_lexicon_threshold: int = 1_000_000  # rows; join hint cutoff
 
 
 PARTIAL_SCHEMA = (
@@ -128,21 +127,27 @@ def _tokenized_staging(corpus, cfg: IndexConfig, num_blocks: int):
     df = corpus.df
     # malformed-line policy (Indexer.java:72-84): null/empty content skipped
     df = df.where(F.col("content").isNotNull() & (F.length("content") > 0))
+    # range-exchange the *raw* rows first — the shuffle moves only
+    # (keys, doc_no, content); tokenization happens post-shuffle so the
+    # wide terms arrays are computed exactly once, inside the partition
+    # that keeps them (then cached for the docs/partials passes)
+    df = (df.select(*corpus.order_keys, "doc_no", "content")
+            .repartitionByRange(num_blocks,
+                                *[F.col(k) for k in corpus.order_keys])
+            .sortWithinPartitions(*corpus.order_keys))
+    # exactly one tokenize evaluation per row: everything derived from
+    # terms (the doc_len>0 filter, doc_len itself = size(terms), since
+    # stopword filtering precedes count-preserving truncation) is
+    # computed *after* the cache barrier in build_index — Catalyst's
+    # CollapseProject would otherwise inline the tokenizer expression
+    # tree into each consumer (HOF columns get no CSE)
     toks = tokens_col(F.col("content"))
-    df = df.select(
-        *corpus.order_keys,
+    return df.select(
         "doc_no",
         F.sha2(F.col("content"), 256).alias("content_sha256"),
         terms_col(toks, stopwords=cfg.stopwords,
                   truncate=cfg.truncate).alias("terms"),
-        doc_len_col(toks, stopwords=cfg.stopwords).alias("doc_len"),
     )
-    # all-stopword docs don't consume a docId (Indexer.java:121-126)
-    df = df.where(F.col("doc_len") > 0)
-    df = (df.repartitionByRange(num_blocks, *[F.col(k) for k in corpus.order_keys])
-            .sortWithinPartitions(*corpus.order_keys)
-            .select("doc_no", "doc_len", "terms", "content_sha256"))
-    return df
 
 
 def _partition_offsets(staged):
@@ -167,31 +172,50 @@ def _partition_offsets(staged):
     return offsets, num_docs, num_tokens, {p: n for p, (n, _) in sizes.items()}
 
 
-def _with_doc_ids(staged, offsets: dict[int, int]):
-    """Narrow mapInArrow adding dense doc_id per the partition offsets."""
-    import pyarrow as pa
+def _with_doc_ids(staged, offsets: dict[int, int], spark):
+    """Dense doc_id = partition offset + within-partition index, all
+    JVM-side: ``monotonically_increasing_id()`` is defined as
+    ``partition_id << 33 | row_index_in_partition``, so subtracting the
+    partition mask yields the local index; the prefix-sum offsets arrive
+    via a broadcast join. No Python worker in this path — it runs at
+    whole-stage-codegen speed and stays narrow (partitioning preserved).
+    """
+    from pyspark.sql import functions as F
 
-    out_schema = ("doc_id long, doc_no string, doc_len int, "
-                  "terms array<string>, content_sha256 string")
-
-    def assign(iterator):
-        from pyspark import TaskContext
-
-        pid = TaskContext.get().partitionId()
-        start = offsets.get(pid, 0)
-        seen = 0
-        for batch in iterator:
-            n = batch.num_rows
-            ids = pa.array(range(start + seen, start + seen + n),
-                           type=pa.int64())
-            seen += n
-            yield pa.RecordBatch.from_arrays(
-                [ids, batch.column("doc_no"), batch.column("doc_len"),
-                 batch.column("terms"), batch.column("content_sha256")],
-                names=["doc_id", "doc_no", "doc_len", "terms",
-                       "content_sha256"])
-
-    return staged.mapInArrow(assign, out_schema)
+    pid = F.spark_partition_id()
+    local = (F.monotonically_increasing_id()
+             - (pid.cast("long") * F.lit(1 << 33)))
+    if len(offsets) <= 4096:
+        # constant-folded literal map — pure JVM, no extra plan nodes
+        pairs = []
+        for p, o in sorted(offsets.items()):
+            pairs.append(F.lit(int(p)))
+            pairs.append(F.lit(int(o)))
+        off = (F.element_at(F.create_map(*pairs), pid)
+               if pairs else F.lit(0))
+        return (staged
+                .withColumn("doc_id", off + local)
+                .select("doc_id", "doc_no", "doc_len", "terms",
+                        "content_sha256"))
+    # huge partition counts: broadcast-join a JVM-built offsets table
+    # (a python-list createDataFrame would route every downstream action
+    # through a Python-RDD evaluation)
+    items = sorted(offsets.items())
+    off_df = (spark.range(len(items))
+              .select(F.element_at(F.array(*[F.lit(int(p)) for p, _ in
+                                             items]),
+                                   (F.col("id") + 1).cast("int"))
+                      .alias("pid"),
+                      F.element_at(F.array(*[F.lit(int(o)) for _, o in
+                                             items]),
+                                   (F.col("id") + 1).cast("int"))
+                      .alias("off")))
+    return (staged
+            .withColumn("pid", pid).withColumn("local", local)
+            .join(F.broadcast(off_df), "pid")
+            .withColumn("doc_id", F.col("off") + F.col("local"))
+            .select("doc_id", "doc_no", "doc_len", "terms",
+                    "content_sha256"))
 
 
 # ---------------------------------------------------------------------
@@ -224,65 +248,78 @@ def _build_partials(staged_ids, cfg: IndexConfig, avg_doc_len: float):
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        # term -> [doc_id list, tf list, dl list] accumulated across batches
-        acc_docs: dict[str, list] = {}
-        acc_tfs: dict[str, list] = {}
-        acc_dls: dict[str, list] = {}
+        # flat (term, doc_id, dl, tf) accumulated per batch; a doc never
+        # spans batches, so (term, doc_id) pairs are unique across the
+        # concatenated frames — no cross-batch re-aggregation needed
+        frames = []
         for batch in iterator:
             tbl = batch.to_pandas()
             if not len(tbl):
                 continue
             lens = tbl["terms"].map(len).to_numpy(dtype=np.int64)
+            if lens.sum() == 0:
+                continue
             flat = np.concatenate(
-                [np.asarray(t, dtype=object) for t in tbl["terms"]]) \
-                if lens.sum() else np.zeros(0, dtype=object)
+                [np.asarray(t, dtype=object) for t in tbl["terms"]])
             rep_doc = np.repeat(tbl["doc_id"].to_numpy(), lens)
             rep_dl = np.repeat(tbl["doc_len"].to_numpy(), lens)
-            if stemming and len(flat):
+            if stemming:
                 s = pd.Series(flat)
                 flat = s.map({u: stem(u) for u in s.unique()}).to_numpy()
             f = pd.DataFrame({"term": flat, "doc_id": rep_doc,
                               "dl": rep_dl})
-            # frame is doc-ascending; sort=False keeps first-occurrence
-            # order, so per-term doc lists stay docId-ascending
             g = (f.groupby(["term", "doc_id"], sort=False)
                    .agg(tf=("dl", "size"), dl=("dl", "first"))
                    .reset_index())
-            for term, sub in g.groupby("term", sort=False):
-                acc_docs.setdefault(term, []).append(
-                    sub["doc_id"].to_numpy(np.int64))
-                acc_tfs.setdefault(term, []).append(
-                    sub["tf"].to_numpy(np.int32))
-                acc_dls.setdefault(term, []).append(
-                    sub["dl"].to_numpy(np.int32))
+            frames.append(g)
+        if not frames:
+            return
+        g = pd.concat(frames, ignore_index=True) if len(frames) > 1 \
+            else frames[0]
+        # one vectorized sort; stable so per-term docIds stay ascending
+        g = g.sort_values(["term", "doc_id"], kind="stable",
+                          ignore_index=True)
+        terms = g["term"].to_numpy()
+        doc = g["doc_id"].to_numpy(np.int64)
+        tf = g["tf"].to_numpy(np.int64)
+        dl = g["dl"].to_numpy(np.int64)
+        # run-length boundaries per term (no per-group python)
+        change = np.empty(len(g), dtype=bool)
+        change[0] = True
+        change[1:] = terms[1:] != terms[:-1]
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], len(g))
+        factor = tf / (k1 * ((1.0 - b)
+                             + b * (dl.astype(np.float64) / avg_doc_len))
+                       + tf)
+        df_b = ends - starts
+        cf_b = np.add.reduceat(tf, starts)
+        fmax_b = np.maximum.reduceat(factor, starts)
+        uniq_terms = terms[starts]
+        n_terms = starts.size
 
-        terms_sorted = sorted(acc_docs)
-        CHUNK = 4096
-        for lo in range(0, len(terms_sorted), CHUNK):
-            chunk = terms_sorted[lo:lo + CHUNK]
-            docs_l, tfs_l, dls_l, dfb, cfb, fmaxb = [], [], [], [], [], []
-            for t in chunk:
-                d = np.concatenate(acc_docs[t])
-                tf = np.concatenate(acc_tfs[t])
-                dl = np.concatenate(acc_dls[t])
-                docs_l.append(d)
-                tfs_l.append(tf)
-                dls_l.append(dl)
-                dfb.append(d.size)
-                cfb.append(int(tf.sum()))
-                factor = tf / (k1 * ((1.0 - b) + b * (dl.astype(np.float64)
-                                                      / avg_doc_len)) + tf)
-                fmaxb.append(float(factor.max()))
-            yield pa.RecordBatch.from_arrays(
-                [pa.array([pid] * len(chunk), pa.int32()),
-                 pa.array(chunk, pa.string()),
-                 pa.array([x.tolist() for x in docs_l], pa.list_(pa.int64())),
-                 pa.array([x.tolist() for x in tfs_l], pa.list_(pa.int32())),
-                 pa.array([x.tolist() for x in dls_l], pa.list_(pa.int32())),
-                 pa.array(dfb, pa.int64()),
-                 pa.array(cfb, pa.int64()),
-                 pa.array(fmaxb, pa.float64())],
-                schema=out_fields)
+        def list_arr(values, typ):
+            offsets = np.empty(n_terms + 1, dtype=np.int64)
+            offsets[:-1] = starts
+            offsets[-1] = len(g)
+            return pa.LargeListArray.from_arrays(
+                pa.array(offsets), pa.array(values, typ))
+
+        CHUNK = 1 << 14
+        full = pa.RecordBatch.from_arrays(
+            [pa.array(np.full(n_terms, pid, np.int32)),
+             pa.array(uniq_terms, pa.string()),
+             list_arr(doc, pa.int64()).cast(pa.list_(pa.int64())),
+             list_arr(tf.astype(np.int32), pa.int32())
+             .cast(pa.list_(pa.int32())),
+             list_arr(dl.astype(np.int32), pa.int32())
+             .cast(pa.list_(pa.int32())),
+             pa.array(df_b, pa.int64()),
+             pa.array(cf_b, pa.int64()),
+             pa.array(fmax_b, pa.float64())],
+            schema=out_fields)
+        for lo in range(0, n_terms, CHUNK):
+            yield full.slice(lo, min(CHUNK, n_terms - lo))
 
     return staged_ids.mapInArrow(build, PARTIAL_SCHEMA)
 
@@ -291,66 +328,170 @@ def _build_partials(staged_ids, cfg: IndexConfig, avg_doc_len: float):
 # stage 4: SPIMI-style merge — groupBy(term) over segments
 # ---------------------------------------------------------------------
 
-def _merge_partials(partials, lexicon, cfg: IndexConfig, num_docs: int,
-                    avg_doc_len: float, spark):
-    """Segments + global (df, cf) → final compressed posting rows.
+def _merge_partials(partials, cfg: IndexConfig, num_docs: int,
+                    avg_doc_len: float, num_partitions: int):
+    """Segments → final compressed posting rows, fully vectorized.
 
     The shuffle-by-term *is* the reference's k-way merge
-    (``Indexer.java:203-224``): segments arrive one per block, get
-    concatenated in block order (blocks are docId ranges, so the result
-    is docId-ascending without re-sorting — asserted), then gap+VByte
-    encoded with skip pointers and block-max, mirroring
-    ``LexiconTermBinaryIndexing.writeToDisk`` (:60-126).
+    (``Indexer.java:203-224``): all segments of a term hash to one
+    partition; sorted by (term, grp, block_id) they concatenate in block
+    order (blocks are docId ranges, so results are docId-ascending —
+    asserted), then gap+VByte encoding, skip pointers, TUB and block-max
+    mirror ``LexiconTermBinaryIndexing`` (:39-126). Because a term's
+    segments are co-partitioned, global df/cf/TUB are computed in-task —
+    no lexicon join, no second shuffle. The per-term work is run-length
+    NumPy over the whole partition (one vectorized gap/VByte pass for
+    *all* terms); only skip-pointer construction loops, and only over
+    terms with df > 1024.
     """
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
     from pyspark.sql import functions as F
 
     k1, b = scoring.K_BM25, scoring.B_BM25
     width = cfg.merge_width
-
-    lex_small = lexicon.select("term", "df", "term_upper_bound")
-    n_lex = None
-    if cfg.broadcast_lexicon_threshold:
-        n_lex = lexicon.count()
-    if n_lex is not None and n_lex <= cfg.broadcast_lexicon_threshold:
-        lex_small = F.broadcast(lex_small)
-    joined = partials.join(lex_small, "term")
-
     grp = (F.col("block_id") / width).cast("int") if width else F.lit(0)
-    joined = joined.withColumn("grp", grp)
+    shuffled = (partials.withColumn("grp", grp)
+                .repartition(num_partitions, "term")
+                .sortWithinPartitions("term", "grp", "block_id"))
 
-    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("block_id")
-        term = pdf["term"].iloc[0]
-        grp_v = int(pdf["grp"].iloc[0])
-        d = np.concatenate([np.asarray(x, np.int64) for x in pdf["doc_ids"]])
-        tf = np.concatenate([np.asarray(x, np.int64) for x in pdf["tfs"]])
-        dl = np.concatenate([np.asarray(x, np.int64) for x in pdf["dls"]])
-        if d.size > 1 and not (d[1:] > d[:-1]).all():
-            raise ValueError(f"postings for {term!r} not docId-ascending")
-        df_global = int(pdf["df"].iloc[0])
-        tub = float(pdf["term_upper_bound"].iloc[0])
-        idf = math.log(num_docs / df_global)
-        factor = tf / (k1 * ((1.0 - b) + b * (dl.astype(np.float64)
-                                              / avg_doc_len)) + tf)
-        bmax = (idf * codec.block_maxes(factor, d.size))
-        keys, doff, foff = codec.build_skip_pointers(d, tf)
-        return pd.DataFrame({
-            "term": [term], "grp": [grp_v], "df": [df_global],
-            "cf": [int(tf.sum())], "term_upper_bound": [tub],
-            "n_postings": [int(d.size)],
-            "first_doc_id": [int(d[0])], "last_doc_id": [int(d[-1])],
-            "doc_ids_vbyte": [codec.vbyte_encode(codec.gap_encode(d))],
-            "freqs_vbyte": [codec.vbyte_encode(tf)],
-            "dls_vbyte": [codec.vbyte_encode(dl)],
-            "skip_doc_ids": [keys.tolist()],
-            "skip_doc_offsets": [doff.tolist()],
-            "skip_freq_offsets": [foff.tolist()],
-            "block_max": [bmax.tolist()],
-        })
+    def merge(iterator):
+        batches = list(iterator)
+        if not batches:
+            return
+        tbl = pa.Table.from_batches(batches).combine_chunks()
+        n_rows = tbl.num_rows
+        if n_rows == 0:
+            return
+        terms = np.asarray(tbl.column("term").to_pylist(), dtype=object)
+        grps = tbl.column("grp").to_numpy()
+        df_bs = tbl.column("df_b").to_numpy()
+        cf_bs = tbl.column("cf_b").to_numpy()
+        fmax_bs = tbl.column("fmax_b").to_numpy()
 
-    return joined.groupBy("term", "grp").applyInPandas(merge, POSTINGS_SCHEMA)
+        def flat(name, dtype):
+            arr = tbl.column(name).combine_chunks()
+            offs = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            vals = arr.values.to_numpy(zero_copy_only=False).astype(dtype)
+            return offs, vals
+
+        offs_d, doc = flat("doc_ids", np.int64)
+        offs_t, tf = flat("tfs", np.int64)
+        offs_l, dl = flat("dls", np.int64)
+        row_lens = np.diff(offs_d)
+
+        # term-run boundaries (global stats) and (term,grp)-row bounds
+        tchange = np.empty(n_rows, dtype=bool)
+        tchange[0] = True
+        tchange[1:] = terms[1:] != terms[:-1]
+        gchange = tchange.copy()
+        gchange[1:] |= grps[1:] != grps[:-1]
+        t_starts = np.flatnonzero(tchange)
+        t_ends = np.append(t_starts[1:], n_rows)
+        df_global_per_term = np.add.reduceat(df_bs, t_starts)
+        fmax_per_term = np.maximum.reduceat(fmax_bs, t_starts)
+        term_idx_of_row = np.cumsum(tchange) - 1
+        df_global_rows = df_global_per_term[term_idx_of_row]
+        idf_rows = np.log(num_docs / df_global_rows.astype(np.float64))
+        tub_rows = idf_rows * fmax_per_term[term_idx_of_row]
+
+        g_starts = np.flatnonzero(gchange)          # row index
+        g_ends = np.append(g_starts[1:], n_rows)
+        out_n = g_starts.size
+        # posting-level boundaries of each output row
+        p_starts = offs_d[g_starts]
+        p_ends = offs_d[g_ends]
+        out_lens = (p_ends - p_starts).astype(np.int64)
+
+        # gap encode across everything at once: reset at row starts
+        gaps = np.empty_like(doc)
+        gaps[0] = doc[0]
+        gaps[1:] = doc[1:] - doc[:-1]
+        gaps[p_starts] = doc[p_starts]
+        interior = np.ones(doc.size, dtype=bool)
+        interior[p_starts] = False
+        if doc.size and not (gaps[interior] > 0).all():
+            raise ValueError("postings not docId-ascending after merge")
+
+        # one VByte pass per stream for the whole partition
+        len_d = codec.vbyte_encoded_lengths(gaps) if doc.size else \
+            np.zeros(0, np.int64)
+        len_t = codec.vbyte_encoded_lengths(tf) if tf.size else \
+            np.zeros(0, np.int64)
+        len_l = codec.vbyte_encoded_lengths(dl) if dl.size else \
+            np.zeros(0, np.int64)
+        buf_d = codec.vbyte_encode(gaps)
+        buf_t = codec.vbyte_encode(tf)
+        buf_l = codec.vbyte_encode(dl)
+        cum_d = np.concatenate([[0], np.cumsum(len_d)])
+        cum_t = np.concatenate([[0], np.cumsum(len_t)])
+        cum_l = np.concatenate([[0], np.cumsum(len_l)])
+
+        factor = tf / (k1 * ((1.0 - b)
+                             + b * (dl.astype(np.float64) / avg_doc_len))
+                       + tf)
+
+        # assemble output rows
+        rows = {k: [] for k in ("term", "grp", "df", "cf", "tub", "np",
+                                "first", "last", "bd", "bt", "bl",
+                                "sk", "sdo", "sfo", "bm")}
+        app = {k: rows[k].append for k in rows}
+        for i in range(out_n):
+            r0, r1 = g_starts[i], g_ends[i]
+            p0, p1 = p_starts[i], p_ends[i]
+            app["term"](terms[r0])
+            app["grp"](int(grps[r0]))
+            app["df"](int(df_global_rows[r0]))
+            app["cf"](int(cf_bs[r0:r1].sum()))
+            app["tub"](float(tub_rows[r0]))
+            app["np"](int(p1 - p0))
+            app["first"](int(doc[p0]))
+            app["last"](int(doc[p1 - 1]))
+            app["bd"](buf_d[cum_d[p0]:cum_d[p1]])
+            app["bt"](buf_t[cum_t[p0]:cum_t[p1]])
+            app["bl"](buf_l[cum_l[p0]:cum_l[p1]])
+            d_row = doc[p0:p1]
+            idf = idf_rows[r0]
+            if d_row.size > codec.SKIP_POINTERS_THRESHOLD:
+                keys, doff, foff = codec.build_skip_pointers(
+                    d_row, tf[p0:p1])
+                bmax = idf * codec.block_maxes(factor[p0:p1], d_row.size)
+                app["sk"](keys.tolist())
+                app["sdo"](doff.tolist())
+                app["sfo"](foff.tolist())
+                app["bm"](bmax.tolist())
+            else:
+                app["sk"]([])
+                app["sdo"]([])
+                app["sfo"]([])
+                app["bm"]([float(idf * factor[p0:p1].max())]
+                          if p1 > p0 else [])
+        CHUNK = 1 << 13
+        full = pa.RecordBatch.from_arrays(
+            [pa.array(rows["term"], pa.string()),
+             pa.array(rows["grp"], pa.int32()),
+             pa.array(rows["df"], pa.int64()),
+             pa.array(rows["cf"], pa.int64()),
+             pa.array(rows["tub"], pa.float64()),
+             pa.array(rows["np"], pa.int64()),
+             pa.array(rows["first"], pa.int64()),
+             pa.array(rows["last"], pa.int64()),
+             pa.array(rows["bd"], pa.binary()),
+             pa.array(rows["bt"], pa.binary()),
+             pa.array(rows["bl"], pa.binary()),
+             pa.array(rows["sk"], pa.list_(pa.int64())),
+             pa.array(rows["sdo"], pa.list_(pa.int64())),
+             pa.array(rows["sfo"], pa.list_(pa.int64())),
+             pa.array(rows["bm"], pa.list_(pa.float64()))],
+            names=["term", "grp", "df", "cf", "term_upper_bound",
+                   "n_postings", "first_doc_id", "last_doc_id",
+                   "doc_ids_vbyte", "freqs_vbyte", "dls_vbyte",
+                   "skip_doc_ids", "skip_doc_offsets",
+                   "skip_freq_offsets", "block_max"])
+        for lo in range(0, out_n, CHUNK):
+            yield full.slice(lo, min(CHUNK, out_n - lo))
+
+    return shuffled.mapInArrow(merge, POSTINGS_SCHEMA)
 
 
 # ---------------------------------------------------------------------
@@ -384,34 +525,48 @@ def build_index(spark, corpus, warehouse_dir: str,
         _stage_done(manifest, s, paths[s])
         for s in ("docs", "stats", "partials"))
     if need_upstream:
-        staged = _tokenized_staging(corpus, cfg, num_blocks)
-        staged.persist(StorageLevel.DISK_ONLY)
+        raw = _tokenized_staging(corpus, cfg, num_blocks)
+        # columnar cache; spills to disk when executors run short —
+        # Spark's task memory manager replacing the reference's
+        # 75%-heap probe + gc spin (Indexer.java:142-163)
+        raw.persist(StorageLevel.MEMORY_AND_DISK)
+        from pyspark.sql import functions as _F
+        # all-stopword docs don't consume a docId (Indexer.java:121-126);
+        # doc_len = size(terms): filter + length read the cached column
+        staged = (raw.where(_F.size("terms") > 0)
+                  .select("doc_no", _F.size("terms").alias("doc_len"),
+                          "terms", "content_sha256"))
         offsets, num_docs, num_tokens, block_docs = _partition_offsets(staged)
         if num_docs == 0:
             raise ValueError("corpus is empty after filtering")
         avg_doc_len = num_tokens / num_docs  # Indexer.java:130-131
         stats = {"num_docs": num_docs, "num_tokens": num_tokens,
                  "avg_doc_len": avg_doc_len}
-        staged_ids = _with_doc_ids(staged, offsets)
+        staged_ids = _with_doc_ids(staged, offsets, spark)
 
         if not _stage_done(manifest, "docs", paths["docs"]):
             (staged_ids.drop("terms")
              .write.mode("overwrite").parquet(paths["docs"]))
             _mark_stage(manifest, warehouse_dir, "docs", rows=num_docs)
         if not _stage_done(manifest, "stats", paths["stats"]):
-            spark.createDataFrame(
-                [(num_docs, num_tokens, avg_doc_len)],
-                "num_docs long, num_tokens long, avg_doc_len double"
-            ).coalesce(1).write.mode("overwrite").parquet(paths["stats"])
+            # spark.range keeps this JVM-only (createDataFrame from a
+            # python list would execute via a Python-RDD worker)
+            (spark.range(1)
+             .select(_F.lit(num_docs).alias("num_docs"),
+                     _F.lit(num_tokens).alias("num_tokens"),
+                     _F.lit(float(avg_doc_len)).alias("avg_doc_len"))
+             .coalesce(1).write.mode("overwrite").parquet(paths["stats"]))
             _mark_stage(manifest, warehouse_dir, "stats", **stats)
         if not _stage_done(manifest, "partials", paths["partials"]):
-            partials = _build_partials(staged_ids, cfg, avg_doc_len)
+            partials = _build_partials(
+                staged_ids.select("doc_id", "doc_len", "terms"),
+                cfg, avg_doc_len)
             (partials.write.mode("overwrite")
              .partitionBy("block_id").parquet(paths["partials"]))
             _mark_stage(manifest, warehouse_dir, "partials")
         manifest["metrics"]["block_docs"] = {str(k): v for k, v
                                              in block_docs.items()}
-        staged.unpersist()
+        raw.unpersist()
     else:
         srow = spark.read.parquet(paths["stats"]).collect()[0]
         stats = {"num_docs": srow["num_docs"],
@@ -433,11 +588,12 @@ def build_index(spark, corpus, warehouse_dir: str,
     lexicon = spark.read.parquet(paths["lexicon"])
 
     if not _stage_done(manifest, "postings", paths["postings"]):
-        merged = _merge_partials(partials, lexicon, cfg,
-                                 stats["num_docs"], stats["avg_doc_len"],
-                                 spark)
-        (merged.sortWithinPartitions("term")
-         .write.mode("overwrite").parquet(paths["postings"]))
+        merged = _merge_partials(partials, cfg, stats["num_docs"],
+                                 stats["avg_doc_len"],
+                                 num_partitions=num_blocks)
+        # rows leave the merge already term-sorted within each partition
+        # → parquet row-group min/max stats give point-lookup skipping
+        merged.write.mode("overwrite").parquet(paths["postings"])
         _mark_stage(manifest, warehouse_dir, "postings")
 
     # per-block lineage metrics (terms/postings per partition)

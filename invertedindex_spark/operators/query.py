@@ -33,6 +33,7 @@ fuzzing against the literal queue simulation.
 from __future__ import annotations
 
 import math
+import os
 from collections import OrderedDict
 
 import numpy as np
@@ -59,20 +60,74 @@ def queue_topk_np(doc_ids: np.ndarray, scores: np.ndarray, k: int):
 
 
 class InvertedIndex:
-    """Query handle over a warehouse built by operators.build."""
+    """Query handle over a warehouse built by operators.build.
 
-    def __init__(self, spark, warehouse_dir: str, cache_size: int = 500):
+    ``io_mode='local'`` (default for local warehouse paths) serves the
+    exact query path with driver-side pyarrow dataset reads — parquet
+    row-group statistics over the term-sorted postings files play the
+    role of the reference's memory-mapped fixed-width binary search
+    (``DiskDataStructuresSearch.java:22-67``, PDF §5.2's mmap-vs-channel
+    finding): point lookups never pay Spark job-scheduling latency.
+    ``io_mode='spark'`` routes everything through Spark scans (the only
+    choice when the warehouse lives on a remote filesystem)."""
+
+    def __init__(self, spark, warehouse_dir: str, cache_size: int = 500,
+                 io_mode: str | None = None):
         self.spark = spark
         self.warehouse_dir = warehouse_dir
         manifest = read_manifest(warehouse_dir)
         cfg = manifest.get("config", {})
         self.stopwords = cfg.get("stopwords", True)
         self.stemming = cfg.get("stemming", True)
-        srow = spark.read.parquet(f"{warehouse_dir}/stats").collect()[0]
+        if io_mode is None:
+            io_mode = "local" if os.path.isdir(warehouse_dir) else "spark"
+        self.io_mode = io_mode
+        if io_mode == "local":
+            import pyarrow.parquet as pq
+
+            srow = pq.read_table(f"{warehouse_dir}/stats").to_pylist()[0]
+        else:
+            srow = spark.read.parquet(f"{warehouse_dir}/stats").collect()[0]
         self.num_docs = srow["num_docs"]
         self.avg_doc_len = srow["avg_doc_len"]
         self._cache: OrderedDict = OrderedDict()  # Guava LRU parity (:36)
         self._cache_size = cache_size
+        self._lexicon_map = None
+        self._postings_ds = None
+        self._docs_ds = None
+
+    # -- driver-local dataset handles (the mmap analogue) --------------
+    def _local_postings(self):
+        if self._postings_ds is None:
+            import pyarrow.dataset as ds
+
+            self._postings_ds = ds.dataset(
+                f"{self.warehouse_dir}/postings", format="parquet")
+        return self._postings_ds
+
+    def _local_docs(self):
+        if self._docs_ds is None:
+            import pyarrow.dataset as ds
+
+            self._docs_ds = ds.dataset(
+                f"{self.warehouse_dir}/docs", format="parquet")
+        return self._docs_ds
+
+    def lexicon_map(self) -> dict:
+        """Full lexicon as a driver dict (term → df/cf/tub). The
+        reference mmaps its whole 77 MB lexicon (QueryProcessor:50-53);
+        this is the same tradeoff, loaded once."""
+        if self._lexicon_map is None:
+            import pyarrow.parquet as pq
+
+            t = pq.read_table(f"{self.warehouse_dir}/lexicon")
+            self._lexicon_map = {
+                term: (df, cf, tub) for term, df, cf, tub in zip(
+                    t.column("term").to_pylist(),
+                    t.column("df").to_pylist(),
+                    t.column("cf").to_pylist(),
+                    t.column("term_upper_bound").to_pylist())}
+        return self._lexicon_map
 
     # -- table handles (column-pruned scans) ---------------------------
     @property
@@ -90,6 +145,11 @@ class InvertedIndex:
     # -- lexicon point lookup ------------------------------------------
     def lookup(self, terms):
         """term → (df, cf, term_upper_bound) for terms present."""
+        if self.io_mode == "local":
+            m = self.lexicon_map()
+            return {t: {"term": t, "df": m[t][0], "cf": m[t][1],
+                        "term_upper_bound": m[t][2]}
+                    for t in terms if t in m}
         rows = (self.lexicon
                 .where(self.lexicon.term.isin(list(terms)))
                 .collect())
@@ -100,13 +160,24 @@ class InvertedIndex:
         """Collect + decode posting payloads for the given terms.
         Returns term -> (doc_ids, tfs, dls, df). Multi-group rows are
         concatenated in first_doc_id order (docId-range groups)."""
-        from pyspark.sql import functions as F
+        if not terms:
+            return {}
+        cols = ["term", "grp", "df", "first_doc_id",
+                "doc_ids_vbyte", "freqs_vbyte", "dls_vbyte"]
+        if self.io_mode == "local":
+            import pyarrow.dataset as ds
 
-        rows = (self.postings
-                .where(F.col("term").isin(list(terms)))
-                .select("term", "grp", "df", "first_doc_id",
-                        "doc_ids_vbyte", "freqs_vbyte", "dls_vbyte")
-                .collect())
+            rows = (self._local_postings()
+                    .to_table(columns=cols,
+                              filter=ds.field("term").isin(list(terms)))
+                    .to_pylist())
+        else:
+            from pyspark.sql import functions as F
+
+            rows = [r.asDict() for r in
+                    (self.postings
+                     .where(F.col("term").isin(list(terms)))
+                     .select(*cols).collect())]
         by_term: dict[str, list] = {}
         for r in rows:
             by_term.setdefault(r["term"], []).append(r)
@@ -169,12 +240,21 @@ class InvertedIndex:
     def _attach_doc_nos(self, doc_ids, scores):
         if doc_ids.size == 0:
             return []
-        from pyspark.sql import functions as F
+        ids = [int(d) for d in doc_ids]
+        if self.io_mode == "local":
+            import pyarrow.dataset as ds
 
-        rows = (self.docs
-                .where(F.col("doc_id").isin([int(d) for d in doc_ids]))
-                .select("doc_id", "doc_no").collect())
-        m = {r["doc_id"]: r["doc_no"] for r in rows}
+            rows = (self._local_docs()
+                    .to_table(columns=["doc_id", "doc_no"],
+                              filter=ds.field("doc_id").isin(ids))
+                    .to_pylist())
+            m = {r["doc_id"]: r["doc_no"] for r in rows}
+        else:
+            from pyspark.sql import functions as F
+
+            rows = (self.docs.where(F.col("doc_id").isin(ids))
+                    .select("doc_id", "doc_no").collect())
+            m = {r["doc_id"]: r["doc_no"] for r in rows}
         return [(m[int(d)], float(s)) for d, s in zip(doc_ids, scores)]
 
     # -- distributed path -------------------------------------------------
@@ -225,9 +305,7 @@ class InvertedIndex:
 
         qtype, terms = preprocess_query(
             query, stopwords=self.stopwords, stemming=self.stemming)
-        present = {r["term"] for r in
-                   self.lexicon.where(F.col("term").isin(list(terms)))
-                   .select("term").collect()}
+        present = set(self.lookup(terms))
         if not present or (qtype == "AND" and len(present) < len(terms)):
             return self.spark.createDataFrame(
                 [], "doc_no string, score double")

@@ -88,51 +88,75 @@ _EXTS = {"py": "python", "java": "java", "scala": "scala",
          "md": "markdown", "txt": "text"}
 
 
-def synthesize_source_code_rows(n: int, seed: int = 42,
-                                hot_term: str = "hotterm"):
-    """Pure-Python generator of n corpus rows (used by tests + Spark)."""
+def synthesize_source_code_row(i: int, seed: int = 42,
+                               hot_term: str = "hotterm"):
+    """Row i of the deterministic corpus — derived purely from (seed, i)
+    so it can be generated distributively with identical results."""
     import hashlib
     import random
 
-    rng = random.Random(seed)
     exts = sorted(_EXTS)
-    rows = []
-    for i in range(n):
-        repo = f"org{i % 7}/repo{i % 13}"
-        ext = exts[i % len(exts)]
-        path = f"src/m{i % 11}/file_{i}.{ext}"
-        commit = hashlib.sha1(f"{repo}:{path}:{seed}".encode()).hexdigest()[:8]
-        kind = i % 17
-        if kind == 0:
-            content = ""                           # skipped: empty
-        elif kind == 1:
-            content = "!!! ... ***"                # empty-token quirk
-        elif kind == 2:
-            content = "the of and is are was"      # all stopwords → no docId
-        else:
-            k = rng.randint(3, 40)
-            words = [rng.choice(_KEYWORDS if rng.random() < 0.5 else _WORDS)
-                     for _ in range(k)]
-            if rng.random() < 0.3:                 # repeated terms (tf > 1)
-                words += words[:3]
-            if rng.random() < 0.55:                # hot term: df > n/2
-                words.insert(rng.randrange(len(words) + 1), hot_term)
-            if rng.random() < 0.1:
-                words.append("x" * rng.randint(21, 30))   # truncation path
-            if rng.random() < 0.15:
-                words.append(str(rng.randint(0, 99999)))  # numeric tokens
-            sep = rng.choice([" ", ", ", "(", ") ", "_", "\t"])
-            content = sep.join(words)
-        rows.append((repo, path, commit, _EXTS[ext], content))
-    return rows
+    rng = random.Random(seed * 1_000_003 + i)
+    repo = f"org{i % 7}/repo{i % 13}"
+    ext = exts[i % len(exts)]
+    path = f"src/m{i % 11}/file_{i}.{ext}"
+    commit = hashlib.sha1(f"{repo}:{path}:{seed}".encode()).hexdigest()[:8]
+    kind = i % 17
+    if kind == 0:
+        content = ""                           # skipped: empty
+    elif kind == 1:
+        content = "!!! ... ***"                # empty-token quirk
+    elif kind == 2:
+        content = "the of and is are was"      # all stopwords -> no docId
+    else:
+        k = rng.randint(3, 40)
+        words = [rng.choice(_KEYWORDS if rng.random() < 0.5 else _WORDS)
+                 for _ in range(k)]
+        if rng.random() < 0.3:                 # repeated terms (tf > 1)
+            words += words[:3]
+        if rng.random() < 0.55:                # hot term: df > n/2
+            words.insert(rng.randrange(len(words) + 1), hot_term)
+        if rng.random() < 0.1:
+            words.append("x" * rng.randint(21, 30))   # truncation path
+        if rng.random() < 0.15:
+            words.append(str(rng.randint(0, 99999)))  # numeric tokens
+        sep = rng.choice([" ", ", ", "(", ") ", "_", "\t"])
+        content = sep.join(words)
+    return (repo, path, commit, _EXTS[ext], content)
+
+
+def synthesize_source_code_rows(n: int, seed: int = 42,
+                                hot_term: str = "hotterm"):
+    """Pure-Python generator of n corpus rows (tests + oracle)."""
+    return [synthesize_source_code_row(i, seed, hot_term) for i in range(n)]
+
+
+_CORPUS_SCHEMA = ("repo string, path string, commit string, lang string, "
+                  "content string")
 
 
 def synthesize_source_code(spark, n: int, seed: int = 42,
                            num_partitions: int | None = None) -> Corpus:
-    rows = synthesize_source_code_rows(n, seed)
-    df = spark.createDataFrame(
-        rows, "repo string, path string, commit string, lang string, "
-              "content string")
-    if num_partitions:
-        df = df.repartition(num_partitions)
-    return from_source_code(df)
+    """Distributed deterministic corpus: rows derive from the row index,
+    so generation is an embarrassingly-parallel ``spark.range`` map —
+    no driver-side materialization at any n."""
+    if n <= 2000:
+        df = spark.createDataFrame(synthesize_source_code_rows(n, seed),
+                                   _CORPUS_SCHEMA)
+        if num_partitions:
+            df = df.repartition(num_partitions)
+        return from_source_code(df)
+
+    import pandas as pd
+
+    base = spark.range(0, n, 1, num_partitions or
+                       spark.sparkContext.defaultParallelism)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [synthesize_source_code_row(int(i), seed)
+                    for i in pdf["id"]]
+            yield pd.DataFrame(rows, columns=["repo", "path", "commit",
+                                              "lang", "content"])
+
+    return from_source_code(base.mapInPandas(gen, _CORPUS_SCHEMA))
