@@ -90,7 +90,10 @@ def main():
             build_index(spark, c, wh,
                         IndexConfig(num_blocks=CPUS * 2))
 
-        run("index_build", build)
+        if not ONLY or "index_build" in ONLY.split(","):
+            run("index_build", build)
+        else:
+            build()  # queries need the warehouse either way
         if "index_build" in timings:
             manifest_docs = InvertedIndex(spark, wh).num_docs
             extras["docs_per_sec"] = round(
@@ -130,17 +133,34 @@ def main():
             extras["query_mean_ms"] = round(
                 sum(lat) / len(lat) * 1000, 2)
 
+        lat_p = []
+
+        def pruned_queries():
+            for q in queries:
+                t0 = time.perf_counter()
+                idx.search(q, k=20, prune=True)
+                lat_p.append(time.perf_counter() - t0)
+
+        run("query_pruned_p50", pruned_queries)
+        if lat_p:
+            extras["query_pruned_p50_ms"] = round(
+                statistics.median(lat_p) * 1000, 2)
+
         run("query_distributed",
             lambda: idx.search_distributed(
                 "OR hotterm optimization throughput", k=20).collect())
 
         def batch():
-            qs = [(i, queries[i % len(queries)]) for i in range(200)]
-            idx.batch_search(qs, k=20)
+            # 300 distinct 2-term OR queries (no cache hits) — mirrors
+            # the reference's 6,980-query TREC batch protocol
+            qs = [(i, f"OR {vocab[i % len(vocab)]} "
+                      f"{vocab[(i * 7 + i // len(vocab)) % len(vocab)]}")
+                  for i in range(300)]
+            idx.batch_search(qs, k=100)
 
         run("batch_queries", batch)
         if "batch_queries" in timings:
-            extras["batch_qps"] = round(200 / timings["batch_queries"], 1)
+            extras["batch_qps"] = round(300 / timings["batch_queries"], 1)
 
         # --- training-data operators over the sf testdata ------------
         run("minhash_lsh",

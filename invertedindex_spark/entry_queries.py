@@ -355,12 +355,8 @@ def sql_top_terms():
 # ---------------------------------------------------------------------
 
 def q_exact_dedup(spark, sf_dir):
-    from pyspark.sql import functions as F
-    d = _docs_df(spark, sf_dir)
-    return (d.where(F.col("text").isNotNull())
-            .groupBy(F.sha2("text", 256).alias("content_sha256"))
-            .agg(F.count("*").alias("n_docs"),
-                 F.min("doc_id").alias("keep_doc_id")))
+    from .operators.dedup import exact_dedup
+    return exact_dedup(_docs_df(spark, sf_dir))
 
 
 def sql_exact_dedup():
@@ -371,23 +367,11 @@ FROM documents WHERE text IS NOT NULL GROUP BY sha256(text)"""
 
 
 def q_jaccard_top_pairs(spark, sf_dir):
-    """Exact n-gram (unigram-set) Jaccard over all pairs — the O(n²)
+    """Exact n-gram (unigram-set) Jaccard over all pairs — the O(n^2)
     baseline the LSH variant approximates; broadcast self-join."""
     from pyspark.sql import functions as F
-    d = _docs_df(spark, sf_dir).where(
-        F.col("text").isNotNull() & (F.length("text") > 0))
-    from .functions.textproc import tokens_col
-    t = d.select(F.col("doc_id"),
-                 F.array_distinct(tokens_col(F.col("text"))).alias("s"))
-    a = t.alias("a")
-    b = t.alias("b")
-    pairs = (a.join(F.broadcast(b),
-                    F.col("a.doc_id") < F.col("b.doc_id"))
-             .select(F.col("a.doc_id").alias("a"),
-                     F.col("b.doc_id").alias("b"),
-                     (F.size(F.array_intersect("a.s", "b.s"))
-                      / F.size(F.array_union("a.s", "b.s"))).alias("j")))
-    return (pairs.orderBy(F.desc("j"), F.asc("a"), F.asc("b")).limit(20)
+    from .operators.dedup import jaccard_top_pairs
+    return (jaccard_top_pairs(_docs_df(spark, sf_dir), top=20)
             .select("a", "b", _u6(F.col("j")).alias("j_u6")))
 
 
@@ -405,18 +389,6 @@ ORDER BY (CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
 LIMIT 20"""
 
 
-def _shingle_col(tokens):
-    """array of 3-token shingles (Spark Column)."""
-    from pyspark.sql import functions as F
-    n = F.size(tokens)
-    return F.when(n >= 3, F.transform(
-        F.sequence(F.lit(0), n - 3),
-        lambda i: F.concat_ws(" ", F.element_at(tokens, i + 1),
-                              F.element_at(tokens, i + 2),
-                              F.element_at(tokens, i + 3)))
-    ).otherwise(F.array().cast("array<string>"))
-
-
 _SHINGLE_SQL = ("CASE WHEN len(tokens) >= 3 THEN "
                 "[tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2] "
                 "for i in generate_series(1, len(tokens)-2)] "
@@ -424,18 +396,8 @@ _SHINGLE_SQL = ("CASE WHEN len(tokens) >= 3 THEN "
 
 
 def _minhash_df(spark, sf_dir):
-    from pyspark.sql import functions as F
-    d = _docs_df(spark, sf_dir).where(
-        F.col("text").isNotNull() & (F.length("text") > 0))
-    from .functions.textproc import tokens_col
-    t = d.select("doc_id", tokens_col(F.col("text")).alias("tokens"))
-    sh = (t.select("doc_id",
-                   F.explode(F.array_distinct(_shingle_col(F.col("tokens"))))
-                   .alias("s"))
-          .withColumn("h", _h_spark(F.col("s"))))
-    aggs = [F.min((F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE31)
-            .alias(f"m{i}") for i, (a, b) in enumerate(MINHASH_PERMS)]
-    return sh.groupBy("doc_id").agg(*aggs)
+    from .operators.dedup import minhash_signatures
+    return minhash_signatures(_docs_df(spark, sf_dir), MINHASH_PERMS)
 
 
 def _minhash_cte() -> str:
@@ -467,41 +429,11 @@ def sql_minhash_signatures():
 def q_minhash_lsh_pairs(spark, sf_dir):
     """MinHash-LSH candidate pairs (band join) verified with exact
     shingle Jaccard — the scale path for near-dup detection: candidates
-    come from equality joins on band signatures, never an O(n²) cross."""
+    come from equality joins on band signatures, never an O(n^2) cross."""
     from pyspark.sql import functions as F
-    sig = _minhash_df(spark, sf_dir)
-    bands = []
-    for j in range(N_BANDS):
-        cols = [f"m{j * BAND_WIDTH + i}" for i in range(BAND_WIDTH)]
-        bands.append(sig.select(
-            "doc_id", F.lit(j).alias("band"),
-            F.concat_ws("_", *[F.col(c).cast("string") for c in cols])
-            .alias("sig")))
-    allb = bands[0]
-    for b in bands[1:]:
-        allb = allb.unionAll(b)
-    a = allb.alias("a")
-    b = allb.alias("b")
-    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
-                   & (F.col("a.sig") == F.col("b.sig"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .select(F.col("a.doc_id").alias("a"),
-                    F.col("b.doc_id").alias("b"))
-            .distinct())
-    # verify candidates with exact shingle-set jaccard
-    d = _docs_df(spark, sf_dir).where(
-        F.col("text").isNotNull() & (F.length("text") > 0))
-    from .functions.textproc import tokens_col
-    sets = d.select("doc_id", F.array_distinct(
-        _shingle_col(tokens_col(F.col("text")))).alias("s"))
-    out = (cand
-           .join(sets.withColumnRenamed("doc_id", "a")
-                     .withColumnRenamed("s", "sa"), "a")
-           .join(sets.withColumnRenamed("doc_id", "b")
-                     .withColumnRenamed("s", "sb"), "b")
-           .select("a", "b",
-                   (F.size(F.array_intersect("sa", "sb"))
-                    / F.size(F.array_union("sa", "sb"))).alias("j")))
+    from .operators.dedup import minhash_lsh_pairs
+    out = minhash_lsh_pairs(_docs_df(spark, sf_dir), MINHASH_PERMS,
+                            N_BANDS, BAND_WIDTH)
     return out.select("a", "b", _u6(F.col("j")).alias("j_u6"))
 
 
@@ -532,24 +464,8 @@ FROM cand JOIN sets sa ON sa.doc_id = cand.a
 
 
 def q_simhash32(spark, sf_dir):
-    from pyspark.sql import functions as F
-    d = _docs_df(spark, sf_dir).where(
-        F.col("text").isNotNull() & (F.length("text") > 0))
-    from .functions.textproc import tokens_col
-    tok = (d.select("doc_id",
-                    F.explode(tokens_col(F.col("text"))).alias("t"))
-           .groupBy("doc_id", "t").agg(F.count("*").alias("tf"))
-           .withColumn("h", _h_spark(F.col("t"))))
-    bit_sums = [F.sum(
-        F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1,
-               F.col("tf")).otherwise(-F.col("tf"))).alias(f"b{j}")
-        for j in range(32)]
-    sums = tok.groupBy("doc_id").agg(*bit_sums)
-    sim = None
-    for j in range(32):
-        bit = F.when(F.col(f"b{j}") >= 0, F.lit(2 ** j)).otherwise(F.lit(0))
-        sim = bit if sim is None else sim + bit
-    return sums.select("doc_id", sim.cast("long").alias("simhash32"))
+    from .operators.dedup import simhash32
+    return simhash32(_docs_df(spark, sf_dir))
 
 
 def sql_simhash32():
@@ -574,23 +490,8 @@ SELECT doc_id, {combine} AS simhash32 FROM sums"""
 
 def q_doc_fingerprint(spark, sf_dir):
     """Rolling-hash (3-gram min) document fingerprint."""
-    from pyspark.sql import functions as F
-    d = _docs_df(spark, sf_dir).where(
-        F.col("text").isNotNull() & (F.length("text") > 0))
-    from .functions.textproc import tokens_col
-    t = d.select("doc_id", tokens_col(F.col("text")).alias("tokens"))
-    hs = F.transform(F.col("tokens"), lambda x: _h_spark(x))
-    t = t.withColumn("hs", hs)
-    n = F.size("hs")
-    kgrams = F.when(n >= 3, F.transform(
-        F.sequence(F.lit(0), n - 3),
-        lambda i: (F.element_at(F.col("hs"), i + 1) * 1000003
-                   + F.element_at(F.col("hs"), i + 2) * 101
-                   + F.element_at(F.col("hs"), i + 3)) % MERSENNE31)
-    ).otherwise(F.array().cast("array<long>"))
-    t = t.withColumn("kg", kgrams)
-    fp = F.coalesce(F.array_min("kg"), F.array_min("hs"))
-    return t.select("doc_id", fp.alias("fingerprint"))
+    from .operators.dedup import doc_fingerprint
+    return doc_fingerprint(_docs_df(spark, sf_dir))
 
 
 def sql_doc_fingerprint():
@@ -617,29 +518,8 @@ FROM kg"""
 # ---------------------------------------------------------------------
 
 def q_token_stats(spark, sf_dir):
-    from pyspark.sql import functions as F
-    from .functions.textproc import tokens_col
-    d = _docs_df(spark, sf_dir).where(
-        F.col("text").isNotNull() & (F.length("text") > 0))
-    t = d.select(
-        "doc_id", F.length("text").alias("n_chars"),
-        tokens_col(F.col("text")).alias("tokens"),
-        (F.length("text")
-         - F.length(F.regexp_replace("text", "[^a-zA-Z0-9]", "")))
-        .alias("n_sep"))
-    t = t.withColumn("n_tokens", F.size("tokens"))
-    t = t.withColumn(
-        "n_terms",
-        F.size(F.filter("tokens", lambda x: ~x.isin(*STOPWORDS))))
-    stop_ratio = 1.0 - F.col("n_terms") / F.col("n_tokens")
-    punct_ratio = F.col("n_sep") / F.col("n_chars")
-    quality = (0.5 * (1.0 - stop_ratio) + 0.3 * (1.0 - punct_ratio)
-               + 0.2 * F.least(F.lit(1.0), F.col("n_terms") / 50.0))
-    return t.select(
-        "doc_id", "n_chars", "n_tokens", "n_terms",
-        _u6(stop_ratio).alias("stop_ratio_u6"),
-        _u6(punct_ratio).alias("punct_ratio_u6"),
-        _u6(quality).alias("quality_u6"))
+    from .operators.textstats import token_stats
+    return token_stats(_docs_df(spark, sf_dir))
 
 
 def sql_token_stats():
@@ -665,37 +545,14 @@ SELECT doc_id, n_chars, n_tokens, n_terms,
 FROM m"""
 
 
-LANG_MARKERS = {
-    "de": ["der", "die", "und", "das", "ist", "nicht", "mit", "ein",
-           "ich", "zu"],
-    "en": ["the", "and", "is", "of", "to", "in", "that", "it", "was",
-           "for"],
-    "es": ["el", "la", "de", "que", "y", "en", "los", "se", "del",
-           "las"],
-    "fr": ["le", "les", "des", "et", "est", "une", "dans", "que",
-           "pour", "sur"],
-}
+from .operators.textstats import LANG_MARKERS  # noqa: E402
 
 
 def q_lang_id(spark, sf_dir):
     """Marker-word language ID (n-gram heuristic family); deterministic
     tie-break: priority order de < en < es < fr, unknown if no hits."""
-    from pyspark.sql import functions as F
-    from .functions.textproc import tokens_col
-    d = _docs_df(spark, sf_dir).where(
-        F.col("text").isNotNull() & (F.length("text") > 0))
-    t = d.select("doc_id", tokens_col(F.col("text")).alias("tokens"))
-    for lang, markers in LANG_MARKERS.items():
-        t = t.withColumn(
-            f"c_{lang}",
-            F.size(F.filter("tokens", lambda x: x.isin(*markers))))
-    langs = sorted(LANG_MARKERS)
-    best = F.greatest(*[F.col(f"c_{l}") for l in langs])
-    pred = F.lit("unknown")
-    for lang in reversed(langs):
-        pred = F.when((F.col(f"c_{lang}") == best) & (best > 0),
-                      F.lit(lang)).otherwise(pred)
-    return t.select("doc_id", pred.alias("pred_lang"))
+    from .operators.textstats import lang_id
+    return lang_id(_docs_df(spark, sf_dir))
 
 
 def sql_lang_id():
@@ -724,27 +581,13 @@ def _query_vec(spark, sf_dir):
     return [float(x) for x in row[0]["embedding"]]
 
 
-def _cosine_col(q):
-    from pyspark.sql import functions as F
-    qlit = F.array(*[F.lit(x) for x in q])
-    v = F.transform("embedding", lambda x: x.cast("double"))
-    dot = F.aggregate(F.zip_with(v, qlit, lambda x, y: x * y),
-                      F.lit(0.0), lambda acc, x: acc + x)
-    n1 = F.sqrt(F.aggregate(F.transform(v, lambda x: x * x),
-                            F.lit(0.0), lambda acc, x: acc + x))
-    n2 = F.sqrt(F.aggregate(F.transform(qlit, lambda x: x * x),
-                            F.lit(0.0), lambda acc, x: acc + x))
-    return dot / (n1 * n2)
-
-
 def q_ann_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-k — the exact baseline for ANN."""
     from pyspark.sql import functions as F
+    from .operators.similarity import cosine_topk
     q = _query_vec(spark, sf_dir)
-    e = _emb_df(spark, sf_dir).where("vec_id <> 0")
-    scored = e.select("vec_id", _cosine_col(q).alias("cos"))
-    return (scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(K)
-            .select("vec_id", _u6(F.col("cos")).alias("cos_u6")))
+    top = cosine_topk(_emb_df(spark, sf_dir), q, K, exclude_id=0)
+    return top.select("vec_id", _u6(F.col("cos")).alias("cos_u6"))
 
 
 def _qvec_sql_literal(q):
@@ -762,18 +605,6 @@ ORDER BY list_cosine_similarity(embedding::DOUBLE[], {lit}) DESC, vec_id ASC
 LIMIT {K}"""
 
 
-def _bucket_col():
-    from pyspark.sql import functions as F
-    v = F.transform("embedding", lambda x: x.cast("double"))
-    bucket = F.lit(0)
-    for i, plane in enumerate(LSH_PLANES):
-        plit = F.array(*[F.lit(x) for x in plane])
-        dot = F.aggregate(F.zip_with(v, plit, lambda x, y: x * y),
-                          F.lit(0.0), lambda acc, x: acc + x)
-        bucket = bucket + F.when(dot > 0, F.lit(2 ** i)).otherwise(F.lit(0))
-    return bucket
-
-
 def _bucket_sql() -> str:
     parts = []
     for i, plane in enumerate(LSH_PLANES):
@@ -786,10 +617,8 @@ def _bucket_sql() -> str:
 def q_lsh_buckets(spark, sf_dir):
     """Random-hyperplane LSH bucket histogram (the ANN scale path:
     candidates come from one bucket, not the full table)."""
-    from pyspark.sql import functions as F
-    e = _emb_df(spark, sf_dir)
-    return (e.select(_bucket_col().alias("bucket"))
-            .groupBy("bucket").agg(F.count("*").alias("n")))
+    from .operators.similarity import lsh_buckets
+    return lsh_buckets(_emb_df(spark, sf_dir), LSH_PLANES)
 
 
 def sql_lsh_buckets():
@@ -801,13 +630,10 @@ FROM embeddings GROUP BY 1"""
 def q_ann_lsh_topk(spark, sf_dir):
     """ANN restricted to the query vector's LSH bucket."""
     from pyspark.sql import functions as F
+    from .operators.similarity import lsh_topk
     q = _query_vec(spark, sf_dir)
-    e = _emb_df(spark, sf_dir).withColumn("bucket", _bucket_col())
-    qb = e.where("vec_id = 0").select("bucket").collect()[0]["bucket"]
-    cand = e.where((F.col("bucket") == qb) & (F.col("vec_id") != 0))
-    scored = cand.select("vec_id", _cosine_col(q).alias("cos"))
-    return (scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(K)
-            .select("vec_id", _u6(F.col("cos")).alias("cos_u6")))
+    top = lsh_topk(_emb_df(spark, sf_dir), LSH_PLANES, q, K, exclude_id=0)
+    return top.select("vec_id", _u6(F.col("cos")).alias("cos_u6"))
 
 
 def sql_ann_lsh_topk(q):

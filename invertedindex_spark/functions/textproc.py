@@ -175,6 +175,72 @@ def preprocess_query(query: str, stopwords=True, stemming=True):
 
 
 # --------------------------------------------------------------------
+# Arrow-vectorized twin (RE2 via pyarrow.compute — the index-build hot
+# path; semantically identical to tokens_col/terms_col, asserted in
+# tests). Runs in Python worker *processes*, so it scales with cores
+# where the JVM regex expression chain measurably does not (see
+# operators/build.py notes).
+# --------------------------------------------------------------------
+
+def tokenize_terms_arrow(content, stopwords: bool = True,
+                         truncate: bool = True, stemming: bool = False):
+    """pyarrow StringArray of documents → ListArray<string> of processed
+    terms. One RE2 pass for trailing-separator trim (Java split drops
+    trailing empties), one for splitting on separator runs; stopword
+    filter / truncate / stem applied to the flat values vector.
+
+    Unicode caveat: ``utf8_lower`` uses simple case mapping while Java's
+    ``toLowerCase`` uses full mapping; the difference can only affect
+    characters that are separators anyway ([^a-zA-Z0-9] is replaced
+    before tokens form), so token streams agree."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(content, pa.ChunkedArray):
+        content = content.combine_chunks()
+    low = pc.utf8_lower(content)
+    trimmed = pc.replace_substring_regex(low, "[^a-z0-9]+$", "")
+    toks = pc.split_pattern_regex(trimmed, "[^a-z0-9]+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    vals = toks.values
+    if stopwords:
+        keep = pc.invert(pc.is_in(vals, value_set=_STOPWORD_ARROW()))
+        keep_np = keep.to_numpy(zero_copy_only=False)
+        counts = np.zeros(len(offs) - 1, dtype=np.int64)
+        nonempty = offs[:-1] < offs[1:]
+        if keep_np.size:
+            csum = np.concatenate([[0], np.cumsum(keep_np)])
+            counts = csum[offs[1:]] - csum[offs[:-1]]
+        offs = np.concatenate([[0], np.cumsum(counts)])
+        vals = vals.filter(keep)
+        del nonempty
+    if truncate:
+        vals = pc.utf8_slice_codeunits(vals, 0, MAX_TERM_LEN)
+    if stemming and len(vals):
+        import pandas as pd
+
+        s = pd.Series(vals.to_numpy(zero_copy_only=False))
+        vals = pa.array(
+            s.map({u: stem(u) for u in s.unique()}).to_numpy(),
+            pa.string())
+    return pa.ListArray.from_arrays(pa.array(offs, pa.int32()), vals)
+
+
+_STOPWORD_ARROW_CACHE = []
+
+
+def _STOPWORD_ARROW():
+    if not _STOPWORD_ARROW_CACHE:
+        import pyarrow as pa
+
+        _STOPWORD_ARROW_CACHE.append(pa.array(list(STOPWORDS)))
+    return _STOPWORD_ARROW_CACHE[0]
+
+
+# --------------------------------------------------------------------
 # ANSI-SQL fragments (DuckDB oracle; stemming not expressible)
 # --------------------------------------------------------------------
 

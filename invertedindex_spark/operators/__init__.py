@@ -1,0 +1,9 @@
+from . import dedup, maxscore, multimodal, similarity, textstats
+from .build import IndexConfig, build_index, read_manifest
+from .query import InvertedIndex, queue_topk_np
+
+__all__ = [
+    "IndexConfig", "build_index", "read_manifest",
+    "InvertedIndex", "queue_topk_np",
+    "dedup", "maxscore", "multimodal", "similarity", "textstats",
+]

@@ -1,0 +1,175 @@
+"""Deduplication operators over a document DataFrame — the family a
+large-scale training-data pipeline needs (exact, MinHash-LSH, SimHash,
+n-gram Jaccard, fingerprints). All pure DataFrame plans (JVM built-ins,
+no Python in the hot path); each has a DuckDB oracle in
+entry_queries.py and is correctness-gated by the driver.
+
+Scale notes:
+* exact dedup = hash groupBy on sha256 — one shuffle of (hash, id);
+* MinHash-LSH is the O(n) near-dup path: signatures via md5-derived
+  universal hashing (engine-portable arithmetic, no Spark-specific
+  hash), candidates via equality joins on band signatures — never an
+  O(n²) cross join; verification re-checks exact shingle Jaccard on the
+  candidate pairs only;
+* the exact all-pairs Jaccard baseline exists for evaluation at small n
+  (broadcast self-join) and is documented as non-scalable by design;
+* SimHash gives a 32-bit near-dup bucket per doc in one aggregation.
+
+``text_df`` arguments: any DataFrame with (doc_id long, text string).
+"""
+
+from __future__ import annotations
+
+MERSENNE31 = 2147483647
+
+
+def _h_col(col):
+    """Portable 60-bit string hash → residue mod 2^31-1 (md5-based, so
+    any engine reproduces it — used instead of Spark's xxhash to keep
+    the DuckDB oracles exact)."""
+    from pyspark.sql import functions as F
+
+    return (F.conv(F.substring(F.md5(col), 1, 15), 16, 10)
+            .cast("long") % MERSENNE31)
+
+
+def _tokens(df):
+    from pyspark.sql import functions as F
+
+    from ..functions.textproc import tokens_col
+
+    base = df.where(F.col("text").isNotNull() & (F.length("text") > 0))
+    return base.select("doc_id", tokens_col(F.col("text")).alias("tokens"))
+
+
+def shingles_col(tokens, n: int = 3):
+    """array of n-token shingles (n=3), [] when the doc is shorter."""
+    from pyspark.sql import functions as F
+
+    size = F.size(tokens)
+    return F.when(size >= n, F.transform(
+        F.sequence(F.lit(0), size - n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(tokens, i + j + 1) for j in range(n)]))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def exact_dedup(df):
+    """(content_sha256, n_docs, keep_doc_id): group identical texts,
+    keep the lowest doc_id of each group."""
+    from pyspark.sql import functions as F
+
+    return (df.where(F.col("text").isNotNull())
+            .groupBy(F.sha2("text", 256).alias("content_sha256"))
+            .agg(F.count("*").alias("n_docs"),
+                 F.min("doc_id").alias("keep_doc_id")))
+
+
+def jaccard_top_pairs(df, top: int = 20):
+    """Exact token-set Jaccard over all pairs (the O(n²) baseline the
+    LSH variant approximates); broadcast self-join — small n only."""
+    from pyspark.sql import functions as F
+
+    t = _tokens(df).select(
+        "doc_id", F.array_distinct("tokens").alias("s"))
+    a, b = t.alias("a"), t.alias("b")
+    pairs = (a.join(F.broadcast(b), F.col("a.doc_id") < F.col("b.doc_id"))
+             .select(F.col("a.doc_id").alias("a"),
+                     F.col("b.doc_id").alias("b"),
+                     (F.size(F.array_intersect("a.s", "b.s"))
+                      / F.size(F.array_union("a.s", "b.s"))).alias("j")))
+    return pairs.orderBy(F.desc("j"), F.asc("a"), F.asc("b")).limit(top)
+
+
+def minhash_signatures(df, perms, shingle_n: int = 3):
+    """(doc_id, m0..m{P-1}): MinHash over distinct token shingles;
+    ``perms`` = [(a, b)] universal-hash parameters mod 2^31-1."""
+    from pyspark.sql import functions as F
+
+    t = _tokens(df)
+    sh = (t.select("doc_id",
+                   F.explode(F.array_distinct(
+                       shingles_col(F.col("tokens"), shingle_n)))
+                   .alias("s"))
+          .withColumn("h", _h_col(F.col("s"))))
+    aggs = [F.min((F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE31)
+            .alias(f"m{i}") for i, (a, b) in enumerate(perms)]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(df, perms, n_bands: int, band_width: int,
+                      shingle_n: int = 3):
+    """Near-duplicate candidate pairs via LSH banding, verified with
+    exact shingle Jaccard — equality joins only, O(n) in candidates."""
+    from pyspark.sql import functions as F
+
+    sig = minhash_signatures(df, perms, shingle_n)
+    bands = []
+    for j in range(n_bands):
+        cols = [f"m{j * band_width + i}" for i in range(band_width)]
+        bands.append(sig.select(
+            "doc_id", F.lit(j).alias("band"),
+            F.concat_ws("_", *[F.col(c).cast("string") for c in cols])
+            .alias("sig")))
+    allb = bands[0]
+    for b in bands[1:]:
+        allb = allb.unionAll(b)
+    a, b = allb.alias("a"), allb.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.sig") == F.col("b.sig"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("a"),
+                    F.col("b.doc_id").alias("b"))
+            .distinct())
+    sets = _tokens(df).select(
+        "doc_id",
+        F.array_distinct(shingles_col(F.col("tokens"), shingle_n))
+        .alias("s"))
+    return (cand
+            .join(sets.withColumnRenamed("doc_id", "a")
+                      .withColumnRenamed("s", "sa"), "a")
+            .join(sets.withColumnRenamed("doc_id", "b")
+                      .withColumnRenamed("s", "sb"), "b")
+            .select("a", "b",
+                    (F.size(F.array_intersect("sa", "sb"))
+                     / F.size(F.array_union("sa", "sb"))).alias("j")))
+
+
+def simhash32(df):
+    """(doc_id, simhash32): 32-bit SimHash over tf-weighted tokens."""
+    from pyspark.sql import functions as F
+
+    tok = (_tokens(df)
+           .select("doc_id", F.explode("tokens").alias("t"))
+           .groupBy("doc_id", "t").agg(F.count("*").alias("tf"))
+           .withColumn("h", _h_col(F.col("t"))))
+    bit_sums = [F.sum(
+        F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1,
+               F.col("tf")).otherwise(-F.col("tf"))).alias(f"b{j}")
+        for j in range(32)]
+    sums = tok.groupBy("doc_id").agg(*bit_sums)
+    sim = None
+    for j in range(32):
+        bit = F.when(F.col(f"b{j}") >= 0, F.lit(2 ** j)).otherwise(F.lit(0))
+        sim = bit if sim is None else sim + bit
+    return sums.select("doc_id", sim.cast("long").alias("simhash32"))
+
+
+def doc_fingerprint(df):
+    """(doc_id, fingerprint): min rolling 3-gram hash — a cheap
+    order-sensitive document signature (winnowing-lite)."""
+    from pyspark.sql import functions as F
+
+    t = _tokens(df)
+    hs = F.transform(F.col("tokens"), lambda x: _h_col(x))
+    t = t.withColumn("hs", hs)
+    n = F.size("hs")
+    kgrams = F.when(n >= 3, F.transform(
+        F.sequence(F.lit(0), n - 3),
+        lambda i: (F.element_at(F.col("hs"), i + 1) * 1000003
+                   + F.element_at(F.col("hs"), i + 2) * 101
+                   + F.element_at(F.col("hs"), i + 3)) % MERSENNE31)
+    ).otherwise(F.array().cast("array<long>"))
+    t = t.withColumn("kg", kgrams)
+    fp = F.coalesce(F.array_min("kg"), F.array_min("hs"))
+    return t.select("doc_id", fp.alias("fingerprint"))

@@ -1,0 +1,178 @@
+"""Dynamic pruning kernels: skip-pointer selective decoding and
+TAAT MaxScore.
+
+Two layers:
+
+* :func:`selective_decode` — the vectorized analogue of the reference's
+  ``nextGEQ`` (``PostingListInterface.java:138-178``): given a term's
+  VByte payloads, its skip pointers and a sorted array of wanted
+  docIds, decode only the skip blocks that can contain them. Used by
+  the **exact** conjunctive path (intersection seeded from the smallest
+  list): results are rank-identical by construction — membership and
+  scores are exact, only wasted decoding is skipped.
+* :func:`maxscore_or_topk` — term-at-a-time MaxScore for disjunctive
+  queries (Turtle & Flood's algorithm, as the reference implements
+  DAAT at ``QueryProcessor.java:251-327``). Pruning uses the classic
+  sound bound for *standard* top-k semantics (k-th largest accumulated
+  score). The reference's TreeSet collapses equal scores
+  (``DocumentScore.compareTo``), and under score-collapse the exact
+  queue can fall back below k entries, which makes any
+  partial-score-based threshold theoretically unsound for that exotic
+  case — so the engine's default exact path stays the exhaustive
+  vectorized kernel, and this pruned kernel is the opt-in fast path
+  (``InvertedIndex.search(..., prune=True)``); tests assert it matches
+  the exact path on every test corpus and query.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..functions import codec
+
+__all__ = ["selective_decode", "maxscore_or_topk", "intersect_topk"]
+
+
+def selective_decode(doc_ids_vbyte: bytes, freqs_vbyte: bytes,
+                     dls_vbyte: bytes | None,
+                     skip_doc_ids, skip_doc_offsets, skip_freq_offsets,
+                     first_doc_id: int, wanted: np.ndarray):
+    """Decode only the skip blocks that may contain ``wanted`` docIds.
+
+    Returns (doc_ids, tfs, dls?) restricted to the union of touched
+    blocks (a superset of matches — callers intersect afterwards).
+    Without skip pointers (df <= 1024) the full list is decoded.
+    dls are decoded fully when requested (no skip offsets are persisted
+    for them; they compress tiny and slice by posting index).
+    """
+    keys = np.asarray(skip_doc_ids, dtype=np.int64)
+    if keys.size == 0:
+        d = codec.gap_decode(codec.vbyte_decode(doc_ids_vbyte))
+        tf = codec.vbyte_decode(freqs_vbyte)
+        dl = codec.vbyte_decode(dls_vbyte) if dls_vbyte is not None else None
+        return d, tf, dl
+    doffs = np.asarray(skip_doc_offsets, dtype=np.int64)
+    foffs = np.asarray(skip_freq_offsets, dtype=np.int64)
+    # block boundaries: block i covers [starts[i], starts[i+1]) in the
+    # byte streams; block keys are the absolute first docIds of blocks
+    # 1..n-1; block 0 starts at first_doc_id
+    block_first = np.concatenate([[first_doc_id], keys])
+    dstarts = np.concatenate([[0], doffs, [len(doc_ids_vbyte)]])
+    fstarts = np.concatenate([[0], foffs, [len(freqs_vbyte)]])
+    # which blocks can contain wanted ids: block i covers
+    # [block_first[i], block_first[i+1])
+    idx = np.searchsorted(block_first, wanted, side="right") - 1
+    idx = np.unique(idx[(idx >= 0) & (idx < block_first.size)])
+    if idx.size == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, (z if dls_vbyte is not None else None)
+    dls = codec.vbyte_decode(dls_vbyte) if dls_vbyte is not None else None
+    out_d, out_tf, out_dl = [], [], []
+    for i in idx:
+        gaps = codec.vbyte_decode(
+            doc_ids_vbyte[dstarts[i]:dstarts[i + 1]])
+        # the first decoded value of a non-initial block is a gap from
+        # the previous block's last docId; the reference repositions and
+        # sets currentDocID = skip key — equivalently, anchor the cumsum
+        # so the block's first absolute id equals block_first[i]
+        d = np.cumsum(gaps)
+        d += block_first[i] - d[0]
+        tf = codec.vbyte_decode(freqs_vbyte[fstarts[i]:fstarts[i + 1]])
+        out_d.append(d)
+        out_tf.append(tf)
+        if dls is not None:
+            # posting index range of block i: blocks are fixed-size
+            # ceil(sqrt(df)); derive from decoded lengths instead to
+            # stay exact for the final short block
+            pass
+    d = np.concatenate(out_d)
+    tf = np.concatenate(out_tf)
+    if dls is not None:
+        # map back to posting positions via the full docId decode-free
+        # trick: positions of block i are contiguous; reconstruct by
+        # searching the wanted ids in the full dls via block sizes
+        import math
+
+        df = dls.size
+        bs = codec.skip_block_size(df)
+        pos = np.concatenate(
+            [np.arange(i * bs, min((i + 1) * bs, df)) for i in idx])
+        out_dl = dls[pos]
+        return d, tf, out_dl
+    return d, tf, None
+
+
+def intersect_topk(decoded: dict, num_docs: int, avg_doc_len: float, k: int):
+    """Exact conjunctive scoring over pre-restricted lists.
+
+    ``decoded``: term -> (doc_ids, tfs, dls, df), where lists may be
+    block-restricted supersets from :func:`selective_decode`; the
+    smallest list must be complete. Returns (doc_ids, scores) of the
+    intersection, reference top-k semantics applied by the caller.
+    """
+    from ..functions import scoring
+
+    items = sorted(decoded.values(), key=lambda t: t[0].size)
+    cand = items[0][0]
+    for d, _tf, _dl, _df in items[1:]:
+        cand = cand[np.isin(cand, d, assume_unique=True)]
+        if cand.size == 0:
+            break
+    if cand.size == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z.astype(np.float64)
+    score = np.zeros(cand.size, dtype=np.float64)
+    for d, tf, dl, df in items:
+        pos = np.searchsorted(d, cand)
+        score += scoring.bm25_np(tf[pos], dl[pos], df, num_docs,
+                                 avg_doc_len)
+    return cand, score
+
+
+def maxscore_or_topk(lists, num_docs: int, avg_doc_len: float, k: int):
+    """TAAT MaxScore: ``lists`` = [(tub, fetch_full, fetch_for)] where
+    ``fetch_full()`` decodes the whole list and ``fetch_for(wanted)``
+    decodes only the skip blocks that can contain ``wanted`` docIds
+    (a superset). Lists are processed in descending TUB; once the
+    remaining upper-bound mass cannot beat the current k-th best
+    accumulated score, remaining (non-essential) lists stop creating
+    new candidates and are read block-selectively just to boost the
+    existing accumulators. Returns (doc_ids, scores) of surviving
+    accumulators (callers apply the exact queue semantics).
+    """
+    from ..functions import scoring
+
+    order = sorted(range(len(lists)), key=lambda i: -lists[i][0])
+    ubs = np.array([lists[i][0] for i in order])
+    suffix = np.concatenate([np.cumsum(ubs[::-1])[::-1], [0.0]])
+    acc_d = np.zeros(0, dtype=np.int64)
+    acc_s = np.zeros(0, dtype=np.float64)
+    threshold = -np.inf
+    for pos, i in enumerate(order):
+        tub, fetch_full, fetch_for = lists[i]
+        essential = (pos == 0 or acc_d.size == 0
+                     or suffix[pos] >= threshold)
+        if essential:
+            d, tf, dl, df = fetch_full()
+        else:
+            d, tf, dl, df = fetch_for(acc_d)
+        if d.size == 0:
+            continue
+        s = scoring.bm25_np(tf, dl, df, num_docs, avg_doc_len)
+        if essential:
+            both = np.concatenate([acc_d, d])
+            vals = np.concatenate([acc_s, s])
+            o = np.argsort(both, kind="stable")
+            both, vals = both[o], vals[o]
+            uniq, start = np.unique(both, return_index=True)
+            acc_d = uniq
+            acc_s = np.add.reduceat(vals, start)
+        else:
+            # boost existing accumulators only
+            posn = np.searchsorted(d, acc_d)
+            posn_c = np.clip(posn, 0, d.size - 1)
+            hit = d[posn_c] == acc_d
+            acc_s[hit] += s[posn_c[hit]]
+        if acc_s.size >= k:
+            threshold = np.partition(acc_s, -k)[-k]
+    return acc_d, acc_s

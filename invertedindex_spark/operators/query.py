@@ -156,14 +156,14 @@ class InvertedIndex:
         return {r["term"]: r for r in rows}
 
     # -- exact path ------------------------------------------------------
-    def _fetch_decoded(self, terms):
-        """Collect + decode posting payloads for the given terms.
-        Returns term -> (doc_ids, tfs, dls, df). Multi-group rows are
-        concatenated in first_doc_id order (docId-range groups)."""
+    def _fetch_rows(self, terms):
+        """Posting rows (payloads + skips) per term, groups sorted by
+        first_doc_id. Local mode: pyarrow dataset point read."""
         if not terms:
             return {}
-        cols = ["term", "grp", "df", "first_doc_id",
-                "doc_ids_vbyte", "freqs_vbyte", "dls_vbyte"]
+        cols = ["term", "grp", "df", "term_upper_bound", "first_doc_id",
+                "doc_ids_vbyte", "freqs_vbyte", "dls_vbyte",
+                "skip_doc_ids", "skip_doc_offsets", "skip_freq_offsets"]
         if self.io_mode == "local":
             import pyarrow.dataset as ds
 
@@ -181,38 +181,97 @@ class InvertedIndex:
         by_term: dict[str, list] = {}
         for r in rows:
             by_term.setdefault(r["term"], []).append(r)
-        out = {}
-        for t, rs in by_term.items():
+        for rs in by_term.values():
             rs.sort(key=lambda r: r["first_doc_id"])
-            d = np.concatenate([codec.gap_decode(
-                codec.vbyte_decode(r["doc_ids_vbyte"])) for r in rs])
-            tf = np.concatenate([codec.vbyte_decode(r["freqs_vbyte"])
-                                 for r in rs])
-            dl = np.concatenate([codec.vbyte_decode(r["dls_vbyte"])
-                                 for r in rs])
-            out[t] = (d, tf, dl, int(rs[0]["df"]))
-        return out
+        return by_term
 
-    def search(self, query: str, k: int = 20):
+    @staticmethod
+    def _decode_rows(rs):
+        d = np.concatenate([codec.gap_decode(
+            codec.vbyte_decode(r["doc_ids_vbyte"])) for r in rs])
+        tf = np.concatenate([codec.vbyte_decode(r["freqs_vbyte"])
+                             for r in rs])
+        dl = np.concatenate([codec.vbyte_decode(r["dls_vbyte"])
+                             for r in rs])
+        return d, tf, dl, int(rs[0]["df"])
+
+    @staticmethod
+    def _decode_rows_selective(rs, wanted):
+        from .maxscore import selective_decode
+
+        parts = [selective_decode(
+            r["doc_ids_vbyte"], r["freqs_vbyte"], r["dls_vbyte"],
+            r["skip_doc_ids"], r["skip_doc_offsets"],
+            r["skip_freq_offsets"], r["first_doc_id"], wanted)
+            for r in rs]
+        d = np.concatenate([p[0] for p in parts])
+        tf = np.concatenate([p[1] for p in parts])
+        dl = np.concatenate([p[2] for p in parts])
+        return d, tf, dl, int(rs[0]["df"])
+
+    def _fetch_decoded(self, terms):
+        """term -> fully decoded (doc_ids, tfs, dls, df)."""
+        return {t: self._decode_rows(rs)
+                for t, rs in self._fetch_rows(terms).items()}
+
+    def search(self, query: str, k: int = 20, prune: bool = False):
         """[AND|OR] term1 … termN → [(doc_no, score)] descending.
 
         Unknown term ⇒ AND returns [] / OR skips it
         (QueryProcessor.java:202-214). Results LRU-cached on
         (type, tokens, k) like the reference's Guava cache.
+
+        ``prune=True`` enables the dynamic-pruning kernels
+        (operators/maxscore): skip-pointer selective decoding for AND
+        (exact by construction) and TAAT MaxScore for OR (standard
+        top-k pruning semantics; see that module's docstring for the
+        adversarial-tie caveat vs the exhaustive default).
         """
         qtype, terms = preprocess_query(
             query, stopwords=self.stopwords, stemming=self.stemming)
-        key = (qtype, frozenset(terms), k)
+        key = (qtype, frozenset(terms), k, prune)
         if key in self._cache:
             self._cache.move_to_end(key)
             return self._cache[key]
-        doc_ids, scores = self._score_terms(terms, qtype)
+        if prune:
+            doc_ids, scores = self._score_terms_pruned(terms, qtype, k)
+        else:
+            doc_ids, scores = self._score_terms(terms, qtype)
         top_ids, top_scores = queue_topk_np(doc_ids, scores, k)
         result = self._attach_doc_nos(top_ids, top_scores)
         self._cache[key] = result
         if len(self._cache) > self._cache_size:
             self._cache.popitem(last=False)
         return result
+
+    def _score_terms_pruned(self, terms, qtype, k):
+        from .maxscore import intersect_topk, maxscore_or_topk
+
+        by_term = self._fetch_rows(terms)
+        z = np.zeros(0, dtype=np.int64)
+        if not by_term or (qtype == "AND" and len(by_term) < len(terms)):
+            return z, z.astype(np.float64)
+        if qtype == "AND":
+            # seed from the smallest list (fully decoded), restrict the
+            # rest to the blocks its docIds can live in (nextGEQ analogue)
+            items = sorted(by_term.items(), key=lambda kv: kv[1][0]["df"])
+            smallest = self._decode_rows(items[0][1])
+            decoded = {items[0][0]: smallest}
+            wanted = smallest[0]
+            for t, rs in items[1:]:
+                decoded[t] = self._decode_rows_selective(rs, wanted)
+            return intersect_topk(decoded, self.num_docs,
+                                  self.avg_doc_len, k)
+        lists = []
+        for t, rs in by_term.items():
+            tub = float(rs[0]["term_upper_bound"])
+            lists.append((
+                tub,
+                lambda rs=rs: self._decode_rows(rs),
+                lambda wanted, rs=rs: self._decode_rows_selective(
+                    rs, wanted),
+            ))
+        return maxscore_or_topk(lists, self.num_docs, self.avg_doc_len, k)
 
     def _score_terms(self, terms, qtype):
         decoded = self._fetch_decoded(terms)

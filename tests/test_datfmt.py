@@ -1,0 +1,105 @@
+"""Byte-format parity: export a built warehouse to the reference's
+.dat layout and verify record sizes, ordering and payload round-trips
+(Constants.java:34-41, LexiconTerm/Document.serializeBinary)."""
+
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from invertedindex_spark import IndexConfig, OracleIndex, build_index, corpus
+from invertedindex_spark.sources import datfmt
+
+
+@pytest.fixture(scope="module")
+def exported(spark, tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("wh"))
+    out = str(tmp_path_factory.mktemp("dat"))
+    # doc_no must fit 30 bytes → use the documents-table corpus
+    import os as _os
+    c = corpus.load_documents_corpus(
+        spark, _os.environ.get("SPARK_GRAFT_TESTDATA",
+                               "/root/testdata") + "/sf0.001")
+    build_index(spark, c, wh, IndexConfig(num_blocks=4))
+    sizes = datfmt.export_dat(wh, out)
+    return spark, wh, out, sizes
+
+
+def test_record_sizes(exported):
+    spark, wh, out, sizes = exported
+    n_docs = spark.read.parquet(f"{wh}/docs").count()
+    n_terms = spark.read.parquet(f"{wh}/lexicon").count()
+    assert sizes["document_table.dat"] == n_docs * 38
+    assert sizes["lexicon.dat"] == n_terms * 60
+    assert sizes["collection_statistics.dat"] == 12
+
+
+def test_stats_roundtrip(exported):
+    spark, wh, out, _ = exported
+    srow = spark.read.parquet(f"{wh}/stats").collect()[0]
+    n, avg = datfmt.read_stats_dat(out)
+    assert n == srow["num_docs"]
+    assert avg == srow["avg_doc_len"]
+
+
+def test_doc_table_roundtrip(exported):
+    spark, wh, out, _ = exported
+    disk = datfmt.read_doc_table_dat(out)
+    rows = spark.read.parquet(f"{wh}/docs").orderBy("doc_id").collect()
+    assert len(disk) == len(rows)
+    for (did, dno, dlen), r in zip(disk, rows):
+        assert (did, dno, dlen) == (r["doc_id"], r["doc_no"], r["doc_len"])
+
+
+def test_lexicon_sorted_and_roundtrip(exported):
+    spark, wh, out, _ = exported
+    lex = datfmt.read_lexicon_dat(out)
+    terms = [e["term"] for e in lex]
+    assert terms == sorted(terms)  # binary-search invariant
+    got = {e["term"]: e for e in lex}
+    for r in spark.read.parquet(f"{wh}/lexicon").collect():
+        e = got[r["term"]]
+        assert e["df"] == r["df"] and e["cf"] == r["cf"]
+        assert e["term_upper_bound"] == pytest.approx(
+            r["term_upper_bound"], rel=1e-12)
+
+
+def test_postings_decode_via_offsets(exported):
+    """Every term's postings must decode from the .dat files using only
+    the lexicon offsets/sizes — the reference's read path."""
+    spark, wh, out, _ = exported
+    from invertedindex_spark.functions import codec
+
+    lex = datfmt.read_lexicon_dat(out)
+    post = {r["term"]: r for r in
+            spark.read.parquet(f"{wh}/postings").collect()}
+    for e in lex:
+        doc_ids, tfs, skips = datfmt.read_postings_dat(out, e)
+        want_ids = codec.gap_decode(codec.vbyte_decode(
+            post[e["term"]]["doc_ids_vbyte"]))
+        assert np.array_equal(doc_ids, want_ids), e["term"]
+        assert tfs.sum() == e["cf"]
+        assert len(doc_ids) == e["df"]
+
+
+def test_contiguous_offsets(exported):
+    """Offsets must tile the payload files exactly (no gaps/overlap)."""
+    _s, _wh, out, sizes = exported
+    lex = datfmt.read_lexicon_dat(out)
+    pos_d = pos_f = 0
+    for e in lex:
+        assert e["doc_ids_offset"] == pos_d
+        assert e["freqs_offset"] == pos_f
+        pos_d += e["doc_ids_size"]
+        pos_f += e["freqs_size"]
+    assert pos_d == sizes["postings_doc_ids.dat"]
+    assert pos_f == sizes["postings_frequencies.dat"]
+
+
+def test_long_docno_rejected(spark, tmp_path):
+    wh = str(tmp_path / "wh")
+    c = corpus.synthesize_source_code(spark, 60, seed=3)  # long doc_nos
+    build_index(spark, c, wh, IndexConfig(num_blocks=2))
+    with pytest.raises(ValueError, match="exceeds 30 bytes"):
+        datfmt.export_dat(wh, str(tmp_path / "dat"))

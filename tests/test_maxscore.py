@@ -1,0 +1,91 @@
+"""Pruned kernels (skip-selective decode + TAAT MaxScore) must return
+identical results to the exhaustive exact path — including on a corpus
+large enough that skip pointers exist (df > 1024)."""
+
+import numpy as np
+import pytest
+
+from invertedindex_spark import (
+    IndexConfig, InvertedIndex, build_index, corpus,
+)
+from invertedindex_spark.functions import codec
+from invertedindex_spark.operators.maxscore import selective_decode
+
+
+@pytest.fixture(scope="module")
+def big_index(spark, tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("wh_big"))
+    c = corpus.synthesize_source_code(spark, 3000, seed=42,
+                                      num_partitions=6)
+    build_index(spark, c, wh, IndexConfig(num_blocks=6))
+    return InvertedIndex(spark, wh)
+
+
+def test_skips_exist(big_index):
+    rows = big_index._fetch_rows(["hotterm"])["hotterm"]
+    assert rows[0]["df"] > codec.SKIP_POINTERS_THRESHOLD
+    assert len(rows[0]["skip_doc_ids"]) > 0
+
+
+def test_selective_decode_exact(big_index):
+    rows = big_index._fetch_rows(["hotterm"])["hotterm"]
+    r = rows[0]
+    full_d = codec.gap_decode(codec.vbyte_decode(r["doc_ids_vbyte"]))
+    full_tf = codec.vbyte_decode(r["freqs_vbyte"])
+    full_dl = codec.vbyte_decode(r["dls_vbyte"])
+    rng = np.random.default_rng(0)
+    wanted = np.sort(rng.choice(full_d, 8, replace=False))
+    d, tf, dl = selective_decode(
+        r["doc_ids_vbyte"], r["freqs_vbyte"], r["dls_vbyte"],
+        r["skip_doc_ids"], r["skip_doc_offsets"], r["skip_freq_offsets"],
+        r["first_doc_id"], wanted)
+    # decoded superset is bounded by one skip block per wanted docId…
+    import math
+    bs = math.ceil(math.sqrt(full_d.size))
+    assert d.size <= wanted.size * bs
+    assert d.size < full_d.size / 2
+    # …and exactly consistent with it on every wanted docId
+    pos_full = np.searchsorted(full_d, wanted)
+    pos_sel = np.searchsorted(d, wanted)
+    assert np.array_equal(d[pos_sel], wanted)
+    assert np.array_equal(tf[pos_sel], full_tf[pos_full])
+    assert np.array_equal(dl[pos_sel], full_dl[pos_full])
+
+
+def test_selective_decode_landing_on_every_skip_key(big_index):
+    """Mirror of the reference's skipBlocksTest: targeting each skip key
+    must decode a block whose first docId is exactly that key."""
+    rows = big_index._fetch_rows(["hotterm"])["hotterm"]
+    r = rows[0]
+    for key in r["skip_doc_ids"][:40]:
+        d, tf, dl = selective_decode(
+            r["doc_ids_vbyte"], r["freqs_vbyte"], None,
+            r["skip_doc_ids"], r["skip_doc_offsets"],
+            r["skip_freq_offsets"], r["first_doc_id"],
+            np.array([key], dtype=np.int64))
+        assert d[0] == key
+
+
+QUERIES = [
+    "OR hotterm quick brown",
+    "OR optimization vectorized throughput latency compression",
+    "AND hotterm parties",
+    "AND hotterm quick import",
+    "OR hotterm",
+    "AND def class import return",
+    "OR zzz hotterm",
+    "AND zzz hotterm",
+]
+
+
+def test_pruned_matches_exact(big_index):
+    """Rank-identical docs; scores equal to 1e-12 rel (float summation
+    order differs: TAAT adds per-list in TUB order, the exhaustive
+    kernel reduces per-doc — non-associative addition ⇒ ±1 ulp)."""
+    for q in QUERIES:
+        for k in (5, 10, 50):
+            exact = big_index.search(q, k)
+            pruned = big_index.search(q, k, prune=True)
+            assert [d for d, _ in pruned] == [d for d, _ in exact], (q, k)
+            for (pd, ps), (ed, es) in zip(pruned, exact):
+                assert ps == pytest.approx(es, rel=1e-12), (q, k, pd)

@@ -1,0 +1,83 @@
+"""Streaming incremental indexing: batches appended incrementally +
+compaction must equal a from-scratch batch build (rank-identical
+queries), and the Structured Streaming wrapper must drive the same
+path via foreachBatch."""
+
+import os
+
+import pytest
+
+from invertedindex_spark import IndexConfig, InvertedIndex, build_index, corpus
+from invertedindex_spark.streaming import append_batch, compact
+
+N = 240
+QUERIES = ["OR hotterm quick", "AND hotterm parties",
+           "OR optimization throughput latency", "OR def class import"]
+
+
+def _sorted_rows(n, seed=42):
+    rows = corpus.synthesize_source_code_rows(n, seed)
+    return sorted(rows, key=lambda x: (x[0], x[1], x[2]))
+
+
+def test_incremental_equals_batch(spark, tmp_path):
+    cfg = IndexConfig(num_blocks=3)
+    # batch reference build over all N docs
+    wh_batch = str(tmp_path / "batch")
+    all_rows = corpus.synthesize_source_code_rows(N, seed=42)
+    df_all = spark.createDataFrame(all_rows, corpus._CORPUS_SCHEMA)
+    build_index(spark, corpus.from_source_code(df_all), wh_batch, cfg)
+
+    # incremental: same docs in 3 arrival chunks, each chunk sorted —
+    # docIds differ from the batch build unless chunks arrive in global
+    # key order, so feed chunks split by the order keys
+    srt = _sorted_rows(N)
+    wh_inc = str(tmp_path / "inc")
+    for lo in range(0, N, 80):
+        chunk = srt[lo:lo + 80]
+        df = spark.createDataFrame(chunk, corpus._CORPUS_SCHEMA)
+        append_batch(spark, corpus.from_source_code(df), wh_inc, cfg,
+                     blocks_per_batch=3)
+    compact(spark, wh_inc, cfg)
+
+    bi = InvertedIndex(spark, wh_batch)
+    ii = InvertedIndex(spark, wh_inc)
+    assert bi.num_docs == ii.num_docs
+    assert bi.avg_doc_len == pytest.approx(ii.avg_doc_len, rel=1e-12)
+    for q in QUERIES:
+        got = ii.search(q, 10)
+        want = bi.search(q, 10)
+        assert [g[0] for g in got] == [w[0] for w in want], q
+        for (gd, gs), (wd, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, rel=1e-12), q
+
+
+def test_structured_streaming_foreachbatch(spark, tmp_path):
+    """Drive the same path through a real readStream/writeStream."""
+    cfg = IndexConfig(num_blocks=2)
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    srt = _sorted_rows(120)
+    # two parquet files → two-ish micro-batches with availableNow
+    for i, lo in enumerate(range(0, 120, 60)):
+        spark.createDataFrame(srt[lo:lo + 60], corpus._CORPUS_SCHEMA) \
+            .coalesce(1).write.parquet(f"{src_dir}/chunk={i}")
+    wh = str(tmp_path / "wh")
+    from invertedindex_spark.sources.corpus import from_source_code
+    from invertedindex_spark.streaming import start_incremental_build
+
+    stream = (spark.readStream.schema(corpus._CORPUS_SCHEMA)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(src_dir + "/chunk=*"))
+    stream = from_source_code(stream).df
+    q = start_incremental_build(
+        spark, stream, ("repo", "path", "commit"), wh, cfg,
+        compact_every=1,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        trigger={"availableNow": True})
+    q.awaitTermination(120)
+
+    idx = InvertedIndex(spark, wh)
+    assert idx.num_docs > 0
+    res = idx.search("OR hotterm quick", 5)
+    assert len(res) > 0

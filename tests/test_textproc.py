@@ -114,3 +114,22 @@ def test_spark_and_sql_twins_match_python(spark, duck):
         assert drow[0] == py_toks, f"duckdb tokens {doc!r}"
         assert drow[1] == py_terms, f"duckdb terms {doc!r}"
         assert drow[2] == py_dl, f"duckdb doc_len {doc!r}"
+
+
+def test_arrow_tokenizer_matches_python():
+    """Fourth implementation (pyarrow/RE2 hot path) must agree with the
+    pure-Python reference pipeline on tricky inputs + synthetic corpus."""
+    import pyarrow as pa
+    from invertedindex_spark.functions.textproc import tokenize_terms_arrow
+    from invertedindex_spark.functions.porter2 import stem as _stem
+    from invertedindex_spark.sources.corpus import synthesize_source_code_rows
+
+    docs = ["Hello, World!", "...foo", "foo...", "!!!", "the the the",
+            "a" * 25 + " xyz", "MiXeD CaSe 123", "tab\tsep", " ",
+            "-leading and trailing-", "naïve café", "x"]
+    docs += [r[4] for r in synthesize_source_code_rows(600, seed=9) if r[4]]
+    for stemming in (False, True):
+        got = tokenize_terms_arrow(pa.array(docs), stemming=stemming)
+        for doc, terms in zip(docs, got.to_pylist()):
+            want, _ = process_tokens(tokenize_text(doc), stemming=stemming)
+            assert terms == want, (doc, stemming)
