@@ -1,0 +1,92 @@
+"""IR effectiveness metrics — the reference's evaluation protocol
+(documentation.pdf §5.1: trec_eval mAP / RR / nDCG@10 / nDCG@100 over a
+TREC run + qrels). Pure Python, no Spark dependency; operates on the
+same (qid, rank, doc_no, score) tuples ``InvertedIndex.batch_search``
+returns and on TREC-format qrel lines ``qid Q0 doc_no rel``.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+
+__all__ = ["parse_qrels", "parse_run", "average_precision",
+           "reciprocal_rank", "ndcg_at", "evaluate_run"]
+
+
+def parse_qrels(lines):
+    """'qid Q0 doc_no rel' → {qid: {doc_no: rel}} (rel > 0 = relevant)."""
+    out: dict = defaultdict(dict)
+    for line in lines:
+        parts = line.split()
+        if len(parts) < 4:
+            continue
+        qid, _q0, doc_no, rel = parts[0], parts[1], parts[2], int(parts[3])
+        out[qid][doc_no] = rel
+    return dict(out)
+
+
+def parse_run(lines):
+    """'qid Q0 doc_no rank score tag' → {qid: [doc_no ranked]}."""
+    rows = []
+    for line in lines:
+        parts = line.split()
+        if len(parts) < 5:
+            continue
+        rows.append((parts[0], int(parts[3]), parts[2]))
+    out: dict = defaultdict(list)
+    for qid, rank, doc_no in sorted(rows):
+        out[qid].append(doc_no)
+    return dict(out)
+
+
+def average_precision(ranked, rels):
+    n_rel = sum(1 for r in rels.values() if r > 0)
+    if n_rel == 0:
+        return 0.0
+    hits = 0
+    acc = 0.0
+    for i, doc in enumerate(ranked, start=1):
+        if rels.get(doc, 0) > 0:
+            hits += 1
+            acc += hits / i
+    return acc / n_rel
+
+
+def reciprocal_rank(ranked, rels):
+    for i, doc in enumerate(ranked, start=1):
+        if rels.get(doc, 0) > 0:
+            return 1.0 / i
+    return 0.0
+
+
+def ndcg_at(ranked, rels, k):
+    dcg = 0.0
+    for i, doc in enumerate(ranked[:k], start=1):
+        g = rels.get(doc, 0)
+        if g > 0:
+            dcg += (2 ** g - 1) / math.log2(i + 1)
+    ideal = sorted((r for r in rels.values() if r > 0), reverse=True)[:k]
+    idcg = sum((2 ** g - 1) / math.log2(i + 1)
+               for i, g in enumerate(ideal, start=1))
+    return dcg / idcg if idcg > 0 else 0.0
+
+
+def evaluate_run(run_lines, qrel_lines, ks=(10, 100)):
+    """Mean mAP / RR / nDCG@k over the queries present in the qrels —
+    trec_eval's default behaviour of averaging over judged queries."""
+    run = parse_run(run_lines)
+    qrels = parse_qrels(qrel_lines)
+    qids = [q for q in qrels if qrels[q]]
+    if not qids:
+        return {}
+    out = {
+        "map": sum(average_precision(run.get(q, []), qrels[q])
+                   for q in qids) / len(qids),
+        "rr": sum(reciprocal_rank(run.get(q, []), qrels[q])
+                  for q in qids) / len(qids),
+    }
+    for k in ks:
+        out[f"ndcg@{k}"] = sum(ndcg_at(run.get(q, []), qrels[q], k)
+                               for q in qids) / len(qids)
+    return out
