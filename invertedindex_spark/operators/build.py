@@ -123,14 +123,22 @@ def _tokenized_staging(corpus, cfg: IndexConfig, num_blocks: int):
     df = corpus.df
     # malformed-line policy (Indexer.java:72-84): null/empty content skipped
     df = df.where(F.col("content").isNotNull() & (F.length("content") > 0))
-    # range-exchange the *raw* rows first — the shuffle moves only
-    # (keys, doc_no, content); tokenization happens post-shuffle so the
-    # wide terms arrays are computed exactly once, inside the partition
-    # that keeps them (then cached for the docs/partials passes)
-    df = (df.select(*corpus.order_keys, "doc_no", "content")
-            .repartitionByRange(num_blocks,
-                                *[F.col(k) for k in corpus.order_keys])
-            .sortWithinPartitions(*corpus.order_keys))
+    if corpus.order_keys:
+        # content-addressed order: range-exchange the *raw* rows — the
+        # shuffle moves only (keys, doc_no, content); tokenization
+        # happens post-shuffle so the wide terms arrays are computed
+        # exactly once, inside the partition that keeps them
+        df = (df.select(*corpus.order_keys, "doc_no", "content")
+                .repartitionByRange(num_blocks,
+                                    *[F.col(k) for k in corpus.order_keys])
+                .sortWithinPartitions(*corpus.order_keys))
+    else:
+        # input order (the reference's read order): no sampling job, no
+        # exchange — fully narrow until the term merge; block = scan
+        # partition (coalesce only to bound block count)
+        df = df.select("doc_no", "content")
+        if df.rdd.getNumPartitions() > 4 * num_blocks:
+            df = df.coalesce(4 * num_blocks)
     # tokenize + stopword-filter + truncate + stem in one Arrow pass
     # (pyarrow.compute / RE2). Measured on this box: the equivalent JVM
     # expression chain (regexp_replace+split+HOF filter) runs ~50k

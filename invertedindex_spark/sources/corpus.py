@@ -28,14 +28,25 @@ from dataclasses import dataclass, field
 
 @dataclass(frozen=True)
 class Corpus:
-    """A DataFrame with (order keys…, doc_no, content)."""
+    """A DataFrame with (order keys…, doc_no, content).
+
+    ``order_keys=()`` selects **input order**: docIds follow the
+    source's own partition/row order (for parquet: file-split order) —
+    exactly the reference's "collection read order"
+    (``Indexer.java:57-85``), deterministic for a fixed file layout, and
+    shuffle-free: the build stays narrow until the term merge. Explicit
+    ``order_keys`` instead define a content-addressed total order
+    (stable across file layouts) at the cost of one range exchange.
+    """
     df: object                      # pyspark DataFrame
-    order_keys: tuple[str, ...]     # deterministic docId order
+    order_keys: tuple[str, ...]     # () = input order
     extra_cols: tuple[str, ...] = ()  # carried into docs table (e.g. lang)
 
 
-def from_source_code(df) -> Corpus:
-    """(repo, path, commit, lang, content) → canonical corpus."""
+def from_source_code(df, input_order: bool = False) -> Corpus:
+    """(repo, path, commit, lang, content) → canonical corpus.
+    ``input_order=True`` keeps the source's own row order for docIds
+    (shuffle-free build; see Corpus docstring)."""
     from pyspark.sql import functions as F
 
     out = df.select(
@@ -44,7 +55,7 @@ def from_source_code(df) -> Corpus:
                     F.lit("@"), F.col("commit")).alias("doc_no"),
         F.col("content"),
     )
-    return Corpus(out, ("repo", "path", "commit"))
+    return Corpus(out, () if input_order else ("repo", "path", "commit"))
 
 
 def from_documents(df) -> Corpus:

@@ -48,7 +48,8 @@ spark = (SparkSession.builder.master(f"local[{cpus}]")
   .config("spark.driver.memory", "64g")
   .config("spark.ui.enabled", "false").getOrCreate())
 from invertedindex_spark import IndexConfig, build_index, corpus
-src = corpus.from_source_code(spark.read.parquet(path))
+# input-order docIds (the reference's read order): shuffle-free build
+src = corpus.from_source_code(spark.read.parquet(path), input_order=True)
 src.df.cache().count()   # source scan warmed; timing covers the build
 wh = tempfile.mkdtemp(prefix="iis_scale_wh_")
 t0 = time.perf_counter()

@@ -187,3 +187,24 @@ def test_merge_width_grouping_equivalent(spark, tmp_path):
         got = idx.search(q, 10)
         want = oracle.topk(q, 10)
         assert [g[0] for g in got] == [w[0] for w in want]
+
+
+def test_input_order_mode_matches_oracle(spark, tmp_path):
+    """order_keys=() — docIds in source row order (the reference's read
+    order), shuffle-free build; rank-identical to the oracle over rows
+    in generation order."""
+    wh = str(tmp_path / "wh_inorder")
+    rows = corpus.synthesize_source_code_rows(200, seed=11)
+    df = spark.createDataFrame(rows, corpus._CORPUS_SCHEMA).coalesce(3)
+    c = corpus.from_source_code(df, input_order=True)
+    build_index(spark, c, wh, IndexConfig(num_blocks=3))
+    oracle = OracleIndex([(f"{r}:{p}@{cm}", ct)
+                          for r, p, cm, _l, ct in rows])
+    idx = InvertedIndex(spark, wh)
+    assert idx.num_docs == oracle.num_docs
+    docs = spark.read.parquet(f"{wh}/docs").orderBy("doc_id").collect()
+    assert [r["doc_no"] for r in docs] == oracle.doc_nos
+    for q in ["OR hotterm quick", "AND hotterm parties"]:
+        got = idx.search(q, 10)
+        want = oracle.topk(q, 10)
+        assert [g[0] for g in got] == [w[0] for w in want], q
