@@ -61,7 +61,7 @@ def make_spark():
 
 def main():
     sf = sf_value(SF_DIR)
-    n_docs = max(2000, int(400_000 * sf))
+    n_docs = max(4000, int(4_000_000 * sf))
     timings: dict[str, float] = {}
     extras: dict[str, object] = {"cpus": CPUS, "n_synth_docs": n_docs}
 
@@ -83,7 +83,8 @@ def main():
     try:
         # --- index build over synthetic source-code corpus ----------
         c = corpus.synthesize_source_code(spark, n_docs, seed=42,
-                                          num_partitions=CPUS * 2)
+                                          num_partitions=CPUS * 2,
+                                          input_order=True)
         c.df.cache().count()  # exclude synth-generation from the timing
 
         def build():

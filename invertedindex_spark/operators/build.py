@@ -619,9 +619,14 @@ def build_index(spark, corpus, warehouse_dir: str,
         merged = _merge_partials(partials, cfg, stats["num_docs"],
                                  stats["avg_doc_len"],
                                  num_partitions=num_blocks)
-        # rows leave the merge already term-sorted within each partition
-        # → parquet row-group min/max stats give point-lookup skipping
-        merged.write.mode("overwrite").parquet(paths["postings"])
+        # rows leave the merge already term-sorted within each partition;
+        # small row groups make the per-row-group term min/max stats
+        # selective, so a point lookup reads a few MB instead of a file
+        # (the parquet analogue of the reference's 60 B-record binary
+        # search, DiskDataStructuresSearch.java:36-67)
+        (merged.write.mode("overwrite")
+         .option("parquet.block.size", 2 * 1024 * 1024)
+         .parquet(paths["postings"]))
         _mark_stage(manifest, warehouse_dir, "postings")
 
     # per-block lineage metrics (terms/postings per partition)

@@ -47,9 +47,28 @@ __all__ = ["InvertedIndex", "queue_topk_np"]
 
 def queue_topk_np(doc_ids: np.ndarray, scores: np.ndarray, k: int):
     """Closed-form reference top-k: min docId per distinct score,
-    score-descending, first k. Returns (doc_ids, scores) arrays."""
-    if doc_ids.size == 0:
+    score-descending, first k. Returns (doc_ids, scores) arrays.
+
+    Large candidate sets are pre-filtered with np.partition to the
+    smallest score s* such that ≥k distinct scores are ≥ s*; every
+    candidate with score ≥ s* is kept (boundary ties included), so the
+    min-docId representative of each retained score class is exact."""
+    n = doc_ids.size
+    if n == 0:
         return doc_ids[:0], scores[:0]
+    if n > 4096:
+        m = max(4 * k, 64)
+        s_star = None
+        while m < n:
+            top = np.partition(scores, n - m)[n - m:]
+            distinct = np.unique(top)          # sorted ascending
+            if distinct.size >= k:
+                s_star = distinct[-k]
+                break
+            m *= 8
+        if s_star is not None:
+            keep = scores >= s_star
+            doc_ids, scores = doc_ids[keep], scores[keep]
     order = np.lexsort((doc_ids, -scores))   # score desc, docId asc
     s_sorted = scores[order]
     first = np.empty(order.size, dtype=bool)
@@ -95,6 +114,15 @@ class InvertedIndex:
         self._lexicon_map = None
         self._postings_ds = None
         self._docs_ds = None
+        # decoded-postings LRU (term → arrays); the driver-side analogue
+        # of the reference keeping hot posting ranges in page cache
+        self._term_cache: OrderedDict = OrderedDict()
+        self._term_cache_size = 512
+        # full doc_id→doc_no map, loaded lazily like the reference's
+        # mmapped 336 MB document table (PDF §5.2); point reads beyond
+        # the threshold
+        self._doc_nos = None
+        self._doc_nos_max = 20_000_000
 
     # -- driver-local dataset handles (the mmap analogue) --------------
     def _local_postings(self):
@@ -210,9 +238,28 @@ class InvertedIndex:
         return d, tf, dl, int(rs[0]["df"])
 
     def _fetch_decoded(self, terms):
-        """term -> fully decoded (doc_ids, tfs, dls, df)."""
-        return {t: self._decode_rows(rs)
-                for t, rs in self._fetch_rows(terms).items()}
+        """term -> fully decoded (doc_ids, tfs, dls, df); LRU-cached
+        per term in local mode."""
+        out = {}
+        missing = []
+        for t in terms:
+            if t in self._term_cache:
+                self._term_cache.move_to_end(t)
+                hit = self._term_cache[t]
+                if hit is not None:
+                    out[t] = hit
+            else:
+                missing.append(t)
+        if missing:
+            fetched = self._fetch_rows(missing)
+            for t in missing:
+                dec = self._decode_rows(fetched[t]) if t in fetched else None
+                self._term_cache[t] = dec
+                if dec is not None:
+                    out[t] = dec
+                if len(self._term_cache) > self._term_cache_size:
+                    self._term_cache.popitem(last=False)
+        return out
 
     def search(self, query: str, k: int = 20, prune: bool = False):
         """[AND|OR] term1 … termN → [(doc_no, score)] descending.
@@ -303,6 +350,16 @@ class InvertedIndex:
         if self.io_mode == "local":
             import pyarrow.dataset as ds
 
+            if self.num_docs <= self._doc_nos_max:
+                if self._doc_nos is None:
+                    t = (self._local_docs()
+                         .to_table(columns=["doc_id", "doc_no"]))
+                    arr = np.empty(self.num_docs, dtype=object)
+                    arr[t.column("doc_id").to_numpy()] = \
+                        t.column("doc_no").to_pylist()
+                    self._doc_nos = arr
+                return [(self._doc_nos[d], float(s))
+                        for d, s in zip(ids, scores)]
             rows = (self._local_docs()
                     .to_table(columns=["doc_id", "doc_no"],
                               filter=ds.field("doc_id").isin(ids))

@@ -147,16 +147,18 @@ _CORPUS_SCHEMA = ("repo string, path string, commit string, lang string, "
 
 
 def synthesize_source_code(spark, n: int, seed: int = 42,
-                           num_partitions: int | None = None) -> Corpus:
+                           num_partitions: int | None = None,
+                           input_order: bool = False) -> Corpus:
     """Distributed deterministic corpus: rows derive from the row index,
     so generation is an embarrassingly-parallel ``spark.range`` map —
-    no driver-side materialization at any n."""
+    no driver-side materialization at any n. ``input_order=True`` makes
+    docIds follow generation order (shuffle-free build)."""
     if n <= 2000:
         df = spark.createDataFrame(synthesize_source_code_rows(n, seed),
                                    _CORPUS_SCHEMA)
         if num_partitions:
             df = df.repartition(num_partitions)
-        return from_source_code(df)
+        return from_source_code(df, input_order=False)
 
     import pandas as pd
 
@@ -170,4 +172,5 @@ def synthesize_source_code(spark, n: int, seed: int = 42,
             yield pd.DataFrame(rows, columns=["repo", "path", "commit",
                                               "lang", "content"])
 
-    return from_source_code(base.mapInPandas(gen, _CORPUS_SCHEMA))
+    return from_source_code(base.mapInPandas(gen, _CORPUS_SCHEMA),
+                            input_order=input_order)
