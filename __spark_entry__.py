@@ -7,7 +7,8 @@ top-k query through the distributed query path.
 ``queries()`` / ``oracle_sql()`` — one entry per implemented operator
 from SURVEY.md §2 plus the training-data-pipeline families (dedup,
 similarity search, text analysis); DuckDB oracles included for every
-SQL-expressible op (``vbyte_roundtrip`` is byte-level → rows-only).
+SQL-expressible op (``vbyte_roundtrip`` is byte-level and
+``multimodal_features`` has a stubbed binary decode → rows-only).
 """
 
 from __future__ import annotations

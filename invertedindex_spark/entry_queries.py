@@ -46,6 +46,14 @@ _rng2 = random.Random(321)
 LSH_PLANES = [[round(_rng2.gauss(0, 1), 6) for _ in range(64)]
               for _ in range(8)]
 
+# multi-table LSH for embedding near-dup: 4 tables x 3 planes (OR of
+# ANDs amplification); threshold 0.421 sits in a measured gap of the
+# testdata cosine distribution so float rounding can't flip membership
+_rng3 = random.Random(777)
+NEAR_DUP_TABLES = [[[round(_rng3.gauss(0, 1), 6) for _ in range(64)]
+                    for _ in range(3)] for _ in range(4)]
+NEAR_DUP_THRESHOLD = 0.421
+
 WAREHOUSE_ROOT = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".cache")
 
@@ -605,13 +613,17 @@ ORDER BY list_cosine_similarity(embedding::DOUBLE[], {lit}) DESC, vec_id ASC
 LIMIT {K}"""
 
 
-def _bucket_sql() -> str:
+def _bucket_sql_for(planes, vec_expr: str = "embedding::DOUBLE[]") -> str:
     parts = []
-    for i, plane in enumerate(LSH_PLANES):
+    for i, plane in enumerate(planes):
         lit = _qvec_sql_literal(plane)
-        parts.append(f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {lit}) > 0 "
+        parts.append(f"(CASE WHEN list_dot_product({vec_expr}, {lit}) > 0 "
                      f"THEN {2 ** i} ELSE 0 END)")
     return " + ".join(parts)
+
+
+def _bucket_sql() -> str:
+    return _bucket_sql_for(LSH_PLANES)
 
 
 def q_lsh_buckets(spark, sf_dir):
@@ -650,9 +662,74 @@ ORDER BY list_cosine_similarity(embedding::DOUBLE[], {lit}) DESC, vec_id ASC
 LIMIT {K}"""
 
 
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (dedup family): multi-table
+    hyperplane-LSH candidate generation + exact cosine >= threshold."""
+    from .operators.similarity import near_dup_pairs
+    return near_dup_pairs(_emb_df(spark, sf_dir), NEAR_DUP_TABLES,
+                          NEAR_DUP_THRESHOLD)
+
+
+def sql_embedding_near_dup():
+    bexprs_a = [_bucket_sql_for(p, "a.v") for p in NEAR_DUP_TABLES]
+    bexprs_b = [_bucket_sql_for(p, "b.v") for p in NEAR_DUP_TABLES]
+    collide = " OR ".join(f"({ba}) = ({bb})"
+                          for ba, bb in zip(bexprs_a, bexprs_b))
+    cut = int(round(NEAR_DUP_THRESHOLD * 1e6))
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cand AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         CAST(round(1e6 * list_cosine_similarity(a.v, b.v)) AS BIGINT)
+           AS cos_u6
+  FROM e a JOIN e b ON a.vec_id < b.vec_id AND ({collide}))
+SELECT id_a, id_b, cos_u6 FROM cand WHERE cos_u6 >= {cut}"""
+
+
+# ---------------------------------------------------------------------
+# token counting (whitespace + BPE-ish regex)
+# ---------------------------------------------------------------------
+
+def q_token_counts(spark, sf_dir):
+    from .operators.textstats import token_counts
+    return token_counts(_docs_df(spark, sf_dir))
+
+
+def sql_token_counts():
+    from .operators.textstats import BPE_PATTERN, WS_WORD_PATTERN
+    pat = BPE_PATTERN.replace("'", "''")
+    wpat = WS_WORD_PATTERN
+    return f"""
+WITH d AS (SELECT doc_id, text FROM documents
+           WHERE text IS NOT NULL AND len(text) > 0),
+c AS (SELECT doc_id,
+             len(regexp_extract_all(text, '{wpat}')) AS ws_tokens,
+             len(regexp_extract_all(text, '{pat}')) AS bpe_tokens,
+             len(text) AS n_chars
+      FROM d)
+SELECT doc_id, ws_tokens, bpe_tokens,
+       CAST(round(1e6 * (CASE WHEN bpe_tokens = 0 THEN 0.0
+                              ELSE n_chars / bpe_tokens::DOUBLE END))
+            AS BIGINT) AS chars_per_bpe_u6
+FROM c"""
+
+
 # ---------------------------------------------------------------------
 # rows-only checks (non-SQL-expressible physical format ops)
 # ---------------------------------------------------------------------
+
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing surfaced to the driver: deterministic fake
+    media table -> mapInPandas feature extraction (decode stubbed; see
+    operators/multimodal.py). Rows-only check (binary media + stubbed
+    decode are not SQL-expressible)."""
+    from pyspark.sql import functions as F
+    from .operators.multimodal import extract_features, synthesize_media
+    media = synthesize_media(spark, 200, seed=42, kind="image")
+    feats = extract_features(media, dim=16, decoder="fake")
+    return feats.select(
+        "media_id", "feat_dim",
+        _u6(F.element_at("feature", 1)).alias("f0_u6"))
 
 def q_vbyte_roundtrip(spark, sf_dir):
     """Physical-format integrity: decode payloads and re-encode; ok must
@@ -710,12 +787,15 @@ def all_queries():
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash32": q_simhash32,
         "doc_fingerprint": q_doc_fingerprint,
+        "embedding_near_dup": q_embedding_near_dup,
+        "token_counts": q_token_counts,
         "token_stats": q_token_stats,
         "lang_id": q_lang_id,
         "ann_cosine_topk": q_ann_cosine_topk,
         "lsh_buckets": q_lsh_buckets,
         "ann_lsh_topk": q_ann_lsh_topk,
         "vbyte_roundtrip": q_vbyte_roundtrip,
+        "multimodal_features": q_multimodal_features,
     }
 
 
@@ -740,6 +820,8 @@ def all_oracle_sql(query_vec=None):
         "minhash_lsh_pairs": sql_minhash_lsh_pairs(),
         "simhash32": sql_simhash32(),
         "doc_fingerprint": sql_doc_fingerprint(),
+        "embedding_near_dup": sql_embedding_near_dup(),
+        "token_counts": sql_token_counts(),
         "token_stats": sql_token_stats(),
         "lang_id": sql_lang_id(),
         "lsh_buckets": sql_lsh_buckets(),

@@ -87,3 +87,59 @@ def lsh_topk(df, planes, q: list[float], k: int = 10,
     cand = df.withColumn("bucket", bucket_col(planes)) \
         .where(F.col("bucket") == qb)
     return cosine_topk(cand, q, k, id_col, exclude_id)
+
+
+def cosine_pair_col(a_col: str, b_col: str):
+    """cosine(a, b) between two array columns — pure-JVM expression."""
+    from pyspark.sql import functions as F
+
+    va = _vec_double(a_col)
+    vb = _vec_double(b_col)
+    dot = F.aggregate(F.zip_with(va, vb, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.transform(va, lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(F.transform(vb, lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    return dot / (na * nb)
+
+
+def near_dup_pairs(df, tables: list[list[list[float]]], threshold: float,
+                   id_col: str = "vec_id", emb_col: str = "embedding"):
+    """Embedding-cosine near-duplicate pairs: multi-table hyperplane-LSH
+    banding for candidate generation + exact cosine verification.
+
+    ``tables`` is L independent plane sets (hash tables); a pair is a
+    candidate iff it collides in >= 1 table — the standard OR-of-ANDs
+    LSH amplification. Scale shape: each per-table self-join is an
+    equi-join shuffled on the band bucket (never O(n^2) over the
+    corpus); the exact cosine runs only on the candidate set, and the
+    threshold filter on the 1e6-rounded value keeps the cut
+    engine-portable. Counterpart of the reference's exact-duplicate
+    semantics lifted to embedding space (no reference equivalent —
+    training-data-pipeline extension).
+    """
+    from pyspark.sql import functions as F
+
+    base = df.select(F.col(id_col).alias("vid"), F.col(emb_col).alias("v"))
+    bucketed = base.select(
+        "vid",
+        *[bucket_col(planes, "v").alias(f"b{t}")
+          for t, planes in enumerate(tables)])
+    cand = None
+    for t in range(len(tables)):
+        a = bucketed.select(F.col("vid").alias("id_a"),
+                            F.col(f"b{t}").alias("bk"))
+        b = bucketed.select(F.col("vid").alias("id_b"),
+                            F.col(f"b{t}").alias("bk"))
+        pairs_t = (a.join(b, "bk")
+                   .where(F.col("id_a") < F.col("id_b"))
+                   .select("id_a", "id_b"))
+        cand = pairs_t if cand is None else cand.unionByName(pairs_t)
+    cand = cand.distinct()
+    ea = base.select(F.col("vid").alias("id_a"), F.col("v").alias("va"))
+    eb = base.select(F.col("vid").alias("id_b"), F.col("v").alias("vb"))
+    paired = cand.join(ea, "id_a").join(eb, "id_b")
+    cos_u6 = F.round(cosine_pair_col("va", "vb") * 1e6).cast("long")
+    return (paired.select("id_a", "id_b", cos_u6.alias("cos_u6"))
+            .where(F.col("cos_u6") >= int(round(threshold * 1e6))))

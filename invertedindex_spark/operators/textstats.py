@@ -76,3 +76,40 @@ def lang_id(df):
         pred = F.when((F.col(f"c_{lang}") == best) & (best > 0),
                       F.lit(lang)).otherwise(pred)
     return t.select("doc_id", pred.alias("pred_lang"))
+
+
+# BPE-ish pre-tokenizer: letter runs | 1-3 digit chunks | punctuation
+# runs. Leftmost-first alternation — identical under Java regex (Spark)
+# and RE2 (DuckDB); no lookarounds so both engines accept it. Whitespace
+# classes are spelled out because engine shorthand disagrees at the
+# edges (Java trim() is ASCII-space-only while DuckDB trim() strips
+# U+00A0; Java \s includes \x0B, RE2's does not) — explicit char
+# classes parse identically in Java regex and RE2.
+BPE_PATTERN = "[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9 \\t\\n\\r\\f\\x0B]+"
+
+# whitespace "word": maximal run of non-whitespace
+WS_WORD_PATTERN = "[^ \\t\\n\\r\\f\\x0B]+"
+
+
+def token_counts(df):
+    """(doc_id, ws_tokens, bpe_tokens, chars_per_bpe_u6): token counting
+    for training-data budgeting — whitespace-split word count and a
+    BPE-ish regex pre-token count (the standard proxy for subword-token
+    cost), plus chars-per-token as a compression-ratio signal.
+
+    All JVM Column expressions (regexp_extract_all / split) — no Python
+    in the hot path; scans prune to (doc_id, text)."""
+    from pyspark.sql import functions as F
+
+    d = df.where(F.col("text").isNotNull() & (F.length("text") > 0))
+    ws = F.size(F.regexp_extract_all(F.col("text"),
+                                     F.lit(WS_WORD_PATTERN), 0))
+    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), 0))
+    out = d.select(
+        "doc_id", ws.alias("ws_tokens"), bpe.alias("bpe_tokens"),
+        F.length("text").alias("n_chars"))
+    cpb = F.when(F.col("bpe_tokens") == 0, F.lit(0.0)).otherwise(
+        F.col("n_chars") / F.col("bpe_tokens"))
+    return out.select(
+        "doc_id", "ws_tokens", "bpe_tokens",
+        F.round(cpb * 1e6).cast("long").alias("chars_per_bpe_u6"))

@@ -53,6 +53,9 @@ def test_query_matches_oracle(name, spark, duck_views, sf001_dir):
         if name == "vbyte_roundtrip":
             assert len(spark_rows) > 0
             assert all(r["roundtrip_ok"] for r in spark_rows)
+        if name == "multimodal_features":
+            assert len(spark_rows) == 200
+            assert all(r["feat_dim"] == 16 for r in spark_rows)
         return
     res = duck_views.execute(oracles[name])
     duck_cols = [d[0] for d in res.description]

@@ -1,0 +1,107 @@
+"""Unit tests for the training-data-pipeline additions:
+embedding-cosine near-dup (multi-table LSH + exact verify) and
+token counting (whitespace + BPE-ish regex).
+
+The oracle-equality check for both runs in test_entry_contract; here we
+pin the algorithmic invariants on hand-built inputs.
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from invertedindex_spark.operators.similarity import near_dup_pairs
+from invertedindex_spark.operators.textstats import BPE_PATTERN, token_counts
+
+
+def _mk_emb(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>")
+
+
+def _brute_force_with_banding(vecs, tables, threshold):
+    """Literal re-statement of the operator's contract in NumPy."""
+    a = np.asarray(vecs, dtype=np.float32).astype(np.float64)
+    n = len(a)
+    buckets = []
+    for planes in tables:
+        p = np.asarray(planes, dtype=np.float64)
+        signs = (a @ p.T) > 0
+        buckets.append((signs * (2 ** np.arange(len(planes)))).sum(axis=1))
+    out = set()
+    for i in range(n):
+        for j in range(i + 1, n):
+            if not any(b[i] == b[j] for b in buckets):
+                continue
+            c = float(a[i] @ a[j] /
+                      (np.linalg.norm(a[i]) * np.linalg.norm(a[j])))
+            cu6 = int(round(c * 1e6))
+            if cu6 >= int(round(threshold * 1e6)):
+                out.add((i, j, cu6))
+    return out
+
+
+def test_near_dup_matches_bruteforce_banding(spark):
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(12, 8))
+    # inject three near-duplicate pairs (small perturbations)
+    vecs = list(base)
+    vecs.append(base[0] + rng.normal(scale=0.01, size=8))
+    vecs.append(base[3] + rng.normal(scale=0.02, size=8))
+    vecs.append(base[5] * 1.001)  # cosine-identical up to fp
+    tables = [[[round(x, 6) for x in rng.normal(size=8)] for _ in range(3)]
+              for _ in range(4)]
+    df = _mk_emb(spark, vecs)
+    got = {(r.id_a, r.id_b, r.cos_u6)
+           for r in near_dup_pairs(df, tables, 0.9).collect()}
+    want = _brute_force_with_banding(vecs, tables, 0.9)
+    assert got == want
+    # the perturbed clones must be found (sanity: recall of true dups)
+    found_pairs = {(a, b) for a, b, _ in got}
+    assert (0, 12) in found_pairs
+    assert (5, 14) in found_pairs
+
+
+def test_near_dup_self_pairs_excluded(spark):
+    vecs = [[1.0, 0.0], [1.0, 0.0]]
+    tables = [[[1.0, 0.0]]]
+    rows = near_dup_pairs(_mk_emb(spark, vecs), tables, 0.99).collect()
+    assert [(r.id_a, r.id_b) for r in rows] == [(0, 1)]
+    assert rows[0].cos_u6 == 1_000_000
+
+
+def test_token_counts_edges(spark):
+    df = spark.createDataFrame(
+        [(0, "hello world"),          # 2 ws, 2 bpe
+         (1, "   "),                  # whitespace-only: ws 0, bpe 0
+         (2, "a1234!!,b"),            # bpe: a|123|4|!!,|b = 5
+         (3, ""),                     # filtered (empty)
+         (4, None),                   # filtered (null)
+         (5, "x")],
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in token_counts(df).collect()}
+    assert sorted(rows) == [0, 1, 2, 5]
+    assert rows[0].ws_tokens == 2 and rows[0].bpe_tokens == 2
+    assert rows[1].ws_tokens == 0 and rows[1].bpe_tokens == 0
+    assert rows[1].chars_per_bpe_u6 == 0
+    assert rows[2].bpe_tokens == 5 and rows[2].ws_tokens == 1
+    assert rows[5].chars_per_bpe_u6 == 1_000_000
+
+
+def test_bpe_pattern_portable_to_re2():
+    """The pattern must behave identically under Python re (a proxy for
+    Java regex here; the Spark side is exercised above) and DuckDB RE2."""
+    import re
+
+    import duckdb
+
+    samples = ["hello world", "a1234!!,b", "  mixed 12 34567 ..x",
+               "CamelCase_and-hyphens", "\ttabs\nnewlines  "]
+    con = duckdb.connect()
+    for s in samples:
+        py = re.findall(BPE_PATTERN, s)
+        dd = con.execute(
+            "select regexp_extract_all(?, ?)", [s, BPE_PATTERN]).fetchone()[0]
+        assert py == dd, s
