@@ -111,10 +111,12 @@ def near_dup_pairs(df, tables: list[list[list[float]]], threshold: float,
 
     ``tables`` is L independent plane sets (hash tables); a pair is a
     candidate iff it collides in >= 1 table — the standard OR-of-ANDs
-    LSH amplification. Scale shape: each per-table self-join is an
-    equi-join shuffled on the band bucket (never O(n^2) over the
-    corpus); the exact cosine runs only on the candidate set, and the
-    threshold filter on the 1e6-rounded value keeps the cut
+    LSH amplification. Scale shape: all L buckets are computed in ONE
+    scan and exploded to ``(vid, table_id, bucket)`` rows, so candidate
+    generation is a single self-equi-join shuffled on
+    ``(table_id, bucket)`` (never O(n^2) over the corpus, never L scans
+    of the table); the exact cosine runs only on the candidate set, and
+    the threshold filter on the 1e6-rounded value keeps the cut
     engine-portable. Counterpart of the reference's exact-duplicate
     semantics lifted to embedding space (no reference equivalent —
     training-data-pipeline extension).
@@ -122,21 +124,19 @@ def near_dup_pairs(df, tables: list[list[list[float]]], threshold: float,
     from pyspark.sql import functions as F
 
     base = df.select(F.col(id_col).alias("vid"), F.col(emb_col).alias("v"))
-    bucketed = base.select(
+    buckets = base.select(
         "vid",
-        *[bucket_col(planes, "v").alias(f"b{t}")
-          for t, planes in enumerate(tables)])
-    cand = None
-    for t in range(len(tables)):
-        a = bucketed.select(F.col("vid").alias("id_a"),
-                            F.col(f"b{t}").alias("bk"))
-        b = bucketed.select(F.col("vid").alias("id_b"),
-                            F.col(f"b{t}").alias("bk"))
-        pairs_t = (a.join(b, "bk")
-                   .where(F.col("id_a") < F.col("id_b"))
-                   .select("id_a", "id_b"))
-        cand = pairs_t if cand is None else cand.unionByName(pairs_t)
-    cand = cand.distinct()
+        F.explode(F.array(*[
+            F.struct(F.lit(t).alias("t"),
+                     bucket_col(planes, "v").alias("bk"))
+            for t, planes in enumerate(tables)])).alias("tb")
+    ).select("vid", "tb.t", "tb.bk")
+    a = buckets.select(F.col("vid").alias("id_a"), "t", "bk")
+    b = buckets.select(F.col("vid").alias("id_b"), "t", "bk")
+    cand = (a.join(b, ["t", "bk"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct())
     ea = base.select(F.col("vid").alias("id_a"), F.col("v").alias("va"))
     eb = base.select(F.col("vid").alias("id_b"), F.col("v").alias("vb"))
     paired = cand.join(ea, "id_a").join(eb, "id_b")
