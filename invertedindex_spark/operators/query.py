@@ -118,6 +118,11 @@ class InvertedIndex:
         # of the reference keeping hot posting ranges in page cache
         self._term_cache: OrderedDict = OrderedDict()
         self._term_cache_size = 512
+        # raw (compressed) posting rows per term — feeds both the
+        # exact-path decode cache above and the pruned kernels, so a
+        # repeated term never re-reads parquet; None = unknown term
+        self._row_cache: OrderedDict = OrderedDict()
+        self._row_cache_size = 512
         # full doc_id→doc_no map, loaded lazily like the reference's
         # mmapped 336 MB document table (PDF §5.2); point reads beyond
         # the threshold
@@ -186,9 +191,24 @@ class InvertedIndex:
     # -- exact path ------------------------------------------------------
     def _fetch_rows(self, terms):
         """Posting rows (payloads + skips) per term, groups sorted by
-        first_doc_id. Local mode: pyarrow dataset point read."""
+        first_doc_id; LRU-cached per term (compressed payloads, so the
+        footprint ≈ index bytes for the hot set). Local mode: pyarrow
+        dataset point read for cache misses only."""
         if not terms:
             return {}
+        out = {}
+        missing = []
+        for t in terms:
+            if t in self._row_cache:
+                self._row_cache.move_to_end(t)
+                hit = self._row_cache[t]
+                if hit is not None:
+                    out[t] = hit
+            else:
+                missing.append(t)
+        if not missing:
+            return out
+        terms = missing
         cols = ["term", "grp", "df", "term_upper_bound", "first_doc_id",
                 "doc_ids_vbyte", "freqs_vbyte", "dls_vbyte",
                 "skip_doc_ids", "skip_doc_offsets", "skip_freq_offsets"]
@@ -211,7 +231,12 @@ class InvertedIndex:
             by_term.setdefault(r["term"], []).append(r)
         for rs in by_term.values():
             rs.sort(key=lambda r: r["first_doc_id"])
-        return by_term
+        for t in terms:
+            self._row_cache[t] = by_term.get(t)
+            if len(self._row_cache) > self._row_cache_size:
+                self._row_cache.popitem(last=False)
+        out.update(by_term)
+        return out
 
     @staticmethod
     def _decode_rows(rs):
