@@ -36,7 +36,7 @@ present — this sandbox has none):
 * ``docs``      — doc_id, doc_no, doc_len, content_sha256
 * ``stats``     — num_docs, num_tokens, avg_doc_len (1 row)
 * ``partials``  — per-block posting segments (kept for lineage/resume)
-* ``lexicon``   — term, df, cf, fmax, term_upper_bound
+* ``lexicon``   — term, df, cf, term_upper_bound (derived from postings)
 * ``postings``  — term, grp, …, VByte payloads + skips + block_max
 * ``_manifest.json`` — per-stage checkpoint + per-block metrics
   (docs/terms/postings per partition) for resumability and lineage.
@@ -572,26 +572,45 @@ def build_index(spark, corpus, warehouse_dir: str,
                  "avg_doc_len": avg_doc_len}
         staged_ids = _with_doc_ids(staged, offsets, spark)
 
-        if not _stage_done(manifest, "docs", paths["docs"]):
-            (staged_ids.drop("terms")
-             .write.mode("overwrite").parquet(paths["docs"]))
-            _mark_stage(manifest, warehouse_dir, "docs", rows=num_docs)
-        if not _stage_done(manifest, "stats", paths["stats"]):
-            # spark.range keeps this JVM-only (createDataFrame from a
-            # python list would execute via a Python-RDD worker)
-            (spark.range(1)
-             .select(_F.lit(num_docs).alias("num_docs"),
-                     _F.lit(num_tokens).alias("num_tokens"),
-                     _F.lit(float(avg_doc_len)).alias("avg_doc_len"))
-             .coalesce(1).write.mode("overwrite").parquet(paths["stats"]))
-            _mark_stage(manifest, warehouse_dir, "stats", **stats)
-        if not _stage_done(manifest, "partials", paths["partials"]):
-            partials = _build_partials(
-                staged_ids.select("doc_id", "doc_len", "terms"),
-                cfg, avg_doc_len)
-            (partials.write.mode("overwrite")
-             .partitionBy("block_id").parquet(paths["partials"]))
-            _mark_stage(manifest, warehouse_dir, "partials")
+        # docs/stats/partials all consume the persisted staging cache
+        # and are independent — submit them as concurrent Spark jobs
+        # (separate driver threads; the scheduler interleaves tasks) so
+        # the small docs/stats writes hide inside the partials job.
+        # Stages are marked done only after their job returns, in a
+        # fixed order, preserving the resume contract.
+        from concurrent.futures import ThreadPoolExecutor
+
+        jobs = {}
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            if not _stage_done(manifest, "docs", paths["docs"]):
+                jobs["docs"] = pool.submit(
+                    lambda: staged_ids.drop("terms")
+                    .write.mode("overwrite").parquet(paths["docs"]))
+            if not _stage_done(manifest, "stats", paths["stats"]):
+                # spark.range keeps this JVM-only (createDataFrame from
+                # a python list would execute via a Python-RDD worker)
+                jobs["stats"] = pool.submit(
+                    lambda: spark.range(1)
+                    .select(_F.lit(num_docs).alias("num_docs"),
+                            _F.lit(num_tokens).alias("num_tokens"),
+                            _F.lit(float(avg_doc_len)).alias("avg_doc_len"))
+                    .coalesce(1).write.mode("overwrite")
+                    .parquet(paths["stats"]))
+            if not _stage_done(manifest, "partials", paths["partials"]):
+                partials_df = _build_partials(
+                    staged_ids.select("doc_id", "doc_len", "terms"),
+                    cfg, avg_doc_len)
+                jobs["partials"] = pool.submit(
+                    lambda: partials_df.write.mode("overwrite")
+                    .partitionBy("block_id").parquet(paths["partials"]))
+            for stage in ("docs", "stats", "partials"):
+                if stage in jobs:
+                    jobs[stage].result()  # re-raises on failure
+        extra = {"docs": {"rows": num_docs}, "stats": stats,
+                 "partials": {}}
+        for stage in ("docs", "stats", "partials"):
+            if stage in jobs:
+                _mark_stage(manifest, warehouse_dir, stage, **extra[stage])
         manifest["metrics"]["block_docs"] = {str(k): v for k, v
                                              in block_docs.items()}
         raw.unpersist()
@@ -602,18 +621,6 @@ def build_index(spark, corpus, warehouse_dir: str,
                  "avg_doc_len": srow["avg_doc_len"]}
 
     partials = spark.read.parquet(paths["partials"])
-
-    if not _stage_done(manifest, "lexicon", paths["lexicon"]):
-        lex = (partials
-               .groupBy("term")
-               .agg(F.sum("df_b").alias("df"), F.sum("cf_b").alias("cf"),
-                    F.max("fmax_b").alias("fmax"))
-               .withColumn("term_upper_bound",
-                           F.log(F.lit(float(stats["num_docs"]))
-                                 / F.col("df")) * F.col("fmax")))
-        lex.write.mode("overwrite").parquet(paths["lexicon"])
-        _mark_stage(manifest, warehouse_dir, "lexicon")
-    lexicon = spark.read.parquet(paths["lexicon"])
 
     if not _stage_done(manifest, "postings", paths["postings"]):
         merged = _merge_partials(partials, cfg, stats["num_docs"],
@@ -628,6 +635,21 @@ def build_index(spark, corpus, warehouse_dir: str,
          .option("parquet.block.size", 2 * 1024 * 1024)
          .parquet(paths["postings"]))
         _mark_stage(manifest, warehouse_dir, "postings")
+
+    if not _stage_done(manifest, "lexicon", paths["lexicon"]):
+        # derived from the merged postings (df/TUB are global per term
+        # there; cf is per segment-row, hence the sum) — a tiny shuffle
+        # over ~|terms| rows instead of a second full-width aggregation
+        # of the partials
+        lex = (spark.read.parquet(paths["postings"])
+               .select("term", "df", "cf", "term_upper_bound")
+               .groupBy("term")
+               .agg(F.first("df").alias("df"), F.sum("cf").alias("cf"),
+                    F.first("term_upper_bound")
+                    .alias("term_upper_bound")))
+        lex.write.mode("overwrite").parquet(paths["lexicon"])
+        _mark_stage(manifest, warehouse_dir, "lexicon")
+    lexicon = spark.read.parquet(paths["lexicon"])
 
     # per-block lineage metrics (terms/postings per partition)
     bm = (partials.groupBy("block_id")
