@@ -36,7 +36,12 @@ __all__ = [
 
 SKIP_POINTERS_THRESHOLD = 1024  # Constants.java:39
 
-_THRESHOLDS = np.array([128, 128 ** 2, 128 ** 3, 128 ** 4], dtype=np.int64)
+# length thresholds up to 128^8: covers the full non-negative int64
+# range (9 bytes max). The reference's domain is Java int (< 128^5,
+# EncodingUtils.java:14-27) and encodings below 128^5 are unchanged, so
+# byte parity with the reference holds; the extension matters for
+# 10^12-scale docIds, which exceed 128^5 ≈ 3.4e10.
+_THRESHOLDS = np.array([128 ** k for k in range(1, 9)], dtype=np.int64)
 
 
 def vbyte_encoded_lengths(values: np.ndarray) -> np.ndarray:
@@ -153,3 +158,93 @@ def block_maxes(values: np.ndarray, df: int) -> np.ndarray:
     for i in range(n_blocks):
         out[i] = v[i * bs:(i + 1) * bs].max()
     return out
+
+
+# ---------------------------------------------------------------------
+# PForDelta (NewPFD-style) — the north star's alternative posting codec
+# ---------------------------------------------------------------------
+# Patched frame-of-reference over 128-value blocks: each block stores
+# every value's low ``b`` bits in a dense little-endian bit array, with
+# ``b`` chosen to cover ~90% of the block; values that overflow are
+# "patched" by an exception list (1-byte in-block position + the
+# VByte-coded overflow ``value >> b``). Public-literature layout (Zukowski
+# et al. 2006 / Yan-Ding-Suel NewPFD 2009); no reference-repo equivalent
+# (the reference is VByte-only — EncodingUtils.java:14-81), so this is
+# additive: the index format stays VByte byte-identical by default.
+#
+# Block wire format (self-delimiting, sequential):
+#   u8 b | u8 n-1 | u16-le n_exc | ceil(n*b/8) packed bytes
+#   | n_exc position bytes | VByte stream of the n_exc overflows
+
+PFD_BLOCK = 128
+
+
+def _pfd_pick_b(blk: np.ndarray) -> int:
+    """Smallest width covering >= 90% of the block's values."""
+    q = np.sort(blk)[min(blk.size - 1, int(math.ceil(0.9 * blk.size)) - 1)]
+    return int(q).bit_length()
+
+
+def pfd_encode(values: np.ndarray) -> bytes:
+    v = np.asarray(values, dtype=np.int64)
+    if np.any(v < 0):
+        raise ValueError("PForDelta encodes non-negative integers only")
+    out = bytearray()
+    for lo in range(0, v.size, PFD_BLOCK):
+        blk = v[lo:lo + PFD_BLOCK]
+        n = blk.size
+        b = _pfd_pick_b(blk)
+        mask = (1 << b) - 1
+        exc = np.flatnonzero(blk > mask)
+        low = (blk & mask).astype(np.uint64)
+        if b:
+            bits = ((low[:, None] >> np.arange(b, dtype=np.uint64)) & 1
+                    ).astype(np.uint8)
+            packed = np.packbits(bits.ravel(), bitorder="little").tobytes()
+        else:
+            packed = b""
+        out.append(b)
+        out.append(n - 1)
+        out += int(exc.size).to_bytes(2, "little")
+        out += packed
+        out += exc.astype(np.uint8).tobytes()
+        if exc.size:
+            out += vbyte_encode(blk[exc] >> b)
+    return bytes(out)
+
+
+def pfd_decode(stream: bytes) -> np.ndarray:
+    buf = memoryview(stream)
+    parts = []
+    pos = 0
+    while pos < len(buf):
+        b, n1 = buf[pos], buf[pos + 1]
+        n = n1 + 1
+        n_exc = int.from_bytes(buf[pos + 2:pos + 4], "little")
+        pos += 4
+        nbytes = (n * b + 7) // 8
+        if b:
+            bits = np.unpackbits(
+                np.frombuffer(buf[pos:pos + nbytes], dtype=np.uint8),
+                bitorder="little")[:n * b].reshape(n, b)
+            vals = (bits.astype(np.int64)
+                    << np.arange(b, dtype=np.int64)).sum(axis=1)
+        else:
+            vals = np.zeros(n, dtype=np.int64)
+        pos += nbytes
+        if n_exc:
+            exc_pos = np.frombuffer(buf[pos:pos + n_exc], dtype=np.uint8)
+            pos += n_exc
+            # overflow VByte stream: n_exc values; find its end by
+            # counting terminator bytes (<= 10 bytes per int64 value,
+            # so the scan window is bounded)
+            arr = np.frombuffer(buf[pos:pos + 10 * n_exc], dtype=np.uint8)
+            terms_idx = np.flatnonzero(arr >= 128)
+            end = int(terms_idx[n_exc - 1]) + 1
+            over = vbyte_decode(bytes(buf[pos:pos + end]))
+            pos += end
+            vals[exc_pos.astype(np.int64)] |= over << b
+        parts.append(vals)
+    if not parts:
+        return np.zeros(0, dtype=np.int64)
+    return np.concatenate(parts)

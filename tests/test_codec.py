@@ -132,3 +132,20 @@ def test_block_maxes():
     assert len(bm) == math.ceil(4097 / bs)
     assert bm[0] == bs - 1 and bm[-1] == 4096
     assert block_maxes(np.array([3.0, 1.0]), 2).tolist() == [3.0]
+
+
+def test_vbyte_int64_range():
+    """Values beyond the reference's Java-int domain (>= 128^5) must
+    roundtrip — 10^12-scale docIds land there. Encodings below 128^5
+    are unchanged (byte parity with EncodingUtils holds on its domain).
+    """
+    import numpy as np
+
+    from invertedindex_spark.functions import codec
+
+    v = np.array([0, 127, 128 ** 5 - 1, 128 ** 5, 10 ** 12,
+                  (1 << 62) - 1, 128 ** 8, (1 << 63) - 1], dtype=np.int64)
+    enc = codec.vbyte_encode(v)
+    assert np.array_equal(codec.vbyte_decode(enc), v)
+    lens = codec.vbyte_encoded_lengths(v)
+    assert lens.tolist() == [1, 1, 5, 6, 6, 9, 9, 9]
