@@ -19,6 +19,8 @@ Components (each timed separately in "queries"):
   simhash          — SimHash32 over sf documents.
   ann_bruteforce   — cosine top-10 over sf embeddings.
   token_stats      — quality/token stats over sf documents.
+  embedding_near_dup — LSH-banded cosine near-dup pairs over embeddings.
+  token_counts     — whitespace + BPE-ish-regex token counting.
 """
 
 from __future__ import annotations
@@ -172,6 +174,10 @@ def main():
             lambda: eq.q_ann_cosine_topk(spark, SF_DIR).collect())
         run("token_stats",
             lambda: eq.q_token_stats(spark, SF_DIR).count())
+        run("embedding_near_dup",
+            lambda: eq.q_embedding_near_dup(spark, SF_DIR).count())
+        run("token_counts",
+            lambda: eq.q_token_counts(spark, SF_DIR).count())
     finally:
         shutil.rmtree(wh, ignore_errors=True)
         spark.stop()

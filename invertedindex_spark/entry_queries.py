@@ -46,12 +46,14 @@ _rng2 = random.Random(321)
 LSH_PLANES = [[round(_rng2.gauss(0, 1), 6) for _ in range(64)]
               for _ in range(8)]
 
-# multi-table LSH for embedding near-dup: 4 tables x 3 planes (OR of
-# ANDs amplification); threshold 0.421 sits in a measured gap of the
-# testdata cosine distribution so float rounding can't flip membership
+# multi-table LSH for embedding near-dup: 4 tables x 8 planes (OR of
+# ANDs amplification; 8-bit bands keep buckets selective so the
+# candidate set stays ~linear in n rather than quadratic); threshold
+# 0.421 sits in a measured gap of the testdata cosine distribution so
+# float rounding can't flip membership
 _rng3 = random.Random(777)
 NEAR_DUP_TABLES = [[[round(_rng3.gauss(0, 1), 6) for _ in range(64)]
-                    for _ in range(3)] for _ in range(4)]
+                    for _ in range(8)] for _ in range(4)]
 NEAR_DUP_THRESHOLD = 0.421
 
 WAREHOUSE_ROOT = os.path.join(

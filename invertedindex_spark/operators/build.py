@@ -572,45 +572,30 @@ def build_index(spark, corpus, warehouse_dir: str,
                  "avg_doc_len": avg_doc_len}
         staged_ids = _with_doc_ids(staged, offsets, spark)
 
-        # docs/stats/partials all consume the persisted staging cache
-        # and are independent — submit them as concurrent Spark jobs
-        # (separate driver threads; the scheduler interleaves tasks) so
-        # the small docs/stats writes hide inside the partials job.
-        # Stages are marked done only after their job returns, in a
-        # fixed order, preserving the resume contract.
-        from concurrent.futures import ThreadPoolExecutor
-
-        jobs = {}
-        with ThreadPoolExecutor(max_workers=3) as pool:
-            if not _stage_done(manifest, "docs", paths["docs"]):
-                jobs["docs"] = pool.submit(
-                    lambda: staged_ids.drop("terms")
-                    .write.mode("overwrite").parquet(paths["docs"]))
-            if not _stage_done(manifest, "stats", paths["stats"]):
-                # spark.range keeps this JVM-only (createDataFrame from
-                # a python list would execute via a Python-RDD worker)
-                jobs["stats"] = pool.submit(
-                    lambda: spark.range(1)
-                    .select(_F.lit(num_docs).alias("num_docs"),
-                            _F.lit(num_tokens).alias("num_tokens"),
-                            _F.lit(float(avg_doc_len)).alias("avg_doc_len"))
-                    .coalesce(1).write.mode("overwrite")
-                    .parquet(paths["stats"]))
-            if not _stage_done(manifest, "partials", paths["partials"]):
-                partials_df = _build_partials(
-                    staged_ids.select("doc_id", "doc_len", "terms"),
-                    cfg, avg_doc_len)
-                jobs["partials"] = pool.submit(
-                    lambda: partials_df.write.mode("overwrite")
-                    .partitionBy("block_id").parquet(paths["partials"]))
-            for stage in ("docs", "stats", "partials"):
-                if stage in jobs:
-                    jobs[stage].result()  # re-raises on failure
-        extra = {"docs": {"rows": num_docs}, "stats": stats,
-                 "partials": {}}
-        for stage in ("docs", "stats", "partials"):
-            if stage in jobs:
-                _mark_stage(manifest, warehouse_dir, stage, **extra[stage])
+        # sequential stage jobs: the partials pass is the critical path
+        # and wants every core — overlapping the small docs/stats writes
+        # with it (tried) steals its workers and costs N→4N scaling
+        # efficiency for a sub-second wall win.
+        if not _stage_done(manifest, "docs", paths["docs"]):
+            (staged_ids.drop("terms")
+             .write.mode("overwrite").parquet(paths["docs"]))
+            _mark_stage(manifest, warehouse_dir, "docs", rows=num_docs)
+        if not _stage_done(manifest, "stats", paths["stats"]):
+            # spark.range keeps this JVM-only (createDataFrame from a
+            # python list would execute via a Python-RDD worker)
+            (spark.range(1)
+             .select(_F.lit(num_docs).alias("num_docs"),
+                     _F.lit(num_tokens).alias("num_tokens"),
+                     _F.lit(float(avg_doc_len)).alias("avg_doc_len"))
+             .coalesce(1).write.mode("overwrite").parquet(paths["stats"]))
+            _mark_stage(manifest, warehouse_dir, "stats", **stats)
+        if not _stage_done(manifest, "partials", paths["partials"]):
+            partials_df = _build_partials(
+                staged_ids.select("doc_id", "doc_len", "terms"),
+                cfg, avg_doc_len)
+            (partials_df.write.mode("overwrite")
+             .partitionBy("block_id").parquet(paths["partials"]))
+            _mark_stage(manifest, warehouse_dir, "partials")
         manifest["metrics"]["block_docs"] = {str(k): v for k, v
                                              in block_docs.items()}
         raw.unpersist()

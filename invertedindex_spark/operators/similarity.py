@@ -112,7 +112,10 @@ def near_dup_pairs(df, tables: list[list[list[float]]], threshold: float,
     ``tables`` is L independent plane sets (hash tables); a pair is a
     candidate iff it collides in >= 1 table — the standard OR-of-ANDs
     LSH amplification. Scale shape: all L buckets are computed in ONE
-    scan and exploded to ``(vid, table_id, bucket)`` rows, so candidate
+    vectorized Arrow pass (a single (n, dim) x (dim, L*b) matmul per
+    batch — plane literals as Column trees made Catalyst analysis cost
+    dominate tiny inputs and per-row HOF evaluation dominate large
+    ones), emitted as ``(vid, table_id, bucket)`` rows, so candidate
     generation is a single self-equi-join shuffled on
     ``(table_id, bucket)`` (never O(n^2) over the corpus, never L scans
     of the table); the exact cosine runs only on the candidate set, and
@@ -121,16 +124,38 @@ def near_dup_pairs(df, tables: list[list[list[float]]], threshold: float,
     semantics lifted to embedding space (no reference equivalent —
     training-data-pipeline extension).
     """
+    import numpy as np
     from pyspark.sql import functions as F
 
     base = df.select(F.col(id_col).alias("vid"), F.col(emb_col).alias("v"))
-    buckets = base.select(
-        "vid",
-        F.explode(F.array(*[
-            F.struct(F.lit(t).alias("t"),
-                     bucket_col(planes, "v").alias("bk"))
-            for t, planes in enumerate(tables)])).alias("tb")
-    ).select("vid", "tb.t", "tb.bk")
+
+    L = len(tables)
+    plane_mat = np.concatenate(
+        [np.asarray(p, dtype=np.float64) for p in tables])  # (L*b, dim)
+    bits_per = [len(p) for p in tables]
+    starts = np.concatenate([[0], np.cumsum(bits_per)])[:-1]
+    weights = np.concatenate(
+        [2 ** np.arange(nb, dtype=np.int64) for nb in bits_per])
+
+    def bucketize(iterator):
+        import pyarrow as pa
+
+        for batch in iterator:
+            vids = batch.column("vid").to_numpy(zero_copy_only=False)
+            emb = batch.column("v")
+            n = len(vids)
+            mat = np.asarray(emb.flatten().to_numpy(zero_copy_only=False),
+                             dtype=np.float64).reshape(n, -1)
+            signs = (mat @ plane_mat.T) > 0          # (n, L*b)
+            wbits = signs * weights                   # (n, L*b)
+            bks = np.add.reduceat(wbits, starts, axis=1)  # (n, L)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(np.repeat(vids, L)),
+                 pa.array(np.tile(np.arange(L, dtype=np.int32), n)),
+                 pa.array(bks.astype(np.int64).ravel())],
+                names=["vid", "t", "bk"])
+
+    buckets = base.mapInArrow(bucketize, "vid long, t int, bk long")
     a = buckets.select(F.col("vid").alias("id_a"), "t", "bk")
     b = buckets.select(F.col("vid").alias("id_b"), "t", "bk")
     cand = (a.join(b, ["t", "bk"])
@@ -140,6 +165,33 @@ def near_dup_pairs(df, tables: list[list[list[float]]], threshold: float,
     ea = base.select(F.col("vid").alias("id_a"), F.col("v").alias("va"))
     eb = base.select(F.col("vid").alias("id_b"), F.col("v").alias("vb"))
     paired = cand.join(ea, "id_a").join(eb, "id_b")
-    cos_u6 = F.round(cosine_pair_col("va", "vb") * 1e6).cast("long")
-    return (paired.select("id_a", "id_b", cos_u6.alias("cos_u6"))
-            .where(F.col("cos_u6") >= int(round(threshold * 1e6))))
+
+    cut = int(round(threshold * 1e6))
+
+    def verify(iterator):
+        import pyarrow as pa
+
+        for batch in iterator:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            ia = batch.column("id_a").to_numpy(zero_copy_only=False)
+            ib = batch.column("id_b").to_numpy(zero_copy_only=False)
+            va = np.asarray(batch.column("va").flatten()
+                            .to_numpy(zero_copy_only=False),
+                            dtype=np.float64).reshape(n, -1)
+            vb = np.asarray(batch.column("vb").flatten()
+                            .to_numpy(zero_copy_only=False),
+                            dtype=np.float64).reshape(n, -1)
+            dots = np.einsum("ij,ij->i", va, vb)
+            cos = dots / (np.linalg.norm(va, axis=1)
+                          * np.linalg.norm(vb, axis=1))
+            u6 = np.round(cos * 1e6).astype(np.int64)
+            keep = u6 >= cut
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ia[keep]), pa.array(ib[keep]),
+                 pa.array(u6[keep])],
+                names=["id_a", "id_b", "cos_u6"])
+
+    return paired.select("id_a", "id_b", "va", "vb").mapInArrow(
+        verify, "id_a long, id_b long, cos_u6 long")
