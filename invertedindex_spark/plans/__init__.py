@@ -1,0 +1,62 @@
+"""Physical-plan inspection utilities.
+
+The reference engine's physical layer is hand-coded (mmap binary
+search, fixed-width record addressing — DiskDataStructuresSearch.java);
+in this engine those properties come from Catalyst + the parquet
+source, so they are *asserted*, not assumed: tests use these helpers to
+verify that point lookups push their predicates into the scan and that
+payload columns are pruned when not selected. At 100 TB a scan that
+misses pushdown or pruning is the difference between touching a few MB
+and the whole table.
+"""
+
+from __future__ import annotations
+
+
+def physical_plan(df) -> str:
+    """Executed (post-AQE-planning) physical plan as a string."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted_plan(df) -> str:
+    """The `.explain("formatted")` text (scan details incl. PushedFilters
+    and ReadSchema)."""
+    qe = df._jdf.queryExecution()
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted")
+    return qe.explainString(mode)
+
+
+def scan_read_schemas(df) -> list[str]:
+    """ReadSchema clause of every parquet scan in the plan."""
+    out = []
+    for chunk in physical_plan(df).split("ReadSchema: ")[1:]:
+        out.append(chunk.splitlines()[0])
+    return out
+
+
+def pushed_filters(df) -> list[str]:
+    """PushedFilters clause of every parquet scan in the plan."""
+    out = []
+    for chunk in physical_plan(df).split("PushedFilters: ")[1:]:
+        out.append(chunk.splitlines()[0])
+    return out
+
+
+def assert_column_pruned(df, column: str) -> None:
+    """Fail if any scan in the plan reads ``column``."""
+    schemas = scan_read_schemas(df)
+    assert schemas, "no parquet scan found in plan"
+    for s in schemas:
+        assert f"{column}:" not in s, (
+            f"column {column!r} not pruned from scan: {s}")
+
+
+def assert_filter_pushed(df, fragment: str) -> None:
+    """Fail unless some scan's PushedFilters mentions ``fragment``
+    (e.g. a column name of an In/EqualTo predicate)."""
+    filters = pushed_filters(df)
+    assert any(fragment in f for f in filters), (
+        f"no pushed filter mentioning {fragment!r}; "
+        f"PushedFilters: {filters}")

@@ -1,0 +1,64 @@
+"""Physical-plan assertions: the scale properties the engine claims
+(point lookups push predicates into the parquet scan; payload columns
+prune out of scans that don't select them) hold in the actual plans.
+The reference got these by hand-coded mmap addressing
+(DiskDataStructuresSearch.java:22-67); here Catalyst + the parquet
+source must deliver them, so we assert rather than assume.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from invertedindex_spark.plans import (
+    assert_column_pruned, assert_filter_pushed, pushed_filters,
+    scan_read_schemas,
+)
+
+
+def _index(spark, sf0001_dir):
+    from invertedindex_spark.entry_queries import get_index
+    return get_index(spark, sf0001_dir)
+
+
+def test_lexicon_point_lookup_pushes_term_filter(spark, sf0001_dir):
+    idx = _index(spark, sf0001_dir)
+    lex = idx.lexicon
+    df = lex.where(lex.term.isin(["fast", "key"]))
+    assert_filter_pushed(df, "term")
+
+
+def test_postings_point_lookup_pushes_and_prunes(spark, sf0001_dir):
+    idx = _index(spark, sf0001_dir)
+    post = idx.postings
+    df = (post.where(post.term.isin(["fast"]))
+          .select("term", "df", "term_upper_bound"))
+    assert_filter_pushed(df, "term")
+    # a stats-only probe must not read the posting payloads
+    assert_column_pruned(df, "doc_ids_vbyte")
+    assert_column_pruned(df, "freqs_vbyte")
+
+
+def test_docs_metadata_scan_prunes_sha(spark, sf0001_dir):
+    idx = _index(spark, sf0001_dir)
+    df = idx.docs.select("doc_id", "doc_len")
+    assert_column_pruned(df, "content_sha256")
+    assert_column_pruned(df, "doc_no")
+
+
+def test_token_counts_scan_prunes_unused_columns(spark, sf0001_dir):
+    from invertedindex_spark.operators.textstats import token_counts
+    docs = spark.read.parquet(f"{sf0001_dir}/documents.parquet")
+    df = token_counts(docs)
+    # only doc_id + text should reach the scan
+    for col in ("lang", "source", "n_chars"):
+        assert_column_pruned(df, col)
+
+
+def test_helpers_report_scan_details(spark, sf0001_dir):
+    idx = _index(spark, sf0001_dir)
+    lex = idx.lexicon
+    df = lex.where(lex.term == "fast")
+    assert scan_read_schemas(df)
+    assert pushed_filters(df)
