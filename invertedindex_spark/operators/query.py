@@ -316,6 +316,20 @@ class InvertedIndex:
             self._cache.popitem(last=False)
         return result
 
+    def _decoded_term(self, t, rs):
+        """Full decode of a term's rows through the decoded-postings
+        LRU (shared with the exact path, so hot terms decode once
+        regardless of which kernel asks)."""
+        hit = self._term_cache.get(t)
+        if hit is not None:
+            self._term_cache.move_to_end(t)
+            return hit
+        dec = self._decode_rows(rs)
+        self._term_cache[t] = dec
+        if len(self._term_cache) > self._term_cache_size:
+            self._term_cache.popitem(last=False)
+        return dec
+
     def _score_terms_pruned(self, terms, qtype, k):
         from .maxscore import intersect_topk, maxscore_or_topk
 
@@ -327,21 +341,28 @@ class InvertedIndex:
             # seed from the smallest list (fully decoded), restrict the
             # rest to the blocks its docIds can live in (nextGEQ analogue)
             items = sorted(by_term.items(), key=lambda kv: kv[1][0]["df"])
-            smallest = self._decode_rows(items[0][1])
+            smallest = self._decoded_term(*items[0])
             decoded = {items[0][0]: smallest}
             wanted = smallest[0]
             for t, rs in items[1:]:
-                decoded[t] = self._decode_rows_selective(rs, wanted)
+                # an already-decoded hot term beats selective decoding
+                # (intersect_topk accepts full lists as supersets)
+                hit = self._term_cache.get(t)
+                decoded[t] = (hit if hit is not None
+                              else self._decode_rows_selective(rs, wanted))
             return intersect_topk(decoded, self.num_docs,
                                   self.avg_doc_len, k)
         lists = []
         for t, rs in by_term.items():
             tub = float(rs[0]["term_upper_bound"])
+            cached = self._term_cache.get(t)
             lists.append((
                 tub,
-                lambda rs=rs: self._decode_rows(rs),
-                lambda wanted, rs=rs: self._decode_rows_selective(
-                    rs, wanted),
+                lambda t=t, rs=rs: self._decoded_term(t, rs),
+                # boost phase: full cached arrays are exact there too
+                (lambda wanted, c=cached: c) if cached is not None
+                else (lambda wanted, rs=rs: self._decode_rows_selective(
+                    rs, wanted)),
             ))
         return maxscore_or_topk(lists, self.num_docs, self.avg_doc_len, k)
 
