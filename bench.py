@@ -121,6 +121,10 @@ def main():
         spark.sparkContext._jvm.System.gc()
 
         idx = InvertedIndex(spark, wh)
+        # constructor parity with the reference: QueryProcessor mmaps
+        # lexicon + doc table before any query is timed
+        # (QueryProcessor.java:50-56)
+        idx.warm()
 
         # --- query latency (exact path, distinct queries, cache off) -
         vocab = ["hotterm", "quick", "brown", "fox", "optimization",

@@ -128,6 +128,9 @@ class InvertedIndex:
         # the threshold
         self._doc_nos = None
         self._doc_nos_max = 20_000_000
+        # term-range → parquet row-group index over the postings files
+        # (footers parsed once); None = not built, False = stats absent
+        self._rg_index = None
 
     # -- driver-local dataset handles (the mmap analogue) --------------
     def _local_postings(self):
@@ -188,6 +191,104 @@ class InvertedIndex:
                 .collect())
         return {r["term"]: r for r in rows}
 
+    def _term_row_groups(self):
+        """Parse every postings-file footer ONCE into a sorted
+        (min_term, max_term, ParquetFile, row_group) index — the exact
+        analogue of the reference's 60 B-record lexicon binary search
+        resolving a byte range to mmap-read
+        (``DiskDataStructuresSearch.java:36-67``): a term point lookup
+        then decodes exactly the row groups whose [min,max] can contain
+        it instead of re-evaluating dataset fragments per query.
+        ``running_max`` makes the overlap walk O(1) for the range-
+        partitioned layout while staying correct for any layout."""
+        if self._rg_index is None:
+            import glob
+
+            import pyarrow.parquet as pq
+
+            entries = []
+            ok = True
+            for fpath in sorted(glob.glob(
+                    f"{self.warehouse_dir}/postings/*.parquet")):
+                pf = pq.ParquetFile(fpath)
+                md = pf.metadata
+                col = next((j for j in range(md.num_columns)
+                            if md.schema.column(j).name == "term"), None)
+                if col is None:
+                    ok = False
+                    break
+                for i in range(md.num_row_groups):
+                    st = md.row_group(i).column(col).statistics
+                    if st is None or not st.has_min_max:
+                        ok = False
+                        break
+                    lo, hi = st.min, st.max
+                    if isinstance(lo, bytes):
+                        lo, hi = lo.decode(), hi.decode()
+                    entries.append((lo, hi, pf, i))
+                if not ok:
+                    break
+            if ok and entries:
+                entries.sort(key=lambda e: e[0])
+                running = []
+                cur = entries[0][1]
+                for e in entries:
+                    cur = max(cur, e[1])
+                    running.append(cur)
+                self._rg_index = (entries, running)
+            else:
+                self._rg_index = False
+        return self._rg_index
+
+    def warm(self):
+        """Load the driver-side lookup structures eagerly — the parity
+        point with the reference's constructor, which mmaps lexicon +
+        doc table before the first query (QueryProcessor.java:50-56)."""
+        self.lexicon_map()
+        if self.io_mode == "local":
+            self._term_row_groups()
+            if self.num_docs <= self._doc_nos_max:
+                self._load_doc_nos()
+        return self
+
+    def _load_doc_nos(self):
+        if self._doc_nos is None:
+            t = (self._local_docs()
+                 .to_table(columns=["doc_id", "doc_no"]))
+            arr = np.empty(self.num_docs, dtype=object)
+            arr[t.column("doc_id").to_numpy()] = \
+                t.column("doc_no").to_pylist()
+            self._doc_nos = arr
+        return self._doc_nos
+
+    def _rows_via_rg_index(self, terms, cols):
+        """Point-read posting rows for ``terms`` through the row-group
+        index; returns None when footer stats are unavailable."""
+        import bisect
+
+        idx = self._term_row_groups()
+        if not idx:
+            return None
+        entries, running = idx
+        mins = [e[0] for e in entries]
+        by_rg: dict[int, list] = {}
+        for t in terms:
+            j = bisect.bisect_right(mins, t) - 1
+            while j >= 0 and running[j] >= t:
+                if entries[j][1] >= t:
+                    by_rg.setdefault(j, []).append(t)
+                j -= 1
+        import pyarrow.compute as pc
+
+        rows = []
+        for j, ts in by_rg.items():
+            _lo, _hi, pf, rg = entries[j]
+            tbl = pf.read_row_group(rg, columns=cols)
+            hit = tbl.filter(pc.field("term").isin(ts))
+            if hit.num_rows:
+                rows.extend(hit.to_pylist())
+        return rows
+
     # -- exact path ------------------------------------------------------
     def _fetch_rows(self, terms):
         """Posting rows (payloads + skips) per term, groups sorted by
@@ -213,12 +314,14 @@ class InvertedIndex:
                 "doc_ids_vbyte", "freqs_vbyte", "dls_vbyte",
                 "skip_doc_ids", "skip_doc_offsets", "skip_freq_offsets"]
         if self.io_mode == "local":
-            import pyarrow.dataset as ds
+            rows = self._rows_via_rg_index(list(terms), cols)
+            if rows is None:  # footer stats unavailable → dataset scan
+                import pyarrow.dataset as ds
 
-            rows = (self._local_postings()
-                    .to_table(columns=cols,
-                              filter=ds.field("term").isin(list(terms)))
-                    .to_pylist())
+                rows = (self._local_postings()
+                        .to_table(columns=cols,
+                                  filter=ds.field("term").isin(list(terms)))
+                        .to_pylist())
         else:
             from pyspark.sql import functions as F
 
@@ -379,6 +482,17 @@ class InvertedIndex:
                 tf, dl, df, self.num_docs, self.avg_doc_len))
         ids = np.concatenate(all_ids)
         sc = np.concatenate(all_scores)
+        if self.num_docs <= 50_000_000:
+            # dense accumulators: O(P + N) bincount scatter-add beats
+            # the O(P log P) sort when the docId space fits in memory
+            # (50M docs = 400 MB of float64 — a driver-kernel bound;
+            # beyond it the sort path below / the distributed plan own
+            # the problem)
+            w = np.bincount(ids, weights=sc)
+            cnt = np.bincount(ids)
+            keep = (cnt == len(decoded)) if qtype == "AND" else (cnt > 0)
+            uniq = np.flatnonzero(keep)
+            return uniq, w[uniq]
         order = np.argsort(ids, kind="stable")
         ids, sc = ids[order], sc[order]
         uniq, start = np.unique(ids, return_index=True)
@@ -397,14 +511,8 @@ class InvertedIndex:
             import pyarrow.dataset as ds
 
             if self.num_docs <= self._doc_nos_max:
-                if self._doc_nos is None:
-                    t = (self._local_docs()
-                         .to_table(columns=["doc_id", "doc_no"]))
-                    arr = np.empty(self.num_docs, dtype=object)
-                    arr[t.column("doc_id").to_numpy()] = \
-                        t.column("doc_no").to_pylist()
-                    self._doc_nos = arr
-                return [(self._doc_nos[d], float(s))
+                doc_nos = self._load_doc_nos()
+                return [(doc_nos[d], float(s))
                         for d, s in zip(ids, scores)]
             rows = (self._local_docs()
                     .to_table(columns=["doc_id", "doc_no"],
