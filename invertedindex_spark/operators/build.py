@@ -378,14 +378,16 @@ def _merge_partials(partials, cfg: IndexConfig, num_docs: int,
     k1, b = scoring.K_BM25, scoring.B_BM25
     width = cfg.merge_width
     grp = (F.col("block_id") / width).cast("int") if width else F.lit(0)
-    # RANGE partition by term (not hash): all segments of a term still
-    # co-partition (the merge invariant), but each output file then
-    # covers a disjoint term range — a point lookup prunes to ONE file's
-    # one row group via min/max stats instead of decoding a candidate
-    # row group in every hash slice (measured 30ms → ~2ms per cold
-    # term), and it is the Iceberg sort-order layout at cluster scale
+    # HASH partition by term: all segments of a term co-partition (the
+    # merge invariant) and heavyweight terms scatter uniformly across
+    # partitions. repartitionByRange was measured 5x slower end-to-end
+    # here (merge 20s -> 97s at local[4], 1.76M docs): its sampling
+    # balances row counts, not payload bytes, so hot-term rows pile
+    # into straggler partitions, and the sample pass itself drags full
+    # list payloads to the driver. Point lookups stay fast without a
+    # range layout via the query side's term -> row-group footer index.
     shuffled = (partials.withColumn("grp", grp)
-                .repartitionByRange(num_partitions, "term")
+                .repartition(num_partitions, "term")
                 .sortWithinPartitions("term", "grp", "block_id"))
 
     def merge(iterator):

@@ -128,8 +128,8 @@ class InvertedIndex:
         # the threshold
         self._doc_nos = None
         self._doc_nos_max = 20_000_000
-        # term-range → parquet row-group index over the postings files
-        # (footers parsed once); None = not built, False = stats absent
+        # term → parquet row-group index over the postings files (term
+        # columns read once); None = not built, False = unavailable
         self._rg_index = None
 
     # -- driver-local dataset handles (the mmap analogue) --------------
@@ -192,53 +192,60 @@ class InvertedIndex:
         return {r["term"]: r for r in rows}
 
     def _term_row_groups(self):
-        """Parse every postings-file footer ONCE into a sorted
-        (min_term, max_term, ParquetFile, row_group) index — the exact
-        analogue of the reference's 60 B-record lexicon binary search
-        resolving a byte range to mmap-read
-        (``DiskDataStructuresSearch.java:36-67``): a term point lookup
-        then decodes exactly the row groups whose [min,max] can contain
-        it instead of re-evaluating dataset fragments per query.
-        ``running_max`` makes the overlap walk O(1) for the range-
-        partitioned layout while staying correct for any layout."""
+        """Build the term → parquet-row-group map ONCE by reading only
+        the tiny ``term`` column of every postings row group — the
+        exact analogue of the reference mmapping its whole lexicon and
+        binary-searching a term to a byte range
+        (``DiskDataStructuresSearch.java:36-67``,
+        ``QueryProcessor.java:50-53``): a point lookup then decodes
+        exactly the row groups that hold the term, independent of how
+        terms hash across files. Footprint is lexicon-scale (term
+        strings + row-group ids), the same tradeoff as
+        :meth:`lexicon_map`."""
         if self._rg_index is None:
             import glob
 
             import pyarrow.parquet as pq
 
-            entries = []
-            ok = True
-            for fpath in sorted(glob.glob(
-                    f"{self.warehouse_dir}/postings/*.parquet")):
-                pf = pq.ParquetFile(fpath)
-                md = pf.metadata
-                col = next((j for j in range(md.num_columns)
-                            if md.schema.column(j).name == "term"), None)
-                if col is None:
-                    ok = False
-                    break
-                for i in range(md.num_row_groups):
-                    st = md.row_group(i).column(col).statistics
-                    if st is None or not st.has_min_max:
-                        ok = False
-                        break
-                    lo, hi = st.min, st.max
-                    if isinstance(lo, bytes):
-                        lo, hi = lo.decode(), hi.decode()
-                    entries.append((lo, hi, pf, i))
-                if not ok:
-                    break
-            if ok and entries:
-                entries.sort(key=lambda e: e[0])
-                running = []
-                cur = entries[0][1]
-                for e in entries:
-                    cur = max(cur, e[1])
-                    running.append(cur)
-                self._rg_index = (entries, running)
-            else:
+            handles = []   # (ParquetFile, row_group)
+            term_to_rg: dict[str, list[int]] = {}
+            try:
+                for fpath in sorted(glob.glob(
+                        f"{self.warehouse_dir}/postings/*.parquet")):
+                    pf = pq.ParquetFile(fpath)
+                    for i in range(pf.metadata.num_row_groups):
+                        j = len(handles)
+                        handles.append((pf, i))
+                        col = pf.read_row_group(i, columns=["term"])
+                        for t in col.column("term").to_pylist():
+                            term_to_rg.setdefault(t, []).append(j)
+            except (OSError, KeyError, ValueError):
                 self._rg_index = False
+                return self._rg_index
+            self._rg_index = (handles, term_to_rg) if handles else False
         return self._rg_index
+
+    def _rows_via_rg_index(self, terms, cols):
+        """Point-read posting rows for ``terms`` through the term →
+        row-group map; returns None when the index is unavailable."""
+        idx = self._term_row_groups()
+        if not idx:
+            return None
+        handles, term_to_rg = idx
+        by_rg: dict[int, list] = {}
+        for t in terms:
+            for j in term_to_rg.get(t, ()):
+                by_rg.setdefault(j, []).append(t)
+        import pyarrow.compute as pc
+
+        rows = []
+        for j, ts in by_rg.items():
+            pf, rg = handles[j]
+            tbl = pf.read_row_group(rg, columns=cols)
+            hit = tbl.filter(pc.field("term").isin(ts))
+            if hit.num_rows:
+                rows.extend(hit.to_pylist())
+        return rows
 
     def warm(self):
         """Load the driver-side lookup structures eagerly — the parity
@@ -260,34 +267,6 @@ class InvertedIndex:
                 t.column("doc_no").to_pylist()
             self._doc_nos = arr
         return self._doc_nos
-
-    def _rows_via_rg_index(self, terms, cols):
-        """Point-read posting rows for ``terms`` through the row-group
-        index; returns None when footer stats are unavailable."""
-        import bisect
-
-        idx = self._term_row_groups()
-        if not idx:
-            return None
-        entries, running = idx
-        mins = [e[0] for e in entries]
-        by_rg: dict[int, list] = {}
-        for t in terms:
-            j = bisect.bisect_right(mins, t) - 1
-            while j >= 0 and running[j] >= t:
-                if entries[j][1] >= t:
-                    by_rg.setdefault(j, []).append(t)
-                j -= 1
-        import pyarrow.compute as pc
-
-        rows = []
-        for j, ts in by_rg.items():
-            _lo, _hi, pf, rg = entries[j]
-            tbl = pf.read_row_group(rg, columns=cols)
-            hit = tbl.filter(pc.field("term").isin(ts))
-            if hit.num_rows:
-                rows.extend(hit.to_pylist())
-        return rows
 
     # -- exact path ------------------------------------------------------
     def _fetch_rows(self, terms):

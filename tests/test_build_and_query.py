@@ -149,6 +149,29 @@ def test_illegal_query_type_raises(built):
         idx.search("NEAR foo bar")
 
 
+def test_rg_index_matches_dataset_scan(built):
+    """The footer-stats row-group point-read path must return exactly
+    the rows the generic dataset scan returns, and searches through
+    both paths must be identical (the fallback covers parquet written
+    without column statistics)."""
+    spark, wh, _m, _o = built
+    idx_fast = InvertedIndex(spark, wh).warm()
+    assert idx_fast._term_row_groups(), "postings footers must have stats"
+    idx_slow = InvertedIndex(spark, wh)
+    idx_slow._rg_index = False  # force the dataset-scan fallback
+    for terms in (["hotterm"], ["quick", "brown", "fox"],
+                  ["zzznotaterm"], ["hotterm", "zzznotaterm"]):
+        fa = idx_fast._fetch_rows(list(terms))
+        sl = idx_slow._fetch_rows(list(terms))
+        assert sorted(fa) == sorted(sl)
+        for t in fa:
+            assert [r["grp"] for r in fa[t]] == [r["grp"] for r in sl[t]]
+            assert [r["doc_ids_vbyte"] for r in fa[t]] == \
+                   [r["doc_ids_vbyte"] for r in sl[t]]
+    for q in QUERIES:
+        assert idx_fast.search(q, 10) == idx_slow.search(q, 10), q
+
+
 def test_query_cache_hit_path(built):
     spark, wh, _m, _o = built
     idx = InvertedIndex(spark, wh)
