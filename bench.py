@@ -97,10 +97,11 @@ def main():
                         IndexConfig(num_blocks=CPUS * 2))
 
         if not ONLY or "index_build" in ONLY.split(","):
-            # min of 2 runs: the sandbox VM shares a host with bursty
-            # neighbors; run 1 also absorbs JVM/codegen warm-up
+            # min of 3 runs: the sandbox VM shares a host with bursty
+            # neighbors (observed 33s vs 56s for identical runs);
+            # run 1 also absorbs JVM/codegen warm-up
             runs = []
-            for _ in range(2):
+            for _ in range(3):
                 t0 = time.perf_counter()
                 build()
                 runs.append(round(time.perf_counter() - t0, 4))
