@@ -330,6 +330,49 @@ def sql_bm25_topk_and():
     return _topk_sql(AND_TERMS, conjunctive=True)
 
 
+BATCH_DEFS = [("b1", OR_TERMS, False), ("b2", AND_TERMS, True),
+              ("b3", AND_TERMS, False), ("b4", ["data", "table"], True)]
+
+
+def q_bm25_batch_topk(spark, sf_dir):
+    """A whole query batch evaluated as ONE distributed plan (one
+    postings scan for the union of terms, broadcast fan-out to qids,
+    per-qid window top-k) — the Spark-first form of the reference's
+    sequential TREC loop (QueryProcessorTest.java:76-108)."""
+    from pyspark.sql import functions as F
+    idx = get_index(spark, sf_dir)
+    batch = [(qid, ("AND " if conj else "OR ") + " ".join(ts))
+             for qid, ts, conj in BATCH_DEFS]
+    res = idx.batch_search_distributed(batch, k=K)
+    return res.select("qid", "rank", "doc_no",
+                      _u6(F.col("score")).alias("score_u6"))
+
+
+def sql_bm25_batch_topk():
+    parts, selects = [], []
+    for qid, terms, conj in BATCH_DEFS:
+        tlist = ", ".join(f"'{t}'" for t in terms)
+        having = f"HAVING count(*) = {len(terms)}" if conj else ""
+        parts.append(f"""
+scores_{qid} AS (
+  SELECT tf.doc_id, sum({_bm25_expr()}) AS score
+  FROM tf JOIN lex USING (term) CROSS JOIN stats
+  WHERE tf.term IN ({tlist})
+  GROUP BY tf.doc_id {having}
+), dedup_{qid} AS (
+  SELECT score, min(doc_id) AS doc_id FROM scores_{qid} GROUP BY score
+  ORDER BY score DESC LIMIT {K}
+), ranked_{qid} AS (
+  SELECT '{qid}' AS qid,
+         CAST(row_number() OVER (ORDER BY score DESC) AS INT) AS rank,
+         d.doc_no, CAST(round(score * 1e6) AS BIGINT) AS score_u6
+  FROM dedup_{qid} JOIN docs d USING (doc_id)
+)""")
+        selects.append(f"SELECT * FROM ranked_{qid}")
+    return (_base_cte() + "," + ",".join(parts) + "\n"
+            + " UNION ALL ".join(selects))
+
+
 def q_and_intersection(spark, sf_dir):
     """Full conjunctive match set (posting-list intersection)."""
     from pyspark.sql import functions as F
@@ -781,6 +824,7 @@ def all_queries():
         "term_upper_bounds": q_term_upper_bounds,
         "bm25_topk_or": q_bm25_topk_or,
         "bm25_topk_and": q_bm25_topk_and,
+        "bm25_batch_topk": q_bm25_batch_topk,
         "and_intersection": q_and_intersection,
         "top_terms": q_top_terms,
         "exact_dedup": q_exact_dedup,
@@ -814,6 +858,7 @@ def all_oracle_sql(query_vec=None):
         "term_upper_bounds": sql_term_upper_bounds(),
         "bm25_topk_or": sql_bm25_topk_or(),
         "bm25_topk_and": sql_bm25_topk_and(),
+        "bm25_batch_topk": sql_bm25_batch_topk(),
         "and_intersection": sql_and_intersection(),
         "top_terms": sql_top_terms(),
         "exact_dedup": sql_exact_dedup(),

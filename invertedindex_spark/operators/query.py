@@ -575,6 +575,67 @@ class InvertedIndex:
         return (self.docs.join(F.broadcast(top), "doc_id")
                 .select("doc_no", "score").orderBy(F.desc("score")))
 
+    def batch_search_distributed(self, queries, k: int = 100):
+        """Evaluate a whole query batch as ONE distributed plan — the
+        Spark-first form of the reference's sequential 6,980-query TREC
+        loop (``QueryProcessorTest.java:76-108``): the postings scan
+        runs once for the union of all query terms, a broadcast join
+        fans postings out to the queries that contain each term, one
+        ``groupBy(qid, doc_id)`` accumulates BM25, and a per-qid window
+        applies the reference top-k semantics (min docId per distinct
+        score, score-descending, k). Returns a DataFrame
+        (qid, rank, doc_no, score).
+
+        ``queries``: [(qid, "[AND|OR] t1 … tN")]. Unknown terms follow
+        the reference (AND → no results for that qid, OR → skipped);
+        illegal query types are dropped like :meth:`batch_search`.
+        """
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        parsed = []   # (qid, term, qtype, n_terms)
+        for qid, q in queries:
+            try:
+                qtype, terms = preprocess_query(
+                    q, stopwords=self.stopwords, stemming=self.stemming)
+            except ValueError:
+                continue
+            found = self.lookup(terms)
+            present = [t for t in terms if t in found]
+            if not present or (qtype == "AND"
+                               and len(present) < len(terms)):
+                continue
+            for t in present:
+                parsed.append((str(qid), t, qtype, len(present)))
+        if not parsed:
+            return self.spark.createDataFrame(
+                [], "qid string, rank int, doc_no string, score double")
+        qterms = self.spark.createDataFrame(
+            parsed, "qid string, term string, qtype string, n_terms int")
+        all_terms = {p[1] for p in parsed}
+        exploded = self.decoded_postings_df(all_terms)
+        scored = (exploded.join(F.broadcast(qterms), "term")
+                  .withColumn("partial", scoring.bm25_col(
+                      F.col("tf"), F.col("dl"), F.col("df"),
+                      F.lit(float(self.num_docs)),
+                      F.lit(self.avg_doc_len))))
+        agg = (scored.groupBy("qid", "qtype", "n_terms", "doc_id")
+               .agg(F.sum("partial").alias("score"),
+                    F.count("*").alias("nt")))
+        agg = agg.where((F.col("qtype") == "OR")
+                        | (F.col("nt") == F.col("n_terms")))
+        # reference top-k per qid: min docId per distinct score, then
+        # the k highest scores
+        per_score = (agg.groupBy("qid", "score")
+                     .agg(F.min("doc_id").alias("doc_id")))
+        w = Window.partitionBy("qid").orderBy(F.desc("score"))
+        top = (per_score.withColumn("rank", F.row_number().over(w))
+               .where(F.col("rank") <= k))
+        return (self.docs.select("doc_id", "doc_no")
+                .join(F.broadcast(top), "doc_id")
+                .select("qid", "rank", "doc_no", "score")
+                .orderBy("qid", "rank"))
+
     # -- batch (TREC-run style) -------------------------------------------
     def batch_search(self, queries, k: int = 100):
         """Sequential exact-path batch: [(qid, query)] → list of

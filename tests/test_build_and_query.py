@@ -142,6 +142,25 @@ def test_distributed_path_matches_exact(built):
             assert gs == pytest.approx(ws, rel=1e-12)
 
 
+def test_batch_distributed_matches_sequential(built):
+    """One distributed plan over the whole query batch must reproduce
+    the sequential exact path per query: same qids, same ranking, same
+    scores (reference tie semantics applied per qid)."""
+    spark, wh, _m, _o = built
+    idx = InvertedIndex(spark, wh)
+    batch = [(i, q) for i, q in enumerate(QUERIES)]
+    want = idx.batch_search(batch, k=10)
+    got = [(r["qid"], r["rank"], r["doc_no"], r["score"])
+           for r in idx.batch_search_distributed(batch, k=10).collect()]
+    want_keyed = [(str(qid), rank, doc_no) for qid, rank, doc_no, _s
+                  in want]
+    got_keyed = [(qid, rank, doc_no) for qid, rank, doc_no, _s in got]
+    assert sorted(got_keyed) == sorted(want_keyed)
+    want_scores = {(str(q), r): s for q, r, _d, s in want}
+    for qid, rank, _d, s in got:
+        assert s == pytest.approx(want_scores[(qid, rank)], rel=1e-12)
+
+
 def test_illegal_query_type_raises(built):
     spark, wh, _m, _o = built
     idx = InvertedIndex(spark, wh)
