@@ -8,7 +8,8 @@ Prints ONE JSON line:
 
 Components (each timed separately in "queries"):
   index_build      — full index build over a deterministic synthetic
-                     source-code corpus scaled by sf (sf0.1 → 40k docs);
+                     source-code corpus scaled by sf (sf0.1 → 400k
+                     input rows); min of 3 fresh-warehouse runs;
                      docs_per_sec derived.
   query_exact_p50  — p50 over 60 distinct AND/OR top-k queries through
                      the exact (driver-kernel) path, cache off.

@@ -593,14 +593,18 @@ class InvertedIndex:
         from pyspark.sql import Window
         from pyspark.sql import functions as F
 
-        parsed = []   # (qid, term, qtype, n_terms)
+        prepped = []
         for qid, q in queries:
             try:
-                qtype, terms = preprocess_query(
-                    q, stopwords=self.stopwords, stemming=self.stemming)
+                prepped.append((qid, *preprocess_query(
+                    q, stopwords=self.stopwords, stemming=self.stemming)))
             except ValueError:
                 continue
-            found = self.lookup(terms)
+        # one lexicon probe for the whole batch (in spark io_mode a
+        # per-query probe would be one collect per query)
+        found = self.lookup({t for _qid, _qt, ts in prepped for t in ts})
+        parsed = []   # (qid, term, qtype, n_terms)
+        for qid, qtype, terms in prepped:
             present = [t for t in terms if t in found]
             if not present or (qtype == "AND"
                                and len(present) < len(terms)):
