@@ -187,6 +187,13 @@ def main():
         run("batch_queries", batch)
         if "batch_queries" in timings:
             extras["batch_qps"] = round(300 / timings["batch_queries"], 1)
+        # batch_search_distributed is deliberately NOT benched here: its
+        # fan-out is Σ_t df(t)·|queries containing t|, and this bench's
+        # 32-word vocabulary makes every hot term fan out to ~19 of the
+        # 300 queries — a worst case the sequential LRU path wins by
+        # construction. The distributed plan targets broad-vocabulary
+        # batches (real TREC: 6,980 queries, terms mostly distinct)
+        # where posting lists no longer fit a driver.
 
         # --- training-data operators over the sf testdata ------------
         run("minhash_lsh",

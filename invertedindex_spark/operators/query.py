@@ -589,6 +589,12 @@ class InvertedIndex:
         ``queries``: [(qid, "[AND|OR] t1 … tN")]. Unknown terms follow
         the reference (AND → no results for that qid, OR → skipped);
         illegal query types are dropped like :meth:`batch_search`.
+
+        Path choice: the fan-out is Σ_t df(t)·|queries containing t|,
+        so this plan wins on broad-vocabulary batches (terms mostly
+        distinct across queries, lists too big to collect); for small
+        repeated vocabularies the sequential :meth:`batch_search` with
+        its decode LRU is faster by construction.
         """
         from pyspark.sql import Window
         from pyspark.sql import functions as F
