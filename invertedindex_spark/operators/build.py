@@ -137,8 +137,23 @@ def _tokenized_staging(corpus, cfg: IndexConfig, num_blocks: int):
         # exchange — fully narrow until the term merge; block = scan
         # partition (coalesce only to bound block count)
         df = df.select("doc_no", "content")
-        if df.rdd.getNumPartitions() > 4 * num_blocks:
+        n_parts = df.rdd.getNumPartitions()
+        if n_parts > 4 * num_blocks:
             df = df.coalesce(4 * num_blocks)
+        elif n_parts < num_blocks:
+            # block = scan partition in this mode, so a scan coalesced
+            # into few splits (small files + big maxPartitionBytes)
+            # caps every pre-merge stage at n_parts tasks; surface it —
+            # the fix is sizing spark.sql.files.maxPartitionBytes to
+            # the source, not a shuffle (which would break input order)
+            import warnings
+
+            warnings.warn(
+                f"input-order staging has only {n_parts} scan "
+                f"partition(s) for num_blocks={num_blocks}; parallelism "
+                "is capped at the scan split count — lower "
+                "spark.sql.files.maxPartitionBytes to split the source "
+                "finer", stacklevel=2)
     # tokenize + stopword-filter + truncate + stem in one Arrow pass
     # (pyarrow.compute / RE2). Measured on this box: the equivalent JVM
     # expression chain (regexp_replace+split+HOF filter) runs ~50k

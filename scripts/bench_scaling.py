@@ -45,6 +45,11 @@ cpus = int(sys.argv[1]); path = sys.argv[2]
 spark = (SparkSession.builder.master(f"local[{cpus}]")
   .config("spark.sql.shuffle.partitions", "64")
   .config("spark.sql.adaptive.enabled", "true")
+  # size read splits so the scan yields ~num_blocks partitions: the
+  # corpus is 64 small files and the 128MB default would coalesce the
+  # scan to ~2 partitions, capping every pre-merge stage at 2 tasks
+  # regardless of local[N] (input-order mode inherits scan partitioning)
+  .config("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
   .config("spark.driver.memory", "64g")
   .config("spark.ui.enabled", "false").getOrCreate())
 from invertedindex_spark import IndexConfig, build_index, corpus
