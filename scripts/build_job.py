@@ -61,6 +61,12 @@ def parse_args(argv=None):
     ap.add_argument("--input-order", action="store_true",
                     help="docIds follow source row order (shuffle-free "
                          "staging) instead of (repo,path,commit) order")
+    ap.add_argument("--max-partition-mb", type=int, default=None,
+                    help="spark.sql.files.maxPartitionBytes in MB — size "
+                         "read splits so the scan yields >= --blocks "
+                         "partitions (small-file corpora coalesce under "
+                         "the 128MB default, capping input-order "
+                         "parallelism at the split count)")
     ap.add_argument("--no-stemming", action="store_true")
     ap.add_argument("--no-stopwords", action="store_true")
     ap.add_argument("--query", default=None,
@@ -80,7 +86,11 @@ def main(argv=None):
         from_documents, from_source_code,
     )
 
-    spark = SparkSession.builder.appName("invertedindex-build").getOrCreate()
+    b = SparkSession.builder.appName("invertedindex-build")
+    if args.max_partition_mb:
+        b = b.config("spark.sql.files.maxPartitionBytes",
+                     str(args.max_partition_mb * 1024 * 1024))
+    spark = b.getOrCreate()
     df = (spark.read.table(args.table) if args.table
           else spark.read.parquet(args.input))
     corpus = (from_documents(df) if args.shape == "documents"
