@@ -63,6 +63,11 @@ class IndexConfig:
     num_blocks: int | None = None   # SPIMI blocks (= partitions); auto
     merge_width: int | None = None  # max segments per merged posting row
     keep_partials: bool = True
+    # posting-stream compression: "vbyte" (reference-identical bytes,
+    # inline √df skip pointers) or "pfd" (NewPFD 128-value blocks, the
+    # north star's alternative codec; no skip pointers — kernels fall
+    # back to full-list decode, results identical)
+    codec: str = "vbyte"
 
 
 PARTIAL_SCHEMA = (
@@ -464,19 +469,21 @@ def _merge_partials(partials, cfg: IndexConfig, num_docs: int,
         if doc.size and not (gaps[interior] > 0).all():
             raise ValueError("postings not docId-ascending after merge")
 
-        # one VByte pass per stream for the whole partition
-        len_d = codec.vbyte_encoded_lengths(gaps) if doc.size else \
-            np.zeros(0, np.int64)
-        len_t = codec.vbyte_encoded_lengths(tf) if tf.size else \
-            np.zeros(0, np.int64)
-        len_l = codec.vbyte_encoded_lengths(dl) if dl.size else \
-            np.zeros(0, np.int64)
-        buf_d = codec.vbyte_encode(gaps)
-        buf_t = codec.vbyte_encode(tf)
-        buf_l = codec.vbyte_encode(dl)
-        cum_d = np.concatenate([[0], np.cumsum(len_d)])
-        cum_t = np.concatenate([[0], np.cumsum(len_t)])
-        cum_l = np.concatenate([[0], np.cumsum(len_l)])
+        use_pfd = cfg.codec == "pfd"
+        if not use_pfd:
+            # one VByte pass per stream for the whole partition
+            len_d = codec.vbyte_encoded_lengths(gaps) if doc.size else \
+                np.zeros(0, np.int64)
+            len_t = codec.vbyte_encoded_lengths(tf) if tf.size else \
+                np.zeros(0, np.int64)
+            len_l = codec.vbyte_encoded_lengths(dl) if dl.size else \
+                np.zeros(0, np.int64)
+            buf_d = codec.vbyte_encode(gaps)
+            buf_t = codec.vbyte_encode(tf)
+            buf_l = codec.vbyte_encode(dl)
+            cum_d = np.concatenate([[0], np.cumsum(len_d)])
+            cum_t = np.concatenate([[0], np.cumsum(len_t)])
+            cum_l = np.concatenate([[0], np.cumsum(len_l)])
 
         factor = tf / (k1 * ((1.0 - b)
                              + b * (dl.astype(np.float64) / avg_doc_len))
@@ -498,11 +505,24 @@ def _merge_partials(partials, cfg: IndexConfig, num_docs: int,
             app["np"](int(p1 - p0))
             app["first"](int(doc[p0]))
             app["last"](int(doc[p1 - 1]))
+            d_row = doc[p0:p1]
+            idf = idf_rows[r0]
+            if use_pfd:
+                # block codec: no per-value byte offsets, so no inline
+                # skip pointers; kernels decode the full row (results
+                # identical — pruning is IO-optimal only under vbyte)
+                app["bd"](codec.pfd_encode(gaps[p0:p1]))
+                app["bt"](codec.pfd_encode(tf[p0:p1]))
+                app["bl"](codec.pfd_encode(dl[p0:p1]))
+                app["sk"]([])
+                app["sdo"]([])
+                app["sfo"]([])
+                app["bm"]([float(idf * factor[p0:p1].max())]
+                          if p1 > p0 else [])
+                continue
             app["bd"](buf_d[cum_d[p0]:cum_d[p1]])
             app["bt"](buf_t[cum_t[p0]:cum_t[p1]])
             app["bl"](buf_l[cum_l[p0]:cum_l[p1]])
-            d_row = doc[p0:p1]
-            idf = idf_rows[r0]
             if d_row.size > codec.SKIP_POINTERS_THRESHOLD:
                 keys, doff, foff = codec.build_skip_pointers(
                     d_row, tf[p0:p1])

@@ -36,7 +36,8 @@ __all__ = ["selective_decode", "maxscore_or_topk", "intersect_topk"]
 def selective_decode(doc_ids_vbyte: bytes, freqs_vbyte: bytes,
                      dls_vbyte: bytes | None,
                      skip_doc_ids, skip_doc_offsets, skip_freq_offsets,
-                     first_doc_id: int, wanted: np.ndarray):
+                     first_doc_id: int, wanted: np.ndarray,
+                     decode=None):
     """Decode only the skip blocks that may contain ``wanted`` docIds.
 
     Returns (doc_ids, tfs, dls?) restricted to the union of touched
@@ -45,11 +46,14 @@ def selective_decode(doc_ids_vbyte: bytes, freqs_vbyte: bytes,
     dls are decoded fully when requested (no skip offsets are persisted
     for them; they compress tiny and slice by posting index).
     """
+    decode = decode or codec.vbyte_decode
     keys = np.asarray(skip_doc_ids, dtype=np.int64)
     if keys.size == 0:
-        d = codec.gap_decode(codec.vbyte_decode(doc_ids_vbyte))
-        tf = codec.vbyte_decode(freqs_vbyte)
-        dl = codec.vbyte_decode(dls_vbyte) if dls_vbyte is not None else None
+        # no skip pointers (df <= threshold, or a block codec like PFD
+        # that has no per-value byte offsets): full decode
+        d = codec.gap_decode(decode(doc_ids_vbyte))
+        tf = decode(freqs_vbyte)
+        dl = decode(dls_vbyte) if dls_vbyte is not None else None
         return d, tf, dl
     doffs = np.asarray(skip_doc_offsets, dtype=np.int64)
     foffs = np.asarray(skip_freq_offsets, dtype=np.int64)

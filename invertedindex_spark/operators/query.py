@@ -98,6 +98,7 @@ class InvertedIndex:
         cfg = manifest.get("config", {})
         self.stopwords = cfg.get("stopwords", True)
         self.stemming = cfg.get("stemming", True)
+        self.codec = cfg.get("codec", "vbyte")
         if io_mode is None:
             io_mode = "local" if os.path.isdir(warehouse_dir) else "spark"
         self.io_mode = io_mode
@@ -320,24 +321,28 @@ class InvertedIndex:
         out.update(by_term)
         return out
 
-    @staticmethod
-    def _decode_rows(rs):
+    def _stream_decode(self, stream):
+        """Posting-stream decode per the index's codec (manifest)."""
+        if self.codec == "pfd":
+            return codec.pfd_decode(stream)
+        return codec.vbyte_decode(stream)
+
+    def _decode_rows(self, rs):
+        dec = self._stream_decode
         d = np.concatenate([codec.gap_decode(
-            codec.vbyte_decode(r["doc_ids_vbyte"])) for r in rs])
-        tf = np.concatenate([codec.vbyte_decode(r["freqs_vbyte"])
-                             for r in rs])
-        dl = np.concatenate([codec.vbyte_decode(r["dls_vbyte"])
-                             for r in rs])
+            dec(r["doc_ids_vbyte"])) for r in rs])
+        tf = np.concatenate([dec(r["freqs_vbyte"]) for r in rs])
+        dl = np.concatenate([dec(r["dls_vbyte"]) for r in rs])
         return d, tf, dl, int(rs[0]["df"])
 
-    @staticmethod
-    def _decode_rows_selective(rs, wanted):
+    def _decode_rows_selective(self, rs, wanted):
         from .maxscore import selective_decode
 
         parts = [selective_decode(
             r["doc_ids_vbyte"], r["freqs_vbyte"], r["dls_vbyte"],
             r["skip_doc_ids"], r["skip_doc_offsets"],
-            r["skip_freq_offsets"], r["first_doc_id"], wanted)
+            r["skip_freq_offsets"], r["first_doc_id"], wanted,
+            decode=self._stream_decode)
             for r in rs]
         d = np.concatenate([p[0] for p in parts])
         tf = np.concatenate([p[1] for p in parts])
@@ -517,8 +522,10 @@ class InvertedIndex:
                                   "freqs_vbyte", "dls_vbyte")
         if terms is not None:
             df = df.where(F.col("term").isin(list(terms)))
+        use_pfd = self.codec == "pfd"
 
         def decode(iterator):
+            stream_dec = codec.pfd_decode if use_pfd else codec.vbyte_decode
             for batch in iterator:
                 t = batch.column("term").to_pylist()
                 dfs = batch.column("df").to_pylist()
@@ -527,12 +534,12 @@ class InvertedIndex:
                 dl_b = batch.column("dls_vbyte").to_pylist()
                 terms_out, df_out, id_out, tf_out, dl_out = [], [], [], [], []
                 for term, dfv, ib, fb, lb in zip(t, dfs, ids_b, tf_b, dl_b):
-                    d = codec.gap_decode(codec.vbyte_decode(ib))
+                    d = codec.gap_decode(stream_dec(ib))
                     terms_out.extend([term] * d.size)
                     df_out.extend([dfv] * d.size)
                     id_out.append(d)
-                    tf_out.append(codec.vbyte_decode(fb))
-                    dl_out.append(codec.vbyte_decode(lb))
+                    tf_out.append(stream_dec(fb))
+                    dl_out.append(stream_dec(lb))
                 if not terms_out:
                     continue
                 yield pa.RecordBatch.from_arrays(

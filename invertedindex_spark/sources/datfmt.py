@@ -47,7 +47,19 @@ __all__ = ["export_dat", "read_lexicon_dat", "read_doc_table_dat",
 
 
 def export_dat(warehouse_dir: str, out_dir: str) -> dict:
-    """Write the four .dat files from a built warehouse. Returns sizes."""
+    """Write the four .dat files from a built warehouse. Returns sizes.
+
+    Only VByte-coded warehouses export: the reference's on-disk format
+    is VByte byte streams (EncodingUtils.java), so a PFD index has no
+    byte-compatible .dat representation."""
+    from ..operators.build import read_manifest
+
+    codec_name = read_manifest(warehouse_dir).get(
+        "config", {}).get("codec", "vbyte")
+    if codec_name != "vbyte":
+        raise ValueError(
+            f".dat export requires codec='vbyte' (index uses "
+            f"{codec_name!r}); rebuild with IndexConfig(codec='vbyte')")
     os.makedirs(out_dir, exist_ok=True)
 
     # --- collection_statistics.dat ---------------------------------

@@ -209,6 +209,31 @@ def test_resume_skips_completed_stages(built, tmp_path):
                for s in ("docs", "stats", "partials", "lexicon", "postings"))
 
 
+def test_pfd_codec_index_matches_vbyte(built, tmp_path):
+    """An index built with the PForDelta posting codec must return
+    exactly the vbyte index's results on every query path (exact,
+    pruned, distributed); .dat export must refuse a PFD warehouse."""
+    spark, wh_v, _m, _o = built
+    wh_p = str(tmp_path / "wh_pfd")
+    c = corpus.synthesize_source_code(spark, N_DOCS, seed=SEED)
+    build_index(spark, c, wh_p,
+                IndexConfig(num_blocks=5, codec="pfd"))
+    idx_v = InvertedIndex(spark, wh_v)
+    idx_p = InvertedIndex(spark, wh_p)
+    assert idx_p.codec == "pfd"
+    for q in QUERIES:
+        assert idx_p.search(q, 10) == idx_v.search(q, 10), q
+        assert idx_p.search(q, 10, prune=True) == \
+            idx_v.search(q, 10, prune=True), q
+    got = idx_p.search_distributed("OR quick brown fox", k=10).collect()
+    want = idx_v.search_distributed("OR quick brown fox", k=10).collect()
+    assert [(r["doc_no"], r["score"]) for r in got] == \
+           [(r["doc_no"], r["score"]) for r in want]
+    from invertedindex_spark.sources.datfmt import export_dat
+    with pytest.raises(ValueError, match="vbyte"):
+        export_dat(wh_p, str(tmp_path / "dat"))
+
+
 def test_merge_width_grouping_equivalent(spark, tmp_path):
     """merge_width>0 shards hot terms into multiple rows; query results
     must not change."""
