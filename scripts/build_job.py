@@ -69,6 +69,9 @@ def parse_args(argv=None):
                          "parallelism at the split count)")
     ap.add_argument("--no-stemming", action="store_true")
     ap.add_argument("--no-stopwords", action="store_true")
+    ap.add_argument("--codec", choices=("vbyte", "pfd"), default="vbyte",
+                    help="posting compression: reference-identical VByte "
+                         "(+skip pointers) or PForDelta blocks")
     ap.add_argument("--query", default=None,
                     help="optional smoke query ('[AND|OR] t1 …') to run "
                          "against the fresh index")
@@ -98,7 +101,8 @@ def main(argv=None):
 
     cfg = IndexConfig(stemming=not args.no_stemming,
                       stopwords=not args.no_stopwords,
-                      num_blocks=args.blocks)
+                      num_blocks=args.blocks,
+                      codec=args.codec)
     t0 = time.perf_counter()
     manifest = build_index(spark, corpus, args.warehouse, cfg,
                            resume=args.resume)
