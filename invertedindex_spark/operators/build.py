@@ -70,9 +70,16 @@ class IndexConfig:
     codec: str = "vbyte"
 
 
+# partial segments ship VByte-compressed (first docId absolute, then
+# gaps — the reference's final-stream convention): the term-merge
+# shuffle then moves ≈ compressed-index bytes instead of raw int64
+# arrays (~5x less wire/memory traffic; the reference's own partial
+# blocks are raw 4-byte ints, BinaryIndexer.java:55,66 — compressing
+# them is the scale-correct divergence). df/cf/fmax/TUB are derived
+# from the decoded postings inside the merge.
 PARTIAL_SCHEMA = (
-    "block_id int, term string, doc_ids array<long>, tfs array<int>, "
-    "dls array<int>, df_b long, cf_b long, fmax_b double"
+    "block_id int, term string, first_doc_id long, df_b long, "
+    "doc_gaps_vb binary, tfs_vb binary, dls_vb binary"
 )
 
 POSTINGS_SCHEMA = (
@@ -272,23 +279,22 @@ def _with_doc_ids(staged, offsets: dict[int, int], spark):
 
 def _build_partials(staged_ids, cfg: IndexConfig, avg_doc_len: float):
     """mapInArrow: each partition = one SPIMI block; emits per-term
-    docId-ascending segments with local df/cf and the max BM25
-    tf/doc-length factor (fmax; TUB = ln(N/df_global) * max(fmax))."""
+    docId-ascending segments as VByte streams (first docId absolute,
+    rest gaps) so the term-merge shuffle moves compressed bytes."""
     import numpy as np
     import pandas as pd
     import pyarrow as pa
 
-    k1, b = scoring.K_BM25, scoring.B_BM25
+    del avg_doc_len  # fmax/TUB derive from decoded postings in-merge
 
     out_fields = pa.schema([
         ("block_id", pa.int32()),
         ("term", pa.string()),
-        ("doc_ids", pa.list_(pa.int64())),
-        ("tfs", pa.list_(pa.int32())),
-        ("dls", pa.list_(pa.int32())),
+        ("first_doc_id", pa.int64()),
         ("df_b", pa.int64()),
-        ("cf_b", pa.int64()),
-        ("fmax_b", pa.float64()),
+        ("doc_gaps_vb", pa.binary()),
+        ("tfs_vb", pa.binary()),
+        ("dls_vb", pa.binary()),
     ])
 
     def build(iterator):
@@ -336,34 +342,38 @@ def _build_partials(staged_ids, cfg: IndexConfig, avg_doc_len: float):
         change[1:] = terms[1:] != terms[:-1]
         starts = np.flatnonzero(change)
         ends = np.append(starts[1:], len(g))
-        factor = tf / (k1 * ((1.0 - b)
-                             + b * (dl.astype(np.float64) / avg_doc_len))
-                       + tf)
         df_b = ends - starts
-        cf_b = np.add.reduceat(tf, starts)
-        fmax_b = np.maximum.reduceat(factor, starts)
         uniq_terms = terms[starts]
         n_terms = starts.size
 
-        def list_arr(values, typ):
-            offsets = np.empty(n_terms + 1, dtype=np.int64)
-            offsets[:-1] = starts
-            offsets[-1] = len(g)
-            return pa.LargeListArray.from_arrays(
-                pa.array(offsets), pa.array(values, typ))
+        # per-segment gap encode (first absolute) + one VByte pass per
+        # stream for the whole partition, sliced per term by byte offset
+        gaps = np.empty_like(doc)
+        gaps[0] = doc[0]
+        gaps[1:] = doc[1:] - doc[:-1]
+        gaps[starts] = doc[starts]
+        cum_d = np.concatenate(
+            [[0], np.cumsum(codec.vbyte_encoded_lengths(gaps))])
+        cum_t = np.concatenate(
+            [[0], np.cumsum(codec.vbyte_encoded_lengths(tf))])
+        cum_l = np.concatenate(
+            [[0], np.cumsum(codec.vbyte_encoded_lengths(dl))])
+        buf_d = codec.vbyte_encode(gaps)
+        buf_t = codec.vbyte_encode(tf)
+        buf_l = codec.vbyte_encode(dl)
+        bd = [buf_d[cum_d[s]:cum_d[e]] for s, e in zip(starts, ends)]
+        bt = [buf_t[cum_t[s]:cum_t[e]] for s, e in zip(starts, ends)]
+        bl = [buf_l[cum_l[s]:cum_l[e]] for s, e in zip(starts, ends)]
 
         CHUNK = 1 << 14
         full = pa.RecordBatch.from_arrays(
             [pa.array(np.full(n_terms, pid, np.int32)),
              pa.array(uniq_terms, pa.string()),
-             list_arr(doc, pa.int64()).cast(pa.list_(pa.int64())),
-             list_arr(tf.astype(np.int32), pa.int32())
-             .cast(pa.list_(pa.int32())),
-             list_arr(dl.astype(np.int32), pa.int32())
-             .cast(pa.list_(pa.int32())),
+             pa.array(doc[starts], pa.int64()),
              pa.array(df_b, pa.int64()),
-             pa.array(cf_b, pa.int64()),
-             pa.array(fmax_b, pa.float64())],
+             pa.array(bd, pa.binary()),
+             pa.array(bt, pa.binary()),
+             pa.array(bl, pa.binary())],
             schema=out_fields)
         for lo in range(0, n_terms, CHUNK):
             yield full.slice(lo, min(CHUNK, n_terms - lo))
@@ -422,19 +432,23 @@ def _merge_partials(partials, cfg: IndexConfig, num_docs: int,
         terms = np.asarray(tbl.column("term").to_pylist(), dtype=object)
         grps = tbl.column("grp").to_numpy()
         df_bs = tbl.column("df_b").to_numpy()
-        cf_bs = tbl.column("cf_b").to_numpy()
-        fmax_bs = tbl.column("fmax_b").to_numpy()
 
-        def flat(name, dtype):
-            arr = tbl.column(name).combine_chunks()
-            offs = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-            vals = arr.values.to_numpy(zero_copy_only=False).astype(dtype)
-            return offs, vals
-
-        offs_d, doc = flat("doc_ids", np.int64)
-        offs_t, tf = flat("tfs", np.int64)
-        offs_l, dl = flat("dls", np.int64)
-        row_lens = np.diff(offs_d)
+        # decode the compressed segments (each: first docId absolute,
+        # rest gaps — exactly codec.gap_decode's convention)
+        parts_d = [codec.gap_decode(codec.vbyte_decode(x))
+                   for x in tbl.column("doc_gaps_vb").to_pylist()]
+        doc = (np.concatenate(parts_d) if parts_d
+               else np.zeros(0, np.int64))
+        row_lens = np.array([p.size for p in parts_d], dtype=np.int64)
+        if not np.array_equal(row_lens, df_bs):
+            raise ValueError("segment length mismatch vs df_b")
+        offs_d = np.concatenate([[0], np.cumsum(row_lens)])
+        tf = (np.concatenate([codec.vbyte_decode(x) for x in
+                              tbl.column("tfs_vb").to_pylist()])
+              if n_rows else np.zeros(0, np.int64))
+        dl = (np.concatenate([codec.vbyte_decode(x) for x in
+                              tbl.column("dls_vb").to_pylist()])
+              if n_rows else np.zeros(0, np.int64))
 
         # term-run boundaries (global stats) and (term,grp)-row bounds
         tchange = np.empty(n_rows, dtype=bool)
@@ -445,7 +459,13 @@ def _merge_partials(partials, cfg: IndexConfig, num_docs: int,
         t_starts = np.flatnonzero(tchange)
         t_ends = np.append(t_starts[1:], n_rows)
         df_global_per_term = np.add.reduceat(df_bs, t_starts)
-        fmax_per_term = np.maximum.reduceat(fmax_bs, t_starts)
+        # BM25 tf/dl factor per posting; fmax/TUB derived here (not in
+        # partials), so compaction TUBs always reflect current stats
+        factor = tf / (k1 * ((1.0 - b)
+                             + b * (dl.astype(np.float64) / avg_doc_len))
+                       + tf)
+        fmax_per_term = np.maximum.reduceat(factor, offs_d[t_starts]) \
+            if doc.size else np.zeros(t_starts.size)
         term_idx_of_row = np.cumsum(tchange) - 1
         df_global_rows = df_global_per_term[term_idx_of_row]
         idf_rows = np.log(num_docs / df_global_rows.astype(np.float64))
@@ -485,10 +505,6 @@ def _merge_partials(partials, cfg: IndexConfig, num_docs: int,
             cum_t = np.concatenate([[0], np.cumsum(len_t)])
             cum_l = np.concatenate([[0], np.cumsum(len_l)])
 
-        factor = tf / (k1 * ((1.0 - b)
-                             + b * (dl.astype(np.float64) / avg_doc_len))
-                       + tf)
-
         # assemble output rows
         rows = {k: [] for k in ("term", "grp", "df", "cf", "tub", "np",
                                 "first", "last", "bd", "bt", "bl",
@@ -500,7 +516,7 @@ def _merge_partials(partials, cfg: IndexConfig, num_docs: int,
             app["term"](terms[r0])
             app["grp"](int(grps[r0]))
             app["df"](int(df_global_rows[r0]))
-            app["cf"](int(cf_bs[r0:r1].sum()))
+            app["cf"](int(tf[p0:p1].sum()))
             app["tub"](float(tub_rows[r0]))
             app["np"](int(p1 - p0))
             app["first"](int(doc[p0]))

@@ -114,7 +114,6 @@ def compact(spark, warehouse_dir: str,
     compacted index is identical to a from-scratch batch build over
     everything ingested so far.
     """
-    import numpy as np
     from pyspark.sql import functions as F
 
     cfg = cfg or B.IndexConfig()
@@ -124,30 +123,20 @@ def compact(spark, warehouse_dir: str,
              for n in ("partials", "lexicon", "postings")}
     partials = spark.read.parquet(paths["partials"])
 
-    # recompute fmax against current avg_doc_len (streaming drift)
-    k1, b = 1.2, 0.75
+    # fmax/TUB are derived inside the merge from the decoded postings
+    # against the *current* collection stats, so the compacted index is
+    # identical to a from-scratch batch build over everything ingested
     avg = float(stats["avg_doc_len"])
-    fmax = F.aggregate(
-        F.zip_with("tfs", "dls",
-                   lambda tf, dl: tf.cast("double")
-                   / (F.lit(k1) * (F.lit(1.0 - b)
-                                   + F.lit(b) * (dl.cast("double")
-                                                 / F.lit(avg)))
-                      + tf.cast("double"))),
-        F.lit(0.0), lambda acc, x: F.greatest(acc, x))
-    partials = partials.withColumn("fmax_b", fmax)
-
-    lex = (partials.groupBy("term")
-           .agg(F.sum("df_b").alias("df"), F.sum("cf_b").alias("cf"),
-                F.max("fmax_b").alias("fmax"))
-           .withColumn("term_upper_bound",
-                       F.log(F.lit(float(stats["num_docs"])) / F.col("df"))
-                       * F.col("fmax")))
-    lex.write.mode("overwrite").parquet(paths["lexicon"])
     merged = B._merge_partials(
         partials, cfg, stats["num_docs"], avg,
         num_partitions=spark.sparkContext.defaultParallelism)
     merged.write.mode("overwrite").parquet(paths["postings"])
+    lex = (spark.read.parquet(paths["postings"])
+           .select("term", "df", "cf", "term_upper_bound")
+           .groupBy("term")
+           .agg(F.first("df").alias("df"), F.sum("cf").alias("cf"),
+                F.first("term_upper_bound").alias("term_upper_bound")))
+    lex.write.mode("overwrite").parquet(paths["lexicon"])
     for s in ("docs", "stats", "partials", "lexicon", "postings"):
         manifest["stages"][s] = {"done": True}
     manifest["config"] = {**manifest.get("config", {}),
