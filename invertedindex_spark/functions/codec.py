@@ -46,11 +46,13 @@ _THRESHOLDS = np.array([128 ** k for k in range(1, 9)], dtype=np.int64)
 
 def vbyte_encoded_lengths(values: np.ndarray) -> np.ndarray:
     """Per-value encoded byte length (EncodingUtils.getEncodingLength,
-    computed with exact integer comparisons rather than float log)."""
+    computed with exact integer comparisons rather than float log).
+    searchsorted counts thresholds <= v without materializing the
+    n x 8 comparison matrix (bandwidth matters at 10^7+ postings)."""
     v = np.asarray(values, dtype=np.int64)
     if np.any(v < 0):
         raise ValueError("VByte encodes non-negative integers only")
-    return 1 + (v[:, None] >= _THRESHOLDS[None, :]).sum(axis=1).astype(np.int64)
+    return 1 + np.searchsorted(_THRESHOLDS, v, side="right").astype(np.int64)
 
 
 def vbyte_encode(values: np.ndarray) -> bytes:
