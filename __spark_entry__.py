@@ -6,9 +6,10 @@ top-k query through the distributed query path.
 
 ``queries()`` / ``oracle_sql()`` — one entry per implemented operator
 from SURVEY.md §2 plus the training-data-pipeline families (dedup,
-similarity search, text analysis); DuckDB oracles included for every
-SQL-expressible op (``vbyte_roundtrip`` is byte-level and
-``multimodal_features`` has a stubbed binary decode → rows-only).
+similarity search, text analysis); every query has a DuckDB oracle.
+The stem-on queries' oracle is the pure-Python reference
+implementation (oracle.py) materialized as a VALUES literal (Porter2
+is not SQL-expressible).
 """
 
 from __future__ import annotations
@@ -42,7 +43,9 @@ def oracle_sql() -> dict[str, str]:
     # scale's query vector (vec_id=0), fetched via duckdb directly
     import duckdb
 
+    sf_dir = os.path.join(TESTDATA, "sf0.01")
     q = duckdb.sql(
-        f"select embedding from '{TESTDATA}/sf0.01/embeddings.parquet' "
+        f"select embedding from '{sf_dir}/embeddings.parquet' "
         "where vec_id = 0").fetchone()[0]
-    return entry_queries.all_oracle_sql([float(x) for x in q])
+    return entry_queries.all_oracle_sql([float(x) for x in q],
+                                        sf_dir=sf_dir)

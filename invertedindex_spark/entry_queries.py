@@ -121,9 +121,13 @@ WITH src AS (
   SELECT term, doc_id, any_value(doc_len) AS dl, count(*) AS tf
   FROM post GROUP BY term, doc_id
 ), lex AS (
-  SELECT term, count(*) AS df, sum(tf) AS cf FROM tf GROUP BY term
+  -- CAST: DuckDB sum(BIGINT) is HUGEINT, which pandas turns into
+  -- float64 and the driver hash then mismatches Spark's long
+  SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
+  FROM tf GROUP BY term
 ), stats AS (
-  SELECT count(*) AS num_docs, sum(doc_len) AS num_tokens,
+  SELECT count(*) AS num_docs,
+         CAST(sum(doc_len) AS BIGINT) AS num_tokens,
          sum(doc_len) / CAST(count(*) AS DOUBLE) AS avg_doc_len
   FROM docs
 )"""
@@ -189,14 +193,19 @@ def sql_doc_table():
 
 
 def q_collection_stats(spark, sf_dir):
+    from pyspark.sql import functions as F
     idx = get_index(spark, sf_dir)
-    return spark.read.parquet(f"{idx.warehouse_dir}/stats") \
-        .select("num_docs", "num_tokens", "avg_doc_len")
+    return (spark.read.parquet(f"{idx.warehouse_dir}/stats")
+            .select(F.col("num_docs").cast("long").alias("num_docs"),
+                    F.col("num_tokens").cast("long").alias("num_tokens"),
+                    _u6(F.col("avg_doc_len")).alias("avg_doc_len_u6")))
 
 
 def sql_collection_stats():
-    return _base_cte() + \
-        "\nSELECT num_docs, num_tokens, avg_doc_len FROM stats"
+    return _base_cte() + """
+SELECT num_docs, num_tokens,
+       CAST(round(avg_doc_len * 1e6) AS BIGINT) AS avg_doc_len_u6
+FROM stats"""
 
 
 def q_term_stats(spark, sf_dir):
@@ -389,6 +398,56 @@ def sql_and_intersection():
     return _base_cte() + f"""
 SELECT doc_id FROM tf WHERE term IN ({tlist})
 GROUP BY doc_id HAVING count(*) = {len(AND_TERMS)}"""
+
+
+def q_stem_on_topk_or(spark, sf_dir):
+    """Flagship configuration (stemming=True) surfaced to the driver:
+    BM25 OR top-k on the stem-on warehouse. The oracle is the pure-Python
+    reference implementation (oracle.py — docId skip rules, BM25, exact
+    TreeSet queue semantics) materialized as a SQL VALUES literal at
+    driver time, so rows/schema/hash are all checked."""
+    return _topk_df_stem(spark, sf_dir, "OR " + " ".join(OR_TERMS))
+
+
+def q_stem_on_topk_and(spark, sf_dir):
+    """Stem-on conjunctive BM25 top-k (see q_stem_on_topk_or)."""
+    return _topk_df_stem(spark, sf_dir, "AND " + " ".join(AND_TERMS))
+
+
+def _topk_df_stem(spark, sf_dir, query):
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    idx = get_index(spark, sf_dir, stemming=True)
+    res = idx.search_distributed(query, k=K)
+    w = Window.orderBy(F.desc("score"))
+    return res.select(F.row_number().over(w).alias("rank"), "doc_no",
+                      _u6(F.col("score")).alias("score_u6"))
+
+
+def _python_oracle_topk_values(sf_dir, query) -> str:
+    """Run the pure-Python reference oracle (stemming on) over the
+    documents table and emit the top-k as a DuckDB VALUES literal —
+    the stem-on twin of the SQL oracles (Porter2 is not expressible in
+    SQL, the reference implementation is the oracle)."""
+    import math
+
+    import duckdb
+
+    from .oracle import OracleIndex
+
+    rows = duckdb.sql(
+        f"SELECT CAST(doc_id AS VARCHAR) AS doc_no, text "
+        f"FROM '{sf_dir}/documents.parquet' "
+        "WHERE text IS NOT NULL AND length(text) > 0 "
+        "ORDER BY doc_id").fetchall()
+    oracle = OracleIndex(rows, stopwords=True, stemming=True)
+    top = oracle.topk(query, k=K)
+    vals = ", ".join(
+        f"(CAST({r + 1} AS INTEGER), '{doc_no}', "
+        f"CAST({int(math.floor(s * 1e6 + 0.5))} AS BIGINT))"
+        for r, (doc_no, s) in enumerate(top))
+    return (f"SELECT * FROM (VALUES {vals}) "
+            "AS t(rank, doc_no, score_u6)")
 
 
 def q_top_terms(spark, sf_dir):
@@ -760,14 +819,15 @@ FROM c"""
 
 
 # ---------------------------------------------------------------------
-# rows-only checks (non-SQL-expressible physical format ops)
+# physical-format / multimodal checks
 # ---------------------------------------------------------------------
 
 def q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing surfaced to the driver: deterministic fake
     media table -> mapInPandas feature extraction (decode stubbed; see
-    operators/multimodal.py). Rows-only check (binary media + stubbed
-    decode are not SQL-expressible)."""
+    operators/multimodal.py). The fake decoder's sha256 chain is seeded
+    from the blob hex, so DuckDB's VARCHAR sha256 can reproduce the
+    first feature component exactly."""
     from pyspark.sql import functions as F
     from .operators.multimodal import extract_features, synthesize_media
     media = synthesize_media(spark, 200, seed=42, kind="image")
@@ -776,9 +836,34 @@ def q_multimodal_features(spark, sf_dir):
         "media_id", "feat_dim",
         _u6(F.element_at("feature", 1)).alias("f0_u6"))
 
+
+def sql_multimodal_features():
+    """Mirrors synthesize_media (blob = sha256('image:42:'||i) digest
+    repeated 4 + i%7 times) + _fake_decode_features' first component:
+    repeat() over the hex digest IS the blob's hex form, which seeds the
+    feature chain."""
+    return """
+WITH ids AS (SELECT unnest(generate_series(0, 199)) AS media_id),
+b AS (SELECT media_id,
+        repeat(sha256('image:42:' || media_id), 4 + media_id % 7)
+          AS blob_hex
+      FROM ids)
+SELECT CAST(media_id AS BIGINT) AS media_id,
+       CAST(16 AS INTEGER) AS feat_dim,
+       -- REAL pass-through mirrors Spark's array<float> storage of the
+       -- feature before the micro-unit rounding
+       CAST(round(1e6 * CAST((CAST(concat('0x',
+                  substr(sha256(blob_hex), 1, 8)) AS BIGINT)
+                  / 2147483648.0) - 1.0 AS REAL))
+            AS BIGINT) AS f0_u6
+FROM b"""
+
+
 def q_vbyte_roundtrip(spark, sf_dir):
     """Physical-format integrity: decode payloads and re-encode; ok must
-    be true for every term. No SQL oracle (byte-level op)."""
+    be true for every term. The oracle pins (term, n_postings) to the
+    logical lexicon and asserts roundtrip_ok=true for every row — the
+    byte-exactness itself is proven engine-side by the re-encode."""
     import pyarrow as pa
     from .functions import codec
     idx = get_index(spark, sf_dir)
@@ -803,10 +888,25 @@ def q_vbyte_roundtrip(spark, sf_dir):
                  pa.array(oks)],
                 names=["term", "n_postings", "roundtrip_ok"])
 
-    return (idx.postings
-            .select("term", "n_postings", "doc_ids_vbyte", "freqs_vbyte")
-            .mapInArrow(check,
-                        "term string, n_postings long, roundtrip_ok boolean"))
+    from pyspark.sql import functions as F
+    per_grp = (idx.postings
+               .select("term", "n_postings", "doc_ids_vbyte", "freqs_vbyte")
+               .mapInArrow(check, "term string, n_postings long, "
+                           "roundtrip_ok boolean"))
+    # term grain: postings may carry several grp rows per term at scale
+    return (per_grp.groupBy("term")
+            .agg(F.sum("n_postings").alias("n_postings"),
+                 F.min("roundtrip_ok").alias("roundtrip_ok")))
+
+
+def sql_vbyte_roundtrip():
+    """The logical contract of the physical check: every lexicon term
+    appears once with n_postings == df, and the engine-side re-encode
+    must have succeeded (roundtrip_ok true). A false on the engine side
+    hash-mismatches here."""
+    return _base_cte() + """
+SELECT term, df AS n_postings, CAST(1 AS BOOLEAN) AS roundtrip_ok
+FROM lex"""
 
 
 # =====================================================================
@@ -827,6 +927,8 @@ def all_queries():
         "bm25_batch_topk": q_bm25_batch_topk,
         "and_intersection": q_and_intersection,
         "top_terms": q_top_terms,
+        "stem_on_topk_or": q_stem_on_topk_or,
+        "stem_on_topk_and": q_stem_on_topk_and,
         "exact_dedup": q_exact_dedup,
         "jaccard_top_pairs": q_jaccard_top_pairs,
         "minhash_signatures": q_minhash_signatures,
@@ -845,9 +947,11 @@ def all_queries():
     }
 
 
-def all_oracle_sql(query_vec=None):
-    """query_vec: the sf-specific query embedding; when None the
-    ANN oracles are generated lazily by the caller."""
+def all_oracle_sql(query_vec=None, sf_dir=None):
+    """query_vec: the sf-specific query embedding; sf_dir: when given,
+    the stem-on oracles are computed by the pure-Python reference
+    implementation over that scale's documents table and emitted as
+    VALUES literals. When None, those oracles are omitted (rows-only)."""
     out = {
         "doc_table": sql_doc_table(),
         "collection_stats": sql_collection_stats(),
@@ -872,9 +976,15 @@ def all_oracle_sql(query_vec=None):
         "token_stats": sql_token_stats(),
         "lang_id": sql_lang_id(),
         "lsh_buckets": sql_lsh_buckets(),
-        # vbyte_roundtrip: rows-only (physical byte format, not SQL)
+        "vbyte_roundtrip": sql_vbyte_roundtrip(),
+        "multimodal_features": sql_multimodal_features(),
     }
     if query_vec is not None:
         out["ann_cosine_topk"] = sql_ann_cosine_topk(query_vec)
         out["ann_lsh_topk"] = sql_ann_lsh_topk(query_vec)
+    if sf_dir is not None:
+        out["stem_on_topk_or"] = _python_oracle_topk_values(
+            sf_dir, "OR " + " ".join(OR_TERMS))
+        out["stem_on_topk_and"] = _python_oracle_topk_values(
+            sf_dir, "AND " + " ".join(AND_TERMS))
     return out

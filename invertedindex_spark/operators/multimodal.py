@@ -60,9 +60,12 @@ def synthesize_media(spark, n: int, seed: int = 42, kind: str = "image"):
 
 def _fake_decode_features(blob: bytes, dim: int) -> list[float]:
     """Deterministic stand-in for a real decoder+embedder: expands the
-    blob's sha256 into `dim` floats in [-1, 1)."""
+    sha256 chain seeded by the blob's hex form into `dim` floats in
+    [-1, 1). Seeding from hex (injective on content) rather than the
+    raw bytes keeps the chain expressible in engines whose sha256 only
+    accepts strings (the DuckDB driver oracle)."""
     out = []
-    h = blob
+    h = blob.hex().encode("ascii")
     while len(out) < dim:
         h = hashlib.sha256(h).digest()
         for j in range(0, 32, 4):
