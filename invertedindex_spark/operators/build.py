@@ -68,6 +68,11 @@ class IndexConfig:
     # north star's alternative codec; no skip pointers — kernels fall
     # back to full-list decode, results identical)
     codec: str = "vbyte"
+    # per-merge-task compressed payload budget: the term-merge shuffle
+    # partition count is raised above num_blocks whenever the partial
+    # blocks exceed num_blocks * this many bytes (see
+    # auto_merge_partitions) so task memory stays bounded at any scale
+    merge_target_bytes: int = 32 << 20
 
 
 # partial segments ship VByte-compressed (first docId absolute, then
@@ -77,6 +82,12 @@ class IndexConfig:
 # blocks are raw 4-byte ints, BinaryIndexer.java:55,66 — compressing
 # them is the scale-correct divergence). df/cf/fmax/TUB are derived
 # from the decoded postings inside the merge.
+# bump when PARTIAL_SCHEMA (or its stream encoding) changes
+# incompatibly: v2 = VByte-compressed segment streams (first docId
+# absolute, rest gaps). v1 (raw int arrays + fmax_b/cf_b) predates the
+# marker; warehouses without the marker are treated as stale.
+PARTIALS_FORMAT_VERSION = 2
+
 PARTIAL_SCHEMA = (
     "block_id int, term string, first_doc_id long, df_b long, "
     "doc_gaps_vb binary, tfs_vb binary, dls_vb binary"
@@ -109,6 +120,56 @@ def _save_manifest(warehouse_dir: str, manifest: dict) -> None:
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=2, sort_keys=True, default=str)
     os.replace(tmp, _manifest_path(warehouse_dir))
+
+
+def check_partials_format(manifest: dict, *, strict: bool) -> bool:
+    """True iff the warehouse's partial blocks use the current format.
+    ``strict=True`` raises (for readers with no way to rebuild, e.g.
+    streaming compaction); ``strict=False`` lets the caller rebuild."""
+    ver = manifest.get("partials_format")
+    if ver == PARTIALS_FORMAT_VERSION:
+        return True
+    if not _stage_done(manifest, "partials"):
+        return True  # nothing written yet
+    if strict:
+        raise ValueError(
+            f"warehouse partial blocks use format {ver!r} but this "
+            f"version reads format {PARTIALS_FORMAT_VERSION}; rebuild "
+            "the partials stage (delete the partials dir and the "
+            "'partials' stage entry, or rebuild the warehouse)")
+    return False
+
+
+def _dir_bytes(path: str) -> int:
+    """Total data-file bytes under a (local) table dir; 0 if unknown."""
+    total = 0
+    if os.path.isdir(path):
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if not f.startswith((".", "_")):
+                    try:
+                        total += os.path.getsize(os.path.join(root, f))
+                    except OSError:
+                        pass
+    return total
+
+
+def auto_merge_partitions(partials_path: str, num_blocks: int,
+                          cfg: "IndexConfig") -> int:
+    """Size the term-merge shuffle so no task decodes more than
+    ~``merge_target_bytes`` of compressed segment payload: the merge
+    kernel materializes its whole partition (decoded postings ≈ 8–24x
+    the VByte bytes), so partition count — not executor luck — must
+    bound task memory. On-disk parquet size is a faithful proxy for
+    the payload (the streams are already entropy-coded, parquet adds
+    little). Falls back to ``num_blocks`` when sizes are unknowable
+    (remote FS) — callers there should set num_blocks explicitly."""
+    import math
+
+    total = _dir_bytes(partials_path)
+    if total <= 0:
+        return num_blocks
+    return max(num_blocks, math.ceil(total / cfg.merge_target_bytes))
 
 
 def _stage_done(manifest: dict, stage: str, path: str | None = None) -> bool:
@@ -599,6 +660,11 @@ def build_index(spark, corpus, warehouse_dir: str,
     cfg = cfg or IndexConfig()
     manifest = read_manifest(warehouse_dir) if resume else {"stages": {},
                                                             "metrics": {}}
+    if resume and not check_partials_format(manifest, strict=False):
+        # stale partial-block format: every downstream table derives
+        # from partials, so restart the whole pipeline (cheaper than
+        # risking a mixed-schema parquet read mid-merge)
+        manifest = {"stages": {}, "metrics": {}}
     manifest["config"] = asdict(cfg)
     paths = {name: os.path.join(warehouse_dir, name)
              for name in ("docs", "stats", "partials", "lexicon",
@@ -654,6 +720,7 @@ def build_index(spark, corpus, warehouse_dir: str,
                 cfg, avg_doc_len)
             (partials_df.write.mode("overwrite")
              .partitionBy("block_id").parquet(paths["partials"]))
+            manifest["partials_format"] = PARTIALS_FORMAT_VERSION
             _mark_stage(manifest, warehouse_dir, "partials")
         manifest["metrics"]["block_docs"] = {str(k): v for k, v
                                              in block_docs.items()}
@@ -667,9 +734,11 @@ def build_index(spark, corpus, warehouse_dir: str,
     partials = spark.read.parquet(paths["partials"])
 
     if not _stage_done(manifest, "postings", paths["postings"]):
+        n_merge = auto_merge_partitions(paths["partials"], num_blocks, cfg)
+        manifest["metrics"]["merge_partitions"] = n_merge
         merged = _merge_partials(partials, cfg, stats["num_docs"],
                                  stats["avg_doc_len"],
-                                 num_partitions=num_blocks)
+                                 num_partitions=n_merge)
         # rows leave the merge already term-sorted within each partition;
         # small row groups make the per-row-group term min/max stats
         # selective, so a point lookup reads a few MB instead of a file

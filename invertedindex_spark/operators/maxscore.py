@@ -71,7 +71,8 @@ def selective_decode(doc_ids_vbyte: bytes, freqs_vbyte: bytes,
         z = np.zeros(0, dtype=np.int64)
         return z, z, (z if dls_vbyte is not None else None)
     dls = codec.vbyte_decode(dls_vbyte) if dls_vbyte is not None else None
-    out_d, out_tf, out_dl = [], [], []
+    out_d, out_tf = [], []
+    block_lens = []
     for i in idx:
         gaps = codec.vbyte_decode(
             doc_ids_vbyte[dstarts[i]:dstarts[i + 1]])
@@ -84,25 +85,28 @@ def selective_decode(doc_ids_vbyte: bytes, freqs_vbyte: bytes,
         tf = codec.vbyte_decode(freqs_vbyte[fstarts[i]:fstarts[i + 1]])
         out_d.append(d)
         out_tf.append(tf)
-        if dls is not None:
-            # posting index range of block i: blocks are fixed-size
-            # ceil(sqrt(df)); derive from decoded lengths instead to
-            # stay exact for the final short block
-            pass
+        block_lens.append(d.size)
     d = np.concatenate(out_d)
     tf = np.concatenate(out_tf)
     if dls is not None:
-        # map back to posting positions via the full docId decode-free
-        # trick: positions of block i are contiguous; reconstruct by
-        # searching the wanted ids in the full dls via block sizes
-        import math
-
+        # dls have no skip offsets (they compress tiny, decoded fully
+        # above); block i of the docId stream covers posting positions
+        # [i*bs, (i+1)*bs) with bs = ceil(sqrt(df)) — the same fixed
+        # geometry build_skip_pointers wrote. Assert it against the
+        # actually-decoded block lengths so a future change to block
+        # sizing cannot silently desynchronize the two.
         df = dls.size
         bs = codec.skip_block_size(df)
+        expected = [min((i + 1) * bs, df) - i * bs for i in idx]
+        if expected != block_lens:
+            raise AssertionError(
+                "skip-block geometry mismatch: decoded block lengths "
+                f"{block_lens} != ceil(sqrt(df)) layout {expected} — "
+                "selective_decode's dl slicing assumes "
+                "build_skip_pointers' fixed block size")
         pos = np.concatenate(
             [np.arange(i * bs, min((i + 1) * bs, df)) for i in idx])
-        out_dl = dls[pos]
-        return d, tf, out_dl
+        return d, tf, dls[pos]
     return d, tf, None
 
 

@@ -155,15 +155,23 @@ class InvertedIndex:
         reference mmaps its whole 77 MB lexicon (QueryProcessor:50-53);
         this is the same tradeoff, loaded once."""
         if self._lexicon_map is None:
-            import pyarrow.parquet as pq
+            if self.io_mode == "local":
+                import pyarrow.parquet as pq
 
-            t = pq.read_table(f"{self.warehouse_dir}/lexicon")
+                t = pq.read_table(f"{self.warehouse_dir}/lexicon")
+                cols = (t.column("term").to_pylist(),
+                        t.column("df").to_pylist(),
+                        t.column("cf").to_pylist(),
+                        t.column("term_upper_bound").to_pylist())
+            else:
+                # remote warehouse: same one-shot load via a Spark scan
+                rows = self.lexicon.select(
+                    "term", "df", "cf", "term_upper_bound").collect()
+                cols = zip(*[(r[0], r[1], r[2], r[3]) for r in rows]) \
+                    if rows else ([], [], [], [])
             self._lexicon_map = {
-                term: (df, cf, tub) for term, df, cf, tub in zip(
-                    t.column("term").to_pylist(),
-                    t.column("df").to_pylist(),
-                    t.column("cf").to_pylist(),
-                    t.column("term_upper_bound").to_pylist())}
+                term: (df, cf, tub)
+                for term, df, cf, tub in zip(*cols)}
         return self._lexicon_map
 
     # -- table handles (column-pruned scans) ---------------------------
@@ -591,7 +599,8 @@ class InvertedIndex:
         ``groupBy(qid, doc_id)`` accumulates BM25, and a per-qid window
         applies the reference top-k semantics (min docId per distinct
         score, score-descending, k). Returns a DataFrame
-        (qid, rank, doc_no, score).
+        (qid, rank, doc_no, score); qid is a long column when every
+        input qid is an int, a string column otherwise.
 
         ``queries``: [(qid, "[AND|OR] t1 … tN")]. Unknown terms follow
         the reference (AND → no results for that qid, OR → skipped);
@@ -605,6 +614,16 @@ class InvertedIndex:
         """
         from pyspark.sql import Window
         from pyspark.sql import functions as F
+
+        # qid column type follows the caller: all-int qids come back as
+        # longs (joinable against the caller's keys); anything else is
+        # coerced to string
+        qids_in = [qid for qid, _ in queries]
+        int_qids = bool(qids_in) and all(
+            isinstance(q, int) and not isinstance(q, bool)
+            for q in qids_in)
+        qid_t = "long" if int_qids else "string"
+        coerce = (lambda q: q) if int_qids else str
 
         prepped = []
         for qid, q in queries:
@@ -623,12 +642,12 @@ class InvertedIndex:
                                and len(present) < len(terms)):
                 continue
             for t in present:
-                parsed.append((str(qid), t, qtype, len(present)))
+                parsed.append((coerce(qid), t, qtype, len(present)))
         if not parsed:
             return self.spark.createDataFrame(
-                [], "qid string, rank int, doc_no string, score double")
+                [], f"qid {qid_t}, rank int, doc_no string, score double")
         qterms = self.spark.createDataFrame(
-            parsed, "qid string, term string, qtype string, n_terms int")
+            parsed, f"qid {qid_t}, term string, qtype string, n_terms int")
         all_terms = {p[1] for p in parsed}
         exploded = self.decoded_postings_df(all_terms)
         scored = (exploded.join(F.broadcast(qterms), "term")

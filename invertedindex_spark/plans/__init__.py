@@ -53,6 +53,24 @@ def assert_column_pruned(df, column: str) -> None:
             f"column {column!r} not pruned from scan: {s}")
 
 
+def partition_filters(df) -> list[str]:
+    """PartitionFilters clause of every parquet scan in the plan."""
+    out = []
+    for chunk in physical_plan(df).split("PartitionFilters: ")[1:]:
+        out.append(chunk.splitlines()[0])
+    return out
+
+
+def assert_partition_pruned(df, fragment: str) -> None:
+    """Fail unless some scan's PartitionFilters mentions ``fragment``
+    (a partition column constrained to specific values — the scan then
+    lists only those directories instead of the whole table)."""
+    filters = partition_filters(df)
+    assert any(fragment in f for f in filters), (
+        f"no partition filter mentioning {fragment!r}; "
+        f"PartitionFilters: {filters}")
+
+
 def assert_filter_pushed(df, fragment: str) -> None:
     """Fail unless some scan's PushedFilters mentions ``fragment``
     (e.g. a column name of an In/EqualTo predicate)."""

@@ -42,6 +42,34 @@ from ..sources.corpus import Corpus
 __all__ = ["start_incremental_build", "append_batch", "compact"]
 
 
+def _resolve_cfg(manifest: dict, cfg: B.IndexConfig | None) -> B.IndexConfig:
+    """Resolve the effective IndexConfig for a warehouse operation.
+
+    ``cfg=None`` inherits the warehouse's recorded config (so a
+    compaction never silently re-encodes a pfd warehouse as vbyte);
+    an explicit cfg must agree with the recorded pipeline-defining
+    fields — mixing codecs or tokenization settings across blocks
+    would corrupt the index, so mismatches fail fast.
+    """
+    import dataclasses
+
+    recorded = manifest.get("config") or {}
+    known = {f.name for f in dataclasses.fields(B.IndexConfig)}
+    if cfg is None:
+        return B.IndexConfig(**{k: v for k, v in recorded.items()
+                                if k in known})
+    if recorded:
+        for f in ("codec", "stopwords", "stemming", "truncate"):
+            want = getattr(cfg, f)
+            have = recorded.get(f, getattr(B.IndexConfig(), f))
+            if want != have:
+                raise ValueError(
+                    f"config mismatch on {f!r}: warehouse was built with "
+                    f"{have!r} but {want!r} was requested — pass cfg=None "
+                    "to inherit the warehouse config, or rebuild")
+    return cfg
+
+
 def append_batch(spark, corpus_batch: Corpus, warehouse_dir: str,
                  cfg: B.IndexConfig | None = None,
                  blocks_per_batch: int | None = None) -> dict:
@@ -51,8 +79,8 @@ def append_batch(spark, corpus_batch: Corpus, warehouse_dir: str,
     from pyspark import StorageLevel
     from pyspark.sql import functions as F
 
-    cfg = cfg or B.IndexConfig()
     manifest = B.read_manifest(warehouse_dir)
+    cfg = _resolve_cfg(manifest, cfg)
     state = manifest.setdefault("stream", {"next_doc_id": 0,
                                            "next_block_id": 0,
                                            "num_docs": 0, "num_tokens": 0})
@@ -86,14 +114,22 @@ def append_batch(spark, corpus_batch: Corpus, warehouse_dir: str,
     block_base = state["next_block_id"]
     partials = partials.withColumn(
         "block_id", (F.col("block_id") + F.lit(block_base)).cast("int"))
+    # appending v2 blocks next to stale-format ones would make the
+    # partials table mixed-schema — fail before writing
+    B.check_partials_format(manifest, strict=True)
     partials.write.mode("append").partitionBy("block_id") \
         .parquet(paths["partials"])
+    manifest["partials_format"] = B.PARTIALS_FORMAT_VERSION
+    manifest["stages"] = manifest.get("stages") or {}
+    manifest["stages"]["partials"] = {"done": True}
     raw.unpersist()
 
     state["next_doc_id"] = base + num_docs
     state["next_block_id"] = block_base + n_blocks
     state["num_docs"] = tot_docs
     state["num_tokens"] = tot_tokens
+    from dataclasses import asdict
+    manifest["config"] = {**manifest.get("config", {}), **asdict(cfg)}
     manifest["stats"] = {"num_docs": tot_docs, "num_tokens": tot_tokens,
                          "avg_doc_len": avg}
     (spark.range(1)
@@ -116,8 +152,11 @@ def compact(spark, warehouse_dir: str,
     """
     from pyspark.sql import functions as F
 
-    cfg = cfg or B.IndexConfig()
     manifest = B.read_manifest(warehouse_dir)
+    cfg = _resolve_cfg(manifest, cfg)
+    # compaction cannot regenerate partials (the corpus batches are
+    # gone) — a stale block format must fail loudly, not decode garbage
+    B.check_partials_format(manifest, strict=True)
     stats = manifest["stats"]
     paths = {n: os.path.join(warehouse_dir, n)
              for n in ("partials", "lexicon", "postings")}
@@ -127,9 +166,10 @@ def compact(spark, warehouse_dir: str,
     # against the *current* collection stats, so the compacted index is
     # identical to a from-scratch batch build over everything ingested
     avg = float(stats["avg_doc_len"])
+    n_merge = B.auto_merge_partitions(
+        paths["partials"], spark.sparkContext.defaultParallelism, cfg)
     merged = B._merge_partials(
-        partials, cfg, stats["num_docs"], avg,
-        num_partitions=spark.sparkContext.defaultParallelism)
+        partials, cfg, stats["num_docs"], avg, num_partitions=n_merge)
     merged.write.mode("overwrite").parquet(paths["postings"])
     lex = (spark.read.parquet(paths["postings"])
            .select("term", "df", "cf", "term_upper_bound")
@@ -139,9 +179,8 @@ def compact(spark, warehouse_dir: str,
     lex.write.mode("overwrite").parquet(paths["lexicon"])
     for s in ("docs", "stats", "partials", "lexicon", "postings"):
         manifest["stages"][s] = {"done": True}
-    manifest["config"] = {**manifest.get("config", {}),
-                          "stopwords": cfg.stopwords,
-                          "stemming": cfg.stemming}
+    from dataclasses import asdict
+    manifest["config"] = {**manifest.get("config", {}), **asdict(cfg)}
     B._save_manifest(warehouse_dir, manifest)
     return manifest
 

@@ -152,11 +152,11 @@ def test_batch_distributed_matches_sequential(built):
     want = idx.batch_search(batch, k=10)
     got = [(r["qid"], r["rank"], r["doc_no"], r["score"])
            for r in idx.batch_search_distributed(batch, k=10).collect()]
-    want_keyed = [(str(qid), rank, doc_no) for qid, rank, doc_no, _s
-                  in want]
+    # int qids must come back as ints (joinable) — no str normalization
+    want_keyed = [(qid, rank, doc_no) for qid, rank, doc_no, _s in want]
     got_keyed = [(qid, rank, doc_no) for qid, rank, doc_no, _s in got]
     assert sorted(got_keyed) == sorted(want_keyed)
-    want_scores = {(str(q), r): s for q, r, _d, s in want}
+    want_scores = {(q, r): s for q, r, _d, s in want}
     for qid, rank, _d, s in got:
         assert s == pytest.approx(want_scores[(qid, rank)], rel=1e-12)
 

@@ -105,3 +105,85 @@ def test_bpe_pattern_portable_to_re2():
         dd = con.execute(
             "select regexp_extract_all(?, ?)", [s, BPE_PATTERN]).fetchone()[0]
         assert py == dd, s
+
+
+# ---------------------------------------------------------------------
+# persisted bucketized ANN serving layout
+# ---------------------------------------------------------------------
+
+def _planes(n_planes=6, dim=64, seed=7):
+    import random
+    rng = random.Random(seed)
+    return [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def test_bucketized_ann_matches_onthefly(spark, sf0001_dir, tmp_path):
+    """lsh_topk_bucketed over a persisted layout must return exactly the
+    on-the-fly lsh_topk results (same planes, probes=1)."""
+    from invertedindex_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf0001_dir}/embeddings.parquet")
+    planes = _planes()
+    q = [float(x) for x in emb.where("vec_id = 0")
+         .collect()[0]["embedding"]]
+    path = str(tmp_path / "ann_buckets")
+    S.bucketize_table(emb, planes, path)
+
+    want = [(r.vec_id, r.cos) for r in
+            S.lsh_topk(emb, planes, q, k=10, exclude_id=0).collect()]
+    got = [(r.vec_id, r.cos) for r in
+           S.lsh_topk_bucketed(spark, path, planes, q, k=10,
+                               exclude_id=0).collect()]
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for (gi, gc), (wi, wc) in zip(got, want):
+        assert gc == pytest.approx(wc, rel=1e-12)
+
+
+def test_bucketized_scan_prunes_partitions(spark, sf0001_dir, tmp_path):
+    """The serving query must list only its probe buckets' partition
+    directories — asserted on the physical plan's PartitionFilters."""
+    from invertedindex_spark.operators import similarity as S
+    from invertedindex_spark.plans import (
+        assert_partition_pruned, partition_filters,
+    )
+
+    emb = spark.read.parquet(f"{sf0001_dir}/embeddings.parquet")
+    planes = _planes()
+    q = [float(x) for x in emb.where("vec_id = 0")
+         .collect()[0]["embedding"]]
+    path = str(tmp_path / "ann_buckets")
+    S.bucketize_table(emb, planes, path)
+    df = S.lsh_topk_bucketed(spark, path, planes, q, k=10, exclude_id=0)
+    assert_partition_pruned(df, "bucket")
+    # and the filter constrains to concrete values, not just isnotnull
+    assert any("bucket" in f and ("IN" in f or "=" in f or "in(" in f)
+               for f in partition_filters(df)), partition_filters(df)
+
+
+def test_multiprobe_dominates_single_probe(spark, sf0001_dir, tmp_path):
+    """probes=4 searches a superset of probes=1's candidates, so its
+    top-k scores dominate rank-by-rank and approach the brute-force
+    answer."""
+    from invertedindex_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf0001_dir}/embeddings.parquet")
+    planes = _planes()
+    q = [float(x) for x in emb.where("vec_id = 0")
+         .collect()[0]["embedding"]]
+    path = str(tmp_path / "ann_buckets")
+    S.bucketize_table(emb, planes, path)
+
+    p1 = [r.cos for r in S.lsh_topk_bucketed(
+        spark, path, planes, q, k=5, exclude_id=0).collect()]
+    p4 = [r.cos for r in S.lsh_topk_bucketed(
+        spark, path, planes, q, k=5, exclude_id=0, probes=4).collect()]
+    assert len(p4) >= len(p1)
+    for a, b in zip(p4, p1):
+        assert a >= b - 1e-12
+    # probe list: own bucket first, then Hamming-1 neighbors
+    probes = S.probe_buckets(planes, q, probes=4)
+    assert len(probes) == 4 and len(set(probes)) == 4
+    qb = S.query_bucket(planes, q)
+    assert probes[0] == qb
+    for nb in probes[1:]:
+        assert bin(nb ^ qb).count("1") == 1

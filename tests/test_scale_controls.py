@@ -1,0 +1,109 @@
+"""Scale-control mechanics: merge-partition auto-sizing bounds task
+memory independent of input size, and the partials format version
+prevents decoding stale-format blocks (silent-garbage class of bug).
+"""
+
+import json
+import os
+
+import pytest
+
+from invertedindex_spark import IndexConfig, InvertedIndex, build_index, corpus
+from invertedindex_spark.operators import build as B
+from invertedindex_spark.streaming import compact
+
+N = 200
+QUERY = "OR hotterm quick optimization"
+
+
+def _build(spark, tmp_path, name, **cfg_kw):
+    wh = str(tmp_path / name)
+    rows = corpus.synthesize_source_code_rows(N, seed=42)
+    df = spark.createDataFrame(rows, corpus._CORPUS_SCHEMA)
+    cfg = IndexConfig(num_blocks=2, **cfg_kw)
+    m = build_index(spark, corpus.from_source_code(df), wh, cfg)
+    return wh, m
+
+
+def test_merge_auto_sizing_bounds_tasks_and_preserves_results(
+        spark, tmp_path):
+    """A tiny per-task byte budget must raise the merge partition count
+    above num_blocks — and change nothing about the results."""
+    wh_ref, m_ref = _build(spark, tmp_path, "ref")
+    wh_tiny, m_tiny = _build(spark, tmp_path, "tiny",
+                             merge_target_bytes=2048)
+    assert m_ref["metrics"]["merge_partitions"] == 2
+    assert m_tiny["metrics"]["merge_partitions"] > 2
+
+    ref = InvertedIndex(spark, wh_ref)
+    tiny = InvertedIndex(spark, wh_tiny)
+    want = ref.search(QUERY, 10)
+    got = tiny.search(QUERY, 10)
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, rel=1e-12)
+    # and the physical partition count actually grew
+    n_parts = (spark.read.parquet(f"{wh_tiny}/postings")
+               .rdd.getNumPartitions())
+    assert n_parts > 2
+
+
+def _stamp_format(wh, ver):
+    p = os.path.join(wh, "_manifest.json")
+    with open(p) as f:
+        m = json.load(f)
+    if ver is None:
+        m.pop("partials_format", None)
+    else:
+        m["partials_format"] = ver
+    with open(p, "w") as f:
+        json.dump(m, f)
+
+
+def test_partials_format_recorded_and_checked(spark, tmp_path):
+    wh, m = _build(spark, tmp_path, "fmt")
+    assert m["partials_format"] == B.PARTIALS_FORMAT_VERSION
+
+    # compaction has no corpus to rebuild from -> strict failure
+    _stamp_format(wh, 1)
+    with pytest.raises(ValueError, match="format"):
+        compact(spark, wh)
+
+    # batch resume CAN rebuild: a stale marker restarts the pipeline
+    rows = corpus.synthesize_source_code_rows(N, seed=42)
+    df = spark.createDataFrame(rows, corpus._CORPUS_SCHEMA)
+    m2 = build_index(spark, corpus.from_source_code(df), wh,
+                     IndexConfig(num_blocks=2), resume=True)
+    assert m2["partials_format"] == B.PARTIALS_FORMAT_VERSION
+    idx = InvertedIndex(spark, wh)
+    assert idx.search(QUERY, 10)
+
+    # a pre-marker warehouse (no field at all) is also treated as stale
+    _stamp_format(wh, None)
+    with pytest.raises(ValueError, match="format"):
+        compact(spark, wh)
+
+
+def test_compact_inherits_warehouse_codec(spark, tmp_path):
+    """compact(cfg=None) must keep the warehouse codec instead of
+    silently re-encoding pfd postings as vbyte (manifest/codec
+    mismatch -> garbage decodes)."""
+    from invertedindex_spark.streaming import append_batch
+
+    wh = str(tmp_path / "pfd_wh")
+    rows = sorted(corpus.synthesize_source_code_rows(N, seed=42),
+                  key=lambda x: (x[0], x[1], x[2]))
+    cfg = IndexConfig(num_blocks=2, codec="pfd")
+    for lo in range(0, N, 100):
+        df = spark.createDataFrame(rows[lo:lo + 100],
+                                   corpus._CORPUS_SCHEMA)
+        append_batch(spark, corpus.from_source_code(df), wh, cfg,
+                     blocks_per_batch=2)
+    m = compact(spark, wh)  # cfg=None -> inherit
+    assert m["config"]["codec"] == "pfd"
+    idx = InvertedIndex(spark, wh)
+    assert idx.search(QUERY, 10)
+
+    # an explicit conflicting cfg fails fast instead of mixing codecs
+    with pytest.raises(ValueError, match="codec"):
+        compact(spark, wh, IndexConfig(num_blocks=2, codec="vbyte"))
