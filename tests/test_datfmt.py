@@ -103,3 +103,72 @@ def test_long_docno_rejected(spark, tmp_path):
     build_index(spark, c, wh, IndexConfig(num_blocks=2))
     with pytest.raises(ValueError, match="exceeds 30 bytes"):
         datfmt.export_dat(wh, str(tmp_path / "dat"))
+
+
+# ---------------------------------------------------------------------
+# textual debug sink (TextualIndexer.java:21-80)
+# ---------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def exported_txt(exported, tmp_path_factory):
+    spark, wh, _out, _sizes = exported
+    out = str(tmp_path_factory.mktemp("txt"))
+    datfmt.export_txt(wh, out)
+    return spark, wh, out
+
+
+def test_txt_lexicon_roundtrip(exported_txt):
+    spark, wh, out = exported_txt
+    disk = datfmt.read_lexicon_txt(out)
+    lex = {r["term"]: (r["df"], r["cf"]) for r in
+           spark.read.parquet(f"{wh}/lexicon").collect()}
+    assert [e["term"] for e in disk] == sorted(lex)  # TreeMap order
+    for e in disk:
+        assert (e["df"], e["cf"]) == lex[e["term"]]
+
+
+def test_txt_postings_roundtrip(exported_txt):
+    """The decoded text postings must equal the logical posting lists
+    (absolute ascending docIds, aligned tfs, df/cf consistent)."""
+    from invertedindex_spark import InvertedIndex
+
+    spark, wh, out = exported_txt
+    disk_lex = datfmt.read_lexicon_txt(out)
+    disk_posts = datfmt.read_postings_txt(out)
+    assert len(disk_lex) == len(disk_posts)
+    idx = InvertedIndex(spark, wh)
+    want = {}
+    for r in idx.decoded_postings_df().collect():
+        want.setdefault(r["term"], []).append((r["doc_id"], r["tf"]))
+    for e, (ids, tfs) in zip(disk_lex, disk_posts):
+        pairs = sorted(want[e["term"]])
+        assert ids == [d for d, _ in pairs], e["term"]
+        assert tfs == [t for _, t in pairs], e["term"]
+        assert e["df"] == len(ids) and e["cf"] == sum(tfs)
+        assert ids == sorted(ids)
+
+
+def test_txt_doc_table_roundtrip(exported_txt):
+    spark, wh, out = exported_txt
+    disk = datfmt.read_doc_table_txt(out)
+    rows = spark.read.parquet(f"{wh}/docs").orderBy("doc_id").collect()
+    assert [(d, n, l) for d, n, l in disk] == \
+        [(r["doc_id"], r["doc_no"], r["doc_len"]) for r in rows]
+
+
+def test_txt_export_supports_pfd(spark, tmp_path):
+    """The textual sink decodes, so it must work where .dat cannot."""
+    wh = str(tmp_path / "pfd")
+    rows = corpus.synthesize_source_code_rows(120, seed=42)
+    df = spark.createDataFrame(rows, corpus._CORPUS_SCHEMA)
+    build_index(spark, corpus.from_source_code(df), wh,
+                IndexConfig(num_blocks=2, codec="pfd"))
+    with pytest.raises(ValueError):
+        datfmt.export_dat(wh, str(tmp_path / "dat"))
+    out = str(tmp_path / "txt")
+    datfmt.export_txt(wh, out)
+    lex = datfmt.read_lexicon_txt(out)
+    posts = datfmt.read_postings_txt(out)
+    assert len(lex) == len(posts) > 0
+    for e, (ids, tfs) in zip(lex, posts):
+        assert e["df"] == len(ids) and e["cf"] == sum(tfs)
