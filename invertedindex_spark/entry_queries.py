@@ -766,6 +766,71 @@ ORDER BY list_cosine_similarity(embedding::DOUBLE[], {lit}) DESC, vec_id ASC
 LIMIT {K}"""
 
 
+IVF_K, IVF_NPROBE, IVF_TRAIN, IVF_SEED = 8, 2, 256, 7
+
+_IVF_CENTROIDS: dict[str, list] = {}
+
+
+def _ivf_centroids(sf_dir):
+    """Deterministic IVF coarse quantizer for a scale's embeddings:
+    spherical k-means on the first IVF_TRAIN vectors (pure NumPy, fixed
+    seed/iters) — identical on the Spark and oracle sides, so the
+    centroids embed as SQL literals."""
+    if sf_dir not in _IVF_CENTROIDS:
+        import pyarrow.parquet as pq
+
+        from .operators.similarity import kmeans_centroids
+
+        t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+        order = sorted(range(t.num_rows),
+                       key=t.column("vec_id").to_pylist().__getitem__)
+        vecs = [t.column("embedding")[i].as_py()
+                for i in order[:IVF_TRAIN]]
+        cent = kmeans_centroids(vecs, IVF_K, iters=5, seed=IVF_SEED)
+        _IVF_CENTROIDS[sf_dir] = [[float(x) for x in c] for c in cent]
+    return _IVF_CENTROIDS[sf_dir]
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN (coarse-quantizer scale path, the LSH alternative):
+    k-means cluster assignment in one vectorized pass, candidates from
+    the query's nprobe nearest clusters only."""
+    from pyspark.sql import functions as F
+    from .operators.similarity import ivf_topk
+    q = _query_vec(spark, sf_dir)
+    cent = _ivf_centroids(sf_dir)
+    top = ivf_topk(_emb_df(spark, sf_dir), cent, q, K,
+                   nprobe=IVF_NPROBE, exclude_id=0)
+    return top.select("vec_id", _u6(F.col("cos")).alias("cos_u6"))
+
+
+def sql_ann_ivf_topk(q, centroids):
+    lit = _qvec_sql_literal(q)
+    dots = ", ".join(f"list_dot_product(v, {_qvec_sql_literal(c)})"
+                     for c in centroids)
+    import numpy as np
+    cent = np.asarray(centroids, dtype=np.float64)
+    qv = np.asarray(q, dtype=np.float64)
+    probe = [int(x) for x in np.argsort(-(cent @ qv),
+                                        kind="stable")[:IVF_NPROBE]]
+    plist = ", ".join(map(str, probe))
+    # list_position returns the FIRST index of the max (1-based) —
+    # exactly numpy argmax's first-max-wins tie-break
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+d AS (SELECT vec_id, v, [{dots}] AS dots FROM e),
+a AS (SELECT vec_id, v,
+        list_position(dots, list_aggregate(dots, 'max')) - 1 AS cluster
+      FROM d)
+SELECT vec_id,
+       CAST(round(1e6 * list_cosine_similarity(v, {lit})) AS BIGINT)
+         AS cos_u6
+FROM a WHERE cluster IN ({plist}) AND vec_id <> 0
+ORDER BY list_cosine_similarity(v, {lit}) DESC, vec_id ASC
+LIMIT {K}"""
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (dedup family): multi-table
     hyperplane-LSH candidate generation + exact cosine >= threshold."""
@@ -942,6 +1007,7 @@ def all_queries():
         "ann_cosine_topk": q_ann_cosine_topk,
         "lsh_buckets": q_lsh_buckets,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "vbyte_roundtrip": q_vbyte_roundtrip,
         "multimodal_features": q_multimodal_features,
     }
@@ -982,6 +1048,9 @@ def all_oracle_sql(query_vec=None, sf_dir=None):
     if query_vec is not None:
         out["ann_cosine_topk"] = sql_ann_cosine_topk(query_vec)
         out["ann_lsh_topk"] = sql_ann_lsh_topk(query_vec)
+    if query_vec is not None and sf_dir is not None:
+        out["ann_ivf_topk"] = sql_ann_ivf_topk(query_vec,
+                                               _ivf_centroids(sf_dir))
     if sf_dir is not None:
         out["stem_on_topk_or"] = _python_oracle_topk_values(
             sf_dir, "OR " + " ".join(OR_TERMS))

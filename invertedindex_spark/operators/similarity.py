@@ -145,6 +145,114 @@ def lsh_topk(df, planes, q: list[float], k: int = 10,
     return cosine_topk(cand, q, k, id_col, exclude_id)
 
 
+# ---------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+# ---------------------------------------------------------------------
+
+def kmeans_centroids(vecs, k: int, iters: int = 10, seed: int = 7):
+    """Deterministic spherical k-means (Lloyd) over a driver-side
+    training sample — the standard IVF recipe: train the coarse
+    quantizer on a small sample (what faiss does at scale), assign the
+    full table distributively. Returns L2-normalized centroids
+    (argmax dot == argmax cosine for assignment). Pure NumPy float64,
+    seeded init, fixed iteration count — bit-reproducible, so DuckDB
+    oracles can embed the centroids as literals."""
+    import numpy as np
+
+    v = np.asarray(vecs, dtype=np.float64)
+    v = v / np.linalg.norm(v, axis=1, keepdims=True)
+    rng = np.random.RandomState(seed)
+    cent = v[rng.choice(len(v), size=k, replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(v @ cent.T, axis=1)
+        for j in range(k):
+            m = assign == j
+            if m.any():
+                c = v[m].mean(axis=0)
+                n = np.linalg.norm(c)
+                if n > 0:
+                    cent[j] = c / n
+    return cent
+
+
+def ivf_assign(df, centroids, id_col: str = "vec_id",
+               emb_col: str = "embedding"):
+    """(id, embedding, cluster): nearest-centroid assignment in one
+    vectorized Arrow pass — a single (n, dim) x (dim, k) matmul per
+    batch, narrow (no shuffle)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    cent = np.asarray(centroids, dtype=np.float64)
+
+    def assign(iterator):
+        import pyarrow as pa
+
+        for batch in iterator:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            emb = batch.column("emb")
+            mat = np.asarray(emb.flatten().to_numpy(zero_copy_only=False),
+                             dtype=np.float64).reshape(n, -1)
+            cl = np.argmax(mat @ cent.T, axis=1).astype(np.int32)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("id"), emb, pa.array(cl)],
+                names=["id", "emb", "cluster"])
+
+    out = (df.select(F.col(id_col).alias("id"), F.col(emb_col).alias("emb"))
+           .mapInArrow(assign,
+                       "id long, emb array<float>, cluster int"))
+    return out.select(F.col("id").alias(id_col),
+                      F.col("emb").alias(emb_col), "cluster")
+
+
+def ivf_table(df, centroids, path: str, id_col: str = "vec_id",
+              emb_col: str = "embedding"):
+    """Persist the IVF layout: embeddings partitioned by cluster.
+    Queries then list only their nprobe nearest clusters' directories
+    (partition pruning), touching ~nprobe/k of the data."""
+    (ivf_assign(df, centroids, id_col, emb_col)
+     .write.mode("overwrite").partitionBy("cluster").parquet(path))
+    return path
+
+
+def query_clusters(centroids, q, nprobe: int = 1) -> list[int]:
+    """The nprobe clusters nearest to the query vector."""
+    import numpy as np
+
+    cent = np.asarray(centroids, dtype=np.float64)
+    qv = np.asarray(q, dtype=np.float64)
+    order = np.argsort(-(cent @ qv), kind="stable")
+    return [int(x) for x in order[:nprobe]]
+
+
+def ivf_topk(df, centroids, q, k: int = 10, nprobe: int = 1,
+             id_col: str = "vec_id", exclude_id=None):
+    """IVF ANN, assigning on the fly (one-shot form): score only the
+    vectors whose cluster is among the query's nprobe nearest. For a
+    serving path persist :func:`ivf_table` and use
+    :func:`ivf_topk_table` (partition-pruned scan)."""
+    from pyspark.sql import functions as F
+
+    probe = query_clusters(centroids, q, nprobe)
+    cand = (ivf_assign(df, centroids, id_col)
+            .where(F.col("cluster").isin(probe)))
+    return cosine_topk(cand, q, k, id_col, exclude_id)
+
+
+def ivf_topk_table(spark, path: str, centroids, q, k: int = 10,
+                   nprobe: int = 1, id_col: str = "vec_id",
+                   exclude_id=None):
+    """IVF ANN over a persisted :func:`ivf_table` layout."""
+    from pyspark.sql import functions as F
+
+    probe = query_clusters(centroids, q, nprobe)
+    cand = (spark.read.parquet(path)
+            .where(F.col("cluster").isin(probe)))
+    return cosine_topk(cand, q, k, id_col, exclude_id)
+
+
 def cosine_pair_col(a_col: str, b_col: str):
     """cosine(a, b) between two array columns — pure-JVM expression."""
     from pyspark.sql import functions as F

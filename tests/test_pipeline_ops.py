@@ -187,3 +187,73 @@ def test_multiprobe_dominates_single_probe(spark, sf0001_dir, tmp_path):
     assert probes[0] == qb
     for nb in probes[1:]:
         assert bin(nb ^ qb).count("1") == 1
+
+
+# ---------------------------------------------------------------------
+# IVF ANN (coarse-quantizer scale path)
+# ---------------------------------------------------------------------
+
+def test_ivf_table_matches_onthefly_and_prunes(spark, sf0001_dir,
+                                               tmp_path):
+    from invertedindex_spark.operators import similarity as S
+    from invertedindex_spark.plans import assert_partition_pruned
+
+    emb = spark.read.parquet(f"{sf0001_dir}/embeddings.parquet")
+    sample = [r["embedding"] for r in
+              emb.orderBy("vec_id").limit(64).collect()]
+    cent = S.kmeans_centroids(sample, k=4, iters=5, seed=7)
+    q = [float(x) for x in emb.where("vec_id = 0")
+         .collect()[0]["embedding"]]
+
+    want = [(r.vec_id, r.cos) for r in
+            S.ivf_topk(emb, cent, q, k=10, nprobe=2,
+                       exclude_id=0).collect()]
+    path = str(tmp_path / "ivf")
+    S.ivf_table(emb, cent, path)
+    df = S.ivf_topk_table(spark, path, cent, q, k=10, nprobe=2,
+                          exclude_id=0)
+    got = [(r.vec_id, r.cos) for r in df.collect()]
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for (gi, gc), (wi, wc) in zip(got, want):
+        assert gc == pytest.approx(wc, rel=1e-12)
+    assert_partition_pruned(df, "cluster")
+
+
+def test_ivf_nprobe_dominates_and_converges_to_exact(spark, sf0001_dir):
+    """More probes -> candidate superset -> rank-wise score dominance;
+    nprobe=k recovers the exact brute-force answer."""
+    from invertedindex_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf0001_dir}/embeddings.parquet")
+    sample = [r["embedding"] for r in
+              emb.orderBy("vec_id").limit(64).collect()]
+    K_CL = 4
+    cent = S.kmeans_centroids(sample, k=K_CL, iters=5, seed=7)
+    q = [float(x) for x in emb.where("vec_id = 0")
+         .collect()[0]["embedding"]]
+
+    p1 = [r.cos for r in S.ivf_topk(emb, cent, q, k=5, nprobe=1,
+                                    exclude_id=0).collect()]
+    p2 = [r.cos for r in S.ivf_topk(emb, cent, q, k=5, nprobe=2,
+                                    exclude_id=0).collect()]
+    for a, b in zip(p2, p1):
+        assert a >= b - 1e-12
+    full = [(r.vec_id, r.cos) for r in
+            S.ivf_topk(emb, cent, q, k=5, nprobe=K_CL,
+                       exclude_id=0).collect()]
+    exact = [(r.vec_id, r.cos) for r in
+             S.cosine_topk(emb, q, k=5, exclude_id=0).collect()]
+    assert [v for v, _ in full] == [v for v, _ in exact]
+
+
+def test_kmeans_deterministic():
+    import numpy as np
+    from invertedindex_spark.operators.similarity import kmeans_centroids
+
+    rng = np.random.RandomState(0)
+    vecs = rng.randn(100, 16)
+    a = kmeans_centroids(vecs, 5, iters=6, seed=3)
+    b = kmeans_centroids(list(map(list, vecs)), 5, iters=6, seed=3)
+    assert np.array_equal(a, b)
+    # centroids are unit-norm (spherical k-means)
+    assert np.allclose(np.linalg.norm(a, axis=1), 1.0)
