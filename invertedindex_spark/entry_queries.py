@@ -91,6 +91,10 @@ def _emb_df(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def _events_df(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
 def _u6(col):
     from pyspark.sql import functions as F
     return F.round(col * 1e6).cast("long")
@@ -856,6 +860,82 @@ SELECT id_a, id_b, cos_u6 FROM cand WHERE cos_u6 >= {cut}"""
 
 
 # ---------------------------------------------------------------------
+# event-stream family (windowed agg + sessionization; batch twins of
+# the streaming operators in operators/events.py)
+# ---------------------------------------------------------------------
+
+SESSION_GAP_MIN = 30
+
+
+def q_events_windowed(spark, sf_dir):
+    """Tumbling 1-hour window counts + value sums per event type — the
+    batch twin of the watermarked streaming aggregation (late-data drop
+    tested in tests/test_events.py). TIMESTAMP_NTZ end-to-end, bounds
+    emitted as strings so the hash is timezone-independent."""
+    from pyspark.sql import functions as F
+    from .operators.events import windowed_event_counts
+    out = windowed_event_counts(_events_df(spark, sf_dir), "1 hour")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("ws"),
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        _u6(F.col("value_sum")).alias("value_sum_u6"))
+
+
+def sql_events_windowed():
+    return """
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts),
+                '%Y-%m-%d %H:%M:%S') AS ws,
+       event_type, count(*) AS n,
+       CAST(round(1e6 * sum(value)) AS BIGINT) AS value_sum_u6
+FROM events GROUP BY 1, 2"""
+
+
+def q_events_sessions(spark, sf_dir):
+    """Gap-based sessionization (session_window): sessions chain events
+    within 30 min of each other; end = last event + gap."""
+    from pyspark.sql import functions as F
+    from .operators.events import sessionize
+    out = sessionize(_events_df(spark, sf_dir),
+                     gap=f"{SESSION_GAP_MIN} minutes")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return out.select(
+        "user_id",
+        F.date_format("session_start", fmt).alias("s_start"),
+        F.date_format("session_end", fmt).alias("s_end"),
+        F.col("n_events").cast("long").alias("n_events"),
+        _u6(F.col("value_sum")).alias("value_sum_u6"))
+
+
+def sql_events_sessions():
+    return f"""
+WITH g AS (
+  SELECT user_id, ts, value,
+         -- strict >: an event at exactly last+gap still merges (Spark
+         -- session_window boundary is inclusive; pinned in
+         -- tests/test_events.py)
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w
+                      > INTERVAL {SESSION_GAP_MIN} MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, ts, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS s_start,
+       strftime(max(ts) + INTERVAL {SESSION_GAP_MIN} MINUTE,
+                '%Y-%m-%d %H:%M:%S.%f') AS s_end,
+       count(*) AS n_events,
+       CAST(round(1e6 * sum(value)) AS BIGINT) AS value_sum_u6
+FROM s GROUP BY user_id, sid"""
+
+
+# ---------------------------------------------------------------------
 # token counting (whitespace + BPE-ish regex)
 # ---------------------------------------------------------------------
 
@@ -1003,6 +1083,8 @@ def all_queries():
         "embedding_near_dup": q_embedding_near_dup,
         "token_counts": q_token_counts,
         "token_stats": q_token_stats,
+        "events_windowed": q_events_windowed,
+        "events_sessions": q_events_sessions,
         "lang_id": q_lang_id,
         "ann_cosine_topk": q_ann_cosine_topk,
         "lsh_buckets": q_lsh_buckets,
@@ -1041,6 +1123,8 @@ def all_oracle_sql(query_vec=None, sf_dir=None):
         "token_counts": sql_token_counts(),
         "token_stats": sql_token_stats(),
         "lang_id": sql_lang_id(),
+        "events_windowed": sql_events_windowed(),
+        "events_sessions": sql_events_sessions(),
         "lsh_buckets": sql_lsh_buckets(),
         "vbyte_roundtrip": sql_vbyte_roundtrip(),
         "multimodal_features": sql_multimodal_features(),
