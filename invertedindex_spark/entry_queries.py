@@ -1004,6 +1004,47 @@ SELECT CAST(media_id AS BIGINT) AS media_id,
 FROM b"""
 
 
+def q_multimodal_frames(spark, sf_dir):
+    """Video frame sampling plumbing: fake media -> mapInPandas frame
+    slicing; one output row per sampled frame. The frame hash is over
+    the frame's hex form, so the DuckDB oracle reproduces it from the
+    synthesized blob hex (substr of the repeated digest)."""
+    from pyspark.sql import functions as F
+    from .operators.multimodal import sample_frames, synthesize_media
+    # 1200 media so durations (1000 + i%5000 ms) span 1..4 frames
+    media = synthesize_media(spark, 1200, seed=42, kind="video")
+    frames = sample_frames(media, every_ms=1000, max_frames=4)
+    return frames.select(
+        "media_id", "frame_idx",
+        F.length("frame").cast("long").alias("frame_len"),
+        "frame_sha256")
+
+
+def sql_multimodal_frames():
+    """synthesize_media: blob = sha256('video:42:'||i) digest repeated
+    4+i%7 times (len 32*(4+i%7)), duration 1000+i%5000 ms;
+    sample_frames(1000ms, max 4): n = min(4, dur//1000) frames of
+    step = len//n bytes each — in hex, 2x the offsets."""
+    return """
+WITH ids AS (SELECT unnest(generate_series(0, 1199)) AS media_id),
+b AS (SELECT media_id,
+        repeat(sha256('video:42:' || media_id), 4 + media_id % 7)
+          AS blob_hex,
+        32 * (4 + media_id % 7) AS blob_len,
+        1000 + media_id % 5000 AS dur
+      FROM ids),
+p AS (SELECT *, least(4, greatest(1, dur // 1000)) AS n FROM b),
+f AS (SELECT media_id, blob_hex, blob_len // n AS step,
+             unnest(generate_series(0, n - 1)) AS frame_idx
+      FROM p)
+SELECT CAST(media_id AS BIGINT) AS media_id,
+       CAST(frame_idx AS INTEGER) AS frame_idx,
+       CAST(step AS BIGINT) AS frame_len,
+       sha256(substr(blob_hex, frame_idx * step * 2 + 1, step * 2))
+         AS frame_sha256
+FROM f"""
+
+
 def q_vbyte_roundtrip(spark, sf_dir):
     """Physical-format integrity: decode payloads and re-encode; ok must
     be true for every term. The oracle pins (term, n_postings) to the
@@ -1092,6 +1133,7 @@ def all_queries():
         "ann_ivf_topk": q_ann_ivf_topk,
         "vbyte_roundtrip": q_vbyte_roundtrip,
         "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
     }
 
 
@@ -1128,6 +1170,7 @@ def all_oracle_sql(query_vec=None, sf_dir=None):
         "lsh_buckets": sql_lsh_buckets(),
         "vbyte_roundtrip": sql_vbyte_roundtrip(),
         "multimodal_features": sql_multimodal_features(),
+        "multimodal_frames": sql_multimodal_frames(),
     }
     if query_vec is not None:
         out["ann_cosine_topk"] = sql_ann_cosine_topk(query_vec)

@@ -142,8 +142,12 @@ def sample_frames(df, every_ms: int = 1000, max_frames: int = 8,
                 step = max(1, len(blob) // n)
                 for fi in range(n):
                     frame = blob[fi * step:(fi + 1) * step]
+                    # hash the hex form (injective) — string-only
+                    # sha256 engines (DuckDB oracle) can reproduce it
                     rows.append((int(mid), fi, frame,
-                                 hashlib.sha256(frame).hexdigest()))
+                                 hashlib.sha256(
+                                     frame.hex().encode("ascii"))
+                                 .hexdigest()))
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx",
                                               "frame", "frame_sha256"])
 
