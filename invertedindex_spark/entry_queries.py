@@ -860,6 +860,82 @@ SELECT id_a, id_b, cos_u6 FROM cand WHERE cos_u6 >= {cut}"""
 
 
 # ---------------------------------------------------------------------
+# corpus curation pipeline (dedup + quality + lang composed)
+# ---------------------------------------------------------------------
+
+# sits at the ~2nd percentile of the testdata quality distribution so
+# the low_quality rule is actually exercised (comparison is on
+# identical ints both sides, so the cut is engine-stable)
+MIN_QUALITY_U6 = 760_000
+KEEP_LANGS = ("en",)
+
+
+def q_corpus_clean(spark, sf_dir):
+    """End-to-end curation verdict per document (empty / exact_dup /
+    low_quality / lang / kept) — the dedup, quality-scoring and
+    language-ID operators composed into the single pass a training-data
+    pipeline runs before indexing (operators/pipeline.py). The oracle
+    checks the per-document decision, not just funnel counts."""
+    from .operators.pipeline import clean_corpus
+    return clean_corpus(_docs_df(spark, sf_dir),
+                        min_quality_u6=MIN_QUALITY_U6,
+                        keep_langs=KEEP_LANGS)
+
+
+def sql_corpus_clean():
+    toks = tokens_sql("text")
+    sw = stopword_array_sql()
+    from .operators.textstats import LANG_MARKERS
+    langs = sorted(LANG_MARKERS)
+    counts = ", ".join(
+        "len(list_filter(tokens, x -> list_contains(["
+        + ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+        + f"], x))) AS c_{lang}" for lang in langs)
+    best = "greatest(" + ", ".join(f"c_{l}" for l in langs) + ")"
+    pred = "'unknown'"
+    for lang in reversed(langs):
+        pred = (f"CASE WHEN c_{lang} = {best} AND {best} > 0 "
+                f"THEN '{lang}' ELSE {pred} END")
+    keep = ", ".join(f"'{l}'" for l in KEEP_LANGS)
+    return f"""
+WITH t AS (
+  SELECT doc_id, text,
+         CASE WHEN text IS NULL OR length(text) = 0 THEN NULL
+              ELSE {toks} END AS tokens,
+         CASE WHEN text IS NULL OR length(text) = 0 THEN NULL
+              ELSE sha256(text) END AS sha
+  FROM documents
+), k AS (
+  SELECT *, min(doc_id) OVER (PARTITION BY sha) AS keep_id FROM t
+), m AS (
+  SELECT doc_id, text, keep_id, tokens,
+         len(tokens) AS n_tokens,
+         len(list_filter(tokens, x -> NOT list_contains({sw}, x)))
+           AS n_terms,
+         length(text) - length(regexp_replace(text, '[^a-zA-Z0-9]',
+                                              '', 'g')) AS n_sep,
+         {counts}
+  FROM k
+), q AS (
+  SELECT *,
+         CAST(round(1e6 * (
+             0.5 * (CAST(n_terms AS DOUBLE) / n_tokens)
+           + 0.3 * (1.0 - CAST(n_sep AS DOUBLE) / length(text))
+           + 0.2 * least(1.0, CAST(n_terms AS DOUBLE) / 50.0)))
+           AS BIGINT) AS quality_u6,
+         {pred} AS pred_lang
+  FROM m
+)
+SELECT doc_id,
+       CASE WHEN text IS NULL OR length(text) = 0 THEN 'empty'
+            WHEN doc_id <> keep_id THEN 'exact_dup'
+            WHEN quality_u6 < {MIN_QUALITY_U6} THEN 'low_quality'
+            WHEN pred_lang NOT IN ({keep}) THEN 'lang'
+            ELSE 'kept' END AS reason
+FROM q"""
+
+
+# ---------------------------------------------------------------------
 # event-stream family (windowed agg + sessionization; batch twins of
 # the streaming operators in operators/events.py)
 # ---------------------------------------------------------------------
@@ -1126,6 +1202,7 @@ def all_queries():
         "token_stats": q_token_stats,
         "events_windowed": q_events_windowed,
         "events_sessions": q_events_sessions,
+        "corpus_clean": q_corpus_clean,
         "lang_id": q_lang_id,
         "ann_cosine_topk": q_ann_cosine_topk,
         "lsh_buckets": q_lsh_buckets,
@@ -1167,6 +1244,7 @@ def all_oracle_sql(query_vec=None, sf_dir=None):
         "lang_id": sql_lang_id(),
         "events_windowed": sql_events_windowed(),
         "events_sessions": sql_events_sessions(),
+        "corpus_clean": sql_corpus_clean(),
         "lsh_buckets": sql_lsh_buckets(),
         "vbyte_roundtrip": sql_vbyte_roundtrip(),
         "multimodal_features": sql_multimodal_features(),

@@ -1,0 +1,97 @@
+"""End-to-end corpus curation: the dedup / quality / language operators
+composed into the single cleaning pass a training-data pipeline runs
+before indexing or tokenizing.
+
+Every document gets exactly one verdict (first matching rule wins):
+
+1. ``empty``       — null/zero-length text (the indexer's malformed-line
+                     policy, applied up front);
+2. ``exact_dup``   — identical text already kept under a lower doc_id
+                     (sha256 groups, keep-first — same rule as
+                     :func:`operators.dedup.exact_dedup`);
+3. ``low_quality`` — composite quality score (stopword/punctuation/
+                     length profile, :func:`operators.textstats.token_stats`)
+                     below threshold;
+4. ``lang``        — predicted language not in the keep set
+                     (:func:`operators.textstats.lang_id` markers);
+5. ``kept``.
+
+Scale shape: ONE scan computes sha256 + tokens + quality + language as
+column expressions; the only exchange is the hash shuffle on
+``content_sha256`` for the keep-first window (at 100 TB: shuffle of
+(sha, doc_id) pairs — payload-free). Everything else is narrow JVM
+expression work. The whole verdict column is DuckDB-expressible, so the
+driver checks the per-document decision, not just counts.
+"""
+
+from __future__ import annotations
+
+DEFAULT_MIN_QUALITY_U6 = 450_000   # quality < 0.45 → low_quality
+
+
+def clean_corpus(df, min_quality_u6: int = DEFAULT_MIN_QUALITY_U6,
+                 keep_langs: tuple = ("en",)):
+    """documents(doc_id, text) → (doc_id, reason) for every row."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..functions.textproc import STOPWORDS, tokens_col
+    from .textstats import LANG_MARKERS
+
+    base = df.select("doc_id", "text")
+    empty = F.col("text").isNull() | (F.length("text") == 0)
+
+    t = base.withColumn(
+        "tokens", F.when(~empty, tokens_col(F.col("text"))))
+    t = t.withColumn("sha",
+                     F.when(~empty, F.sha2(F.col("text"), 256)))
+    # keep-first inside each identical-text group; empties excluded
+    w = Window.partitionBy("sha")
+    t = t.withColumn("keep_id", F.min("doc_id").over(w))
+
+    n_tokens = F.size("tokens")
+    n_terms = F.size(F.filter("tokens", lambda x: ~x.isin(*STOPWORDS)))
+    n_sep = (F.length("text")
+             - F.length(F.regexp_replace("text", "[^a-zA-Z0-9]", "")))
+    # written as 0.5*term_ratio (not 0.5*(1-stop_ratio)): the oracle
+    # computes the same arithmetic shape, so no 1-ulp drift can flip a
+    # document across the threshold
+    punct_ratio = n_sep / F.length("text")
+    quality = (0.5 * (n_terms / n_tokens) + 0.3 * (1.0 - punct_ratio)
+               + 0.2 * F.least(F.lit(1.0), n_terms / 50.0))
+    quality_u6 = F.round(quality * 1e6).cast("long")
+
+    langs = sorted(LANG_MARKERS)
+    counts = {
+        lang: F.size(F.filter(
+            "tokens", (lambda m: lambda x: x.isin(*m))(
+                LANG_MARKERS[lang])))
+        for lang in langs}
+    best = F.greatest(*counts.values())
+    pred = F.lit("unknown")
+    for lang in reversed(langs):
+        pred = F.when((counts[lang] == best) & (best > 0),
+                      F.lit(lang)).otherwise(pred)
+
+    reason = (F.when(empty, "empty")
+              .when(F.col("doc_id") != F.col("keep_id"), "exact_dup")
+              .when(quality_u6 < min_quality_u6, "low_quality")
+              .when(~pred.isin(*keep_langs), "lang")
+              .otherwise("kept"))
+    return t.select("doc_id", reason.alias("reason"))
+
+
+def kept_documents(df, **kw):
+    """The cleaned corpus: documents whose verdict is ``kept`` — feed
+    straight into ``corpus.from_documents`` / ``build_index``."""
+    verdicts = clean_corpus(df, **kw)
+    return (df.join(verdicts.where("reason = 'kept'")
+                    .select("doc_id"), "doc_id"))
+
+
+def clean_stats(df, **kw):
+    """(reason, n) — the curation funnel summary."""
+    from pyspark.sql import functions as F
+
+    return (clean_corpus(df, **kw)
+            .groupBy("reason").agg(F.count("*").alias("n")))

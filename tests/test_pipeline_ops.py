@@ -257,3 +257,57 @@ def test_kmeans_deterministic():
     assert np.array_equal(a, b)
     # centroids are unit-norm (spherical k-means)
     assert np.allclose(np.linalg.norm(a, axis=1), 1.0)
+
+
+# ---------------------------------------------------------------------
+# corpus curation pipeline (clean_corpus)
+# ---------------------------------------------------------------------
+
+def test_clean_corpus_all_verdicts(spark):
+    """Every rule fires on a hand-built corpus, first-match-wins."""
+    from invertedindex_spark.operators.pipeline import (
+        clean_corpus, clean_stats, kept_documents,
+    )
+
+    # content-word-rich + en markers -> high quality, lang en
+    good = ("spark engine builds the inverted index and it is fast "
+            "with vectorized arrow batches compression codecs queries "
+            "ranking documents partitions shuffles broadcasts")
+    rows = [
+        (0, None),                         # empty (null)
+        (1, ""),                           # empty (zero length)
+        (2, good),                         # kept
+        (3, good),                         # exact_dup of 2
+        (4, "the and is of to in that it was for the and is of to "
+            "in that it was for"),         # all stopwords -> low quality
+        (5, "der hund und die katze ist nicht mit der maus und das "
+            "haus und der baum und die sonne ist nicht da"),  # lang: de
+        (6, good + " extra tail words here make it unique"),  # kept
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["reason"]
+           for r in clean_corpus(df, min_quality_u6=450_000).collect()}
+    assert got == {0: "empty", 1: "empty", 2: "kept", 3: "exact_dup",
+                   4: "low_quality", 5: "lang", 6: "kept"}
+
+    stats = {r["reason"]: r["n"]
+             for r in clean_stats(df, min_quality_u6=450_000).collect()}
+    assert stats == {"empty": 2, "kept": 2, "exact_dup": 1,
+                     "low_quality": 1, "lang": 1}
+
+    kept = kept_documents(df, min_quality_u6=450_000)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [2, 6]
+    assert set(kept.columns) == {"doc_id", "text"}
+
+
+def test_clean_corpus_keep_first_is_lowest_doc_id(spark):
+    from invertedindex_spark.operators.pipeline import clean_corpus
+
+    rows = [(7, "same text in every row of this little corpus here ok"),
+            (3, "same text in every row of this little corpus here ok"),
+            (5, "same text in every row of this little corpus here ok")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["reason"]
+           for r in clean_corpus(df, min_quality_u6=0).collect()}
+    assert got[3] != "exact_dup"          # lowest id survives
+    assert got[5] == "exact_dup" and got[7] == "exact_dup"
