@@ -62,3 +62,33 @@ def test_helpers_report_scan_details(spark, sf0001_dir):
     df = lex.where(lex.term == "fast")
     assert scan_read_schemas(df)
     assert pushed_filters(df)
+
+
+def test_clean_corpus_single_exchange_and_pruned_scan(spark, sf0001_dir):
+    """The curation pass must stay one-shuffle (the sha keep-first
+    window) and read only (doc_id, text)."""
+    from invertedindex_spark.operators.pipeline import clean_corpus
+    from invertedindex_spark.plans import physical_plan
+
+    docs = spark.read.parquet(f"{sf0001_dir}/documents.parquet")
+    df = clean_corpus(docs)
+    assert physical_plan(df).count("Exchange") == 1
+    for col in ("lang", "source", "n_chars"):
+        assert_column_pruned(df, col)
+
+
+def test_event_aggs_single_exchange_and_pruned_scan(spark, sf0001_dir):
+    from invertedindex_spark.operators.events import (
+        sessionize, windowed_event_counts,
+    )
+    from invertedindex_spark.plans import physical_plan
+
+    ev = spark.read.parquet(f"{sf0001_dir}/events.parquet")
+    w = windowed_event_counts(ev, "1 hour")
+    assert physical_plan(w).count("Exchange") == 1
+    for col in ("event_id", "user_id", "props"):
+        assert_column_pruned(w, col)
+    s = sessionize(ev)
+    assert physical_plan(s).count("Exchange") == 1
+    for col in ("event_id", "event_type", "props"):
+        assert_column_pruned(s, col)
