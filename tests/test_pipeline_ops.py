@@ -311,3 +311,41 @@ def test_clean_corpus_keep_first_is_lowest_doc_id(spark):
            for r in clean_corpus(df, min_quality_u6=0).collect()}
     assert got[3] != "exact_dup"          # lowest id survives
     assert got[5] == "exact_dup" and got[7] == "exact_dup"
+
+
+def test_ivf_recall_curve_vs_bruteforce(spark, sf001_dir):
+    """Recall@10 vs exact brute force grows monotonically with nprobe
+    (candidate supersets) and reaches a usable level by nprobe=k/2 even
+    on these UNclustered uniform-random embeddings — the worst case for
+    any space-partitioning ANN (on real embedding manifolds with
+    cluster structure the curve starts far higher). Deterministic:
+    fixed embeddings, centroid seed, and tie-breaks."""
+    import numpy as np
+    from invertedindex_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf001_dir}/embeddings.parquet").cache()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    sample = [vecs[i].tolist() for i in sorted(vecs)[:256]]
+    cent = S.kmeans_centroids(sample, k=8, iters=5, seed=7)
+
+    def brute(qv, ex):
+        sims = sorted(
+            ((float(vecs[i] @ qv
+                    / (np.linalg.norm(vecs[i]) * np.linalg.norm(qv))), i)
+             for i in vecs if i != ex), reverse=True)
+        return {i for _, i in sims[:10]}
+
+    means = []
+    for nprobe in (1, 2, 4):
+        recalls = []
+        for qid in (0, 3, 11, 42, 77):
+            q = vecs[qid].tolist()
+            got = {r["vec_id"] for r in
+                   S.ivf_topk(emb, cent, q, 10, nprobe=nprobe,
+                              exclude_id=qid).collect()}
+            recalls.append(len(got & brute(vecs[qid], qid)) / 10)
+        means.append(sum(recalls) / len(recalls))
+    assert means[0] <= means[1] <= means[2]   # monotone in nprobe
+    assert means[2] >= 0.6                    # measured 0.66 (pinned)
+    assert means[1] >= 0.4                    # measured 0.46
