@@ -74,6 +74,65 @@ def load_documents_corpus(spark, sf_dir: str) -> Corpus:
     return from_documents(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+def from_targz(spark, path: str) -> Corpus:
+    """``collection.tar.gz`` → canonical corpus — the reference's exact
+    input (``Indexer.indexCollection``, Indexer.java:57-85): archive
+    members are text streams of ``docno \\t content`` lines, UTF-8 with
+    malformed bytes replaced; lines without a tab are skipped (the
+    malformed-line policy), empty documents are dropped downstream.
+    docIds follow archive read order (``order_keys=()`` = input order),
+    matching the reference's docId assignment.
+
+    Scale note: a .tar.gz is not splittable — each archive decodes in
+    ONE task, so parallelism = number of archives. This source exists
+    for drop-in parity with the reference's input; for 100 TB, ingest
+    once to parquet (``corpus_to_parquet``-style staging) and build
+    from that.
+    """
+    rdd = spark.sparkContext.binaryFiles(path)
+
+    def parse(it):
+        import io
+        import tarfile
+
+        for _fname, content in it:
+            with tarfile.open(fileobj=io.BytesIO(content),
+                              mode="r:gz") as tf:
+                for member in tf:
+                    f = tf.extractfile(member)
+                    if f is None:
+                        continue
+                    for line in io.TextIOWrapper(f, encoding="utf-8",
+                                                 errors="replace"):
+                        line = line.rstrip("\r\n")
+                        sep = line.find("\t")
+                        if sep == -1:
+                            continue  # malformed line, no \t (:75-78)
+                        yield (line[:sep], line[sep + 1:])
+
+    df = rdd.mapPartitions(parse).toDF(["doc_no", "content"])
+    return Corpus(df, ())
+
+
+def load_queries_tsv(path: str, qtype: str = "OR") -> list:
+    """``queries.tsv`` (``qid \\t query`` per line) → [(qid, "OR query")]
+    — the reference's batch-query input (QueryProcessorTest.java:80-98,
+    which runs every TSV query as ``"OR " + query``). Feed to
+    ``InvertedIndex.batch_search`` / ``batch_search_distributed`` /
+    ``trec_run_lines``."""
+    out = []
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            line = line.rstrip("\r\n")
+            if not line:
+                continue
+            sep = line.find("\t")
+            if sep == -1:
+                continue
+            out.append((line[:sep], f"{qtype} {line[sep + 1:]}"))
+    return out
+
+
 # ---------------------------------------------------------------------
 # Deterministic synthetic source-code corpus (input_hint shape)
 # ---------------------------------------------------------------------
