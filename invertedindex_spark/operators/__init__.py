@@ -1,9 +1,11 @@
-from . import dedup, maxscore, multimodal, similarity, textstats
+from . import (dedup, events, maxscore, multimodal, pipeline,
+               similarity, textstats)
 from .build import IndexConfig, build_index, read_manifest
 from .query import InvertedIndex, queue_topk_np
 
 __all__ = [
     "IndexConfig", "build_index", "read_manifest",
     "InvertedIndex", "queue_topk_np",
-    "dedup", "maxscore", "multimodal", "similarity", "textstats",
+    "dedup", "events", "maxscore", "multimodal", "pipeline",
+    "similarity", "textstats",
 ]
