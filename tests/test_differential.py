@@ -87,3 +87,72 @@ def test_differential_docs_queries(spark, duck, tmp_path, seed):
             f"{name} diverged on seed {seed}: "
             f"{[x for x in srows if x not in drows][:3]} vs "
             f"{[x for x in drows if x not in srows][:3]}")
+
+
+def _random_events(seed: int, n: int):
+    """Random events with engineered nasties: exact 30-min-gap pairs
+    (the session-boundary semantic pinned in test_events), duplicate
+    timestamps per user, window-edge timestamps."""
+    import datetime as dt
+
+    rng = random.Random(seed)
+    t0 = dt.datetime(2024, 3, 1)
+    rows = []
+    eid = 0
+    for _ in range(n):
+        user = rng.randrange(6)
+        ts = t0 + dt.timedelta(seconds=rng.randrange(0, 3 * 86400),
+                               microseconds=rng.randrange(1_000_000))
+        kind = rng.randrange(8)
+        if kind == 0:
+            ts = ts.replace(minute=0, second=0, microsecond=0)  # bucket edge
+        rows.append((eid, ts, user, rng.choice(["click", "view", "error"]),
+                     round(rng.uniform(0, 100), 2)))
+        eid += 1
+        if kind == 1:
+            # exact gap-boundary twin: ts + exactly 30 minutes
+            rows.append((eid, ts + dt.timedelta(minutes=30), user,
+                         "view", round(rng.uniform(0, 100), 2)))
+            eid += 1
+        elif kind == 2:
+            # duplicate timestamp, same user
+            rows.append((eid, ts, user, "click",
+                         round(rng.uniform(0, 100), 2)))
+            eid += 1
+    return rows
+
+
+@pytest.mark.parametrize("seed", [5, 29])
+def test_differential_events_queries(spark, duck, tmp_path, seed):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = _random_events(seed, 300)
+    sf_dir = str(tmp_path / f"sf_evfuzz_{seed}")
+    os.makedirs(sf_dir)
+    pq.write_table(
+        pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+        }), f"{sf_dir}/events.parquet")
+    duck.execute(
+        "CREATE OR REPLACE VIEW events AS "
+        f"SELECT * FROM read_parquet('{sf_dir}/events.parquet')")
+
+    qs = EQ.all_queries()
+    oracles = EQ.all_oracle_sql()
+    for name in ["events_windowed", "events_sessions"]:
+        sdf = qs[name](spark, sf_dir)
+        srows = sorted(tuple(row[c] for c in sdf.columns)
+                       for row in sdf.collect())
+        res = duck.execute(oracles[name])
+        dcols = [x[0] for x in res.description]
+        drows = sorted(tuple(dict(zip(dcols, r))[c] for c in sdf.columns)
+                       for r in res.fetchall())
+        assert srows == drows, (
+            f"{name} diverged on seed {seed}: "
+            f"{[x for x in srows if x not in drows][:3]} vs "
+            f"{[x for x in drows if x not in srows][:3]}")
