@@ -3,8 +3,15 @@
 ``[AND|OR] term1 … termN`` per line, prints ``doc_no score`` for the
 top-k plus elapsed seconds; quit codes Q/q/QUIT/quit/EXIT/exit.
 
+Batch mode — parity with the reference's TREC workflow
+(QueryProcessorTest.java:76-108): ``--batch queries.tsv`` runs every
+``qid \\t query`` line as an OR query and writes TREC run lines
+(``qid Q0 docno rank score tag``) to ``--out`` (default stdout).
+
 Usage:
     python -m invertedindex_spark.cli /path/to/warehouse [-k 20]
+    python -m invertedindex_spark.cli /path/to/warehouse \\
+        --batch queries.tsv --out run.txt [-k 100]
 """
 
 from __future__ import annotations
@@ -19,16 +26,43 @@ def main(argv=None):
     ap.add_argument("warehouse")
     ap.add_argument("-k", type=int, default=20)  # Constants.java:48
     ap.add_argument("--prune", action="store_true")
+    ap.add_argument("--batch", metavar="QUERIES_TSV",
+                    help="run a qid\\tquery TSV as OR queries and emit "
+                         "TREC run lines instead of starting the REPL")
+    ap.add_argument("--out", metavar="RUN_FILE",
+                    help="batch mode: write run lines here (default "
+                         "stdout)")
+    ap.add_argument("--tag", default="01", help="TREC run tag")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
 
     from .operators.query import InvertedIndex
 
+    # stop only a session we created (embedders/tests pass their own)
+    own_session = SparkSession.getActiveSession() is None
     spark = (SparkSession.builder.master("local[*]")
              .appName("invertedindex-cli")
              .config("spark.ui.enabled", "false").getOrCreate())
     idx = InvertedIndex(spark, args.warehouse)
+
+    if args.batch:
+        from .sources.corpus import load_queries_tsv
+
+        try:
+            lines = idx.trec_run_lines(load_queries_tsv(args.batch),
+                                       k=args.k, tag=args.tag)
+            if args.out:
+                with open(args.out, "w") as f:
+                    f.write("\n".join(lines) + ("\n" if lines else ""))
+                print(f"{len(lines)} run lines -> {args.out}")
+            else:
+                for ln in lines:
+                    print(ln)
+        finally:
+            if own_session:
+                spark.stop()
+        return 0
     quit_codes = {"Q", "q", "QUIT", "quit", "EXIT", "exit"}
     print("Starting the command line..")
     print("Input Format: [AND|OR] term1 ... termN")
@@ -53,7 +87,8 @@ def main(argv=None):
                 print("Input Format: [AND|OR] term1 ... termN")
             print(f"{time.time() - t0} seconds")
     finally:
-        spark.stop()
+        if own_session:
+            spark.stop()
 
 
 if __name__ == "__main__":

@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Full-scale head-to-head at the reference's corpus size: build an
+index over n≈10M synthetic docs (→ 8,823,528 indexed — the reference's
+8.8M-doc MSMARCO headline) on local[32] and report build wall,
+docs/sec, and cache-off query latency. Results recorded in
+BENCH/BASELINE.md ("Full-scale head-to-head").
+
+Run:  python scripts/bench_fullscale.py [n_docs]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import statistics
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
+    from pyspark.sql import SparkSession
+
+    spark = (SparkSession.builder.master("local[32]")
+             .config("spark.sql.shuffle.partitions", "128")
+             .config("spark.sql.adaptive.enabled", "true")
+             # size read splits so the scan yields >= num_blocks
+             # partitions (input-order mode inherits scan partitioning)
+             .config("spark.sql.files.maxPartitionBytes",
+                     str(8 * 1024 * 1024))
+             .config("spark.driver.memory", "96g")
+             .config("spark.ui.enabled", "false").getOrCreate())
+    from invertedindex_spark import (
+        IndexConfig, InvertedIndex, build_index, corpus,
+    )
+
+    path = os.path.join(tempfile.gettempdir(), f"iis_fullscale_{n}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        t0 = time.perf_counter()
+        c = corpus.synthesize_source_code(spark, n, seed=42,
+                                          num_partitions=128)
+        c.df.write.mode("overwrite").parquet(path)
+        print(json.dumps({"gen_secs": round(time.perf_counter() - t0, 1)}),
+              flush=True)
+
+    src = corpus.from_source_code(spark.read.parquet(path),
+                                  input_order=True)
+    src.df.cache().count()   # timing covers the build only
+    wh = tempfile.mkdtemp(prefix="iis_big_wh_")
+    t0 = time.perf_counter()
+    m = build_index(spark, src, wh, IndexConfig(num_blocks=128))
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "docs": m["stats"]["num_docs"],
+        "num_tokens": m["stats"]["num_tokens"],
+        "build_secs": round(dt, 2),
+        "docs_per_sec": round(m["stats"]["num_docs"] / dt, 1),
+        "merge_partitions": m["metrics"].get("merge_partitions")}),
+        flush=True)
+
+    # cache-off query latency over random-vocab AND/OR queries
+    idx = InvertedIndex(spark, wh, cache_size=0)
+    t0 = time.perf_counter()
+    idx.warm()
+    warm_secs = time.perf_counter() - t0
+    vocab = sorted(idx.lexicon_map())
+    rng = random.Random(99)
+    qs = [("AND " if i % 3 == 0 else "OR ")
+          + " ".join(rng.sample(vocab, rng.randrange(2, 5)))
+          for i in range(60)]
+    out = {"warm_secs": round(warm_secs, 2)}
+    for label, prune in (("exact", False), ("pruned", True)):
+        fresh = InvertedIndex(spark, wh, cache_size=0)
+        fresh.warm()
+        lat = []
+        for q in qs:
+            t0 = time.perf_counter()
+            try:
+                fresh.search(q, 20, prune=prune)
+            except ValueError:
+                continue
+            lat.append((time.perf_counter() - t0) * 1000)
+        lat.sort()
+        out[f"{label}_p50_ms"] = round(lat[len(lat) // 2], 1)
+        out[f"{label}_mean_ms"] = round(statistics.mean(lat), 1)
+    print(json.dumps(out), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

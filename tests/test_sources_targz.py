@@ -67,3 +67,26 @@ def test_targz_to_trec_run_end_to_end(spark, tmp_path):
         for rank, (doc_no, score) in enumerate(oracle.topk(q, 10), 1):
             want.append(f"{qid} Q0 {doc_no} {rank} {score} 01")
     assert lines == want
+
+
+def test_cli_batch_mode(spark, tmp_path, capsys):
+    """CLI --batch: TSV in, TREC run file out (reference workflow)."""
+    from invertedindex_spark import cli
+
+    tgz = str(tmp_path / "collection.tar.gz")
+    _write_targz(tgz)
+    wh = str(tmp_path / "wh_cli")
+    build_index(spark, corpus.from_targz(spark, tgz), wh,
+                IndexConfig(num_blocks=2))
+    tsv = str(tmp_path / "queries.tsv")
+    with open(tsv, "w") as f:
+        f.write("q1\tquick fox\nq2\tcompression\n")
+    out = str(tmp_path / "run.txt")
+    rc = cli.main([wh, "--batch", tsv, "--out", out, "-k", "10"])
+    assert rc == 0
+    lines = open(out).read().strip().splitlines()
+    assert len(lines) > 0
+    for ln in lines:
+        qid, q0, doc_no, rank, score, tag = ln.split(" ")
+        assert q0 == "Q0" and tag == "01"
+        float(score); int(rank)
