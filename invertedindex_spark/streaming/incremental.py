@@ -72,10 +72,21 @@ def _resolve_cfg(manifest: dict, cfg: B.IndexConfig | None) -> B.IndexConfig:
 
 def append_batch(spark, corpus_batch: Corpus, warehouse_dir: str,
                  cfg: B.IndexConfig | None = None,
-                 blocks_per_batch: int | None = None) -> dict:
+                 blocks_per_batch: int | None = None,
+                 batch_id: int | None = None) -> dict:
     """Index one micro-batch: assign the next dense docId range, build
     its partial posting blocks, append to docs/partials, roll stats.
-    Pure batch function — usable directly or from foreachBatch."""
+    Pure batch function — usable directly or from foreachBatch.
+
+    ``batch_id``: Structured Streaming replays the in-flight batch
+    after a restart with the SAME id — passing it makes the append
+    idempotent for already-committed batches (the id is recorded in
+    the manifest atomically with the stream state, so a replay of a
+    committed batch is a no-op). A batch that crashed mid-append can
+    still leave orphan doc/partial files behind (its manifest commit
+    never happened, so ids/stats stay consistent); exactly-once there
+    would need a transactional table format for the appends.
+    """
     from pyspark import StorageLevel
     from pyspark.sql import functions as F
 
@@ -84,6 +95,8 @@ def append_batch(spark, corpus_batch: Corpus, warehouse_dir: str,
     state = manifest.setdefault("stream", {"next_doc_id": 0,
                                            "next_block_id": 0,
                                            "num_docs": 0, "num_tokens": 0})
+    if batch_id is not None and batch_id <= state.get("last_batch_id", -1):
+        return manifest  # replay of a committed batch → no-op
     n_blocks = blocks_per_batch or spark.sparkContext.defaultParallelism
 
     raw = B._tokenized_staging(corpus_batch, cfg, n_blocks)
@@ -128,6 +141,8 @@ def append_batch(spark, corpus_batch: Corpus, warehouse_dir: str,
     state["next_block_id"] = block_base + n_blocks
     state["num_docs"] = tot_docs
     state["num_tokens"] = tot_tokens
+    if batch_id is not None:
+        state["last_batch_id"] = batch_id
     from dataclasses import asdict
     manifest["config"] = {**manifest.get("config", {}), **asdict(cfg)}
     manifest["stats"] = {"num_docs": tot_docs, "num_tokens": tot_tokens,
@@ -204,7 +219,7 @@ def start_incremental_build(spark, stream_df, order_keys, warehouse_dir,
 
     def process(batch_df, batch_id: int):
         c = Corpus(batch_df, tuple(order_keys))
-        append_batch(spark, c, warehouse_dir, cfg)
+        append_batch(spark, c, warehouse_dir, cfg, batch_id=batch_id)
         if (batch_id + 1) % compact_every == 0:
             compact(spark, warehouse_dir, cfg)
 

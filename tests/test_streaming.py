@@ -81,3 +81,25 @@ def test_structured_streaming_foreachbatch(spark, tmp_path):
     assert idx.num_docs > 0
     res = idx.search("OR hotterm quick", 5)
     assert len(res) > 0
+
+
+def test_append_batch_replay_is_idempotent(spark, tmp_path):
+    """Structured Streaming re-delivers the in-flight batch with the
+    same batch_id after a restart; a committed batch must not be
+    appended twice."""
+    cfg = IndexConfig(num_blocks=2)
+    wh = str(tmp_path / "replay")
+    rows = _sorted_rows(80)
+    df = spark.createDataFrame(rows, corpus._CORPUS_SCHEMA)
+    c = corpus.from_source_code(df)
+
+    m1 = append_batch(spark, c, wh, cfg, blocks_per_batch=2, batch_id=0)
+    docs_after_first = spark.read.parquet(f"{wh}/docs").count()
+    # replay of the SAME batch id: no-op
+    m2 = append_batch(spark, c, wh, cfg, blocks_per_batch=2, batch_id=0)
+    assert spark.read.parquet(f"{wh}/docs").count() == docs_after_first
+    assert m2["stream"]["num_docs"] == m1["stream"]["num_docs"]
+    # next batch id still appends
+    append_batch(spark, c, wh, cfg, blocks_per_batch=2, batch_id=1)
+    assert (spark.read.parquet(f"{wh}/docs").count()
+            == 2 * docs_after_first)
