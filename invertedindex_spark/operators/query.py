@@ -474,12 +474,14 @@ class InvertedIndex:
                 tf, dl, df, self.num_docs, self.avg_doc_len))
         ids = np.concatenate(all_ids)
         sc = np.concatenate(all_scores)
-        if self.num_docs <= 50_000_000:
-            # dense accumulators: O(P + N) bincount scatter-add beats
-            # the O(P log P) sort when the docId space fits in memory
-            # (50M docs = 400 MB of float64 — a driver-kernel bound;
-            # beyond it the sort path below / the distributed plan own
-            # the problem)
+        # dense accumulators are O(N) in the docId space regardless of
+        # how few postings the query touches; the sort path is
+        # O(P log P). Measured crossover on this box: P ≈ N/9 at
+        # N=8.8M (1k-posting query: 0.1 ms sort vs ~50 ms bincount),
+        # so dispatch on the postings volume — rare-term queries must
+        # not pay an O(N) allocation tax. Above 50M docs the dense
+        # path is out regardless (400 MB+ of float64 per query).
+        if self.num_docs <= 50_000_000 and ids.size * 8 >= self.num_docs:
             w = np.bincount(ids, weights=sc)
             cnt = np.bincount(ids)
             keep = (cnt == len(decoded)) if qtype == "AND" else (cnt > 0)
