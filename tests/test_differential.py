@@ -156,3 +156,47 @@ def test_differential_events_queries(spark, duck, tmp_path, seed):
             f"{name} diverged on seed {seed}: "
             f"{[x for x in srows if x not in drows][:3]} vs "
             f"{[x for x in drows if x not in srows][:3]}")
+
+
+# queries that exercise the FULL index build (tokenize → docIds →
+# partials → merge → postings/lexicon/stats) on the fuzz corpus; the
+# warehouse builds fresh per seed under tmp_path
+IDX_QUERIES = ["doc_table", "collection_stats", "term_stats",
+               "postings_lists", "postings_gaps", "term_upper_bounds",
+               "top_terms", "vbyte_roundtrip"]
+
+
+@pytest.mark.parametrize("seed", [31, 37])
+def test_differential_index_queries(spark, duck, tmp_path, seed):
+    """The whole inverted-index pipeline on adversarial random text:
+    empty-token quirk, >20-char truncation, unicode, dup texts, nulls
+    all flow through the real build, then every structural query must
+    match its DuckDB oracle exactly (incl. BM25 upper bounds)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = _random_docs(seed, 150)
+    sf_dir = str(tmp_path / f"sf_idxfuzz_{seed}")
+    os.makedirs(sf_dir)
+    pq.write_table(
+        pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "text": pa.array([r[1] for r in rows], pa.string())}),
+        f"{sf_dir}/documents.parquet")
+    duck.execute(
+        "CREATE OR REPLACE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{sf_dir}/documents.parquet')")
+
+    qs = EQ.all_queries()
+    oracles = EQ.all_oracle_sql()
+    for name in IDX_QUERIES:
+        sdf = qs[name](spark, sf_dir)
+        srows = sorted(tuple(row[c] for c in sdf.columns)
+                       for row in sdf.collect())
+        res = duck.execute(oracles[name])
+        dcols = [x[0] for x in res.description]
+        drows = sorted(tuple(dict(zip(dcols, r))[c] for c in sdf.columns)
+                       for r in res.fetchall())
+        assert srows == drows, (
+            f"{name} diverged on seed {seed}: "
+            f"{[x for x in srows if x not in drows][:3]} vs "
+            f"{[x for x in drows if x not in srows][:3]}")
