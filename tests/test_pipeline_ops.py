@@ -349,3 +349,28 @@ def test_ivf_recall_curve_vs_bruteforce(spark, sf001_dir):
     assert means[0] <= means[1] <= means[2]   # monotone in nprobe
     assert means[2] >= 0.6                    # measured 0.66 (pinned)
     assert means[1] >= 0.4                    # measured 0.46
+
+
+def test_cleaned_corpus_feeds_index_build(spark, tmp_path):
+    """The curation pass composes with the indexer: kept docs only,
+    dense docIds, dropped docs absent from the doc table."""
+    from invertedindex_spark import (
+        IndexConfig, InvertedIndex, build_index, corpus,
+    )
+    from invertedindex_spark.operators.pipeline import kept_documents
+
+    good = ("spark engine builds the inverted index and it is fast "
+            "with vectorized arrow batches compression codecs")
+    rows = [(0, good), (1, good), (2, None),
+            (3, good + " unique tail one"), (4, good + " unique tail two"),
+            (5, "der hund und die katze ist nicht mit der maus und das")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = kept_documents(df, min_quality_u6=450_000)
+    wh = str(tmp_path / "wh_clean")
+    build_index(spark, corpus.from_documents(kept), wh,
+                IndexConfig(num_blocks=2))
+    idx = InvertedIndex(spark, wh)
+    doc_nos = sorted(r["doc_no"] for r in idx.docs.collect())
+    assert doc_nos == ["0", "3", "4"]   # dup of 0, null, and de dropped
+    assert idx.num_docs == 3
+    assert idx.search("OR vectorized arrow", k=10)
