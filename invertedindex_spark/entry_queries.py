@@ -446,6 +446,12 @@ def _python_oracle_topk_values(sf_dir, query) -> str:
         "ORDER BY doc_id").fetchall()
     oracle = OracleIndex(rows, stopwords=True, stemming=True)
     top = oracle.topk(query, k=K)
+    if not top:
+        # VALUES with zero tuples is a parse error — emit a typed
+        # zero-row relation instead
+        return ("SELECT CAST(NULL AS INTEGER) AS rank, "
+                "CAST(NULL AS VARCHAR) AS doc_no, "
+                "CAST(NULL AS BIGINT) AS score_u6 WHERE false")
     vals = ", ".join(
         f"(CAST({r + 1} AS INTEGER), '{doc_no}', "
         f"CAST({int(math.floor(s * 1e6 + 0.5))} AS BIGINT))"
@@ -792,6 +798,25 @@ def _ivf_centroids(sf_dir):
         vecs = [t.column("embedding")[i].as_py()
                 for i in order[:IVF_TRAIN]]
         cent = kmeans_centroids(vecs, IVF_K, iters=5, seed=IVF_SEED)
+        # assignment is an equality-free argmax over float64 dots that
+        # numpy (BLAS) and DuckDB accumulate in different orders; a
+        # near-tie could flip a vector's cluster between the two
+        # engines. Verify the dataset actually has margin: if any
+        # vector's best-vs-second-best dot gap is inside float noise,
+        # fail loudly here (reseed IVF_SEED) instead of producing a
+        # mysterious hash mismatch downstream.
+        import numpy as np
+        all_v = np.asarray(
+            [t.column("embedding")[i].as_py() for i in order],
+            dtype=np.float64)
+        dots = all_v @ np.asarray(cent, dtype=np.float64).T
+        part = np.partition(dots, dots.shape[1] - 2, axis=1)
+        margin = float(np.min(part[:, -1] - part[:, -2]))
+        if margin < 1e-9:
+            raise AssertionError(
+                f"IVF cluster-assignment margin {margin:.2e} is within "
+                "float noise for this dataset; choose a different "
+                "IVF_SEED so the oracle comparison stays engine-stable")
         _IVF_CENTROIDS[sf_dir] = [[float(x) for x in c] for c in cent]
     return _IVF_CENTROIDS[sf_dir]
 

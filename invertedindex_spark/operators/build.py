@@ -122,15 +122,50 @@ def _save_manifest(warehouse_dir: str, manifest: dict) -> None:
     os.replace(tmp, _manifest_path(warehouse_dir))
 
 
-def check_partials_format(manifest: dict, *, strict: bool) -> bool:
+_PARTIAL_DATA_COLS = {"term", "first_doc_id", "df_b",
+                      "doc_gaps_vb", "tfs_vb", "dls_vb"}
+
+
+def _partials_schema_current(partials_path: str) -> bool:
+    """Sniff one partial-block file: True iff its columns are exactly
+    the current PARTIAL_SCHEMA data columns (block_id is the partition
+    directory, not a file column)."""
+    import glob as _glob
+
+    try:
+        files = _glob.glob(os.path.join(partials_path, "**", "*.parquet"),
+                           recursive=True)
+        if not files:
+            return False
+        import pyarrow.parquet as pq
+
+        names = set(pq.ParquetFile(sorted(files)[0]).schema_arrow.names)
+        return names == _PARTIAL_DATA_COLS
+    except Exception:
+        return False
+
+
+def check_partials_format(manifest: dict, *, strict: bool,
+                          partials_path: str | None = None) -> bool:
     """True iff the warehouse's partial blocks use the current format.
-    ``strict=True`` raises (for readers with no way to rebuild, e.g.
-    streaming compaction); ``strict=False`` lets the caller rebuild."""
+
+    A pre-marker manifest (``partials_format`` absent) with blocks
+    whose on-disk schema matches the current format is ADOPTED — the
+    marker is stamped into the manifest (the caller's save persists
+    it) instead of forcing a rebuild the data doesn't need. Otherwise:
+    ``strict=True`` raises (for readers with no way to rebuild —
+    streaming compaction/append, where the corpus batches are gone);
+    ``strict=False`` lets the caller rebuild.
+    """
     ver = manifest.get("partials_format")
     if ver == PARTIALS_FORMAT_VERSION:
         return True
     if not _stage_done(manifest, "partials"):
         return True  # nothing written yet
+    if (ver is None and partials_path is not None
+            and _partials_schema_current(partials_path)):
+        manifest["partials_format"] = PARTIALS_FORMAT_VERSION
+        return True
     if strict:
         raise ValueError(
             f"warehouse partial blocks use format {ver!r} but this "
@@ -660,15 +695,16 @@ def build_index(spark, corpus, warehouse_dir: str,
     cfg = cfg or IndexConfig()
     manifest = read_manifest(warehouse_dir) if resume else {"stages": {},
                                                             "metrics": {}}
-    if resume and not check_partials_format(manifest, strict=False):
-        # stale partial-block format: every downstream table derives
-        # from partials, so restart the whole pipeline (cheaper than
-        # risking a mixed-schema parquet read mid-merge)
-        manifest = {"stages": {}, "metrics": {}}
-    manifest["config"] = asdict(cfg)
     paths = {name: os.path.join(warehouse_dir, name)
              for name in ("docs", "stats", "partials", "lexicon",
                           "postings")}
+    if resume and not check_partials_format(
+            manifest, strict=False, partials_path=paths["partials"]):
+        # stale partial-block format (schema sniff also failed): every
+        # downstream table derives from partials, so restart the whole
+        # pipeline (cheaper than a mixed-schema parquet read mid-merge)
+        manifest = {"stages": {}, "metrics": {}}
+    manifest["config"] = asdict(cfg)
 
     num_blocks = cfg.num_blocks or spark.sparkContext.defaultParallelism
     manifest["num_blocks"] = num_blocks

@@ -86,51 +86,68 @@ def sessionize_stateful(df, gap_seconds: int = 1800,
                         watermark: str = "2 hours"):
     """Custom stateful sessionizer on ``applyInPandasWithState`` — the
     escape hatch for session logic the built-in operator can't express.
-    State per user = the open session (start, last_ts, n, value_sum);
-    an event past the gap closes it (emitted) and opens a new one; the
-    event-time timeout flushes idle sessions once the watermark passes
-    last_ts + gap. Streaming DataFrames only (Spark restriction);
-    the batch twin is :func:`sessionize` (asserted equal in tests).
-    """
-    import datetime as dt
 
+    State per user = the BUFFER of not-yet-final events (timestamps +
+    values), not a pre-aggregated open session: events may arrive out
+    of order across micro-batches (anything newer than the watermark
+    is legal), and only buffering makes a late-but-in-watermark event
+    land in its true session. Each invocation re-chains the buffer
+    with the gap rule (inclusive boundary — exactly
+    :func:`sessionize`'s semantics) and emits every session whose
+    ``last + gap < watermark``: no admissible future event can merge
+    into those. Remaining events stay buffered; an event-time timeout
+    flushes them once the watermark passes. Rows older than the
+    watermark are dropped (Spark does not pre-filter them for this
+    operator). Streaming DataFrames only (Spark restriction); the
+    batch twin is :func:`sessionize` (asserted equal in tests,
+    including cross-batch out-of-order arrivals).
+    """
     import pandas as pd
     from pyspark.sql.streaming.state import (
         GroupState, GroupStateTimeout,
     )
 
-    gap = dt.timedelta(seconds=gap_seconds)
+    gap_us = gap_seconds * 1_000_000
 
     def us_ts(us):
         return pd.Timestamp(int(us), unit="us")  # naive (NTZ) round-trip
 
     def fn(key, pdfs, state: GroupState):
         user = key[0]
-        out = []
-        if state.hasTimedOut:
-            start_us, last_us, n, vs = state.get
-            out.append((user, us_ts(start_us), us_ts(last_us) + gap,
-                        n, vs))
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        buf = list(zip(*state.get)) if state.exists else []
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                for ts, val in zip(pdf[ts_col], pdf["value"]):
+                    ts_us = int(pd.Timestamp(ts).value // 1000)
+                    if ts_us >= wm_us:   # late-beyond-watermark dropped
+                        buf.append((ts_us, float(val)))
+        buf.sort()
+        # chain into sessions (event at exactly last+gap merges)
+        sessions = []   # [start_idx, end_idx) into buf
+        start = 0
+        for i in range(1, len(buf)):
+            if buf[i][0] - buf[i - 1][0] > gap_us:
+                sessions.append((start, i))
+                start = i
+        if buf:
+            sessions.append((start, len(buf)))
+        out, keep = [], []
+        for s, e in sessions:
+            last = buf[e - 1][0]
+            if last + gap_us < wm_us:   # no future event can merge
+                out.append((user, us_ts(buf[s][0]), us_ts(last + gap_us),
+                            e - s, sum(v for _, v in buf[s:e])))
+            else:
+                keep.extend(buf[s:e])
+        if keep:
+            state.update(([t for t, _ in keep], [v for _, v in keep]))
+            # fire once the watermark can close the newest session
+            state.setTimeoutTimestamp(
+                max(keep[-1][0] // 1000 + gap_seconds * 1000 + 1,
+                    wm_us // 1000 + 1))
+        elif state.exists:
             state.remove()
-        else:
-            cur = state.get if state.exists else None
-            rows = pd.concat(list(pdfs)).sort_values(ts_col)
-            for ts, val in zip(rows[ts_col], rows["value"]):
-                ts_us = int(pd.Timestamp(ts).value // 1000)
-                if cur is not None and \
-                        ts_us - cur[1] > gap_seconds * 1_000_000:
-                    out.append((user, us_ts(cur[0]), us_ts(cur[1]) + gap,
-                                cur[2], cur[3]))
-                    cur = None
-                if cur is None:
-                    cur = (ts_us, ts_us, 1, float(val))
-                else:
-                    cur = (cur[0], max(cur[1], ts_us), cur[2] + 1,
-                           cur[3] + float(val))
-            if cur is not None:
-                state.update(cur)
-                state.setTimeoutTimestamp(cur[1] // 1000
-                                          + gap_seconds * 1000)
         if out:
             yield pd.DataFrame(out, columns=[
                 "user_id", "session_start", "session_end", "n_events",
@@ -140,6 +157,5 @@ def sessionize_stateful(df, gap_seconds: int = 1800,
             .groupBy(key_col)
             .applyInPandasWithState(
                 fn, SESSION_SCHEMA,
-                "start_us long, last_us long, n_events long, "
-                "value_sum double",
+                "ts_us array<long>, vals array<double>",
                 "append", GroupStateTimeout.EventTimeTimeout))

@@ -73,27 +73,33 @@ def lsh_buckets(df, planes):
             .groupBy("bucket").agg(F.count("*").alias("n")))
 
 
+def _query_plane_dots(planes, q: list[float]):
+    """dot(q, plane) per plane — the single definition both bucket id
+    and probe ordering derive from (strict > 0 sign rule)."""
+    import numpy as np
+
+    return np.asarray(planes, dtype=np.float64) \
+        @ np.asarray(q, dtype=np.float64)
+
+
 def query_bucket(planes, q: list[float]) -> int:
     """The bucket id a query vector hashes to."""
     import numpy as np
 
-    qv = np.asarray(q, dtype=np.float64)
-    qb = 0
-    for i, plane in enumerate(planes):
-        if float(qv @ np.asarray(plane, dtype=np.float64)) > 0:
-            qb |= 1 << i
-    return qb
+    dots = _query_plane_dots(planes, q)
+    return int(np.sum((dots > 0) * (1 << np.arange(len(planes)))))
 
 
 def probe_buckets(planes, q: list[float], probes: int = 1) -> list[int]:
     """Multi-probe sequence: the query's own bucket, then Hamming-1
     neighbors in order of boundary proximity (flip the plane whose
     |dot| is smallest first) — the standard multi-probe LSH heuristic
-    that recovers recall without more tables."""
+    that recovers recall without more tables. Derives the base bucket
+    from the same dots as :func:`query_bucket`, so the two can never
+    disagree on the sign rule."""
     import numpy as np
 
-    mat = np.asarray(planes, dtype=np.float64)      # (B, dim)
-    dots = mat @ np.asarray(q, dtype=np.float64)    # (B,)
+    dots = _query_plane_dots(planes, q)
     qb = int(np.sum((dots > 0) * (1 << np.arange(len(planes)))))
     out = [qb]
     for bit in np.argsort(np.abs(dots)):

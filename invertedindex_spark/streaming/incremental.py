@@ -97,6 +97,11 @@ def append_batch(spark, corpus_batch: Corpus, warehouse_dir: str,
                                            "num_docs": 0, "num_tokens": 0})
     if batch_id is not None and batch_id <= state.get("last_batch_id", -1):
         return manifest  # replay of a committed batch → no-op
+    # format gate BEFORE any append: a failure after the docs write
+    # would leave orphan doc rows on every retry
+    B.check_partials_format(
+        manifest, strict=True,
+        partials_path=os.path.join(warehouse_dir, "partials"))
     n_blocks = blocks_per_batch or spark.sparkContext.defaultParallelism
 
     raw = B._tokenized_staging(corpus_batch, cfg, n_blocks)
@@ -127,9 +132,6 @@ def append_batch(spark, corpus_batch: Corpus, warehouse_dir: str,
     block_base = state["next_block_id"]
     partials = partials.withColumn(
         "block_id", (F.col("block_id") + F.lit(block_base)).cast("int"))
-    # appending v2 blocks next to stale-format ones would make the
-    # partials table mixed-schema — fail before writing
-    B.check_partials_format(manifest, strict=True)
     partials.write.mode("append").partitionBy("block_id") \
         .parquet(paths["partials"])
     manifest["partials_format"] = B.PARTIALS_FORMAT_VERSION
@@ -169,12 +171,13 @@ def compact(spark, warehouse_dir: str,
 
     manifest = B.read_manifest(warehouse_dir)
     cfg = _resolve_cfg(manifest, cfg)
-    # compaction cannot regenerate partials (the corpus batches are
-    # gone) — a stale block format must fail loudly, not decode garbage
-    B.check_partials_format(manifest, strict=True)
-    stats = manifest["stats"]
     paths = {n: os.path.join(warehouse_dir, n)
              for n in ("partials", "lexicon", "postings")}
+    # compaction cannot regenerate partials (the corpus batches are
+    # gone) — a stale block format must fail loudly, not decode garbage
+    B.check_partials_format(manifest, strict=True,
+                            partials_path=paths["partials"])
+    stats = manifest["stats"]
     partials = spark.read.parquet(paths["partials"])
 
     # fmax/TUB are derived inside the merge from the decoded postings
@@ -194,6 +197,9 @@ def compact(spark, warehouse_dir: str,
     lex.write.mode("overwrite").parquet(paths["lexicon"])
     for s in ("docs", "stats", "partials", "lexicon", "postings"):
         manifest["stages"][s] = {"done": True}
+    # the strict check at entry proved (or adopted) the current format;
+    # stamp it so marking partials done cannot orphan a legacy manifest
+    manifest["partials_format"] = B.PARTIALS_FORMAT_VERSION
     from dataclasses import asdict
     manifest["config"] = {**manifest.get("config", {}), **asdict(cfg)}
     B._save_manifest(warehouse_dir, manifest)

@@ -89,11 +89,16 @@ def test_stateful_sessionizer_matches_batch_twin(spark, tmp_path, utc):
     src = str(tmp_path / "src")
     os.makedirs(src)
     mins = lambda m: T0 + dt.timedelta(minutes=m)
-    # user 1: two sessions (gap 45 min > 30); user 2: one session
+    # user 1: two sessions (gap 45 min > 30); user 2: one session.
+    # batch 2 also delivers OUT-OF-ORDER events older than batch 1's
+    # newest (legal: watermark is 1h) — they must land in their true
+    # sessions, not merge into whatever was open (regression guard).
     batch1 = [(mins(0), 1, "click", 1.0), (mins(10), 1, "view", 2.5),
               (mins(2), 2, "click", 4.0)]
     batch2 = [(mins(55), 1, "click", 3.0), (mins(70), 1, "view", 1.25),
-              (mins(20), 2, "view", 0.5)]
+              (mins(15), 1, "view", 0.25),   # out-of-order: session 1
+              (mins(20), 2, "view", 0.5),
+              (mins(5), 2, "click", 0.75)]   # out-of-order: session 1
     # sentinel file far in the future: advances the watermark so every
     # real session times out and is emitted
     sentinel = [(mins(60 * 24 * 10), 99, "click", 0.0)]

@@ -64,7 +64,8 @@ def test_partials_format_recorded_and_checked(spark, tmp_path):
     wh, m = _build(spark, tmp_path, "fmt")
     assert m["partials_format"] == B.PARTIALS_FORMAT_VERSION
 
-    # compaction has no corpus to rebuild from -> strict failure
+    # an explicitly old marker: compaction has no corpus to rebuild
+    # from -> strict failure, and it must fail BEFORE any write
     _stamp_format(wh, 1)
     with pytest.raises(ValueError, match="format"):
         compact(spark, wh)
@@ -78,10 +79,22 @@ def test_partials_format_recorded_and_checked(spark, tmp_path):
     idx = InvertedIndex(spark, wh)
     assert idx.search(QUERY, 10)
 
-    # a pre-marker warehouse (no field at all) is also treated as stale
+    # a PRE-marker warehouse (field absent) whose on-disk blocks match
+    # the current schema is adopted, not bricked: compact succeeds and
+    # re-stamps the marker (one-time migration)
     _stamp_format(wh, None)
-    with pytest.raises(ValueError, match="format"):
-        compact(spark, wh)
+    m3 = compact(spark, wh)
+    assert m3["partials_format"] == B.PARTIALS_FORMAT_VERSION
+    assert InvertedIndex(spark, wh).search(QUERY, 10)
+
+    # pre-marker batch resume likewise adopts instead of rebuilding:
+    # all stages stay done, so the resume is a no-op
+    _stamp_format(wh, None)
+    m4 = build_index(spark, corpus.from_source_code(df), wh,
+                     IndexConfig(num_blocks=2), resume=True)
+    assert m4["partials_format"] == B.PARTIALS_FORMAT_VERSION
+    assert all(m4["stages"][s]["done"] for s in
+               ("docs", "stats", "partials", "postings", "lexicon"))
 
 
 def test_compact_inherits_warehouse_codec(spark, tmp_path):
