@@ -1146,6 +1146,35 @@ SELECT CAST(media_id AS BIGINT) AS media_id,
 FROM f"""
 
 
+def q_multimodal_resize(spark, sf_dir):
+    """Image-resize plumbing: fake media -> mapInPandas resized
+    pseudo-bitmaps (8x8 = 64 bytes). The fake resizer's sha256 chain
+    runs over hex digests, so the oracle rebuilds the output bytes
+    with nested string sha256 calls."""
+    from pyspark.sql import functions as F
+    from .operators.multimodal import resize_images, synthesize_media
+    media = synthesize_media(spark, 200, seed=42, kind="image")
+    out = resize_images(media, width=8, height=8)
+    return out.select("media_id", "width", "height",
+                      F.hex(F.col("media")).alias("resized_hex"))
+
+
+def sql_multimodal_resize():
+    """64 output bytes = first 128 hex chars of sha256(blob_hex) ||
+    sha256(sha256(blob_hex)) — two chain steps cover 8x8."""
+    return """
+WITH ids AS (SELECT unnest(generate_series(0, 199)) AS media_id),
+b AS (SELECT media_id,
+        repeat(sha256('image:42:' || media_id), 4 + media_id % 7)
+          AS blob_hex
+      FROM ids),
+c AS (SELECT media_id, sha256(blob_hex) AS s1 FROM b)
+SELECT CAST(media_id AS BIGINT) AS media_id,
+       CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+       upper(substr(s1 || sha256(s1), 1, 128)) AS resized_hex
+FROM c"""
+
+
 def q_vbyte_roundtrip(spark, sf_dir):
     """Physical-format integrity: decode payloads and re-encode; ok must
     be true for every term. The oracle pins (term, n_postings) to the
@@ -1236,6 +1265,7 @@ def all_queries():
         "vbyte_roundtrip": q_vbyte_roundtrip,
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
+        "multimodal_resize": q_multimodal_resize,
     }
 
 
@@ -1274,6 +1304,7 @@ def all_oracle_sql(query_vec=None, sf_dir=None):
         "vbyte_roundtrip": sql_vbyte_roundtrip(),
         "multimodal_features": sql_multimodal_features(),
         "multimodal_frames": sql_multimodal_frames(),
+        "multimodal_resize": sql_multimodal_resize(),
     }
     if query_vec is not None:
         out["ann_cosine_topk"] = sql_ann_cosine_topk(query_vec)

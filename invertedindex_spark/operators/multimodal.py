@@ -168,12 +168,15 @@ def resize_images(df, width: int = 16, height: int = 16,
             for blob in pdf["media"]:
                 blob = bytes(blob)
                 need = width * height
-                h = blob
-                buf = bytearray()
-                while len(buf) < need:
-                    h = hashlib.sha256(h).digest()
-                    buf.extend(h)
-                out.append(bytes(buf[:need]))
+                # hex-string sha256 chain (like _fake_decode_features):
+                # each step hashes the PREVIOUS HEX DIGEST, so
+                # string-only sha256 engines can reproduce the bytes
+                h = blob.hex()
+                parts = []
+                while sum(len(p) for p in parts) < need * 2:
+                    h = hashlib.sha256(h.encode("ascii")).hexdigest()
+                    parts.append(h)
+                out.append(bytes.fromhex("".join(parts)[:need * 2]))
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "media": out,
