@@ -97,6 +97,20 @@ def vbyte_decode(stream: bytes) -> np.ndarray:
     return n
 
 
+def vbyte_encode_runs(values: np.ndarray, starts, ends) -> list:
+    """Encode ``values`` ONCE, then slice the stream per run
+    ``[starts[i], ends[i])`` (value indices) — the shared kernel of
+    both the partial-block writer and the final merge: one vectorized
+    length pass + one encode pass for a whole partition, byte slices
+    per term/segment. Returns a list of bytes objects."""
+    v = np.asarray(values, dtype=np.int64)
+    if v.size == 0:
+        return [b"" for _ in range(len(starts))]
+    cum = np.concatenate([[0], np.cumsum(vbyte_encoded_lengths(v))])
+    buf = vbyte_encode(v)
+    return [buf[cum[s]:cum[e]] for s, e in zip(starts, ends)]
+
+
 def gap_encode(doc_ids: np.ndarray) -> np.ndarray:
     """First absolute, rest deltas (BinaryIndexer.java:188-202)."""
     d = np.asarray(doc_ids, dtype=np.int64)

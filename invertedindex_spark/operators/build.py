@@ -199,8 +199,6 @@ def auto_merge_partitions(partials_path: str, num_blocks: int,
     the payload (the streams are already entropy-coded, parquet adds
     little). Falls back to ``num_blocks`` when sizes are unknowable
     (remote FS) — callers there should set num_blocks explicitly."""
-    import math
-
     total = _dir_bytes(partials_path)
     if total <= 0:
         return num_blocks
@@ -443,23 +441,15 @@ def _build_partials(staged_ids, cfg: IndexConfig, avg_doc_len: float):
         n_terms = starts.size
 
         # per-segment gap encode (first absolute) + one VByte pass per
-        # stream for the whole partition, sliced per term by byte offset
+        # stream for the whole partition, sliced per term by byte
+        # offset (codec.vbyte_encode_runs — shared with the merge)
         gaps = np.empty_like(doc)
         gaps[0] = doc[0]
         gaps[1:] = doc[1:] - doc[:-1]
         gaps[starts] = doc[starts]
-        cum_d = np.concatenate(
-            [[0], np.cumsum(codec.vbyte_encoded_lengths(gaps))])
-        cum_t = np.concatenate(
-            [[0], np.cumsum(codec.vbyte_encoded_lengths(tf))])
-        cum_l = np.concatenate(
-            [[0], np.cumsum(codec.vbyte_encoded_lengths(dl))])
-        buf_d = codec.vbyte_encode(gaps)
-        buf_t = codec.vbyte_encode(tf)
-        buf_l = codec.vbyte_encode(dl)
-        bd = [buf_d[cum_d[s]:cum_d[e]] for s, e in zip(starts, ends)]
-        bt = [buf_t[cum_t[s]:cum_t[e]] for s, e in zip(starts, ends)]
-        bl = [buf_l[cum_l[s]:cum_l[e]] for s, e in zip(starts, ends)]
+        bd = codec.vbyte_encode_runs(gaps, starts, ends)
+        bt = codec.vbyte_encode_runs(tf, starts, ends)
+        bl = codec.vbyte_encode_runs(dl, starts, ends)
 
         CHUNK = 1 << 14
         full = pa.RecordBatch.from_arrays(
@@ -587,19 +577,11 @@ def _merge_partials(partials, cfg: IndexConfig, num_docs: int,
 
         use_pfd = cfg.codec == "pfd"
         if not use_pfd:
-            # one VByte pass per stream for the whole partition
-            len_d = codec.vbyte_encoded_lengths(gaps) if doc.size else \
-                np.zeros(0, np.int64)
-            len_t = codec.vbyte_encoded_lengths(tf) if tf.size else \
-                np.zeros(0, np.int64)
-            len_l = codec.vbyte_encoded_lengths(dl) if dl.size else \
-                np.zeros(0, np.int64)
-            buf_d = codec.vbyte_encode(gaps)
-            buf_t = codec.vbyte_encode(tf)
-            buf_l = codec.vbyte_encode(dl)
-            cum_d = np.concatenate([[0], np.cumsum(len_d)])
-            cum_t = np.concatenate([[0], np.cumsum(len_t)])
-            cum_l = np.concatenate([[0], np.cumsum(len_l)])
+            # one VByte pass per stream for the whole partition, sliced
+            # per output row (same kernel as _build_partials)
+            bd_runs = codec.vbyte_encode_runs(gaps, p_starts, p_ends)
+            bt_runs = codec.vbyte_encode_runs(tf, p_starts, p_ends)
+            bl_runs = codec.vbyte_encode_runs(dl, p_starts, p_ends)
 
         # assemble output rows
         rows = {k: [] for k in ("term", "grp", "df", "cf", "tub", "np",
@@ -632,9 +614,9 @@ def _merge_partials(partials, cfg: IndexConfig, num_docs: int,
                 app["bm"]([float(idf * factor[p0:p1].max())]
                           if p1 > p0 else [])
                 continue
-            app["bd"](buf_d[cum_d[p0]:cum_d[p1]])
-            app["bt"](buf_t[cum_t[p0]:cum_t[p1]])
-            app["bl"](buf_l[cum_l[p0]:cum_l[p1]])
+            app["bd"](bd_runs[i])
+            app["bt"](bt_runs[i])
+            app["bl"](bl_runs[i])
             if d_row.size > codec.SKIP_POINTERS_THRESHOLD:
                 keys, doff, foff = codec.build_skip_pointers(
                     d_row, tf[p0:p1])
@@ -704,16 +686,42 @@ def build_index(spark, corpus, warehouse_dir: str,
         # downstream table derives from partials, so restart the whole
         # pipeline (cheaper than a mixed-schema parquet read mid-merge)
         manifest = {"stages": {}, "metrics": {}}
+    if resume and manifest.get("stages"):
+        recorded = manifest.get("config") or {}
+        for f in ("codec", "stemming", "stopwords", "truncate"):
+            if f in recorded and recorded[f] != getattr(cfg, f):
+                # the existing stages were built under a different
+                # text/codec pipeline — resuming would mix
+                # configurations (e.g. stemmed queries over an
+                # unstemmed index, pfd decode of vbyte streams);
+                # restart clean instead
+                manifest = {"stages": {}, "metrics": {}}
+                break
     manifest["config"] = asdict(cfg)
 
     num_blocks = cfg.num_blocks or spark.sparkContext.defaultParallelism
     manifest["num_blocks"] = num_blocks
 
+    def _partials_present():
+        info = manifest["stages"].get("partials") or {}
+        return bool(info.get("done")) and (
+            info.get("deleted") or os.path.exists(paths["partials"]))
+
     staged = stats = None
-    need_upstream = not all(
-        _stage_done(manifest, s, paths[s])
-        for s in ("docs", "stats", "partials"))
+    need_upstream = not (
+        _stage_done(manifest, "docs", paths["docs"])
+        and _stage_done(manifest, "stats", paths["stats"])
+        and _partials_present())
     if need_upstream:
+        # docs/stats/partials form ONE atomic group: they all derive
+        # from a single staging pass whose dense docId assignment is
+        # session-dependent (scan splits, range-partition sampling,
+        # num_blocks). Keeping a previously-written docs table while
+        # regenerating partials in a new session could silently pair
+        # old doc_no↔doc_id mappings with new postings — so a partial
+        # group is always rewritten together.
+        for s in ("docs", "stats", "partials"):
+            manifest["stages"].pop(s, None)
         raw = _tokenized_staging(corpus, cfg, num_blocks)
         # columnar cache; spills to disk when executors run short —
         # Spark's task memory manager replacing the reference's
@@ -737,27 +745,27 @@ def build_index(spark, corpus, warehouse_dir: str,
         # and wants every core — overlapping the small docs/stats writes
         # with it (tried) steals its workers and costs N→4N scaling
         # efficiency for a sub-second wall win.
-        if not _stage_done(manifest, "docs", paths["docs"]):
-            (staged_ids.drop("terms")
-             .write.mode("overwrite").parquet(paths["docs"]))
-            _mark_stage(manifest, warehouse_dir, "docs", rows=num_docs)
-        if not _stage_done(manifest, "stats", paths["stats"]):
-            # spark.range keeps this JVM-only (createDataFrame from a
-            # python list would execute via a Python-RDD worker)
-            (spark.range(1)
-             .select(_F.lit(num_docs).alias("num_docs"),
-                     _F.lit(num_tokens).alias("num_tokens"),
-                     _F.lit(float(avg_doc_len)).alias("avg_doc_len"))
-             .coalesce(1).write.mode("overwrite").parquet(paths["stats"]))
-            _mark_stage(manifest, warehouse_dir, "stats", **stats)
-        if not _stage_done(manifest, "partials", paths["partials"]):
-            partials_df = _build_partials(
-                staged_ids.select("doc_id", "doc_len", "terms"),
-                cfg, avg_doc_len)
-            (partials_df.write.mode("overwrite")
-             .partitionBy("block_id").parquet(paths["partials"]))
-            manifest["partials_format"] = PARTIALS_FORMAT_VERSION
-            _mark_stage(manifest, warehouse_dir, "partials")
+        (staged_ids.drop("terms")
+         .write.mode("overwrite").parquet(paths["docs"]))
+        _mark_stage(manifest, warehouse_dir, "docs", rows=num_docs)
+        # spark.range keeps this JVM-only (createDataFrame from a
+        # python list would execute via a Python-RDD worker)
+        (spark.range(1)
+         .select(_F.lit(num_docs).alias("num_docs"),
+                 _F.lit(num_tokens).alias("num_tokens"),
+                 _F.lit(float(avg_doc_len)).alias("avg_doc_len"))
+         .coalesce(1).write.mode("overwrite").parquet(paths["stats"]))
+        _mark_stage(manifest, warehouse_dir, "stats", **stats)
+        partials_df = _build_partials(
+            staged_ids.select("doc_id", "doc_len", "terms"),
+            cfg, avg_doc_len)
+        (partials_df.write.mode("overwrite")
+         .partitionBy("block_id").parquet(paths["partials"]))
+        manifest["partials_format"] = PARTIALS_FORMAT_VERSION
+        _mark_stage(manifest, warehouse_dir, "partials")
+        # the group invalidates everything derived from it
+        for s in ("postings", "lexicon"):
+            manifest["stages"].pop(s, None)
         manifest["metrics"]["block_docs"] = {str(k): v for k, v
                                              in block_docs.items()}
         raw.unpersist()
@@ -767,9 +775,10 @@ def build_index(spark, corpus, warehouse_dir: str,
                  "num_tokens": srow["num_tokens"],
                  "avg_doc_len": srow["avg_doc_len"]}
 
-    partials = spark.read.parquet(paths["partials"])
+    partials = None
 
     if not _stage_done(manifest, "postings", paths["postings"]):
+        partials = spark.read.parquet(paths["partials"])
         n_merge = auto_merge_partitions(paths["partials"], num_blocks, cfg)
         manifest["metrics"]["merge_partitions"] = n_merge
         merged = _merge_partials(partials, cfg, stats["num_docs"],
@@ -800,16 +809,30 @@ def build_index(spark, corpus, warehouse_dir: str,
         _mark_stage(manifest, warehouse_dir, "lexicon")
     lexicon = spark.read.parquet(paths["lexicon"])
 
-    # per-block lineage metrics (terms/postings per partition)
-    bm = (partials.groupBy("block_id")
-          .agg(F.count("*").alias("terms"),
-               F.sum("df_b").alias("postings"))
-          .collect())
-    manifest["metrics"]["blocks"] = {
-        str(r["block_id"]): {"terms": r["terms"],
-                             "postings": int(r["postings"])} for r in bm}
+    # per-block lineage metrics (terms/postings per partition) —
+    # best-effort: skipped when the partial blocks are gone
+    # (keep_partials=False warehouses) and kept from the manifest
+    if os.path.isdir(paths["partials"]):
+        if partials is None:
+            partials = spark.read.parquet(paths["partials"])
+        bm = (partials.groupBy("block_id")
+              .agg(F.count("*").alias("terms"),
+                   F.sum("df_b").alias("postings"))
+              .collect())
+        manifest["metrics"]["blocks"] = {
+            str(r["block_id"]): {"terms": r["terms"],
+                                 "postings": int(r["postings"])}
+            for r in bm}
     manifest["stats"] = stats
-    if not cfg.keep_partials:
-        pass  # partials retained only as checkpoint; caller may delete
+    if not cfg.keep_partials and os.path.isdir(paths["partials"]):
+        # the checkpoint served its purpose: postings + lexicon exist.
+        # The stage stays marked done (deleted=True) so a resume does
+        # NOT regenerate the upstream group — regenerating docs in a
+        # fresh session could pair new docIds with the old postings.
+        import shutil
+
+        shutil.rmtree(paths["partials"], ignore_errors=True)
+        manifest["stages"]["partials"] = {"done": True, "deleted": True,
+                                          "ts": time.time()}
     _save_manifest(warehouse_dir, manifest)
     return manifest

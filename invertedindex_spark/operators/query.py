@@ -94,14 +94,30 @@ class InvertedIndex:
                  io_mode: str | None = None):
         self.spark = spark
         self.warehouse_dir = warehouse_dir
-        manifest = read_manifest(warehouse_dir)
+        if io_mode is None:
+            io_mode = "local" if os.path.isdir(warehouse_dir) else "spark"
+        self.io_mode = io_mode
+        if io_mode == "local":
+            manifest = read_manifest(warehouse_dir)
+        else:
+            # remote warehouse: the local-FS read_manifest would
+            # silently return {} and default the pipeline config
+            # (stemming queries against an unstemmed index, vbyte
+            # decode of pfd streams) — read the JSON through the
+            # JVM's Hadoop filesystem instead
+            import json as _json
+
+            try:
+                txt = "\n".join(
+                    r[0] for r in spark.read.text(
+                        f"{warehouse_dir}/_manifest.json").collect())
+                manifest = _json.loads(txt) if txt.strip() else {}
+            except Exception:
+                manifest = {}
         cfg = manifest.get("config", {})
         self.stopwords = cfg.get("stopwords", True)
         self.stemming = cfg.get("stemming", True)
         self.codec = cfg.get("codec", "vbyte")
-        if io_mode is None:
-            io_mode = "local" if os.path.isdir(warehouse_dir) else "spark"
-        self.io_mode = io_mode
         if io_mode == "local":
             import pyarrow.parquet as pq
 
@@ -234,9 +250,35 @@ class InvertedIndex:
             self._rg_index = (handles, term_to_rg) if handles else False
         return self._rg_index
 
-    def _rows_via_rg_index(self, terms, cols):
+    def refresh(self):
+        """Drop every driver-side cache and file handle — call after
+        anything rewrites the warehouse tables under a live handle
+        (streaming ``compact()``, a rebuild). Stats are re-read too."""
+        self._lexicon_map = None
+        self._postings_ds = None
+        self._docs_ds = None
+        self._rg_index = None
+        self._doc_nos = None
+        self._cache.clear()
+        self._term_cache.clear()
+        self._row_cache.clear()
+        if self.io_mode == "local":
+            import pyarrow.parquet as pq
+
+            srow = pq.read_table(
+                f"{self.warehouse_dir}/stats").to_pylist()[0]
+        else:
+            srow = self.spark.read.parquet(
+                f"{self.warehouse_dir}/stats").collect()[0]
+        self.num_docs = srow["num_docs"]
+        self.avg_doc_len = srow["avg_doc_len"]
+        return self
+
+    def _rows_via_rg_index(self, terms, cols, _retried=False):
         """Point-read posting rows for ``terms`` through the term →
-        row-group map; returns None when the index is unavailable."""
+        row-group map; returns None when the index is unavailable.
+        A vanished file (postings rewritten by a compaction while this
+        handle was live) triggers one full cache refresh + retry."""
         idx = self._term_row_groups()
         if not idx:
             return None
@@ -248,12 +290,18 @@ class InvertedIndex:
         import pyarrow.compute as pc
 
         rows = []
-        for j, ts in by_rg.items():
-            pf, rg = handles[j]
-            tbl = pf.read_row_group(rg, columns=cols)
-            hit = tbl.filter(pc.field("term").isin(ts))
-            if hit.num_rows:
-                rows.extend(hit.to_pylist())
+        try:
+            for j, ts in by_rg.items():
+                pf, rg = handles[j]
+                tbl = pf.read_row_group(rg, columns=cols)
+                hit = tbl.filter(pc.field("term").isin(ts))
+                if hit.num_rows:
+                    rows.extend(hit.to_pylist())
+        except OSError:
+            if _retried:
+                raise
+            self.refresh()
+            return self._rows_via_rg_index(terms, cols, _retried=True)
         return rows
 
     def warm(self):
@@ -537,24 +585,28 @@ class InvertedIndex:
         def decode(iterator):
             stream_dec = codec.pfd_decode if use_pfd else codec.vbyte_decode
             for batch in iterator:
-                t = batch.column("term").to_pylist()
-                dfs = batch.column("df").to_pylist()
+                dfs = batch.column("df").to_numpy(zero_copy_only=False)
                 ids_b = batch.column("doc_ids_vbyte").to_pylist()
                 tf_b = batch.column("freqs_vbyte").to_pylist()
                 dl_b = batch.column("dls_vbyte").to_pylist()
-                terms_out, df_out, id_out, tf_out, dl_out = [], [], [], [], []
-                for term, dfv, ib, fb, lb in zip(t, dfs, ids_b, tf_b, dl_b):
-                    d = codec.gap_decode(stream_dec(ib))
-                    terms_out.extend([term] * d.size)
-                    df_out.extend([dfv] * d.size)
-                    id_out.append(d)
+                id_out, tf_out, dl_out = [], [], []
+                for ib, fb, lb in zip(ids_b, tf_b, dl_b):
+                    id_out.append(codec.gap_decode(stream_dec(ib)))
                     tf_out.append(stream_dec(fb))
                     dl_out.append(stream_dec(lb))
-                if not terms_out:
+                lens = np.array([d.size for d in id_out], dtype=np.int64)
+                total = int(lens.sum())
+                if total == 0:
                     continue
+                # fan out per-row term/df with NumPy + Arrow dictionary
+                # take (no per-posting Python objects — a hot term with
+                # df in the millions stays fully vectorized)
+                row_idx = np.repeat(
+                    np.arange(len(lens), dtype=np.int64), lens)
+                terms_rep = batch.column("term").take(pa.array(row_idx))
                 yield pa.RecordBatch.from_arrays(
-                    [pa.array(terms_out, pa.string()),
-                     pa.array(df_out, pa.int64()),
+                    [terms_rep,
+                     pa.array(np.repeat(dfs, lens)),
                      pa.array(np.concatenate(id_out)),
                      pa.array(np.concatenate(tf_out)),
                      pa.array(np.concatenate(dl_out))],

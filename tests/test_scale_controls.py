@@ -120,3 +120,75 @@ def test_compact_inherits_warehouse_codec(spark, tmp_path):
     # an explicit conflicting cfg fails fast instead of mixing codecs
     with pytest.raises(ValueError, match="codec"):
         compact(spark, wh, IndexConfig(num_blocks=2, codec="vbyte"))
+
+
+def test_resume_after_partial_group_crash_stays_consistent(spark, tmp_path):
+    """docs/stats/partials form one atomic group: resuming a build that
+    crashed between the docs write and the partials write must NOT pair
+    the old docs table with freshly-assigned docIds — the group is
+    rewritten together, even under a different num_blocks."""
+    import json
+
+    wh = str(tmp_path / "crashwh")
+    rows = corpus.synthesize_source_code_rows(N, seed=42)
+    df = spark.createDataFrame(rows, corpus._CORPUS_SCHEMA)
+    build_index(spark, corpus.from_source_code(df), wh,
+                IndexConfig(num_blocks=2))
+    ref = InvertedIndex(spark, wh)
+    want = ref.search(QUERY, 10)
+
+    # simulate a crash after docs+stats committed but before partials:
+    # drop the partials/postings/lexicon stage records
+    p = os.path.join(wh, "_manifest.json")
+    with open(p) as f:
+        m = json.load(f)
+    for s in ("partials", "postings", "lexicon"):
+        m["stages"].pop(s, None)
+    with open(p, "w") as f:
+        json.dump(m, f)
+
+    # resume in a DIFFERENT partitioning regime
+    m2 = build_index(spark, corpus.from_source_code(df), wh,
+                     IndexConfig(num_blocks=5), resume=True)
+    assert all(m2["stages"][s]["done"] for s in
+               ("docs", "stats", "partials", "postings", "lexicon"))
+    idx = InvertedIndex(spark, wh)
+    got = idx.search(QUERY, 10)
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, rel=1e-12)
+
+
+def test_resume_with_conflicting_config_rebuilds(spark, tmp_path):
+    """resume with a different pipeline config must not reuse stages
+    built under the old one (stemmed queries over an unstemmed index)."""
+    wh = str(tmp_path / "cfgwh")
+    rows = corpus.synthesize_source_code_rows(N, seed=42)
+    df = spark.createDataFrame(rows, corpus._CORPUS_SCHEMA)
+    build_index(spark, corpus.from_source_code(df), wh,
+                IndexConfig(num_blocks=2, stemming=False))
+    m = build_index(spark, corpus.from_source_code(df), wh,
+                    IndexConfig(num_blocks=2, stemming=True), resume=True)
+    assert m["config"]["stemming"] is True
+    idx = InvertedIndex(spark, wh)
+    assert idx.stemming is True
+    # stemmed vocabulary present (e.g. 'parties' -> 'parti')
+    assert "parti" in idx.lexicon_map()
+
+
+def test_keep_partials_false_deletes_checkpoint(spark, tmp_path):
+    wh = str(tmp_path / "nopart")
+    rows = corpus.synthesize_source_code_rows(N, seed=42)
+    df = spark.createDataFrame(rows, corpus._CORPUS_SCHEMA)
+    m = build_index(spark, corpus.from_source_code(df), wh,
+                    IndexConfig(num_blocks=2, keep_partials=False))
+    assert not os.path.exists(os.path.join(wh, "partials"))
+    assert m["stages"]["partials"].get("deleted") is True
+    idx = InvertedIndex(spark, wh)
+    assert idx.search(QUERY, 10)
+    # resume over the slimmed warehouse is a no-op, not a rebuild
+    m2 = build_index(spark, corpus.from_source_code(df), wh,
+                     IndexConfig(num_blocks=2, keep_partials=False),
+                     resume=True)
+    assert not os.path.exists(os.path.join(wh, "partials"))
+    assert m2["stages"]["postings"]["done"]
