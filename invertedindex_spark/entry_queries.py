@@ -175,6 +175,9 @@ WITH src AS (
 _H_SQL_DUCK = ("(CAST(concat('0x', substr(md5({x}), 1, 15)) AS BIGINT) "
                f"% {MERSENNE31})")
 
+# full-width 32-bit twin of dedup._h32_col (SimHash)
+_H32_SQL_DUCK = "CAST(concat('0x', substr(md5({x}), 1, 8)) AS BIGINT)"
+
 
 def _h_spark(col):
     from pyspark.sql import functions as F
@@ -603,7 +606,7 @@ tok AS (
 ), tf AS (
   SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY doc_id, t
 ), hv AS (
-  SELECT doc_id, tf, {_H_SQL_DUCK.format(x='t')} AS h FROM tf
+  SELECT doc_id, tf, {_H32_SQL_DUCK.format(x='t')} AS h FROM tf
 ), sums AS (
   SELECT doc_id, {bit_sums} FROM hv GROUP BY doc_id
 )
@@ -653,7 +656,7 @@ m AS (
            AS n_terms,
          length(text) - length(regexp_replace(text, '[^a-zA-Z0-9]', '',
                                               'g')) AS n_sep
-  FROM src
+  FROM src WHERE len(tokens) > 0
 )
 SELECT doc_id, n_chars, n_tokens, n_terms,
   CAST(round(1e6 * (1.0 - CAST(n_terms AS DOUBLE) / n_tokens)) AS BIGINT)
@@ -952,7 +955,8 @@ WITH t AS (
   FROM m
 )
 SELECT doc_id,
-       CASE WHEN text IS NULL OR length(text) = 0 THEN 'empty'
+       CASE WHEN text IS NULL OR length(text) = 0
+                 OR len(tokens) = 0 THEN 'empty'
             WHEN doc_id <> keep_id THEN 'exact_dup'
             WHEN quality_u6 < {MIN_QUALITY_U6} THEN 'low_quality'
             WHEN pred_lang NOT IN ({keep}) THEN 'lang'

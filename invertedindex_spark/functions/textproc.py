@@ -6,11 +6,12 @@ call order ``Indexer.java:89-101``):
 * ``tokenize``: lowercase → replace ``[^a-zA-Z0-9]`` with a space → split
   on ``/ +/``. Java's ``Pattern.split`` drops *trailing* empty strings but
   keeps a *leading* empty token produced by a leading separator
-  (the "empty-token quirk", SURVEY.md §1.3) — a punctuation-only document
-  tokenizes to ``[""]`` and ``""`` becomes a real index term. We reproduce
-  this by right-trimming spaces before splitting, which is equivalent:
-  with separator ``' +'``, empty tokens can only appear first (leading
-  separator) or last (trailing separator, which Java drops).
+  (the "empty-token quirk", SURVEY.md §1.3) — ``" hi"`` tokenizes to
+  ``["", "hi"]`` and ``""`` becomes a real index term. An ALL-separator
+  document, however, tokenizes to ``[]`` (JVM-verified: trailing-empty
+  removal deletes the lone empty string too), so it is skipped without
+  consuming a docId. We reproduce both by right-trimming spaces before
+  splitting and mapping a fully-trimmed-away document to the empty list.
 * stopword removal: exact 127-word list from the reference's
   ``resources/stopwords.txt`` (membership is semantic).
 * ``doc_len`` counts non-stopword tokens *before* truncation/stemming
@@ -81,12 +82,20 @@ def tokens_col(content):
 
     Equivalent to the reference tokenize() including the leading
     empty-token quirk. Spark's ``split`` keeps trailing empties (Java's
-    drops them), hence the trailing-space strip before splitting.
+    drops them), hence the trailing-space strip before splitting; a
+    fully-trimmed-away (all-separator) document maps to ``[]`` like
+    Java's split, not to ``[""]`` like Spark's.
     """
     from pyspark.sql import functions as F
 
+    # all-separator ⟺ no alphanumeric char at all — a cheap rlike
+    # probe, so the expensive clean/trim/split subtree is evaluated at
+    # most once per row (a trimmed == '' guard would duplicate it)
     cleaned = F.regexp_replace(F.lower(content), "[^a-zA-Z0-9]", " ")
-    return F.split(F.regexp_replace(cleaned, " +$", ""), " +")
+    trimmed = F.regexp_replace(cleaned, " +$", "")
+    return F.when(~content.rlike("[a-zA-Z0-9]"),
+                  F.array().cast("array<string>")) \
+        .otherwise(F.split(trimmed, " +"))
 
 
 def _not_stopword(tok):
@@ -123,9 +132,12 @@ def doc_len_col(tokens, stopwords: bool = True):
 # --------------------------------------------------------------------
 
 def tokenize_text(document: str) -> list[str]:
-    """Exact Python twin of the reference tokenize()."""
+    """Exact Python twin of the reference tokenize(): all-separator
+    documents yield [], leading separators yield a leading "" token."""
     cleaned = _CLEAN_RE.sub(" ", document.lower())
     cleaned = _TRAIL_RE.sub("", cleaned)
+    if not cleaned:
+        return []
     return _SPLIT_RE.split(cleaned)
 
 
@@ -189,34 +201,59 @@ def tokenize_terms_arrow(content, stopwords: bool = True,
     trailing empties), one for splitting on separator runs; stopword
     filter / truncate / stem applied to the flat values vector.
 
-    Unicode caveat: ``utf8_lower`` uses simple case mapping while Java's
-    ``toLowerCase`` uses full mapping; the difference can only affect
-    characters that are separators anyway ([^a-zA-Z0-9] is replaced
-    before tokens form), so token streams agree."""
+    Unicode: ``utf8_lower`` uses SIMPLE case mapping while Java's
+    ``toLowerCase`` uses full mapping — they disagree on e.g. U+0130
+    ``İ`` (full: ``i`` + combining dot, a separator; simple: plain
+    ``i``), which would change the token stream. Rows containing any
+    non-ASCII character therefore fall back to Python ``str.lower``
+    (full mapping, matching Java); pure-ASCII rows — the bulk of any
+    code/English corpus — stay on the vectorized kernel."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
 
     if isinstance(content, pa.ChunkedArray):
         content = content.combine_chunks()
-    low = pc.utf8_lower(content)
+    non_ascii = pc.fill_null(
+        pc.match_substring_regex(content, "[^\\x00-\\x7F]"), False)
+    if pc.any(non_ascii).as_py():
+        mask = non_ascii.to_numpy(zero_copy_only=False).astype(bool)
+        fast = pc.utf8_lower(content).to_pylist()
+        src = content.to_pylist()
+        low = pa.array(
+            [(src[i].lower() if src[i] is not None else None)
+             if mask[i] else fast[i] for i in range(len(src))],
+            pa.string())
+    else:
+        low = pc.utf8_lower(content)
     trimmed = pc.replace_substring_regex(low, "[^a-z0-9]+$", "")
     toks = pc.split_pattern_regex(trimmed, "[^a-z0-9]+")
     if isinstance(toks, pa.ChunkedArray):
         toks = toks.combine_chunks()
     offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
     vals = toks.values
+    # all-separator docs: trimmed == "" but split still yields one ""
+    # value — Java's split yields NO tokens there; drop that value and
+    # zero the row's length (the leading-"" quirk of ``" hi"``-style
+    # docs is untouched: their trimmed form is non-empty)
+    empty_doc = pc.fill_null(pc.equal(trimmed, ""), False) \
+        .to_numpy(zero_copy_only=False).astype(bool)
+    if empty_doc.any():
+        drop = np.zeros(len(vals), dtype=bool)
+        drop[offs[:-1][empty_doc]] = True
+        vals = vals.filter(pa.array(~drop))
+        lens = offs[1:] - offs[:-1]
+        lens[empty_doc] = 0
+        offs = np.concatenate([[0], np.cumsum(lens)])
     if stopwords:
         keep = pc.invert(pc.is_in(vals, value_set=_STOPWORD_ARROW()))
         keep_np = keep.to_numpy(zero_copy_only=False)
         counts = np.zeros(len(offs) - 1, dtype=np.int64)
-        nonempty = offs[:-1] < offs[1:]
         if keep_np.size:
             csum = np.concatenate([[0], np.cumsum(keep_np)])
             counts = csum[offs[1:]] - csum[offs[:-1]]
         offs = np.concatenate([[0], np.cumsum(counts)])
         vals = vals.filter(keep)
-        del nonempty
     if truncate:
         vals = pc.utf8_slice_codeunits(vals, 0, MAX_TERM_LEN)
     if stemming and len(vals):
@@ -245,11 +282,21 @@ def _STOPWORD_ARROW():
 # --------------------------------------------------------------------
 
 def tokens_sql(content_expr: str) -> str:
-    """DuckDB SQL producing the same token array as :func:`tokens_col`."""
-    return (
-        "string_split_regex(regexp_replace(regexp_replace("
-        f"lower({content_expr}), '[^a-zA-Z0-9]', ' ', 'g'), ' +$', ''), ' +')"
-    )
+    """DuckDB SQL producing the same token array as :func:`tokens_col`
+    (incl. the all-separator-doc → empty-list rule).
+
+    Domain note: DuckDB ``lower`` uses SIMPLE case mapping; the few
+    characters where full mapping differs with ASCII-visible effect
+    (U+0130 ``İ`` → ``i``+combining-dot, U+212A KELVIN → ``k``) are
+    outside this twin's domain — the engine follows Java (full
+    mapping, pinned in tests); oracle comparisons run on text without
+    those characters."""
+    trimmed = ("regexp_replace(regexp_replace("
+               f"lower({content_expr}), '[^a-zA-Z0-9]', ' ', 'g'), "
+               "' +$', '')")
+    return (f"CASE WHEN NOT regexp_matches({content_expr}, "
+            "'[a-zA-Z0-9]') THEN CAST([] AS VARCHAR[]) "
+            f"ELSE string_split_regex({trimmed}, ' +') END")
 
 
 def stopword_array_sql() -> str:

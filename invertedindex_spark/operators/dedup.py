@@ -33,6 +33,15 @@ def _h_col(col):
             .cast("long") % MERSENNE31)
 
 
+def _h32_col(col):
+    """Full-width 32-bit string hash (first 8 md5 hex digits) — used
+    where every bit carries signal (SimHash); the Mersenne-residue
+    hash above would leave bit 31 permanently zero."""
+    from pyspark.sql import functions as F
+
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
 def _tokens(df):
     from pyspark.sql import functions as F
 
@@ -158,13 +167,14 @@ def minhash_lsh_pairs(df, perms, n_bands: int, band_width: int,
 
 
 def simhash32(df):
-    """(doc_id, simhash32): 32-bit SimHash over tf-weighted tokens."""
+    """(doc_id, simhash32): 32-bit SimHash over tf-weighted tokens —
+    full-width hash so bit 31 carries signal too."""
     from pyspark.sql import functions as F
 
     tok = (_tokens(df)
            .select("doc_id", F.explode("tokens").alias("t"))
            .groupBy("doc_id", "t").agg(F.count("*").alias("tf"))
-           .withColumn("h", _h_col(F.col("t"))))
+           .withColumn("h", _h32_col(F.col("t"))))
     bit_sums = [F.sum(
         F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1,
                F.col("tf")).otherwise(-F.col("tf"))).alias(f"b{j}")

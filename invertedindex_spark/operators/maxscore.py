@@ -70,19 +70,20 @@ def selective_decode(doc_ids_vbyte: bytes, freqs_vbyte: bytes,
     if idx.size == 0:
         z = np.zeros(0, dtype=np.int64)
         return z, z, (z if dls_vbyte is not None else None)
-    dls = codec.vbyte_decode(dls_vbyte) if dls_vbyte is not None else None
+    # the skip byte-offsets are only meaningful for the codec the
+    # stream was written with; honor the caller's decoder uniformly
+    dls = decode(dls_vbyte) if dls_vbyte is not None else None
     out_d, out_tf = [], []
     block_lens = []
     for i in idx:
-        gaps = codec.vbyte_decode(
-            doc_ids_vbyte[dstarts[i]:dstarts[i + 1]])
+        gaps = decode(doc_ids_vbyte[dstarts[i]:dstarts[i + 1]])
         # the first decoded value of a non-initial block is a gap from
         # the previous block's last docId; the reference repositions and
         # sets currentDocID = skip key — equivalently, anchor the cumsum
         # so the block's first absolute id equals block_first[i]
         d = np.cumsum(gaps)
         d += block_first[i] - d[0]
-        tf = codec.vbyte_decode(freqs_vbyte[fstarts[i]:fstarts[i + 1]])
+        tf = decode(freqs_vbyte[fstarts[i]:fstarts[i + 1]])
         out_d.append(d)
         out_tf.append(tf)
         block_lens.append(d.size)
@@ -110,13 +111,14 @@ def selective_decode(doc_ids_vbyte: bytes, freqs_vbyte: bytes,
     return d, tf, None
 
 
-def intersect_topk(decoded: dict, num_docs: int, avg_doc_len: float, k: int):
+def intersect_topk(decoded: dict, num_docs: int, avg_doc_len: float):
     """Exact conjunctive scoring over pre-restricted lists.
 
     ``decoded``: term -> (doc_ids, tfs, dls, df), where lists may be
     block-restricted supersets from :func:`selective_decode`; the
     smallest list must be complete. Returns (doc_ids, scores) of the
-    intersection, reference top-k semantics applied by the caller.
+    FULL intersection — the caller applies the reference top-k queue
+    semantics.
     """
     from ..functions import scoring
 

@@ -73,7 +73,9 @@ def clean_corpus(df, min_quality_u6: int = DEFAULT_MIN_QUALITY_U6,
         pred = F.when((counts[lang] == best) & (best > 0),
                       F.lit(lang)).otherwise(pred)
 
-    reason = (F.when(empty, "empty")
+    # token-less docs (all-separator text) carry no usable content —
+    # same class as empty (the indexer skips both without a docId)
+    reason = (F.when(empty | (F.size("tokens") == 0), "empty")
               .when(F.col("doc_id") != F.col("keep_id"), "exact_dup")
               .when(quality_u6 < min_quality_u6, "low_quality")
               .when(~pred.isin(*keep_langs), "lang")

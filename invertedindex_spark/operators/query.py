@@ -494,7 +494,7 @@ class InvertedIndex:
                 decoded[t] = (hit if hit is not None
                               else self._decode_rows_selective(rs, wanted))
             return intersect_topk(decoded, self.num_docs,
-                                  self.avg_doc_len, k)
+                                  self.avg_doc_len)
         lists = []
         for t, rs in by_term.items():
             tub = float(rs[0]["term_upper_bound"])

@@ -26,6 +26,10 @@ def token_stats(df):
     from ..functions.textproc import STOPWORDS, tokens_col
 
     d = df.where(F.col("text").isNotNull() & (F.length("text") > 0))
+    # token-less docs (all-separator text) have no token profile — the
+    # same rows the indexer skips; the rlike probe avoids computing the
+    # token array just to test its emptiness
+    d = d.where(F.col("text").rlike("[a-zA-Z0-9]"))
     t = d.select(
         "doc_id", F.length("text").alias("n_chars"),
         tokens_col(F.col("text")).alias("tokens"),

@@ -16,7 +16,7 @@ Adapters:
   ``(doc_id, text, lang, source, n_chars)``; order = doc_id.
 * :func:`synthesize_source_code` — deterministic seeded corpus in the
   input_hint shape (FIXTURES.md §1) for tests and benchmarks: includes
-  punctuation-only rows (empty-token quirk), all-stopword rows (docId
+  punctuation-only rows (tokenize to [], skipped), all-stopword rows (docId
   skip rule), empty rows, repeated terms, and one hot term with
   df > 1024 at ``n >= 2500`` (skip-pointer + skew coverage).
 """
@@ -175,7 +175,7 @@ def synthesize_source_code_row(i: int, seed: int = 42,
     if kind == 0:
         content = ""                           # skipped: empty
     elif kind == 1:
-        content = "!!! ... ***"                # empty-token quirk
+        content = "!!! ... ***"    # all-separator: no tokens, skipped
     elif kind == 2:
         content = "the of and is are was"      # all stopwords -> no docId
     else:

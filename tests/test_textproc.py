@@ -24,8 +24,17 @@ def test_tokenize_leading_separator_empty_token_quirk():
     assert tokenize_text("...foo") == ["", "foo"]
     # trailing separators are dropped
     assert tokenize_text("foo...") == ["foo"]
-    # punctuation-only document → [""], a real term in the reference
-    assert tokenize_text("!!!") == [""]
+    # punctuation-only document → NO tokens (JVM-verified: Java's
+    # trailing-empty removal deletes the lone empty string, so the
+    # reference skips the doc without consuming a docId)
+    assert tokenize_text("!!!") == []
+    assert tokenize_text("!!! ... ***") == []
+
+
+def test_tokenize_full_case_mapping_unicode():
+    # U+0130 'İ' full-lowercases to 'i' + combining dot (a separator),
+    # exactly like Java's toLowerCase — JVM-verified
+    assert tokenize_text("xİy") == ["xi", "y"]
 
 
 def test_tokenize_collapses_runs():
@@ -126,7 +135,10 @@ def test_arrow_tokenizer_matches_python():
 
     docs = ["Hello, World!", "...foo", "foo...", "!!!", "the the the",
             "a" * 25 + " xyz", "MiXeD CaSe 123", "tab\tsep", " ",
-            "-leading and trailing-", "naïve café", "x"]
+            "-leading and trailing-", "naïve café", "x",
+            "!!! ... ***",              # all-separator → [] (no tokens)
+            "xİy and İstanbul",         # full case mapping (U+0130)
+            "Kelvin scale"]        # KELVIN sign → 'k' (full map)
     docs += [r[4] for r in synthesize_source_code_rows(600, seed=9) if r[4]]
     for stemming in (False, True):
         got = tokenize_terms_arrow(pa.array(docs), stemming=stemming)
