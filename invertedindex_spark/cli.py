@@ -39,8 +39,12 @@ def main(argv=None):
 
     from .operators.query import InvertedIndex
 
-    # stop only a session we created (embedders/tests pass their own)
-    own_session = SparkSession.getActiveSession() is None
+    # stop only a session we created: getOrCreate also reuses a
+    # non-thread-active default session, so check the shared
+    # SparkContext rather than the thread-local active session
+    from pyspark import SparkContext
+
+    own_session = SparkContext._active_spark_context is None
     spark = (SparkSession.builder.master("local[*]")
              .appName("invertedindex-cli")
              .config("spark.ui.enabled", "false").getOrCreate())

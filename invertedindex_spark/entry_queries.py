@@ -1311,6 +1311,18 @@ def all_oracle_sql(query_vec=None, sf_dir=None):
         "multimodal_resize": sql_multimodal_resize(),
     }
     if query_vec is not None:
+        # bucket membership flips on the SIGN of dot(q, plane); numpy
+        # (engine) and DuckDB (oracle) accumulate the dot in different
+        # orders, so verify the query's plane dots are all comfortably
+        # away from zero — fail loudly here rather than hash-mismatch
+        import numpy as np
+        dots = np.asarray(LSH_PLANES, dtype=np.float64) \
+            @ np.asarray(query_vec, dtype=np.float64)
+        if float(np.min(np.abs(dots))) < 1e-9:
+            raise AssertionError(
+                "LSH query-plane dot within float noise of zero for "
+                "this dataset; reseed LSH_PLANES so the oracle "
+                "comparison stays engine-stable")
         out["ann_cosine_topk"] = sql_ann_cosine_topk(query_vec)
         out["ann_lsh_topk"] = sql_ann_lsh_topk(query_vec)
     if query_vec is not None and sf_dir is not None:

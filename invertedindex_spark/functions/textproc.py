@@ -164,6 +164,9 @@ def preprocess_query(query: str, stopwords=True, stemming=True):
     (IllegalQueryTypeException parity).
     """
     tokens = tokenize_text(query)
+    if not tokens:
+        raise ValueError(
+            "illegal query: no tokens (expected [AND|OR] term1 ... termN)")
     head = tokens[0]
     if head == "and":
         qtype = "AND"

@@ -27,17 +27,26 @@ def parse_qrels(lines):
 
 
 def parse_run(lines):
-    """'qid Q0 doc_no rank score tag' → {qid: [doc_no ranked]}."""
-    rows = []
+    """'qid Q0 doc_no rank score tag' → {qid: [doc_no ranked]}.
+
+    trec_eval ignores the run file's rank column and re-sorts by score
+    descending (doc_no descending as its tie-break) — reproduced here,
+    so runs with inconsistent or zeroed rank fields evaluate
+    identically."""
+    by_qid: dict = defaultdict(list)
     for line in lines:
         parts = line.split()
         if len(parts) < 5:
             continue
-        rows.append((parts[0], int(parts[3]), parts[2]))
-    out: dict = defaultdict(list)
-    for qid, rank, doc_no in sorted(rows):
-        out[qid].append(doc_no)
-    return dict(out)
+        by_qid[parts[0]].append((float(parts[4]), parts[2]))
+    out: dict = {}
+    for qid, docs in by_qid.items():
+        # stable two-pass: final order = score desc, doc_no desc on
+        # ties (trec_eval's ordering)
+        docs = sorted(docs, key=lambda d: d[1], reverse=True)
+        docs = sorted(docs, key=lambda d: d[0], reverse=True)
+        out[qid] = [d for _s, d in docs]
+    return out
 
 
 def average_precision(ranked, rels):
@@ -61,23 +70,28 @@ def reciprocal_rank(ranked, rels):
 
 
 def ndcg_at(ranked, rels, k):
+    """nDCG@k with LINEAR gain (gain = rel), matching trec_eval's
+    ndcg_cut measure; for binary qrels this coincides with the
+    exponential-gain variant."""
     dcg = 0.0
     for i, doc in enumerate(ranked[:k], start=1):
         g = rels.get(doc, 0)
         if g > 0:
-            dcg += (2 ** g - 1) / math.log2(i + 1)
+            dcg += g / math.log2(i + 1)
     ideal = sorted((r for r in rels.values() if r > 0), reverse=True)[:k]
-    idcg = sum((2 ** g - 1) / math.log2(i + 1)
+    idcg = sum(g / math.log2(i + 1)
                for i, g in enumerate(ideal, start=1))
     return dcg / idcg if idcg > 0 else 0.0
 
 
 def evaluate_run(run_lines, qrel_lines, ks=(10, 100)):
-    """Mean mAP / RR / nDCG@k over the queries present in the qrels —
-    trec_eval's default behaviour of averaging over judged queries."""
+    """Mean mAP / RR / nDCG@k averaged over topics with at least one
+    RELEVANT (rel > 0) document — trec_eval excludes topics whose
+    judgments are all non-relevant from the denominator."""
     run = parse_run(run_lines)
     qrels = parse_qrels(qrel_lines)
-    qids = [q for q in qrels if qrels[q]]
+    qids = [q for q in qrels
+            if any(r > 0 for r in qrels[q].values())]
     if not qids:
         return {}
     out = {

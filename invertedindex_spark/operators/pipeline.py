@@ -36,7 +36,7 @@ def clean_corpus(df, min_quality_u6: int = DEFAULT_MIN_QUALITY_U6,
     from pyspark.sql import functions as F
 
     from ..functions.textproc import STOPWORDS, tokens_col
-    from .textstats import LANG_MARKERS
+    from .textstats import lang_pred_col, quality_col
 
     base = df.select("doc_id", "text")
     empty = F.col("text").isNull() | (F.length("text") == 0)
@@ -53,25 +53,13 @@ def clean_corpus(df, min_quality_u6: int = DEFAULT_MIN_QUALITY_U6,
     n_terms = F.size(F.filter("tokens", lambda x: ~x.isin(*STOPWORDS)))
     n_sep = (F.length("text")
              - F.length(F.regexp_replace("text", "[^a-zA-Z0-9]", "")))
-    # written as 0.5*term_ratio (not 0.5*(1-stop_ratio)): the oracle
-    # computes the same arithmetic shape, so no 1-ulp drift can flip a
-    # document across the threshold
-    punct_ratio = n_sep / F.length("text")
-    quality = (0.5 * (n_terms / n_tokens) + 0.3 * (1.0 - punct_ratio)
-               + 0.2 * F.least(F.lit(1.0), n_terms / 50.0))
-    quality_u6 = F.round(quality * 1e6).cast("long")
-
-    langs = sorted(LANG_MARKERS)
-    counts = {
-        lang: F.size(F.filter(
-            "tokens", (lambda m: lambda x: x.isin(*m))(
-                LANG_MARKERS[lang])))
-        for lang in langs}
-    best = F.greatest(*counts.values())
-    pred = F.lit("unknown")
-    for lang in reversed(langs):
-        pred = F.when((counts[lang] == best) & (best > 0),
-                      F.lit(lang)).otherwise(pred)
+    # quality + language come from the SAME expression builders the
+    # standalone operators use (textstats.quality_col/lang_pred_col) —
+    # one definition, one oracle shape
+    quality_u6 = F.round(
+        quality_col(n_terms, n_tokens, n_sep, F.length("text"))
+        * 1e6).cast("long")
+    pred = lang_pred_col(F.col("tokens"))
 
     # token-less docs (all-separator text) carry no usable content —
     # same class as empty (the indexer skips both without a docId)

@@ -43,10 +43,10 @@ def cosine_col(q: list[float], col_name: str = "embedding"):
 
 
 def cosine_topk(df, q: list[float], k: int = 10, id_col: str = "vec_id",
-                exclude_id=None):
+                exclude_id=None, emb_col: str = "embedding"):
     from pyspark.sql import functions as F
 
-    scored = df.select(id_col, cosine_col(q).alias("cos"))
+    scored = df.select(id_col, cosine_col(q, emb_col).alias("cos"))
     if exclude_id is not None:
         scored = scored.where(F.col(id_col) != exclude_id)
     return scored.orderBy(F.desc("cos"), F.asc(id_col)).limit(k)
@@ -125,19 +125,22 @@ def bucketize_table(df, planes, path: str, id_col: str = "vec_id",
 
 def lsh_topk_bucketed(spark, path: str, planes, q: list[float],
                       k: int = 10, id_col: str = "vec_id",
-                      exclude_id=None, probes: int = 1):
+                      exclude_id=None, probes: int = 1,
+                      emb_col: str = "embedding"):
     """ANN over a :func:`bucketize_table` layout: reads only the query's
-    probe-bucket partition(s)."""
+    probe-bucket partition(s). ``emb_col`` must match the column the
+    table was bucketized with."""
     from pyspark.sql import functions as F
 
     buckets = probe_buckets(planes, q, probes)
     cand = (spark.read.parquet(path)
             .where(F.col("bucket").isin(buckets)))
-    return cosine_topk(cand, q, k, id_col, exclude_id)
+    return cosine_topk(cand, q, k, id_col, exclude_id, emb_col)
 
 
 def lsh_topk(df, planes, q: list[float], k: int = 10,
-             id_col: str = "vec_id", exclude_id=None):
+             id_col: str = "vec_id", exclude_id=None,
+             emb_col: str = "embedding"):
     """ANN restricted to the query vector's bucket, bucketizing on the
     fly — the one-shot/ad-hoc form. For a serving path (many queries
     against one table) persist the layout once with
@@ -146,9 +149,9 @@ def lsh_topk(df, planes, q: list[float], k: int = 10,
     from pyspark.sql import functions as F
 
     qb = query_bucket(planes, q)
-    cand = df.withColumn("bucket", bucket_col(planes)) \
+    cand = df.withColumn("bucket", bucket_col(planes, emb_col)) \
         .where(F.col("bucket") == qb)
-    return cosine_topk(cand, q, k, id_col, exclude_id)
+    return cosine_topk(cand, q, k, id_col, exclude_id, emb_col)
 
 
 # ---------------------------------------------------------------------
@@ -234,7 +237,8 @@ def query_clusters(centroids, q, nprobe: int = 1) -> list[int]:
 
 
 def ivf_topk(df, centroids, q, k: int = 10, nprobe: int = 1,
-             id_col: str = "vec_id", exclude_id=None):
+             id_col: str = "vec_id", exclude_id=None,
+             emb_col: str = "embedding"):
     """IVF ANN, assigning on the fly (one-shot form): score only the
     vectors whose cluster is among the query's nprobe nearest. For a
     serving path persist :func:`ivf_table` and use
@@ -242,21 +246,22 @@ def ivf_topk(df, centroids, q, k: int = 10, nprobe: int = 1,
     from pyspark.sql import functions as F
 
     probe = query_clusters(centroids, q, nprobe)
-    cand = (ivf_assign(df, centroids, id_col)
+    cand = (ivf_assign(df, centroids, id_col, emb_col)
             .where(F.col("cluster").isin(probe)))
-    return cosine_topk(cand, q, k, id_col, exclude_id)
+    return cosine_topk(cand, q, k, id_col, exclude_id, emb_col)
 
 
 def ivf_topk_table(spark, path: str, centroids, q, k: int = 10,
                    nprobe: int = 1, id_col: str = "vec_id",
-                   exclude_id=None):
-    """IVF ANN over a persisted :func:`ivf_table` layout."""
+                   exclude_id=None, emb_col: str = "embedding"):
+    """IVF ANN over a persisted :func:`ivf_table` layout. ``emb_col``
+    must match the column the table was written with."""
     from pyspark.sql import functions as F
 
     probe = query_clusters(centroids, q, nprobe)
     cand = (spark.read.parquet(path)
             .where(F.col("cluster").isin(probe)))
-    return cosine_topk(cand, q, k, id_col, exclude_id)
+    return cosine_topk(cand, q, k, id_col, exclude_id, emb_col)
 
 
 def cosine_pair_col(a_col: str, b_col: str):
@@ -314,6 +319,8 @@ def near_dup_pairs(df, tables: list[list[list[float]]], threshold: float,
             vids = batch.column("vid").to_numpy(zero_copy_only=False)
             emb = batch.column("v")
             n = len(vids)
+            if n == 0:
+                continue
             mat = np.asarray(emb.flatten().to_numpy(zero_copy_only=False),
                              dtype=np.float64).reshape(n, -1)
             signs = (mat @ plane_mat.T) > 0          # (n, L*b)

@@ -16,6 +16,41 @@ LANG_MARKERS = {
 }
 
 
+def quality_col(n_terms, n_tokens, n_sep, n_chars):
+    """Composite quality score — the ONE definition shared by
+    :func:`token_stats`, ``pipeline.clean_corpus`` and (textually)
+    their DuckDB oracles: ``0.5*term_ratio + 0.3*(1-punct_ratio) +
+    0.2*min(1, n_terms/50)``. term_ratio is computed directly (not via
+    ``1-(1-r)``) so the arithmetic shape matches the SQL twins — the
+    double negation drifts by 1 ulp and can flip a document across a
+    micro-unit rounding boundary between engines."""
+    from pyspark.sql import functions as F
+
+    return (0.5 * (n_terms / n_tokens)
+            + 0.3 * (1.0 - n_sep / n_chars)
+            + 0.2 * F.least(F.lit(1.0), n_terms / 50.0))
+
+
+def lang_pred_col(tokens):
+    """Marker-count language prediction with deterministic priority
+    tie-break (de < en < es < fr), 'unknown' when no marker hits —
+    shared by :func:`lang_id` and ``pipeline.clean_corpus``."""
+    from pyspark.sql import functions as F
+
+    langs = sorted(LANG_MARKERS)
+    counts = {
+        lang: F.size(F.filter(
+            tokens,
+            (lambda m: lambda x: x.isin(*m))(LANG_MARKERS[lang])))
+        for lang in langs}
+    best = F.greatest(*counts.values())
+    pred = F.lit("unknown")
+    for lang in reversed(langs):
+        pred = F.when((counts[lang] == best) & (best > 0),
+                      F.lit(lang)).otherwise(pred)
+    return pred
+
+
 def token_stats(df):
     """(doc_id, n_chars, n_tokens, n_terms, stop_ratio_u6,
     punct_ratio_u6, quality_u6): length/punctuation/stopword profile +
@@ -42,8 +77,8 @@ def token_stats(df):
         F.size(F.filter("tokens", lambda x: ~x.isin(*STOPWORDS))))
     stop_ratio = 1.0 - F.col("n_terms") / F.col("n_tokens")
     punct_ratio = F.col("n_sep") / F.col("n_chars")
-    quality = (0.5 * (1.0 - stop_ratio) + 0.3 * (1.0 - punct_ratio)
-               + 0.2 * F.least(F.lit(1.0), F.col("n_terms") / 50.0))
+    quality = quality_col(F.col("n_terms"), F.col("n_tokens"),
+                          F.col("n_sep"), F.col("n_chars"))
 
     def u6(c):
         return F.round(c * 1e6).cast("long")
@@ -56,30 +91,16 @@ def token_stats(df):
 
 
 def lang_id(df):
-    """(doc_id, pred_lang): marker-word language ID with deterministic
-    priority tie-break (de < en < es < fr), 'unknown' when no marker
-    hits. An n-gram-profile upgrade slots in behind the same API."""
+    """(doc_id, pred_lang): marker-word language ID. An n-gram-profile
+    upgrade slots in behind the same API."""
     from pyspark.sql import functions as F
 
     from ..functions.textproc import tokens_col
 
     d = df.where(F.col("text").isNotNull() & (F.length("text") > 0))
     t = d.select("doc_id", tokens_col(F.col("text")).alias("tokens"))
-    langs = sorted(LANG_MARKERS)
-
-    def marker_filter(markers):
-        return lambda x: x.isin(*markers)
-
-    for lang in langs:
-        t = t.withColumn(
-            f"c_{lang}",
-            F.size(F.filter("tokens", marker_filter(LANG_MARKERS[lang]))))
-    best = F.greatest(*[F.col(f"c_{lang}") for lang in langs])
-    pred = F.lit("unknown")
-    for lang in reversed(langs):
-        pred = F.when((F.col(f"c_{lang}") == best) & (best > 0),
-                      F.lit(lang)).otherwise(pred)
-    return t.select("doc_id", pred.alias("pred_lang"))
+    return t.select("doc_id",
+                    lang_pred_col(F.col("tokens")).alias("pred_lang"))
 
 
 # BPE-ish pre-tokenizer: letter runs | 1-3 digit chunks | punctuation

@@ -145,3 +145,11 @@ def test_arrow_tokenizer_matches_python():
         for doc, terms in zip(docs, got.to_pylist()):
             want, _ = process_tokens(tokenize_text(doc), stemming=stemming)
             assert terms == want, (doc, stemming)
+
+
+def test_preprocess_query_no_tokens_raises_value_error():
+    # punctuation-only query must raise the same catchable error class
+    # as an illegal type (the CLI/batch paths handle ValueError)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="no tokens"):
+        preprocess_query("!!! ???")
