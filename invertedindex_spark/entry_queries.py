@@ -272,24 +272,43 @@ FROM tf GROUP BY term"""
 
 
 def q_postings_gaps(spark, sf_dir):
-    """Validates the *physical* gap encoding: decodes the VByte stream
-    without de-gapping and compares against SQL lag arithmetic."""
+    """Validates the *physical* gap encoding: decodes each VByte gap
+    stream and compares the per-term gap sequence against SQL lag
+    arithmetic. Term-grain: a term split across several grp rows
+    (merge_width) concatenates its streams in grp order, with the
+    later groups' absolute first docIds re-expressed as gaps from the
+    previous group's last docId — exactly what the SQL lag computes."""
+    import numpy as np
     import pyarrow as pa
+
+    from pyspark.sql import functions as F
+
     from invertedindex_spark.functions import codec
     idx = get_index(spark, sf_dir)
+    grouped = (idx.postings.select("term", "grp", "doc_ids_vbyte")
+               .groupBy("term")
+               .agg(F.sort_array(
+                   F.collect_list(F.struct("grp", "doc_ids_vbyte")))
+                   .alias("streams")))
 
     def decode(iterator):
         for batch in iterator:
             terms = batch.column("term").to_pylist()
-            streams = batch.column("doc_ids_vbyte").to_pylist()
-            csvs = [",".join(map(str, codec.vbyte_decode(s)))
-                    for s in streams]
+            streams = batch.column("streams").to_pylist()
+            csvs = []
+            for st in streams:
+                ids = np.concatenate([
+                    codec.gap_decode(codec.vbyte_decode(
+                        s["doc_ids_vbyte"])) for s in st])
+                gaps = np.empty_like(ids)
+                gaps[0] = ids[0]
+                gaps[1:] = np.diff(ids)
+                csvs.append(",".join(map(str, gaps.tolist())))
             yield pa.RecordBatch.from_arrays(
                 [pa.array(terms), pa.array(csvs)],
                 names=["term", "gaps_csv"])
 
-    return (idx.postings.select("term", "doc_ids_vbyte")
-            .mapInArrow(decode, "term string, gaps_csv string"))
+    return grouped.mapInArrow(decode, "term string, gaps_csv string")
 
 
 def sql_postings_gaps():
@@ -782,6 +801,42 @@ LIMIT {K}"""
 IVF_K, IVF_NPROBE, IVF_TRAIN, IVF_SEED = 8, 2, 256, 7
 
 _IVF_CENTROIDS: dict[str, list] = {}
+_MARGINS_OK: set[str] = set()
+
+
+def _embeddings_matrix(sf_dir):
+    """(vec_id-ordered) embeddings as float64 — shared by the IVF
+    centroid trainer and the sign-margin guards."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    order = sorted(range(t.num_rows),
+                   key=t.column("vec_id").to_pylist().__getitem__)
+    return np.asarray([t.column("embedding")[i].as_py() for i in order],
+                      dtype=np.float64)
+
+
+def _assert_sign_margins(sf_dir):
+    """Every hyperplane-sign decision (LSH buckets + the near-dup
+    banding tables) must sit clear of float-summation noise for every
+    vector, or the numpy engine and the DuckDB oracle could bucket a
+    row differently. One pass per scale, cached."""
+    if sf_dir in _MARGINS_OK:
+        return
+    import numpy as np
+
+    v = _embeddings_matrix(sf_dir)
+    planes = [np.asarray(LSH_PLANES, dtype=np.float64)]
+    planes += [np.asarray(p, dtype=np.float64) for p in NEAR_DUP_TABLES]
+    worst = min(float(np.min(np.abs(v @ p.T))) for p in planes)
+    if worst < 1e-9:
+        raise AssertionError(
+            f"hyperplane dot margin {worst:.2e} is within float noise "
+            "for this dataset; reseed LSH_PLANES/NEAR_DUP_TABLES so "
+            "the oracle comparison stays engine-stable")
+    _MARGINS_OK.add(sf_dir)
 
 
 def _ivf_centroids(sf_dir):
@@ -790,17 +845,13 @@ def _ivf_centroids(sf_dir):
     seed/iters) — identical on the Spark and oracle sides, so the
     centroids embed as SQL literals."""
     if sf_dir not in _IVF_CENTROIDS:
-        import pyarrow.parquet as pq
+        import numpy as np
 
         from .operators.similarity import kmeans_centroids
 
-        t = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                          columns=["vec_id", "embedding"])
-        order = sorted(range(t.num_rows),
-                       key=t.column("vec_id").to_pylist().__getitem__)
-        vecs = [t.column("embedding")[i].as_py()
-                for i in order[:IVF_TRAIN]]
-        cent = kmeans_centroids(vecs, IVF_K, iters=5, seed=IVF_SEED)
+        all_v = _embeddings_matrix(sf_dir)
+        cent = kmeans_centroids(all_v[:IVF_TRAIN], IVF_K, iters=5,
+                                seed=IVF_SEED)
         # assignment is an equality-free argmax over float64 dots that
         # numpy (BLAS) and DuckDB accumulate in different orders; a
         # near-tie could flip a vector's cluster between the two
@@ -808,10 +859,6 @@ def _ivf_centroids(sf_dir):
         # vector's best-vs-second-best dot gap is inside float noise,
         # fail loudly here (reseed IVF_SEED) instead of producing a
         # mysterious hash mismatch downstream.
-        import numpy as np
-        all_v = np.asarray(
-            [t.column("embedding")[i].as_py() for i in order],
-            dtype=np.float64)
         dots = all_v @ np.asarray(cent, dtype=np.float64).T
         part = np.partition(dots, dots.shape[1] - 2, axis=1)
         margin = float(np.min(part[:, -1] - part[:, -2]))
@@ -1311,11 +1358,16 @@ def all_oracle_sql(query_vec=None, sf_dir=None):
         "multimodal_resize": sql_multimodal_resize(),
     }
     if query_vec is not None:
-        # bucket membership flips on the SIGN of dot(q, plane); numpy
+        # bucket membership flips on the SIGN of dot(v, plane); numpy
         # (engine) and DuckDB (oracle) accumulate the dot in different
-        # orders, so verify the query's plane dots are all comfortably
-        # away from zero — fail loudly here rather than hash-mismatch
+        # orders, so verify the dots are all comfortably away from
+        # zero — fail loudly here rather than hash-mismatch. With an
+        # sf_dir the check covers EVERY vector (lsh_buckets /
+        # candidate membership / near-dup collisions all depend on
+        # every row's signs), else at least the query vector's.
         import numpy as np
+        if sf_dir is not None:
+            _assert_sign_margins(sf_dir)
         dots = np.asarray(LSH_PLANES, dtype=np.float64) \
             @ np.asarray(query_vec, dtype=np.float64)
         if float(np.min(np.abs(dots))) < 1e-9:

@@ -23,7 +23,7 @@ Adapters:
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 
 @dataclass(frozen=True)
@@ -40,7 +40,6 @@ class Corpus:
     """
     df: object                      # pyspark DataFrame
     order_keys: tuple[str, ...]     # () = input order
-    extra_cols: tuple[str, ...] = ()  # carried into docs table (e.g. lang)
 
 
 def from_source_code(df, input_order: bool = False) -> Corpus:
@@ -215,9 +214,12 @@ def synthesize_source_code(spark, n: int, seed: int = 42,
     if n <= 2000:
         df = spark.createDataFrame(synthesize_source_code_rows(n, seed),
                                    _CORPUS_SCHEMA)
-        if num_partitions:
+        if num_partitions and not input_order:
+            # repartition would scramble row order, so skip it when the
+            # caller asked for input-order docIds — the flag must mean
+            # the same thing at every n
             df = df.repartition(num_partitions)
-        return from_source_code(df, input_order=False)
+        return from_source_code(df, input_order=input_order)
 
     import pandas as pd
 

@@ -92,6 +92,12 @@ def append_batch(spark, corpus_batch: Corpus, warehouse_dir: str,
 
     manifest = B.read_manifest(warehouse_dir)
     cfg = _resolve_cfg(manifest, cfg)
+    if "stream" not in manifest and B._stage_done(manifest, "docs"):
+        raise ValueError(
+            "warehouse was batch-built (docs stage committed without "
+            "stream state); an incremental append would restart docIds "
+            "at 0 and collide with the existing doc table — stream "
+            "into a fresh warehouse dir instead")
     state = manifest.setdefault("stream", {"next_doc_id": 0,
                                            "next_block_id": 0,
                                            "num_docs": 0, "num_tokens": 0})
@@ -140,7 +146,12 @@ def append_batch(spark, corpus_batch: Corpus, warehouse_dir: str,
     raw.unpersist()
 
     state["next_doc_id"] = base + num_docs
-    state["next_block_id"] = block_base + n_blocks
+    # advance by the ACTUAL partition span, not the requested
+    # n_blocks: input-order staging can keep up to 4x n_blocks scan
+    # partitions, and overlapping block_ids across batches would
+    # interleave two batches' segments inside one partition dir
+    state["next_block_id"] = block_base + max(
+        n_blocks, (max(block_docs) + 1) if block_docs else 0)
     state["num_docs"] = tot_docs
     state["num_tokens"] = tot_tokens
     if batch_id is not None:
@@ -217,9 +228,10 @@ def start_incremental_build(spark, stream_df, order_keys, warehouse_dir,
     plus a ``doc_no`` (e.g. built by sources.corpus.from_source_code on
     a file stream). Each micro-batch is appended via
     :func:`append_batch`; every ``compact_every`` batches a compaction
-    folds partials into the queryable index.
+    folds partials into the queryable index. ``cfg=None`` inherits the
+    warehouse's recorded config (passed through unresolved so a stream
+    resumed on a pfd / stem-off warehouse keeps its pipeline).
     """
-    cfg = cfg or B.IndexConfig()
     checkpoint_dir = checkpoint_dir or os.path.join(warehouse_dir,
                                                     "_checkpoints")
 

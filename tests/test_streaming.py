@@ -103,3 +103,50 @@ def test_append_batch_replay_is_idempotent(spark, tmp_path):
     append_batch(spark, c, wh, cfg, blocks_per_batch=2, batch_id=1)
     assert (spark.read.parquet(f"{wh}/docs").count()
             == 2 * docs_after_first)
+
+
+def test_input_order_batches_never_overlap_block_ids(spark, tmp_path):
+    """Input-order staging can keep more scan partitions than
+    blocks_per_batch; the stream state must advance by the ACTUAL
+    partition span or consecutive batches interleave segments inside
+    one block dir (breaking the merge's ascending-docId invariant)."""
+    import json
+
+    wh = str(tmp_path / "inorder")
+    rows = _sorted_rows(120)
+    for lo in (0, 60):
+        df = spark.createDataFrame(rows[lo:lo + 60],
+                                   corpus._CORPUS_SCHEMA).repartition(6)
+        c = corpus.Corpus(df.select("repo", "path", "commit",
+                                    df.repo, df.content)
+                          .selectExpr("repo", "path", "commit",
+                                      "concat(repo, ':', path, '@', commit) as doc_no",
+                                      "content"), ())
+        append_batch(spark, c, wh, IndexConfig(num_blocks=2),
+                     blocks_per_batch=1)
+    with open(os.path.join(wh, "_manifest.json")) as f:
+        m = json.load(f)
+    blocks = sorted(int(r["block_id"]) for r in
+                    spark.read.parquet(f"{wh}/partials")
+                    .select("block_id").distinct().collect())
+    # every block dir belongs to exactly one batch
+    assert len(blocks) == len(set(blocks))
+    assert max(blocks) < m["stream"]["next_block_id"]
+    # and the two batches did not share any block id: compaction's
+    # in-block docId-ascending assertion passes
+    compact(spark, wh)
+    idx = InvertedIndex(spark, wh)
+    assert idx.num_docs == m["stream"]["num_docs"]
+
+
+def test_append_onto_batch_built_warehouse_fails_fast(spark, tmp_path):
+    from invertedindex_spark import build_index
+
+    wh = str(tmp_path / "batchwh")
+    rows = _sorted_rows(80)
+    df = spark.createDataFrame(rows, corpus._CORPUS_SCHEMA)
+    build_index(spark, corpus.from_source_code(df), wh,
+                IndexConfig(num_blocks=2))
+    with pytest.raises(ValueError, match="batch-built"):
+        append_batch(spark, corpus.from_source_code(df), wh,
+                     IndexConfig(num_blocks=2))
