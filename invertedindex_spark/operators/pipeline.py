@@ -30,8 +30,18 @@ DEFAULT_MIN_QUALITY_U6 = 450_000   # quality < 0.45 → low_quality
 
 
 def clean_corpus(df, min_quality_u6: int = DEFAULT_MIN_QUALITY_U6,
-                 keep_langs: tuple = ("en",)):
-    """documents(doc_id, text) → (doc_id, reason) for every row."""
+                 keep_langs: tuple = ("en",), near_dup: dict | None = None):
+    """documents(doc_id, text) → (doc_id, reason) for every row.
+
+    ``near_dup``: optional MinHash-LSH near-duplicate stage, e.g.
+    ``{"perms": [(a,b), ...], "n_bands": 4, "band_width": 4,
+    "threshold": 0.8}`` — for every verified pair with shingle Jaccard
+    ≥ threshold the HIGHER doc_id gets verdict ``near_dup``
+    (keep-first, same rule as exact dedup; candidates come from the
+    banded equality join in :func:`operators.dedup.minhash_lsh_pairs`,
+    never an all-pairs cross). Rule order: empty > exact_dup >
+    near_dup > low_quality > lang.
+    """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -61,10 +71,27 @@ def clean_corpus(df, min_quality_u6: int = DEFAULT_MIN_QUALITY_U6,
         * 1e6).cast("long")
     pred = lang_pred_col(F.col("tokens"))
 
+    if near_dup is not None:
+        from .dedup import minhash_lsh_pairs
+
+        cut = near_dup["threshold"]
+        pairs = minhash_lsh_pairs(
+            df, near_dup["perms"], near_dup["n_bands"],
+            near_dup["band_width"],
+            max_bucket=near_dup.get("max_bucket"))
+        drops = (pairs.where(F.col("j") >= cut)
+                 .select(F.col("b").alias("doc_id")).distinct()
+                 .withColumn("is_near_dup", F.lit(True)))
+        t = t.join(F.broadcast(drops), "doc_id", "left")
+        near_dup_hit = F.coalesce(F.col("is_near_dup"), F.lit(False))
+    else:
+        near_dup_hit = F.lit(False)
+
     # token-less docs (all-separator text) carry no usable content —
     # same class as empty (the indexer skips both without a docId)
     reason = (F.when(empty | (F.size("tokens") == 0), "empty")
               .when(F.col("doc_id") != F.col("keep_id"), "exact_dup")
+              .when(near_dup_hit, "near_dup")
               .when(quality_u6 < min_quality_u6, "low_quality")
               .when(~pred.isin(*keep_langs), "lang")
               .otherwise("kept"))

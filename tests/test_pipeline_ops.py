@@ -374,3 +374,33 @@ def test_cleaned_corpus_feeds_index_build(spark, tmp_path):
     assert doc_nos == ["0", "3", "4"]   # dup of 0, null, and de dropped
     assert idx.num_docs == 3
     assert idx.search("OR vectorized arrow", k=10)
+
+
+def test_clean_corpus_near_dup_stage(spark):
+    """Optional MinHash-LSH near-dup stage: the higher doc_id of each
+    verified >= threshold pair drops as 'near_dup' (exact dups still
+    take precedence)."""
+    import random
+    from invertedindex_spark.operators.pipeline import clean_corpus
+
+    base = ("spark engine builds the inverted index and it is fast "
+            "with vectorized arrow batches compression codecs queries "
+            "ranking documents partitions shuffles broadcasts again")
+    near = base.replace("fast", "quick")       # one token differs
+    other = ("this is the completely different text about language "
+             "models and tokens for datasets curation pipelines "
+             "quality filtering dedup similarity events sessions")
+    rows = [(0, base), (1, near), (2, other), (3, base)]  # 3 = exact dup
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    rng = random.Random(5)
+    perms = [(rng.randrange(1, 2147483647), rng.randrange(0, 2147483647))
+             for _ in range(16)]
+    nd = {"perms": perms, "n_bands": 8, "band_width": 2,
+          "threshold": 0.5}
+    got = {r["doc_id"]: r["reason"]
+           for r in clean_corpus(df, min_quality_u6=0,
+                                 near_dup=nd).collect()}
+    assert got[0] == "kept"
+    assert got[1] == "near_dup"     # near-identical, higher id drops
+    assert got[2] == "kept"
+    assert got[3] == "exact_dup"    # exact beats near
