@@ -14,8 +14,23 @@ from __future__ import annotations
 
 
 def physical_plan(df) -> str:
-    """Executed (post-AQE-planning) physical plan as a string."""
-    return df._jdf.queryExecution().executedPlan().toString()
+    """Executed (post-AQE-planning) physical plan as a string.
+
+    Rendered with a large spark.sql.maxMetadataStringLength: the
+    default (100) truncates ReadSchema/PushedFilters clauses, which
+    would make the assert helpers below silently pass on columns that
+    were elided from the string, not pruned from the scan."""
+    spark = df.sparkSession
+    key = "spark.sql.maxMetadataStringLength"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, "100000")
+    try:
+        return df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
 
 
 def formatted_plan(df) -> str:
@@ -45,11 +60,15 @@ def pushed_filters(df) -> list[str]:
 
 
 def assert_column_pruned(df, column: str) -> None:
-    """Fail if any scan in the plan reads ``column``."""
+    """Fail if any scan in the plan reads ``column``. Word-boundary
+    match so e.g. 'id' does not false-positive on 'doc_id:'."""
+    import re
+
     schemas = scan_read_schemas(df)
     assert schemas, "no parquet scan found in plan"
+    pat = re.compile(r"(?<![A-Za-z0-9_])" + re.escape(column) + ":")
     for s in schemas:
-        assert f"{column}:" not in s, (
+        assert not pat.search(s), (
             f"column {column!r} not pruned from scan: {s}")
 
 

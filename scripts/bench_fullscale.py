@@ -39,7 +39,8 @@ def main():
         IndexConfig, InvertedIndex, build_index, corpus,
     )
 
-    path = os.path.join(tempfile.gettempdir(), f"iis_fullscale_{n}")
+    # v2: corpus-generator version in the cache key (stale-corpus guard)
+    path = os.path.join(tempfile.gettempdir(), f"iis_fullscale_v2_{n}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         t0 = time.perf_counter()
         c = corpus.synthesize_source_code(spark, n, seed=42,
@@ -62,6 +63,11 @@ def main():
         "docs_per_sec": round(m["stats"]["num_docs"] / dt, 1),
         "merge_partitions": m["metrics"].get("merge_partitions")}),
         flush=True)
+
+    # free the 10M cached corpus rows before timing queries — dead
+    # cache memory manufactures GC pressure in the latency numbers
+    src.df.unpersist(blocking=True)
+    spark.sparkContext._jvm.System.gc()
 
     # cache-off query latency over random-vocab AND/OR queries
     idx = InvertedIndex(spark, wh, cache_size=0)

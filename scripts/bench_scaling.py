@@ -57,13 +57,19 @@ from invertedindex_spark import IndexConfig, build_index, corpus
 src = corpus.from_source_code(spark.read.parquet(path), input_order=True)
 src.df.cache().count()   # source scan warmed; timing covers the build
 wh = tempfile.mkdtemp(prefix="iis_scale_wh_")
-t0 = time.perf_counter()
-m = build_index(spark, src, wh, IndexConfig(num_blocks=64))
-dt = time.perf_counter() - t0
+import shutil
+try:
+    t0 = time.perf_counter()
+    m = build_index(spark, src, wh, IndexConfig(num_blocks=64))
+    dt = time.perf_counter() - t0
+except BaseException:
+    shutil.rmtree(wh, ignore_errors=True)
+    raise
 print(json.dumps({"cpus": cpus,
                   "docs": m["stats"]["num_docs"],
                   "secs": round(dt, 2),
                   "docs_per_sec": round(m["stats"]["num_docs"] / dt, 1)}))
+shutil.rmtree(wh, ignore_errors=True)   # a 2M-doc warehouse per rep adds up
 spark.stop()
 """
 
@@ -81,7 +87,9 @@ def main():
     lo = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     hi = int(sys.argv[3]) if len(sys.argv) > 3 else lo * 4
     reps = int(sys.argv[4]) if len(sys.argv) > 4 else 3
-    corpus_path = f"/tmp/iis_scale_corpus_{n}"
+    # keyed on the corpus generator version too: a generator change
+    # must not silently benchmark a stale pre-generated corpus
+    corpus_path = f"/tmp/iis_scale_corpus_v2_{n}"
     if not os.path.exists(corpus_path + "/_SUCCESS"):
         subprocess.run([sys.executable, "-c", GEN % {"repo": REPO},
                         str(n), corpus_path], check=True)
@@ -123,7 +131,7 @@ run's JVM threads + Python workers still fit the 32 physical cores).
 | local[{hi}] | {t_hi} | {results[1]['docs_per_sec']} |
 
 speedup {lo}→{hi} = **{speedup:.2f}×**, scaling efficiency =
-speedup/{hi // lo} = **{eff:.3f}** (north-rule target ≥ 0.8).
+speedup/{hi / lo:g} = **{eff:.3f}** (north-rule target ≥ 0.8).
 """)
     print(f"wrote {path}")
 

@@ -111,12 +111,19 @@ def main(argv=None):
     m = manifest.get("metrics", {})
     num_docs = manifest.get("stats", {}).get("num_docs")
     blocks = m.get("blocks", {})
+    # a --resume of a completed warehouse returns in milliseconds —
+    # a docs/sec derived from that wall would be a nonsense headline
+    resumed_noop = args.resume and wall < 1.0
     report = {
         "warehouse": args.warehouse,
         "wall_sec": round(wall, 3),
         "num_docs": num_docs,
-        "docs_per_sec": round(num_docs / wall, 1) if num_docs else None,
-        "num_postings": sum(b.get("postings", 0) for b in blocks.values()),
+        "docs_per_sec": (round(num_docs / wall, 1)
+                         if num_docs and not resumed_noop else None),
+        "resumed_noop": resumed_noop or None,
+        "num_postings": (sum(b.get("postings", 0)
+                             for b in blocks.values())
+                         if blocks else None),
         "blocks": manifest.get("num_blocks"),
         "executors": spark.sparkContext.defaultParallelism,
     }
