@@ -139,16 +139,33 @@ def intersect_topk(decoded: dict, num_docs: int, avg_doc_len: float):
     return cand, score
 
 
-def maxscore_or_topk(lists, num_docs: int, avg_doc_len: float, k: int):
-    """TAAT MaxScore: ``lists`` = [(tub, fetch_full, fetch_for)] where
-    ``fetch_full()`` decodes the whole list and ``fetch_for(wanted)``
+def maxscore_or_topk(lists, num_docs: int, avg_doc_len: float, k: int,
+                     stats: dict | None = None):
+    """TAAT MaxScore with Block-Max accumulator pruning (BMM).
+
+    ``lists`` = [(tub, fetch_full, fetch_for[, block_bounds])] where
+    ``fetch_full()`` decodes the whole list, ``fetch_for(wanted)``
     decodes only the skip blocks that can contain ``wanted`` docIds
-    (a superset). Lists are processed in descending TUB; once the
-    remaining upper-bound mass cannot beat the current k-th best
-    accumulated score, remaining (non-essential) lists stop creating
-    new candidates and are read block-selectively just to boost the
-    existing accumulators. Returns (doc_ids, scores) of surviving
-    accumulators (callers apply the exact queue semantics).
+    (a superset), and ``block_bounds()`` (optional) returns
+    ``(block_first_doc_ids, block_max_scores, last_doc_id)`` — the
+    persisted per-skip-block BM25 score maxima (the Block-Max WAND
+    structure, Ding & Suel 2011; the reference precomputes the
+    whole-list analogue at ``LexiconTermBinaryIndexing.java:39-57``).
+
+    Lists are processed in descending TUB; once the remaining
+    upper-bound mass cannot beat the current k-th best accumulated
+    score, remaining (non-essential) lists stop creating new
+    candidates. Before each non-essential list is read, accumulators
+    whose score plus this list's *per-block* max plus the later lists'
+    TUB mass cannot reach the threshold are dropped outright — they can
+    never enter the top-k, and dropping them shrinks the wanted set so
+    whole skip blocks are never decoded. Returns (doc_ids, scores) of
+    surviving accumulators (callers apply the exact queue semantics).
+
+    ``stats`` (optional dict) is incremented in place:
+    ``blocks_before`` = skip blocks plain MaxScore would decode,
+    ``blocks_decoded`` = blocks actually decoded after the block-max
+    drop, ``acc_dropped`` = accumulators eliminated early.
     """
     from ..functions import scoring
 
@@ -159,9 +176,39 @@ def maxscore_or_topk(lists, num_docs: int, avg_doc_len: float, k: int):
     acc_s = np.zeros(0, dtype=np.float64)
     threshold = -np.inf
     for pos, i in enumerate(order):
-        tub, fetch_full, fetch_for = lists[i]
+        entry = lists[i]
+        tub, fetch_full, fetch_for = entry[0], entry[1], entry[2]
+        block_bounds = entry[3] if len(entry) > 3 else None
         essential = (pos == 0 or acc_d.size == 0
                      or suffix[pos] >= threshold)
+        if not essential and threshold > -np.inf and acc_d.size:
+            # block-max accumulator drop: upper-bound each surviving
+            # doc's final score by acc + this list's block max at the
+            # doc's position + every later list's TUB; a doc below the
+            # threshold under that bound cannot reach the top-k
+            # (threshold only grows), so it is removed — not just
+            # skipped — keeping the output exact
+            if block_bounds is not None:
+                bf, bm, last_id = block_bounds()
+                blk = np.searchsorted(bf, acc_d, side="right") - 1
+                in_range = (blk >= 0) & (acc_d <= last_id)
+                ub = np.where(
+                    in_range, bm[np.clip(blk, 0, bm.size - 1)], 0.0)
+            else:
+                ub = np.full(acc_d.size, tub)
+            keep = acc_s + ub + suffix[pos + 1] >= threshold
+            if stats is not None and block_bounds is not None:
+                pre = np.unique(blk[in_range])
+                post = np.unique(blk[keep & in_range])
+                stats["blocks_before"] = (
+                    stats.get("blocks_before", 0) + int(pre.size))
+                stats["blocks_decoded"] = (
+                    stats.get("blocks_decoded", 0) + int(post.size))
+            if stats is not None:
+                stats["acc_dropped"] = (stats.get("acc_dropped", 0)
+                                        + int((~keep).sum()))
+            if not keep.all():
+                acc_d, acc_s = acc_d[keep], acc_s[keep]
         if essential:
             d, tf, dl, df = fetch_full()
         else:

@@ -148,6 +148,9 @@ class InvertedIndex:
         # term → parquet row-group index over the postings files (term
         # columns read once); None = not built, False = unavailable
         self._rg_index = None
+        # filled by the last search(prune=True): block-max pruning
+        # counters (blocks_before/blocks_decoded/acc_dropped)
+        self.last_prune_stats: dict = {}
 
     # -- driver-local dataset handles (the mmap analogue) --------------
     def _local_postings(self):
@@ -347,8 +350,9 @@ class InvertedIndex:
             return out
         terms = missing
         cols = ["term", "grp", "df", "term_upper_bound", "first_doc_id",
-                "doc_ids_vbyte", "freqs_vbyte", "dls_vbyte",
-                "skip_doc_ids", "skip_doc_offsets", "skip_freq_offsets"]
+                "last_doc_id", "doc_ids_vbyte", "freqs_vbyte", "dls_vbyte",
+                "skip_doc_ids", "skip_doc_offsets", "skip_freq_offsets",
+                "block_max"]
         if self.io_mode == "local":
             rows = self._rows_via_rg_index(list(terms), cols)
             if rows is None:  # footer stats unavailable → dataset scan
@@ -473,26 +477,53 @@ class InvertedIndex:
             self._term_cache.popitem(last=False)
         return dec
 
+    @staticmethod
+    def _block_bounds(rs):
+        """(block_first_doc_ids, block_max, last_doc_id) for a term's
+        rows — the persisted Block-Max WAND structure re-assembled:
+        block i of each row starts at [first_doc_id, *skip_doc_ids][i]
+        and its max BM25 contribution is block_max[i]. Rows are
+        docId-range-disjoint and sorted, so plain concatenation keeps
+        the block starts globally ascending."""
+        bf = np.concatenate([
+            np.concatenate([[r["first_doc_id"]],
+                            np.asarray(r["skip_doc_ids"], dtype=np.int64)])
+            for r in rs])
+        bm = np.concatenate([
+            np.asarray(r["block_max"], dtype=np.float64) for r in rs])
+        return bf, bm, int(rs[-1]["last_doc_id"])
+
     def _score_terms_pruned(self, terms, qtype, k):
         from .maxscore import intersect_topk, maxscore_or_topk
 
         by_term = self._fetch_rows(terms)
         z = np.zeros(0, dtype=np.int64)
+        stats = self.last_prune_stats = {}
         if not by_term or (qtype == "AND" and len(by_term) < len(terms)):
             return z, z.astype(np.float64)
         if qtype == "AND":
-            # seed from the smallest list (fully decoded), restrict the
-            # rest to the blocks its docIds can live in (nextGEQ analogue)
+            # seed from the smallest list (fully decoded); restrict each
+            # later list to the *surviving* candidates so far (nextGEQ
+            # analogue, progressively narrowed — membership in every
+            # earlier list is necessary for an AND result, so the wanted
+            # set only shrinks and later, larger lists decode fewer
+            # skip blocks)
             items = sorted(by_term.items(), key=lambda kv: kv[1][0]["df"])
             smallest = self._decoded_term(*items[0])
             decoded = {items[0][0]: smallest}
-            wanted = smallest[0]
+            cand = smallest[0]
             for t, rs in items[1:]:
+                if cand.size == 0:
+                    return z, z.astype(np.float64)
                 # an already-decoded hot term beats selective decoding
                 # (intersect_topk accepts full lists as supersets)
                 hit = self._term_cache.get(t)
-                decoded[t] = (hit if hit is not None
-                              else self._decode_rows_selective(rs, wanted))
+                dec = (hit if hit is not None
+                       else self._decode_rows_selective(rs, cand))
+                decoded[t] = dec
+                cand = cand[np.isin(cand, dec[0], assume_unique=True)]
+            if cand.size == 0:
+                return z, z.astype(np.float64)
             return intersect_topk(decoded, self.num_docs,
                                   self.avg_doc_len)
         lists = []
@@ -506,8 +537,10 @@ class InvertedIndex:
                 (lambda wanted, c=cached: c) if cached is not None
                 else (lambda wanted, rs=rs: self._decode_rows_selective(
                     rs, wanted)),
+                lambda rs=rs: self._block_bounds(rs),
             ))
-        return maxscore_or_topk(lists, self.num_docs, self.avg_doc_len, k)
+        return maxscore_or_topk(lists, self.num_docs, self.avg_doc_len,
+                                k, stats=stats)
 
     def _score_terms(self, terms, qtype):
         decoded = self._fetch_decoded(terms)

@@ -78,6 +78,45 @@ QUERIES = [
 ]
 
 
+def test_blockmax_skips_blocks(big_index):
+    """Block-Max pruning must actually avoid decoding skip blocks on
+    the classic shape: rare high-TUB terms establish the threshold,
+    then the hot low-TUB list is read non-essentially and whole blocks
+    whose block_max cannot lift any surviving accumulator are skipped.
+    Results stay identical to the exhaustive exact path."""
+    q = "OR quick brown hotterm"
+    for k in (3, 5, 10):
+        exact = big_index.search(q, k)
+        pruned = big_index.search(q, k, prune=True)
+        assert [d for d, _ in pruned] == [d for d, _ in exact], k
+        st = big_index.last_prune_stats
+        # the hot list was processed non-essentially with block bounds…
+        assert st.get("blocks_before", 0) > 0, (k, st)
+        # …and the block-max drop eliminated accumulators AND blocks
+        assert st.get("acc_dropped", 0) > 0, (k, st)
+        assert st["blocks_decoded"] < st["blocks_before"], (k, st)
+        big_index._cache.clear()
+
+
+def test_blockmax_bounds_assembly(big_index):
+    """block_bounds geometry: one entry per skip block, starts equal
+    [first_doc_id, *skip_doc_ids], and each block's persisted max is a
+    true upper bound on the BM25 contribution of its postings."""
+    from invertedindex_spark.functions import scoring
+
+    rows = big_index._fetch_rows(["hotterm"])["hotterm"]
+    bf, bm, last = big_index._block_bounds(rows)
+    n_blocks = sum(len(r["skip_doc_ids"]) + 1 for r in rows)
+    assert bf.size == bm.size == n_blocks
+    assert np.all(np.diff(bf) > 0)
+    d, tf, dl, df = big_index._decode_rows(rows)
+    assert last == d[-1]
+    s = scoring.bm25_np(tf, dl, df, big_index.num_docs,
+                        big_index.avg_doc_len)
+    blk = np.searchsorted(bf, d, side="right") - 1
+    assert np.all(s <= bm[blk] + 1e-12)
+
+
 def test_pruned_matches_exact(big_index):
     """Rank-identical docs; scores equal to 1e-12 rel (float summation
     order differs: TAAT adds per-list in TUB order, the exhaustive
