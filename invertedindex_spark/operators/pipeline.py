@@ -71,6 +71,18 @@ def clean_corpus(df, min_quality_u6: int = DEFAULT_MIN_QUALITY_U6,
         * 1e6).cast("long")
     pred = lang_pred_col(F.col("tokens"))
 
+    # project every per-document signal to a SCALAR row before any
+    # further join: the near-dup drop join then shuffles only
+    # (doc_id, 3 scalars), never text/token arrays
+    # (token-less all-separator docs carry no usable content — same
+    # class as empty; the indexer skips both without a docId)
+    scalars = t.select(
+        "doc_id",
+        (empty | (F.size("tokens") == 0)).alias("is_empty"),
+        (F.col("doc_id") != F.col("keep_id")).alias("is_exact_dup"),
+        quality_u6.alias("quality_u6"),
+        pred.alias("pred"))
+
     if near_dup is not None:
         from .dedup import minhash_lsh_pairs
 
@@ -82,20 +94,23 @@ def clean_corpus(df, min_quality_u6: int = DEFAULT_MIN_QUALITY_U6,
         drops = (pairs.where(F.col("j") >= cut)
                  .select(F.col("b").alias("doc_id")).distinct()
                  .withColumn("is_near_dup", F.lit(True)))
-        t = t.join(F.broadcast(drops), "doc_id", "left")
+        # NO broadcast hint: the drop list is proportional to corpus
+        # duplication (10-30% of doc_ids on a crawl) — force-
+        # broadcasting it would OOM the driver at scale. Un-hinted,
+        # AQE broadcasts only when the built side is actually small
+        # and falls back to a shuffled join otherwise.
+        scalars = scalars.join(drops, "doc_id", "left")
         near_dup_hit = F.coalesce(F.col("is_near_dup"), F.lit(False))
     else:
         near_dup_hit = F.lit(False)
 
-    # token-less docs (all-separator text) carry no usable content —
-    # same class as empty (the indexer skips both without a docId)
-    reason = (F.when(empty | (F.size("tokens") == 0), "empty")
-              .when(F.col("doc_id") != F.col("keep_id"), "exact_dup")
+    reason = (F.when(F.col("is_empty"), "empty")
+              .when(F.col("is_exact_dup"), "exact_dup")
               .when(near_dup_hit, "near_dup")
-              .when(quality_u6 < min_quality_u6, "low_quality")
-              .when(~pred.isin(*keep_langs), "lang")
+              .when(F.col("quality_u6") < min_quality_u6, "low_quality")
+              .when(~F.col("pred").isin(*keep_langs), "lang")
               .otherwise("kept"))
-    return t.select("doc_id", reason.alias("reason"))
+    return scalars.select("doc_id", reason.alias("reason"))
 
 
 def kept_documents(df, **kw):

@@ -33,6 +33,24 @@ def physical_plan(df) -> str:
             spark.conf.set(key, old)
 
 
+def analyzed_plan(df) -> str:
+    """Analyzed logical plan as a string — where explicit join-strategy
+    hints (``F.broadcast`` → ``ResolvedHint``) are still visible before
+    the optimizer folds them into a physical strategy. Used to assert
+    that an operator does NOT force a broadcast on a side that can be
+    large (AQE may still *choose* one when the side is actually small —
+    that choice shows only in the physical plan and is fine)."""
+    return df._jdf.queryExecution().analyzed().toString()
+
+
+def count_broadcast_hints(df) -> int:
+    """Number of explicit broadcast hints in the analyzed plan."""
+    import re
+
+    return len(re.findall(r"ResolvedHint.*(?i:broadcast)",
+                          analyzed_plan(df)))
+
+
 def formatted_plan(df) -> str:
     """The `.explain("formatted")` text (scan details incl. PushedFilters
     and ReadSchema)."""

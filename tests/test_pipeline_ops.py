@@ -404,3 +404,28 @@ def test_clean_corpus_near_dup_stage(spark):
     assert got[1] == "near_dup"     # near-identical, higher id drops
     assert got[2] == "kept"
     assert got[3] == "exact_dup"    # exact beats near
+
+
+def test_clean_corpus_near_dup_join_not_force_broadcast(spark):
+    """The near-dup drop list scales with corpus duplication, so the
+    pipeline must NOT hint it broadcast (driver OOM at scale) — the
+    composed plan carries exactly the hints of the LSH stage itself
+    (whose band-bounded candidate broadcast is fine) and none extra.
+    The wide text/token columns must also stay out of the drop join:
+    post-join projections are scalar-only."""
+    import random
+    from invertedindex_spark.operators.dedup import minhash_lsh_pairs
+    from invertedindex_spark.operators.pipeline import clean_corpus
+    from invertedindex_spark.plans import count_broadcast_hints
+
+    rows = [(i, f"some text number {i} with shared tokens")
+            for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    rng = random.Random(5)
+    perms = [(rng.randrange(1, 2147483647), rng.randrange(0, 2147483647))
+             for _ in range(16)]
+    nd = {"perms": perms, "n_bands": 8, "band_width": 2,
+          "threshold": 0.5}
+    cleaned = clean_corpus(df, near_dup=nd)
+    inner = minhash_lsh_pairs(df, perms, 8, 2)
+    assert count_broadcast_hints(cleaned) == count_broadcast_hints(inner)
