@@ -169,15 +169,94 @@ def append_batch(spark, corpus_batch: Corpus, warehouse_dir: str,
     return manifest
 
 
+def _refresh_tub_blockmax(postings, cfg: B.IndexConfig,
+                          num_docs: int, avg_doc_len: float):
+    """Narrow (shuffle-free) recompute of ``term_upper_bound`` and
+    ``block_max`` for already-merged posting rows under NEW collection
+    stats: appends change num_docs/avg_doc_len, so idf and the BM25
+    tf/dl factor — and with them every persisted bound — drift even for
+    terms no new block touches. Payload streams and skip pointers are
+    untouched; only tf/dl are decoded to rebuild the maxima (the exact
+    expressions the merge uses, ``operators/build.py:550-632``).
+
+    Valid only when each term maps to exactly ONE posting row
+    (``merge_width is None``, the default): TUB is a *term-global*
+    maximum, and a narrow pass cannot see across rows of a split term —
+    :func:`compact` falls back to the full merge in that case.
+    """
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+
+    from ..functions import codec as C
+    from ..functions import scoring
+
+    k1, b = scoring.K_BM25, scoring.B_BM25
+    use_pfd = cfg.codec == "pfd"
+    # mapInArrow output must follow the declared schema's field order
+    out_names = [f.split()[0] for f in B.POSTINGS_SCHEMA.split(", ")]
+
+    def refresh(iterator):
+        dec = C.pfd_decode if use_pfd else C.vbyte_decode
+        for batch in iterator:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            dfs = batch.column("df").to_numpy(zero_copy_only=False)
+            tf_b = batch.column("freqs_vbyte").to_pylist()
+            dl_b = batch.column("dls_vbyte").to_pylist()
+            tubs = np.empty(n, dtype=np.float64)
+            bms = []
+            for i in range(n):
+                tf = dec(tf_b[i])
+                dl = dec(dl_b[i])
+                factor = tf / (k1 * ((1.0 - b) + b * (
+                    dl.astype(np.float64) / avg_doc_len)) + tf)
+                idf = math.log(num_docs / float(dfs[i]))
+                fm = float(factor.max()) if factor.size else 0.0
+                tubs[i] = idf * fm
+                if factor.size == 0:
+                    bms.append([])
+                elif use_pfd or factor.size <= C.SKIP_POINTERS_THRESHOLD:
+                    bms.append([idf * fm])
+                else:
+                    bms.append((idf * C.block_maxes(
+                        factor, factor.size)).tolist())
+            cols = {nm: batch.column(nm) for nm in batch.schema.names}
+            cols["term_upper_bound"] = pa.array(tubs, pa.float64())
+            cols["block_max"] = pa.array(bms, pa.list_(pa.float64()))
+            yield pa.RecordBatch.from_arrays(
+                [cols[nm] for nm in out_names], names=out_names)
+
+    return postings.mapInArrow(refresh, B.POSTINGS_SCHEMA)
+
+
 def compact(spark, warehouse_dir: str,
-            cfg: B.IndexConfig | None = None) -> dict:
-    """Fold all partial blocks into fresh lexicon + postings tables.
+            cfg: B.IndexConfig | None = None,
+            incremental_threshold: float = 0.5) -> dict:
+    """Fold partial blocks into fresh lexicon + postings tables.
 
     fmax (and thus TUB) is recomputed from the raw per-posting (tf, dl)
     carried in partials, against the *current* collection stats — the
     compacted index is identical to a from-scratch batch build over
     everything ingested so far.
+
+    **Incremental mode** (automatic after the first compaction): only
+    terms present in blocks appended since the last compaction are
+    re-merged (their segments — old and new — reshuffle); every other
+    posting row passes through a narrow TUB/block-max refresh with no
+    shuffle and no stream re-encode. Falls back to the full merge when
+    the affected-term fraction exceeds ``incremental_threshold``, when
+    ``merge_width`` splits terms across rows (TUB is term-global — see
+    :func:`_refresh_tub_blockmax`), or on the first compaction.
+    ``manifest['metrics']['last_compaction']`` records the mode, the
+    affected/untouched split, and how many segments actually
+    reshuffled. Partials remain the source of truth: a crash mid-swap
+    is healed by re-running compact().
     """
+    import shutil
+
     from pyspark.sql import functions as F
 
     manifest = B.read_manifest(warehouse_dir)
@@ -189,17 +268,54 @@ def compact(spark, warehouse_dir: str,
     B.check_partials_format(manifest, strict=True,
                             partials_path=paths["partials"])
     stats = manifest["stats"]
-    partials = spark.read.parquet(paths["partials"])
-
-    # fmax/TUB are derived inside the merge from the decoded postings
-    # against the *current* collection stats, so the compacted index is
-    # identical to a from-scratch batch build over everything ingested
     avg = float(stats["avg_doc_len"])
-    n_merge = B.auto_merge_partitions(
-        paths["partials"], spark.sparkContext.defaultParallelism, cfg)
-    merged = B._merge_partials(
-        partials, cfg, stats["num_docs"], avg, num_partitions=n_merge)
-    merged.write.mode("overwrite").parquet(paths["postings"])
+    num_docs = stats["num_docs"]
+    partials = spark.read.parquet(paths["partials"])
+    state = manifest.get("stream", {})
+    prev_hwm = state.get("compacted_through_block")
+    metrics: dict = {"mode": "full"}
+
+    incremental = (prev_hwm is not None
+                   and cfg.merge_width is None
+                   and B._stage_done(manifest, "postings",
+                                     paths["postings"]))
+    if incremental:
+        new_blocks = partials.where(F.col("block_id") >= prev_hwm)
+        affected = new_blocks.select("term").distinct()
+        n_affected = affected.count()
+        n_terms = spark.read.parquet(paths["lexicon"]).count()
+        metrics.update(affected_terms=n_affected, lexicon_terms=n_terms)
+        if n_affected > incremental_threshold * max(n_terms, 1):
+            incremental = False
+
+    if incremental:
+        # re-merge ONLY the affected terms' segments (all their blocks,
+        # so in-task global df/cf/TUB stay exact); un-hinted semi/anti
+        # joins — AQE broadcasts the term list when it is small
+        aff_partials = partials.join(affected, "term", "left_semi")
+        n_segments = aff_partials.count()
+        merged = B._merge_partials(
+            aff_partials, cfg, num_docs, avg,
+            num_partitions=spark.sparkContext.defaultParallelism)
+        untouched = (spark.read.parquet(paths["postings"])
+                     .join(affected, "term", "left_anti"))
+        n_untouched = untouched.count()
+        out = _refresh_tub_blockmax(
+            untouched, cfg, num_docs, avg).unionByName(merged)
+        tmp = paths["postings"] + "_compact_tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        out.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(paths["postings"])
+        os.rename(tmp, paths["postings"])
+        metrics.update(mode="incremental", merged_segments=n_segments,
+                       untouched_rows=n_untouched)
+    else:
+        n_merge = B.auto_merge_partitions(
+            paths["partials"], spark.sparkContext.defaultParallelism, cfg)
+        merged = B._merge_partials(
+            partials, cfg, num_docs, avg, num_partitions=n_merge)
+        merged.write.mode("overwrite").parquet(paths["postings"])
+
     lex = (spark.read.parquet(paths["postings"])
            .select("term", "df", "cf", "term_upper_bound")
            .groupBy("term")
@@ -211,6 +327,10 @@ def compact(spark, warehouse_dir: str,
     # the strict check at entry proved (or adopted) the current format;
     # stamp it so marking partials done cannot orphan a legacy manifest
     manifest["partials_format"] = B.PARTIALS_FORMAT_VERSION
+    if "stream" in manifest:
+        manifest["stream"]["compacted_through_block"] = \
+            manifest["stream"].get("next_block_id", 0)
+    manifest.setdefault("metrics", {})["last_compaction"] = metrics
     from dataclasses import asdict
     manifest["config"] = {**manifest.get("config", {}), **asdict(cfg)}
     B._save_manifest(warehouse_dir, manifest)

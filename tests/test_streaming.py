@@ -150,3 +150,74 @@ def test_append_onto_batch_built_warehouse_fails_fast(spark, tmp_path):
     with pytest.raises(ValueError, match="batch-built"):
         append_batch(spark, corpus.from_source_code(df), wh,
                      IndexConfig(num_blocks=2))
+
+
+def test_incremental_compaction_touches_only_affected_terms(spark, tmp_path):
+    """After an initial compaction, compacting a small append must
+    (a) re-merge only the terms the new blocks touch (metrics prove
+    the shuffle was O(new-segment terms), not the whole index), and
+    (b) still produce an index identical to a from-scratch batch
+    rebuild — including TUB/block_max, which drift with num_docs and
+    avg_doc_len and are refreshed narrowly for untouched terms."""
+    import json
+
+    cfg = IndexConfig(num_blocks=3)
+    srt = _sorted_rows(N)
+    # the small append uses a tiny fixed vocabulary and sorts AFTER all
+    # synth rows (repo name 'zzz...'), so the batch twin sees the same
+    # global doc order
+    extra = [("zzzrepo", f"src/extra_{i:03d}.py", "c0",
+              f"zzzrepo:src/extra_{i:03d}.py@c0",
+              "aardvark zebra quokka aardvark")
+             for i in range(12)]
+
+    wh_inc = str(tmp_path / "inc2")
+    for lo in range(0, N, 80):
+        df = spark.createDataFrame(srt[lo:lo + 80], corpus._CORPUS_SCHEMA)
+        append_batch(spark, corpus.from_source_code(df), wh_inc, cfg,
+                     blocks_per_batch=3)
+    compact(spark, wh_inc, cfg)
+    with open(os.path.join(wh_inc, "_manifest.json")) as f:
+        assert json.load(f)["metrics"]["last_compaction"]["mode"] == "full"
+
+    df = spark.createDataFrame(extra, corpus._CORPUS_SCHEMA)
+    append_batch(spark, corpus.from_source_code(df), wh_inc, cfg,
+                 blocks_per_batch=1)
+    compact(spark, wh_inc, cfg)
+    with open(os.path.join(wh_inc, "_manifest.json")) as f:
+        m = json.load(f)["metrics"]["last_compaction"]
+    assert m["mode"] == "incremental"
+    # only the 3 extra-vocab terms re-merged; everything else untouched
+    assert m["affected_terms"] == 3, m
+    assert m["merged_segments"] <= 3, m
+    assert m["untouched_rows"] == m["lexicon_terms"] - 0, m  # none of
+    # the extra terms existed before, so no prior row was displaced
+
+    # batch twin over the identical global corpus
+    wh_batch = str(tmp_path / "batch2")
+    df_all = spark.createDataFrame(srt + extra, corpus._CORPUS_SCHEMA)
+    build_index(spark, corpus.from_source_code(df_all), wh_batch, cfg)
+
+    bi = InvertedIndex(spark, wh_batch)
+    ii = InvertedIndex(spark, wh_inc)
+    assert bi.num_docs == ii.num_docs
+    assert bi.avg_doc_len == pytest.approx(ii.avg_doc_len, rel=1e-12)
+    # full lexicon parity: df/cf exact, TUB to float tolerance — the
+    # untouched terms' TUBs went through the narrow refresh
+    blex = {r["term"]: r for r in bi.lexicon.collect()}
+    ilex = {r["term"]: r for r in ii.lexicon.collect()}
+    assert set(blex) == set(ilex)
+    for t, r in blex.items():
+        assert r["df"] == ilex[t]["df"], t
+        assert r["cf"] == ilex[t]["cf"], t
+        assert ilex[t]["term_upper_bound"] == pytest.approx(
+            r["term_upper_bound"], rel=1e-12), t
+    for q in QUERIES + ["OR aardvark zebra", "AND aardvark quokka"]:
+        got = ii.search(q, 10)
+        want = bi.search(q, 10)
+        assert [g[0] for g in got] == [w[0] for w in want], q
+        for (gd, gs), (wd, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, rel=1e-12), q
+        # pruned kernels read the refreshed block_max — must agree too
+        pr = ii.search(q, 10, prune=True)
+        assert [p[0] for p in pr] == [w[0] for w in want], q
