@@ -91,7 +91,8 @@ class InvertedIndex:
     choice when the warehouse lives on a remote filesystem)."""
 
     def __init__(self, spark, warehouse_dir: str, cache_size: int = 500,
-                 io_mode: str | None = None):
+                 io_mode: str | None = None,
+                 max_warm_terms: int = 20_000_000):
         self.spark = spark
         self.warehouse_dir = warehouse_dir
         if io_mode is None:
@@ -151,6 +152,14 @@ class InvertedIndex:
         # filled by the last search(prune=True): block-max pruning
         # counters (blocks_before/blocks_decoded/acc_dropped)
         self.last_prune_stats: dict = {}
+        # driver-memory guardrail: above this term count the full
+        # lexicon map and the term→row-group index are NOT built (the
+        # reference mmaps a 77 MB lexicon; at web scale — 10⁸⁺ terms —
+        # that driver dict becomes the bottleneck). Point lookups then
+        # go through filtered parquet reads (predicate pushdown), and
+        # the distributed paths never needed the maps at all.
+        self._max_warm_terms = max_warm_terms
+        self._n_terms = None
 
     # -- driver-local dataset handles (the mmap analogue) --------------
     def _local_postings(self):
@@ -169,10 +178,29 @@ class InvertedIndex:
                 f"{self.warehouse_dir}/docs", format="parquet")
         return self._docs_ds
 
+    def num_terms(self) -> int:
+        """Lexicon cardinality from parquet footer metadata only (no
+        data pages read) — the gate for the driver-side warm maps."""
+        if self._n_terms is None:
+            if self.io_mode == "local":
+                import pyarrow.dataset as ds
+
+                self._n_terms = ds.dataset(
+                    f"{self.warehouse_dir}/lexicon",
+                    format="parquet").count_rows()
+            else:
+                self._n_terms = self.lexicon.count()
+        return self._n_terms
+
+    def _warm_maps_allowed(self) -> bool:
+        return self.num_terms() <= self._max_warm_terms
+
     def lexicon_map(self) -> dict:
         """Full lexicon as a driver dict (term → df/cf/tub). The
         reference mmaps its whole 77 MB lexicon (QueryProcessor:50-53);
-        this is the same tradeoff, loaded once."""
+        this is the same tradeoff, loaded once. Explicit calls always
+        load; :meth:`warm` and :meth:`lookup` route through the
+        ``max_warm_terms`` guardrail instead."""
         if self._lexicon_map is None:
             if self.io_mode == "local":
                 import pyarrow.parquet as pq
@@ -208,12 +236,25 @@ class InvertedIndex:
 
     # -- lexicon point lookup ------------------------------------------
     def lookup(self, terms):
-        """term → (df, cf, term_upper_bound) for terms present."""
+        """term → (df, cf, term_upper_bound) for terms present.
+
+        Local mode serves from the driver lexicon map when it exists
+        (or is allowed to be built); above the ``max_warm_terms``
+        guardrail it degrades to a filtered pyarrow point read —
+        footer-stats pruning instead of an O(num_terms) driver dict."""
         if self.io_mode == "local":
-            m = self.lexicon_map()
-            return {t: {"term": t, "df": m[t][0], "cf": m[t][1],
-                        "term_upper_bound": m[t][2]}
-                    for t in terms if t in m}
+            if self._lexicon_map is not None or self._warm_maps_allowed():
+                m = self.lexicon_map()
+                return {t: {"term": t, "df": m[t][0], "cf": m[t][1],
+                            "term_upper_bound": m[t][2]}
+                        for t in terms if t in m}
+            import pyarrow.dataset as ds
+
+            rows = (ds.dataset(f"{self.warehouse_dir}/lexicon",
+                               format="parquet")
+                    .to_table(filter=ds.field("term").isin(list(terms)))
+                    .to_pylist())
+            return {r["term"]: r for r in rows}
         rows = (self.lexicon
                 .where(self.lexicon.term.isin(list(terms)))
                 .collect())
@@ -230,6 +271,10 @@ class InvertedIndex:
         terms hash across files. Footprint is lexicon-scale (term
         strings + row-group ids), the same tradeoff as
         :meth:`lexicon_map`."""
+        if self._rg_index is None and not self._warm_maps_allowed():
+            # lexicon-scale driver map disallowed at this term count —
+            # point reads fall back to dataset-filter scans (pushdown)
+            self._rg_index = False
         if self._rg_index is None:
             import glob
 
@@ -262,6 +307,7 @@ class InvertedIndex:
         self._docs_ds = None
         self._rg_index = None
         self._doc_nos = None
+        self._n_terms = None
         self._cache.clear()
         self._term_cache.clear()
         self._row_cache.clear()
@@ -310,12 +356,16 @@ class InvertedIndex:
     def warm(self):
         """Load the driver-side lookup structures eagerly — the parity
         point with the reference's constructor, which mmaps lexicon +
-        doc table before the first query (QueryProcessor.java:50-56)."""
-        self.lexicon_map()
-        if self.io_mode == "local":
-            self._term_row_groups()
-            if self.num_docs <= self._doc_nos_max:
-                self._load_doc_nos()
+        doc table before the first query (QueryProcessor.java:50-56).
+        Above ``max_warm_terms`` the lexicon map and row-group index
+        are skipped (queries stay correct through filtered point
+        reads); above ``_doc_nos_max`` the doc-no array is skipped."""
+        if self._warm_maps_allowed():
+            self.lexicon_map()
+            if self.io_mode == "local":
+                self._term_row_groups()
+        if self.io_mode == "local" and self.num_docs <= self._doc_nos_max:
+            self._load_doc_nos()
         return self
 
     def _load_doc_nos(self):

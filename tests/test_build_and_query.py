@@ -275,3 +275,32 @@ def test_input_order_mode_matches_oracle(spark, tmp_path):
         got = idx.search(q, 10)
         want = oracle.topk(q, 10)
         assert [g[0] for g in got] == [w[0] for w in want], q
+
+
+def test_warm_guardrail_unwarmed_results_identical(built):
+    """Above max_warm_terms the driver lexicon map and term→row-group
+    index must never be built — web-scale lexicons cannot live in one
+    driver dict — and every query path must still return identical
+    results through filtered parquet point reads."""
+    spark, wh, _m, oracle = built
+    guarded = InvertedIndex(spark, wh, max_warm_terms=0)
+    guarded.warm()   # must be a no-op for the term-scale maps
+    assert guarded._lexicon_map is None
+    assert guarded._rg_index in (None, False)   # False once consulted
+    baseline = InvertedIndex(spark, wh)
+    for q in QUERIES:
+        got = guarded.search(q, 10)
+        want = baseline.search(q, 10)
+        assert got == want, q
+        pr = guarded.search(q, 10, prune=True)
+        assert [p[0] for p in pr] == [w[0] for w in want], q
+    assert guarded._lexicon_map is None
+    assert guarded._rg_index is False
+    # lookup degrades to a filtered point read, same answer
+    assert guarded.lookup(["hotterm"])["hotterm"]["df"] == \
+        oracle.df("hotterm")
+    # the distributed plan never needed the driver maps
+    rows = guarded.search_distributed("OR hotterm quick", 5).collect()
+    want = baseline.search("OR hotterm quick", 5)
+    assert [(r["doc_no"], r["score"]) for r in rows] == \
+        [(d, pytest.approx(s)) for d, s in want]
