@@ -83,7 +83,8 @@ def sessionize(df, gap: str = "30 minutes", ts_col: str = "ts",
 
 def sessionize_stateful(df, gap_seconds: int = 1800,
                         ts_col: str = "ts", key_col: str = "user_id",
-                        watermark: str = "2 hours"):
+                        watermark: str = "2 hours",
+                        max_buffered_events: int | None = 100_000):
     """Custom stateful sessionizer on ``applyInPandasWithState`` — the
     escape hatch for session logic the built-in operator can't express.
 
@@ -101,6 +102,17 @@ def sessionize_stateful(df, gap_seconds: int = 1800,
     operator). Streaming DataFrames only (Spark restriction); the
     batch twin is :func:`sessionize` (asserted equal in tests,
     including cross-batch out-of-order arrivals).
+
+    ``max_buffered_events`` bounds per-key state: a single
+    pathological key (bot traffic) whose events keep arriving inside
+    the watermark window would otherwise buffer without limit. When a
+    key's buffer would exceed the cap, every chained session is
+    force-flushed (emitted with its gap-rule end even though the
+    watermark has not passed it) and the buffer clears — an explicit
+    evict-with-flush degradation: a late event that would have merged
+    into a flushed session starts a new one instead. Normal keys never
+    hit the cap and keep exact batch parity; ``None`` disables the
+    guard.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import (
@@ -132,10 +144,15 @@ def sessionize_stateful(df, gap_seconds: int = 1800,
                 start = i
         if buf:
             sessions.append((start, len(buf)))
+        # state-cap guard: force-flush every session when the buffer
+        # exceeds the cap (see docstring) — state stays bounded under
+        # a hot key at the cost of possibly splitting its sessions
+        force = (max_buffered_events is not None
+                 and len(buf) > max_buffered_events)
         out, keep = [], []
         for s, e in sessions:
             last = buf[e - 1][0]
-            if last + gap_us < wm_us:   # no future event can merge
+            if force or last + gap_us < wm_us:  # closed (or forced)
                 out.append((user, us_ts(buf[s][0]), us_ts(last + gap_us),
                             e - s, sum(v for _, v in buf[s:e])))
             else:

@@ -141,3 +141,40 @@ def test_sessionize_gap_boundary_is_inclusive(spark):
     out = E.sessionize(df, gap="30 minutes").collect()
     # rows 1+2 merge (exactly at gap); row 3 is 1 us past -> new session
     assert sorted(r["n_events"] for r in out) == [1, 2]
+
+
+def test_stateful_sessionizer_hot_key_state_cap(spark, tmp_path, utc):
+    """A bot key whose events keep arriving inside the watermark must
+    not buffer unboundedly: with max_buffered_events exceeded, chained
+    sessions force-flush (split sessions, bounded state) and no event
+    is lost or double-counted."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    mins = lambda m: T0 + dt.timedelta(minutes=m)
+    # 35 events 1 min apart (gap 30 min -> ONE true session), split
+    # into 3 arrival batches; cap of 10 forces a flush in each of the
+    # first two batches
+    ev = [(mins(i), 7, "click", 1.0) for i in range(35)]
+    _write(f"{src}/0.parquet", ev[:15])
+    time.sleep(1.1)
+    _write(f"{src}/1.parquet", ev[15:30])
+    time.sleep(1.1)
+    _write(f"{src}/2.parquet", ev[30:])
+    time.sleep(1.1)
+    _write(f"{src}/3.parquet",
+           [(mins(60 * 24 * 10), 99, "click", 0.0)])  # sentinel
+
+    out = E.sessionize_stateful(_stream(spark, src), gap_seconds=1800,
+                                watermark="1 hour",
+                                max_buffered_events=10)
+    _run_to_memory(out, "sessions_hotkey")
+    rows = [r for r in spark.sql(
+        "select * from sessions_hotkey").collect() if r["user_id"] == 7]
+    # forced flushes split the one true session; every event accounted
+    assert len(rows) >= 2
+    assert sum(r["n_events"] for r in rows) == 35
+    assert sum(r["value_sum"] for r in rows) == 35.0
+    # sessions are disjoint, ordered segments of the true session
+    spans = sorted((r["session_start"], r["session_end"]) for r in rows)
+    for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+        assert s2 > s1
