@@ -73,6 +73,15 @@ class IndexConfig:
     # blocks exceed num_blocks * this many bytes (see
     # auto_merge_partitions) so task memory stays bounded at any scale
     merge_target_bytes: int = 32 << 20
+    # warehouse table format. "parquet" (always available) or
+    # "iceberg" — the north star's table layer (snapshot isolation,
+    # hidden partitioning, compaction). The layout is already
+    # Iceberg-compatible; selecting "iceberg" requires the Iceberg
+    # Spark runtime jar + a configured catalog and fails fast when the
+    # session lacks them (this sandbox ships no Iceberg jar, so only
+    # the seam — manifest-recorded format + runtime validation — is
+    # exercisable here).
+    table_format: str = "parquet"
 
 
 # partial segments ship VByte-compressed (first docId absolute, then
@@ -173,6 +182,33 @@ def check_partials_format(manifest: dict, *, strict: bool,
             "the partials stage (delete the partials dir and the "
             "'partials' stage entry, or rebuild the warehouse)")
     return False
+
+
+def check_table_format(spark, cfg: "IndexConfig") -> str:
+    """Validate ``cfg.table_format`` against the live session.
+
+    "parquet" always passes. "iceberg" requires the Iceberg Spark
+    runtime on the session classpath (SparkSessionExtensions +
+    a catalog); without it the build must fail BEFORE writing anything
+    rather than produce a warehouse whose manifest claims a format the
+    data isn't in. Returns the validated format for the manifest."""
+    fmt = cfg.table_format
+    if fmt == "parquet":
+        return fmt
+    if fmt == "iceberg":
+        try:
+            spark.sparkContext._jvm.java.lang.Class.forName(
+                "org.apache.iceberg.spark.SparkCatalog")
+        except Exception:
+            raise ValueError(
+                "table_format='iceberg' requires the Iceberg Spark "
+                "runtime jar (spark.jars.packages "
+                "org.apache.iceberg:iceberg-spark-runtime-...) and a "
+                "configured catalog; this session has neither. Use "
+                "table_format='parquet' or submit with the jar.")
+        return fmt
+    raise ValueError(f"unknown table_format {fmt!r} "
+                     "(expected 'parquet' or 'iceberg')")
 
 
 def _dir_bytes(path: str) -> int:
@@ -698,6 +734,7 @@ def build_index(spark, corpus, warehouse_dir: str,
                 manifest = {"stages": {}, "metrics": {}}
                 break
     manifest["config"] = asdict(cfg)
+    manifest["table_format"] = check_table_format(spark, cfg)
 
     num_blocks = cfg.num_blocks or spark.sparkContext.defaultParallelism
     manifest["num_blocks"] = num_blocks

@@ -59,7 +59,8 @@ def _resolve_cfg(manifest: dict, cfg: B.IndexConfig | None) -> B.IndexConfig:
         return B.IndexConfig(**{k: v for k, v in recorded.items()
                                 if k in known})
     if recorded:
-        for f in ("codec", "stopwords", "stemming", "truncate"):
+        for f in ("codec", "stopwords", "stemming", "truncate",
+                  "table_format"):
             want = getattr(cfg, f)
             have = recorded.get(f, getattr(B.IndexConfig(), f))
             if want != have:

@@ -304,3 +304,19 @@ def test_warm_guardrail_unwarmed_results_identical(built):
     want = baseline.search("OR hotterm quick", 5)
     assert [(r["doc_no"], r["score"]) for r in rows] == \
         [(d, pytest.approx(s)) for d, s in want]
+
+
+def test_table_format_seam(built, spark):
+    """Manifest records the warehouse table format; selecting iceberg
+    without the runtime jar must fail fast before any write (this
+    sandbox ships no Iceberg jar — a real cluster flips the config)."""
+    import pytest as _pt
+
+    _spark, wh, manifest, _o = built
+    assert manifest["table_format"] == "parquet"
+    assert manifest["config"]["table_format"] == "parquet"
+    from invertedindex_spark.operators.build import check_table_format
+    with _pt.raises(ValueError, match="iceberg"):
+        check_table_format(spark, IndexConfig(table_format="iceberg"))
+    with _pt.raises(ValueError, match="unknown table_format"):
+        check_table_format(spark, IndexConfig(table_format="delta"))
