@@ -861,6 +861,12 @@ def build_index(spark, corpus, warehouse_dir: str,
                                  "postings": int(r["postings"])}
             for r in bm}
     manifest["stats"] = stats
+    # the collection stats the persisted TUB/block_max were computed
+    # under — pruning bounds are valid only while these match the live
+    # stats table (append_batch rolls stats WITHOUT recomputing bounds;
+    # the query side falls back to exact scoring until a compaction)
+    manifest["bounds_stats"] = {"num_docs": stats["num_docs"],
+                                "avg_doc_len": stats["avg_doc_len"]}
     if not cfg.keep_partials and os.path.isdir(paths["partials"]):
         # the checkpoint served its purpose: postings + lexicon exist.
         # The stage stays marked done (deleted=True) so a resume does

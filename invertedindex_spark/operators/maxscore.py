@@ -197,7 +197,11 @@ def maxscore_or_topk(lists, num_docs: int, avg_doc_len: float, k: int,
             else:
                 ub = np.full(acc_d.size, tub)
             keep = acc_s + ub + suffix[pos + 1] >= threshold
-            if stats is not None and block_bounds is not None:
+            # block-I/O counters only when fetch_for really decodes
+            # selectively (a cached term's boost reads decoded arrays —
+            # no blocks are touched, so none can be "saved")
+            if (stats is not None and block_bounds is not None
+                    and getattr(block_bounds, "selective", True)):
                 pre = np.unique(blk[in_range])
                 post = np.unique(blk[keep & in_range])
                 stats["blocks_before"] = (

@@ -98,23 +98,7 @@ class InvertedIndex:
         if io_mode is None:
             io_mode = "local" if os.path.isdir(warehouse_dir) else "spark"
         self.io_mode = io_mode
-        if io_mode == "local":
-            manifest = read_manifest(warehouse_dir)
-        else:
-            # remote warehouse: the local-FS read_manifest would
-            # silently return {} and default the pipeline config
-            # (stemming queries against an unstemmed index, vbyte
-            # decode of pfd streams) — read the JSON through the
-            # JVM's Hadoop filesystem instead
-            import json as _json
-
-            try:
-                txt = "\n".join(
-                    r[0] for r in spark.read.text(
-                        f"{warehouse_dir}/_manifest.json").collect())
-                manifest = _json.loads(txt) if txt.strip() else {}
-            except Exception:
-                manifest = {}
+        manifest = self._read_manifest()
         cfg = manifest.get("config", {})
         self.stopwords = cfg.get("stopwords", True)
         self.stemming = cfg.get("stemming", True)
@@ -160,6 +144,43 @@ class InvertedIndex:
         # the distributed paths never needed the maps at all.
         self._max_warm_terms = max_warm_terms
         self._n_terms = None
+        self._bounds_fresh = self._bounds_fresh_from(manifest)
+
+    def _read_manifest(self) -> dict:
+        if self.io_mode == "local":
+            return read_manifest(self.warehouse_dir)
+        # remote warehouse: the local-FS read_manifest would
+        # silently return {} and default the pipeline config
+        # (stemming queries against an unstemmed index, vbyte
+        # decode of pfd streams) — read the JSON through the
+        # JVM's Hadoop filesystem instead
+        import json as _json
+
+        try:
+            txt = "\n".join(
+                r[0] for r in self.spark.read.text(
+                    f"{self.warehouse_dir}/_manifest.json").collect())
+            return _json.loads(txt) if txt.strip() else {}
+        except Exception:
+            return {}
+
+    def _bounds_fresh_from(self, manifest: dict) -> bool:
+        """True iff the persisted TUB/block_max were computed under the
+        CURRENT collection stats. append_batch rolls num_docs and
+        avg_doc_len without rewriting postings, so between an append
+        and the next compaction the stored bounds underestimate live
+        scores — pruning with them would silently drop valid top-k
+        docs. Batch-built warehouses (no stream state) are always
+        fresh; stream warehouses compare the ``bounds_stats`` marker
+        the last postings rewrite recorded."""
+        if "stream" not in manifest:
+            return True
+        bs = manifest.get("bounds_stats")
+        return (bs is not None
+                and bs.get("num_docs") == self.num_docs
+                and bs.get("avg_doc_len") is not None
+                and abs(bs["avg_doc_len"] - self.avg_doc_len)
+                <= 1e-9 * max(1.0, self.avg_doc_len))
 
     # -- driver-local dataset handles (the mmap analogue) --------------
     def _local_postings(self):
@@ -321,6 +342,7 @@ class InvertedIndex:
                 f"{self.warehouse_dir}/stats").collect()[0]
         self.num_docs = srow["num_docs"]
         self.avg_doc_len = srow["avg_doc_len"]
+        self._bounds_fresh = self._bounds_fresh_from(self._read_manifest())
         return self
 
     def _rows_via_rg_index(self, terms, cols, _retried=False):
@@ -551,6 +573,15 @@ class InvertedIndex:
         stats = self.last_prune_stats = {}
         if not by_term or (qtype == "AND" and len(by_term) < len(terms)):
             return z, z.astype(np.float64)
+        if qtype == "OR" and not self._bounds_fresh:
+            # persisted TUB/block_max are stale (documents appended
+            # since the last compaction rolled num_docs/avg_doc_len):
+            # MaxScore/BMM would prune against underestimated bounds
+            # and could drop valid top-k docs — serve exactly until a
+            # compaction refreshes the bounds. (The AND pruned path
+            # uses membership only, no bounds — still exact.)
+            stats["stale_bounds_fallback"] = True
+            return self._score_terms(terms, qtype)
         if qtype == "AND":
             # seed from the smallest list (fully decoded); restrict each
             # later list to the *surviving* candidates so far (nextGEQ
@@ -580,6 +611,11 @@ class InvertedIndex:
         for t, rs in by_term.items():
             tub = float(rs[0]["term_upper_bound"])
             cached = self._term_cache.get(t)
+            bb = lambda rs=rs: self._block_bounds(rs)
+            # a cached term's boost phase reads the decoded arrays, not
+            # skip blocks — the kernel's block-I/O counters must not
+            # claim savings for decodes that never happen
+            bb.selective = cached is None
             lists.append((
                 tub,
                 lambda t=t, rs=rs: self._decoded_term(t, rs),
@@ -587,7 +623,7 @@ class InvertedIndex:
                 (lambda wanted, c=cached: c) if cached is not None
                 else (lambda wanted, rs=rs: self._decode_rows_selective(
                     rs, wanted)),
-                lambda rs=rs: self._block_bounds(rs),
+                bb,
             ))
         return maxscore_or_topk(lists, self.num_docs, self.avg_doc_len,
                                 k, stats=stats)

@@ -59,8 +59,12 @@ def _resolve_cfg(manifest: dict, cfg: B.IndexConfig | None) -> B.IndexConfig:
         return B.IndexConfig(**{k: v for k, v in recorded.items()
                                 if k in known})
     if recorded:
+        # merge_width is layout-defining too: it decides whether terms
+        # split across posting rows, which gates the incremental
+        # compaction's narrow TUB refresh (term-global max needs all
+        # rows of a term in view)
         for f in ("codec", "stopwords", "stemming", "truncate",
-                  "table_format"):
+                  "table_format", "merge_width"):
             want = getattr(cfg, f)
             have = recorded.get(f, getattr(B.IndexConfig(), f))
             if want != have:
@@ -93,6 +97,9 @@ def append_batch(spark, corpus_batch: Corpus, warehouse_dir: str,
 
     manifest = B.read_manifest(warehouse_dir)
     cfg = _resolve_cfg(manifest, cfg)
+    # same fail-fast seam as build_index: never write data in a format
+    # the session can't actually produce, nor record one in the manifest
+    B.check_table_format(spark, cfg)
     if "stream" not in manifest and B._stage_done(manifest, "docs"):
         raise ValueError(
             "warehouse was batch-built (docs stage committed without "
@@ -262,6 +269,7 @@ def compact(spark, warehouse_dir: str,
 
     manifest = B.read_manifest(warehouse_dir)
     cfg = _resolve_cfg(manifest, cfg)
+    B.check_table_format(spark, cfg)
     paths = {n: os.path.join(warehouse_dir, n)
              for n in ("partials", "lexicon", "postings")}
     # compaction cannot regenerate partials (the corpus batches are
@@ -294,13 +302,19 @@ def compact(spark, warehouse_dir: str,
         # so in-task global df/cf/TUB stay exact); un-hinted semi/anti
         # joins — AQE broadcasts the term list when it is small
         aff_partials = partials.join(affected, "term", "left_semi")
-        n_segments = aff_partials.count()
+        # metrics without touching payload bytes: segment count over a
+        # term-only (column-pruned) scan; untouched-row count by
+        # lexicon arithmetic (merge_width None ⇒ one row per term)
+        n_segments = (partials.select("term")
+                      .join(affected, "term", "left_semi").count())
+        n_prev_present = (spark.read.parquet(paths["lexicon"])
+                          .join(affected, "term", "left_semi").count())
+        n_untouched = n_terms - n_prev_present
         merged = B._merge_partials(
             aff_partials, cfg, num_docs, avg,
             num_partitions=spark.sparkContext.defaultParallelism)
         untouched = (spark.read.parquet(paths["postings"])
                      .join(affected, "term", "left_anti"))
-        n_untouched = untouched.count()
         out = _refresh_tub_blockmax(
             untouched, cfg, num_docs, avg).unionByName(merged)
         tmp = paths["postings"] + "_compact_tmp"
@@ -331,6 +345,10 @@ def compact(spark, warehouse_dir: str,
     if "stream" in manifest:
         manifest["stream"]["compacted_through_block"] = \
             manifest["stream"].get("next_block_id", 0)
+    # TUB/block_max in the rewritten postings reflect exactly these
+    # stats; queries may prune again (build.py writes the same marker)
+    manifest["bounds_stats"] = {"num_docs": num_docs,
+                                "avg_doc_len": avg}
     manifest.setdefault("metrics", {})["last_compaction"] = metrics
     from dataclasses import asdict
     manifest["config"] = {**manifest.get("config", {}), **asdict(cfg)}

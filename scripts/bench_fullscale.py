@@ -95,6 +95,33 @@ def main():
         out[f"{label}_p50_ms"] = round(lat[len(lat) // 2], 1)
         out[f"{label}_mean_ms"] = round(statistics.mean(lat), 1)
     print(json.dumps(out), flush=True)
+
+    # adversarial hot-term queries: 3 terms sampled from the top-40 df
+    # (posting lists ~10^6 each) — the worst case for the driver
+    # kernel and the case block-max pruning targets
+    lex = idx.lexicon.orderBy("df", ascending=False).limit(40).collect()
+    hot_vocab = [r["term"] for r in lex]
+    rng2 = random.Random(7)
+    hot_qs = [("OR " if i % 2 else "AND ")
+              + " ".join(rng2.sample(hot_vocab, 3)) for i in range(6)]
+    hot = {}
+    agg_stats: dict = {}
+    for label, prune in (("exact", False), ("pruned", True)):
+        fresh = InvertedIndex(spark, wh, cache_size=0)
+        fresh.warm()
+        lat = []
+        for q in hot_qs:
+            t0 = time.perf_counter()
+            fresh.search(q, 20, prune=prune)
+            lat.append(time.perf_counter() - t0)
+            if prune:   # counters reset per search — accumulate
+                for k, v in fresh.last_prune_stats.items():
+                    if isinstance(v, (int, float)):
+                        agg_stats[k] = agg_stats.get(k, 0) + v
+        hot[f"hot_{label}_mean_s"] = round(statistics.mean(lat), 3)
+        hot[f"hot_{label}_max_s"] = round(max(lat), 3)
+    hot["hot_prune_stats"] = agg_stats
+    print(json.dumps(hot), flush=True)
     spark.stop()
 
 

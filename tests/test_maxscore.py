@@ -84,12 +84,19 @@ def test_blockmax_skips_blocks(big_index):
     then the hot low-TUB list is read non-essentially and whole blocks
     whose block_max cannot lift any surviving accumulator are skipped.
     Results stay identical to the exhaustive exact path."""
+    from invertedindex_spark import InvertedIndex
+
     q = "OR quick brown hotterm"
     for k in (3, 5, 10):
         exact = big_index.search(q, k)
-        pruned = big_index.search(q, k, prune=True)
+        # fresh handle: the shared fixture's decode LRU would satisfy
+        # the boost phase from cached arrays (honest counters then
+        # report zero block I/O, because none happens)
+        cold = InvertedIndex(big_index.spark, big_index.warehouse_dir,
+                             cache_size=0)
+        pruned = cold.search(q, k, prune=True)
         assert [d for d, _ in pruned] == [d for d, _ in exact], k
-        st = big_index.last_prune_stats
+        st = cold.last_prune_stats
         # the hot list was processed non-essentially with block bounds…
         assert st.get("blocks_before", 0) > 0, (k, st)
         # …and the block-max drop eliminated accumulators AND blocks

@@ -221,3 +221,36 @@ def test_incremental_compaction_touches_only_affected_terms(spark, tmp_path):
         # pruned kernels read the refreshed block_max — must agree too
         pr = ii.search(q, 10, prune=True)
         assert [p[0] for p in pr] == [w[0] for w in want], q
+
+
+def test_stale_bounds_disable_or_pruning_until_compaction(spark, tmp_path):
+    """append_batch rolls num_docs/avg_doc_len without rewriting the
+    persisted TUB/block_max; pruning against those underestimated
+    bounds could drop valid top-k docs. Between an append and the next
+    compaction the OR pruned path must serve exactly (fallback flagged
+    in last_prune_stats); a compaction restores pruning."""
+    cfg = IndexConfig(num_blocks=2)
+    wh = str(tmp_path / "stale")
+    srt = _sorted_rows(160)
+    df = spark.createDataFrame(srt[:80], corpus._CORPUS_SCHEMA)
+    append_batch(spark, corpus.from_source_code(df), wh, cfg,
+                 blocks_per_batch=2)
+    compact(spark, wh, cfg)
+    idx = InvertedIndex(spark, wh)
+    assert idx._bounds_fresh
+
+    df2 = spark.createDataFrame(srt[80:], corpus._CORPUS_SCHEMA)
+    append_batch(spark, corpus.from_source_code(df2), wh, cfg,
+                 blocks_per_batch=2)
+    stale = InvertedIndex(spark, wh)
+    assert not stale._bounds_fresh
+    for q in ("OR hotterm quick", "OR optimization throughput latency"):
+        assert stale.search(q, 10, prune=True) == stale.search(q, 10)
+        assert stale.last_prune_stats.get("stale_bounds_fallback")
+    # AND pruned path is bounds-free (membership only) — still allowed
+    assert stale.search("AND hotterm parties", 10, prune=True) == \
+        stale.search("AND hotterm parties", 10)
+
+    compact(spark, wh, cfg)
+    assert InvertedIndex(spark, wh)._bounds_fresh
+    assert stale.refresh()._bounds_fresh
