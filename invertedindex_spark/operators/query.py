@@ -129,6 +129,7 @@ class InvertedIndex:
         # mmapped 336 MB document table (PDF §5.2); point reads beyond
         # the threshold
         self._doc_nos = None
+        self._doc_lens = None
         self._doc_nos_max = 20_000_000
         # term → parquet row-group index over the postings files (term
         # columns read once); None = not built, False = unavailable
@@ -328,6 +329,7 @@ class InvertedIndex:
         self._docs_ds = None
         self._rg_index = None
         self._doc_nos = None
+        self._doc_lens = None
         self._n_terms = None
         self._cache.clear()
         self._term_cache.clear()
@@ -388,6 +390,7 @@ class InvertedIndex:
                 self._term_row_groups()
         if self.io_mode == "local" and self.num_docs <= self._doc_nos_max:
             self._load_doc_nos()
+            self._load_doc_lens()
         return self
 
     def _load_doc_nos(self):
@@ -399,6 +402,25 @@ class InvertedIndex:
                 t.column("doc_no").to_pylist()
             self._doc_nos = arr
         return self._doc_nos
+
+    def _load_doc_lens(self):
+        """doc_id → doc_len as one int32 array (4 B/doc — 33 MB at
+        8M docs). Doc length is per-DOC; the per-posting dls stream
+        exists to keep the distributed scorer join-free, but the
+        driver kernel can skip decoding millions of dl values per
+        selective read by indexing this array with the decoded docIds.
+        None above the same scale gate as the doc-no array."""
+        if self._doc_lens is None:
+            if (self.io_mode != "local"
+                    or self.num_docs > self._doc_nos_max):
+                return None
+            t = (self._local_docs()
+                 .to_table(columns=["doc_id", "doc_len"]))
+            arr = np.zeros(self.num_docs, dtype=np.int32)
+            arr[t.column("doc_id").to_numpy()] = \
+                t.column("doc_len").to_numpy()
+            self._doc_lens = arr
+        return self._doc_lens
 
     # -- exact path ------------------------------------------------------
     def _fetch_rows(self, terms):
@@ -464,21 +486,34 @@ class InvertedIndex:
         d = np.concatenate([codec.gap_decode(
             dec(r["doc_ids_vbyte"])) for r in rs])
         tf = np.concatenate([dec(r["freqs_vbyte"]) for r in rs])
-        dl = np.concatenate([dec(r["dls_vbyte"]) for r in rs])
+        lens = self._load_doc_lens()
+        if lens is not None:   # per-doc array beats re-decoding the
+            dl = lens[d].astype(np.int64)   # per-posting dl stream
+        else:
+            dl = np.concatenate([dec(r["dls_vbyte"]) for r in rs])
         return d, tf, dl, int(rs[0]["df"])
 
     def _decode_rows_selective(self, rs, wanted):
         from .maxscore import selective_decode
 
+        # dl streams have no skip offsets, so selective_decode would
+        # decode them FULLY (millions of values on a hot term — this
+        # dominated pruned-query latency). The doc_len array serves
+        # them by docId instead when it fits the driver gate.
+        lens = self._load_doc_lens()
         parts = [selective_decode(
-            r["doc_ids_vbyte"], r["freqs_vbyte"], r["dls_vbyte"],
+            r["doc_ids_vbyte"], r["freqs_vbyte"],
+            None if lens is not None else r["dls_vbyte"],
             r["skip_doc_ids"], r["skip_doc_offsets"],
             r["skip_freq_offsets"], r["first_doc_id"], wanted,
             decode=self._stream_decode)
             for r in rs]
         d = np.concatenate([p[0] for p in parts])
         tf = np.concatenate([p[1] for p in parts])
-        dl = np.concatenate([p[2] for p in parts])
+        if lens is not None:
+            dl = lens[d].astype(np.int64)
+        else:
+            dl = np.concatenate([p[2] for p in parts])
         return d, tf, dl, int(rs[0]["df"])
 
     def _fetch_decoded(self, terms):
@@ -583,6 +618,15 @@ class InvertedIndex:
             stats["stale_bounds_fallback"] = True
             return self._score_terms(terms, qtype)
         if qtype == "AND":
+            # dense-scale dispatch: when even the SMALLEST list covers
+            # ≥ 1/8 of the docId space, its candidates blanket every
+            # skip block of the other lists — selective decoding saves
+            # nothing and the dense bincount kernel is strictly faster
+            # (same crossover _score_terms measured)
+            min_df = min(rs[0]["df"] for rs in by_term.values())
+            if self.num_docs <= 50_000_000 and min_df * 8 >= self.num_docs:
+                stats["dense_fallback"] = True
+                return self._score_terms(terms, qtype)
             # seed from the smallest list (fully decoded); restrict each
             # later list to the *surviving* candidates so far (nextGEQ
             # analogue, progressively narrowed — membership in every
@@ -607,6 +651,14 @@ class InvertedIndex:
                 return z, z.astype(np.float64)
             return intersect_topk(decoded, self.num_docs,
                                   self.avg_doc_len)
+        # dense-scale dispatch (same crossover as AND): when even the
+        # rarest term covers ≥ 1/8 of the docId space every list is
+        # essential AND dense — selective decoding cannot save I/O and
+        # the one-pass dense kernel beats per-list TAAT merging
+        min_df = min(rs[0]["df"] for rs in by_term.values())
+        if self.num_docs <= 50_000_000 and min_df * 8 >= self.num_docs:
+            stats["dense_fallback"] = True
+            return self._score_terms(terms, qtype)
         lists = []
         for t, rs in by_term.items():
             tub = float(rs[0]["term_upper_bound"])

@@ -78,7 +78,37 @@ QUERIES = [
 ]
 
 
-def test_blockmax_skips_blocks(big_index):
+@pytest.fixture(scope="module")
+def bm_index(spark, tmp_path_factory):
+    """Controlled-df corpus for block-skip assertions: one hot term
+    (df 1600 > skip threshold, low TUB) plus two mid-rare terms (df 10,
+    high TUB) whose docs scatter across the hot list's skip blocks —
+    the synthetic source-code corpus is bimodal (df 1 or df ≥ ~0.15N)
+    and every common-term query there correctly takes the dense
+    dispatch instead."""
+    from invertedindex_spark import InvertedIndex, build_index
+
+    wh = str(tmp_path_factory.mktemp("wh_bm"))
+    docsA = {0, 137, 401, 703, 999, 1201, 1499, 1777, 1901, 1999}
+    docsB = {55, 233, 512, 897, 1044, 1388, 1600, 1717, 1846, 1966}
+    rows = []
+    for i in range(2000):
+        toks = []
+        if i % 5:
+            toks += ["hotterm"] * (1 + (i * 7) % 3)
+        if i in docsA:
+            toks += ["qqrarea"] * (1 + i % 4)
+        if i in docsB:
+            toks += ["qqrareb"] * (1 + i % 3)
+        toks += [f"u{i}x"] * (1 + (i * 13) % 7)   # unique filler: dl varies
+        rows.append(("r0", f"f{i:05d}.py", "c0", "py", " ".join(toks)))
+    df = spark.createDataFrame(rows, corpus._CORPUS_SCHEMA)
+    build_index(spark, corpus.from_source_code(df), wh,
+                IndexConfig(num_blocks=4))
+    return InvertedIndex(spark, wh)
+
+
+def test_blockmax_skips_blocks(bm_index):
     """Block-Max pruning must actually avoid decoding skip blocks on
     the classic shape: rare high-TUB terms establish the threshold,
     then the hot low-TUB list is read non-essentially and whole blocks
@@ -86,13 +116,15 @@ def test_blockmax_skips_blocks(big_index):
     Results stay identical to the exhaustive exact path."""
     from invertedindex_spark import InvertedIndex
 
-    q = "OR quick brown hotterm"
-    for k in (3, 5, 10):
-        exact = big_index.search(q, k)
-        # fresh handle: the shared fixture's decode LRU would satisfy
-        # the boost phase from cached arrays (honest counters then
-        # report zero block I/O, because none happens)
-        cold = InvertedIndex(big_index.spark, big_index.warehouse_dir,
+    rows = bm_index._fetch_rows(["hotterm"])["hotterm"]
+    assert rows[0]["df"] > codec.SKIP_POINTERS_THRESHOLD
+    q = "OR qqrarea qqrareb hotterm"
+    for k in (3, 5):
+        exact = bm_index.search(q, k)
+        # fresh handle: a shared decode LRU would satisfy the boost
+        # phase from cached arrays (honest counters then report zero
+        # block I/O, because none happens)
+        cold = InvertedIndex(bm_index.spark, bm_index.warehouse_dir,
                              cache_size=0)
         pruned = cold.search(q, k, prune=True)
         assert [d for d, _ in pruned] == [d for d, _ in exact], k
@@ -102,7 +134,6 @@ def test_blockmax_skips_blocks(big_index):
         # …and the block-max drop eliminated accumulators AND blocks
         assert st.get("acc_dropped", 0) > 0, (k, st)
         assert st["blocks_decoded"] < st["blocks_before"], (k, st)
-        big_index._cache.clear()
 
 
 def test_blockmax_bounds_assembly(big_index):
