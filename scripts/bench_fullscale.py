@@ -122,6 +122,34 @@ def main():
         hot[f"hot_{label}_max_s"] = round(max(lat), 3)
     hot["hot_prune_stats"] = agg_stats
     print(json.dumps(hot), flush=True)
+
+    # mixed rare+hot queries — the Block-Max MaxScore target shape:
+    # rare high-TUB terms set the threshold, the hot list is then read
+    # non-essentially with whole skip blocks pruned via block_max.
+    # Terms must survive query-side re-stemming (lexicon terms are
+    # already stems), hence the round-trip filter.
+    from invertedindex_spark.functions.textproc import preprocess_query
+    lexm = idx.lexicon_map()
+    mids = [t for t in sorted(lexm) if 20 <= lexm[t][0] <= 1024
+            and set(preprocess_query("OR " + t)[1]) == {t}]
+    rng3 = random.Random(3)
+    mix_qs = ["OR " + " ".join(rng3.sample(mids, 2) + [hot_vocab[i % 5]])
+              for i in range(8)]
+    mixed = {}
+    for label, prune in (("exact", False), ("pruned", True)):
+        fresh = InvertedIndex(spark, wh, cache_size=0)
+        fresh.warm()
+        for q in mix_qs:           # steady state: IO/decode warmed
+            fresh.search(q, 20, prune=prune)
+        lat = []
+        for q in mix_qs:
+            t0 = time.perf_counter()
+            fresh.search(q, 20, prune=prune)
+            lat.append((time.perf_counter() - t0) * 1000)
+        lat.sort()
+        mixed[f"mixed_{label}_p50_ms"] = round(lat[len(lat) // 2], 1)
+        mixed[f"mixed_{label}_mean_ms"] = round(statistics.mean(lat), 1)
+    print(json.dumps(mixed), flush=True)
     spark.stop()
 
 
