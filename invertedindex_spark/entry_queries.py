@@ -510,6 +510,35 @@ SELECT sha256(text) AS content_sha256, count(*) AS n_docs,
 FROM documents WHERE text IS NOT NULL GROUP BY sha256(text)"""
 
 
+def q_substring_dup_stats(spark, sf_dir):
+    """Per-document exact substring-duplication profile (word
+    8-shingles shared with any other doc) — the Lee et al. 2022
+    substring-dedup signal; see operators/dedup.substring_dup_stats."""
+    from .operators.dedup import substring_dup_stats
+    return substring_dup_stats(_docs_df(spark, sf_dir), k=8)
+
+
+def sql_substring_dup_stats():
+    return """
+WITH toks AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ts
+              FROM documents),
+base AS (SELECT doc_id,
+                CAST(greatest(len(ts) - 7, 0) AS BIGINT) AS n_shingles
+         FROM toks),
+sh AS (SELECT doc_id, md5(array_to_string(ts[p+1:p+8], ' ')) AS h
+       FROM (SELECT doc_id, ts, unnest(range(len(ts) - 7)) AS p
+             FROM toks)),
+dup AS (SELECT h FROM sh GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nd
+        FROM sh JOIN dup USING (h) GROUP BY doc_id)
+SELECT b.doc_id, b.n_shingles,
+       coalesce(c.nd, 0) AS n_dup_shingles,
+       CAST(CASE WHEN b.n_shingles > 0
+                 THEN round(coalesce(c.nd, 0) * 1000000.0 / b.n_shingles)
+                 ELSE 0 END AS BIGINT) AS dup_frac_u6
+FROM base b LEFT JOIN cnt c USING (doc_id)"""
+
+
 def q_jaccard_top_pairs(spark, sf_dir):
     """Exact n-gram (unigram-set) Jaccard over all pairs — the O(n^2)
     baseline the LSH variant approximates; broadcast self-join."""
@@ -1297,6 +1326,7 @@ def all_queries():
         "stem_on_topk_or": q_stem_on_topk_or,
         "stem_on_topk_and": q_stem_on_topk_and,
         "exact_dedup": q_exact_dedup,
+        "substring_dup_stats": q_substring_dup_stats,
         "jaccard_top_pairs": q_jaccard_top_pairs,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1339,6 +1369,7 @@ def all_oracle_sql(query_vec=None, sf_dir=None):
         "and_intersection": sql_and_intersection(),
         "top_terms": sql_top_terms(),
         "exact_dedup": sql_exact_dedup(),
+        "substring_dup_stats": sql_substring_dup_stats(),
         "jaccard_top_pairs": sql_jaccard_top_pairs(),
         "minhash_signatures": sql_minhash_signatures(),
         "minhash_lsh_pairs": sql_minhash_lsh_pairs(),

@@ -205,3 +205,56 @@ def doc_fingerprint(df):
     t = t.withColumn("kg", kgrams)
     fp = F.coalesce(F.array_min("kg"), F.array_min("hs"))
     return t.select("doc_id", fp.alias("fingerprint"))
+
+
+def substring_dup_stats(df, k: int = 8):
+    """Exact substring-duplication profile per document: the signal
+    behind substring-level training-data dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" — the
+    suffix-array pass finds verbatim spans repeated across documents;
+    word k-shingles approximate it one-pass in SQL). No reference-repo
+    equivalent (the reference indexes, it does not curate).
+
+    For every document: ``n_shingles`` word k-gram positions,
+    ``n_dup_shingles`` of them whose exact k-gram also occurs in at
+    least one OTHER document, and the duplicated fraction in micro
+    units (bigint, engine-portable). Docs shorter than ``k`` words
+    report 0/0/0.
+
+    Scale shape: one shuffle of (md5(shingle), doc_id) pairs — the
+    md5 keeps the key fixed-width (and DuckDB-reproducible); the
+    groupBy is a plain hash aggregation, candidates never expand
+    beyond the shingle stream itself. Splitting is literal
+    single-space (``string_split`` parity), not the tokenizer — spans
+    are byte-exact, as substring dedup requires.
+    """
+    from pyspark.sql import functions as F
+
+    ts = F.split(F.coalesce(F.col("text"), F.lit("")), " ", -1)
+    base = df.select("doc_id", ts.alias("ts"))
+    n = F.size("ts")
+    pos = F.when(n >= k, F.sequence(F.lit(0), n - k)) \
+        .otherwise(F.array().cast("array<int>"))
+    base = base.withColumn(
+        "n_shingles", F.greatest(n - (k - 1), F.lit(0)).cast("long"))
+    sh = (base.select(
+        "doc_id",
+        F.explode(F.transform(pos, lambda p: F.md5(
+            F.concat_ws(" ", F.slice("ts", p + 1, k))))).alias("h")))
+    dup = (sh.groupBy("h")
+           .agg(F.count_distinct("doc_id").alias("nd"))
+           .where(F.col("nd") >= 2)
+           .select("h"))
+    per_doc = (sh.join(dup, "h", "left_semi")
+               .groupBy("doc_id")
+               .agg(F.count("*").alias("nd")))
+    out = (base.select("doc_id", "n_shingles")
+           .join(per_doc, "doc_id", "left")
+           .withColumn("n_dup_shingles",
+                       F.coalesce(F.col("nd"), F.lit(0)).cast("long")))
+    frac = F.when(F.col("n_shingles") > 0,
+                  F.round(F.col("n_dup_shingles") * 1_000_000.0
+                          / F.col("n_shingles")).cast("long")) \
+        .otherwise(F.lit(0).cast("long"))
+    return out.select("doc_id", "n_shingles", "n_dup_shingles",
+                      frac.alias("dup_frac_u6"))

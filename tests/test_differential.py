@@ -54,7 +54,7 @@ def _random_docs(seed: int, n: int):
 # the main contract test at the driver's scale instead)
 QUERIES = ["exact_dedup", "token_counts", "token_stats", "lang_id",
            "simhash32", "doc_fingerprint", "minhash_signatures",
-           "corpus_clean"]
+           "corpus_clean", "substring_dup_stats"]
 
 
 @pytest.mark.parametrize("seed", [11, 17, 23])

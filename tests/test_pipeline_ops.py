@@ -429,3 +429,31 @@ def test_clean_corpus_near_dup_join_not_force_broadcast(spark):
     cleaned = clean_corpus(df, near_dup=nd)
     inner = minhash_lsh_pairs(df, perms, 8, 2)
     assert count_broadcast_hints(cleaned) == count_broadcast_hints(inner)
+
+
+def test_substring_dup_stats_crafted(spark):
+    """Word-8-shingle substring duplication: doc 1 shares an exact
+    9-word span with doc 0 (→ 2 dup positions each), doc 2 is disjoint,
+    doc 3 is too short for any shingle, doc 4 duplicates doc 2
+    entirely."""
+    from invertedindex_spark.operators.dedup import substring_dup_stats
+
+    span = "one two three four five six seven eight nine"      # 9 words
+    rows = [
+        (0, span + " alpha beta gamma"),                       # 12 words
+        (1, "prefix " + span),                                 # 10 words
+        (2, "a b c d e f g h i j"),                            # 10 words
+        (3, "short text"),                                     # 2 words
+        (4, "a b c d e f g h i j"),                            # dup of 2
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           substring_dup_stats(df, k=8).collect()}
+    assert got[0]["n_shingles"] == 5 and got[0]["n_dup_shingles"] == 2
+    assert got[1]["n_shingles"] == 3 and got[1]["n_dup_shingles"] == 2
+    assert got[2]["n_shingles"] == 3 and got[2]["n_dup_shingles"] == 3
+    assert got[3]["n_shingles"] == 0 and got[3]["n_dup_shingles"] == 0
+    assert got[3]["dup_frac_u6"] == 0
+    assert got[4]["n_dup_shingles"] == 3
+    assert got[2]["dup_frac_u6"] == 1_000_000
+    assert got[0]["dup_frac_u6"] == 400_000
