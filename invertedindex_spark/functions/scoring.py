@@ -56,3 +56,22 @@ def tfidf_np(tf, df, num_docs):
     commented-out alternative in LexiconTermBinaryIndexing.java:48)."""
     tf = np.asarray(tf, dtype=np.float64)
     return np.log(float(num_docs) / df) * (1.0 + np.log(tf))
+
+
+# -- dense-accumulator dispatch (shared by every driver kernel) --------
+# bincount over the docId space is O(N + P); the sort path is
+# O(P log P). Measured crossover on this box: P ≈ N/8 at N=8.8M (a
+# 1k-posting query: 0.1 ms sort vs ~50 ms bincount), and above the
+# ceiling the two O(N) float64/int64 arrays are prohibitive per query
+# regardless (400 MB+ at 50M docs). One definition so the exact
+# kernel, the TAAT essential merge, and the pruned-path fallbacks can
+# never dispatch inconsistently.
+DENSE_MAX_DOCS = 50_000_000
+DENSE_POSTINGS_RATIO = 8
+
+
+def dense_ok(num_docs: int, postings: int) -> bool:
+    """True when the dense bincount accumulator is the right plan for
+    this many postings over this docId space."""
+    return (num_docs <= DENSE_MAX_DOCS
+            and postings * DENSE_POSTINGS_RATIO >= num_docs)

@@ -224,13 +224,13 @@ def maxscore_or_topk(lists, num_docs: int, avg_doc_len: float, k: int,
             both = np.concatenate([acc_d, d])
             vals = np.concatenate([acc_s, s])
             # same dense-vs-sort dispatch as the exhaustive kernel
-            # (query.py _score_terms): merging millions of hot-term
+            # (scoring.dense_ok): merging millions of hot-term
             # postings via argsort is O(P log P); dense bincount is
             # O(N + P) and wins once the posting volume rivals the
             # docId space — without it, pruned hot-term queries were
             # measurably SLOWER than exact (0.80 s vs 0.65 s at 8.2M
             # docs) because every hot list is essential
-            if num_docs <= 50_000_000 and both.size * 8 >= num_docs:
+            if scoring.dense_ok(num_docs, both.size):
                 w = np.bincount(both, weights=vals, minlength=num_docs)
                 cnt = np.bincount(both, minlength=num_docs)
                 acc_d = np.flatnonzero(cnt)

@@ -486,7 +486,10 @@ class InvertedIndex:
         d = np.concatenate([codec.gap_decode(
             dec(r["doc_ids_vbyte"])) for r in rs])
         tf = np.concatenate([dec(r["freqs_vbyte"]) for r in rs])
-        lens = self._load_doc_lens()
+        # use the doc_len array only if a warm()/selective decode
+        # already built it — a one-shot un-warmed query must not pay a
+        # whole docs-table column scan just to skip one dl stream
+        lens = self._doc_lens
         if lens is not None:   # per-doc array beats re-decoding the
             dl = lens[d].astype(np.int64)   # per-posting dl stream
         else:
@@ -608,6 +611,15 @@ class InvertedIndex:
         stats = self.last_prune_stats = {}
         if not by_term or (qtype == "AND" and len(by_term) < len(terms)):
             return z, z.astype(np.float64)
+        # dense-scale dispatch (shared crossover, scoring.dense_ok):
+        # when even the RAREST term covers ≥ 1/ratio of the docId
+        # space, candidates blanket every skip block — selective
+        # decoding cannot save I/O and the one-pass dense kernel beats
+        # per-list TAAT merging (AND and OR alike)
+        min_df = min(rs[0]["df"] for rs in by_term.values())
+        if scoring.dense_ok(self.num_docs, min_df):
+            stats["dense_fallback"] = True
+            return self._score_terms(terms, qtype)
         if qtype == "OR" and not self._bounds_fresh:
             # persisted TUB/block_max are stale (documents appended
             # since the last compaction rolled num_docs/avg_doc_len):
@@ -618,15 +630,6 @@ class InvertedIndex:
             stats["stale_bounds_fallback"] = True
             return self._score_terms(terms, qtype)
         if qtype == "AND":
-            # dense-scale dispatch: when even the SMALLEST list covers
-            # ≥ 1/8 of the docId space, its candidates blanket every
-            # skip block of the other lists — selective decoding saves
-            # nothing and the dense bincount kernel is strictly faster
-            # (same crossover _score_terms measured)
-            min_df = min(rs[0]["df"] for rs in by_term.values())
-            if self.num_docs <= 50_000_000 and min_df * 8 >= self.num_docs:
-                stats["dense_fallback"] = True
-                return self._score_terms(terms, qtype)
             # seed from the smallest list (fully decoded); restrict each
             # later list to the *surviving* candidates so far (nextGEQ
             # analogue, progressively narrowed — membership in every
@@ -651,14 +654,6 @@ class InvertedIndex:
                 return z, z.astype(np.float64)
             return intersect_topk(decoded, self.num_docs,
                                   self.avg_doc_len)
-        # dense-scale dispatch (same crossover as AND): when even the
-        # rarest term covers ≥ 1/8 of the docId space every list is
-        # essential AND dense — selective decoding cannot save I/O and
-        # the one-pass dense kernel beats per-list TAAT merging
-        min_df = min(rs[0]["df"] for rs in by_term.values())
-        if self.num_docs <= 50_000_000 and min_df * 8 >= self.num_docs:
-            stats["dense_fallback"] = True
-            return self._score_terms(terms, qtype)
         lists = []
         for t, rs in by_term.items():
             tub = float(rs[0]["term_upper_bound"])
@@ -695,12 +690,9 @@ class InvertedIndex:
         sc = np.concatenate(all_scores)
         # dense accumulators are O(N) in the docId space regardless of
         # how few postings the query touches; the sort path is
-        # O(P log P). Measured crossover on this box: P ≈ N/9 at
-        # N=8.8M (1k-posting query: 0.1 ms sort vs ~50 ms bincount),
-        # so dispatch on the postings volume — rare-term queries must
-        # not pay an O(N) allocation tax. Above 50M docs the dense
-        # path is out regardless (400 MB+ of float64 per query).
-        if self.num_docs <= 50_000_000 and ids.size * 8 >= self.num_docs:
+        # O(P log P) — rare-term queries must not pay an O(N)
+        # allocation tax (crossover + ceiling: scoring.dense_ok)
+        if scoring.dense_ok(self.num_docs, ids.size):
             w = np.bincount(ids, weights=sc)
             cnt = np.bincount(ids)
             keep = (cnt == len(decoded)) if qtype == "AND" else (cnt > 0)

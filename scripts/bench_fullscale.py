@@ -99,8 +99,16 @@ def main():
     # adversarial hot-term queries: 3 terms sampled from the top-40 df
     # (posting lists ~10^6 each) — the worst case for the driver
     # kernel and the case block-max pruning targets
+    from invertedindex_spark.functions.textproc import preprocess_query
+
     lex = idx.lexicon.orderBy("df", ascending=False).limit(40).collect()
-    hot_vocab = [r["term"] for r in lex]
+    # lexicon terms are stems; keep only those that survive query-side
+    # re-stemming or OR would silently skip them and the "hot"
+    # queries would measure a different shape
+    hot_vocab = [r["term"] for r in lex
+                 if set(preprocess_query("OR " + r["term"])[1])
+                 == {r["term"]}]
+    assert len(hot_vocab) >= 6, "top-df terms unexpectedly unstable"
     rng2 = random.Random(7)
     hot_qs = [("OR " if i % 2 else "AND ")
               + " ".join(rng2.sample(hot_vocab, 3)) for i in range(6)]
@@ -128,7 +136,6 @@ def main():
     # non-essentially with whole skip blocks pruned via block_max.
     # Terms must survive query-side re-stemming (lexicon terms are
     # already stems), hence the round-trip filter.
-    from invertedindex_spark.functions.textproc import preprocess_query
     lexm = idx.lexicon_map()
     mids = [t for t in sorted(lexm) if 20 <= lexm[t][0] <= 1024
             and set(preprocess_query("OR " + t)[1]) == {t}]
