@@ -92,7 +92,8 @@ class InvertedIndex:
 
     def __init__(self, spark, warehouse_dir: str, cache_size: int = 500,
                  io_mode: str | None = None,
-                 max_warm_terms: int = 20_000_000):
+                 max_warm_terms: int = 20_000_000,
+                 fresh: bool = False):
         self.spark = spark
         self.warehouse_dir = warehouse_dir
         if io_mode is None:
@@ -146,6 +147,19 @@ class InvertedIndex:
         self._max_warm_terms = max_warm_terms
         self._n_terms = None
         self._bounds_fresh = self._bounds_fresh_from(manifest)
+        # merged-on-read freshness: also serve posting segments from
+        # partial blocks appended AFTER the last compaction, so queries
+        # see streamed documents without waiting for compact(). df is
+        # recomputed over the union; OR pruning already falls back to
+        # exact under the stale-bounds guard, which mismatched stats
+        # trigger for exactly these warehouses.
+        self.fresh = fresh
+        stream = manifest.get("stream")
+        if fresh and stream is None:
+            # batch-built warehouses have no uncompacted tail; noop
+            self.fresh = False
+        self._fresh_from_block = (stream or {}).get(
+            "compacted_through_block", 0)
 
     def _read_manifest(self) -> dict:
         if self.io_mode == "local":
@@ -423,11 +437,51 @@ class InvertedIndex:
         return self._doc_lens
 
     # -- exact path ------------------------------------------------------
+    def _fresh_partial_rows(self, terms):
+        """Pseudo posting rows for ``terms`` from partial blocks newer
+        than the last compaction (merged-on-read). Partial segments are
+        always VByte (first docId absolute, then gaps — the same
+        convention as final rows), have no skip pointers, and carry no
+        bounds; rows are tagged ``_partial`` so decoders pick the right
+        codec on pfd warehouses. df carried here is the segment's own
+        df_b — :meth:`_fetch_rows` rewrites the union df."""
+        out: dict[str, list] = {}
+        if not self.fresh or not terms:
+            return out
+        import pyarrow.dataset as ds
+
+        try:
+            dataset = ds.dataset(f"{self.warehouse_dir}/partials",
+                                 format="parquet", partitioning="hive")
+            filt = ds.field("term").isin(list(terms))
+            if self._fresh_from_block > 0:
+                filt = filt & (ds.field("block_id")
+                               >= self._fresh_from_block)
+            rows = dataset.to_table(filter=filt).to_pylist()
+        except (OSError, FileNotFoundError):
+            return out
+        for r in rows:
+            out.setdefault(r["term"], []).append({
+                "term": r["term"], "grp": 0, "df": int(r["df_b"]),
+                "term_upper_bound": 0.0,
+                "first_doc_id": int(r["first_doc_id"]),
+                "last_doc_id": None,
+                "doc_ids_vbyte": r["doc_gaps_vb"],
+                "freqs_vbyte": r["tfs_vb"], "dls_vbyte": r["dls_vb"],
+                "skip_doc_ids": [], "skip_doc_offsets": [],
+                "skip_freq_offsets": [], "block_max": [],
+                "_partial": True})
+        return out
+
     def _fetch_rows(self, terms):
         """Posting rows (payloads + skips) per term, groups sorted by
         first_doc_id; LRU-cached per term (compressed payloads, so the
         footprint ≈ index bytes for the hot set). Local mode: pyarrow
-        dataset point read for cache misses only."""
+        dataset point read for cache misses only. ``fresh`` handles
+        additionally merge uncompacted partial segments (docId ranges
+        are disjoint and later than every compacted row, so the
+        first_doc_id sort keeps global ascending order) and rewrite
+        each term's df to the union count."""
         if not terms:
             return {}
         out = {}
@@ -448,14 +502,20 @@ class InvertedIndex:
                 "skip_doc_ids", "skip_doc_offsets", "skip_freq_offsets",
                 "block_max"]
         if self.io_mode == "local":
-            rows = self._rows_via_rg_index(list(terms), cols)
-            if rows is None:  # footer stats unavailable → dataset scan
-                import pyarrow.dataset as ds
+            try:
+                rows = self._rows_via_rg_index(list(terms), cols)
+                if rows is None:  # footer stats unavailable → scan
+                    import pyarrow.dataset as ds
 
-                rows = (self._local_postings()
-                        .to_table(columns=cols,
-                                  filter=ds.field("term").isin(list(terms)))
-                        .to_pylist())
+                    rows = (self._local_postings()
+                            .to_table(
+                                columns=cols,
+                                filter=ds.field("term").isin(list(terms)))
+                            .to_pylist())
+            except (OSError, FileNotFoundError):
+                if not self.fresh:
+                    raise
+                rows = []   # never-compacted stream warehouse
         else:
             from pyspark.sql import functions as F
 
@@ -466,8 +526,20 @@ class InvertedIndex:
         by_term: dict[str, list] = {}
         for r in rows:
             by_term.setdefault(r["term"], []).append(r)
+        if self.fresh:
+            for t, prs in self._fresh_partial_rows(terms).items():
+                by_term.setdefault(t, []).extend(prs)
         for rs in by_term.values():
             rs.sort(key=lambda r: r["first_doc_id"])
+            if self.fresh:
+                # union df: compacted rows all carry the same global
+                # df; each partial segment carries its own df_b
+                base_df = next((r["df"] for r in rs
+                                if not r.get("_partial")), 0)
+                total = base_df + sum(r["df"] for r in rs
+                                      if r.get("_partial"))
+                for r in rs:
+                    r["df"] = total
         for t in terms:
             self._row_cache[t] = by_term.get(t)
             if len(self._row_cache) > self._row_cache_size:
@@ -481,11 +553,18 @@ class InvertedIndex:
             return codec.pfd_decode(stream)
         return codec.vbyte_decode(stream)
 
+    def _row_decode(self, r):
+        """Stream decoder for one row: partial segments are always
+        VByte, final rows follow the warehouse codec."""
+        if r.get("_partial"):
+            return codec.vbyte_decode
+        return self._stream_decode
+
     def _decode_rows(self, rs):
-        dec = self._stream_decode
         d = np.concatenate([codec.gap_decode(
-            dec(r["doc_ids_vbyte"])) for r in rs])
-        tf = np.concatenate([dec(r["freqs_vbyte"]) for r in rs])
+            self._row_decode(r)(r["doc_ids_vbyte"])) for r in rs])
+        tf = np.concatenate([self._row_decode(r)(r["freqs_vbyte"])
+                             for r in rs])
         # use the doc_len array only if a warm()/selective decode
         # already built it — a one-shot un-warmed query must not pay a
         # whole docs-table column scan just to skip one dl stream
@@ -493,7 +572,8 @@ class InvertedIndex:
         if lens is not None:   # per-doc array beats re-decoding the
             dl = lens[d].astype(np.int64)   # per-posting dl stream
         else:
-            dl = np.concatenate([dec(r["dls_vbyte"]) for r in rs])
+            dl = np.concatenate([self._row_decode(r)(r["dls_vbyte"])
+                                 for r in rs])
         return d, tf, dl, int(rs[0]["df"])
 
     def _decode_rows_selective(self, rs, wanted):
@@ -509,7 +589,7 @@ class InvertedIndex:
             None if lens is not None else r["dls_vbyte"],
             r["skip_doc_ids"], r["skip_doc_offsets"],
             r["skip_freq_offsets"], r["first_doc_id"], wanted,
-            decode=self._stream_decode)
+            decode=self._row_decode(r))
             for r in rs]
         d = np.concatenate([p[0] for p in parts])
         tf = np.concatenate([p[1] for p in parts])
@@ -733,9 +813,33 @@ class InvertedIndex:
         return [(m[int(d)], float(s)) for d, s in zip(doc_ids, scores)]
 
     # -- distributed path -------------------------------------------------
+    def _present_terms(self, terms) -> set:
+        """Terms with any postings visible to this handle: lexicon
+        membership, plus (fresh handles) terms in uncompacted partial
+        blocks — new vocabulary exists only there until compaction."""
+        present = set(self.lookup(terms))
+        rest = set(terms) - present
+        if self.fresh and rest:
+            from pyspark.sql import functions as F
+
+            try:
+                p = self.spark.read.parquet(
+                    f"{self.warehouse_dir}/partials")
+            except Exception:
+                return present
+            if self._fresh_from_block > 0:
+                p = p.where(F.col("block_id") >= self._fresh_from_block)
+            present |= {r["term"] for r in
+                        (p.where(F.col("term").isin(list(rest)))
+                         .select("term").distinct().collect())}
+        return present
+
     def decoded_postings_df(self, terms=None):
         """Posting payloads → (term, df, doc_id, tf, dl) DataFrame via an
-        Arrow decode pass; filter pushed to the parquet scan."""
+        Arrow decode pass; filter pushed to the parquet scan. Fresh
+        handles union the uncompacted partial segments and recompute
+        df over the union (a per-term window on the already
+        term-filtered stream)."""
         import pyarrow as pa
         from pyspark.sql import functions as F
 
@@ -775,8 +879,56 @@ class InvertedIndex:
                      pa.array(np.concatenate(dl_out))],
                     names=["term", "df", "doc_id", "tf", "dl"])
 
-        return df.mapInArrow(
+        out = df.mapInArrow(
             decode, "term string, df long, doc_id long, tf long, dl long")
+        if not self.fresh:
+            return out
+        # merged-on-read: union the uncompacted partial segments
+        # (always VByte) and recompute df as the per-term union count
+        try:
+            p = self.spark.read.parquet(f"{self.warehouse_dir}/partials")
+        except Exception:
+            return out
+        if self._fresh_from_block > 0:
+            p = p.where(F.col("block_id") >= self._fresh_from_block)
+        if terms is not None:
+            p = p.where(F.col("term").isin(list(terms)))
+        p = p.select("term", F.col("df_b").alias("df"),
+                     F.col("doc_gaps_vb").alias("doc_ids_vbyte"),
+                     F.col("tfs_vb").alias("freqs_vbyte"),
+                     F.col("dls_vb").alias("dls_vbyte"))
+
+        def decode_vb(iterator):
+            for batch in iterator:
+                ids_b = batch.column("doc_ids_vbyte").to_pylist()
+                tf_b = batch.column("freqs_vbyte").to_pylist()
+                dl_b = batch.column("dls_vbyte").to_pylist()
+                id_out = [codec.gap_decode(codec.vbyte_decode(b))
+                          for b in ids_b]
+                lens = np.array([d.size for d in id_out], dtype=np.int64)
+                if not int(lens.sum()):
+                    continue
+                row_idx = np.repeat(
+                    np.arange(len(lens), dtype=np.int64), lens)
+                yield pa.RecordBatch.from_arrays(
+                    [batch.column("term").take(pa.array(row_idx)),
+                     pa.array(np.repeat(
+                         batch.column("df").to_numpy(
+                             zero_copy_only=False), lens)),
+                     pa.array(np.concatenate(id_out)),
+                     pa.array(np.concatenate(
+                         [codec.vbyte_decode(b) for b in tf_b])),
+                     pa.array(np.concatenate(
+                         [codec.vbyte_decode(b) for b in dl_b]))],
+                    names=["term", "df", "doc_id", "tf", "dl"])
+
+        fresh_rows = p.mapInArrow(
+            decode_vb, "term string, df long, doc_id long, tf long, dl long")
+        from pyspark.sql import Window
+
+        return (out.unionByName(fresh_rows)
+                .withColumn("df", F.count("*").over(
+                    Window.partitionBy("term"))))
 
     def search_distributed(self, query: str, k: int = 20):
         """Same query, pure DataFrame plan; returns a DataFrame
@@ -786,7 +938,7 @@ class InvertedIndex:
 
         qtype, terms = preprocess_query(
             query, stopwords=self.stopwords, stemming=self.stemming)
-        present = set(self.lookup(terms))
+        present = self._present_terms(terms)
         if not present or (qtype == "AND" and len(present) < len(terms)):
             return self.spark.createDataFrame(
                 [], "doc_no string, score double")
@@ -851,7 +1003,8 @@ class InvertedIndex:
                 continue
         # one lexicon probe for the whole batch (in spark io_mode a
         # per-query probe would be one collect per query)
-        found = self.lookup({t for _qid, _qt, ts in prepped for t in ts})
+        found = self._present_terms(
+            {t for _qid, _qt, ts in prepped for t in ts})
         parsed = []   # (qid, term, qtype, n_terms)
         for qid, qtype, terms in prepped:
             present = [t for t in terms if t in found]

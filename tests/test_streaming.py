@@ -254,3 +254,73 @@ def test_stale_bounds_disable_or_pruning_until_compaction(spark, tmp_path):
     compact(spark, wh, cfg)
     assert InvertedIndex(spark, wh)._bounds_fresh
     assert stale.refresh()._bounds_fresh
+
+
+def test_fresh_handle_serves_uncompacted_appends(spark, tmp_path):
+    """Merged-on-read: a fresh=True handle must see documents appended
+    after the last compaction — identical results to a from-scratch
+    batch build over everything ingested — while a default handle
+    serves the compacted snapshot. Covers df-union correctness, new
+    vocabulary that exists only in partials, the never-compacted
+    warehouse, and the distributed path."""
+    cfg = IndexConfig(num_blocks=2)
+    wh = str(tmp_path / "fresh")
+    srt = _sorted_rows(160)
+    extra = [("zzzrepo", f"src/x_{i:02d}.py", "c0",
+              f"zzzrepo:src/x_{i:02d}.py@c0",
+              "qqnewterm hotterm quick " + ("pad%d " % i) * (i % 4))
+             for i in range(10)]
+
+    df1 = spark.createDataFrame(srt[:160], corpus._CORPUS_SCHEMA)
+    append_batch(spark, corpus.from_source_code(df1), wh, cfg,
+                 blocks_per_batch=2)
+    compact(spark, wh, cfg)
+    df2 = spark.createDataFrame(extra, corpus._CORPUS_SCHEMA)
+    append_batch(spark, corpus.from_source_code(df2), wh, cfg,
+                 blocks_per_batch=1)
+    # NO compact: the appended docs live only in partial blocks
+
+    wh_all = str(tmp_path / "freshbatch")
+    build_index(spark, corpus.from_source_code(
+        spark.createDataFrame(srt + extra, corpus._CORPUS_SCHEMA)),
+        wh_all, cfg)
+    want_idx = InvertedIndex(spark, wh_all)
+
+    fresh = InvertedIndex(spark, wh, fresh=True)
+    stale = InvertedIndex(spark, wh)
+    assert fresh.num_docs == want_idx.num_docs
+    for q in QUERIES + ["OR qqnewterm", "AND qqnewterm hotterm",
+                        "OR qqnewterm optimization"]:
+        got = fresh.search(q, 10)
+        want = want_idx.search(q, 10)
+        assert [g[0] for g in got] == [w[0] for w in want], q
+        for (gd, gs), (wd, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, rel=1e-12), q
+        # pruned stays correct too (OR falls back under stale bounds;
+        # AND prunes on membership only)
+        pr = fresh.search(q, 10, prune=True)
+        assert [p[0] for p in pr] == [w[0] for w in want], q
+    # the default handle must NOT see the appended vocabulary
+    assert stale.search("OR qqnewterm", 10) == []
+
+    # distributed plan parity on the fresh handle
+    for q in ("OR qqnewterm hotterm", "AND hotterm quick"):
+        want = want_idx.search(q, 10)
+        rows = fresh.search_distributed(q, 10).collect()
+        got = [(r["doc_no"], r["score"]) for r in rows]
+        assert [g[0] for g in got] == [w[0] for w in want], q
+        for (gd, gs), (wd, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, rel=1e-12), q
+
+    # never-compacted stream warehouse: fresh serves everything
+    wh2 = str(tmp_path / "nocompact")
+    append_batch(spark, corpus.from_source_code(df1), wh2, cfg,
+                 blocks_per_batch=2)
+    only = InvertedIndex(spark, wh2, fresh=True)
+    wh2_b = str(tmp_path / "nocompact_b")
+    build_index(spark, corpus.from_source_code(df1), wh2_b, cfg)
+    want2 = InvertedIndex(spark, wh2_b)
+    for q in ("OR hotterm quick", "AND hotterm parties"):
+        got = only.search(q, 10)
+        want = want2.search(q, 10)
+        assert [g[0] for g in got] == [w[0] for w in want], q
