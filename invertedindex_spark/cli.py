@@ -25,7 +25,12 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("warehouse")
     ap.add_argument("-k", type=int, default=20)  # Constants.java:48
-    ap.add_argument("--prune", action="store_true")
+    ap.add_argument("--prune", action="store_true",
+                    help="opt into the dynamic-pruning kernels "
+                         "(block-max MaxScore / skip-selective AND)")
+    ap.add_argument("--fresh", action="store_true",
+                    help="merged-on-read: also serve documents "
+                         "appended after the last compaction")
     ap.add_argument("--batch", metavar="QUERIES_TSV",
                     help="run a qid\\tquery TSV as OR queries and emit "
                          "TREC run lines instead of starting the REPL")
@@ -48,14 +53,15 @@ def main(argv=None):
     spark = (SparkSession.builder.master("local[*]")
              .appName("invertedindex-cli")
              .config("spark.ui.enabled", "false").getOrCreate())
-    idx = InvertedIndex(spark, args.warehouse)
+    idx = InvertedIndex(spark, args.warehouse, fresh=args.fresh)
 
     if args.batch:
         from .sources.corpus import load_queries_tsv
 
         try:
             lines = idx.trec_run_lines(load_queries_tsv(args.batch),
-                                       k=args.k, tag=args.tag)
+                                       k=args.k, tag=args.tag,
+                                       prune=args.prune)
             if args.out:
                 with open(args.out, "w") as f:
                     f.write("\n".join(lines) + ("\n" if lines else ""))

@@ -1043,21 +1043,25 @@ class InvertedIndex:
                 .orderBy("qid", "rank"))
 
     # -- batch (TREC-run style) -------------------------------------------
-    def batch_search(self, queries, k: int = 100):
+    def batch_search(self, queries, k: int = 100, prune: bool = False):
         """Sequential exact-path batch: [(qid, query)] → list of
-        (qid, rank, doc_no, score); mirrors QueryProcessorTest.java:76-108."""
+        (qid, rank, doc_no, score); mirrors QueryProcessorTest.java:76-108.
+        ``prune=True`` routes each query through the dynamic-pruning
+        kernels (same opt-in semantics as :meth:`search`)."""
         out = []
         for qid, q in queries:
             try:
-                res = self.search(q, k)
+                res = self.search(q, k, prune=prune)
             except ValueError:
                 continue
             for rank, (doc_no, score) in enumerate(res, start=1):
                 out.append((qid, rank, doc_no, score))
         return out
 
-    def trec_run_lines(self, queries, k: int = 100, tag: str = "01"):
+    def trec_run_lines(self, queries, k: int = 100, tag: str = "01",
+                       prune: bool = False):
         """TREC run format 'qid Q0 docno rank score tag'
         (QueryProcessorTest.java:100-103)."""
         return [f"{qid} Q0 {doc_no} {rank} {score} {tag}"
-                for qid, rank, doc_no, score in self.batch_search(queries, k)]
+                for qid, rank, doc_no, score
+                in self.batch_search(queries, k, prune=prune)]
