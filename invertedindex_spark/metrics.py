@@ -84,14 +84,22 @@ def ndcg_at(ranked, rels, k):
     return dcg / idcg if idcg > 0 else 0.0
 
 
-def evaluate_run(run_lines, qrel_lines, ks=(10, 100)):
+def evaluate_run(run_lines, qrel_lines, ks=(10, 100),
+                 all_topics: bool = True):
     """Mean mAP / RR / nDCG@k averaged over topics with at least one
-    RELEVANT (rel > 0) document — trec_eval excludes topics whose
-    judgments are all non-relevant from the denominator."""
+    RELEVANT (rel > 0) document.
+
+    ``all_topics=True`` (default) averages over every such qrels topic
+    even when the run returned nothing for it — trec_eval's ``-c``
+    (``judged_docs_only``-complete) convention, the right one for
+    comparing systems on a fixed topic set. ``all_topics=False``
+    matches plain ``trec_eval`` (average only over topics present in
+    the run); the two differ whenever a run is missing topics."""
     run = parse_run(run_lines)
     qrels = parse_qrels(qrel_lines)
     qids = [q for q in qrels
-            if any(r > 0 for r in qrels[q].values())]
+            if any(r > 0 for r in qrels[q].values())
+            and (all_topics or q in run)]
     if not qids:
         return {}
     out = {

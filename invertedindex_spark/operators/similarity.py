@@ -21,6 +21,30 @@ def _vec_double(col_name: str):
     return F.transform(col_name, lambda x: x.cast("double"))
 
 
+def _flat_matrix(arr, n: int):
+    """Arrow list-of-float column → (n, dim) float64 matrix.
+
+    flatten()+reshape silently mis-assigns every subsequent row's
+    vector when a null or ragged entry shortens the flat buffer, so
+    row widths are validated first and the failure is loud. Null
+    embeddings must be filtered upstream (the operators do)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    if arr.null_count:
+        raise ValueError(
+            "null embedding rows reached a vectorized kernel — filter "
+            "them out (the similarity operators do this upstream)")
+    widths = np.unique(
+        pc.list_value_length(arr).to_numpy(zero_copy_only=False))
+    if widths.size > 1:
+        raise ValueError(
+            f"ragged embedding rows (lengths {widths.tolist()}) — "
+            "vectors must share one dimensionality")
+    return np.asarray(arr.flatten().to_numpy(zero_copy_only=False),
+                      dtype=np.float64).reshape(n, -1)
+
+
 def _dot(v, lit_vec):
     from pyspark.sql import functions as F
 
@@ -29,7 +53,10 @@ def _dot(v, lit_vec):
 
 
 def cosine_col(q: list[float], col_name: str = "embedding"):
-    """cosine(embedding, q) as a pure-JVM Column expression."""
+    """cosine(embedding, q) as a pure-JVM Column expression. NULL for
+    zero-norm (or null) vectors — 0/0 would be NaN, which Spark orders
+    ABOVE every real value in a descending sort, letting degenerate
+    vectors hijack the top-k; NULL sinks below all matches instead."""
     from pyspark.sql import functions as F
 
     qlit = F.array(*[F.lit(float(x)) for x in q])
@@ -39,7 +66,7 @@ def cosine_col(q: list[float], col_name: str = "embedding"):
                             F.lit(0.0), lambda acc, x: acc + x))
     n2 = F.sqrt(F.aggregate(F.transform(qlit, lambda x: x * x),
                             F.lit(0.0), lambda acc, x: acc + x))
-    return dot / (n1 * n2)
+    return F.when((n1 > 0) & (n2 > 0), dot / (n1 * n2))
 
 
 def cosine_topk(df, q: list[float], k: int = 10, id_col: str = "vec_id",
@@ -49,7 +76,8 @@ def cosine_topk(df, q: list[float], k: int = 10, id_col: str = "vec_id",
     scored = df.select(id_col, cosine_col(q, emb_col).alias("cos"))
     if exclude_id is not None:
         scored = scored.where(F.col(id_col) != exclude_id)
-    return scored.orderBy(F.desc("cos"), F.asc(id_col)).limit(k)
+    return (scored.orderBy(F.desc_nulls_last("cos"), F.asc(id_col))
+            .limit(k))
 
 
 def bucket_col(planes: list[list[float]], col_name: str = "embedding"):
@@ -65,11 +93,11 @@ def bucket_col(planes: list[list[float]], col_name: str = "embedding"):
     return bucket
 
 
-def lsh_buckets(df, planes):
+def lsh_buckets(df, planes, emb_col: str = "embedding"):
     """Bucket histogram (bucket, n) — balance diagnostic."""
     from pyspark.sql import functions as F
 
-    return (df.select(bucket_col(planes).alias("bucket"))
+    return (df.select(bucket_col(planes, emb_col).alias("bucket"))
             .groupBy("bucket").agg(F.count("*").alias("n")))
 
 
@@ -101,6 +129,11 @@ def probe_buckets(planes, q: list[float], probes: int = 1) -> list[int]:
 
     dots = _query_plane_dots(planes, q)
     qb = int(np.sum((dots > 0) * (1 << np.arange(len(planes)))))
+    if probes > len(planes) + 1:
+        raise ValueError(
+            f"probes={probes} exceeds the base bucket + {len(planes)} "
+            "Hamming-1 neighbors this sequence can produce; use more "
+            "planes (or extend to Hamming-2 probing) for higher recall")
     out = [qb]
     for bit in np.argsort(np.abs(dots)):
         if len(out) >= probes:
@@ -202,14 +235,14 @@ def ivf_assign(df, centroids, id_col: str = "vec_id",
             if n == 0:
                 continue
             emb = batch.column("emb")
-            mat = np.asarray(emb.flatten().to_numpy(zero_copy_only=False),
-                             dtype=np.float64).reshape(n, -1)
+            mat = _flat_matrix(emb, n)
             cl = np.argmax(mat @ cent.T, axis=1).astype(np.int32)
             yield pa.RecordBatch.from_arrays(
                 [batch.column("id"), emb, pa.array(cl)],
                 names=["id", "emb", "cluster"])
 
-    out = (df.select(F.col(id_col).alias("id"), F.col(emb_col).alias("emb"))
+    out = (df.where(F.col(emb_col).isNotNull())
+           .select(F.col(id_col).alias("id"), F.col(emb_col).alias("emb"))
            .mapInArrow(assign,
                        "id long, emb array<float>, cluster int"))
     return out.select(F.col("id").alias(id_col),
@@ -280,29 +313,37 @@ def cosine_pair_col(a_col: str, b_col: str):
 
 
 def near_dup_pairs(df, tables: list[list[list[float]]], threshold: float,
-                   id_col: str = "vec_id", emb_col: str = "embedding"):
+                   id_col: str = "vec_id", emb_col: str = "embedding",
+                   max_bucket: int | None = None):
     """Embedding-cosine near-duplicate pairs: multi-table hyperplane-LSH
     banding for candidate generation + exact cosine verification.
 
     ``tables`` is L independent plane sets (hash tables); a pair is a
     candidate iff it collides in >= 1 table — the standard OR-of-ANDs
     LSH amplification. Scale shape: all L buckets are computed in ONE
-    vectorized Arrow pass (a single (n, dim) x (dim, L*b) matmul per
-    batch — plane literals as Column trees made Catalyst analysis cost
-    dominate tiny inputs and per-row HOF evaluation dominate large
-    ones), emitted as ``(vid, table_id, bucket)`` rows, so candidate
-    generation is a single self-equi-join shuffled on
-    ``(table_id, bucket)`` (never O(n^2) over the corpus, never L scans
-    of the table); the exact cosine runs only on the candidate set, and
-    the threshold filter on the 1e6-rounded value keeps the cut
-    engine-portable. Counterpart of the reference's exact-duplicate
-    semantics lifted to embedding space (no reference equivalent —
-    training-data-pipeline extension).
+    vectorized Arrow pass over ONE scan (a single (n, dim) x (dim, L*b)
+    matmul per batch — plane literals as Column trees made Catalyst
+    analysis cost dominate tiny inputs and per-row HOF evaluation
+    dominate large ones), emitted as ``(vid, table_id, bucket)`` rows;
+    candidates come from a single ``groupBy(table, bucket)`` with
+    in-bucket HOF pair expansion (the minhash_lsh_pairs pattern — a
+    self-join would run the bucketize subtree once per side, Catalyst
+    does not CSE across join branches); the exact cosine runs only on
+    the candidate set, and the threshold filter on the 1e6-rounded
+    value keeps the cut engine-portable. Counterpart of the reference's
+    exact-duplicate semantics lifted to embedding space (no reference
+    equivalent — training-data-pipeline extension).
+
+    ``max_bucket``: degenerate buckets (e.g. a spike of identical
+    embeddings) make the pair expansion O(b²); buckets larger than
+    this are dropped, the standard LSH degeneracy guard. Default None
+    = exact parity with the all-pairs oracle.
     """
     import numpy as np
     from pyspark.sql import functions as F
 
-    base = df.select(F.col(id_col).alias("vid"), F.col(emb_col).alias("v"))
+    base = (df.where(F.col(emb_col).isNotNull())
+            .select(F.col(id_col).alias("vid"), F.col(emb_col).alias("v")))
 
     L = len(tables)
     plane_mat = np.concatenate(
@@ -321,8 +362,7 @@ def near_dup_pairs(df, tables: list[list[list[float]]], threshold: float,
             n = len(vids)
             if n == 0:
                 continue
-            mat = np.asarray(emb.flatten().to_numpy(zero_copy_only=False),
-                             dtype=np.float64).reshape(n, -1)
+            mat = _flat_matrix(emb, n)
             signs = (mat @ plane_mat.T) > 0          # (n, L*b)
             wbits = signs * weights                   # (n, L*b)
             bks = np.add.reduceat(wbits, starts, axis=1)  # (n, L)
@@ -333,11 +373,21 @@ def near_dup_pairs(df, tables: list[list[list[float]]], threshold: float,
                 names=["vid", "t", "bk"])
 
     buckets = base.mapInArrow(bucketize, "vid long, t int, bk long")
-    a = buckets.select(F.col("vid").alias("id_a"), "t", "bk")
-    b = buckets.select(F.col("vid").alias("id_b"), "t", "bk")
-    cand = (a.join(b, ["t", "bk"])
-            .where(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
+    grouped = (buckets.groupBy("t", "bk")
+               .agg(F.sort_array(F.collect_list("vid")).alias("ids"))
+               .where(F.size("ids") > 1))
+    if max_bucket is not None:
+        grouped = grouped.where(F.size("ids") <= max_bucket)
+    nsz = F.size("ids")
+    pair_structs = F.flatten(F.transform(
+        F.sequence(F.lit(0), nsz - 2),
+        lambda i: F.transform(
+            F.slice(F.col("ids"), i + 2, nsz),
+            lambda y: F.struct(
+                F.element_at(F.col("ids"), i + 1).alias("a"),
+                y.alias("b")))))
+    cand = (grouped.select(F.explode(pair_structs).alias("p"))
+            .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
             .distinct())
     ea = base.select(F.col("vid").alias("id_a"), F.col("v").alias("va"))
     eb = base.select(F.col("vid").alias("id_b"), F.col("v").alias("vb"))
@@ -354,20 +404,25 @@ def near_dup_pairs(df, tables: list[list[list[float]]], threshold: float,
                 continue
             ia = batch.column("id_a").to_numpy(zero_copy_only=False)
             ib = batch.column("id_b").to_numpy(zero_copy_only=False)
-            va = np.asarray(batch.column("va").flatten()
-                            .to_numpy(zero_copy_only=False),
-                            dtype=np.float64).reshape(n, -1)
-            vb = np.asarray(batch.column("vb").flatten()
-                            .to_numpy(zero_copy_only=False),
-                            dtype=np.float64).reshape(n, -1)
+            va = _flat_matrix(batch.column("va"), n)
+            vb = _flat_matrix(batch.column("vb"), n)
             dots = np.einsum("ij,ij->i", va, vb)
-            cos = dots / (np.linalg.norm(va, axis=1)
-                          * np.linalg.norm(vb, axis=1))
-            u6 = np.round(cos * 1e6).astype(np.int64)
-            keep = u6 >= cut
+            # zero-norm vectors: cosine undefined (0/0) → drop, which
+            # is exactly what the SQL oracle does (NaN fails >= cut)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                cos = dots / (np.linalg.norm(va, axis=1)
+                              * np.linalg.norm(vb, axis=1))
+            cos = np.where(np.isfinite(cos), cos, -np.inf)
+            # round half AWAY from zero (Spark F.round / DuckDB round
+            # convention) — np.round's half-to-even can flip a
+            # boundary pair between engines
+            x = cos * 1e6
+            u6f = np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5))
+            keep = u6f >= cut
+            u6 = u6f[keep].astype(np.int64)
             yield pa.RecordBatch.from_arrays(
                 [pa.array(ia[keep]), pa.array(ib[keep]),
-                 pa.array(u6[keep])],
+                 pa.array(u6)],
                 names=["id_a", "id_b", "cos_u6"])
 
     return paired.select("id_a", "id_b", "va", "vb").mapInArrow(

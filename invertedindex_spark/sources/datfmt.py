@@ -93,7 +93,9 @@ def export_dat(warehouse_dir: str, out_dir: str) -> dict:
                                "term_upper_bound", "doc_ids_vbyte",
                                "freqs_vbyte", "skip_doc_ids",
                                "skip_doc_offsets", "skip_freq_offsets"]))
-    if post.column("grp").to_pandas().max() > 0:
+    import pyarrow.compute as pc
+
+    if (pc.max(post.column("grp")).as_py() or 0) > 0:
         raise ValueError("multi-group postings (merge_width) cannot be "
                          "exported to the single-row-per-term .dat format")
     order = np.argsort(np.asarray(post.column("term").to_pylist(),

@@ -457,3 +457,35 @@ def test_substring_dup_stats_crafted(spark):
     assert got[4]["n_dup_shingles"] == 3
     assert got[2]["dup_frac_u6"] == 1_000_000
     assert got[0]["dup_frac_u6"] == 400_000
+
+
+def test_similarity_degenerate_vectors(spark):
+    """Zero-norm and null embeddings must never hijack results: cosine
+    is NULL for zero vectors (sinks below every real match instead of
+    NaN sorting first) and null rows are filtered before the Arrow
+    kernels."""
+    import random
+
+    from invertedindex_spark.operators.similarity import (
+        cosine_topk, ivf_assign, near_dup_pairs,
+    )
+
+    rows = [(0, [1.0, 0.0, 0.0]), (1, [0.9, 0.1, 0.0]),
+            (2, [0.0, 0.0, 0.0]),            # zero norm
+            (3, None),                       # null embedding
+            (4, [0.8, 0.2, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = [r["vec_id"] for r in
+           cosine_topk(df, [1.0, 0.0, 0.0], k=3).collect()]
+    assert got == [0, 1, 4]      # degenerate rows never rank
+
+    assigned = ivf_assign(df, [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+    assert {r["vec_id"] for r in assigned.collect()} == {0, 1, 2, 4}
+
+    rng = random.Random(1)
+    tables = [[[rng.gauss(0, 1) for _ in range(3)] for _ in range(4)]
+              for _ in range(2)]
+    pairs = near_dup_pairs(df, tables, threshold=0.99).collect()
+    ids = {x for r in pairs for x in (r["id_a"], r["id_b"])}
+    assert 3 not in ids          # null row filtered, no crash
+    assert 2 not in ids          # zero-norm cosine undefined -> dropped
