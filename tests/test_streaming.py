@@ -324,3 +324,33 @@ def test_fresh_handle_serves_uncompacted_appends(spark, tmp_path):
         got = only.search(q, 10)
         want = want2.search(q, 10)
         assert [g[0] for g in got] == [w[0] for w in want], q
+
+
+def test_fresh_handle_on_pfd_warehouse(spark, tmp_path):
+    """Partial segments are always VByte even when the warehouse codec
+    is PForDelta — a fresh handle must decode compacted rows with pfd
+    and partial pseudo-rows with vbyte, per row."""
+    cfg = IndexConfig(num_blocks=2, codec="pfd")
+    wh = str(tmp_path / "freshpfd")
+    srt = _sorted_rows(120)
+    df1 = spark.createDataFrame(srt[:80], corpus._CORPUS_SCHEMA)
+    append_batch(spark, corpus.from_source_code(df1), wh, cfg,
+                 blocks_per_batch=2)
+    compact(spark, wh, cfg)
+    df2 = spark.createDataFrame(srt[80:], corpus._CORPUS_SCHEMA)
+    append_batch(spark, corpus.from_source_code(df2), wh, cfg,
+                 blocks_per_batch=1)
+
+    wh_b = str(tmp_path / "freshpfd_b")
+    build_index(spark, corpus.from_source_code(
+        spark.createDataFrame(srt, corpus._CORPUS_SCHEMA)), wh_b, cfg)
+    want_idx = InvertedIndex(spark, wh_b)
+    fresh = InvertedIndex(spark, wh, fresh=True)
+    assert fresh.codec == "pfd"
+    for q in ("OR hotterm quick", "AND hotterm parties",
+              "OR optimization throughput latency"):
+        got = fresh.search(q, 10)
+        want = want_idx.search(q, 10)
+        assert [g[0] for g in got] == [w[0] for w in want], q
+        for (gd, gs), (wd, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, rel=1e-12), q
