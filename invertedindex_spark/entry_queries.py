@@ -939,6 +939,128 @@ ORDER BY list_cosine_similarity(v, {lit}) DESC, vec_id ASC
 LIMIT {K}"""
 
 
+PQ_M, PQ_KSUB, PQ_SEED, PQ_RERANK = 8, 16, 13, 50
+_PQ_CODEBOOKS: dict[str, object] = {}
+
+
+def _pq_codebooks(sf_dir):
+    """Deterministic PQ codebooks for a scale's embeddings (trained on
+    all of them, seeded Lloyd per subspace) — identical on the Spark
+    and oracle sides, embedded as SQL literals. Margin guards mirror
+    the IVF pattern: cross-engine float noise must not be able to flip
+    a code assignment or the ADC shortlist boundary."""
+    if sf_dir not in _PQ_CODEBOOKS:
+        import numpy as np
+
+        from .operators.similarity import pq_train
+
+        all_v = _embeddings_matrix(sf_dir)
+        cb = pq_train(all_v, m=PQ_M, ksub=PQ_KSUB, seed=PQ_SEED)
+        # code assignment is argmin over per-subspace distances that
+        # the two engines accumulate independently — verify every
+        # vector's best-vs-second-best distance gap has real margin
+        v = np.asarray(all_v, dtype=np.float64)
+        nrm = np.linalg.norm(v, axis=1, keepdims=True)
+        w = v[nrm[:, 0] > 0] / nrm[nrm[:, 0] > 0]
+        dsub = w.shape[1] // PQ_M
+        worst = np.inf
+        for s in range(PQ_M):
+            sub = w[:, s * dsub:(s + 1) * dsub]
+            d = np.sqrt(((sub[:, None, :] - cb[s][None]) ** 2).sum(-1))
+            part = np.partition(d, 1, axis=1)
+            worst = min(worst, float(np.min(part[:, 1] - part[:, 0])))
+        if worst < 1e-9:
+            raise AssertionError(
+                f"PQ code-assignment margin {worst:.2e} is within "
+                "float noise for this dataset; choose a different "
+                "PQ_SEED so the oracle comparison stays engine-stable")
+        # shortlist-boundary margin for the driver query's q (vec_id 0,
+        # row 0 of the vec_id-ordered matrix): membership at rank
+        # PQ_RERANK must not sit on a float knife's edge
+        qv = v[0] / np.linalg.norm(v[0])
+        lut = np.stack([qv[s * dsub:(s + 1) * dsub] @ cb[s].T
+                        for s in range(PQ_M)])
+        approx = np.zeros(w.shape[0])
+        for s in range(PQ_M):
+            sub = w[:, s * dsub:(s + 1) * dsub]
+            d = np.sqrt(((sub[:, None, :] - cb[s][None]) ** 2).sum(-1))
+            approx += lut[s, np.argmin(d, axis=1)]
+        scores = np.sort(approx[1:])[::-1]   # exclude the query itself
+        if (scores.size > PQ_RERANK
+                and scores[PQ_RERANK - 1] - scores[PQ_RERANK] < 1e-9):
+            raise AssertionError(
+                "PQ shortlist boundary within float noise; adjust "
+                "PQ_SEED/PQ_RERANK for an engine-stable oracle")
+        _PQ_CODEBOOKS[sf_dir] = cb
+    return _PQ_CODEBOOKS[sf_dir]
+
+
+def q_ann_pq_topk(spark, sf_dir):
+    """PQ ANN (product quantization, the billion-scale ADC recipe):
+    asymmetric-distance shortlist from per-subspace codes + query
+    lookup tables, exact cosine rerank of the shortlist."""
+    from pyspark.sql import functions as F
+
+    from .operators.similarity import ann_pq_topk
+
+    q = _query_vec(spark, sf_dir)
+    cb = _pq_codebooks(sf_dir)
+    top = ann_pq_topk(_emb_df(spark, sf_dir), cb, q, K,
+                      rerank=PQ_RERANK, exclude_id=0)
+    return top.select("vec_id", _u6(F.col("cos")).alias("cos_u6"))
+
+
+def sql_ann_pq_topk(q, codebooks):
+    """DuckDB twin of the two-stage PQ query. The per-query lookup
+    table is computed ONCE in Python float64 and embedded as literals
+    in BOTH engines, and the subspace terms sum left-associated in the
+    same order — so the ADC scores are bit-identical; code assignment
+    margins are asserted by _pq_codebooks."""
+    import numpy as np
+
+    cb = np.asarray(codebooks, dtype=np.float64)
+    m, ksub, dsub = cb.shape
+    qv = np.asarray(q, dtype=np.float64)
+    qn = qv / np.linalg.norm(qv)
+    lut = np.stack([qn[s * dsub:(s + 1) * dsub] @ cb[s].T
+                    for s in range(m)])
+    qlit = _qvec_sql_literal(q)
+
+    dist_cols = ", ".join(
+        "[" + ", ".join(
+            f"list_distance(list_slice(w, {s * dsub + 1}, "
+            f"{(s + 1) * dsub}), "
+            f"{_qvec_sql_literal([float(x) for x in cb[s][j]])})"
+            for j in range(ksub)) + f"] AS ds{s}"
+        for s in range(m))
+    code_cols = ", ".join(
+        f"list_position(ds{s}, list_aggregate(ds{s}, 'min')) - 1 AS c{s}"
+        for s in range(m))
+    approx = " + ".join(
+        "[" + ", ".join(repr(float(x)) for x in lut[s]) + f"][c{s} + 1]"
+        for s in range(m))
+    # the boundary between shortlist rank PQ_RERANK and the next vector
+    # must also have margin (membership is all that matters — interior
+    # order is irrelevant, and exact ties break on vec_id in both)
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE vec_id <> 0),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+u AS (SELECT vec_id, v, list_transform(v, x -> x / nrm) AS w
+      FROM n WHERE nrm > 0),
+d AS (SELECT vec_id, v, {dist_cols} FROM u),
+c AS (SELECT vec_id, v, {code_cols} FROM d),
+a AS (SELECT vec_id, v, {approx} AS approx FROM c),
+s AS (SELECT vec_id, v FROM a
+      ORDER BY approx DESC, vec_id ASC LIMIT {PQ_RERANK})
+SELECT vec_id,
+       CAST(round(1e6 * list_cosine_similarity(v, {qlit})) AS BIGINT)
+         AS cos_u6
+FROM s
+ORDER BY list_cosine_similarity(v, {qlit}) DESC, vec_id ASC
+LIMIT {K}"""
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (dedup family): multi-table
     hyperplane-LSH candidate generation + exact cosine >= threshold."""
@@ -1343,6 +1465,7 @@ def all_queries():
         "lsh_buckets": q_lsh_buckets,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_pq_topk": q_ann_pq_topk,
         "vbyte_roundtrip": q_vbyte_roundtrip,
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
@@ -1411,6 +1534,8 @@ def all_oracle_sql(query_vec=None, sf_dir=None):
     if query_vec is not None and sf_dir is not None:
         out["ann_ivf_topk"] = sql_ann_ivf_topk(query_vec,
                                                _ivf_centroids(sf_dir))
+        out["ann_pq_topk"] = sql_ann_pq_topk(query_vec,
+                                             _pq_codebooks(sf_dir))
     if sf_dir is not None:
         out["stem_on_topk_or"] = _python_oracle_topk_values(
             sf_dir, "OR " + " ".join(OR_TERMS))

@@ -427,3 +427,119 @@ def near_dup_pairs(df, tables: list[list[list[float]]], threshold: float,
 
     return paired.select("id_a", "id_b", "va", "vb").mapInArrow(
         verify, "id_a long, id_b long, cos_u6 long")
+
+
+# ---------------------------------------------------------------------
+# Product quantization (PQ) — the billion-scale ADC recipe
+# ---------------------------------------------------------------------
+
+def pq_train(vecs, m: int = 8, ksub: int = 16, iters: int = 8,
+             seed: int = 13):
+    """Train PQ codebooks: split the (L2-normalized) vectors into ``m``
+    subspaces and run deterministic Lloyd k-means with ``ksub``
+    centroids per subspace (Jégou et al. 2011, the faiss IVF-PQ
+    recipe: train on a sample, encode the corpus distributively).
+    Returns an (m, ksub, dim/m) float64 array — pure NumPy, seeded
+    init, fixed iterations, so DuckDB oracles can embed the codebooks
+    as literals. No reference-repo equivalent (training-data-pipeline
+    extension)."""
+    import numpy as np
+
+    v = np.asarray(vecs, dtype=np.float64)
+    n = np.linalg.norm(v, axis=1, keepdims=True)
+    v = v[n[:, 0] > 0] / n[n[:, 0] > 0]
+    dim = v.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    rng = np.random.RandomState(seed)
+    books = []
+    for s in range(m):
+        sub = v[:, s * dsub:(s + 1) * dsub]
+        cent = sub[rng.choice(len(sub), size=ksub, replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+            assign = np.argmin(d2, axis=1)
+            for j in range(ksub):
+                mk = assign == j
+                if mk.any():
+                    cent[j] = sub[mk].mean(axis=0)
+        books.append(cent)
+    return np.stack(books)
+
+
+def pq_approx_scores(df, codebooks, q, id_col: str = "vec_id",
+                     emb_col: str = "embedding"):
+    """(id, approx): asymmetric-distance (ADC) inner-product scores of
+    every vector against the query, via one narrow Arrow pass — per
+    batch, each subspace does a (n, dsub) x (dsub, ksub) distance
+    matmul to pick the code, then sums the query's per-subspace lookup
+    table. On normalized vectors the ADC inner product approximates
+    cosine. Zero-norm/null vectors are dropped (cosine undefined)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    cb = np.asarray(codebooks, dtype=np.float64)
+    m, ksub, dsub = cb.shape
+    qv = np.asarray(q, dtype=np.float64)
+    qn = qv / np.linalg.norm(qv)
+    # the query's lookup table — the SAME float64 constants serve the
+    # engine and the SQL oracle (embedded as literals there)
+    lut = np.stack([qn[s * dsub:(s + 1) * dsub] @ cb[s].T
+                    for s in range(m)])          # (m, ksub)
+
+    def adc(iterator):
+        import pyarrow as pa
+
+        for batch in iterator:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            ids = batch.column("id").to_numpy(zero_copy_only=False)
+            mat = _flat_matrix(batch.column("emb"), n)
+            nrm = np.linalg.norm(mat, axis=1)
+            keep = nrm > 0
+            if not keep.any():
+                continue
+            w = mat[keep] / nrm[keep, None]
+            # accumulate subspaces in ascending order — the oracle's
+            # left-associated sum of the same lut literals is then
+            # bit-identical
+            approx = np.zeros(w.shape[0], dtype=np.float64)
+            for s in range(m):
+                sub = w[:, s * dsub:(s + 1) * dsub]
+                d2 = ((sub[:, None, :] - cb[s][None, :, :]) ** 2).sum(-1)
+                # sqrt mirrors DuckDB list_distance (monotone — same
+                # argmin, same first-min tie-break as list_position)
+                codes = np.argmin(np.sqrt(d2), axis=1)
+                approx += lut[s, codes]
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids[keep]), pa.array(approx)],
+                names=["id", "approx"])
+
+    return (df.where(F.col(emb_col).isNotNull())
+            .select(F.col(id_col).alias("id"), F.col(emb_col).alias("emb"))
+            .mapInArrow(adc, "id long, approx double")
+            .select(F.col("id").alias(id_col), "approx"))
+
+
+def ann_pq_topk(df, codebooks, q, k: int = 10, rerank: int = 50,
+                id_col: str = "vec_id", exclude_id=None,
+                emb_col: str = "embedding"):
+    """Two-stage PQ ANN: ADC shortlist of ``rerank`` candidates (codes
+    + lookup tables only — at scale the shortlist pass touches 1-2
+    bytes/dim/vector instead of full floats), then exact cosine rerank
+    of the shortlist for the final top-k. Combine with the IVF layout
+    (:func:`ivf_table`) to prune partitions first — this operator is
+    the ADC+rerank stage of IVF-PQ."""
+    from pyspark.sql import functions as F
+
+    base = df
+    if exclude_id is not None:
+        base = base.where(F.col(id_col) != exclude_id)
+    approx = pq_approx_scores(base, codebooks, q, id_col, emb_col)
+    shortlist = (approx.orderBy(F.desc("approx"), F.asc(id_col))
+                 .limit(rerank).select(id_col))
+    return (base.join(F.broadcast(shortlist), id_col)
+            .select(id_col, cosine_col(q, emb_col).alias("cos"))
+            .orderBy(F.desc_nulls_last("cos"), F.asc(id_col)).limit(k))

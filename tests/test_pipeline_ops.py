@@ -489,3 +489,40 @@ def test_similarity_degenerate_vectors(spark):
     ids = {x for r in pairs for x in (r["id_a"], r["id_b"])}
     assert 3 not in ids          # null row filtered, no crash
     assert 2 not in ids          # zero-norm cosine undefined -> dropped
+
+
+def test_pq_ann_recall_and_determinism(spark):
+    """PQ ADC + exact rerank: codebooks are bit-deterministic, the
+    shortlist recall against brute-force cosine top-k is high (rerank
+    absorbs quantization error), and degenerate vectors never rank."""
+    import numpy as np
+
+    from invertedindex_spark.operators.similarity import (
+        ann_pq_topk, cosine_topk, pq_train,
+    )
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((300, 32))
+    rows = [(int(i), [float(x) for x in base[i]]) for i in range(300)]
+    rows.append((300, [0.0] * 32))       # zero-norm
+    rows.append((301, None))             # null
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cb = pq_train(base, m=4, ksub=16, seed=3)
+    cb2 = pq_train(base, m=4, ksub=16, seed=3)
+    assert np.array_equal(cb, cb2)
+    assert cb.shape == (4, 16, 8)
+
+    q = [float(x) for x in base[0]]
+    exact = [r["vec_id"] for r in
+             cosine_topk(df, q, k=10, exclude_id=0).collect()]
+    approx = [r["vec_id"] for r in
+              ann_pq_topk(df, cb, q, k=10, rerank=60,
+                          exclude_id=0).collect()]
+    assert 300 not in approx and 301 not in approx
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.7, (recall, exact, approx)
+    # rerank >= corpus size degrades gracefully to exact
+    full = [r["vec_id"] for r in
+            ann_pq_topk(df, cb, q, k=10, rerank=1000,
+                        exclude_id=0).collect()]
+    assert full == exact
