@@ -543,3 +543,103 @@ def ann_pq_topk(df, codebooks, q, k: int = 10, rerank: int = 50,
     return (base.join(F.broadcast(shortlist), id_col)
             .select(id_col, cosine_col(q, emb_col).alias("cos"))
             .orderBy(F.desc_nulls_last("cos"), F.asc(id_col)).limit(k))
+
+
+def ivfpq_table(df, centroids, codebooks, path: str,
+                id_col: str = "vec_id", emb_col: str = "embedding"):
+    """Persist the IVF-PQ serving layout: rows partitioned by coarse
+    cluster, carrying the PQ code array (what the ADC pass reads —
+    m bytes/vector instead of 4·dim) plus the raw embedding for exact
+    rerank. One narrow Arrow pass computes cluster + codes together."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    cent = np.asarray(centroids, dtype=np.float64)
+    cb = np.asarray(codebooks, dtype=np.float64)
+    m, ksub, dsub = cb.shape
+
+    def assign_encode(iterator):
+        import pyarrow as pa
+
+        for batch in iterator:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            emb = batch.column("emb")
+            mat = _flat_matrix(emb, n)
+            cl = np.argmax(mat @ cent.T, axis=1).astype(np.int32)
+            nrm = np.linalg.norm(mat, axis=1)
+            ok = nrm > 0
+            w = np.where(ok[:, None], mat / np.where(
+                ok, nrm, 1.0)[:, None], 0.0)
+            codes = np.empty((n, m), dtype=np.int32)
+            for s in range(m):
+                sub = w[:, s * dsub:(s + 1) * dsub]
+                d2 = ((sub[:, None, :] - cb[s][None, :, :]) ** 2).sum(-1)
+                codes[:, s] = np.argmin(np.sqrt(d2), axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("id"), emb,
+                 pa.array(list(codes), pa.list_(pa.int32())),
+                 pa.array(cl)],
+                names=["id", "emb", "codes", "cluster"])
+
+    out = (df.where(F.col(emb_col).isNotNull())
+           .select(F.col(id_col).alias("id"),
+                   F.col(emb_col).alias("emb"))
+           .mapInArrow(assign_encode,
+                       "id long, emb array<float>, codes array<int>, "
+                       "cluster int")
+           .select(F.col("id").alias(id_col),
+                   F.col("emb").alias(emb_col), "codes", "cluster"))
+    out.write.mode("overwrite").partitionBy("cluster").parquet(path)
+    return path
+
+
+def ivfpq_topk(spark, path: str, centroids, codebooks, q, k: int = 10,
+               nprobe: int = 2, rerank: int = 50,
+               id_col: str = "vec_id", exclude_id=None,
+               emb_col: str = "embedding"):
+    """IVF-PQ query over an :func:`ivfpq_table` layout: list only the
+    ``nprobe`` nearest clusters' partitions (partition pruning), score
+    candidates by ADC over the STORED codes (the scan reads id+codes —
+    the embedding column is pruned until rerank), then rerank the
+    shortlist with exact cosine."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    cb = np.asarray(codebooks, dtype=np.float64)
+    m, ksub, dsub = cb.shape
+    qv = np.asarray(q, dtype=np.float64)
+    qn = qv / np.linalg.norm(qv)
+    lut = np.stack([qn[s * dsub:(s + 1) * dsub] @ cb[s].T
+                    for s in range(m)])
+    probe = query_clusters(centroids, q, nprobe)
+    base = (spark.read.parquet(path)
+            .where(F.col("cluster").isin(probe)))
+    if exclude_id is not None:
+        base = base.where(F.col(id_col) != exclude_id)
+
+    def adc(iterator):
+        import pyarrow as pa
+
+        for batch in iterator:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            ids = batch.column("id").to_numpy(zero_copy_only=False)
+            codes = _flat_matrix(batch.column("codes"), n).astype(np.int64)
+            approx = np.zeros(n, dtype=np.float64)
+            for s in range(m):
+                approx += lut[s, codes[:, s]]
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids), pa.array(approx)],
+                names=["id", "approx"])
+
+    approx_df = (base.select(F.col(id_col).alias("id"), "codes")
+                 .mapInArrow(adc, "id long, approx double"))
+    shortlist = (approx_df.orderBy(F.desc("approx"), F.asc("id"))
+                 .limit(rerank)
+                 .select(F.col("id").alias(id_col)))
+    return (base.join(F.broadcast(shortlist), id_col)
+            .select(id_col, cosine_col(q, emb_col).alias("cos"))
+            .orderBy(F.desc_nulls_last("cos"), F.asc(id_col)).limit(k))

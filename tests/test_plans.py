@@ -92,3 +92,55 @@ def test_event_aggs_single_exchange_and_pruned_scan(spark, sf0001_dir):
     assert physical_plan(s).count("Exchange") == 1
     for col in ("event_id", "event_type", "props"):
         assert_column_pruned(s, col)
+
+
+def test_ivfpq_layout_pruning_and_exactness(spark, tmp_path):
+    """IVF-PQ serving layout: the query lists only the probed
+    clusters' partitions, the ADC stage reads codes with the embedding
+    column pruned from its scan, and with full probes + full rerank
+    the result degrades gracefully to exact brute-force cosine."""
+    import numpy as np
+
+    from invertedindex_spark.operators.similarity import (
+        ann_pq_topk, cosine_topk, ivfpq_table, ivfpq_topk,
+        kmeans_centroids, pq_train, query_clusters,
+    )
+    from invertedindex_spark.plans import (
+        assert_column_pruned, assert_partition_pruned, physical_plan,
+    )
+
+    rng = np.random.default_rng(9)
+    base = rng.standard_normal((240, 16))
+    rows = [(int(i), [float(x) for x in base[i]]) for i in range(240)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cent = kmeans_centroids(base, 4, seed=2)
+    cb = pq_train(base, m=4, ksub=8, seed=2)
+    path = str(tmp_path / "ivfpq")
+    ivfpq_table(df, cent, cb, path)
+
+    q = [float(x) for x in base[7]]
+    top = ivfpq_topk(spark, path, cent, cb, q, k=5, nprobe=2,
+                     rerank=40, exclude_id=7)
+    assert_partition_pruned(top, "cluster")
+    got = [r["vec_id"] for r in top.collect()]
+    assert len(got) == 5 and 7 not in got
+
+    # the ADC scan must not read raw embeddings
+    from pyspark.sql import functions as F
+    probe = query_clusters(cent, q, 2)
+    adc_stage = (spark.read.parquet(path)
+                 .where(F.col("cluster").isin(probe))
+                 .select("vec_id", "codes"))
+    assert_column_pruned(adc_stage, "embedding")
+
+    # full probes + full rerank == exact brute force
+    full = ivfpq_topk(spark, path, cent, cb, q, k=5, nprobe=4,
+                      rerank=10_000, exclude_id=7)
+    exact = cosine_topk(df, q, k=5, exclude_id=7)
+    assert [r["vec_id"] for r in full.collect()] == \
+        [r["vec_id"] for r in exact.collect()]
+
+    # sane recall at realistic settings vs the whole-table PQ operator
+    whole = ann_pq_topk(df, cb, q, k=5, rerank=40, exclude_id=7)
+    w_ids = {r["vec_id"] for r in whole.collect()}
+    assert len(w_ids & set(got)) >= 3
