@@ -977,14 +977,15 @@ def _pq_codebooks(sf_dir):
         # shortlist-boundary margin for the driver query's q (vec_id 0,
         # row 0 of the vec_id-ordered matrix): membership at rank
         # PQ_RERANK must not sit on a float knife's edge
+        from .operators.similarity import pq_encode
+
         qv = v[0] / np.linalg.norm(v[0])
         lut = np.stack([qv[s * dsub:(s + 1) * dsub] @ cb[s].T
                         for s in range(PQ_M)])
+        codes = pq_encode(w, cb)
         approx = np.zeros(w.shape[0])
         for s in range(PQ_M):
-            sub = w[:, s * dsub:(s + 1) * dsub]
-            d = np.sqrt(((sub[:, None, :] - cb[s][None]) ** 2).sum(-1))
-            approx += lut[s, np.argmin(d, axis=1)]
+            approx += lut[s, codes[:, s]]
         scores = np.sort(approx[1:])[::-1]   # exclude the query itself
         if (scores.size > PQ_RERANK
                 and scores[PQ_RERANK - 1] - scores[PQ_RERANK] < 1e-9):

@@ -219,11 +219,15 @@ class InvertedIndex:
         data pages read) — the gate for the driver-side warm maps."""
         if self._n_terms is None:
             if self.io_mode == "local":
-                import pyarrow.dataset as ds
+                if not os.path.isdir(f"{self.warehouse_dir}/lexicon"):
+                    # never-compacted stream warehouse (fresh handles)
+                    self._n_terms = 0
+                else:
+                    import pyarrow.dataset as ds
 
-                self._n_terms = ds.dataset(
-                    f"{self.warehouse_dir}/lexicon",
-                    format="parquet").count_rows()
+                    self._n_terms = ds.dataset(
+                        f"{self.warehouse_dir}/lexicon",
+                        format="parquet").count_rows()
             else:
                 self._n_terms = self.lexicon.count()
         return self._n_terms
@@ -279,6 +283,8 @@ class InvertedIndex:
         guardrail it degrades to a filtered pyarrow point read —
         footer-stats pruning instead of an O(num_terms) driver dict."""
         if self.io_mode == "local":
+            if not os.path.isdir(f"{self.warehouse_dir}/lexicon"):
+                return {}   # never-compacted stream warehouse
             if self._lexicon_map is not None or self._warm_maps_allowed():
                 m = self.lexicon_map()
                 return {t: {"term": t, "df": m[t][0], "cf": m[t][1],
@@ -358,7 +364,16 @@ class InvertedIndex:
                 f"{self.warehouse_dir}/stats").collect()[0]
         self.num_docs = srow["num_docs"]
         self.avg_doc_len = srow["avg_doc_len"]
-        self._bounds_fresh = self._bounds_fresh_from(self._read_manifest())
+        manifest = self._read_manifest()
+        self._bounds_fresh = self._bounds_fresh_from(manifest)
+        # re-read the stream high-water mark too: after a compaction
+        # the partial blocks REMAIN on disk (they are the source of
+        # truth) and only compacted_through_block advances — a fresh
+        # handle that kept its init-time mark would re-inject blocks
+        # that now also live in the compacted postings, silently
+        # double-counting every appended document
+        self._fresh_from_block = (manifest.get("stream") or {}).get(
+            "compacted_through_block", 0)
         return self
 
     def _rows_via_rg_index(self, terms, cols, _retried=False):
@@ -446,20 +461,18 @@ class InvertedIndex:
         codec on pfd warehouses. df carried here is the segment's own
         df_b — :meth:`_fetch_rows` rewrites the union df."""
         out: dict[str, list] = {}
-        if not self.fresh or not terms:
+        if (not self.fresh or not terms
+                or not os.path.isdir(f"{self.warehouse_dir}/partials")):
             return out
         import pyarrow.dataset as ds
 
-        try:
-            dataset = ds.dataset(f"{self.warehouse_dir}/partials",
-                                 format="parquet", partitioning="hive")
-            filt = ds.field("term").isin(list(terms))
-            if self._fresh_from_block > 0:
-                filt = filt & (ds.field("block_id")
-                               >= self._fresh_from_block)
-            rows = dataset.to_table(filter=filt).to_pylist()
-        except (OSError, FileNotFoundError):
-            return out
+        dataset = ds.dataset(f"{self.warehouse_dir}/partials",
+                             format="parquet", partitioning="hive")
+        filt = ds.field("term").isin(list(terms))
+        if self._fresh_from_block > 0:
+            filt = filt & (ds.field("block_id")
+                           >= self._fresh_from_block)
+        rows = dataset.to_table(filter=filt).to_pylist()
         for r in rows:
             out.setdefault(r["term"], []).append({
                 "term": r["term"], "grp": 0, "df": int(r["df_b"]),
@@ -502,7 +515,13 @@ class InvertedIndex:
                 "skip_doc_ids", "skip_doc_offsets", "skip_freq_offsets",
                 "block_max"]
         if self.io_mode == "local":
-            try:
+            if self.fresh and not os.path.isdir(
+                    f"{self.warehouse_dir}/postings"):
+                rows = []   # never-compacted stream warehouse
+            else:
+                # NOT wrapped in a fresh except: a transient I/O error
+                # must raise, never silently degrade to partials-only
+                # results
                 rows = self._rows_via_rg_index(list(terms), cols)
                 if rows is None:  # footer stats unavailable → scan
                     import pyarrow.dataset as ds
@@ -512,10 +531,6 @@ class InvertedIndex:
                                 columns=cols,
                                 filter=ds.field("term").isin(list(terms)))
                             .to_pylist())
-            except (OSError, FileNotFoundError):
-                if not self.fresh:
-                    raise
-                rows = []   # never-compacted stream warehouse
         else:
             from pyspark.sql import functions as F
 
@@ -700,13 +715,16 @@ class InvertedIndex:
         if scoring.dense_ok(self.num_docs, min_df):
             stats["dense_fallback"] = True
             return self._score_terms(terms, qtype)
-        if qtype == "OR" and not self._bounds_fresh:
+        if qtype == "OR" and (not self._bounds_fresh or any(
+                r.get("_partial") for rs in by_term.values() for r in rs)):
             # persisted TUB/block_max are stale (documents appended
             # since the last compaction rolled num_docs/avg_doc_len):
             # MaxScore/BMM would prune against underestimated bounds
             # and could drop valid top-k docs — serve exactly until a
-            # compaction refreshes the bounds. (The AND pruned path
-            # uses membership only, no bounds — still exact.)
+            # compaction refreshes the bounds. The _partial check is
+            # the same invariant from the row side: pseudo-rows carry
+            # no TUB/block_max at all. (The AND pruned path uses
+            # membership only, no bounds — still exact.)
             stats["stale_bounds_fallback"] = True
             return self._score_terms(terms, qtype)
         if qtype == "AND":
@@ -813,22 +831,38 @@ class InvertedIndex:
         return [(m[int(d)], float(s)) for d, s in zip(doc_ids, scores)]
 
     # -- distributed path -------------------------------------------------
+    def _compacted_tables_exist(self) -> bool:
+        """False only on a never-compacted stream warehouse (fresh
+        handles serve purely from partials there)."""
+        return (not self.fresh
+                or os.path.isdir(f"{self.warehouse_dir}/postings"))
+
+    def _fresh_partials_sdf(self):
+        """The uncompacted partial blocks as a Spark DataFrame, or
+        None when this handle has no fresh tail — the ONE definition
+        of the path + high-water-mark filter for the distributed
+        flavors (the pyarrow flavor is :meth:`_fresh_partial_rows`)."""
+        if (not self.fresh
+                or not os.path.isdir(f"{self.warehouse_dir}/partials")):
+            return None
+        from pyspark.sql import functions as F
+
+        p = self.spark.read.parquet(f"{self.warehouse_dir}/partials")
+        if self._fresh_from_block > 0:
+            p = p.where(F.col("block_id") >= self._fresh_from_block)
+        return p
+
     def _present_terms(self, terms) -> set:
         """Terms with any postings visible to this handle: lexicon
         membership, plus (fresh handles) terms in uncompacted partial
         blocks — new vocabulary exists only there until compaction."""
-        present = set(self.lookup(terms))
+        present = (set(self.lookup(terms))
+                   if self._compacted_tables_exist() else set())
         rest = set(terms) - present
-        if self.fresh and rest:
+        p = self._fresh_partials_sdf() if rest else None
+        if p is not None:
             from pyspark.sql import functions as F
 
-            try:
-                p = self.spark.read.parquet(
-                    f"{self.warehouse_dir}/partials")
-            except Exception:
-                return present
-            if self._fresh_from_block > 0:
-                p = p.where(F.col("block_id") >= self._fresh_from_block)
             present |= {r["term"] for r in
                         (p.where(F.col("term").isin(list(rest)))
                          .select("term").distinct().collect())}
@@ -843,8 +877,13 @@ class InvertedIndex:
         import pyarrow as pa
         from pyspark.sql import functions as F
 
-        df = self.postings.select("term", "df", "doc_ids_vbyte",
-                                  "freqs_vbyte", "dls_vbyte")
+        if self._compacted_tables_exist():
+            df = self.postings.select("term", "df", "doc_ids_vbyte",
+                                      "freqs_vbyte", "dls_vbyte")
+        else:   # never-compacted stream warehouse: partials only
+            df = self.spark.createDataFrame(
+                [], "term string, df long, doc_ids_vbyte binary, "
+                    "freqs_vbyte binary, dls_vbyte binary")
         if terms is not None:
             df = df.where(F.col("term").isin(list(terms)))
         use_pfd = self.codec == "pfd"
@@ -881,16 +920,11 @@ class InvertedIndex:
 
         out = df.mapInArrow(
             decode, "term string, df long, doc_id long, tf long, dl long")
-        if not self.fresh:
+        p = self._fresh_partials_sdf()
+        if p is None:
             return out
         # merged-on-read: union the uncompacted partial segments
         # (always VByte) and recompute df as the per-term union count
-        try:
-            p = self.spark.read.parquet(f"{self.warehouse_dir}/partials")
-        except Exception:
-            return out
-        if self._fresh_from_block > 0:
-            p = p.where(F.col("block_id") >= self._fresh_from_block)
         if terms is not None:
             p = p.where(F.col("term").isin(list(terms)))
         p = p.select("term", F.col("df_b").alias("df"),

@@ -21,6 +21,30 @@ def _vec_double(col_name: str):
     return F.transform(col_name, lambda x: x.cast("double"))
 
 
+# HOF in-bucket pair expansion builds all O(b²) candidate structs in a
+# single row; beyond ~1M structs (b ≈ 1024) the expansion switches to
+# an exploded self-join that streams pairs across the shuffle instead
+_HOF_PAIR_CAP = 1024
+
+
+def pq_encode(w, codebooks):
+    """PQ codes for L2-NORMALIZED row vectors ``w`` — the ONE
+    definition of the assignment rule (sqrt-of-squared-distance before
+    argmin, mirroring DuckDB ``list_distance`` + ``list_position``
+    first-min tie-break so the SQL oracles can reproduce it bit-for-
+    bit). Returns (n, m) int codes."""
+    import numpy as np
+
+    cb = np.asarray(codebooks, dtype=np.float64)
+    m, _ksub, dsub = cb.shape
+    codes = np.empty((w.shape[0], m), dtype=np.int32)
+    for s in range(m):
+        sub = w[:, s * dsub:(s + 1) * dsub]
+        d2 = ((sub[:, None, :] - cb[s][None, :, :]) ** 2).sum(-1)
+        codes[:, s] = np.argmin(np.sqrt(d2), axis=1)
+    return codes
+
+
 def _flat_matrix(arr, n: int):
     """Arrow list-of-float column → (n, dim) float64 matrix.
 
@@ -130,10 +154,13 @@ def probe_buckets(planes, q: list[float], probes: int = 1) -> list[int]:
     dots = _query_plane_dots(planes, q)
     qb = int(np.sum((dots > 0) * (1 << np.arange(len(planes)))))
     if probes > len(planes) + 1:
-        raise ValueError(
+        import warnings
+
+        warnings.warn(
             f"probes={probes} exceeds the base bucket + {len(planes)} "
-            "Hamming-1 neighbors this sequence can produce; use more "
-            "planes (or extend to Hamming-2 probing) for higher recall")
+            "Hamming-1 neighbors this sequence can produce; clamping "
+            f"to {len(planes) + 1} — use more planes (or Hamming-2 "
+            "probing) for higher recall", stacklevel=2)
     out = [qb]
     for bit in np.argsort(np.abs(dots)):
         if len(out) >= probes:
@@ -378,6 +405,13 @@ def near_dup_pairs(df, tables: list[list[list[float]]], threshold: float,
                .where(F.size("ids") > 1))
     if max_bucket is not None:
         grouped = grouped.where(F.size("ids") <= max_bucket)
+    # in-bucket pair expansion, hybrid by bucket size: HOF expansion
+    # materializes all O(b²) structs inside ONE row, so buckets beyond
+    # _HOF_PAIR_CAP (≈1M structs) would OOM a task — those rare
+    # degenerate buckets expand through an exploded self-join instead,
+    # which streams the same b² pairs across the shuffle
+    small = grouped.where(F.size("ids") <= _HOF_PAIR_CAP)
+    big = grouped.where(F.size("ids") > _HOF_PAIR_CAP)
     nsz = F.size("ids")
     pair_structs = F.flatten(F.transform(
         F.sequence(F.lit(0), nsz - 2),
@@ -386,9 +420,16 @@ def near_dup_pairs(df, tables: list[list[list[float]]], threshold: float,
             lambda y: F.struct(
                 F.element_at(F.col("ids"), i + 1).alias("a"),
                 y.alias("b")))))
-    cand = (grouped.select(F.explode(pair_structs).alias("p"))
-            .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
-            .distinct())
+    small_pairs = (small.select(F.explode(pair_structs).alias("p"))
+                   .select(F.col("p.a").alias("id_a"),
+                           F.col("p.b").alias("id_b")))
+    big_rows = big.select("t", "bk", F.explode("ids").alias("vid"))
+    big_pairs = (big_rows.select(F.col("vid").alias("id_a"), "t", "bk")
+                 .join(big_rows.select(F.col("vid").alias("id_b"),
+                                       "t", "bk"), ["t", "bk"])
+                 .where(F.col("id_a") < F.col("id_b"))
+                 .select("id_a", "id_b"))
+    cand = small_pairs.unionByName(big_pairs).distinct()
     ea = base.select(F.col("vid").alias("id_a"), F.col("v").alias("va"))
     eb = base.select(F.col("vid").alias("id_b"), F.col("v").alias("vb"))
     paired = cand.join(ea, "id_a").join(eb, "id_b")
@@ -502,17 +543,13 @@ def pq_approx_scores(df, codebooks, q, id_col: str = "vec_id",
             if not keep.any():
                 continue
             w = mat[keep] / nrm[keep, None]
+            codes = pq_encode(w, cb)
             # accumulate subspaces in ascending order — the oracle's
             # left-associated sum of the same lut literals is then
             # bit-identical
             approx = np.zeros(w.shape[0], dtype=np.float64)
             for s in range(m):
-                sub = w[:, s * dsub:(s + 1) * dsub]
-                d2 = ((sub[:, None, :] - cb[s][None, :, :]) ** 2).sum(-1)
-                # sqrt mirrors DuckDB list_distance (monotone — same
-                # argmin, same first-min tie-break as list_position)
-                codes = np.argmin(np.sqrt(d2), axis=1)
-                approx += lut[s, codes]
+                approx += lut[s, codes[:, s]]
             yield pa.RecordBatch.from_arrays(
                 [pa.array(ids[keep]), pa.array(approx)],
                 names=["id", "approx"])
@@ -567,18 +604,22 @@ def ivfpq_table(df, centroids, codebooks, path: str,
                 continue
             emb = batch.column("emb")
             mat = _flat_matrix(emb, n)
-            cl = np.argmax(mat @ cent.T, axis=1).astype(np.int32)
             nrm = np.linalg.norm(mat, axis=1)
             ok = nrm > 0
-            w = np.where(ok[:, None], mat / np.where(
-                ok, nrm, 1.0)[:, None], 0.0)
-            codes = np.empty((n, m), dtype=np.int32)
-            for s in range(m):
-                sub = w[:, s * dsub:(s + 1) * dsub]
-                d2 = ((sub[:, None, :] - cb[s][None, :, :]) ** 2).sum(-1)
-                codes[:, s] = np.argmin(np.sqrt(d2), axis=1)
+            if not ok.any():
+                continue
+            # zero-norm vectors are excluded from the serving table —
+            # cosine against them is undefined, their ADC codes would
+            # be arbitrary, and admitting them would waste rerank
+            # slots (consistent with pq_approx_scores)
+            mat, emb = mat[ok], emb.take(
+                pa.array(np.flatnonzero(ok)))
+            ids = batch.column("id").take(pa.array(np.flatnonzero(ok)))
+            cl = np.argmax(mat @ cent.T, axis=1).astype(np.int32)
+            w = mat / nrm[ok, None]
+            codes = pq_encode(w, cb)
             yield pa.RecordBatch.from_arrays(
-                [batch.column("id"), emb,
+                [ids, emb,
                  pa.array(list(codes), pa.list_(pa.int32())),
                  pa.array(cl)],
                 names=["id", "emb", "codes", "cluster"])

@@ -354,3 +354,35 @@ def test_fresh_handle_on_pfd_warehouse(spark, tmp_path):
         assert [g[0] for g in got] == [w[0] for w in want], q
         for (gd, gs), (wd, ws) in zip(got, want):
             assert gs == pytest.approx(ws, rel=1e-12), q
+
+
+def test_fresh_handle_refresh_after_compaction_no_double_serve(
+        spark, tmp_path):
+    """compact() folds the partial blocks into postings but keeps the
+    partials on disk (they are the source of truth); a live fresh
+    handle that refresh()es afterwards must advance its high-water
+    mark or it would serve the just-compacted blocks TWICE (doubled
+    scores, inflated df)."""
+    cfg = IndexConfig(num_blocks=2)
+    wh = str(tmp_path / "freshhwm")
+    srt = _sorted_rows(120)
+    df1 = spark.createDataFrame(srt[:80], corpus._CORPUS_SCHEMA)
+    append_batch(spark, corpus.from_source_code(df1), wh, cfg,
+                 blocks_per_batch=2)
+    compact(spark, wh, cfg)
+    fresh = InvertedIndex(spark, wh, fresh=True)
+    df2 = spark.createDataFrame(srt[80:], corpus._CORPUS_SCHEMA)
+    append_batch(spark, corpus.from_source_code(df2), wh, cfg,
+                 blocks_per_batch=2)
+    fresh.refresh()
+    before = fresh.search("OR hotterm quick", 10)
+
+    compact(spark, wh, cfg)
+    fresh.refresh()   # must re-read compacted_through_block
+    after = fresh.search("OR hotterm quick", 10)
+    assert [a[0] for a in after] == [b[0] for b in before]
+    for (ad, as_), (bd, bs) in zip(after, before):
+        assert as_ == pytest.approx(bs, rel=1e-12)
+    # pruned path is safe again post-compaction (no partial rows left)
+    pr = fresh.search("OR hotterm quick", 10, prune=True)
+    assert [p[0] for p in pr] == [b[0] for b in before]
