@@ -386,3 +386,31 @@ def test_fresh_handle_refresh_after_compaction_no_double_serve(
     # pruned path is safe again post-compaction (no partial rows left)
     pr = fresh.search("OR hotterm quick", 10, prune=True)
     assert [p[0] for p in pr] == [b[0] for b in before]
+
+
+def test_fresh_distributed_on_never_compacted_warehouse(spark, tmp_path):
+    """Before the first compaction there is no lexicon/postings table;
+    the distributed paths must still serve fresh partials (empty
+    compacted side, presence from partials) instead of crashing."""
+    cfg = IndexConfig(num_blocks=2)
+    wh = str(tmp_path / "nc_dist")
+    srt = _sorted_rows(120)
+    df1 = spark.createDataFrame(srt, corpus._CORPUS_SCHEMA)
+    append_batch(spark, corpus.from_source_code(df1), wh, cfg,
+                 blocks_per_batch=2)
+
+    wh_b = str(tmp_path / "nc_dist_b")
+    build_index(spark, corpus.from_source_code(df1), wh_b, cfg)
+    want_idx = InvertedIndex(spark, wh_b)
+    fresh = InvertedIndex(spark, wh, fresh=True)
+
+    q = "OR hotterm quick"
+    want = want_idx.search(q, 10)
+    rows = fresh.search_distributed(q, 10).collect()
+    got = [(r["doc_no"], r["score"]) for r in rows]
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, rel=1e-12)
+
+    batch = fresh.batch_search_distributed([(1, q)], k=10).collect()
+    assert [r["doc_no"] for r in batch] == [w[0] for w in want]
