@@ -62,10 +62,26 @@ WAREHOUSE_ROOT = os.path.join(
 _WAREHOUSES: dict[tuple, object] = {}
 
 
+def _source_fingerprint(sf_dir: str) -> str:
+    """Cheap identity of the documents table (size + mtime of its
+    parquet) — regenerated testdata must invalidate the cached
+    warehouse, never silently resume over a stale corpus."""
+    try:
+        st = os.stat(f"{sf_dir}/documents.parquet")
+        return f"{st.st_size}:{st.st_mtime_ns}"
+    except OSError:
+        return "unknown"
+
+
 def get_index(spark, sf_dir: str, stemming: bool = False):
     """Build (once per process+sf) and return an InvertedIndex over the
-    documents table of sf_dir."""
-    from .operators.build import IndexConfig, build_index
+    documents table of sf_dir. The on-disk warehouse resumes only when
+    its recorded source fingerprint matches the current parquet —
+    otherwise it is rebuilt from scratch."""
+    import json
+    import shutil
+
+    from .operators.build import IndexConfig, build_index, read_manifest
     from .operators.query import InvertedIndex
     from .sources.corpus import load_documents_corpus
 
@@ -75,9 +91,19 @@ def get_index(spark, sf_dir: str, stemming: bool = False):
     tag = os.path.basename(os.path.normpath(sf_dir))
     wh = os.path.join(WAREHOUSE_ROOT,
                       f"wh_{tag}_{'stem' if stemming else 'nostem'}")
+    fp = _source_fingerprint(sf_dir)
+    if os.path.isdir(wh) and read_manifest(wh).get("source_fp") != fp:
+        shutil.rmtree(wh, ignore_errors=True)
     cfg = IndexConfig(stemming=stemming, num_blocks=8)
     build_index(spark, load_documents_corpus(spark, sf_dir), wh, cfg,
                 resume=True)
+    manifest_path = os.path.join(wh, "_manifest.json")
+    m = read_manifest(wh)
+    if m.get("source_fp") != fp:
+        m["source_fp"] = fp
+        with open(manifest_path + ".tmp", "w") as f:
+            json.dump(m, f, indent=2, sort_keys=True, default=str)
+        os.replace(manifest_path + ".tmp", manifest_path)
     idx = InvertedIndex(spark, wh)
     _WAREHOUSES[key] = idx
     return idx
@@ -179,12 +205,6 @@ _H_SQL_DUCK = ("(CAST(concat('0x', substr(md5({x}), 1, 15)) AS BIGINT) "
 _H32_SQL_DUCK = "CAST(concat('0x', substr(md5({x}), 1, 8)) AS BIGINT)"
 
 
-def _h_spark(col):
-    from pyspark.sql import functions as F
-    return (F.conv(F.substring(F.md5(col), 1, 15), 16, 10)
-            .cast("long") % MERSENNE31)
-
-
 # =====================================================================
 # the queries
 # =====================================================================
@@ -238,6 +258,7 @@ def sql_lexicon_lookup():
 tub AS (
   SELECT tf.term, max({_bm25_expr()}) AS t_ub
   FROM tf JOIN lex USING (term) CROSS JOIN stats
+  WHERE tf.term IN ({tlist})
   GROUP BY tf.term
 )
 SELECT lex.term, lex.df, lex.cf,
@@ -595,7 +616,7 @@ def q_minhash_signatures(spark, sf_dir):
 
 
 def sql_minhash_signatures():
-    cols = ", ".join(f"m{i}" for i in range(16))
+    cols = ", ".join(f"m{i}" for i in range(len(MINHASH_PERMS)))
     return _minhash_cte() + f"\nSELECT doc_id, {cols} FROM sig"
 
 
@@ -760,7 +781,10 @@ def q_ann_cosine_topk(spark, sf_dir):
     from .operators.similarity import cosine_topk
     q = _query_vec(spark, sf_dir)
     top = cosine_topk(_emb_df(spark, sf_dir), q, K, exclude_id=0)
-    return top.select("vec_id", _u6(F.col("cos")).alias("cos_u6"))
+    # zero-norm rows have NULL cosine (undefined) — excluded, like the
+    # oracle's norm guard
+    return (top.where(F.col("cos").isNotNull())
+            .select("vec_id", _u6(F.col("cos")).alias("cos_u6")))
 
 
 def _qvec_sql_literal(q):
@@ -774,6 +798,7 @@ SELECT vec_id,
        CAST(round(1e6 * list_cosine_similarity(embedding::DOUBLE[], {lit}))
             AS BIGINT) AS cos_u6
 FROM embeddings WHERE vec_id <> 0
+  AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
 ORDER BY list_cosine_similarity(embedding::DOUBLE[], {lit}) DESC, vec_id ASC
 LIMIT {K}"""
 
@@ -810,7 +835,8 @@ def q_ann_lsh_topk(spark, sf_dir):
     from .operators.similarity import lsh_topk
     q = _query_vec(spark, sf_dir)
     top = lsh_topk(_emb_df(spark, sf_dir), LSH_PLANES, q, K, exclude_id=0)
-    return top.select("vec_id", _u6(F.col("cos")).alias("cos_u6"))
+    return (top.where(F.col("cos").isNotNull())
+            .select("vec_id", _u6(F.col("cos")).alias("cos_u6")))
 
 
 def sql_ann_lsh_topk(q):
@@ -823,6 +849,7 @@ SELECT vec_id,
        CAST(round(1e6 * list_cosine_similarity(embedding::DOUBLE[], {lit}))
             AS BIGINT) AS cos_u6
 FROM b, qb WHERE b.bucket = qb.bucket AND vec_id <> 0
+  AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
 ORDER BY list_cosine_similarity(embedding::DOUBLE[], {lit}) DESC, vec_id ASC
 LIMIT {K}"""
 
@@ -833,18 +860,25 @@ _IVF_CENTROIDS: dict[str, list] = {}
 _MARGINS_OK: set[str] = set()
 
 
-def _embeddings_matrix(sf_dir):
-    """(vec_id-ordered) embeddings as float64 — shared by the IVF
-    centroid trainer and the sign-margin guards."""
-    import numpy as np
-    import pyarrow.parquet as pq
+_EMB_MATRIX: dict[str, object] = {}
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                      columns=["vec_id", "embedding"])
-    order = sorted(range(t.num_rows),
-                   key=t.column("vec_id").to_pylist().__getitem__)
-    return np.asarray([t.column("embedding")[i].as_py() for i in order],
-                      dtype=np.float64)
+
+def _embeddings_matrix(sf_dir):
+    """(vec_id-ordered) embeddings as float64, cached per sf_dir —
+    shared by the IVF centroid trainer, the PQ codebook trainer and
+    the sign-margin guards (one parquet read instead of three)."""
+    if sf_dir not in _EMB_MATRIX:
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+        order = sorted(range(t.num_rows),
+                       key=t.column("vec_id").to_pylist().__getitem__)
+        _EMB_MATRIX[sf_dir] = np.asarray(
+            [t.column("embedding")[i].as_py() for i in order],
+            dtype=np.float64)
+    return _EMB_MATRIX[sf_dir]
 
 
 def _assert_sign_margins(sf_dir):
@@ -891,7 +925,11 @@ def _ivf_centroids(sf_dir):
         dots = all_v @ np.asarray(cent, dtype=np.float64).T
         part = np.partition(dots, dots.shape[1] - 2, axis=1)
         margin = float(np.min(part[:, -1] - part[:, -2]))
-        if margin < 1e-9:
+        # gap == 0.0 exactly is portable: it comes from bitwise-
+        # identical embeddings (exact duplicates), whose dots tie in
+        # BOTH engines and break first-wins identically — only a
+        # nonzero sub-noise gap can flip between engines
+        if 0.0 < margin < 1e-9:
             raise AssertionError(
                 f"IVF cluster-assignment margin {margin:.2e} is within "
                 "float noise for this dataset; choose a different "
@@ -910,7 +948,8 @@ def q_ann_ivf_topk(spark, sf_dir):
     cent = _ivf_centroids(sf_dir)
     top = ivf_topk(_emb_df(spark, sf_dir), cent, q, K,
                    nprobe=IVF_NPROBE, exclude_id=0)
-    return top.select("vec_id", _u6(F.col("cos")).alias("cos_u6"))
+    return (top.where(F.col("cos").isNotNull())
+            .select("vec_id", _u6(F.col("cos")).alias("cos_u6")))
 
 
 def sql_ann_ivf_topk(q, centroids):
@@ -935,6 +974,7 @@ SELECT vec_id,
        CAST(round(1e6 * list_cosine_similarity(v, {lit})) AS BIGINT)
          AS cos_u6
 FROM a WHERE cluster IN ({plist}) AND vec_id <> 0
+  AND list_dot_product(v, v) > 0
 ORDER BY list_cosine_similarity(v, {lit}) DESC, vec_id ASC
 LIMIT {K}"""
 
@@ -969,7 +1009,9 @@ def _pq_codebooks(sf_dir):
             d = np.sqrt(((sub[:, None, :] - cb[s][None]) ** 2).sum(-1))
             part = np.partition(d, 1, axis=1)
             worst = min(worst, float(np.min(part[:, 1] - part[:, 0])))
-        if worst < 1e-9:
+        # exact 0.0 gaps are identical-duplicate ties — portable
+        # (first-min in both engines); see the IVF guard
+        if 0.0 < worst < 1e-9:
             raise AssertionError(
                 f"PQ code-assignment margin {worst:.2e} is within "
                 "float noise for this dataset; choose a different "
@@ -988,7 +1030,8 @@ def _pq_codebooks(sf_dir):
             approx += lut[s, codes[:, s]]
         scores = np.sort(approx[1:])[::-1]   # exclude the query itself
         if (scores.size > PQ_RERANK
-                and scores[PQ_RERANK - 1] - scores[PQ_RERANK] < 1e-9):
+                and 0.0 < scores[PQ_RERANK - 1] - scores[PQ_RERANK]
+                < 1e-9):
             raise AssertionError(
                 "PQ shortlist boundary within float noise; adjust "
                 "PQ_SEED/PQ_RERANK for an engine-stable oracle")
@@ -1008,7 +1051,8 @@ def q_ann_pq_topk(spark, sf_dir):
     cb = _pq_codebooks(sf_dir)
     top = ann_pq_topk(_emb_df(spark, sf_dir), cb, q, K,
                       rerank=PQ_RERANK, exclude_id=0)
-    return top.select("vec_id", _u6(F.col("cos")).alias("cos_u6"))
+    return (top.where(F.col("cos").isNotNull())
+            .select("vec_id", _u6(F.col("cos")).alias("cos_u6")))
 
 
 def sql_ann_pq_topk(q, codebooks):

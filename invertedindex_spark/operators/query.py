@@ -780,7 +780,10 @@ class InvertedIndex:
             return z, z.astype(np.float64)
         all_ids = []
         all_scores = []
-        for t, (d, tf, dl, df) in decoded.items():
+        # sorted term order: per-doc sums accumulate in a fixed order
+        # regardless of set-iteration (hash-seed) effects — the oracle
+        # accumulates in the same sorted order (oracle.py _scores)
+        for t, (d, tf, dl, df) in sorted(decoded.items()):
             all_ids.append(d)
             all_scores.append(scoring.bm25_np(
                 tf, dl, df, self.num_docs, self.avg_doc_len))

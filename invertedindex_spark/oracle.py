@@ -87,7 +87,11 @@ class OracleIndex:
         result-invariant (a doc pruned by its upper bound can never beat
         the threshold it was compared against), so exhaustive scoring +
         the exact queue semantics reproduces the reference ranking."""
-        present = [t for t in terms if t in self.postings]
+        # sorted term order: float accumulation order must not depend
+        # on set-iteration order (string-hash randomization would make
+        # last-ulp sums vary across processes); the engine kernel
+        # accumulates in the same sorted order (query.py _score_terms)
+        present = sorted(t for t in terms if t in self.postings)
         if conjunctive:
             if len(present) < len(terms) or not present:
                 return {}  # unknown term ⇒ AND returns nothing (:202-210)
