@@ -414,3 +414,50 @@ def test_fresh_distributed_on_never_compacted_warehouse(spark, tmp_path):
 
     batch = fresh.batch_search_distributed([(1, q)], k=10).collect()
     assert [r["doc_no"] for r in batch] == [w[0] for w in want]
+
+
+@pytest.mark.parametrize("seed", [3, 19])
+def test_fresh_random_append_compact_sequences(spark, tmp_path, seed):
+    """Property check: under a random interleaving of appends and
+    compactions, a fresh handle (refreshed after every mutation) is
+    always equivalent to a from-scratch batch build over everything
+    ingested so far — scores to 1e-12, every query type."""
+    import random
+
+    rng = random.Random(seed)
+    cfg = IndexConfig(num_blocks=2)
+    wh = str(tmp_path / f"rand{seed}")
+    srt = _sorted_rows(200, seed=42)
+    fresh = None
+    lo = 0
+    step = 0
+    while lo < len(srt):
+        n = rng.choice([30, 50, 70])
+        chunk = srt[lo:lo + n]
+        lo += n
+        df = spark.createDataFrame(chunk, corpus._CORPUS_SCHEMA)
+        append_batch(spark, corpus.from_source_code(df), wh, cfg,
+                     blocks_per_batch=rng.choice([1, 2]))
+        if rng.random() < 0.5:
+            compact(spark, wh, cfg)
+        if fresh is None:
+            fresh = InvertedIndex(spark, wh, fresh=True)
+        else:
+            fresh.refresh()
+
+        wh_b = str(tmp_path / f"rand{seed}_b{step}")
+        step += 1
+        build_index(spark, corpus.from_source_code(
+            spark.createDataFrame(srt[:lo], corpus._CORPUS_SCHEMA)),
+            wh_b, cfg)
+        twin = InvertedIndex(spark, wh_b)
+        assert fresh.num_docs == twin.num_docs, (seed, lo)
+        for q in ("OR hotterm quick", "AND hotterm parties",
+                  "OR optimization throughput"):
+            got = fresh.search(q, 8)
+            want = twin.search(q, 8)
+            assert [g[0] for g in got] == [w[0] for w in want], (seed, lo, q)
+            for (gd, gs), (wd, ws) in zip(got, want):
+                assert gs == pytest.approx(ws, rel=1e-12), (seed, lo, q)
+            pr = fresh.search(q, 8, prune=True)
+            assert [p[0] for p in pr] == [w[0] for w in want], (seed, lo, q)
