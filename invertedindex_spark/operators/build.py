@@ -206,7 +206,16 @@ def check_table_format(spark, cfg: "IndexConfig") -> str:
                 "org.apache.iceberg:iceberg-spark-runtime-...) and a "
                 "configured catalog; this session has neither. Use "
                 "table_format='parquet' or submit with the jar.")
-        return fmt
+        # jar present, but the writers below still emit plain parquet —
+        # recording 'iceberg' would be exactly the manifest/data
+        # mismatch this check exists to prevent. Fail until the
+        # catalog-table writer path lands; the physical layout is
+        # already Iceberg-compatible so migration is mechanical.
+        raise ValueError(
+            "table_format='iceberg' is a recorded-intent seam only: "
+            "the catalog-table writer integration is not implemented "
+            "yet, and writing parquet under an 'iceberg' manifest "
+            "marker would misdescribe the data. Use 'parquet'.")
     raise ValueError(f"unknown table_format {fmt!r} "
                      "(expected 'parquet' or 'iceberg')")
 
@@ -722,9 +731,20 @@ def build_index(spark, corpus, warehouse_dir: str,
         # downstream table derives from partials, so restart the whole
         # pipeline (cheaper than a mixed-schema parquet read mid-merge)
         manifest = {"stages": {}, "metrics": {}}
+    if "stream" in manifest:
+        # the mirror of append_batch's batch-built guard: batch-building
+        # over a stream warehouse would restamp bounds_stats from the
+        # live stats table without rewriting postings (re-enabling
+        # pruning against stale TUBs) and restart docIds at 0
+        raise ValueError(
+            "warehouse has streaming state; use streaming.compact() to "
+            "fold its partials, or build into a fresh directory")
     if resume and manifest.get("stages"):
         recorded = manifest.get("config") or {}
-        for f in ("codec", "stemming", "stopwords", "truncate"):
+        # merge_width/table_format are layout-defining too: silently
+        # overwriting them below would misrecord the on-disk layout
+        for f in ("codec", "stemming", "stopwords", "truncate",
+                  "merge_width", "table_format"):
             if f in recorded and recorded[f] != getattr(cfg, f):
                 # the existing stages were built under a different
                 # text/codec pipeline — resuming would mix
@@ -848,8 +868,11 @@ def build_index(spark, corpus, warehouse_dir: str,
 
     # per-block lineage metrics (terms/postings per partition) —
     # best-effort: skipped when the partial blocks are gone
-    # (keep_partials=False warehouses) and kept from the manifest
-    if os.path.isdir(paths["partials"]):
+    # (keep_partials=False warehouses) and kept from the manifest; a
+    # fully-resumed call also keeps them (recomputing would turn a
+    # no-op resume into a full partials scan for identical numbers)
+    if os.path.isdir(paths["partials"]) and (
+            need_upstream or "blocks" not in manifest["metrics"]):
         if partials is None:
             partials = spark.read.parquet(paths["partials"])
         bm = (partials.groupBy("block_id")

@@ -48,12 +48,17 @@ def from_source_code(df, input_order: bool = False) -> Corpus:
     (shuffle-free build; see Corpus docstring)."""
     from pyspark.sql import functions as F
 
+    # concat (null-propagating), NOT concat_ws: concat_ws silently
+    # skips NULL keys, so ('a','b',NULL) and ('a','b','') would collide
+    # on the same doc_no — the identity key of the docs table and the
+    # .dat export. Rows with a NULL identity key are dropped like any
+    # other malformed input line (the indexer's malformed-line policy).
     out = df.select(
         "repo", "path", "commit",
-        F.concat_ws("", F.col("repo"), F.lit(":"), F.col("path"),
-                    F.lit("@"), F.col("commit")).alias("doc_no"),
+        F.concat(F.col("repo"), F.lit(":"), F.col("path"),
+                 F.lit("@"), F.col("commit")).alias("doc_no"),
         F.col("content"),
-    )
+    ).where(F.col("doc_no").isNotNull())
     return Corpus(out, () if input_order else ("repo", "path", "commit"))
 
 

@@ -87,10 +87,12 @@ def append_batch(spark, corpus_batch: Corpus, warehouse_dir: str,
     after a restart with the SAME id — passing it makes the append
     idempotent for already-committed batches (the id is recorded in
     the manifest atomically with the stream state, so a replay of a
-    committed batch is a no-op). A batch that crashed mid-append can
-    still leave orphan doc/partial files behind (its manifest commit
-    never happened, so ids/stats stay consistent); exactly-once there
-    would need a transactional table format for the appends.
+    committed batch is a no-op). A batch that crashed mid-append is
+    healed by its replay: the un-advanced manifest state makes the
+    replay derive the SAME doc/block bases, and every write targets a
+    deterministic location (docs under ``ingest=<block_base>``,
+    partials via dynamic partition overwrite of its own block_ids),
+    so orphaned files are replaced, never duplicated.
     """
     from pyspark import StorageLevel
     from pyspark.sql import functions as F
@@ -133,8 +135,17 @@ def append_batch(spark, corpus_batch: Corpus, warehouse_dir: str,
 
     paths = {n: os.path.join(warehouse_dir, n)
              for n in ("docs", "partials", "stats")}
+    # crash-replay idempotence: a batch that appended docs/partials but
+    # died before the manifest save is replayed (same batch_id, same
+    # un-advanced manifest state → same doc/block bases) — every write
+    # below targets a DETERMINISTIC location and overwrites it, so the
+    # replay replaces the orphaned files instead of duplicating rows
+    # (duplicate segments would make every later merge fail its
+    # docId-ascending assertion, with no recovery path)
+    block_base = state["next_block_id"]
     (staged_ids.drop("terms")
-     .write.mode("append").parquet(paths["docs"]))
+     .write.mode("overwrite")
+     .parquet(os.path.join(paths["docs"], f"ingest={block_base}")))
 
     # avg_doc_len for fmax uses the rolled totals (recomputed exactly at
     # compaction; fmax is merge-input only and re-derived there)
@@ -143,11 +154,13 @@ def append_batch(spark, corpus_batch: Corpus, warehouse_dir: str,
     avg = tot_tokens / tot_docs
     partials = B._build_partials(
         staged_ids.select("doc_id", "doc_len", "terms"), cfg, avg)
-    block_base = state["next_block_id"]
     partials = partials.withColumn(
         "block_id", (F.col("block_id") + F.lit(block_base)).cast("int"))
-    partials.write.mode("append").partitionBy("block_id") \
-        .parquet(paths["partials"])
+    # dynamic partition overwrite: a replayed batch produces the SAME
+    # block_ids, so only its own partitions are replaced
+    (partials.write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("block_id").parquet(paths["partials"]))
     manifest["partials_format"] = B.PARTIALS_FORMAT_VERSION
     manifest["stages"] = manifest.get("stages") or {}
     manifest["stages"]["partials"] = {"done": True}
@@ -276,6 +289,17 @@ def compact(spark, warehouse_dir: str,
     # gone) — a stale block format must fail loudly, not decode garbage
     B.check_partials_format(manifest, strict=True,
                             partials_path=paths["partials"])
+    if "stats" not in manifest:
+        raise ValueError(
+            "warehouse has no recorded stats — nothing was ever "
+            "appended or built here; compact() needs at least one "
+            "append_batch/build first")
+    if (manifest["stages"].get("partials") or {}).get("deleted") \
+            or not os.path.isdir(paths["partials"]):
+        raise ValueError(
+            "partial blocks are gone (keep_partials=False, or the dir "
+            "was removed) — compaction re-merges partials and cannot "
+            "run without them; rebuild the warehouse instead")
     stats = manifest["stats"]
     avg = float(stats["avg_doc_len"])
     num_docs = stats["num_docs"]
@@ -283,53 +307,70 @@ def compact(spark, warehouse_dir: str,
     state = manifest.get("stream", {})
     prev_hwm = state.get("compacted_through_block")
     metrics: dict = {"mode": "full"}
+    # bound the re-merge tasks' decoded payload exactly like the full
+    # branch: a hot term is 'affected' at every compaction and drags
+    # ALL its segments through the merge — defaultParallelism alone
+    # would let its cumulative payload exceed task memory
+    n_merge = B.auto_merge_partitions(
+        paths["partials"], spark.sparkContext.defaultParallelism, cfg)
 
+    affected = None
     incremental = (prev_hwm is not None
                    and cfg.merge_width is None
                    and B._stage_done(manifest, "postings",
                                      paths["postings"]))
     if incremental:
-        new_blocks = partials.where(F.col("block_id") >= prev_hwm)
-        affected = new_blocks.select("term").distinct()
+        lex_df = spark.read.parquet(paths["lexicon"])
+        affected = (partials.where(F.col("block_id") >= prev_hwm)
+                    .select("term").distinct().persist())
         n_affected = affected.count()
-        n_terms = spark.read.parquet(paths["lexicon"]).count()
+        n_terms = lex_df.count()
         metrics.update(affected_terms=n_affected, lexicon_terms=n_terms)
         if n_affected > incremental_threshold * max(n_terms, 1):
             incremental = False
 
-    if incremental:
-        # re-merge ONLY the affected terms' segments (all their blocks,
-        # so in-task global df/cf/TUB stay exact); un-hinted semi/anti
-        # joins — AQE broadcasts the term list when it is small
-        aff_partials = partials.join(affected, "term", "left_semi")
-        # metrics without touching payload bytes: segment count over a
-        # term-only (column-pruned) scan; untouched-row count by
-        # lexicon arithmetic (merge_width None ⇒ one row per term)
-        n_segments = (partials.select("term")
-                      .join(affected, "term", "left_semi").count())
-        n_prev_present = (spark.read.parquet(paths["lexicon"])
+    try:
+        if incremental:
+            # re-merge ONLY the affected terms' segments (all their
+            # blocks, so in-task global df/cf/TUB stay exact);
+            # un-hinted semi/anti joins — AQE broadcasts the term list
+            # when it is small
+            aff_partials = partials.join(affected, "term", "left_semi")
+            # metrics without touching payload bytes: segment count
+            # over a term-only (column-pruned) scan; untouched-row
+            # count by lexicon arithmetic (merge_width None ⇒ one row
+            # per term)
+            n_segments = (partials.select("term")
                           .join(affected, "term", "left_semi").count())
-        n_untouched = n_terms - n_prev_present
-        merged = B._merge_partials(
-            aff_partials, cfg, num_docs, avg,
-            num_partitions=spark.sparkContext.defaultParallelism)
-        untouched = (spark.read.parquet(paths["postings"])
-                     .join(affected, "term", "left_anti"))
-        out = _refresh_tub_blockmax(
-            untouched, cfg, num_docs, avg).unionByName(merged)
-        tmp = paths["postings"] + "_compact_tmp"
-        shutil.rmtree(tmp, ignore_errors=True)
-        out.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(paths["postings"])
-        os.rename(tmp, paths["postings"])
-        metrics.update(mode="incremental", merged_segments=n_segments,
-                       untouched_rows=n_untouched)
-    else:
-        n_merge = B.auto_merge_partitions(
-            paths["partials"], spark.sparkContext.defaultParallelism, cfg)
-        merged = B._merge_partials(
-            partials, cfg, num_docs, avg, num_partitions=n_merge)
-        merged.write.mode("overwrite").parquet(paths["postings"])
+            n_prev_present = lex_df.join(
+                affected, "term", "left_semi").count()
+            n_untouched = n_terms - n_prev_present
+            merged = B._merge_partials(
+                aff_partials, cfg, num_docs, avg, num_partitions=n_merge)
+            untouched = (spark.read.parquet(paths["postings"])
+                         .join(affected, "term", "left_anti"))
+            out = _refresh_tub_blockmax(
+                untouched, cfg, num_docs, avg).unionByName(merged)
+            tmp = paths["postings"] + "_compact_tmp"
+            shutil.rmtree(tmp, ignore_errors=True)
+            # small row groups keep the term→row-group point lookups
+            # selective — same option as build_index's postings write
+            (out.write.mode("overwrite")
+             .option("parquet.block.size", 2 * 1024 * 1024)
+             .parquet(tmp))
+            shutil.rmtree(paths["postings"])
+            os.rename(tmp, paths["postings"])
+            metrics.update(mode="incremental", merged_segments=n_segments,
+                           untouched_rows=n_untouched)
+        else:
+            merged = B._merge_partials(
+                partials, cfg, num_docs, avg, num_partitions=n_merge)
+            (merged.write.mode("overwrite")
+             .option("parquet.block.size", 2 * 1024 * 1024)
+             .parquet(paths["postings"]))
+    finally:
+        if affected is not None:
+            affected.unpersist()
 
     lex = (spark.read.parquet(paths["postings"])
            .select("term", "df", "cf", "term_upper_bound")
