@@ -461,3 +461,46 @@ def test_fresh_random_append_compact_sequences(spark, tmp_path, seed):
                 assert gs == pytest.approx(ws, rel=1e-12), (seed, lo, q)
             pr = fresh.search(q, 8, prune=True)
             assert [p[0] for p in pr] == [w[0] for w in want], (seed, lo, q)
+
+
+def test_append_crash_replay_heals_instead_of_poisoning(spark, tmp_path):
+    """A batch that appended docs/partials but died BEFORE its manifest
+    save is replayed with the same id and the same (un-advanced) state.
+    The replay must REPLACE the orphaned files, not duplicate them —
+    duplicate segments would make every later merge fail its
+    docId-ascending assertion with no recovery path."""
+    import json
+    import shutil
+
+    cfg = IndexConfig(num_blocks=2)
+    wh = str(tmp_path / "crash")
+    srt = _sorted_rows(160)
+    df1 = spark.createDataFrame(srt[:80], corpus._CORPUS_SCHEMA)
+    append_batch(spark, corpus.from_source_code(df1), wh, cfg,
+                 blocks_per_batch=2, batch_id=0)
+    mpath = os.path.join(wh, "_manifest.json")
+    shutil.copy(mpath, mpath + ".pre")     # state BEFORE batch 1
+
+    df2 = spark.createDataFrame(srt[80:], corpus._CORPUS_SCHEMA)
+    append_batch(spark, corpus.from_source_code(df2), wh, cfg,
+                 blocks_per_batch=2, batch_id=1)
+    # simulate the crash: files written, manifest save "lost"
+    shutil.copy(mpath + ".pre", mpath)
+    # Structured Streaming replays batch 1
+    append_batch(spark, corpus.from_source_code(df2), wh, cfg,
+                 blocks_per_batch=2, batch_id=1)
+
+    docs = spark.read.parquet(f"{wh}/docs")
+    assert docs.count() == docs.select("doc_id").distinct().count()
+    with open(mpath) as f:
+        assert json.load(f)["stream"]["num_docs"] == docs.count()
+
+    compact(spark, wh, cfg)   # would raise on duplicated segments
+    wh_b = str(tmp_path / "crash_b")
+    build_index(spark, corpus.from_source_code(
+        spark.createDataFrame(srt, corpus._CORPUS_SCHEMA)), wh_b, cfg)
+    ii, bi = InvertedIndex(spark, wh), InvertedIndex(spark, wh_b)
+    assert ii.num_docs == bi.num_docs
+    got, want = ii.search("OR hotterm quick", 10), \
+        bi.search("OR hotterm quick", 10)
+    assert [g[0] for g in got] == [w[0] for w in want]
