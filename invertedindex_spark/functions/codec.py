@@ -55,12 +55,16 @@ def vbyte_encoded_lengths(values: np.ndarray) -> np.ndarray:
     return 1 + np.searchsorted(_THRESHOLDS, v, side="right").astype(np.int64)
 
 
-def vbyte_encode(values: np.ndarray) -> bytes:
-    """Encode an int array to the reference's VByte stream."""
+def vbyte_encode(values: np.ndarray, lens: np.ndarray | None = None) -> bytes:
+    """Encode an int array to the reference's VByte stream. ``lens``
+    (optional) are precomputed per-value byte lengths — callers that
+    already ran the length pass (vbyte_encode_runs) pass them to avoid
+    a second full searchsorted over the same values."""
     v = np.asarray(values, dtype=np.int64)
     if v.size == 0:
         return b""
-    lens = vbyte_encoded_lengths(v)
+    if lens is None:
+        lens = vbyte_encoded_lengths(v)
     ends = np.cumsum(lens)            # index just past each value
     total = int(ends[-1])
     out = np.zeros(total, dtype=np.uint8)
@@ -106,8 +110,9 @@ def vbyte_encode_runs(values: np.ndarray, starts, ends) -> list:
     v = np.asarray(values, dtype=np.int64)
     if v.size == 0:
         return [b"" for _ in range(len(starts))]
-    cum = np.concatenate([[0], np.cumsum(vbyte_encoded_lengths(v))])
-    buf = vbyte_encode(v)
+    lens = vbyte_encoded_lengths(v)
+    cum = np.concatenate([[0], np.cumsum(lens)])
+    buf = vbyte_encode(v, lens=lens)
     return [buf[cum[s]:cum[e]] for s, e in zip(starts, ends)]
 
 
@@ -169,11 +174,9 @@ def block_maxes(values: np.ndarray, df: int) -> np.ndarray:
     if df <= SKIP_POINTERS_THRESHOLD:
         return np.array([v.max() if v.size else 0.0])
     bs = skip_block_size(df)
-    n_blocks = int(math.ceil(df / bs))
-    out = np.empty(n_blocks, dtype=np.float64)
-    for i in range(n_blocks):
-        out[i] = v[i * bs:(i + 1) * bs].max()
-    return out
+    # one reduceat instead of ~sqrt(df) Python-level slice/.max calls
+    # (this runs per df>1024 term on the build and refresh hot paths)
+    return np.maximum.reduceat(v, np.arange(0, df, bs, dtype=np.int64))
 
 
 # ---------------------------------------------------------------------

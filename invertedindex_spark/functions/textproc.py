@@ -219,16 +219,19 @@ def tokenize_terms_arrow(content, stopwords: bool = True,
         content = content.combine_chunks()
     non_ascii = pc.fill_null(
         pc.match_substring_regex(content, "[^\\x00-\\x7F]"), False)
+    low = pc.utf8_lower(content)
     if pc.any(non_ascii).as_py():
-        mask = non_ascii.to_numpy(zero_copy_only=False).astype(bool)
-        fast = pc.utf8_lower(content).to_pylist()
-        src = content.to_pylist()
-        low = pa.array(
-            [(src[i].lower() if src[i] is not None else None)
-             if mask[i] else fast[i] for i in range(len(src))],
-            pa.string())
-    else:
-        low = pc.utf8_lower(content)
+        # patch ONLY the non-ASCII rows through Python str.lower (full
+        # case mapping); everything else keeps the vectorized result —
+        # one accented row must not drag the whole batch into
+        # per-row Python object churn
+        idx = np.flatnonzero(
+            non_ascii.to_numpy(zero_copy_only=False).astype(bool))
+        subset = content.take(pa.array(idx))
+        fixed = pa.array(
+            [s.lower() if s is not None else None
+             for s in subset.to_pylist()], pa.string())
+        low = pc.replace_with_mask(low, non_ascii, fixed)
     trimmed = pc.replace_substring_regex(low, "[^a-z0-9]+$", "")
     toks = pc.split_pattern_regex(trimmed, "[^a-z0-9]+")
     if isinstance(toks, pa.ChunkedArray):

@@ -65,9 +65,13 @@ def _fake_decode_features(blob: bytes, dim: int) -> list[float]:
     raw bytes keeps the chain expressible in engines whose sha256 only
     accepts strings (the DuckDB driver oracle)."""
     out = []
-    h = blob.hex().encode("ascii")
+    seed = blob.hex()
     while len(out) < dim:
-        h = hashlib.sha256(h).digest()
+        # chain on the HEX digest, not raw digest bytes: every link
+        # must stay reproducible by string-only sha256 engines (the
+        # DuckDB oracle) — sha256(hex) → hexdigest → sha256(hex) …
+        seed = hashlib.sha256(seed.encode("ascii")).hexdigest()
+        h = bytes.fromhex(seed)
         for j in range(0, 32, 4):
             (v,) = struct.unpack(">I", h[j:j + 4])
             out.append((v / 2**31) - 1.0)
@@ -131,6 +135,9 @@ def sample_frames(df, every_ms: int = 1000, max_frames: int = 8,
     import pandas as pd
 
     _require_decoder(decoder)
+    if every_ms <= 0:
+        raise ValueError("every_ms must be positive")  # driver-side,
+    # not a ZeroDivisionError inside executors
 
     def run(batches):
         for pdf in batches:
@@ -139,6 +146,11 @@ def sample_frames(df, every_ms: int = 1000, max_frames: int = 8,
                                       pdf["duration_ms"]):
                 blob = bytes(blob)
                 n = min(max_frames, max(1, int(dur) // every_ms))
+                # never more frames than bytes — a short blob would
+                # otherwise emit phantom empty frames (sha of b"")
+                n = min(n, len(blob))
+                if n == 0:
+                    continue
                 step = max(1, len(blob) // n)
                 for fi in range(n):
                     frame = blob[fi * step:(fi + 1) * step]

@@ -45,7 +45,7 @@ def clean_corpus(df, min_quality_u6: int = DEFAULT_MIN_QUALITY_U6,
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    from ..functions.textproc import STOPWORDS, tokens_col
+    from ..functions.textproc import doc_len_col, tokens_col
     from .textstats import lang_pred_col, quality_col
 
     base = df.select("doc_id", "text")
@@ -60,7 +60,7 @@ def clean_corpus(df, min_quality_u6: int = DEFAULT_MIN_QUALITY_U6,
     t = t.withColumn("keep_id", F.min("doc_id").over(w))
 
     n_tokens = F.size("tokens")
-    n_terms = F.size(F.filter("tokens", lambda x: ~x.isin(*STOPWORDS)))
+    n_terms = doc_len_col(F.col("tokens"))  # textproc's one definition
     n_sep = (F.length("text")
              - F.length(F.regexp_replace("text", "[^a-zA-Z0-9]", "")))
     # quality + language come from the SAME expression builders the

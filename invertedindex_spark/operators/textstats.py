@@ -58,7 +58,7 @@ def token_stats(df):
     comparison)."""
     from pyspark.sql import functions as F
 
-    from ..functions.textproc import STOPWORDS, tokens_col
+    from ..functions.textproc import doc_len_col, tokens_col
 
     d = df.where(F.col("text").isNotNull() & (F.length("text") > 0))
     # token-less docs (all-separator text) have no token profile — the
@@ -73,8 +73,8 @@ def token_stats(df):
         .alias("n_sep"))
     t = t.withColumn("n_tokens", F.size("tokens"))
     t = t.withColumn(
-        "n_terms",
-        F.size(F.filter("tokens", lambda x: ~x.isin(*STOPWORDS))))
+        "n_terms", doc_len_col(F.col("tokens")))  # ONE definition of
+    # the non-stopword count (textproc) — the indexer's doc_len
     stop_ratio = 1.0 - F.col("n_terms") / F.col("n_tokens")
     punct_ratio = F.col("n_sep") / F.col("n_chars")
     quality = quality_col(F.col("n_terms"), F.col("n_tokens"),
