@@ -85,16 +85,18 @@ def ndcg_at(ranked, rels, k):
 
 
 def evaluate_run(run_lines, qrel_lines, ks=(10, 100),
-                 all_topics: bool = True):
+                 all_topics: bool = False):
     """Mean mAP / RR / nDCG@k averaged over topics with at least one
     RELEVANT (rel > 0) document.
 
-    ``all_topics=True`` (default) averages over every such qrels topic
-    even when the run returned nothing for it — trec_eval's ``-c``
-    (``judged_docs_only``-complete) convention, the right one for
-    comparing systems on a fixed topic set. ``all_topics=False``
-    matches plain ``trec_eval`` (average only over topics present in
-    the run); the two differ whenever a run is missing topics."""
+    ``all_topics=False`` (default) matches plain ``trec_eval``:
+    average only over topics present in the run — the stable default,
+    so a run missing topics evaluates identically across versions.
+    ``all_topics=True`` averages over every relevant-bearing qrels
+    topic even when the run returned nothing for it — trec_eval's
+    ``-c`` convention, the right one for comparing systems on a fixed
+    topic set (pass it explicitly where runs may drop topics; the two
+    conventions differ exactly then)."""
     run = parse_run(run_lines)
     qrels = parse_qrels(qrel_lines)
     qids = [q for q in qrels

@@ -154,12 +154,31 @@ class InvertedIndex:
         # exact under the stale-bounds guard, which mismatched stats
         # trigger for exactly these warehouses.
         self.fresh = fresh
+        if fresh and self.io_mode != "local":
+            # every merged-on-read probe (_compacted_tables_exist,
+            # _fresh_partial_rows, _fresh_partials_sdf) tests the
+            # warehouse with local-FS os.path calls; on a remote URI
+            # those are all False and a "fresh" handle would silently
+            # serve STALE (partials-less) results for every query —
+            # fail loudly instead of quietly dropping the guarantee
+            raise ValueError(
+                "fresh=True requires io_mode='local' (a local warehouse "
+                "directory): the merged-on-read partial-block probes are "
+                "local-filesystem reads. Serve remote warehouses from "
+                "their compacted snapshot, or run compact() and re-open.")
         stream = manifest.get("stream")
         if fresh and stream is None:
             # batch-built warehouses have no uncompacted tail; noop
             self.fresh = False
         self._fresh_from_block = (stream or {}).get(
             "compacted_through_block", 0)
+        # snapshot upper bound: partials are scanned LIVE, so an
+        # append_batch after this handle warmed its doc_len/doc_no
+        # arrays would surface docIds beyond num_docs (out-of-bounds
+        # indexing) or mix new postings with stale stats — pin the
+        # init-time block high-water mark so the handle serves one
+        # consistent snapshot until refresh()
+        self._fresh_upto_block = (stream or {}).get("next_block_id")
 
     def _read_manifest(self) -> dict:
         if self.io_mode == "local":
@@ -374,6 +393,8 @@ class InvertedIndex:
         # double-counting every appended document
         self._fresh_from_block = (manifest.get("stream") or {}).get(
             "compacted_through_block", 0)
+        self._fresh_upto_block = (manifest.get("stream") or {}).get(
+            "next_block_id")
         return self
 
     def _rows_via_rg_index(self, terms, cols, _retried=False):
@@ -472,6 +493,10 @@ class InvertedIndex:
         if self._fresh_from_block > 0:
             filt = filt & (ds.field("block_id")
                            >= self._fresh_from_block)
+        if self._fresh_upto_block is not None:
+            # snapshot pin (see __init__): blocks appended after this
+            # handle was created are invisible until refresh()
+            filt = filt & (ds.field("block_id") < self._fresh_upto_block)
         rows = dataset.to_table(filter=filt).to_pylist()
         for r in rows:
             out.setdefault(r["term"], []).append({
@@ -853,6 +878,8 @@ class InvertedIndex:
         p = self.spark.read.parquet(f"{self.warehouse_dir}/partials")
         if self._fresh_from_block > 0:
             p = p.where(F.col("block_id") >= self._fresh_from_block)
+        if self._fresh_upto_block is not None:
+            p = p.where(F.col("block_id") < self._fresh_upto_block)
         return p
 
     def _present_terms(self, terms) -> set:

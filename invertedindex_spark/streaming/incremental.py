@@ -75,6 +75,43 @@ def _resolve_cfg(manifest: dict, cfg: B.IndexConfig | None) -> B.IndexConfig:
     return cfg
 
 
+# docs-table physical layout version for STREAM warehouses. v2 = every
+# append writes under a hive-style ``docs/ingest=<block_base>/`` subdir
+# (the deterministic location crash-replay idempotence needs). v1
+# (pre-marker) appended flat parquet files at the docs root; mixing the
+# two makes Spark's partition discovery reject the whole table at READ
+# time ("conflicting directory structures") — so appends fail fast on a
+# legacy layout instead.
+DOCS_LAYOUT_VERSION = 2
+
+
+def _check_docs_layout(manifest: dict, warehouse_dir: str) -> None:
+    """Refuse to append ingest=<n>/ subdirs into a flat-layout (v1)
+    docs table; stamp the layout version otherwise (the caller's
+    manifest save persists it). The sniff mirrors check_partials_format:
+    a pre-marker warehouse whose docs dir already has only partition
+    subdirs is adopted."""
+    ver = manifest.get("docs_layout")
+    if ver == DOCS_LAYOUT_VERSION:
+        return
+    if ver is not None:
+        raise ValueError(
+            f"warehouse docs table uses layout {ver!r} but this version "
+            f"writes layout {DOCS_LAYOUT_VERSION}; rebuild the stream "
+            "warehouse (the corpus batches are the only migration path)")
+    docs_dir = os.path.join(warehouse_dir, "docs")
+    if os.path.isdir(docs_dir):
+        import glob as _glob
+
+        if _glob.glob(os.path.join(docs_dir, "*.parquet")):
+            raise ValueError(
+                "stream warehouse has a flat-layout (pre-ingest-subdir) "
+                "docs table; appending partitioned docs would make Spark "
+                "reject the mixed directory structure at read time — "
+                "rebuild the stream warehouse")
+    manifest["docs_layout"] = DOCS_LAYOUT_VERSION
+
+
 def append_batch(spark, corpus_batch: Corpus, warehouse_dir: str,
                  cfg: B.IndexConfig | None = None,
                  blocks_per_batch: int | None = None,
@@ -118,6 +155,7 @@ def append_batch(spark, corpus_batch: Corpus, warehouse_dir: str,
     B.check_partials_format(
         manifest, strict=True,
         partials_path=os.path.join(warehouse_dir, "partials"))
+    _check_docs_layout(manifest, warehouse_dir)
     n_blocks = blocks_per_batch or spark.sparkContext.defaultParallelism
 
     raw = B._tokenized_staging(corpus_batch, cfg, n_blocks)
