@@ -179,6 +179,28 @@ def block_maxes(values: np.ndarray, df: int) -> np.ndarray:
     return np.maximum.reduceat(v, np.arange(0, df, bs, dtype=np.int64))
 
 
+def block_tf_dl_bounds(tfs: np.ndarray, dls: np.ndarray, df: int,
+                       block_size: int | None = None):
+    """Per-skip-block ``(max tf, min dl)`` — the STATS-INVARIANT bound
+    inputs persisted next to ``block_max``: the BM25 factor is monotone
+    increasing in tf and decreasing in dl (scoring.factor_np), so
+    ``idf_now * factor(max_tf, min_dl, avgdl_now)`` upper-bounds every
+    posting in the block under whatever collection stats hold at query
+    time. Geometry matches :func:`block_maxes` (one entry per skip
+    block; single block below the skip threshold) unless an explicit
+    ``block_size`` pins a different layout (PFD's 128-value blocks)."""
+    t = np.asarray(tfs, dtype=np.int64)
+    d = np.asarray(dls, dtype=np.int64)
+    if block_size is None:
+        if df <= SKIP_POINTERS_THRESHOLD:
+            return (np.array([t.max() if t.size else 0], dtype=np.int64),
+                    np.array([d.min() if d.size else 0], dtype=np.int64))
+        block_size = skip_block_size(df)
+    starts = np.arange(0, df, block_size, dtype=np.int64)
+    return (np.maximum.reduceat(t, starts),
+            np.minimum.reduceat(d, starts))
+
+
 # ---------------------------------------------------------------------
 # PForDelta (NewPFD-style) — the north star's alternative posting codec
 # ---------------------------------------------------------------------
@@ -204,12 +226,20 @@ def _pfd_pick_b(blk: np.ndarray) -> int:
     return int(q).bit_length()
 
 
-def pfd_encode(values: np.ndarray) -> bytes:
+def pfd_encode(values: np.ndarray, return_block_offsets: bool = False):
+    """Encode to the NewPFD stream. With ``return_block_offsets=True``
+    also returns the byte offset at which each 128-value block starts
+    (``offsets[0] == 0``; one entry per block) — blocks self-delimit,
+    so a decode may start at any of these offsets, which is what the
+    skip-pointer columns store for pfd warehouses (selective decode +
+    block-max pruning with PFD_BLOCK geometry instead of √df)."""
     v = np.asarray(values, dtype=np.int64)
     if np.any(v < 0):
         raise ValueError("PForDelta encodes non-negative integers only")
     out = bytearray()
+    offsets = []
     for lo in range(0, v.size, PFD_BLOCK):
+        offsets.append(len(out))
         blk = v[lo:lo + PFD_BLOCK]
         n = blk.size
         b = _pfd_pick_b(blk)
@@ -229,6 +259,8 @@ def pfd_encode(values: np.ndarray) -> bytes:
         out += exc.astype(np.uint8).tobytes()
         if exc.size:
             out += vbyte_encode(blk[exc] >> b)
+    if return_block_offsets:
+        return bytes(out), np.asarray(offsets, dtype=np.int64)
     return bytes(out)
 
 

@@ -51,6 +51,22 @@ def bm25_sql(tf_expr: str, doc_len_expr: str, df_expr: str,
     )
 
 
+def factor_np(tf, doc_len, avg_doc_len):
+    """The BM25 tf/doc-length factor alone (score = factor * ln(N/df)).
+
+    Monotone increasing in tf and decreasing in doc_len for any
+    avg_doc_len — which is what makes ``factor_np(max_tf, min_dl)`` a
+    sound per-block score bound under ARBITRARY collection stats: the
+    stats-invariant (max_tf, min_dl) pair is persisted at write time
+    and the bound is assembled at query time with the live
+    num_docs/avg_doc_len, so appends can never silently invalidate it
+    (the failure mode the stale-bounds guard existed for)."""
+    tf = np.asarray(tf, dtype=np.float64)
+    dl = np.asarray(doc_len, dtype=np.float64)
+    return tf / (K_BM25 * ((1.0 - B_BM25) + B_BM25 * (dl / avg_doc_len))
+                 + tf)
+
+
 def tfidf_np(tf, df, num_docs):
     """The reference's TFIDF variant (present but unused at query time;
     commented-out alternative in LexiconTermBinaryIndexing.java:48)."""

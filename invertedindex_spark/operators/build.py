@@ -92,22 +92,34 @@ class IndexConfig:
 # them is the scale-correct divergence). df/cf/fmax/TUB are derived
 # from the decoded postings inside the merge.
 # bump when PARTIAL_SCHEMA (or its stream encoding) changes
-# incompatibly: v2 = VByte-compressed segment streams (first docId
-# absolute, rest gaps). v1 (raw int arrays + fmax_b/cf_b) predates the
-# marker; warehouses without the marker are treated as stale.
-PARTIALS_FORMAT_VERSION = 2
+# incompatibly: v3 = v2 + per-segment stats-invariant bound inputs
+# (max_tf, min_dl), which let fresh (merged-on-read) handles prune
+# soundly without compaction. v2 = VByte-compressed segment streams
+# (first docId absolute, rest gaps). v1 (raw int arrays + fmax_b/cf_b)
+# predates the marker; warehouses without the marker are treated as
+# stale.
+PARTIALS_FORMAT_VERSION = 3
 
 PARTIAL_SCHEMA = (
     "block_id int, term string, first_doc_id long, df_b long, "
+    "max_tf long, min_dl long, "
     "doc_gaps_vb binary, tfs_vb binary, dls_vb binary"
 )
 
+# block_max is the write-time EXACT per-skip-block score bound (tight,
+# valid while collection stats match manifest['bounds_stats']);
+# block_max_tf/block_min_dl are its stats-INVARIANT inputs — the query
+# side rebuilds a sound (slightly looser) bound from them under the
+# LIVE stats whenever the stored bounds are stale (appends since the
+# last full rewrite), so pruning never has to fall back to exhaustive
+# scoring and compaction never has to rewrite untouched rows.
 POSTINGS_SCHEMA = (
     "term string, grp int, df long, cf long, term_upper_bound double, "
     "n_postings long, first_doc_id long, last_doc_id long, "
     "doc_ids_vbyte binary, freqs_vbyte binary, dls_vbyte binary, "
     "skip_doc_ids array<long>, skip_doc_offsets array<long>, "
-    "skip_freq_offsets array<long>, block_max array<double>"
+    "skip_freq_offsets array<long>, block_max array<double>, "
+    "block_max_tf array<long>, block_min_dl array<long>"
 )
 
 
@@ -131,8 +143,8 @@ def _save_manifest(warehouse_dir: str, manifest: dict) -> None:
     os.replace(tmp, _manifest_path(warehouse_dir))
 
 
-_PARTIAL_DATA_COLS = {"term", "first_doc_id", "df_b",
-                      "doc_gaps_vb", "tfs_vb", "dls_vb"}
+_PARTIAL_DATA_COLS = {"term", "first_doc_id", "df_b", "max_tf",
+                      "min_dl", "doc_gaps_vb", "tfs_vb", "dls_vb"}
 
 
 def _partials_schema_current(partials_path: str) -> bool:
@@ -431,6 +443,8 @@ def _build_partials(staged_ids, cfg: IndexConfig, avg_doc_len: float):
         ("term", pa.string()),
         ("first_doc_id", pa.int64()),
         ("df_b", pa.int64()),
+        ("max_tf", pa.int64()),
+        ("min_dl", pa.int64()),
         ("doc_gaps_vb", pa.binary()),
         ("tfs_vb", pa.binary()),
         ("dls_vb", pa.binary()),
@@ -495,6 +509,12 @@ def _build_partials(staged_ids, cfg: IndexConfig, avg_doc_len: float):
         bd = codec.vbyte_encode_runs(gaps, starts, ends)
         bt = codec.vbyte_encode_runs(tf, starts, ends)
         bl = codec.vbyte_encode_runs(dl, starts, ends)
+        # stats-invariant segment bounds: max tf / min dl per segment
+        # (one reduceat each) — the fresh (merged-on-read) query path
+        # turns these into sound BM25 bounds under the LIVE collection
+        # stats, so uncompacted appends stay prunable
+        seg_max_tf = np.maximum.reduceat(tf, starts)
+        seg_min_dl = np.minimum.reduceat(dl, starts)
 
         CHUNK = 1 << 14
         full = pa.RecordBatch.from_arrays(
@@ -502,6 +522,8 @@ def _build_partials(staged_ids, cfg: IndexConfig, avg_doc_len: float):
              pa.array(uniq_terms, pa.string()),
              pa.array(doc[starts], pa.int64()),
              pa.array(df_b, pa.int64()),
+             pa.array(seg_max_tf, pa.int64()),
+             pa.array(seg_min_dl, pa.int64()),
              pa.array(bd, pa.binary()),
              pa.array(bt, pa.binary()),
              pa.array(bl, pa.binary())],
@@ -631,7 +653,7 @@ def _merge_partials(partials, cfg: IndexConfig, num_docs: int,
         # assemble output rows
         rows = {k: [] for k in ("term", "grp", "df", "cf", "tub", "np",
                                 "first", "last", "bd", "bt", "bl",
-                                "sk", "sdo", "sfo", "bm")}
+                                "sk", "sdo", "sfo", "bm", "bmt", "bmd")}
         app = {k: rows[k].append for k in rows}
         for i in range(out_n):
             r0, r1 = g_starts[i], g_ends[i]
@@ -647,17 +669,37 @@ def _merge_partials(partials, cfg: IndexConfig, num_docs: int,
             d_row = doc[p0:p1]
             idf = idf_rows[r0]
             if use_pfd:
-                # block codec: no per-value byte offsets, so no inline
-                # skip pointers; kernels decode the full row (results
-                # identical — pruning is IO-optimal only under vbyte)
-                app["bd"](codec.pfd_encode(gaps[p0:p1]))
-                app["bt"](codec.pfd_encode(tf[p0:p1]))
+                # block codec: per-128-value blocks are self-delimiting,
+                # so skip entries carry the byte offset of every block
+                # boundary — selective decode and block-max pruning work
+                # exactly as under vbyte, with PFD_BLOCK geometry
+                bd_bytes, d_offs = codec.pfd_encode(
+                    gaps[p0:p1], return_block_offsets=True)
+                bt_bytes, t_offs = codec.pfd_encode(
+                    tf[p0:p1], return_block_offsets=True)
+                app["bd"](bd_bytes)
+                app["bt"](bt_bytes)
                 app["bl"](codec.pfd_encode(dl[p0:p1]))
-                app["sk"]([])
-                app["sdo"]([])
-                app["sfo"]([])
-                app["bm"]([float(idf * factor[p0:p1].max())]
-                          if p1 > p0 else [])
+                if d_row.size > codec.SKIP_POINTERS_THRESHOLD:
+                    bs = codec.PFD_BLOCK
+                    app["sk"](d_row[bs::bs].tolist())
+                    app["sdo"](d_offs[1:].tolist())
+                    app["sfo"](t_offs[1:].tolist())
+                    starts_b = np.arange(0, d_row.size, bs)
+                    app["bm"]((idf * np.maximum.reduceat(
+                        factor[p0:p1], starts_b)).tolist())
+                    mt, md = codec.block_tf_dl_bounds(
+                        tf[p0:p1], dl[p0:p1], d_row.size, block_size=bs)
+                    app["bmt"](mt.tolist())
+                    app["bmd"](md.tolist())
+                else:
+                    app["sk"]([])
+                    app["sdo"]([])
+                    app["sfo"]([])
+                    app["bm"]([float(idf * factor[p0:p1].max())]
+                              if p1 > p0 else [])
+                    app["bmt"]([int(tf[p0:p1].max())] if p1 > p0 else [])
+                    app["bmd"]([int(dl[p0:p1].min())] if p1 > p0 else [])
                 continue
             app["bd"](bd_runs[i])
             app["bt"](bt_runs[i])
@@ -670,12 +712,18 @@ def _merge_partials(partials, cfg: IndexConfig, num_docs: int,
                 app["sdo"](doff.tolist())
                 app["sfo"](foff.tolist())
                 app["bm"](bmax.tolist())
+                mt, md = codec.block_tf_dl_bounds(
+                    tf[p0:p1], dl[p0:p1], d_row.size)
+                app["bmt"](mt.tolist())
+                app["bmd"](md.tolist())
             else:
                 app["sk"]([])
                 app["sdo"]([])
                 app["sfo"]([])
                 app["bm"]([float(idf * factor[p0:p1].max())]
                           if p1 > p0 else [])
+                app["bmt"]([int(tf[p0:p1].max())] if p1 > p0 else [])
+                app["bmd"]([int(dl[p0:p1].min())] if p1 > p0 else [])
         CHUNK = 1 << 13
         full = pa.RecordBatch.from_arrays(
             [pa.array(rows["term"], pa.string()),
@@ -692,16 +740,68 @@ def _merge_partials(partials, cfg: IndexConfig, num_docs: int,
              pa.array(rows["sk"], pa.list_(pa.int64())),
              pa.array(rows["sdo"], pa.list_(pa.int64())),
              pa.array(rows["sfo"], pa.list_(pa.int64())),
-             pa.array(rows["bm"], pa.list_(pa.float64()))],
+             pa.array(rows["bm"], pa.list_(pa.float64())),
+             pa.array(rows["bmt"], pa.list_(pa.int64())),
+             pa.array(rows["bmd"], pa.list_(pa.int64()))],
             names=["term", "grp", "df", "cf", "term_upper_bound",
                    "n_postings", "first_doc_id", "last_doc_id",
                    "doc_ids_vbyte", "freqs_vbyte", "dls_vbyte",
                    "skip_doc_ids", "skip_doc_offsets",
-                   "skip_freq_offsets", "block_max"])
+                   "skip_freq_offsets", "block_max",
+                   "block_max_tf", "block_min_dl"])
         for lo in range(0, out_n, CHUNK):
             yield full.slice(lo, min(CHUNK, out_n - lo))
 
     return shuffled.mapInArrow(merge, POSTINGS_SCHEMA)
+
+
+def write_rg_index(spark, warehouse_dir: str) -> int:
+    """Persist the term → parquet-row-group map as a build-time
+    sidecar table (``rg_index/``: file, rg, term — one row per term
+    per row group). The query side's point lookups need exactly this
+    map (parquet row-group term values); without the sidecar every
+    process re-reads the term column of EVERY postings row group at
+    ``warm()`` time — the last O(index) driver scan on the warm path.
+    Built executor-side (one task per file) so the build pays one
+    parallel metadata pass; ``warm()`` then reads one small table.
+    Returns the number of (term, row-group) rows written."""
+    import glob as _glob
+
+    postings_dir = os.path.join(warehouse_dir, "postings")
+    out_dir = os.path.join(warehouse_dir, "rg_index")
+    files = sorted(_glob.glob(os.path.join(postings_dir, "**",
+                                           "*.parquet"), recursive=True))
+    if not files:
+        return 0
+    rel = [os.path.relpath(f, postings_dir) for f in files]
+    n_tasks = min(len(rel), spark.sparkContext.defaultParallelism)
+    fdf = spark.createDataFrame([(r,) for r in rel], "file string") \
+        .repartition(n_tasks)
+
+    def scan(iterator):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        for batch in iterator:
+            for fname in batch.column("file").to_pylist():
+                pf = pq.ParquetFile(os.path.join(postings_dir, fname))
+                for i in range(pf.metadata.num_row_groups):
+                    terms = pf.read_row_group(
+                        i, columns=["term"]).column("term")
+                    n = len(terms)
+                    if not n:
+                        continue
+                    yield pa.RecordBatch.from_arrays(
+                        [pa.array([fname] * n),
+                         pa.array([i] * n, pa.int32()),
+                         terms.combine_chunks()],
+                        names=["file", "rg", "term"])
+
+    out = fdf.mapInArrow(scan, "file string, rg int, term string")
+    out.write.mode("overwrite").parquet(out_dir)
+    import pyarrow.dataset as ds
+
+    return ds.dataset(out_dir, format="parquet").count_rows()
 
 
 # ---------------------------------------------------------------------
@@ -837,7 +937,18 @@ def build_index(spark, corpus, warehouse_dir: str,
     if not _stage_done(manifest, "postings", paths["postings"]):
         partials = spark.read.parquet(paths["partials"])
         n_merge = auto_merge_partitions(paths["partials"], num_blocks, cfg)
+        # the postings table is hive-partitioned by a stable term-hash
+        # bucket (pmod(hash(term), n_buckets) — the SAME murmur3/seed
+        # Spark's HashPartitioning uses, so with n_merge a multiple of
+        # n_buckets every merge task lands in exactly one bucket dir:
+        # one file per task, no extra shuffle). Incremental compaction
+        # then overwrites ONLY the buckets containing affected terms
+        # and hardlinks the rest — untouched payload bytes are never
+        # rewritten, at any index size.
+        n_buckets = manifest.get("postings_buckets") or n_merge
+        n_merge = -(-n_merge // n_buckets) * n_buckets
         manifest["metrics"]["merge_partitions"] = n_merge
+        manifest["postings_buckets"] = n_buckets
         merged = _merge_partials(partials, cfg, stats["num_docs"],
                                  stats["avg_doc_len"],
                                  num_partitions=n_merge)
@@ -846,10 +957,23 @@ def build_index(spark, corpus, warehouse_dir: str,
         # selective, so a point lookup reads a few MB instead of a file
         # (the parquet analogue of the reference's 60 B-record binary
         # search, DiskDataStructuresSearch.java:36-67)
-        (merged.write.mode("overwrite")
+        (merged.withColumn("bucket", F.pmod(F.hash("term"),
+                                            F.lit(n_buckets)))
+         .write.mode("overwrite")
          .option("parquet.block.size", 2 * 1024 * 1024)
+         .partitionBy("bucket")
          .parquet(paths["postings"]))
         _mark_stage(manifest, warehouse_dir, "postings")
+        manifest["stages"].pop("rg_index", None)
+
+    if (not _stage_done(manifest, "rg_index",
+                        os.path.join(warehouse_dir, "rg_index"))
+            and os.path.isdir(paths["postings"])):
+        # local warehouses only: the sidecar generator walks the
+        # postings files with local-FS glob; remote warehouses keep
+        # the footer-scan fallback at warm() time
+        rows = write_rg_index(spark, warehouse_dir)
+        _mark_stage(manifest, warehouse_dir, "rg_index", rows=rows)
 
     if not _stage_done(manifest, "lexicon", paths["lexicon"]):
         # derived from the merged postings (df/TUB are global per term

@@ -37,7 +37,7 @@ def selective_decode(doc_ids_vbyte: bytes, freqs_vbyte: bytes,
                      dls_vbyte: bytes | None,
                      skip_doc_ids, skip_doc_offsets, skip_freq_offsets,
                      first_doc_id: int, wanted: np.ndarray,
-                     decode=None):
+                     decode=None, block_size: int | None = None):
     """Decode only the skip blocks that may contain ``wanted`` docIds.
 
     Returns (doc_ids, tfs, dls?) restricted to the union of touched
@@ -45,12 +45,16 @@ def selective_decode(doc_ids_vbyte: bytes, freqs_vbyte: bytes,
     Without skip pointers (df <= 1024) the full list is decoded.
     dls are decoded fully when requested (no skip offsets are persisted
     for them; they compress tiny and slice by posting index).
+
+    ``block_size`` pins the skip-block geometry for the dl slicing:
+    ``ceil(sqrt(df))`` by default (the vbyte layout), ``PFD_BLOCK``
+    (128) for pfd streams, whose skip entries point at the
+    self-delimiting 128-value block boundaries.
     """
     decode = decode or codec.vbyte_decode
     keys = np.asarray(skip_doc_ids, dtype=np.int64)
     if keys.size == 0:
-        # no skip pointers (df <= threshold, or a block codec like PFD
-        # that has no per-value byte offsets): full decode
+        # no skip pointers (df <= threshold): full decode
         d = codec.gap_decode(decode(doc_ids_vbyte))
         tf = decode(freqs_vbyte)
         dl = decode(dls_vbyte) if dls_vbyte is not None else None
@@ -92,19 +96,20 @@ def selective_decode(doc_ids_vbyte: bytes, freqs_vbyte: bytes,
     if dls is not None:
         # dls have no skip offsets (they compress tiny, decoded fully
         # above); block i of the docId stream covers posting positions
-        # [i*bs, (i+1)*bs) with bs = ceil(sqrt(df)) — the same fixed
-        # geometry build_skip_pointers wrote. Assert it against the
-        # actually-decoded block lengths so a future change to block
-        # sizing cannot silently desynchronize the two.
+        # [i*bs, (i+1)*bs) with bs = ceil(sqrt(df)) for vbyte rows /
+        # PFD_BLOCK for pfd rows — the fixed geometry the writer used.
+        # Assert it against the actually-decoded block lengths so a
+        # future change to block sizing cannot silently desynchronize
+        # the two.
         df = dls.size
-        bs = codec.skip_block_size(df)
+        bs = block_size or codec.skip_block_size(df)
         expected = [min((i + 1) * bs, df) - i * bs for i in idx]
         if expected != block_lens:
             raise AssertionError(
                 "skip-block geometry mismatch: decoded block lengths "
-                f"{block_lens} != ceil(sqrt(df)) layout {expected} — "
-                "selective_decode's dl slicing assumes "
-                "build_skip_pointers' fixed block size")
+                f"{block_lens} != block-size-{bs} layout {expected} — "
+                "selective_decode's dl slicing assumes the writer's "
+                "fixed block size")
         pos = np.concatenate(
             [np.arange(i * bs, min((i + 1) * bs, df)) for i in idx])
         return d, tf, dls[pos]
@@ -252,6 +257,18 @@ def maxscore_or_topk(lists, num_docs: int, avg_doc_len: float, k: int,
             m = posn_c[hit]
             acc_s[hit] += scoring.bm25_np(tf[m], dl[m], df,
                                           num_docs, avg_doc_len)
+        # tie-aware threshold: the reference queue keeps ONE entry per
+        # DISTINCT score (DocumentScore.compareTo), so k docs sharing a
+        # score fill a single rank — the k-th largest RAW accumulated
+        # score over-prunes whenever partial scores tie (e.g. exact
+        # duplicate documents), silently dropping docs the exact queue
+        # would keep. The k-th largest DISTINCT accumulated score is
+        # the sound analogue (scores only grow, so it lower-bounds the
+        # final k-th distinct score for every realistic corpus; the
+        # exotic distinct-partials-colliding-to-equal-finals case
+        # remains the module-docstring caveat).
         if acc_s.size >= k:
-            threshold = np.partition(acc_s, -k)[-k]
+            distinct = np.unique(acc_s)          # sorted ascending
+            if distinct.size >= k:
+                threshold = distinct[-k]
     return acc_d, acc_s

@@ -135,6 +135,9 @@ class InvertedIndex:
         # term → parquet row-group index over the postings files (term
         # columns read once); None = not built, False = unavailable
         self._rg_index = None
+        # whether postings rows carry the stats-invariant bound inputs
+        # (block_max_tf/block_min_dl; round-4 format). None = unknown
+        self._has_inv_bounds = None
         # filled by the last search(prune=True): block-max pruning
         # counters (blocks_before/blocks_decoded/acc_dropped)
         self.last_prune_stats: dict = {}
@@ -337,6 +340,14 @@ class InvertedIndex:
             # point reads fall back to dataset-filter scans (pushdown)
             self._rg_index = False
         if self._rg_index is None:
+            # fast path: the build-time sidecar (rg_index/ — one row
+            # per term per row group) replaces the per-process footer
+            # scan; warm() then opens file footers only, reading no
+            # term data pages at all
+            built = self._rg_index_from_sidecar()
+            if built is not None:
+                self._rg_index = built
+                return self._rg_index
             import glob
 
             import pyarrow.parquet as pq
@@ -345,7 +356,8 @@ class InvertedIndex:
             term_to_rg: dict[str, list[int]] = {}
             try:
                 for fpath in sorted(glob.glob(
-                        f"{self.warehouse_dir}/postings/*.parquet")):
+                        f"{self.warehouse_dir}/postings/**/*.parquet",
+                        recursive=True)):
                     pf = pq.ParquetFile(fpath)
                     for i in range(pf.metadata.num_row_groups):
                         j = len(handles)
@@ -359,6 +371,53 @@ class InvertedIndex:
             self._rg_index = (handles, term_to_rg) if handles else False
         return self._rg_index
 
+    def _rg_index_from_sidecar(self):
+        """(handles, term_to_rg) from the persisted ``rg_index/``
+        sidecar, or None when it is absent or does not describe the
+        CURRENT postings files (file-set mismatch after a crash
+        between the postings write and the sidecar write — the caller
+        then falls back to the footer scan, which is always
+        authoritative)."""
+        sidecar = f"{self.warehouse_dir}/rg_index"
+        root = f"{self.warehouse_dir}/postings"
+        if not os.path.isdir(sidecar) or not os.path.isdir(root):
+            return None
+        import glob
+
+        import pyarrow.parquet as pq
+
+        try:
+            t = pq.read_table(sidecar)
+        except Exception:
+            return None
+        files = t.column("file").to_pylist()
+        rgs = t.column("rg").to_pylist()
+        terms = t.column("term").to_pylist()
+        on_disk = {os.path.relpath(f, root) for f in glob.glob(
+            os.path.join(root, "**", "*.parquet"), recursive=True)}
+        if set(files) != on_disk:
+            return None
+        pf_cache: dict = {}
+        handles: list = []
+        hidx: dict = {}
+        term_to_rg: dict[str, list[int]] = {}
+        try:
+            for f, rg, term in zip(files, rgs, terms):
+                key = (f, rg)
+                j = hidx.get(key)
+                if j is None:
+                    pf = pf_cache.get(f)
+                    if pf is None:
+                        pf = pq.ParquetFile(os.path.join(root, f))
+                        pf_cache[f] = pf
+                    j = len(handles)
+                    handles.append((pf, rg))
+                    hidx[key] = j
+                term_to_rg.setdefault(term, []).append(j)
+        except (OSError, KeyError, ValueError):
+            return None
+        return (handles, term_to_rg) if handles else None
+
     def refresh(self):
         """Drop every driver-side cache and file handle — call after
         anything rewrites the warehouse tables under a live handle
@@ -370,6 +429,7 @@ class InvertedIndex:
         self._doc_nos = None
         self._doc_lens = None
         self._n_terms = None
+        self._has_inv_bounds = None
         self._cache.clear()
         self._term_cache.clear()
         self._row_cache.clear()
@@ -499,6 +559,7 @@ class InvertedIndex:
             filt = filt & (ds.field("block_id") < self._fresh_upto_block)
         rows = dataset.to_table(filter=filt).to_pylist()
         for r in rows:
+            mt, md = r.get("max_tf"), r.get("min_dl")
             out.setdefault(r["term"], []).append({
                 "term": r["term"], "grp": 0, "df": int(r["df_b"]),
                 "term_upper_bound": 0.0,
@@ -508,8 +569,44 @@ class InvertedIndex:
                 "freqs_vbyte": r["tfs_vb"], "dls_vbyte": r["dls_vb"],
                 "skip_doc_ids": [], "skip_doc_offsets": [],
                 "skip_freq_offsets": [], "block_max": [],
+                # stats-invariant segment bound (v3 partials): the
+                # whole segment is one block; absent on legacy (v2)
+                # partials, which then disable OR pruning gracefully
+                "block_max_tf": None if mt is None else [int(mt)],
+                "block_min_dl": None if md is None else [int(md)],
                 "_partial": True})
         return out
+
+    def _inv_bounds_available(self) -> bool:
+        """Whether postings rows carry the stats-invariant bound inputs
+        (block_max_tf/block_min_dl). Legacy warehouses lack the columns
+        — bounds then come from the stored block_max, valid only while
+        ``_bounds_fresh``."""
+        if self._has_inv_bounds is None:
+            try:
+                if self.io_mode == "local":
+                    if not os.path.isdir(f"{self.warehouse_dir}/postings"):
+                        # never-compacted stream warehouse: partials
+                        # only, and v3 partials carry max_tf/min_dl
+                        self._has_inv_bounds = True
+                    else:
+                        names = self._local_postings().schema.names
+                        self._has_inv_bounds = "block_max_tf" in names
+                else:
+                    self._has_inv_bounds = \
+                        "block_max_tf" in self.postings.columns
+            except Exception:
+                self._has_inv_bounds = False
+        return self._has_inv_bounds
+
+    def _posting_row_cols(self):
+        cols = ["term", "grp", "df", "term_upper_bound", "first_doc_id",
+                "last_doc_id", "doc_ids_vbyte", "freqs_vbyte", "dls_vbyte",
+                "skip_doc_ids", "skip_doc_offsets", "skip_freq_offsets",
+                "block_max"]
+        if self._inv_bounds_available():
+            cols += ["block_max_tf", "block_min_dl"]
+        return cols
 
     def _fetch_rows(self, terms):
         """Posting rows (payloads + skips) per term, groups sorted by
@@ -535,10 +632,7 @@ class InvertedIndex:
         if not missing:
             return out
         terms = missing
-        cols = ["term", "grp", "df", "term_upper_bound", "first_doc_id",
-                "last_doc_id", "doc_ids_vbyte", "freqs_vbyte", "dls_vbyte",
-                "skip_doc_ids", "skip_doc_offsets", "skip_freq_offsets",
-                "block_max"]
+        cols = self._posting_row_cols()
         if self.io_mode == "local":
             if self.fresh and not os.path.isdir(
                     f"{self.warehouse_dir}/postings"):
@@ -600,6 +694,15 @@ class InvertedIndex:
             return codec.vbyte_decode
         return self._stream_decode
 
+    def _row_block_size(self, r):
+        """Skip-block geometry for one row: pfd rows use the fixed
+        128-value PFD block (skip entries point at the self-delimiting
+        block boundaries); vbyte rows use ceil(sqrt(df)) (None lets
+        selective_decode derive it). Partial segments carry no skips."""
+        if self.codec == "pfd" and not r.get("_partial"):
+            return codec.PFD_BLOCK
+        return None
+
     def _decode_rows(self, rs):
         d = np.concatenate([codec.gap_decode(
             self._row_decode(r)(r["doc_ids_vbyte"])) for r in rs])
@@ -629,7 +732,8 @@ class InvertedIndex:
             None if lens is not None else r["dls_vbyte"],
             r["skip_doc_ids"], r["skip_doc_offsets"],
             r["skip_freq_offsets"], r["first_doc_id"], wanted,
-            decode=self._row_decode(r))
+            decode=self._row_decode(r),
+            block_size=self._row_block_size(r))
             for r in rs]
         d = np.concatenate([p[0] for p in parts])
         tf = np.concatenate([p[1] for p in parts])
@@ -723,6 +827,38 @@ class InvertedIndex:
             np.asarray(r["block_max"], dtype=np.float64) for r in rs])
         return bf, bm, int(rs[-1]["last_doc_id"])
 
+    def _computed_block_bounds(self, rs):
+        """(block_first, block_bounds, last_doc_id) for a term's rows
+        under the CURRENT collection stats, assembled from the
+        persisted stats-invariant per-block (max_tf, min_dl): the BM25
+        factor is monotone increasing in tf and decreasing in dl
+        (scoring.factor_np), so ``idf_now * factor(max_tf, min_dl,
+        avgdl_now)`` upper-bounds every posting in the block no matter
+        how far stats drifted since the block was written — appends
+        and merged-on-read partials stay prunable without any bounds
+        rewrite. df is the union df (``_fetch_rows`` rewrites it for
+        fresh handles), so idf is exact. Returns None when any row
+        predates the bound columns (legacy format — callers fall back
+        to exhaustive scoring as before)."""
+        df = int(rs[0]["df"])
+        idf = math.log(self.num_docs / float(df))
+        bfs, bms = [], []
+        for r in rs:
+            mt, md = r.get("block_max_tf"), r.get("block_min_dl")
+            if mt is None or md is None or len(mt) == 0:
+                return None
+            bfs.append(np.concatenate(
+                [[r["first_doc_id"]],
+                 np.asarray(r["skip_doc_ids"], dtype=np.int64)]))
+            bms.append(idf * scoring.factor_np(
+                np.asarray(mt, dtype=np.int64),
+                np.asarray(md, dtype=np.int64), self.avg_doc_len))
+        last = rs[-1]["last_doc_id"]
+        # partial segments carry no last_doc_id; bound the final
+        # block's range by the collection end (sound overestimate)
+        return (np.concatenate(bfs), np.concatenate(bms),
+                int(last) if last is not None else self.num_docs - 1)
+
     def _score_terms_pruned(self, terms, qtype, k):
         from .maxscore import intersect_topk, maxscore_or_topk
 
@@ -740,18 +876,28 @@ class InvertedIndex:
         if scoring.dense_ok(self.num_docs, min_df):
             stats["dense_fallback"] = True
             return self._score_terms(terms, qtype)
-        if qtype == "OR" and (not self._bounds_fresh or any(
-                r.get("_partial") for rs in by_term.values() for r in rs)):
-            # persisted TUB/block_max are stale (documents appended
-            # since the last compaction rolled num_docs/avg_doc_len):
-            # MaxScore/BMM would prune against underestimated bounds
-            # and could drop valid top-k docs — serve exactly until a
-            # compaction refreshes the bounds. The _partial check is
-            # the same invariant from the row side: pseudo-rows carry
-            # no TUB/block_max at all. (The AND pruned path uses
-            # membership only, no bounds — still exact.)
-            stats["stale_bounds_fallback"] = True
-            return self._score_terms(terms, qtype)
+        # bound source: while the persisted TUB/block_max reflect the
+        # live stats (batch builds, post-compaction) use them — they
+        # are EXACT maxima, the tightest pruning possible. After an
+        # append (or with merged-on-read partials in view) they are
+        # stale/absent; rebuild sound bounds from the stats-invariant
+        # (max_tf, min_dl) instead of falling back to exhaustive
+        # scoring. Only rows that predate those columns still force
+        # the exact fallback.
+        bmap = None
+        if qtype == "OR":
+            use_stored = self._bounds_fresh and not any(
+                r.get("_partial")
+                for rs in by_term.values() for r in rs)
+            if not use_stored:
+                bmap = {}
+                for t, rs in by_term.items():
+                    ba = self._computed_block_bounds(rs)
+                    if ba is None:
+                        stats["stale_bounds_fallback"] = True
+                        return self._score_terms(terms, qtype)
+                    bmap[t] = ba
+                stats["computed_bounds"] = True
         if qtype == "AND":
             # seed from the smallest list (fully decoded); restrict each
             # later list to the *surviving* candidates so far (nextGEQ
@@ -779,9 +925,14 @@ class InvertedIndex:
                                   self.avg_doc_len)
         lists = []
         for t, rs in by_term.items():
-            tub = float(rs[0]["term_upper_bound"])
             cached = self._term_cache.get(t)
-            bb = lambda rs=rs: self._block_bounds(rs)
+            if bmap is None:
+                tub = float(rs[0]["term_upper_bound"])
+                bb = lambda rs=rs: self._block_bounds(rs)
+            else:
+                ba = bmap[t]
+                tub = float(ba[1].max()) if ba[1].size else 0.0
+                bb = lambda ba=ba: ba
             # a cached term's boost phase reads the decoded arrays, not
             # skip blocks — the kernel's block-I/O counters must not
             # claim savings for decodes that never happen
@@ -994,10 +1145,405 @@ class InvertedIndex:
                 .withColumn("df", F.count("*").over(
                     Window.partitionBy("term"))))
 
-    def search_distributed(self, query: str, k: int = 20):
+    # -- distributed dynamic pruning ----------------------------------
+    # caps for the two driver-side materializations of the pruned plan:
+    # the essential-phase accumulator table and the refined wanted set.
+    # Both are bounded by the ESSENTIAL lists' df (the rare, high-TUB
+    # terms), never by the hot lists being pruned — when a hot term is
+    # essential the accumulator set rivals the corpus, pruning cannot
+    # save I/O anyway, and the plan falls back to the exhaustive one.
+    DIST_ACC_CAP = 2_000_000
+    # boost candidates: lists at least this long go to the selective
+    # second phase (shorter ones are cheap to score exhaustively)
+    DIST_BOOST_DF_MIN = 4096
+
+    def _light_rows(self, terms):
+        """Per-term posting-row METADATA (df, ranges, skip keys, block
+        bounds — no payload bytes): the driver-side input of the
+        distributed pruned plan. ~sqrt(df) values per term, so this
+        collect stays tiny even for lists that could never be decoded
+        driver-side. Fresh handles union partial-segment pseudo-rows
+        and rewrite df to the union count (same convention as
+        :meth:`_fetch_rows`)."""
+        from pyspark.sql import functions as F
+
+        cols = ["term", "grp", "df", "term_upper_bound", "first_doc_id",
+                "last_doc_id", "skip_doc_ids", "block_max"]
+        if self._inv_bounds_available():
+            cols += ["block_max_tf", "block_min_dl"]
+        if self._compacted_tables_exist():
+            rows = [r.asDict() for r in
+                    (self.postings
+                     .where(F.col("term").isin(list(terms)))
+                     .select(*cols).collect())]
+        else:
+            rows = []
+        by_term: dict[str, list] = {}
+        for r in rows:
+            by_term.setdefault(r["term"], []).append(r)
+        p = self._fresh_partials_sdf()
+        if p is not None:
+            prows = (p.where(F.col("term").isin(list(terms)))
+                     .select("term", "df_b", "first_doc_id",
+                             "max_tf", "min_dl").collect())
+            for r in prows:
+                by_term.setdefault(r["term"], []).append({
+                    "term": r["term"], "df": int(r["df_b"]),
+                    "term_upper_bound": 0.0,
+                    "first_doc_id": int(r["first_doc_id"]),
+                    "last_doc_id": None, "skip_doc_ids": [],
+                    "block_max": [],
+                    "block_max_tf": None if r["max_tf"] is None
+                    else [int(r["max_tf"])],
+                    "block_min_dl": None if r["min_dl"] is None
+                    else [int(r["min_dl"])],
+                    "_partial": True})
+        for rs in by_term.values():
+            rs.sort(key=lambda r: r["first_doc_id"])
+            if self.fresh:
+                base_df = next((r["df"] for r in rs
+                                if not r.get("_partial")), 0)
+                total = base_df + sum(r["df"] for r in rs
+                                      if r.get("_partial"))
+                for r in rs:
+                    r["df"] = total
+        return by_term
+
+    def _term_bounds_for_pruning(self, by_term):
+        """term → (tub, block_first, block_bounds, last_doc_id) under
+        the live stats, or None when any term's rows predate the
+        stats-invariant bound columns (caller falls back to the
+        exhaustive plan). Stored tight bounds when ``_bounds_fresh``
+        and no partial segments are in view; computed sound bounds
+        otherwise — the same dispatch as the driver pruned kernel."""
+        use_stored = self._bounds_fresh and not any(
+            r.get("_partial") for rs in by_term.values() for r in rs)
+        out = {}
+        for t, rs in by_term.items():
+            if use_stored:
+                bf, bm, last = self._block_bounds(rs)
+                tub = float(rs[0]["term_upper_bound"])
+            else:
+                ba = self._computed_block_bounds(rs)
+                if ba is None:
+                    return None
+                bf, bm, last = ba
+                tub = float(bm.max()) if bm.size else 0.0
+            out[t] = (tub, bf, bm, last)
+        return out
+
+    def _acc_table(self, terms, qtype):
+        """Essential-phase accumulators as driver arrays:
+        (doc_ids, scores, dls, n_terms_hit) summed over ``terms`` via
+        ONE distributed job, or None above DIST_ACC_CAP."""
+        from pyspark.sql import functions as F
+
+        ess = self.decoded_postings_df(terms)
+        scored = ess.withColumn(
+            "partial",
+            scoring.bm25_col(F.col("tf"), F.col("dl"), F.col("df"),
+                             F.lit(float(self.num_docs)),
+                             F.lit(self.avg_doc_len)))
+        agg = (scored.groupBy("doc_id")
+               .agg(F.sum("partial").alias("acc"),
+                    F.first("dl").alias("dl"),
+                    F.count("*").alias("nt"))).persist()
+        try:
+            if (agg.limit(self.DIST_ACC_CAP + 1).count()
+                    > self.DIST_ACC_CAP):
+                return None
+            try:
+                tbl = agg.toArrow()
+                ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+                accs = tbl.column("acc").to_numpy(zero_copy_only=False)
+                dls = tbl.column("dl").to_numpy(zero_copy_only=False)
+                nts = tbl.column("nt").to_numpy(zero_copy_only=False)
+            except Exception:
+                rows = agg.collect()
+                ids = np.array([r["doc_id"] for r in rows],
+                               dtype=np.int64)
+                accs = np.array([r["acc"] for r in rows],
+                                dtype=np.float64)
+                dls = np.array([r["dl"] for r in rows], dtype=np.int64)
+                nts = np.array([r["nt"] for r in rows], dtype=np.int64)
+        finally:
+            agg.unpersist()
+        order = np.argsort(ids)
+        return (ids[order].astype(np.int64), accs[order],
+                dls[order].astype(np.int64), nts[order].astype(np.int64))
+
+    def _boost_partials_df(self, terms, wanted_ids, wanted_dls,
+                           score_info):
+        """The selective second phase: one mapInArrow pass over the
+        boost terms' posting rows that uses each row's OWN skip
+        pointers to decode only the blocks containing surviving
+        candidates (operators/maxscore.selective_decode — the same
+        kernel as the driver path, here running executor-side), scores
+        the matches against the broadcast (doc_id → dl) map, and emits
+        (doc_id, partial, one term-hit marker). Payload bytes of
+        skipped blocks are read from parquet row groups but never
+        VByte/PFD-decoded; whole rows whose [first_doc_id,
+        last_doc_id] range misses every candidate are dropped by a
+        JVM-side range filter before Python sees them."""
+        import pyarrow as pa
+        from pyspark.sql import functions as F
+
+        sc = self.spark.sparkContext
+        bc = sc.broadcast((wanted_ids, wanted_dls, score_info))
+        use_pfd = self.codec == "pfd"
+        num_docs, avg_dl = float(self.num_docs), self.avg_doc_len
+
+        pay_cols = ["term", "first_doc_id", "last_doc_id",
+                    "doc_ids_vbyte", "freqs_vbyte", "skip_doc_ids",
+                    "skip_doc_offsets", "skip_freq_offsets"]
+        if self._compacted_tables_exist():
+            base = (self.postings
+                    .where(F.col("term").isin(list(terms)))
+                    # range filter: a (term, grp) row disjoint from the
+                    # candidate span never reaches the Python worker
+                    .where((F.col("first_doc_id")
+                            <= int(wanted_ids[-1]))
+                           & (F.col("last_doc_id")
+                              >= int(wanted_ids[0])))
+                    .select(*pay_cols,
+                            F.lit(False).alias("is_partial")))
+        else:
+            base = self.spark.createDataFrame(
+                [], "term string, first_doc_id long, last_doc_id long, "
+                    "doc_ids_vbyte binary, freqs_vbyte binary, "
+                    "skip_doc_ids array<long>, "
+                    "skip_doc_offsets array<long>, "
+                    "skip_freq_offsets array<long>, is_partial boolean")
+        p = self._fresh_partials_sdf()
+        if p is not None:
+            part = (p.where(F.col("term").isin(list(terms)))
+                    .select("term", "first_doc_id",
+                            F.lit(None).cast("long")
+                            .alias("last_doc_id"),
+                            F.col("doc_gaps_vb").alias("doc_ids_vbyte"),
+                            F.col("tfs_vb").alias("freqs_vbyte"),
+                            F.array().cast("array<long>")
+                            .alias("skip_doc_ids"),
+                            F.array().cast("array<long>")
+                            .alias("skip_doc_offsets"),
+                            F.array().cast("array<long>")
+                            .alias("skip_freq_offsets"),
+                            F.lit(True).alias("is_partial")))
+            base = base.unionByName(part)
+
+        def boost(iterator):
+            from .maxscore import selective_decode
+
+            wids, wdls, idf_map = bc.value
+            for batch in iterator:
+                rows = batch.to_pylist()
+                out_ids, out_sc, out_terms = [], [], []
+                for r in rows:
+                    lo = np.searchsorted(wids, r["first_doc_id"])
+                    hi = (np.searchsorted(
+                        wids, r["last_doc_id"], side="right")
+                        if r["last_doc_id"] is not None else wids.size)
+                    wanted = wids[lo:hi]
+                    if wanted.size == 0:
+                        continue
+                    dec = (codec.vbyte_decode if r["is_partial"]
+                           else (codec.pfd_decode if use_pfd
+                                 else codec.vbyte_decode))
+                    bs = (codec.PFD_BLOCK
+                          if use_pfd and not r["is_partial"] else None)
+                    d, tf, _dl = selective_decode(
+                        r["doc_ids_vbyte"], r["freqs_vbyte"], None,
+                        r["skip_doc_ids"], r["skip_doc_offsets"],
+                        r["skip_freq_offsets"], r["first_doc_id"],
+                        wanted, decode=dec, block_size=bs)
+                    if d.size == 0:
+                        continue
+                    pos = np.searchsorted(d, wanted)
+                    pos_c = np.clip(pos, 0, d.size - 1)
+                    hitmask = d[pos_c] == wanted
+                    m = pos_c[hitmask]
+                    if m.size == 0:
+                        continue
+                    widx = np.flatnonzero(hitmask) + lo
+                    idf = idf_map[r["term"]]
+                    s = scoring.factor_np(
+                        tf[m], wdls[widx], avg_dl) * idf
+                    out_ids.append(wids[widx])
+                    out_sc.append(s)
+                    out_terms.append(
+                        np.full(m.size, 1, dtype=np.int64))
+                if not out_ids:
+                    continue
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(np.concatenate(out_ids)),
+                     pa.array(np.concatenate(out_sc)),
+                     pa.array(np.concatenate(out_terms))],
+                    names=["doc_id", "partial", "hits"])
+
+        return base.mapInArrow(
+            boost, "doc_id long, partial double, hits long")
+
+    def _search_distributed_pruned(self, qtype, present, k):
+        """Two-phase distributed plan with dynamic pruning — the
+        cluster-side analogue of the driver MaxScore/BMM kernel
+        (reference seam ``QueryProcessor.java:251-432``):
+
+        1. score the ESSENTIAL lists (rare, high-TUB — or the
+           smallest list for AND) exhaustively in one job and pull the
+           accumulator table to the driver (bounded by DIST_ACC_CAP —
+           it is sized by the rare lists, never the hot ones);
+        2. θ = k-th best accumulated score; soundness: every remaining
+           list's TUB mass must sum below θ (docs appearing only in
+           boost lists can then never reach the top-k), else the
+           largest-TUB boost list is promoted to essential and θ is
+           recomputed;
+        3. driver-side Block-Max refinement: survivors =
+           acc + Σ per-term block bound ≥ θ (each boost term's
+           persisted block maxima at the doc's block);
+        4. one selective mapInArrow pass decodes ONLY blocks holding
+           survivors (skip pointers executor-side), the k-th queue
+           semantics finish the plan distributively.
+
+        Returns None when pruning cannot apply (legacy bounds, tiny
+        boost side, accumulator overflow) — the caller then runs the
+        exhaustive plan. Records prune telemetry in
+        ``last_prune_stats``."""
+        from pyspark.sql import functions as F
+
+        stats = self.last_prune_stats = {"mode": "distributed"}
+        by_term = self._light_rows(present)
+        if len(by_term) != len(present):
+            return None
+        bounds = self._term_bounds_for_pruning(by_term)
+        if bounds is None:
+            stats["stale_bounds_fallback"] = True
+            return None
+        if not self._bounds_fresh or any(
+                r.get("_partial") for rs in by_term.values()
+                for r in rs):
+            stats["computed_bounds"] = True
+        dfs = {t: int(rs[0]["df"]) for t, rs in by_term.items()}
+        if qtype == "AND":
+            # candidates live inside the smallest list; everything
+            # else is a boost list regardless of TUB
+            ess = [min(dfs, key=lambda t: (dfs[t], t))]
+            boost = [t for t in sorted(by_term) if t not in ess]
+            if not boost or dfs[ess[0]] > self.DIST_ACC_CAP:
+                return None
+        else:
+            boost = [t for t in by_term
+                     if dfs[t] >= self.DIST_BOOST_DF_MIN]
+            ess = [t for t in by_term if t not in boost]
+            if not boost or not ess:
+                return None
+            # essential phase must stay driver-collectable
+            if sum(dfs[t] for t in ess) > self.DIST_ACC_CAP:
+                return None
+
+        theta = -np.inf
+        acc = None
+        while True:
+            acc = self._acc_table(ess, qtype)
+            if acc is None:
+                return None
+            ids, accs, dls, nts = acc
+            if qtype == "AND":
+                break
+            if accs.size >= k:
+                # tie-aware: k-th largest DISTINCT accumulated score
+                # (the queue collapses equal scores to one rank — see
+                # maxscore_or_topk's threshold comment)
+                distinct = np.unique(accs)
+                if distinct.size >= k:
+                    theta = float(distinct[-k])
+            s_rest = float(sum(bounds[t][0] for t in boost))
+            if s_rest < theta:
+                break
+            # promote the strongest boost list and retry; if nothing
+            # is left to promote the plan degenerates to exhaustive
+            if not boost:
+                return None
+            promote = max(boost, key=lambda t: bounds[t][0])
+            boost.remove(promote)
+            ess.append(promote)
+            if not boost or sum(dfs[t] for t in ess) > self.DIST_ACC_CAP:
+                return None
+        stats.update(essential_terms=len(ess), boost_terms=len(boost),
+                     acc_docs=int(ids.size), theta=float(theta))
+
+        if qtype == "AND":
+            # a doc must appear in every list; the acc table covers the
+            # smallest list, so every candidate is already in it
+            keep = nts == len(ess)
+            wanted_ids, wanted_acc, wanted_dls = \
+                ids[keep], accs[keep], dls[keep]
+        else:
+            # Block-Max refinement: upper-bound each accumulator by its
+            # per-boost-term block maxima; below θ it can never enter
+            # the top-k (θ only grows), exactly the driver kernel's
+            # accumulator drop
+            ub = accs.copy()
+            blocks_total = 0
+            for t in boost:
+                _tub, bf, bm, last = bounds[t]
+                blk = np.searchsorted(bf, ids, side="right") - 1
+                in_r = (blk >= 0) & (ids <= last)
+                ub[in_r] += bm[np.clip(blk, 0, bm.size - 1)][in_r]
+                blocks_total += bm.size
+            keep = ub >= theta
+            wanted_ids, wanted_acc, wanted_dls = \
+                ids[keep], accs[keep], dls[keep]
+            blocks_wanted = 0
+            for t in boost:
+                _tub, bf, bm, last = bounds[t]
+                blk = np.searchsorted(bf, wanted_ids,
+                                      side="right") - 1
+                in_r = (blk >= 0) & (wanted_ids <= last)
+                blocks_wanted += int(np.unique(blk[in_r]).size)
+            stats.update(acc_dropped=int((~keep).sum()),
+                         blocks_before=blocks_total,
+                         blocks_decoded=blocks_wanted)
+        stats["wanted_docs"] = int(wanted_ids.size)
+        if wanted_ids.size == 0:
+            return self.spark.createDataFrame(
+                [], "doc_no string, score double")
+
+        idf_map = {t: math.log(self.num_docs / float(dfs[t]))
+                   for t in boost}
+        boost_df = self._boost_partials_df(
+            boost, wanted_ids, wanted_dls, idf_map)
+        kept = self.spark.createDataFrame(
+            [(int(i), float(a)) for i, a in
+             zip(wanted_ids, wanted_acc)],
+            "doc_id long, acc double")
+        totals = (boost_df.groupBy("doc_id")
+                  .agg(F.sum("partial").alias("boost"),
+                       F.sum("hits").alias("nb")))
+        final = (kept.join(totals, "doc_id", "left")
+                 .select("doc_id",
+                         (F.col("acc")
+                          + F.coalesce(F.col("boost"), F.lit(0.0)))
+                         .alias("score"),
+                         F.coalesce(F.col("nb"), F.lit(0))
+                         .alias("nb")))
+        if qtype == "AND":
+            final = final.where(F.col("nb") == len(boost))
+        top = (final.groupBy("score")
+               .agg(F.min("doc_id").alias("doc_id"))
+               .orderBy(F.desc("score")).limit(k))
+        return (self.docs.join(F.broadcast(top), "doc_id")
+                .select("doc_no", "score").orderBy(F.desc("score")))
+
+    def search_distributed(self, query: str, k: int = 20,
+                           prune: bool = False):
         """Same query, pure DataFrame plan; returns a DataFrame
         (doc_no, score) ordered by score desc. Scales to posting lists
-        that must never be collected to the driver."""
+        that must never be collected to the driver.
+
+        ``prune=True`` runs the two-phase dynamic-pruning plan
+        (:meth:`_search_distributed_pruned`) and falls back to the
+        exhaustive plan whenever pruning cannot apply — results are
+        identical either way (asserted by tests on every corpus)."""
         from pyspark.sql import functions as F
 
         qtype, terms = preprocess_query(
@@ -1006,6 +1552,10 @@ class InvertedIndex:
         if not present or (qtype == "AND" and len(present) < len(terms)):
             return self.spark.createDataFrame(
                 [], "doc_no string, score double")
+        if prune:
+            res = self._search_distributed_pruned(qtype, present, k)
+            if res is not None:
+                return res
         exploded = self.decoded_postings_df(present)
         scored = exploded.withColumn(
             "partial",

@@ -228,67 +228,29 @@ def append_batch(spark, corpus_batch: Corpus, warehouse_dir: str,
     return manifest
 
 
-def _refresh_tub_blockmax(postings, cfg: B.IndexConfig,
-                          num_docs: int, avg_doc_len: float):
-    """Narrow (shuffle-free) recompute of ``term_upper_bound`` and
-    ``block_max`` for already-merged posting rows under NEW collection
-    stats: appends change num_docs/avg_doc_len, so idf and the BM25
-    tf/dl factor — and with them every persisted bound — drift even for
-    terms no new block touches. Payload streams and skip pointers are
-    untouched; only tf/dl are decoded to rebuild the maxima (the exact
-    expressions the merge uses, ``operators/build.py:550-632``).
+def _link_tree(src_dir: str, dst_dir: str) -> int:
+    """Hardlink every data file under ``src_dir`` into ``dst_dir``
+    (copy fallback for filesystems without link support). Returns the
+    linked byte count. Used by incremental compaction to carry
+    untouched postings buckets into the new table generation without
+    rewriting a single payload byte."""
+    import shutil as _sh
 
-    Valid only when each term maps to exactly ONE posting row
-    (``merge_width is None``, the default): TUB is a *term-global*
-    maximum, and a narrow pass cannot see across rows of a split term —
-    :func:`compact` falls back to the full merge in that case.
-    """
-    import math
-
-    import numpy as np
-    import pyarrow as pa
-
-    from ..functions import codec as C
-    from ..functions import scoring
-
-    k1, b = scoring.K_BM25, scoring.B_BM25
-    use_pfd = cfg.codec == "pfd"
-    # mapInArrow output must follow the declared schema's field order
-    out_names = [f.split()[0] for f in B.POSTINGS_SCHEMA.split(", ")]
-
-    def refresh(iterator):
-        dec = C.pfd_decode if use_pfd else C.vbyte_decode
-        for batch in iterator:
-            n = batch.num_rows
-            if n == 0:
+    total = 0
+    for root, _dirs, files in os.walk(src_dir):
+        rel = os.path.relpath(root, src_dir)
+        tdir = dst_dir if rel == "." else os.path.join(dst_dir, rel)
+        os.makedirs(tdir, exist_ok=True)
+        for f in files:
+            if f.startswith((".", "_")):
                 continue
-            dfs = batch.column("df").to_numpy(zero_copy_only=False)
-            tf_b = batch.column("freqs_vbyte").to_pylist()
-            dl_b = batch.column("dls_vbyte").to_pylist()
-            tubs = np.empty(n, dtype=np.float64)
-            bms = []
-            for i in range(n):
-                tf = dec(tf_b[i])
-                dl = dec(dl_b[i])
-                factor = tf / (k1 * ((1.0 - b) + b * (
-                    dl.astype(np.float64) / avg_doc_len)) + tf)
-                idf = math.log(num_docs / float(dfs[i]))
-                fm = float(factor.max()) if factor.size else 0.0
-                tubs[i] = idf * fm
-                if factor.size == 0:
-                    bms.append([])
-                elif use_pfd or factor.size <= C.SKIP_POINTERS_THRESHOLD:
-                    bms.append([idf * fm])
-                else:
-                    bms.append((idf * C.block_maxes(
-                        factor, factor.size)).tolist())
-            cols = {nm: batch.column(nm) for nm in batch.schema.names}
-            cols["term_upper_bound"] = pa.array(tubs, pa.float64())
-            cols["block_max"] = pa.array(bms, pa.list_(pa.float64()))
-            yield pa.RecordBatch.from_arrays(
-                [cols[nm] for nm in out_names], names=out_names)
-
-    return postings.mapInArrow(refresh, B.POSTINGS_SCHEMA)
+            s, t = os.path.join(root, f), os.path.join(tdir, f)
+            try:
+                os.link(s, t)
+            except OSError:
+                _sh.copy2(s, t)
+            total += os.path.getsize(s)
+    return total
 
 
 def compact(spark, warehouse_dir: str,
@@ -304,11 +266,18 @@ def compact(spark, warehouse_dir: str,
     **Incremental mode** (automatic after the first compaction): only
     terms present in blocks appended since the last compaction are
     re-merged (their segments — old and new — reshuffle); every other
-    posting row passes through a narrow TUB/block-max refresh with no
-    shuffle and no stream re-encode. Falls back to the full merge when
-    the affected-term fraction exceeds ``incremental_threshold``, when
-    ``merge_width`` splits terms across rows (TUB is term-global — see
-    :func:`_refresh_tub_blockmax`), or on the first compaction.
+    posting row passes through VERBATIM — no shuffle, no stream
+    decode, no bounds rewrite. That is sound because pruning bounds
+    are reconstructed at query time from the stats-invariant per-block
+    (max_tf, min_dl) columns whenever the stored score bounds are
+    stale; the ``bounds_stats`` marker is therefore NOT re-stamped by
+    an incremental compaction (untouched rows' stored ``block_max``
+    still reflect an older collection), and the query side keeps using
+    computed bounds until a full compaction rewrites everything.
+    Falls back to the full merge when the affected-term fraction
+    exceeds ``incremental_threshold``, when ``merge_width`` splits
+    terms across rows (global df/cf need all of a term's rows in the
+    merge), or on the first compaction.
     ``manifest['metrics']['last_compaction']`` records the mode, the
     affected/untouched split, and how many segments actually
     reshuffled. Partials remain the source of truth: a crash mid-swap
@@ -367,6 +336,7 @@ def compact(spark, warehouse_dir: str,
         if n_affected > incremental_threshold * max(n_terms, 1):
             incremental = False
 
+    n_buckets = manifest.get("postings_buckets")
     try:
         if incremental:
             # re-merge ONLY the affected terms' segments (all their
@@ -383,29 +353,91 @@ def compact(spark, warehouse_dir: str,
             n_prev_present = lex_df.join(
                 affected, "term", "left_semi").count()
             n_untouched = n_terms - n_prev_present
+            if n_buckets:
+                n_merge = -(-n_merge // n_buckets) * n_buckets
             merged = B._merge_partials(
                 aff_partials, cfg, num_docs, avg, num_partitions=n_merge)
-            untouched = (spark.read.parquet(paths["postings"])
-                         .join(affected, "term", "left_anti"))
-            out = _refresh_tub_blockmax(
-                untouched, cfg, num_docs, avg).unionByName(merged)
+            # untouched rows pass through VERBATIM (no decode): their
+            # stored TUB/block_max stay at the previous stats — which
+            # is fine, because bounds_stats is not re-stamped below,
+            # so queries derive sound bounds from block_max_tf/
+            # block_min_dl instead. Legacy rows without those columns
+            # union as nulls and disable OR pruning gracefully.
+            old = spark.read.parquet(paths["postings"])
             tmp = paths["postings"] + "_compact_tmp"
             shutil.rmtree(tmp, ignore_errors=True)
-            # small row groups keep the term→row-group point lookups
-            # selective — same option as build_index's postings write
-            (out.write.mode("overwrite")
-             .option("parquet.block.size", 2 * 1024 * 1024)
-             .parquet(tmp))
+            if n_buckets and "bucket" in old.columns:
+                # bucketed layout: ONLY the buckets holding affected
+                # terms are read and rewritten (partition-pruned scan +
+                # per-bucket write); every other bucket's files are
+                # hardlinked into the new table — untouched payload
+                # bytes are neither decoded, shuffled, nor rewritten
+                aff_buckets = sorted(
+                    r["b"] for r in affected.select(
+                        F.pmod(F.hash("term"), F.lit(n_buckets))
+                        .alias("b")).distinct().collect())
+                if aff_buckets:
+                    passthrough = (old.where(F.col("bucket")
+                                             .isin(aff_buckets))
+                                   .join(affected, "term", "left_anti")
+                                   .drop("bucket"))
+                    out = (passthrough
+                           .unionByName(merged,
+                                        allowMissingColumns=True)
+                           .withColumn("bucket",
+                                       F.pmod(F.hash("term"),
+                                              F.lit(n_buckets))))
+                    (out.write.mode("overwrite")
+                     .option("parquet.block.size", 2 * 1024 * 1024)
+                     .partitionBy("bucket").parquet(tmp))
+                else:   # nothing appended since the last compaction
+                    os.makedirs(tmp, exist_ok=True)
+                rewritten = sum(B._dir_bytes(os.path.join(
+                    paths["postings"], f"bucket={b}"))
+                    for b in aff_buckets)
+                linked = 0
+                for d in os.listdir(paths["postings"]):
+                    if not d.startswith("bucket="):
+                        continue
+                    if int(d.split("=", 1)[1]) in aff_buckets:
+                        continue
+                    linked += _link_tree(
+                        os.path.join(paths["postings"], d),
+                        os.path.join(tmp, d))
+                metrics.update(
+                    rewritten_buckets=len(aff_buckets),
+                    total_buckets=n_buckets,
+                    rewritten_payload_bytes=rewritten,
+                    linked_payload_bytes=linked)
+            else:
+                # legacy (unbucketed) layout: verbatim pass-through of
+                # untouched rows still avoids decode/shuffle, but the
+                # whole table's bytes are rewritten once; the swap
+                # upgrades the warehouse to the bucketed layout only
+                # on the next FULL compaction
+                out = (old.join(affected, "term", "left_anti")
+                       .unionByName(merged, allowMissingColumns=True))
+                (out.write.mode("overwrite")
+                 .option("parquet.block.size", 2 * 1024 * 1024)
+                 .parquet(tmp))
+            # swap; a crash in between is healed by the next compact()
+            # (missing postings ⇒ full merge from partials, the source
+            # of truth)
             shutil.rmtree(paths["postings"])
             os.rename(tmp, paths["postings"])
             metrics.update(mode="incremental", merged_segments=n_segments,
                            untouched_rows=n_untouched)
         else:
+            n_buckets = n_buckets or n_merge
+            n_merge = -(-n_merge // n_buckets) * n_buckets
+            manifest["postings_buckets"] = n_buckets
             merged = B._merge_partials(
                 partials, cfg, num_docs, avg, num_partitions=n_merge)
-            (merged.write.mode("overwrite")
+            (merged.withColumn("bucket", F.pmod(F.hash("term"),
+                                                F.lit(n_buckets)))
+             .write.mode("overwrite")
              .option("parquet.block.size", 2 * 1024 * 1024)
-             .parquet(paths["postings"]))
+             .partitionBy("bucket").parquet(paths["postings"]))
     finally:
         if affected is not None:
             affected.unpersist()
@@ -416,6 +448,13 @@ def compact(spark, warehouse_dir: str,
            .agg(F.first("df").alias("df"), F.sum("cf").alias("cf"),
                 F.first("term_upper_bound").alias("term_upper_bound")))
     lex.write.mode("overwrite").parquet(paths["lexicon"])
+    # refresh the term→row-group sidecar for the new postings
+    # generation (parallel metadata-only pass; hardlinked buckets keep
+    # their file names, so an affected-buckets-only refresh is a
+    # possible future narrowing)
+    if os.path.isdir(paths["postings"]):
+        B.write_rg_index(spark, warehouse_dir)
+        manifest.setdefault("stages", {})["rg_index"] = {"done": True}
     for s in ("docs", "stats", "partials", "lexicon", "postings"):
         manifest["stages"][s] = {"done": True}
     # the strict check at entry proved (or adopted) the current format;
@@ -424,10 +463,16 @@ def compact(spark, warehouse_dir: str,
     if "stream" in manifest:
         manifest["stream"]["compacted_through_block"] = \
             manifest["stream"].get("next_block_id", 0)
-    # TUB/block_max in the rewritten postings reflect exactly these
-    # stats; queries may prune again (build.py writes the same marker)
-    manifest["bounds_stats"] = {"num_docs": num_docs,
-                                "avg_doc_len": avg}
+    if metrics["mode"] == "full":
+        # a FULL rewrite recomputed every stored TUB/block_max under
+        # exactly these stats — queries may use the tight stored
+        # bounds again (build.py writes the same marker). After an
+        # incremental compaction the untouched rows' stored bounds
+        # still reflect an older collection, so the marker is left
+        # alone (stale) and queries keep deriving sound bounds from
+        # the stats-invariant block_max_tf/block_min_dl columns.
+        manifest["bounds_stats"] = {"num_docs": num_docs,
+                                    "avg_doc_len": avg}
     manifest.setdefault("metrics", {})["last_compaction"] = metrics
     from dataclasses import asdict
     manifest["config"] = {**manifest.get("config", {}), **asdict(cfg)}

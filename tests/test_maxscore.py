@@ -78,17 +78,13 @@ QUERIES = [
 ]
 
 
-@pytest.fixture(scope="module")
-def bm_index(spark, tmp_path_factory):
+def _bm_rows():
     """Controlled-df corpus for block-skip assertions: one hot term
     (df 1600 > skip threshold, low TUB) plus two mid-rare terms (df 10,
     high TUB) whose docs scatter across the hot list's skip blocks —
     the synthetic source-code corpus is bimodal (df 1 or df ≥ ~0.15N)
     and every common-term query there correctly takes the dense
     dispatch instead."""
-    from invertedindex_spark import InvertedIndex, build_index
-
-    wh = str(tmp_path_factory.mktemp("wh_bm"))
     docsA = {0, 137, 401, 703, 999, 1201, 1499, 1777, 1901, 1999}
     docsB = {55, 233, 512, 897, 1044, 1388, 1600, 1717, 1846, 1966}
     rows = []
@@ -102,7 +98,15 @@ def bm_index(spark, tmp_path_factory):
             toks += ["qqrareb"] * (1 + i % 3)
         toks += [f"u{i}x"] * (1 + (i * 13) % 7)   # unique filler: dl varies
         rows.append(("r0", f"f{i:05d}.py", "c0", "py", " ".join(toks)))
-    df = spark.createDataFrame(rows, corpus._CORPUS_SCHEMA)
+    return rows
+
+
+@pytest.fixture(scope="module")
+def bm_index(spark, tmp_path_factory):
+    from invertedindex_spark import InvertedIndex, build_index
+
+    wh = str(tmp_path_factory.mktemp("wh_bm"))
+    df = spark.createDataFrame(_bm_rows(), corpus._CORPUS_SCHEMA)
     build_index(spark, corpus.from_source_code(df), wh,
                 IndexConfig(num_blocks=4))
     return InvertedIndex(spark, wh)
@@ -153,6 +157,157 @@ def test_blockmax_bounds_assembly(big_index):
                         big_index.avg_doc_len)
     blk = np.searchsorted(bf, d, side="right") - 1
     assert np.all(s <= bm[blk] + 1e-12)
+
+
+def test_pfd_blockmax_skips_blocks(spark, tmp_path):
+    """PFD warehouses carry real skip structure now: skip entries point
+    at the self-delimiting 128-value block boundaries (byte offsets
+    from pfd_encode), with per-block maxima — so selective decode and
+    Block-Max pruning skip whole blocks under pfd exactly as under
+    vbyte, instead of falling back to full-list decode."""
+    from invertedindex_spark import InvertedIndex, build_index
+    from invertedindex_spark.functions import codec as C
+
+    wh = str(tmp_path / "wh_bm_pfd")
+    df = spark.createDataFrame(_bm_rows(), corpus._CORPUS_SCHEMA)
+    build_index(spark, corpus.from_source_code(df), wh,
+                IndexConfig(num_blocks=4, codec="pfd"))
+    idx = InvertedIndex(spark, wh)
+    r = idx._fetch_rows(["hotterm"])["hotterm"][0]
+    n_blocks = -(-r["df"] // C.PFD_BLOCK)
+    assert len(r["skip_doc_ids"]) == n_blocks - 1
+    assert len(r["block_max"]) == n_blocks
+    # skip byte offsets land exactly on decodable block boundaries
+    d_full = C.gap_decode(C.pfd_decode(r["doc_ids_vbyte"]))
+    off = r["skip_doc_offsets"][2]
+    blk = C.pfd_decode(r["doc_ids_vbyte"][off:r["skip_doc_offsets"][3]])
+    # block 3 holds the gaps at posting positions [3*128, 4*128)
+    want = np.diff(d_full[3 * C.PFD_BLOCK - 1:4 * C.PFD_BLOCK])
+    assert np.array_equal(blk, want)
+
+    q = "OR qqrarea qqrareb hotterm"
+    exact = idx.search(q, 5)
+    cold = InvertedIndex(spark, wh, cache_size=0)
+    pruned = cold.search(q, 5, prune=True)
+    assert [d for d, _ in pruned] == [d for d, _ in exact]
+    for (pd, ps), (ed, es) in zip(pruned, exact):
+        assert ps == pytest.approx(es, rel=1e-12)
+    st = cold.last_prune_stats
+    assert st.get("blocks_before", 0) > 0, st
+    assert st["blocks_decoded"] < st["blocks_before"], st
+    # AND selective path under the 128-value geometry
+    assert idx.search("AND qqrarea hotterm", 5, prune=True) == \
+        idx.search("AND qqrarea hotterm", 5)
+
+
+def test_computed_bounds_prune_stale_and_fresh(spark, tmp_path):
+    """After an append the stored TUB/block_max underestimate live
+    scores; OR pruning must rebuild sound bounds from the
+    stats-invariant (max_tf, min_dl) block columns under the CURRENT
+    stats — rank-identical to exact, with whole blocks still skipped —
+    on both a stale compacted handle and a merged-on-read fresh one."""
+    from invertedindex_spark import InvertedIndex
+    from invertedindex_spark.streaming import append_batch, compact
+
+    rows = _bm_rows()
+    wh = str(tmp_path / "bm_stream")
+    cfg = IndexConfig(num_blocks=4)
+    df1 = spark.createDataFrame(rows[:1600], corpus._CORPUS_SCHEMA)
+    append_batch(spark, corpus.from_source_code(df1), wh, cfg,
+                 blocks_per_batch=4)
+    compact(spark, wh, cfg)
+    df2 = spark.createDataFrame(rows[1600:], corpus._CORPUS_SCHEMA)
+    append_batch(spark, corpus.from_source_code(df2), wh, cfg,
+                 blocks_per_batch=2)
+
+    q = "OR qqrarea qqrareb hotterm"
+    # stale compacted handle: postings show 1600 docs, stats 2000
+    stale = InvertedIndex(spark, wh, cache_size=0)
+    assert not stale._bounds_fresh
+    exact = stale.search(q, 5)
+    pruner = InvertedIndex(spark, wh, cache_size=0)
+    pruned = pruner.search(q, 5, prune=True)
+    assert [d for d, _ in pruned] == [d for d, _ in exact]
+    for (pd, ps), (ed, es) in zip(pruned, exact):
+        assert ps == pytest.approx(es, rel=1e-12)
+    st = pruner.last_prune_stats
+    assert st.get("computed_bounds"), st
+    assert not st.get("stale_bounds_fallback"), st
+    assert st.get("blocks_before", 0) > 0, st
+    assert st["blocks_decoded"] < st["blocks_before"], st
+
+    # fresh merged-on-read handle: partials join the lists as
+    # single-block pseudo rows carrying their own (max_tf, min_dl)
+    fexact = InvertedIndex(spark, wh, fresh=True, cache_size=0)
+    fp = InvertedIndex(spark, wh, fresh=True, cache_size=0)
+    want = fexact.search(q, 5)
+    got = fp.search(q, 5, prune=True)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (pd, ps), (ed, es) in zip(got, want):
+        assert ps == pytest.approx(es, rel=1e-12)
+    assert fp.last_prune_stats.get("computed_bounds")
+    # and the fresh handle sees the appended docs (union df > stale df)
+    assert fp._fetch_rows(["hotterm"])["hotterm"][0]["df"] > \
+        pruner._fetch_rows(["hotterm"])["hotterm"][0]["df"]
+
+
+def test_distributed_pruned_matches_exhaustive(bm_index):
+    """search_distributed(prune=True): the two-phase threshold-
+    broadcast plan must return exactly the exhaustive plan's rows,
+    with executor-side selective decode proven by the driver-computed
+    block counters (blocks_decoded < blocks_before)."""
+    from invertedindex_spark import InvertedIndex
+
+    idx = InvertedIndex(bm_index.spark, bm_index.warehouse_dir)
+    # the test corpus's hot list (df 1600) is below the production
+    # boost threshold — lower it so the pruned plan engages
+    idx.DIST_BOOST_DF_MIN = 1024
+    for q, k in (("OR qqrarea qqrareb hotterm", 5),
+                 ("OR qqrarea qqrareb hotterm", 10),
+                 ("AND qqrarea hotterm", 5),
+                 ("AND qqrareb hotterm", 10)):
+        want = [(r["doc_no"], r["score"]) for r in
+                idx.search_distributed(q, k).collect()]
+        got = [(r["doc_no"], r["score"]) for r in
+               idx.search_distributed(q, k, prune=True).collect()]
+        assert got == want, (q, k)
+        st = idx.last_prune_stats
+        assert st.get("mode") == "distributed", (q, st)
+        assert st.get("boost_terms", 0) >= 1, (q, st)
+        if q.startswith("OR"):
+            assert st["blocks_decoded"] < st["blocks_before"], (q, st)
+
+
+def test_distributed_pruned_on_stale_and_fresh(spark, tmp_path):
+    """The distributed pruned plan must also serve stale (post-append)
+    and fresh (merged-on-read) warehouses via computed bounds, staying
+    row-identical to the exhaustive plan."""
+    from invertedindex_spark import InvertedIndex
+    from invertedindex_spark.streaming import append_batch, compact
+
+    rows = _bm_rows()
+    wh = str(tmp_path / "bm_dstream")
+    cfg = IndexConfig(num_blocks=4)
+    df1 = spark.createDataFrame(rows[:1600], corpus._CORPUS_SCHEMA)
+    append_batch(spark, corpus.from_source_code(df1), wh, cfg,
+                 blocks_per_batch=4)
+    compact(spark, wh, cfg)
+    df2 = spark.createDataFrame(rows[1600:], corpus._CORPUS_SCHEMA)
+    append_batch(spark, corpus.from_source_code(df2), wh, cfg,
+                 blocks_per_batch=2)
+
+    q = "OR qqrarea qqrareb hotterm"
+    for fresh in (False, True):
+        idx = InvertedIndex(spark, wh, fresh=fresh)
+        idx.DIST_BOOST_DF_MIN = 1024
+        want = [(r["doc_no"], r["score"]) for r in
+                idx.search_distributed(q, 5).collect()]
+        got = [(r["doc_no"], r["score"]) for r in
+               idx.search_distributed(q, 5, prune=True).collect()]
+        assert got == want, fresh
+        st = idx.last_prune_stats
+        assert st.get("mode") == "distributed", (fresh, st)
+        assert st.get("computed_bounds"), (fresh, st)
 
 
 def test_pruned_matches_exact(big_index):

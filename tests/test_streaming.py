@@ -192,6 +192,11 @@ def test_incremental_compaction_touches_only_affected_terms(spark, tmp_path):
     assert m["merged_segments"] <= 3, m
     assert m["untouched_rows"] == m["lexicon_terms"] - 0, m  # none of
     # the extra terms existed before, so no prior row was displaced
+    # bucketed zero-rewrite: only the affected terms' hash buckets were
+    # rewritten; every untouched bucket was hardlinked verbatim
+    assert m["rewritten_buckets"] <= 3, m
+    assert m["rewritten_buckets"] < m["total_buckets"], m
+    assert m["linked_payload_bytes"] > 0, m
 
     # batch twin over the identical global corpus
     wh_batch = str(tmp_path / "batch2")
@@ -202,33 +207,46 @@ def test_incremental_compaction_touches_only_affected_terms(spark, tmp_path):
     ii = InvertedIndex(spark, wh_inc)
     assert bi.num_docs == ii.num_docs
     assert bi.avg_doc_len == pytest.approx(ii.avg_doc_len, rel=1e-12)
-    # full lexicon parity: df/cf exact, TUB to float tolerance — the
-    # untouched terms' TUBs went through the narrow refresh
+    # lexicon parity: df/cf exact everywhere. Stored TUBs are
+    # write-time values: exact for the re-merged (affected) terms,
+    # deliberately LEFT STALE for untouched rows (they passed through
+    # verbatim — no decode, no rewrite); queries derive sound bounds
+    # from the stats-invariant block columns instead, so bounds_stats
+    # must NOT have been re-stamped.
     blex = {r["term"]: r for r in bi.lexicon.collect()}
     ilex = {r["term"]: r for r in ii.lexicon.collect()}
     assert set(blex) == set(ilex)
     for t, r in blex.items():
         assert r["df"] == ilex[t]["df"], t
         assert r["cf"] == ilex[t]["cf"], t
-        assert ilex[t]["term_upper_bound"] == pytest.approx(
-            r["term_upper_bound"], rel=1e-12), t
+    for t in ("aardvark", "zebra", "quokka"):
+        t = [k for k in blex if k.startswith(t[:6])]
+        for term in t:
+            assert ilex[term]["term_upper_bound"] == pytest.approx(
+                blex[term]["term_upper_bound"], rel=1e-12), term
+    assert not ii._bounds_fresh   # incremental compact leaves it stale
     for q in QUERIES + ["OR aardvark zebra", "AND aardvark quokka"]:
         got = ii.search(q, 10)
         want = bi.search(q, 10)
         assert [g[0] for g in got] == [w[0] for w in want], q
         for (gd, gs), (wd, ws) in zip(got, want):
             assert gs == pytest.approx(ws, rel=1e-12), q
-        # pruned kernels read the refreshed block_max — must agree too
+        # pruned kernels rebuild bounds from (max_tf, min_dl) under
+        # live stats — rank-identical, no exhaustive fallback
         pr = ii.search(q, 10, prune=True)
         assert [p[0] for p in pr] == [w[0] for w in want], q
+        assert not ii.last_prune_stats.get("stale_bounds_fallback"), q
 
 
-def test_stale_bounds_disable_or_pruning_until_compaction(spark, tmp_path):
+def test_stale_bounds_use_computed_invariant_bounds(spark, tmp_path):
     """append_batch rolls num_docs/avg_doc_len without rewriting the
-    persisted TUB/block_max; pruning against those underestimated
-    bounds could drop valid top-k docs. Between an append and the next
-    compaction the OR pruned path must serve exactly (fallback flagged
-    in last_prune_stats); a compaction restores pruning."""
+    persisted TUB/block_max — those stored bounds are underestimates
+    and pruning against them could drop valid top-k docs. The OR
+    pruned path must instead rebuild sound bounds from the
+    stats-invariant (max_tf, min_dl) block columns under the LIVE
+    stats (flagged computed_bounds), staying rank-identical to exact
+    with no exhaustive fallback; a full compaction restores the tight
+    stored-bounds path."""
     cfg = IndexConfig(num_blocks=2)
     wh = str(tmp_path / "stale")
     srt = _sorted_rows(160)
@@ -238,6 +256,8 @@ def test_stale_bounds_disable_or_pruning_until_compaction(spark, tmp_path):
     compact(spark, wh, cfg)
     idx = InvertedIndex(spark, wh)
     assert idx._bounds_fresh
+    idx.search("OR hotterm quick", 10, prune=True)
+    assert not idx.last_prune_stats.get("computed_bounds")
 
     df2 = spark.createDataFrame(srt[80:], corpus._CORPUS_SCHEMA)
     append_batch(spark, corpus.from_source_code(df2), wh, cfg,
@@ -246,7 +266,9 @@ def test_stale_bounds_disable_or_pruning_until_compaction(spark, tmp_path):
     assert not stale._bounds_fresh
     for q in ("OR hotterm quick", "OR optimization throughput latency"):
         assert stale.search(q, 10, prune=True) == stale.search(q, 10)
-        assert stale.last_prune_stats.get("stale_bounds_fallback")
+        assert not stale.last_prune_stats.get("stale_bounds_fallback"), q
+        assert stale.last_prune_stats.get("computed_bounds") \
+            or stale.last_prune_stats.get("dense_fallback"), q
     # AND pruned path is bounds-free (membership only) — still allowed
     assert stale.search("AND hotterm parties", 10, prune=True) == \
         stale.search("AND hotterm parties", 10)
