@@ -539,17 +539,42 @@ def q_substring_dup_stats(spark, sf_dir):
     return substring_dup_stats(_docs_df(spark, sf_dir), k=8)
 
 
-def sql_substring_dup_stats():
-    return """
+# shared shingle-stream CTE prefix of the substring operators: word
+# 8-shingles keyed by the 60-bit bigint (first 15 md5 hex chars — the
+# engine side's dedup._shingle60 in DuckDB spelling)
+_SUBSTRING_SH_CTE = """
 WITH toks AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ts
               FROM documents),
+sh AS (SELECT doc_id, p,
+              CAST(concat('0x', substr(md5(
+                  array_to_string(ts[p+1:p+8], ' ')), 1, 15)) AS BIGINT)
+              AS h
+       FROM (SELECT doc_id, ts, unnest(range(len(ts) - 7)) AS p
+             FROM toks)),
+dup AS (SELECT h FROM sh GROUP BY h HAVING count(DISTINCT doc_id) >= 2)"""
+
+# gaps-and-islands over duplicated positions → maximal word spans;
+# windows [p, p+8) merge when they overlap or touch (p <= prev + 8)
+_SUBSTRING_SPANS_CTE = _SUBSTRING_SH_CTE + """,
+dp AS (SELECT doc_id, p FROM sh JOIN dup USING (h)),
+mrk AS (SELECT doc_id, p,
+               CASE WHEN lag(p) OVER w IS NULL
+                         OR p > lag(p) OVER w + 8 THEN 1 ELSE 0 END
+               AS brk
+        FROM dp WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+isl AS (SELECT doc_id, p,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS g
+        FROM mrk),
+spans AS (SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
+                 CAST(max(p) + 8 AS BIGINT) AS span_end
+          FROM isl GROUP BY doc_id, g)"""
+
+
+def sql_substring_dup_stats():
+    return _SUBSTRING_SH_CTE + """,
 base AS (SELECT doc_id,
                 CAST(greatest(len(ts) - 7, 0) AS BIGINT) AS n_shingles
          FROM toks),
-sh AS (SELECT doc_id, md5(array_to_string(ts[p+1:p+8], ' ')) AS h
-       FROM (SELECT doc_id, ts, unnest(range(len(ts) - 7)) AS p
-             FROM toks)),
-dup AS (SELECT h FROM sh GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
 cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nd
         FROM sh JOIN dup USING (h) GROUP BY doc_id)
 SELECT b.doc_id, b.n_shingles,
@@ -558,6 +583,51 @@ SELECT b.doc_id, b.n_shingles,
                  THEN round(coalesce(c.nd, 0) * 1000000.0 / b.n_shingles)
                  ELSE 0 END AS BIGINT) AS dup_frac_u6
 FROM base b LEFT JOIN cnt c USING (doc_id)"""
+
+
+def q_substring_spans(spark, sf_dir):
+    """Cross-document duplicated word spans per doc (Lee et al. span
+    decisions) — operators/dedup.duplicate_spans."""
+    from .operators.dedup import duplicate_spans
+    return duplicate_spans(_docs_df(spark, sf_dir), k=8)
+
+
+def sql_substring_spans():
+    return _SUBSTRING_SPANS_CTE + """
+SELECT doc_id, span_start, span_end FROM spans"""
+
+
+def q_substring_span_removal(spark, sf_dir):
+    """The substring-dedup curation action: drop every word covered by
+    a cross-document duplicated span, keep the rest byte-exact —
+    operators/dedup.remove_duplicate_spans."""
+    from .operators.dedup import remove_duplicate_spans
+    return remove_duplicate_spans(_docs_df(spark, sf_dir), k=8)
+
+
+def sql_substring_span_removal():
+    return _SUBSTRING_SPANS_CTE + """,
+wordpos AS (SELECT doc_id, i AS wi, ts[i+1] AS w
+            FROM (SELECT doc_id, ts, unnest(range(len(ts))) AS i
+                  FROM toks)),
+keptw AS (SELECT wp.doc_id, wp.wi, wp.w
+          FROM wordpos wp
+          WHERE NOT EXISTS (SELECT 1 FROM spans s
+                            WHERE s.doc_id = wp.doc_id
+                              AND wp.wi >= s.span_start
+                              AND wp.wi < s.span_end)),
+agg AS (SELECT doc_id, count(*) AS n_kept,
+               string_agg(w, ' ' ORDER BY wi) AS clean_text
+        FROM keptw GROUP BY doc_id),
+ns AS (SELECT doc_id, count(*) AS n FROM spans GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(coalesce(ns.n, 0) AS BIGINT) AS n_spans,
+       CAST(len(t.ts) - coalesce(a.n_kept, 0) AS BIGINT)
+           AS removed_words,
+       coalesce(a.clean_text, '') AS clean_text
+FROM toks t
+LEFT JOIN agg a USING (doc_id)
+LEFT JOIN ns USING (doc_id)"""
 
 
 def q_jaccard_top_pairs(spark, sf_dir):
@@ -1494,6 +1564,8 @@ def all_queries():
         "stem_on_topk_and": q_stem_on_topk_and,
         "exact_dedup": q_exact_dedup,
         "substring_dup_stats": q_substring_dup_stats,
+        "substring_spans": q_substring_spans,
+        "substring_span_removal": q_substring_span_removal,
         "jaccard_top_pairs": q_jaccard_top_pairs,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1538,6 +1610,8 @@ def all_oracle_sql(query_vec=None, sf_dir=None):
         "top_terms": sql_top_terms(),
         "exact_dedup": sql_exact_dedup(),
         "substring_dup_stats": sql_substring_dup_stats(),
+        "substring_spans": sql_substring_spans(),
+        "substring_span_removal": sql_substring_span_removal(),
         "jaccard_top_pairs": sql_jaccard_top_pairs(),
         "minhash_signatures": sql_minhash_signatures(),
         "minhash_lsh_pairs": sql_minhash_lsh_pairs(),

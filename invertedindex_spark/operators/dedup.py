@@ -207,6 +207,103 @@ def doc_fingerprint(df):
     return t.select("doc_id", fp.alias("fingerprint"))
 
 
+def _shingle60(ts_col, p, k: int):
+    """60-bit bigint key of the word k-shingle at position ``p`` —
+    first 15 hex chars of md5, like ``_h_col`` but WITHOUT the
+    Mersenne reduction: this key identifies shingles across the whole
+    corpus, where 31 bits would collide at ~50k distinct shingles
+    while 60 bits holds to ~10⁹. 8 bytes on the wire vs 32 for md5
+    hex — a 4× narrower dup-detection shuffle, the dominant stream of
+    the substring operators (≈ one row per word)."""
+    from pyspark.sql import functions as F
+
+    return F.conv(F.substring(F.md5(
+        F.concat_ws(" ", F.slice(ts_col, p + 1, k))), 1, 15),
+        16, 10).cast("long")
+
+
+def _word_shingle_stream(df, k: int):
+    """(doc_id, p, h): literal single-space word k-shingles with their
+    word position and the 60-bit key. Splitting is byte-exact
+    single-space (``string_split`` parity), not the tokenizer — spans
+    must be reconstructable from the original text."""
+    from pyspark.sql import functions as F
+
+    ts = F.split(F.coalesce(F.col("text"), F.lit("")), " ", -1)
+    base = df.select("doc_id", ts.alias("ts"))
+    n = F.size("ts")
+    pos = F.when(n >= k, F.sequence(F.lit(0), n - k)) \
+        .otherwise(F.array().cast("array<int>"))
+    hcol = F.transform(pos, lambda p: _shingle60(F.col("ts"), p, k))
+    return (base.select("doc_id", F.posexplode(hcol).alias("p", "h")))
+
+
+def duplicate_spans(df, k: int = 8):
+    """(doc_id, span_start, span_end): maximal word-index ranges
+    [start, end) covered by k-shingles that also occur in at least one
+    OTHER document — the span decisions of Lee et al. 2022 substring
+    dedup, approximated with word k-shingles (the suffix-array pass of
+    the paper finds byte spans; word granularity keeps it one-pass
+    SQL). Overlapping and adjacent shingle windows merge via
+    gaps-and-islands (one window per doc_id — scales as the number of
+    DUPLICATED positions, not corpus size). Cross-document only:
+    a shingle repeated inside a single document does not mark a span.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    sh = _word_shingle_stream(df, k)
+    dup = (sh.groupBy("h")
+           .agg(F.count_distinct("doc_id").alias("nd"))
+           .where(F.col("nd") >= 2).select("h"))
+    dp = sh.join(dup, "h", "left_semi").select("doc_id", "p")
+    w = Window.partitionBy("doc_id").orderBy("p")
+    lagp = F.lag("p").over(w)
+    # word ranges [p, p+k) and [q, q+k) merge when they overlap OR
+    # touch (q <= p + k); break strictly beyond that
+    brk = F.when(lagp.isNull() | (F.col("p") > lagp + k), 1) \
+        .otherwise(0)
+    isl = (dp.withColumn("brk", brk)
+           .withColumn("isl", F.sum("brk").over(w)))
+    return (isl.groupBy("doc_id", "isl")
+            .agg(F.min("p").cast("long").alias("span_start"),
+                 (F.max("p") + k).cast("long").alias("span_end"))
+            .select("doc_id", "span_start", "span_end"))
+
+
+def remove_duplicate_spans(df, k: int = 8):
+    """(doc_id, n_spans, removed_words, clean_text): the Lee et al.
+    curation ACTION — every word covered by a cross-document
+    duplicated span is dropped, the remainder re-joins with single
+    spaces (byte-exact for untouched docs). Feeds ``clean_corpus`` as
+    its substring-dedup stage; one row per input document."""
+    from pyspark.sql import functions as F
+
+    spans = duplicate_spans(df, k)
+    per_doc = (spans.groupBy("doc_id")
+               .agg(F.collect_list(
+                   F.struct("span_start", "span_end")).alias("spans")))
+    ts = F.split(F.coalesce(F.col("text"), F.lit("")), " ", -1)
+    base = df.select("doc_id", ts.alias("ts"))
+    empty = F.array().cast(
+        "array<struct<span_start:long,span_end:long>>")
+    j = (base.join(per_doc, "doc_id", "left")
+         .withColumn("spans", F.coalesce(F.col("spans"), empty)))
+    idxs = F.sequence(F.lit(0), F.size("ts") - 1)
+    kept = F.filter(idxs, lambda i: ~F.exists(
+        F.col("spans"),
+        lambda s: (i >= s["span_start"]) & (i < s["span_end"])))
+    return j.select(
+        "doc_id",
+        F.size("spans").cast("long").alias("n_spans"),
+        (F.size("ts") - F.size(kept)).cast("long")
+        .alias("removed_words"),
+        F.array_join(
+            F.transform(kept,
+                        lambda i: F.element_at(F.col("ts"), i + 1)),
+            " ").alias("clean_text"))
+
+
 def substring_dup_stats(df, k: int = 8):
     """Exact substring-duplication profile per document: the signal
     behind substring-level training-data dedup (Lee et al. 2022,
@@ -221,12 +318,12 @@ def substring_dup_stats(df, k: int = 8):
     units (bigint, engine-portable). Docs shorter than ``k`` words
     report 0/0/0.
 
-    Scale shape: one shuffle of (md5(shingle), doc_id) pairs — the
-    md5 keeps the key fixed-width (and DuckDB-reproducible); the
-    groupBy is a plain hash aggregation, candidates never expand
-    beyond the shingle stream itself. Splitting is literal
-    single-space (``string_split`` parity), not the tokenizer — spans
-    are byte-exact, as substring dedup requires.
+    Scale shape: one shuffle of (shingle60, doc_id) pairs — the 60-bit
+    bigint key is fixed-width, DuckDB-reproducible, and 4× narrower
+    than md5 hex on the wire; the groupBy is a plain hash aggregation,
+    candidates never expand beyond the shingle stream itself.
+    Splitting is literal single-space (``string_split`` parity), not
+    the tokenizer — spans are byte-exact, as substring dedup requires.
     """
     from pyspark.sql import functions as F
 
@@ -239,8 +336,8 @@ def substring_dup_stats(df, k: int = 8):
         "n_shingles", F.greatest(n - (k - 1), F.lit(0)).cast("long"))
     sh = (base.select(
         "doc_id",
-        F.explode(F.transform(pos, lambda p: F.md5(
-            F.concat_ws(" ", F.slice("ts", p + 1, k))))).alias("h")))
+        F.explode(F.transform(
+            pos, lambda p: _shingle60(F.col("ts"), p, k))).alias("h")))
     dup = (sh.groupBy("h")
            .agg(F.count_distinct("doc_id").alias("nd"))
            .where(F.col("nd") >= 2)

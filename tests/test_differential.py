@@ -54,7 +54,8 @@ def _random_docs(seed: int, n: int):
 # the main contract test at the driver's scale instead)
 QUERIES = ["exact_dedup", "token_counts", "token_stats", "lang_id",
            "simhash32", "doc_fingerprint", "minhash_signatures",
-           "corpus_clean", "substring_dup_stats"]
+           "corpus_clean", "substring_dup_stats", "substring_spans",
+           "substring_span_removal"]
 
 
 @pytest.mark.parametrize("seed", [11, 17, 23])
