@@ -224,6 +224,40 @@ def main():
         run("batch_queries", batch)
         if "batch_queries" in timings:
             extras["batch_qps"] = round(300 / timings["batch_queries"], 1)
+
+        # --- ranking-quality parity gate (extras, not a timed
+        # component): qrels = the exact path's top-10; every other
+        # path must reproduce mAP/nDCG@10 == 1.0 exactly. A pruning or
+        # freshness regression shows up here as a metric drop visible
+        # round-over-round, complementing the sf0.01 value-hash gate.
+        if not ONLY:
+            from invertedindex_spark.metrics import evaluate_run
+
+            rq_queries = list(enumerate(queries))
+            ex_run = idx_cached.trec_run_lines(rq_queries, k=20)
+            qrels = [f"{qid} 0 {doc_no} 1"
+                     for qid, q in rq_queries
+                     for doc_no, _s in idx_cached.search(q, 10)]
+            base = evaluate_run(ex_run, qrels)
+            pr = evaluate_run(
+                idx_cached.trec_run_lines(rq_queries, k=20, prune=True),
+                qrels)
+            d_lines = []
+            for qid, q in rq_queries[::10]:   # 6 distributed queries
+                rows = idx_cached.search_distributed(
+                    q, 20, prune=True).collect()
+                for rank, r in enumerate(rows, start=1):
+                    d_lines.append(
+                        f"{qid} Q0 {r['doc_no']} {rank} {r['score']} t")
+            dq = evaluate_run(d_lines, qrels)
+            extras["ranking_parity"] = {
+                "map_exact": round(base["map"], 6),
+                "ndcg10_exact": round(base["ndcg@10"], 6),
+                "map_pruned": round(pr["map"], 6),
+                "ndcg10_pruned": round(pr["ndcg@10"], 6),
+                "map_distributed_pruned": round(dq["map"], 6),
+                "ndcg10_distributed_pruned": round(dq["ndcg@10"], 6),
+            }
         # batch_search_distributed is deliberately NOT benched here: its
         # fan-out is Σ_t df(t)·|queries containing t|, and this bench's
         # 32-word vocabulary makes every hot term fan out to ~19 of the

@@ -157,6 +157,26 @@ def main():
         mixed[f"mixed_{label}_p50_ms"] = round(lat[len(lat) // 2], 1)
         mixed[f"mixed_{label}_mean_ms"] = round(statistics.mean(lat), 1)
     print(json.dumps(mixed), flush=True)
+
+    # distributed path, mixed rare+hot shape: the exhaustive plan
+    # decodes every posting of the hot list executor-side; the pruned
+    # plan scores the rare lists, broadcasts the k-th-score threshold,
+    # and selectively decodes only hot-list blocks that can beat it —
+    # the route that must stay fast once lists exceed driver memory
+    dist = {}
+    dist_qs = mix_qs[:3]
+    for label, prune in (("exact", False), ("pruned", True)):
+        lat = []
+        for q in dist_qs:
+            idx.search_distributed(q, 20, prune=prune).collect()  # warm
+            t0 = time.perf_counter()
+            idx.search_distributed(q, 20, prune=prune).collect()
+            lat.append(time.perf_counter() - t0)
+        dist[f"dist_{label}_mean_s"] = round(statistics.mean(lat), 3)
+    dist["dist_prune_stats"] = {
+        k: v for k, v in idx.last_prune_stats.items()
+        if isinstance(v, (int, float, str))}
+    print(json.dumps(dist), flush=True)
     spark.stop()
 
 
