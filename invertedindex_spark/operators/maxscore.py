@@ -30,7 +30,31 @@ import numpy as np
 
 from ..functions import codec
 
-__all__ = ["selective_decode", "maxscore_or_topk", "intersect_topk"]
+__all__ = ["selective_decode", "maxscore_or_topk", "intersect_topk",
+           "kth_largest_distinct"]
+
+
+def kth_largest_distinct(scores: np.ndarray, k: int) -> float:
+    """The k-th largest DISTINCT value, selection-based: np.partition
+    pulls the top-m multiset (m grows geometrically until it holds k
+    distinct values), so the common case is O(P + m log m) instead of
+    the O(P log P) a full ``np.unique`` would cost per threshold
+    update — that full sort ran once per OR list and measurably slowed
+    hot-term pruned queries below the exhaustive path. Correctness:
+    the top-m slice contains every value greater than its minimum, so
+    once it holds ≥ k distinct values their k-th largest is the global
+    k-th largest distinct. Returns -inf when fewer than k distinct
+    values exist."""
+    n = scores.size
+    m = max(4 * k, 64)
+    while m < n:
+        top = np.partition(scores, n - m)[n - m:]
+        distinct = np.unique(top)
+        if distinct.size >= k:
+            return float(distinct[-k])
+        m *= 8
+    distinct = np.unique(scores)
+    return float(distinct[-k]) if distinct.size >= k else -np.inf
 
 
 def selective_decode(doc_ids_vbyte: bytes, freqs_vbyte: bytes,
@@ -268,7 +292,5 @@ def maxscore_or_topk(lists, num_docs: int, avg_doc_len: float, k: int,
         # exotic distinct-partials-colliding-to-equal-finals case
         # remains the module-docstring caveat).
         if acc_s.size >= k:
-            distinct = np.unique(acc_s)          # sorted ascending
-            if distinct.size >= k:
-                threshold = distinct[-k]
+            threshold = kth_largest_distinct(acc_s, k)
     return acc_d, acc_s

@@ -504,13 +504,19 @@ class InvertedIndex:
         return self
 
     def _load_doc_nos(self):
+        """doc_id → doc_no as an Arrow string array sorted by the
+        dense doc_id (position == id). Kept Arrow-native: materializing
+        8M python string objects cost ~7 s of every warm() — the
+        vectorized sort + per-hit ``.as_py()`` (k rows per query) cuts
+        that to the parquet read itself."""
         if self._doc_nos is None:
+            import pyarrow.compute as pc
+
             t = (self._local_docs()
                  .to_table(columns=["doc_id", "doc_no"]))
-            arr = np.empty(self.num_docs, dtype=object)
-            arr[t.column("doc_id").to_numpy()] = \
-                t.column("doc_no").to_pylist()
-            self._doc_nos = arr
+            order = pc.sort_indices(t.column("doc_id"))
+            self._doc_nos = (t.column("doc_no").take(order)
+                             .combine_chunks())
         return self._doc_nos
 
     def _load_doc_lens(self):
@@ -994,7 +1000,7 @@ class InvertedIndex:
 
             if self.num_docs <= self._doc_nos_max:
                 doc_nos = self._load_doc_nos()
-                return [(doc_nos[d], float(s))
+                return [(doc_nos[d].as_py(), float(s))
                         for d, s in zip(ids, scores)]
             rows = (self._local_docs()
                     .to_table(columns=["doc_id", "doc_no"],
@@ -1453,9 +1459,9 @@ class InvertedIndex:
                 # tie-aware: k-th largest DISTINCT accumulated score
                 # (the queue collapses equal scores to one rank — see
                 # maxscore_or_topk's threshold comment)
-                distinct = np.unique(accs)
-                if distinct.size >= k:
-                    theta = float(distinct[-k])
+                from .maxscore import kth_largest_distinct
+
+                theta = kth_largest_distinct(accs, k)
             s_rest = float(sum(bounds[t][0] for t in boost))
             if s_rest < theta:
                 break

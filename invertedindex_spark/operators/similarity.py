@@ -636,6 +636,64 @@ def ivfpq_table(df, centroids, codebooks, path: str,
     return path
 
 
+def ivfpq_recall_curve(spark, emb_df, path: str, centroids, codebooks,
+                       query_ids, k: int = 10,
+                       grid=((1, 50), (2, 50), (4, 100), (8, 200)),
+                       id_col: str = "vec_id",
+                       emb_col: str = "embedding"):
+    """Measured recall@k of the IVF-PQ serving layout against exact
+    brute-force cosine, per (nprobe, rerank) configuration. The exact
+    baseline is computed once per probe query with the brute operator
+    (one column-pruned scan each); each grid point replays the probes
+    through :func:`ivfpq_topk`. Returns
+    ``[{"nprobe", "rerank", "recall"}]`` in grid order — deterministic
+    for fixed embeddings/centroids/codebooks."""
+    from pyspark.sql import functions as F
+
+    qvecs = {r[id_col]: [float(x) for x in r[emb_col]] for r in
+             emb_df.where(F.col(id_col).isin(list(query_ids)))
+             .select(id_col, emb_col).collect()}
+    exact = {}
+    for qid, qv in qvecs.items():
+        rows = (emb_df.where(F.col(id_col) != qid)
+                .select(id_col, cosine_col(qv, emb_col).alias("cos"))
+                .orderBy(F.desc_nulls_last("cos"), F.asc(id_col))
+                .limit(k).collect())
+        exact[qid] = {r[id_col] for r in rows}
+    out = []
+    for nprobe, rerank in grid:
+        recs = []
+        for qid, qv in qvecs.items():
+            got = {r[id_col] for r in ivfpq_topk(
+                spark, path, centroids, codebooks, qv, k,
+                nprobe=nprobe, rerank=rerank, id_col=id_col,
+                exclude_id=qid, emb_col=emb_col).collect()}
+            recs.append(len(got & exact[qid]) / float(k))
+        out.append({"nprobe": int(nprobe), "rerank": int(rerank),
+                    "recall": sum(recs) / len(recs)})
+    return out
+
+
+def ivfpq_autotune(spark, emb_df, path: str, centroids, codebooks,
+                   query_ids, k: int = 10, target: float = 0.8,
+                   grid=((1, 50), (2, 50), (4, 100), (8, 200)),
+                   id_col: str = "vec_id", emb_col: str = "embedding"):
+    """Cheapest (nprobe, rerank) whose MEASURED recall@k on the probe
+    queries reaches ``target`` — the grid is walked in cost order
+    (probed partitions, then rerank width), so the returned config is
+    the least I/O that meets the quality bar on this dataset. When no
+    grid point reaches the target the best-recall config is returned
+    (callers can inspect ``recall`` and widen the grid)."""
+    curve = ivfpq_recall_curve(spark, emb_df, path, centroids,
+                               codebooks, query_ids, k, grid,
+                               id_col, emb_col)
+    for cfg in curve:
+        if cfg["recall"] >= target:
+            return {**cfg, "target_met": True}
+    best = max(curve, key=lambda c: c["recall"])
+    return {**best, "target_met": False}
+
+
 def ivfpq_topk(spark, path: str, centroids, codebooks, q, k: int = 10,
                nprobe: int = 2, rerank: int = 50,
                id_col: str = "vec_id", exclude_id=None,

@@ -310,6 +310,22 @@ def test_distributed_pruned_on_stale_and_fresh(spark, tmp_path):
         assert st.get("computed_bounds"), (fresh, st)
 
 
+def test_kth_largest_distinct_fuzz():
+    from invertedindex_spark.operators.maxscore import (
+        kth_largest_distinct,
+    )
+
+    rng = np.random.default_rng(5)
+    for _ in range(300):
+        n = int(rng.integers(1, 3000))
+        vals = rng.integers(
+            0, int(rng.integers(1, 50)), size=n).astype(np.float64)
+        k = int(rng.integers(1, 40))
+        distinct = np.unique(vals)
+        want = float(distinct[-k]) if distinct.size >= k else -np.inf
+        assert kth_largest_distinct(vals, k) == want, (n, k)
+
+
 def test_pruned_matches_exact(big_index):
     """Rank-identical docs; scores equal to 1e-12 rel (float summation
     order differs: TAAT adds per-list in TUB order, the exhaustive

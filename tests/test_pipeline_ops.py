@@ -351,6 +351,39 @@ def test_ivf_recall_curve_vs_bruteforce(spark, sf001_dir):
     assert means[1] >= 0.4                    # measured 0.46
 
 
+def test_ivfpq_recall_curve_and_autotune(spark, sf001_dir, tmp_path):
+    """IVF-PQ recall@10 vs brute force on the sf embeddings: the
+    measured curve is monotone along the cost-ordered grid, autotune
+    returns the cheapest config meeting the target (and its recall
+    really meets it), and full probes + full rerank reach 1.0."""
+    from invertedindex_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf001_dir}/embeddings.parquet").cache()
+    sample = [list(r["embedding"]) for r in emb.limit(256).collect()]
+    cent = S.kmeans_centroids(sample, k=8, iters=5, seed=7)
+    cb = S.pq_train(sample, m=8, ksub=16, seed=11)
+    path = str(tmp_path / "ivfpq")
+    S.ivfpq_table(emb, cent, cb, path)
+
+    qids = (0, 3, 11, 42, 77)
+    grid = ((1, 50), (2, 100), (4, 200), (8, 10_000))
+    curve = S.ivfpq_recall_curve(spark, emb, path, cent, cb, qids,
+                                 k=10, grid=grid)
+    recalls = [c["recall"] for c in curve]
+    assert all(a <= b + 1e-9 for a, b in zip(recalls, recalls[1:])), \
+        curve
+    # all clusters probed + unbounded rerank ⇒ exact
+    assert recalls[-1] == pytest.approx(1.0), curve
+
+    tuned = S.ivfpq_autotune(spark, emb, path, cent, cb, qids,
+                             k=10, target=0.8, grid=grid)
+    assert tuned["target_met"] and tuned["recall"] >= 0.8, tuned
+    # cheapest: no cheaper grid point reaches the target
+    idx = grid.index((tuned["nprobe"], tuned["rerank"]))
+    assert all(c["recall"] < 0.8 for c in curve[:idx]), (tuned, curve)
+    emb.unpersist()
+
+
 def test_cleaned_corpus_feeds_index_build(spark, tmp_path):
     """The curation pass composes with the indexer: kept docs only,
     dense docIds, dropped docs absent from the doc table."""
