@@ -963,8 +963,13 @@ def build_index(spark, corpus, warehouse_dir: str,
          .option("parquet.block.size", 2 * 1024 * 1024)
          .partitionBy("bucket")
          .parquet(paths["postings"]))
-        _mark_stage(manifest, warehouse_dir, "postings")
+        # invalidate the sidecar BEFORE the stage save persists the
+        # manifest: a crash between the postings write and
+        # write_rg_index must leave rg_index un-done, or restarts
+        # would keep a stale sidecar marked complete forever (warm()
+        # would silently fall back to footer scans on every process)
         manifest["stages"].pop("rg_index", None)
+        _mark_stage(manifest, warehouse_dir, "postings")
 
     if (not _stage_done(manifest, "rg_index",
                         os.path.join(warehouse_dir, "rg_index"))

@@ -57,16 +57,13 @@ def queue_topk_np(doc_ids: np.ndarray, scores: np.ndarray, k: int):
     if n == 0:
         return doc_ids[:0], scores[:0]
     if n > 4096:
-        m = max(4 * k, 64)
-        s_star = None
-        while m < n:
-            top = np.partition(scores, n - m)[n - m:]
-            distinct = np.unique(top)          # sorted ascending
-            if distinct.size >= k:
-                s_star = distinct[-k]
-                break
-            m *= 8
-        if s_star is not None:
+        # ONE definition of k-th-largest-distinct selection (shared
+        # with the pruning thresholds) — the distinct-score queue
+        # semantics must never diverge between prefilter and pruning
+        from .maxscore import kth_largest_distinct
+
+        s_star = kth_largest_distinct(scores, k)
+        if s_star > -np.inf:
             keep = scores >= s_star
             doc_ids, scores = doc_ids[keep], scores[keep]
     order = np.lexsort((doc_ids, -scores))   # score desc, docId asc
@@ -157,7 +154,14 @@ class InvertedIndex:
         # exact under the stale-bounds guard, which mismatched stats
         # trigger for exactly these warehouses.
         self.fresh = fresh
-        if fresh and self.io_mode != "local":
+        stream = manifest.get("stream")
+        if fresh and stream is None:
+            # batch-built warehouses have no uncompacted tail; noop
+            # (checked BEFORE the io_mode guard: a remote BATCH
+            # warehouse has nothing to merge-on-read, so fresh=True is
+            # a harmless noop there, not an error)
+            self.fresh = False
+        if self.fresh and self.io_mode != "local":
             # every merged-on-read probe (_compacted_tables_exist,
             # _fresh_partial_rows, _fresh_partials_sdf) tests the
             # warehouse with local-FS os.path calls; on a remote URI
@@ -169,10 +173,6 @@ class InvertedIndex:
                 "directory): the merged-on-read partial-block probes are "
                 "local-filesystem reads. Serve remote warehouses from "
                 "their compacted snapshot, or run compact() and re-open.")
-        stream = manifest.get("stream")
-        if fresh and stream is None:
-            # batch-built warehouses have no uncompacted tail; noop
-            self.fresh = False
         self._fresh_from_block = (stream or {}).get(
             "compacted_through_block", 0)
         # snapshot upper bound: partials are scanned LIVE, so an
@@ -186,17 +186,27 @@ class InvertedIndex:
     def _read_manifest(self) -> dict:
         if self.io_mode == "local":
             return read_manifest(self.warehouse_dir)
-        # remote warehouse: the local-FS read_manifest would
-        # silently return {} and default the pipeline config
-        # (stemming queries against an unstemmed index, vbyte
-        # decode of pfd streams) — read the JSON through the
-        # JVM's Hadoop filesystem instead
+        # remote warehouse: the local-FS read_manifest would silently
+        # return {} and default the pipeline config (stemming queries
+        # against an unstemmed index, vbyte decode of pfd streams).
+        # NOTE: spark.read.text cannot serve here either — Spark's
+        # file index treats underscore-prefixed files as hidden
+        # metadata and IGNORES the path entirely ("All paths were
+        # ignored") — so go through the Hadoop FileSystem API, which
+        # works for any FS the session can reach.
         import json as _json
 
         try:
-            txt = "\n".join(
-                r[0] for r in self.spark.read.text(
-                    f"{self.warehouse_dir}/_manifest.json").collect())
+            jvm = self.spark.sparkContext._jvm
+            conf = self.spark.sparkContext._jsc.hadoopConfiguration()
+            path = jvm.org.apache.hadoop.fs.Path(
+                f"{self.warehouse_dir}/_manifest.json")
+            fs = path.getFileSystem(conf)
+            stream = fs.open(path)
+            baos = jvm.java.io.ByteArrayOutputStream()
+            jvm.org.apache.hadoop.io.IOUtils.copyBytes(
+                stream, baos, 65536, True)
+            txt = bytes(baos.toByteArray()).decode("utf-8")
             return _json.loads(txt) if txt.strip() else {}
         except Exception:
             return {}
@@ -1295,7 +1305,19 @@ class InvertedIndex:
         from pyspark.sql import functions as F
 
         sc = self.spark.sparkContext
+        # drop the previous pruned query's candidate broadcast from the
+        # executors (unpersist, not destroy: a caller still holding the
+        # old DataFrame can re-execute it — the driver copy re-ships
+        # lazily). Without this a long-lived handle accumulates one
+        # up-to-cap-sized broadcast per pruned query until GC.
+        prev = getattr(self, "_boost_bc", None)
+        if prev is not None:
+            try:
+                prev.unpersist(False)
+            except Exception:
+                pass
         bc = sc.broadcast((wanted_ids, wanted_dls, score_info))
+        self._boost_bc = bc
         use_pfd = self.codec == "pfd"
         num_docs, avg_dl = float(self.num_docs), self.avg_doc_len
 
@@ -1518,10 +1540,13 @@ class InvertedIndex:
                    for t in boost}
         boost_df = self._boost_partials_df(
             boost, wanted_ids, wanted_dls, idf_map)
+        # Arrow-native survivor table: a python-tuple createDataFrame
+        # would pickle up to DIST_ACC_CAP rows per query
+        import pandas as pd
+
         kept = self.spark.createDataFrame(
-            [(int(i), float(a)) for i, a in
-             zip(wanted_ids, wanted_acc)],
-            "doc_id long, acc double")
+            pd.DataFrame({"doc_id": wanted_ids.astype("int64"),
+                          "acc": wanted_acc.astype("float64")}))
         totals = (boost_df.groupBy("doc_id")
                   .agg(F.sum("partial").alias("boost"),
                        F.sum("hits").alias("nb")))
@@ -1562,6 +1587,10 @@ class InvertedIndex:
             res = self._search_distributed_pruned(qtype, present, k)
             if res is not None:
                 return res
+            # label the telemetry honestly: the pruned plan declined
+            # (legacy bounds / tiny boost side / accumulator overflow)
+            # and the exhaustive plan below served the query
+            self.last_prune_stats["mode"] = "distributed_fallback"
         exploded = self.decoded_postings_df(present)
         scored = exploded.withColumn(
             "partial",

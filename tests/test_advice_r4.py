@@ -35,8 +35,22 @@ def test_fresh_requires_local_io_mode(spark, tmp_path):
     df = spark.createDataFrame(srt, corpus._CORPUS_SCHEMA)
     append_batch(spark, corpus.from_source_code(df), wh, CFG,
                  blocks_per_batch=2)
+    # spark io_mode must still read the real manifest (Spark's file
+    # index silently IGNORES underscore-prefixed paths, so the naive
+    # spark.read.text approach returned {} and defaulted the config)
+    compact(spark, wh, CFG)
+    idx = InvertedIndex(spark, wh, io_mode="spark")
+    assert "stream" in idx._read_manifest()
+    assert idx._read_manifest()["config"]["stemming"] is True
     with pytest.raises(ValueError, match="io_mode='local'"):
         InvertedIndex(spark, wh, fresh=True, io_mode="spark")
+    # fresh=True on a BATCH warehouse is a harmless noop even with
+    # io_mode='spark' (nothing to merge-on-read)
+    wh_b = str(tmp_path / "batch")
+    from invertedindex_spark import build_index
+    build_index(spark, corpus.from_source_code(df), wh_b, CFG)
+    idx_b = InvertedIndex(spark, wh_b, fresh=True, io_mode="spark")
+    assert idx_b.fresh is False
 
 
 def test_fresh_handle_snapshot_pinned_until_refresh(spark, tmp_path):
@@ -111,10 +125,25 @@ def test_append_refuses_flat_docs_layout(spark, tmp_path):
         append_batch(spark, corpus.from_source_code(df2), wh, CFG,
                      blocks_per_batch=2)
 
-    # a current-layout warehouse keeps appending fine (marker stamped)
-    import invertedindex_spark.operators.build as B
+    # a CURRENT-layout warehouse keeps appending fine: second append
+    # to an unforged stream warehouse succeeds and the marker persists
+    wh2 = str(tmp_path / "current")
+    append_batch(spark, corpus.from_source_code(
+        spark.createDataFrame(srt[:40], corpus._CORPUS_SCHEMA)),
+        wh2, CFG, blocks_per_batch=2)
+    append_batch(spark, corpus.from_source_code(df2), wh2, CFG,
+                 blocks_per_batch=2)
+    from invertedindex_spark.operators.build import read_manifest
+    from invertedindex_spark.streaming.incremental import (
+        DOCS_LAYOUT_VERSION,
+    )
 
-    assert B.read_manifest(wh).get("docs_layout") is None or True
+    m2 = read_manifest(wh2)
+    assert m2["docs_layout"] == DOCS_LAYOUT_VERSION
+    # both appends landed (some synth docs are filtered as empty —
+    # compare against the single-append warehouse, not raw row counts)
+    assert m2["stream"]["num_docs"] > \
+        read_manifest(wh)["stream"]["num_docs"]
 
 
 def test_docs_layout_marker_stamped(spark, tmp_path):

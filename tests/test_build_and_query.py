@@ -222,20 +222,24 @@ def test_rg_index_sidecar_used_and_consistent(built, tmp_path):
             for t in fa:
                 assert [r["doc_ids_vbyte"] for r in fa[t]] == \
                        [r["doc_ids_vbyte"] for r in sl[t]]
-        # stale sidecar (describes a different file set) → fallback
+        # stale sidecar (describes a different file set) → rejected,
+        # footer-scan fallback serves identical results. Each sidecar
+        # part holds whole postings-files' rows (the generator
+        # partitions by file), so removing any non-empty part shrinks
+        # the described file set below what is on disk.
         shutil.copytree(backup, side_dir)
+        import pyarrow.parquet as _pq
+
         victim = next(f for f in sorted(_os.listdir(side_dir))
-                      if f.endswith(".parquet"))
+                      if f.endswith(".parquet")
+                      and _pq.ParquetFile(
+                          _os.path.join(side_dir, f))
+                      .metadata.num_rows > 0)
         _os.rename(_os.path.join(side_dir, victim),
                    _os.path.join(str(tmp_path), victim))
         stale = InvertedIndex(spark, wh)
-        side = stale._rg_index_from_sidecar()
-        if side is not None:
-            # several part files: the survivor may still cover all
-            # postings files — then it is NOT stale; put the file back
-            # and require full equality instead
-            pass
-        assert stale._term_row_groups()   # never breaks lookups
+        assert stale._rg_index_from_sidecar() is None
+        assert stale._term_row_groups()   # footer scan still works
         assert stale.search("OR quick brown", 10) == \
             idx_side.search("OR quick brown", 10)
     finally:
