@@ -1260,30 +1260,32 @@ class InvertedIndex:
             scoring.bm25_col(F.col("tf"), F.col("dl"), F.col("df"),
                              F.lit(float(self.num_docs)),
                              F.lit(self.avg_doc_len)))
+        # the cap rides the SAME collect (limit cap+1): one Spark job
+        # total for the essential phase — a separate count() would
+        # re-evaluate the whole decode
         agg = (scored.groupBy("doc_id")
                .agg(F.sum("partial").alias("acc"),
                     F.first("dl").alias("dl"),
-                    F.count("*").alias("nt"))).persist()
+                    F.count("*").alias("nt"))
+               .limit(self.DIST_ACC_CAP + 1))
         try:
-            if (agg.limit(self.DIST_ACC_CAP + 1).count()
-                    > self.DIST_ACC_CAP):
+            tbl = agg.toArrow()
+            if tbl.num_rows > self.DIST_ACC_CAP:
                 return None
-            try:
-                tbl = agg.toArrow()
-                ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
-                accs = tbl.column("acc").to_numpy(zero_copy_only=False)
-                dls = tbl.column("dl").to_numpy(zero_copy_only=False)
-                nts = tbl.column("nt").to_numpy(zero_copy_only=False)
-            except Exception:
-                rows = agg.collect()
-                ids = np.array([r["doc_id"] for r in rows],
-                               dtype=np.int64)
-                accs = np.array([r["acc"] for r in rows],
-                                dtype=np.float64)
-                dls = np.array([r["dl"] for r in rows], dtype=np.int64)
-                nts = np.array([r["nt"] for r in rows], dtype=np.int64)
-        finally:
-            agg.unpersist()
+            ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+            accs = tbl.column("acc").to_numpy(zero_copy_only=False)
+            dls = tbl.column("dl").to_numpy(zero_copy_only=False)
+            nts = tbl.column("nt").to_numpy(zero_copy_only=False)
+        except Exception:
+            rows = agg.collect()
+            if len(rows) > self.DIST_ACC_CAP:
+                return None
+            ids = np.array([r["doc_id"] for r in rows],
+                           dtype=np.int64)
+            accs = np.array([r["acc"] for r in rows],
+                            dtype=np.float64)
+            dls = np.array([r["dl"] for r in rows], dtype=np.int64)
+            nts = np.array([r["nt"] for r in rows], dtype=np.int64)
         order = np.argsort(ids)
         return (ids[order].astype(np.int64), accs[order],
                 dls[order].astype(np.int64), nts[order].astype(np.int64))
