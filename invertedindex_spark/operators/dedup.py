@@ -51,6 +51,24 @@ def _tokens(df):
     return base.select("doc_id", tokens_col(F.col("text")).alias("tokens"))
 
 
+def sorted_pairs_expr(ids_col: str = "ids"):
+    """All ascending (a < b) pairs of a SORTED id array as one struct
+    array via higher-order functions — the ONE definition of the
+    in-bucket pair expansion (used by :func:`minhash_lsh_pairs` and
+    ``similarity.near_dup_pairs``; both previously carried their own
+    copy of this subtle slice arithmetic)."""
+    from pyspark.sql import functions as F
+
+    n = F.size(ids_col)
+    return F.flatten(F.transform(
+        F.sequence(F.lit(0), n - 2),
+        lambda i: F.transform(
+            F.slice(F.col(ids_col), i + 2, n),
+            lambda y: F.struct(
+                F.element_at(F.col(ids_col), i + 1).alias("a"),
+                y.alias("b")))))
+
+
 def shingles_col(tokens, n: int = 3):
     """array of n-token shingles (n=3), [] when the doc is shorter."""
     from pyspark.sql import functions as F
@@ -141,15 +159,7 @@ def minhash_lsh_pairs(df, perms, n_bands: int, band_width: int,
                .where(F.size("ids") > 1))
     if max_bucket is not None:
         buckets = buckets.where(F.size("ids") <= max_bucket)
-    n = F.size("ids")
-    pair_structs = F.flatten(F.transform(
-        F.sequence(F.lit(0), n - 2),
-        lambda i: F.transform(
-            F.slice(F.col("ids"), i + 2, n),
-            lambda y: F.struct(
-                F.element_at(F.col("ids"), i + 1).alias("a"),
-                y.alias("b")))))
-    cand = (buckets.select(F.explode(pair_structs).alias("p"))
+    cand = (buckets.select(F.explode(sorted_pairs_expr("ids")).alias("p"))
             .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
             .distinct())
     sets = _tokens(df).select(

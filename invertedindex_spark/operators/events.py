@@ -149,26 +149,39 @@ def sessionize_stateful(df, gap_seconds: int = 1800,
         # a hot key at the cost of possibly splitting its sessions
         force = (max_buffered_events is not None
                  and len(buf) > max_buffered_events)
-        out, keep = [], []
+        out, keep, first_close_us = [], [], None
         for s, e in sessions:
             last = buf[e - 1][0]
             if force or last + gap_us < wm_us:  # closed (or forced)
+                # value_sum skips NULLs exactly like the batch twin's
+                # F.sum (all-null session -> NULL, never NaN/0)
+                vals = [v for _, v in buf[s:e] if v == v]  # drop NaN
                 out.append((user, us_ts(buf[s][0]), us_ts(last + gap_us),
-                            e - s, sum(v for _, v in buf[s:e])))
+                            e - s, sum(vals) if vals else None))
             else:
+                if first_close_us is None:
+                    # sessions iterate in time order — this is the
+                    # EARLIEST still-open session's close time
+                    first_close_us = last + gap_us
                 keep.extend(buf[s:e])
         if keep:
             state.update(([t for t, _ in keep], [v for _, v in keep]))
-            # fire once the watermark can close the newest session
+            # fire once the watermark can close the EARLIEST kept
+            # session (keying the timeout to the newest one would
+            # delay older idle-key sessions unboundedly)
             state.setTimeoutTimestamp(
-                max(keep[-1][0] // 1000 + gap_seconds * 1000 + 1,
-                    wm_us // 1000 + 1))
+                max(first_close_us // 1000 + 1, wm_us // 1000 + 1))
         elif state.exists:
             state.remove()
         if out:
-            yield pd.DataFrame(out, columns=[
+            odf = pd.DataFrame(out, columns=[
                 "user_id", "session_start", "session_end", "n_events",
                 "value_sum"])
+            # nullable float so an all-null session round-trips as SQL
+            # NULL (a plain float64 column would coerce None to NaN)
+            odf["value_sum"] = pd.array(
+                [r[4] for r in out], dtype="Float64")
+            yield odf
 
     return (_event_time(df, ts_col).withWatermark(ts_col, watermark)
             .groupBy(key_col)

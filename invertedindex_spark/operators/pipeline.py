@@ -46,42 +46,51 @@ def clean_corpus(df, min_quality_u6: int = DEFAULT_MIN_QUALITY_U6,
     from pyspark.sql import functions as F
 
     from ..functions.textproc import doc_len_col, tokens_col
-    from .textstats import lang_pred_col, quality_col
+    from .textstats import lang_pred_col, n_sep_col, quality_col
 
     base = df.select("doc_id", "text")
     empty = F.col("text").isNull() | (F.length("text") == 0)
 
     t = base.withColumn(
         "tokens", F.when(~empty, tokens_col(F.col("text"))))
-    t = t.withColumn("sha",
-                     F.when(~empty, F.sha2(F.col("text"), 256)))
-    # keep-first inside each identical-text group; empties excluded
-    w = Window.partitionBy("sha")
-    t = t.withColumn("keep_id", F.min("doc_id").over(w))
 
     n_tokens = F.size("tokens")
     n_terms = doc_len_col(F.col("tokens"))  # textproc's one definition
-    n_sep = (F.length("text")
-             - F.length(F.regexp_replace("text", "[^a-zA-Z0-9]", "")))
+    n_sep = n_sep_col(F.col("text"))        # textstats' one definition
     # quality + language come from the SAME expression builders the
     # standalone operators use (textstats.quality_col/lang_pred_col) —
-    # one definition, one oracle shape
-    quality_u6 = F.round(
-        quality_col(n_terms, n_tokens, n_sep, F.length("text"))
-        * 1e6).cast("long")
+    # one definition, one oracle shape. The token-less guard is
+    # explicit now that the scalar is materialized BEFORE the verdict
+    # chain (inside the chain, is_empty short-circuited the division;
+    # as a standalone column ANSI mode evaluates it for every row and
+    # an all-separator doc would divide by zero tokens)
+    quality_u6 = F.when(
+        n_tokens > 0,
+        F.round(quality_col(n_terms, n_tokens, n_sep,
+                            F.length("text")) * 1e6).cast("long"))
     pred = lang_pred_col(F.col("tokens"))
 
-    # project every per-document signal to a SCALAR row before any
-    # further join: the near-dup drop join then shuffles only
-    # (doc_id, 3 scalars), never text/token arrays
+    # project every per-document signal to a SCALAR row BEFORE the sha
+    # window: Catalyst prunes columns below a Window but never pushes
+    # expression evaluation below it, so windowing first would drag
+    # full text + token arrays through the hash exchange — evaluated
+    # here, the exchange and every later join move only
+    # (doc_id, sha, 3 scalars)
     # (token-less all-separator docs carry no usable content — same
     # class as empty; the indexer skips both without a docId)
-    scalars = t.select(
+    pre = t.select(
         "doc_id",
+        F.when(~empty, F.sha2(F.col("text"), 256)).alias("sha"),
         (empty | (F.size("tokens") == 0)).alias("is_empty"),
-        (F.col("doc_id") != F.col("keep_id")).alias("is_exact_dup"),
         quality_u6.alias("quality_u6"),
         pred.alias("pred"))
+    # keep-first inside each identical-text group; empties excluded
+    w = Window.partitionBy("sha")
+    scalars = (pre.withColumn("keep_id", F.min("doc_id").over(w))
+               .select("doc_id", "is_empty",
+                       (F.col("doc_id") != F.col("keep_id"))
+                       .alias("is_exact_dup"),
+                       "quality_u6", "pred"))
 
     if near_dup is not None:
         from .dedup import minhash_lsh_pairs

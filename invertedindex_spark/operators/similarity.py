@@ -177,7 +177,14 @@ def bucketize_table(df, planes, path: str, id_col: str = "vec_id",
     asserted in tests/test_plans.py) instead of scanning the table.
     At 100 TB this is the difference between touching ~1/2^B of the
     data and all of it, per query."""
-    out = (df.select(id_col, emb_col)
+    from pyspark.sql import functions as F
+
+    # null embeddings would all hash to bucket 0 (NULL > 0 is NULL →
+    # otherwise(0) per plane), polluting that bucket's layout and its
+    # query results with cos=NULL rows — same isNotNull policy as
+    # ivf_assign
+    out = (df.where(F.col(emb_col).isNotNull())
+           .select(id_col, emb_col)
            .withColumn("bucket", bucket_col(planes, emb_col)))
     out.write.mode("overwrite").partitionBy("bucket").parquet(path)
     return path
@@ -209,8 +216,9 @@ def lsh_topk(df, planes, q: list[float], k: int = 10,
     from pyspark.sql import functions as F
 
     qb = query_bucket(planes, q)
-    cand = df.withColumn("bucket", bucket_col(planes, emb_col)) \
-        .where(F.col("bucket") == qb)
+    cand = (df.where(F.col(emb_col).isNotNull())
+            .withColumn("bucket", bucket_col(planes, emb_col))
+            .where(F.col("bucket") == qb))
     return cosine_topk(cand, q, k, id_col, exclude_id, emb_col)
 
 
@@ -229,6 +237,15 @@ def kmeans_centroids(vecs, k: int, iters: int = 10, seed: int = 7):
     import numpy as np
 
     v = np.asarray(vecs, dtype=np.float64)
+    # drop zero-norm training vectors BEFORE normalizing (same policy
+    # as pq_train/ivfpq_table: cosine against them is undefined) — one
+    # NaN row here would poison every argmax/mean downstream
+    norms = np.linalg.norm(v, axis=1)
+    v = v[norms > 0]
+    if v.shape[0] < k:
+        raise ValueError(
+            f"kmeans_centroids: only {v.shape[0]} non-zero training "
+            f"vectors for k={k}")
     v = v / np.linalg.norm(v, axis=1, keepdims=True)
     rng = np.random.RandomState(seed)
     cent = v[rng.choice(len(v), size=k, replace=False)].copy()
@@ -324,21 +341,6 @@ def ivf_topk_table(spark, path: str, centroids, q, k: int = 10,
     return cosine_topk(cand, q, k, id_col, exclude_id, emb_col)
 
 
-def cosine_pair_col(a_col: str, b_col: str):
-    """cosine(a, b) between two array columns — pure-JVM expression."""
-    from pyspark.sql import functions as F
-
-    va = _vec_double(a_col)
-    vb = _vec_double(b_col)
-    dot = F.aggregate(F.zip_with(va, vb, lambda x, y: x * y),
-                      F.lit(0.0), lambda acc, x: acc + x)
-    na = F.sqrt(F.aggregate(F.transform(va, lambda x: x * x),
-                            F.lit(0.0), lambda acc, x: acc + x))
-    nb = F.sqrt(F.aggregate(F.transform(vb, lambda x: x * x),
-                            F.lit(0.0), lambda acc, x: acc + x))
-    return dot / (na * nb)
-
-
 def near_dup_pairs(df, tables: list[list[list[float]]], threshold: float,
                    id_col: str = "vec_id", emb_col: str = "embedding",
                    max_bucket: int | None = None):
@@ -412,17 +414,12 @@ def near_dup_pairs(df, tables: list[list[list[float]]], threshold: float,
     # which streams the same b² pairs across the shuffle
     small = grouped.where(F.size("ids") <= _HOF_PAIR_CAP)
     big = grouped.where(F.size("ids") > _HOF_PAIR_CAP)
-    nsz = F.size("ids")
-    pair_structs = F.flatten(F.transform(
-        F.sequence(F.lit(0), nsz - 2),
-        lambda i: F.transform(
-            F.slice(F.col("ids"), i + 2, nsz),
-            lambda y: F.struct(
-                F.element_at(F.col("ids"), i + 1).alias("a"),
-                y.alias("b")))))
-    small_pairs = (small.select(F.explode(pair_structs).alias("p"))
-                   .select(F.col("p.a").alias("id_a"),
-                           F.col("p.b").alias("id_b")))
+    from .dedup import sorted_pairs_expr
+
+    small_pairs = (small.select(
+        F.explode(sorted_pairs_expr("ids")).alias("p"))
+        .select(F.col("p.a").alias("id_a"),
+                F.col("p.b").alias("id_b")))
     big_rows = big.select("t", "bk", F.explode("ids").alias("vid"))
     big_pairs = (big_rows.select(F.col("vid").alias("id_a"), "t", "bk")
                  .join(big_rows.select(F.col("vid").alias("id_b"),
@@ -509,6 +506,22 @@ def pq_train(vecs, m: int = 8, ksub: int = 16, iters: int = 8,
     return np.stack(books)
 
 
+def _pq_lut(cb, q):
+    """The query's per-subspace ADC lookup table — the ONE definition
+    (shared by :func:`pq_approx_scores` and :func:`ivfpq_topk`): the
+    SAME float64 constants serve the engine and the SQL oracle
+    (embedded as literals there), with subspace accumulation in
+    ascending order so the oracle's left-associated sum is
+    bit-identical. Returns an (m, ksub) float64 array."""
+    import numpy as np
+
+    m, ksub, dsub = cb.shape
+    qv = np.asarray(q, dtype=np.float64)
+    qn = qv / np.linalg.norm(qv)
+    return np.stack([qn[s * dsub:(s + 1) * dsub] @ cb[s].T
+                     for s in range(m)])
+
+
 def pq_approx_scores(df, codebooks, q, id_col: str = "vec_id",
                      emb_col: str = "embedding"):
     """(id, approx): asymmetric-distance (ADC) inner-product scores of
@@ -522,12 +535,7 @@ def pq_approx_scores(df, codebooks, q, id_col: str = "vec_id",
 
     cb = np.asarray(codebooks, dtype=np.float64)
     m, ksub, dsub = cb.shape
-    qv = np.asarray(q, dtype=np.float64)
-    qn = qv / np.linalg.norm(qv)
-    # the query's lookup table — the SAME float64 constants serve the
-    # engine and the SQL oracle (embedded as literals there)
-    lut = np.stack([qn[s * dsub:(s + 1) * dsub] @ cb[s].T
-                    for s in range(m)])          # (m, ksub)
+    lut = _pq_lut(cb, q)
 
     def adc(iterator):
         import pyarrow as pa
@@ -708,10 +716,7 @@ def ivfpq_topk(spark, path: str, centroids, codebooks, q, k: int = 10,
 
     cb = np.asarray(codebooks, dtype=np.float64)
     m, ksub, dsub = cb.shape
-    qv = np.asarray(q, dtype=np.float64)
-    qn = qv / np.linalg.norm(qv)
-    lut = np.stack([qn[s * dsub:(s + 1) * dsub] @ cb[s].T
-                    for s in range(m)])
+    lut = _pq_lut(cb, q)
     probe = query_clusters(centroids, q, nprobe)
     base = (spark.read.parquet(path)
             .where(F.col("cluster").isin(probe)))

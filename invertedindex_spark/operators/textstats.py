@@ -16,6 +16,18 @@ LANG_MARKERS = {
 }
 
 
+def n_sep_col(text):
+    """Separator-character count (chars outside [a-zA-Z0-9]) — the ONE
+    definition of the quality inputs' punctuation signal, shared by
+    :func:`token_stats` and ``pipeline.clean_corpus`` (each previously
+    inlined its own copy of this regexp; a divergence would skew their
+    common quality_u6 oracle shape)."""
+    from pyspark.sql import functions as F
+
+    return (F.length(text)
+            - F.length(F.regexp_replace(text, "[^a-zA-Z0-9]", "")))
+
+
 def quality_col(n_terms, n_tokens, n_sep, n_chars):
     """Composite quality score — the ONE definition shared by
     :func:`token_stats`, ``pipeline.clean_corpus`` and (textually)
@@ -68,9 +80,7 @@ def token_stats(df):
     t = d.select(
         "doc_id", F.length("text").alias("n_chars"),
         tokens_col(F.col("text")).alias("tokens"),
-        (F.length("text")
-         - F.length(F.regexp_replace("text", "[^a-zA-Z0-9]", "")))
-        .alias("n_sep"))
+        n_sep_col(F.col("text")).alias("n_sep"))
     t = t.withColumn("n_tokens", F.size("tokens"))
     t = t.withColumn(
         "n_terms", doc_len_col(F.col("tokens")))  # ONE definition of

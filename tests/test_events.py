@@ -98,7 +98,10 @@ def test_stateful_sessionizer_matches_batch_twin(spark, tmp_path, utc):
     batch2 = [(mins(55), 1, "click", 3.0), (mins(70), 1, "view", 1.25),
               (mins(15), 1, "view", 0.25),   # out-of-order: session 1
               (mins(20), 2, "view", 0.5),
-              (mins(5), 2, "click", 0.75)]   # out-of-order: session 1
+              (mins(5), 2, "click", 0.75),   # out-of-order: session 1
+              (mins(21), 2, "view", None),   # NULL value: F.sum skips
+              (mins(4), 3, "view", None),    # all-NULL session → NULL
+              (mins(6), 3, "view", None)]
     # sentinel file far in the future: advances the watermark so every
     # real session times out and is emitted
     sentinel = [(mins(60 * 24 * 10), 99, "click", 0.0)]
