@@ -122,12 +122,30 @@ def clean_corpus(df, min_quality_u6: int = DEFAULT_MIN_QUALITY_U6,
     return scalars.select("doc_id", reason.alias("reason"))
 
 
-def kept_documents(df, **kw):
+def kept_documents(df, remove_spans_k: int | None = None, **kw):
     """The cleaned corpus: documents whose verdict is ``kept`` — feed
-    straight into ``corpus.from_documents`` / ``build_index``."""
+    straight into ``corpus.from_documents`` / ``build_index``.
+
+    ``remove_spans_k``: additionally run the Lee-et-al substring
+    curation ACTION over the kept documents — every word covered by a
+    cross-document duplicated ``k``-shingle span is dropped from the
+    text (``dedup.remove_duplicate_spans``); the span detection runs
+    AFTER the document-level drops so spans shared only with removed
+    duplicates do not count."""
     verdicts = clean_corpus(df, **kw)
-    return (df.join(verdicts.where("reason = 'kept'")
+    kept = (df.join(verdicts.where("reason = 'kept'")
                     .select("doc_id"), "doc_id"))
+    if remove_spans_k is None:
+        return kept
+    from pyspark.sql import functions as F
+
+    from .dedup import remove_duplicate_spans
+
+    cleaned = remove_duplicate_spans(kept, k=remove_spans_k)
+    return (kept.drop("text")
+            .join(cleaned.select("doc_id",
+                                 F.col("clean_text").alias("text")),
+                  "doc_id"))
 
 
 def clean_stats(df, **kw):

@@ -86,6 +86,42 @@ def test_removal_feeds_partial_spans(spark):
     assert got[1] == (1, K, "")
 
 
+def test_kept_documents_with_span_removal_feeds_indexer(spark, tmp_path):
+    """The curation composition: document-level cleaning, then span
+    removal over the KEPT docs, then an index build over the cleaned
+    text — the cleaned index must not contain the removed span's
+    vocabulary while keeping the surrounding words."""
+    from invertedindex_spark import (
+        IndexConfig, InvertedIndex, build_index, corpus,
+    )
+    from invertedindex_spark.operators.pipeline import kept_documents
+
+    shared = words(K, "zzqspan")
+    rows = [(0, f"{words(3, 'alpha')} {shared} {words(3, 'beta')}"),
+            (1, f"{words(3, 'gamma')} {shared} {words(3, 'delta')}"),
+            (2, "an ordinary little document with plain words here"),
+            (3, "an ordinary little document with plain words here"),
+            (4, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = kept_documents(df, remove_spans_k=K, min_quality_u6=0,
+                          keep_langs=("en", "unknown"))
+    got = {r["doc_id"]: r["text"] for r in kept.collect()}
+    # doc 3 = exact dup dropped, doc 4 empty dropped; spans removed
+    assert set(got) == {0, 1, 2}
+    assert got[0] == f"{words(3, 'alpha')} {words(3, 'beta')}"
+    assert "zzqspan0" not in got[1]
+    assert got[2].startswith("an ordinary")
+
+    wh = str(tmp_path / "wh_span_clean")
+    src = corpus.from_documents(
+        kept.withColumn("doc_no", kept.doc_id.cast("string")))
+    build_index(spark, src, wh, IndexConfig(num_blocks=2,
+                                            stemming=False))
+    idx = InvertedIndex(spark, wh)
+    assert idx.search("OR zzqspan0", 5) == []        # span vocab gone
+    assert idx.search("OR alpha0", 5)                # neighbors kept
+
+
 def test_two_separate_spans(spark):
     s1, s2 = words(K, "s"), words(K, "t")
     gap = words(K + 2, "g")         # wider than k → runs stay apart
