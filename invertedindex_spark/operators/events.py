@@ -101,7 +101,13 @@ def sessionize_stateful(df, gap_seconds: int = 1800,
     watermark are dropped (Spark does not pre-filter them for this
     operator). Streaming DataFrames only (Spark restriction); the
     batch twin is :func:`sessionize` (asserted equal in tests,
-    including cross-batch out-of-order arrivals).
+    including cross-batch out-of-order arrivals and NULL values — an
+    all-NULL session emits SQL NULL). One documented domain edge: a
+    literal NaN event value is treated as NULL (skipped from
+    ``value_sum``) because the pandas state boundary converts SQL NULL
+    to NaN and the two become indistinguishable here, while the batch
+    twin's ``F.sum`` would propagate a genuine NaN; metric streams
+    carrying meaningful NaN should encode it explicitly.
 
     ``max_buffered_events`` bounds per-key state: a single
     pathological key (bot traffic) whose events keep arriving inside

@@ -142,7 +142,11 @@ def kept_documents(df, remove_spans_k: int | None = None, **kw):
     from .dedup import remove_duplicate_spans
 
     cleaned = remove_duplicate_spans(kept, k=remove_spans_k)
-    return (kept.drop("text")
+    # join against the RAW df, not `kept`: cleaned carries exactly the
+    # kept doc_ids (one row per input doc), so the inner join restricts
+    # to the kept set without putting the whole clean_corpus verdict
+    # subplan on both sides of the join
+    return (df.drop("text")
             .join(cleaned.select("doc_id",
                                  F.col("clean_text").alias("text")),
                   "doc_id"))

@@ -159,7 +159,16 @@ class InvertedIndex:
             # batch-built warehouses have no uncompacted tail; noop
             # (checked BEFORE the io_mode guard: a remote BATCH
             # warehouse has nothing to merge-on-read, so fresh=True is
-            # a harmless noop there, not an error)
+            # a harmless noop there, not an error). The noop requires
+            # PROOF of batch-ness: a remote manifest read can fail and
+            # yield {} (stream None), and silently downgrading fresh
+            # on that would serve stale results with no error.
+            if self.io_mode != "local" and not manifest.get("stages"):
+                raise ValueError(
+                    "fresh=True on a non-local warehouse whose manifest "
+                    "could not be read — cannot prove the warehouse has "
+                    "no uncompacted stream tail; serve it without "
+                    "fresh=True or open it from a local path")
             self.fresh = False
         if self.fresh and self.io_mode != "local":
             # every merged-on-read probe (_compacted_tables_exist,
