@@ -1300,7 +1300,7 @@ class InvertedIndex:
                 dls[order].astype(np.int64), nts[order].astype(np.int64))
 
     def _boost_partials_df(self, terms, wanted_ids, wanted_dls,
-                           score_info):
+                           score_info, emit_term: bool = False):
         """The selective second phase: one mapInArrow pass over the
         boost terms' posting rows that uses each row's OWN skip
         pointers to decode only the blocks containing surviving
@@ -1410,17 +1410,26 @@ class InvertedIndex:
                     out_ids.append(wids[widx])
                     out_sc.append(s)
                     out_terms.append(
-                        np.full(m.size, 1, dtype=np.int64))
+                        [r["term"]] * m.size if emit_term
+                        else np.full(m.size, 1, dtype=np.int64))
                 if not out_ids:
                     continue
+                tcol = (pa.array(
+                    [t for ts in out_terms for t in ts])
+                    if emit_term
+                    else pa.array(np.concatenate(out_terms)))
                 yield pa.RecordBatch.from_arrays(
                     [pa.array(np.concatenate(out_ids)),
-                     pa.array(np.concatenate(out_sc)),
-                     pa.array(np.concatenate(out_terms))],
-                    names=["doc_id", "partial", "hits"])
+                     pa.array(np.concatenate(out_sc)), tcol],
+                    names=["doc_id", "partial",
+                           "term" if emit_term else "hits"])
 
-        return base.mapInArrow(
-            boost, "doc_id long, partial double, hits long")
+        # a term's boost partial (factor * idf) is QUERY-INDEPENDENT,
+        # so the batch plan decodes each block once and fans the same
+        # rows out to every query containing the term
+        schema = ("doc_id long, partial double, "
+                  + ("term string" if emit_term else "hits long"))
+        return base.mapInArrow(boost, schema)
 
     def _search_distributed_pruned(self, qtype, present, k):
         """Two-phase distributed plan with dynamic pruning — the
@@ -1619,7 +1628,8 @@ class InvertedIndex:
         return (self.docs.join(F.broadcast(top), "doc_id")
                 .select("doc_no", "score").orderBy(F.desc("score")))
 
-    def batch_search_distributed(self, queries, k: int = 100):
+    def batch_search_distributed(self, queries, k: int = 100,
+                                 prune: bool = False):
         """Evaluate a whole query batch as ONE distributed plan — the
         Spark-first form of the reference's sequential 6,980-query TREC
         loop (``QueryProcessorTest.java:76-108``): the postings scan
@@ -1640,6 +1650,13 @@ class InvertedIndex:
         distinct across queries, lists too big to collect); for small
         repeated vocabularies the sequential :meth:`batch_search` with
         its decode LRU is faster by construction.
+
+        ``prune=True`` routes every OR query with both rare and hot
+        lists through the batched two-phase pruned plan
+        (:meth:`_batch_distributed_pruned` — one essential job, per-qid
+        thresholds, one shared selective boost pass); queries pruning
+        cannot serve soundly fall back to the exhaustive plan, and the
+        two result sets union. Results are identical either way.
         """
         from pyspark.sql import Window
         from pyspark.sql import functions as F
@@ -1676,6 +1693,26 @@ class InvertedIndex:
         if not parsed:
             return self.spark.createDataFrame(
                 [], f"qid {qid_t}, rank int, doc_no string, score double")
+        pruned_df = None
+        if prune:
+            res = self._batch_distributed_pruned(parsed, qid_t, k)
+            if res is not None:
+                pruned_df, parsed = res
+                if not parsed:   # every query was prunable
+                    return pruned_df.orderBy("qid", "rank")
+        rest = self._batch_exhaustive_top(parsed, qid_t, k)
+        if pruned_df is not None:
+            rest = rest.unionByName(pruned_df)
+        return rest.orderBy("qid", "rank")
+
+    def _batch_exhaustive_top(self, parsed, qid_t, k):
+        """The exhaustive batch plan over pre-parsed (qid, term, qtype,
+        n_terms) rows — one postings scan for the union of terms,
+        broadcast fan-out, per-qid queue semantics. Returns the
+        (qid, rank, doc_no, score) DataFrame WITHOUT the final sort."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
         qterms = self.spark.createDataFrame(
             parsed, f"qid {qid_t}, term string, qtype string, n_terms int")
         all_terms = {p[1] for p in parsed}
@@ -1699,8 +1736,166 @@ class InvertedIndex:
                .where(F.col("rank") <= k))
         return (self.docs.select("doc_id", "doc_no")
                 .join(F.broadcast(top), "doc_id")
-                .select("qid", "rank", "doc_no", "score")
-                .orderBy("qid", "rank"))
+                .select("qid", "rank", "doc_no", "score"))
+
+    def _batch_distributed_pruned(self, parsed, qid_t, k):
+        """Batch flavor of the two-phase pruned plan: ONE essential job
+        for every prunable query's rare lists, per-qid k-th-distinct
+        thresholds and Block-Max survivor refinement on the driver,
+        then ONE selective boost pass whose per-term partials (query-
+        independent: factor·idf) fan out to every query containing the
+        term. OR queries with both rare and hot lists are prunable;
+        everything else (AND, all-rare, all-hot, legacy bounds) stays
+        on the exhaustive plan. Returns
+        ``(pruned_results_df, leftover_parsed)`` or None when pruning
+        cannot apply at all."""
+        import math as _math
+
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        stats = self.last_prune_stats = {"mode": "batch_distributed"}
+        by_qid: dict = {}
+        for qid, t, qtype, n in parsed:
+            by_qid.setdefault(qid, (qtype, []))[1].append(t)
+        light = self._light_rows({t for _q, t, _qt, _n in parsed})
+        bounds = self._term_bounds_for_pruning(light)
+        if bounds is None:
+            stats["stale_bounds_fallback"] = True
+            return None
+        dfs = {t: int(rs[0]["df"]) for t, rs in light.items()}
+        plan: dict = {}      # qid -> (ess_terms, boost_terms)
+        acc_budget = 0
+        for qid, (qtype, terms) in by_qid.items():
+            if qtype != "OR":
+                continue
+            boost = [t for t in terms
+                     if dfs[t] >= self.DIST_BOOST_DF_MIN]
+            ess = [t for t in terms if t not in boost]
+            cost = sum(dfs[t] for t in ess)
+            if (not boost or not ess
+                    or acc_budget + cost > self.DIST_ACC_CAP):
+                continue
+            acc_budget += cost
+            plan[qid] = (ess, boost)
+        if not plan:
+            return None
+
+        qe_rows = [(qid, t) for qid, (ess, _b) in plan.items()
+                   for t in ess]
+        qterms_ess = self.spark.createDataFrame(
+            qe_rows, f"qid {qid_t}, term string")
+        ess_df = self.decoded_postings_df(
+            {t for _q, t in qe_rows})
+        scored = (ess_df.join(F.broadcast(qterms_ess), "term")
+                  .withColumn("partial", scoring.bm25_col(
+                      F.col("tf"), F.col("dl"), F.col("df"),
+                      F.lit(float(self.num_docs)),
+                      F.lit(self.avg_doc_len))))
+        agg = (scored.groupBy("qid", "doc_id")
+               .agg(F.sum("partial").alias("acc"),
+                    F.first("dl").alias("dl"))
+               .limit(self.DIST_ACC_CAP + 1))
+        try:
+            tbl = agg.toArrow()
+            if tbl.num_rows > self.DIST_ACC_CAP:
+                return None
+            a_qids = tbl.column("qid").to_pylist()
+            a_ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+            a_acc = tbl.column("acc").to_numpy(zero_copy_only=False)
+            a_dl = tbl.column("dl").to_numpy(zero_copy_only=False)
+        except Exception:
+            rows = agg.collect()
+            if len(rows) > self.DIST_ACC_CAP:
+                return None
+            a_qids = [r["qid"] for r in rows]
+            a_ids = np.array([r["doc_id"] for r in rows], np.int64)
+            a_acc = np.array([r["acc"] for r in rows], np.float64)
+            a_dl = np.array([r["dl"] for r in rows], np.int64)
+
+        from .maxscore import kth_largest_distinct
+
+        per_q: dict = {}
+        for i, qid in enumerate(a_qids):
+            per_q.setdefault(qid, []).append(i)
+        wanted_rows = []         # (qid, doc_id, acc)
+        union_ids: dict = {}     # doc_id -> dl
+        prunable = {}
+        blocks_total = blocks_wanted = 0
+        for qid, (ess, boost) in plan.items():
+            idxs = per_q.get(qid)
+            if not idxs:
+                continue   # essential lists empty ⇒ demote
+            ids = a_ids[idxs]
+            accs = a_acc[idxs]
+            dls = a_dl[idxs]
+            order = np.argsort(ids)
+            ids, accs, dls = ids[order], accs[order], dls[order]
+            theta = (kth_largest_distinct(accs, k)
+                     if accs.size >= k else -np.inf)
+            s_rest = float(sum(bounds[t][0] for t in boost))
+            if s_rest >= theta:
+                continue   # unsound to prune ⇒ demote to exhaustive
+            ub = accs.copy()
+            for t in boost:
+                _tub, bf, bm, last = bounds[t]
+                blk = np.searchsorted(bf, ids, side="right") - 1
+                in_r = (blk >= 0) & (ids <= last)
+                ub[in_r] += bm[np.clip(blk, 0, bm.size - 1)][in_r]
+                blocks_total += bm.size
+            keep = ub >= theta
+            w_ids, w_acc, w_dl = ids[keep], accs[keep], dls[keep]
+            for t in boost:
+                _tub, bf, bm, last = bounds[t]
+                blk = np.searchsorted(bf, w_ids, side="right") - 1
+                in_r = (blk >= 0) & (w_ids <= last)
+                blocks_wanted += int(np.unique(blk[in_r]).size)
+            prunable[qid] = (ess, boost)
+            for d, a, dl in zip(w_ids, w_acc, w_dl):
+                wanted_rows.append((qid, int(d), float(a)))
+                union_ids[int(d)] = int(dl)
+        if not prunable:
+            return None
+        stats.update(prunable_queries=len(prunable),
+                     demoted_queries=len(plan) - len(prunable),
+                     wanted_docs=len(wanted_rows),
+                     blocks_before=blocks_total,
+                     blocks_decoded=blocks_wanted)
+        leftover = [p for p in parsed if p[0] not in prunable]
+
+        u_ids = np.array(sorted(union_ids), dtype=np.int64)
+        u_dls = np.array([union_ids[int(d)] for d in u_ids], np.int64)
+        boost_terms = sorted({t for _e, b in prunable.values()
+                              for t in b})
+        idf_map = {t: _math.log(self.num_docs / float(dfs[t]))
+                   for t in boost_terms}
+        boost_df = self._boost_partials_df(
+            boost_terms, u_ids, u_dls, idf_map, emit_term=True)
+        qb_rows = [(qid, t) for qid, (_e, b) in prunable.items()
+                   for t in b]
+        qterms_boost = self.spark.createDataFrame(
+            qb_rows, f"qid {qid_t}, term string")
+        contrib = (boost_df.join(F.broadcast(qterms_boost), "term")
+                   .groupBy("qid", "doc_id")
+                   .agg(F.sum("partial").alias("boost")))
+        import pandas as pd
+
+        kept = self.spark.createDataFrame(pd.DataFrame(
+            wanted_rows, columns=["qid", "doc_id", "acc"]))
+        final = (kept.join(contrib, ["qid", "doc_id"], "left")
+                 .select("qid", "doc_id",
+                         (F.col("acc")
+                          + F.coalesce(F.col("boost"), F.lit(0.0)))
+                         .alias("score")))
+        per_score = (final.groupBy("qid", "score")
+                     .agg(F.min("doc_id").alias("doc_id")))
+        w = Window.partitionBy("qid").orderBy(F.desc("score"))
+        top = (per_score.withColumn("rank", F.row_number().over(w))
+               .where(F.col("rank") <= k))
+        out = (self.docs.select("doc_id", "doc_no")
+               .join(F.broadcast(top), "doc_id")
+               .select("qid", "rank", "doc_no", "score"))
+        return out, leftover
 
     # -- batch (TREC-run style) -------------------------------------------
     def batch_search(self, queries, k: int = 100, prune: bool = False):

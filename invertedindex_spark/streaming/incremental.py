@@ -310,6 +310,10 @@ def compact(spark, warehouse_dir: str,
     stats = manifest["stats"]
     avg = float(stats["avg_doc_len"])
     num_docs = stats["num_docs"]
+    # clear any half-written swap leftovers of a crashed prior
+    # compaction (the partials below are the source of truth)
+    shutil.rmtree(paths["postings"] + "_compact_tmp",
+                  ignore_errors=True)
     partials = spark.read.parquet(paths["partials"])
     state = manifest.get("stream", {})
     prev_hwm = state.get("compacted_through_block")

@@ -308,6 +308,14 @@ def test_distributed_pruned_on_stale_and_fresh(spark, tmp_path):
         st = idx.last_prune_stats
         assert st.get("mode") == "distributed", (fresh, st)
         assert st.get("computed_bounds"), (fresh, st)
+        # batched flavor under the same computed bounds
+        bq = [(1, q), (2, "OR qqrareb hotterm")]
+        bw = [(r["qid"], r["rank"], r["doc_no"], r["score"]) for r in
+              idx.batch_search_distributed(bq, k=5).collect()]
+        bg = [(r["qid"], r["rank"], r["doc_no"], r["score"]) for r in
+              idx.batch_search_distributed(bq, k=5,
+                                           prune=True).collect()]
+        assert bg == bw, fresh
 
 
 def test_pruned_paths_on_merge_width_warehouse(spark, tmp_path):
@@ -339,6 +347,42 @@ def test_pruned_paths_on_merge_width_warehouse(spark, tmp_path):
            dist.search_distributed(dq, 5, prune=True).collect()]
     assert got == want
     assert dist.last_prune_stats.get("mode") == "distributed"
+
+
+def test_batch_distributed_pruned_matches_exhaustive(bm_index):
+    """batch_search_distributed(prune=True): prunable OR queries go
+    through the shared two-phase plan (one essential job + one boost
+    pass for the whole batch), AND / all-hot / all-rare queries fall
+    back to the exhaustive plan, and the unioned results are
+    row-identical to the fully exhaustive batch."""
+    from invertedindex_spark import InvertedIndex
+
+    idx = InvertedIndex(bm_index.spark, bm_index.warehouse_dir)
+    idx.DIST_BOOST_DF_MIN = 1024
+    queries = [
+        (1, "OR qqrarea qqrareb hotterm"),   # prunable (rare + hot)
+        (2, "OR qqrarea hotterm"),           # prunable
+        (3, "AND qqrarea hotterm"),          # AND → exhaustive
+        (4, "OR qqrarea qqrareb"),           # all-rare → exhaustive
+        (5, "OR hotterm"),                   # all-hot → exhaustive
+        (6, "OR zzznotaterm qqrareb hotterm"),  # unknown term skipped
+    ]
+    want = [(r["qid"], r["rank"], r["doc_no"], r["score"]) for r in
+            idx.batch_search_distributed(queries, k=7).collect()]
+    got = [(r["qid"], r["rank"], r["doc_no"], r["score"]) for r in
+           idx.batch_search_distributed(queries, k=7,
+                                        prune=True).collect()]
+    assert got == want
+    st = idx.last_prune_stats
+    assert st.get("mode") == "batch_distributed", st
+    assert st.get("prunable_queries", 0) >= 2, st
+    assert st["blocks_decoded"] < st["blocks_before"], st
+    # per-query parity with the single-query plan as well
+    for qid, q in queries[:2]:
+        single = [(r["doc_no"], r["score"]) for r in
+                  idx.search_distributed(q, 7).collect()]
+        batch_rows = [(d, s) for (g, _r, d, s) in got if g == qid]
+        assert batch_rows == single, qid
 
 
 def test_kth_largest_distinct_fuzz():

@@ -245,6 +245,45 @@ def test_incremental_compaction_touches_only_affected_terms(spark, tmp_path):
         assert not ii.last_prune_stats.get("stale_bounds_fallback"), q
 
 
+def test_compaction_crash_mid_swap_heals(spark, tmp_path):
+    """The bucketed incremental compaction swaps the postings table by
+    rmtree+rename; a crash in between leaves NO postings dir. The next
+    compact() must heal from the partials (the source of truth) with a
+    full merge and serve results identical to an uncrashed twin."""
+    import shutil
+
+    cfg = IndexConfig(num_blocks=2)
+    srt = _sorted_rows(160)
+    wh, wh_ok = str(tmp_path / "crash"), str(tmp_path / "ok")
+    for d in (wh, wh_ok):
+        df1 = spark.createDataFrame(srt[:100], corpus._CORPUS_SCHEMA)
+        append_batch(spark, corpus.from_source_code(df1), d, cfg,
+                     blocks_per_batch=2)
+        compact(spark, d, cfg)
+        df2 = spark.createDataFrame(srt[100:], corpus._CORPUS_SCHEMA)
+        append_batch(spark, corpus.from_source_code(df2), d, cfg,
+                     blocks_per_batch=2)
+    compact(spark, wh_ok, cfg)
+
+    # simulate the crash window on wh: old postings removed, new table
+    # not yet renamed (also leave a half-written tmp dir behind)
+    shutil.move(os.path.join(wh, "postings"),
+                os.path.join(wh, "postings_compact_tmp"))
+    compact(spark, wh, cfg)   # heals: full merge from partials
+
+    import json
+    with open(os.path.join(wh, "_manifest.json")) as f:
+        assert json.load(f)["metrics"]["last_compaction"]["mode"] \
+            == "full"
+    a, b = InvertedIndex(spark, wh), InvertedIndex(spark, wh_ok)
+    assert a.num_docs == b.num_docs
+    for q in QUERIES:
+        got, want = a.search(q, 10), b.search(q, 10)
+        assert [g[0] for g in got] == [w[0] for w in want], q
+        pr = a.search(q, 10, prune=True)
+        assert [p[0] for p in pr] == [w[0] for w in want], q
+
+
 def test_stale_bounds_use_computed_invariant_bounds(spark, tmp_path):
     """append_batch rolls num_docs/avg_doc_len without rewriting the
     persisted TUB/block_max — those stored bounds are underestimates
