@@ -72,9 +72,20 @@ def test_clean_corpus_single_exchange_and_pruned_scan(spark, sf0001_dir):
 
     docs = spark.read.parquet(f"{sf0001_dir}/documents.parquet")
     df = clean_corpus(docs)
-    assert physical_plan(df).count("Exchange") == 1
+    plan = physical_plan(df)
+    assert plan.count("Exchange") == 1
     for col in ("lang", "source", "n_chars"):
         assert_column_pruned(df, col)
+    # every per-doc scalar is evaluated BELOW the sha window: the
+    # exchange must carry only (doc_id, sha, 3 scalars) — windowing
+    # over full text/token arrays would move the whole corpus through
+    # the shuffle (Catalyst never pushes expression eval below Window).
+    # Physical plan text is top-down, so the text BEFORE the Exchange
+    # line is the post-shuffle side: the heavy text expressions
+    # (tokenize split / quality regexp) must only appear AFTER it.
+    above_exchange = plan.split("Exchange", 1)[0]
+    assert "regexp_replace" not in above_exchange, above_exchange
+    assert "quality_u6" in plan.split("Exchange", 1)[1]
 
 
 def test_event_aggs_single_exchange_and_pruned_scan(spark, sf0001_dir):
