@@ -177,6 +177,21 @@ def main():
         k: v for k, v in idx.last_prune_stats.items()
         if isinstance(v, (int, float, str))}
     print(json.dumps(dist), flush=True)
+
+    # batched distributed plan over the same mixed shape: one essential
+    # job + one shared selective boost pass for the whole batch
+    bq = list(enumerate(mix_qs))
+    batch = {}
+    for label, prune in (("exact", False), ("pruned", True)):
+        idx.batch_search_distributed(bq, 20, prune=prune).collect()
+        t0 = time.perf_counter()
+        idx.batch_search_distributed(bq, 20, prune=prune).collect()
+        batch[f"dist_batch_{label}_s"] = round(
+            time.perf_counter() - t0, 3)
+    batch["dist_batch_prune_stats"] = {
+        k: v for k, v in idx.last_prune_stats.items()
+        if isinstance(v, (int, float, str))}
+    print(json.dumps(batch), flush=True)
     spark.stop()
 
 
