@@ -1431,6 +1431,31 @@ class InvertedIndex:
                   + ("term string" if emit_term else "hits long"))
         return base.mapInArrow(boost, schema)
 
+    @staticmethod
+    def _blockmax_refine(ids, accs, boost, bounds, theta):
+        """Block-Max survivor refinement — the ONE definition shared by
+        the single-query and batch pruned plans: upper-bound each
+        accumulator by its per-boost-term block maxima; below θ it can
+        never enter the top-k (θ only grows). ``ids`` must be sorted.
+        Returns (keep_mask, blocks_total, blocks_wanted)."""
+        ub = accs.copy()
+        blocks_total = 0
+        for t in boost:
+            _tub, bf, bm, last = bounds[t]
+            blk = np.searchsorted(bf, ids, side="right") - 1
+            in_r = (blk >= 0) & (ids <= last)
+            ub[in_r] += bm[np.clip(blk, 0, bm.size - 1)][in_r]
+            blocks_total += bm.size
+        keep = ub >= theta
+        w_ids = ids[keep]
+        blocks_wanted = 0
+        for t in boost:
+            _tub, bf, bm, last = bounds[t]
+            blk = np.searchsorted(bf, w_ids, side="right") - 1
+            in_r = (blk >= 0) & (w_ids <= last)
+            blocks_wanted += int(np.unique(blk[in_r]).size)
+        return keep, blocks_total, blocks_wanted
+
     def _search_distributed_pruned(self, qtype, present, k):
         """Two-phase distributed plan with dynamic pruning — the
         cluster-side analogue of the driver MaxScore/BMM kernel
@@ -1526,28 +1551,12 @@ class InvertedIndex:
             wanted_ids, wanted_acc, wanted_dls = \
                 ids[keep], accs[keep], dls[keep]
         else:
-            # Block-Max refinement: upper-bound each accumulator by its
-            # per-boost-term block maxima; below θ it can never enter
-            # the top-k (θ only grows), exactly the driver kernel's
-            # accumulator drop
-            ub = accs.copy()
-            blocks_total = 0
-            for t in boost:
-                _tub, bf, bm, last = bounds[t]
-                blk = np.searchsorted(bf, ids, side="right") - 1
-                in_r = (blk >= 0) & (ids <= last)
-                ub[in_r] += bm[np.clip(blk, 0, bm.size - 1)][in_r]
-                blocks_total += bm.size
-            keep = ub >= theta
+            # Block-Max refinement — exactly the driver kernel's
+            # accumulator drop, executor-free (one shared definition)
+            keep, blocks_total, blocks_wanted = self._blockmax_refine(
+                ids, accs, boost, bounds, theta)
             wanted_ids, wanted_acc, wanted_dls = \
                 ids[keep], accs[keep], dls[keep]
-            blocks_wanted = 0
-            for t in boost:
-                _tub, bf, bm, last = bounds[t]
-                blk = np.searchsorted(bf, wanted_ids,
-                                      side="right") - 1
-                in_r = (blk >= 0) & (wanted_ids <= last)
-                blocks_wanted += int(np.unique(blk[in_r]).size)
             stats.update(acc_dropped=int((~keep).sum()),
                          blocks_before=blocks_total,
                          blocks_decoded=blocks_wanted)
@@ -1656,11 +1665,11 @@ class InvertedIndex:
         (:meth:`_batch_distributed_pruned` — one essential job, per-qid
         thresholds, one shared selective boost pass); queries pruning
         cannot serve soundly fall back to the exhaustive plan, and the
-        two result sets union. Results are identical either way.
+        two result sets union. Results are identical either way (the
+        one exotic exception is the module-documented distinct-score
+        caveat shared by every pruned path: equal-float final scores
+        across distinct docs — tested corpora never hit it).
         """
-        from pyspark.sql import Window
-        from pyspark.sql import functions as F
-
         # qid column type follows the caller: all-int qids come back as
         # longs (joinable against the caller's keys); anything else is
         # coerced to string
@@ -1700,6 +1709,10 @@ class InvertedIndex:
                 pruned_df, parsed = res
                 if not parsed:   # every query was prunable
                     return pruned_df.orderBy("qid", "rank")
+            else:
+                # honest telemetry: the whole batch ran exhaustive
+                self.last_prune_stats["mode"] = \
+                    "batch_distributed_fallback"
         rest = self._batch_exhaustive_top(parsed, qid_t, k)
         if pruned_df is not None:
             rest = rest.unionByName(pruned_df)
@@ -1749,8 +1762,6 @@ class InvertedIndex:
         on the exhaustive plan. Returns
         ``(pruned_results_df, leftover_parsed)`` or None when pruning
         cannot apply at all."""
-        import math as _math
-
         from pyspark.sql import Window
         from pyspark.sql import functions as F
 
@@ -1758,7 +1769,17 @@ class InvertedIndex:
         by_qid: dict = {}
         for qid, t, qtype, n in parsed:
             by_qid.setdefault(qid, (qtype, []))[1].append(t)
-        light = self._light_rows({t for _q, t, _qt, _n in parsed})
+        # collect metadata only for OR queries' vocabulary — AND /
+        # non-prunable queries never consult bounds
+        or_terms = {t for _q, (qt, ts) in by_qid.items()
+                    for t in ts if qt == "OR"}
+        if not or_terms:
+            return None
+        light = self._light_rows(or_terms)
+        if len(light) != len(or_terms):
+            # lexicon/postings drift (same guard as the single-query
+            # plan): serve the whole batch exhaustively
+            return None
         bounds = self._term_bounds_for_pruning(light)
         if bounds is None:
             stats["stale_bounds_fallback"] = True
@@ -1836,20 +1857,11 @@ class InvertedIndex:
             s_rest = float(sum(bounds[t][0] for t in boost))
             if s_rest >= theta:
                 continue   # unsound to prune ⇒ demote to exhaustive
-            ub = accs.copy()
-            for t in boost:
-                _tub, bf, bm, last = bounds[t]
-                blk = np.searchsorted(bf, ids, side="right") - 1
-                in_r = (blk >= 0) & (ids <= last)
-                ub[in_r] += bm[np.clip(blk, 0, bm.size - 1)][in_r]
-                blocks_total += bm.size
-            keep = ub >= theta
+            keep, bt, bw = self._blockmax_refine(
+                ids, accs, boost, bounds, theta)
+            blocks_total += bt
+            blocks_wanted += bw
             w_ids, w_acc, w_dl = ids[keep], accs[keep], dls[keep]
-            for t in boost:
-                _tub, bf, bm, last = bounds[t]
-                blk = np.searchsorted(bf, w_ids, side="right") - 1
-                in_r = (blk >= 0) & (w_ids <= last)
-                blocks_wanted += int(np.unique(blk[in_r]).size)
             prunable[qid] = (ess, boost)
             for d, a, dl in zip(w_ids, w_acc, w_dl):
                 wanted_rows.append((qid, int(d), float(a)))
@@ -1867,7 +1879,7 @@ class InvertedIndex:
         u_dls = np.array([union_ids[int(d)] for d in u_ids], np.int64)
         boost_terms = sorted({t for _e, b in prunable.values()
                               for t in b})
-        idf_map = {t: _math.log(self.num_docs / float(dfs[t]))
+        idf_map = {t: math.log(self.num_docs / float(dfs[t]))
                    for t in boost_terms}
         boost_df = self._boost_partials_df(
             boost_terms, u_ids, u_dls, idf_map, emit_term=True)
