@@ -385,6 +385,33 @@ def test_batch_distributed_pruned_matches_exhaustive(bm_index):
         assert batch_rows == single, qid
 
 
+@pytest.mark.parametrize("seed", [5, 9])
+def test_batch_distributed_pruned_randomized(bm_index, seed):
+    """Randomized batches mixing prunable, AND, all-rare, all-hot,
+    unknown-term and single-term queries: prune=True must be
+    row-identical to the exhaustive batch for every composition."""
+    import random
+
+    from invertedindex_spark import InvertedIndex
+
+    rng = random.Random(seed)
+    pool = ["qqrarea", "qqrareb", "hotterm", "u5x", "u77x",
+            "u1234x", "zzznoterm"]
+    queries = []
+    for i in range(12):
+        qt = rng.choice(["OR", "OR", "OR", "AND"])
+        ts = rng.sample(pool, rng.randrange(1, 4))
+        queries.append((i, f"{qt} " + " ".join(ts)))
+    idx = InvertedIndex(bm_index.spark, bm_index.warehouse_dir)
+    idx.DIST_BOOST_DF_MIN = 1024
+    want = [(r["qid"], r["rank"], r["doc_no"], r["score"]) for r in
+            idx.batch_search_distributed(queries, k=6).collect()]
+    got = [(r["qid"], r["rank"], r["doc_no"], r["score"]) for r in
+           idx.batch_search_distributed(queries, k=6,
+                                        prune=True).collect()]
+    assert got == want, (seed, idx.last_prune_stats)
+
+
 def test_kth_largest_distinct_fuzz():
     from invertedindex_spark.operators.maxscore import (
         kth_largest_distinct,
