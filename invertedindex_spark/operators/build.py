@@ -971,16 +971,12 @@ def build_index(spark, corpus, warehouse_dir: str,
         manifest["stages"].pop("rg_index", None)
         _mark_stage(manifest, warehouse_dir, "postings")
 
-    if (not _stage_done(manifest, "rg_index",
-                        os.path.join(warehouse_dir, "rg_index"))
-            and os.path.isdir(paths["postings"])):
-        # local warehouses only: the sidecar generator walks the
-        # postings files with local-FS glob; remote warehouses keep
-        # the footer-scan fallback at warm() time
-        rows = write_rg_index(spark, warehouse_dir)
-        _mark_stage(manifest, warehouse_dir, "rg_index", rows=rows)
+    need_rg = (not _stage_done(manifest, "rg_index",
+                               os.path.join(warehouse_dir, "rg_index"))
+               and os.path.isdir(paths["postings"]))
+    need_lex = not _stage_done(manifest, "lexicon", paths["lexicon"])
 
-    if not _stage_done(manifest, "lexicon", paths["lexicon"]):
+    def _lexicon_job():
         # derived from the merged postings (df/TUB are global per term
         # there; cf is per segment-row, hence the sum) — a tiny shuffle
         # over ~|terms| rows instead of a second full-width aggregation
@@ -992,6 +988,30 @@ def build_index(spark, corpus, warehouse_dir: str,
                     F.first("term_upper_bound")
                     .alias("term_upper_bound")))
         lex.write.mode("overwrite").parquet(paths["lexicon"])
+
+    # the two tail jobs read the postings table independently (rg_index
+    # is local-warehouse only — the sidecar generator walks the files
+    # with local-FS glob; remote warehouses keep the footer-scan
+    # fallback at warm() time). Overlapping them reclaims most of the
+    # sidecar's build cost; stage marks (manifest saves) stay
+    # SEQUENTIAL — _save_manifest's tmp-file swap is not thread-safe.
+    rg_rows = None
+    if need_rg and need_lex:
+        import concurrent.futures as _cf
+
+        with _cf.ThreadPoolExecutor(2) as ex:
+            f_rg = ex.submit(write_rg_index, spark, warehouse_dir)
+            f_lex = ex.submit(_lexicon_job)
+            rg_rows = f_rg.result()
+            f_lex.result()
+    else:
+        if need_rg:
+            rg_rows = write_rg_index(spark, warehouse_dir)
+        if need_lex:
+            _lexicon_job()
+    if need_rg:
+        _mark_stage(manifest, warehouse_dir, "rg_index", rows=rg_rows)
+    if need_lex:
         _mark_stage(manifest, warehouse_dir, "lexicon")
     lexicon = spark.read.parquet(paths["lexicon"])
 
