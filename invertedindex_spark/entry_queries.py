@@ -386,6 +386,52 @@ def sql_bm25_topk_and():
     return _topk_sql(AND_TERMS, conjunctive=True)
 
 
+FILTER_WHERE = "lang = 'en'"
+
+
+def q_bm25_topk_filtered(spark, sf_dir):
+    """Filtered top-k: an attribute predicate over a document metadata
+    table (set_attributes) restricts WHICH docs may rank, while BM25
+    stats stay collection-global (filter-then-rank). Runs the pruned
+    distributed plan — the predicate reaches the essential phase as a
+    left-semi join against the pushed-down attribute scan, so no
+    driver-side mask exists anywhere on this path."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    idx = get_index(spark, sf_dir)
+    idx.set_attributes(_docs_df(spark, sf_dir).select("doc_id", "lang"),
+                       key="doc_id")
+    q = "OR " + " ".join(OR_TERMS)
+    res = idx.search_distributed(q, k=K, prune=True, where=FILTER_WHERE)
+    w = Window.orderBy(F.desc("score"))
+    return res.select(F.row_number().over(w).alias("rank"), "doc_no",
+                      _u6(F.col("score")).alias("score_u6"))
+
+
+def sql_bm25_topk_filtered(k: int = K) -> str:
+    tlist = ", ".join(f"'{t}'" for t in OR_TERMS)
+    return _base_cte() + f""",
+scores AS (
+  SELECT tf.doc_id, sum({_bm25_expr()}) AS score
+  FROM tf JOIN lex USING (term) CROSS JOIN stats
+  WHERE tf.term IN ({tlist})
+  GROUP BY tf.doc_id
+), fscores AS (
+  -- filter-then-rank: the predicate prunes candidates AFTER scoring
+  -- with collection-global stats, BEFORE the tie-dedup queue
+  SELECT s.doc_id, s.score
+  FROM scores s JOIN docs d USING (doc_id)
+  JOIN documents raw ON CAST(raw.doc_id AS VARCHAR) = d.doc_no
+  WHERE raw.{FILTER_WHERE}
+), dedup AS (
+  SELECT score, min(doc_id) AS doc_id FROM fscores GROUP BY score
+  ORDER BY score DESC LIMIT {k}
+)
+SELECT row_number() OVER (ORDER BY score DESC) AS rank, d.doc_no,
+       CAST(round(score * 1e6) AS BIGINT) AS score_u6
+FROM dedup JOIN docs d USING (doc_id)"""
+
+
 BATCH_DEFS = [("b1", OR_TERMS, False), ("b2", AND_TERMS, True),
               ("b3", AND_TERMS, False), ("b4", ["data", "table"], True)]
 
@@ -1557,6 +1603,7 @@ def all_queries():
         "term_upper_bounds": q_term_upper_bounds,
         "bm25_topk_or": q_bm25_topk_or,
         "bm25_topk_and": q_bm25_topk_and,
+        "bm25_topk_filtered": q_bm25_topk_filtered,
         "bm25_batch_topk": q_bm25_batch_topk,
         "and_intersection": q_and_intersection,
         "top_terms": q_top_terms,
@@ -1605,6 +1652,7 @@ def all_oracle_sql(query_vec=None, sf_dir=None):
         "term_upper_bounds": sql_term_upper_bounds(),
         "bm25_topk_or": sql_bm25_topk_or(),
         "bm25_topk_and": sql_bm25_topk_and(),
+        "bm25_topk_filtered": sql_bm25_topk_filtered(),
         "bm25_batch_topk": sql_bm25_batch_topk(),
         "and_intersection": sql_and_intersection(),
         "top_terms": sql_top_terms(),

@@ -138,6 +138,13 @@ class InvertedIndex:
         # filled by the last search(prune=True): block-max pruning
         # counters (blocks_before/blocks_decoded/acc_dropped)
         self.last_prune_stats: dict = {}
+        # filtered search: document-attribute table registered via
+        # set_attributes(); per-WHERE allowed-doc masks LRU-cached
+        # (driver paths only — distributed plans use the DataFrame)
+        self._attrs_df = None
+        self._attrs_key = "doc_no"
+        self._filter_masks: OrderedDict = OrderedDict()
+        self._filter_masks_size = 32
         # driver-memory guardrail: above this term count the full
         # lexicon map and the term→row-group index are NOT built (the
         # reference mmaps a 77 MB lexicon; at web scale — 10⁸⁺ terms —
@@ -792,7 +799,85 @@ class InvertedIndex:
                     self._term_cache.popitem(last=False)
         return out
 
-    def search(self, query: str, k: int = 20, prune: bool = False):
+    def set_attributes(self, attrs_df, key: str = "doc_no"):
+        """Register a document-attribute table for filtered search.
+
+        ``attrs_df`` carries one row per document: ``key`` equals the
+        corpus doc_no (source-code corpora: ``repo:path@commit``;
+        documents-table corpora: the stringified doc_id) plus any
+        metadata columns (lang, repo, path, ...). ``search`` /
+        ``search_distributed`` / the batch plans then accept
+        ``where=`` — an ANSI boolean SQL expression over those
+        columns, e.g. ``"lang = 'java'"``. Attributes live OUTSIDE
+        the index: no format change, no rebuild; the predicate is
+        pushed down to the attribute scan and equality-joined to the
+        doc table on doc_no. BM25 stats (num_docs, avg_doc_len, df)
+        stay collection-global — a filter restricts WHICH documents
+        may appear in the top-k, not how the survivors are scored, so
+        the same doc scores identically under every filter.
+        Registering a new table drops cached filter masks."""
+        self._attrs_df = attrs_df
+        self._attrs_key = key
+        self._filter_masks.clear()
+
+    def _allowed_ids_df(self, where: str):
+        """DataFrame[doc_id] matching ``where`` — pure Spark (filter
+        pushed to the attrs scan, one equality join on doc_no). This
+        is the cluster-scale side of filtered search: the distributed
+        plans semi-join against it and never materialize a driver
+        mask, so it holds at 10^12 docs where a bitmap cannot."""
+        from pyspark.sql import functions as F
+
+        if self._attrs_df is None:
+            raise ValueError(
+                "filtered search requires set_attributes(attrs_df) "
+                "before passing where=")
+        a = (self._attrs_df.where(F.expr(where))
+             .select(F.col(self._attrs_key).cast("string")
+                     .alias("doc_no")))
+        return self.docs.join(a, "doc_no").select("doc_id")
+
+    def _allowed_mask(self, where: str):
+        """Driver-side allowed mask (num_docs bools) for ``where``,
+        LRU-cached per predicate string. Same driver-memory class as
+        the warm doc_len array the driver kernels already require —
+        the distributed paths never build it."""
+        hit = self._filter_masks.get(where)
+        if hit is not None:
+            self._filter_masks.move_to_end(where)
+            return hit
+        df = self._allowed_ids_df(where)
+        try:
+            ids = (df.toArrow().column("doc_id")
+                   .to_numpy(zero_copy_only=False))
+        except Exception:
+            ids = np.array([r["doc_id"] for r in df.collect()],
+                           dtype=np.int64)
+        mask = np.zeros(self.num_docs, dtype=bool)
+        if ids.size:
+            ids = ids.astype(np.int64)
+            # snapshot semantics: a live docs scan can surface rows
+            # appended after this handle pinned its stats (fresh
+            # handles serve one consistent snapshot until refresh());
+            # ids beyond the pinned num_docs are invisible here too
+            mask[ids[ids < self.num_docs]] = True
+        self._filter_masks[where] = mask
+        if len(self._filter_masks) > self._filter_masks_size:
+            self._filter_masks.popitem(last=False)
+        return mask
+
+    @staticmethod
+    def _mask_dec(dec, mask):
+        """Restrict a decoded (doc_ids, tfs, dls, df) tuple to mask-
+        allowed docs. Boolean indexing copies, so shared decode-cache
+        entries are never mutated; df stays the collection-global
+        document frequency (see set_attributes)."""
+        d, tf, dl, df = dec
+        keep = mask[d]
+        return d[keep], tf[keep], dl[keep], df
+
+    def search(self, query: str, k: int = 20, prune: bool = False,
+               where: str | None = None):
         """[AND|OR] term1 … termN → [(doc_no, score)] descending.
 
         Unknown term ⇒ AND returns [] / OR skips it
@@ -804,17 +889,26 @@ class InvertedIndex:
         (exact by construction) and TAAT MaxScore for OR (standard
         top-k pruning semantics; see that module's docstring for the
         adversarial-tie caveat vs the exhaustive default).
+
+        ``where=`` (needs :meth:`set_attributes`) restricts results to
+        documents matching the predicate; composes with both kernels
+        — the pruned paths mask decoded postings before accumulation,
+        so thresholds are exact-filtered while the stored TUB/
+        block-max stay sound upper bounds (they only over-estimate
+        filtered maxima, never under).
         """
         qtype, terms = preprocess_query(
             query, stopwords=self.stopwords, stemming=self.stemming)
-        key = (qtype, frozenset(terms), k, prune)
+        key = (qtype, frozenset(terms), k, prune, where)
         if key in self._cache:
             self._cache.move_to_end(key)
             return self._cache[key]
+        mask = self._allowed_mask(where) if where is not None else None
         if prune:
-            doc_ids, scores = self._score_terms_pruned(terms, qtype, k)
+            doc_ids, scores = self._score_terms_pruned(
+                terms, qtype, k, mask=mask)
         else:
-            doc_ids, scores = self._score_terms(terms, qtype)
+            doc_ids, scores = self._score_terms(terms, qtype, mask=mask)
         top_ids, top_scores = queue_topk_np(doc_ids, scores, k)
         result = self._attach_doc_nos(top_ids, top_scores)
         self._cache[key] = result
@@ -884,7 +978,7 @@ class InvertedIndex:
         return (np.concatenate(bfs), np.concatenate(bms),
                 int(last) if last is not None else self.num_docs - 1)
 
-    def _score_terms_pruned(self, terms, qtype, k):
+    def _score_terms_pruned(self, terms, qtype, k, mask=None):
         from .maxscore import intersect_topk, maxscore_or_topk
 
         by_term = self._fetch_rows(terms)
@@ -900,7 +994,7 @@ class InvertedIndex:
         min_df = min(rs[0]["df"] for rs in by_term.values())
         if scoring.dense_ok(self.num_docs, min_df):
             stats["dense_fallback"] = True
-            return self._score_terms(terms, qtype)
+            return self._score_terms(terms, qtype, mask=mask)
         # bound source: while the persisted TUB/block_max reflect the
         # live stats (batch builds, post-compaction) use them — they
         # are EXACT maxima, the tightest pruning possible. After an
@@ -920,7 +1014,7 @@ class InvertedIndex:
                     ba = self._computed_block_bounds(rs)
                     if ba is None:
                         stats["stale_bounds_fallback"] = True
-                        return self._score_terms(terms, qtype)
+                        return self._score_terms(terms, qtype, mask=mask)
                     bmap[t] = ba
                 stats["computed_bounds"] = True
         if qtype == "AND":
@@ -932,6 +1026,13 @@ class InvertedIndex:
             # skip blocks)
             items = sorted(by_term.items(), key=lambda kv: kv[1][0]["df"])
             smallest = self._decoded_term(*items[0])
+            if mask is not None:
+                # restricting only the seed list suffices: every later
+                # list is intersected against these candidates, so the
+                # result set is confined to allowed docs while the
+                # larger lists stay unmasked supersets (intersect_topk
+                # accepts supersets) — no copy of the big lists
+                smallest = self._mask_dec(smallest, mask)
             decoded = {items[0][0]: smallest}
             cand = smallest[0]
             for t, rs in items[1:]:
@@ -962,9 +1063,21 @@ class InvertedIndex:
             # skip blocks — the kernel's block-I/O counters must not
             # claim savings for decodes that never happen
             bb.selective = cached is None
+            if mask is None:
+                full = lambda t=t, rs=rs: self._decoded_term(t, rs)
+            else:
+                # only essential lists create candidates, so masking
+                # fetch_full keeps every accumulator filter-allowed;
+                # the boost phase adds to existing accumulators only
+                # (maxscore_or_topk's searchsorted-hit merge), so its
+                # supersets stay unmasked — no copy of boosted lists.
+                # The unmasked TUB/block_max remain sound: removing
+                # postings can only lower a block's true maximum.
+                full = (lambda t=t, rs=rs: self._mask_dec(
+                    self._decoded_term(t, rs), mask))
             lists.append((
                 tub,
-                lambda t=t, rs=rs: self._decoded_term(t, rs),
+                full,
                 # boost phase: full cached arrays are exact there too
                 (lambda wanted, c=cached: c) if cached is not None
                 else (lambda wanted, rs=rs: self._decode_rows_selective(
@@ -974,7 +1087,7 @@ class InvertedIndex:
         return maxscore_or_topk(lists, self.num_docs, self.avg_doc_len,
                                 k, stats=stats)
 
-    def _score_terms(self, terms, qtype):
+    def _score_terms(self, terms, qtype, mask=None):
         decoded = self._fetch_decoded(terms)
         if (not decoded) or (qtype == "AND" and len(decoded) < len(terms)):
             z = np.zeros(0, dtype=np.int64)
@@ -985,11 +1098,16 @@ class InvertedIndex:
         # regardless of set-iteration (hash-seed) effects — the oracle
         # accumulates in the same sorted order (oracle.py _scores)
         for t, (d, tf, dl, df) in sorted(decoded.items()):
+            if mask is not None:
+                d, tf, dl, df = self._mask_dec((d, tf, dl, df), mask)
             all_ids.append(d)
             all_scores.append(scoring.bm25_np(
                 tf, dl, df, self.num_docs, self.avg_doc_len))
         ids = np.concatenate(all_ids)
         sc = np.concatenate(all_scores)
+        if ids.size == 0:
+            z = np.zeros(0, dtype=np.int64)
+            return z, z.astype(np.float64)
         # dense accumulators are O(N) in the docId space regardless of
         # how few postings the query touches; the sort path is
         # O(P log P) — rare-term queries must not pay an O(N)
@@ -1257,13 +1375,21 @@ class InvertedIndex:
             out[t] = (tub, bf, bm, last)
         return out
 
-    def _acc_table(self, terms, qtype):
+    def _acc_table(self, terms, qtype, where: str | None = None):
         """Essential-phase accumulators as driver arrays:
         (doc_ids, scores, dls, n_terms_hit) summed over ``terms`` via
-        ONE distributed job, or None above DIST_ACC_CAP."""
+        ONE distributed job, or None above DIST_ACC_CAP.
+
+        ``where``: attribute predicate (see :meth:`set_attributes`) —
+        applied as a semi-join on the exploded essential postings, so
+        every accumulator (and hence θ and every survivor downstream)
+        is filter-allowed without any driver-side mask."""
         from pyspark.sql import functions as F
 
         ess = self.decoded_postings_df(terms)
+        if where is not None:
+            ess = ess.join(self._allowed_ids_df(where),
+                           "doc_id", "left_semi")
         scored = ess.withColumn(
             "partial",
             scoring.bm25_col(F.col("tf"), F.col("dl"), F.col("df"),
@@ -1456,7 +1582,8 @@ class InvertedIndex:
             blocks_wanted += int(np.unique(blk[in_r]).size)
         return keep, blocks_total, blocks_wanted
 
-    def _search_distributed_pruned(self, qtype, present, k):
+    def _search_distributed_pruned(self, qtype, present, k,
+                                   where: str | None = None):
         """Two-phase distributed plan with dynamic pruning — the
         cluster-side analogue of the driver MaxScore/BMM kernel
         (reference seam ``QueryProcessor.java:251-432``):
@@ -1516,7 +1643,7 @@ class InvertedIndex:
         theta = -np.inf
         acc = None
         while True:
-            acc = self._acc_table(ess, qtype)
+            acc = self._acc_table(ess, qtype, where=where)
             if acc is None:
                 return None
             ids, accs, dls, nts = acc
@@ -1595,7 +1722,8 @@ class InvertedIndex:
                 .select("doc_no", "score").orderBy(F.desc("score")))
 
     def search_distributed(self, query: str, k: int = 20,
-                           prune: bool = False):
+                           prune: bool = False,
+                           where: str | None = None):
         """Same query, pure DataFrame plan; returns a DataFrame
         (doc_no, score) ordered by score desc. Scales to posting lists
         that must never be collected to the driver.
@@ -1603,7 +1731,13 @@ class InvertedIndex:
         ``prune=True`` runs the two-phase dynamic-pruning plan
         (:meth:`_search_distributed_pruned`) and falls back to the
         exhaustive plan whenever pruning cannot apply — results are
-        identical either way (asserted by tests on every corpus)."""
+        identical either way (asserted by tests on every corpus).
+
+        ``where=`` (needs :meth:`set_attributes`) restricts results to
+        matching documents via a semi-join of the exploded postings
+        against the attribute scan — no driver-side mask is ever
+        built, so filtered search holds at cluster scale. Stats stay
+        collection-global (same scoring contract as :meth:`search`)."""
         from pyspark.sql import functions as F
 
         qtype, terms = preprocess_query(
@@ -1613,7 +1747,8 @@ class InvertedIndex:
             return self.spark.createDataFrame(
                 [], "doc_no string, score double")
         if prune:
-            res = self._search_distributed_pruned(qtype, present, k)
+            res = self._search_distributed_pruned(qtype, present, k,
+                                                  where=where)
             if res is not None:
                 return res
             # label the telemetry honestly: the pruned plan declined
@@ -1621,6 +1756,9 @@ class InvertedIndex:
             # and the exhaustive plan below served the query
             self.last_prune_stats["mode"] = "distributed_fallback"
         exploded = self.decoded_postings_df(present)
+        if where is not None:
+            exploded = exploded.join(self._allowed_ids_df(where),
+                                     "doc_id", "left_semi")
         scored = exploded.withColumn(
             "partial",
             scoring.bm25_col(F.col("tf"), F.col("dl"), F.col("df"),
