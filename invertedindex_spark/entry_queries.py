@@ -94,7 +94,7 @@ def get_index(spark, sf_dir: str, stemming: bool = False):
     fp = _source_fingerprint(sf_dir)
     if os.path.isdir(wh) and read_manifest(wh).get("source_fp") != fp:
         shutil.rmtree(wh, ignore_errors=True)
-    cfg = IndexConfig(stemming=stemming, num_blocks=8)
+    cfg = IndexConfig(stemming=stemming, num_blocks=8, positions=True)
     build_index(spark, load_documents_corpus(spark, sf_dir), wh, cfg,
                 resume=True)
     manifest_path = os.path.join(wh, "_manifest.json")
@@ -384,6 +384,51 @@ def q_bm25_topk_and(spark, sf_dir):
 
 def sql_bm25_topk_and():
     return _topk_sql(AND_TERMS, conjunctive=True)
+
+
+PHRASE_TERMS = ["slow", "key", "column"]
+
+
+def q_bm25_topk_phrase(spark, sf_dir):
+    """Phrase top-k over the positional sidecar: documents containing
+    the exact adjacent sequence in the post-stopword token stream,
+    ranked by the BM25 sum of the phrase's unique terms (filter-then-
+    rank; collection-global stats). Runs the distributed plan — the
+    adjacency join chain (array_intersect over shifted per-doc
+    position arrays) and the scoring semi-join are pure DataFrame
+    ops."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    idx = get_index(spark, sf_dir)
+    q = "PHRASE " + " ".join(PHRASE_TERMS)
+    res = idx.search_distributed(q, k=K)
+    w = Window.orderBy(F.desc("score"))
+    return res.select(F.row_number().over(w).alias("rank"), "doc_no",
+                      _u6(F.col("score")).alias("score_u6"))
+
+
+def sql_bm25_topk_phrase(k: int = K) -> str:
+    tlist = ", ".join(f"'{t}'" for t in dict.fromkeys(PHRASE_TERMS))
+    needle = " " + " ".join(PHRASE_TERMS) + " "
+    return _base_cte() + f""",
+scores AS (
+  SELECT tf.doc_id, sum({_bm25_expr()}) AS score
+  FROM tf JOIN lex USING (term) CROSS JOIN stats
+  WHERE tf.term IN ({tlist})
+  GROUP BY tf.doc_id
+), fscores AS (
+  -- adjacency in the PROCESSED token stream (the positional index's
+  -- domain): the space-joined terms array padded with sentinels
+  SELECT s.doc_id, s.score
+  FROM scores s JOIN docs d USING (doc_id)
+  WHERE ' ' || array_to_string(d.terms, ' ') || ' ' LIKE '%{needle}%'
+), dedup AS (
+  SELECT score, min(doc_id) AS doc_id FROM fscores GROUP BY score
+  ORDER BY score DESC LIMIT {k}
+)
+SELECT row_number() OVER (ORDER BY score DESC) AS rank, d.doc_no,
+       CAST(round(score * 1e6) AS BIGINT) AS score_u6
+FROM dedup JOIN docs d USING (doc_id)"""
 
 
 FILTER_WHERE = "lang = 'en'"
@@ -1604,6 +1649,7 @@ def all_queries():
         "bm25_topk_or": q_bm25_topk_or,
         "bm25_topk_and": q_bm25_topk_and,
         "bm25_topk_filtered": q_bm25_topk_filtered,
+        "bm25_topk_phrase": q_bm25_topk_phrase,
         "bm25_batch_topk": q_bm25_batch_topk,
         "and_intersection": q_and_intersection,
         "top_terms": q_top_terms,
@@ -1653,6 +1699,7 @@ def all_oracle_sql(query_vec=None, sf_dir=None):
         "bm25_topk_or": sql_bm25_topk_or(),
         "bm25_topk_and": sql_bm25_topk_and(),
         "bm25_topk_filtered": sql_bm25_topk_filtered(),
+        "bm25_topk_phrase": sql_bm25_topk_phrase(),
         "bm25_batch_topk": sql_bm25_batch_topk(),
         "and_intersection": sql_and_intersection(),
         "top_terms": sql_top_terms(),

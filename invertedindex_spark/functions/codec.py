@@ -30,7 +30,7 @@ import numpy as np
 __all__ = [
     "SKIP_POINTERS_THRESHOLD",
     "vbyte_encoded_lengths", "vbyte_encode", "vbyte_decode",
-    "gap_encode", "gap_decode",
+    "gap_encode", "gap_decode", "gap_encode_resets", "gap_decode_resets",
     "build_skip_pointers", "block_maxes",
 ]
 
@@ -130,6 +130,37 @@ def gap_encode(doc_ids: np.ndarray) -> np.ndarray:
 def gap_decode(gaps: np.ndarray) -> np.ndarray:
     g = np.asarray(gaps, dtype=np.int64)
     return np.cumsum(g)
+
+
+def gap_encode_resets(values: np.ndarray, run_starts: np.ndarray):
+    """Gap-encode with a reset at every run start: ``out[start]`` stays
+    absolute, interior values become deltas. One vectorized pass — the
+    positional-stream layout (per-doc position runs concatenated per
+    term), where per-run absolute anchors make the merged stream a pure
+    byte concatenation of its segments."""
+    v = np.asarray(values, dtype=np.int64)
+    if v.size == 0:
+        return v
+    out = np.empty_like(v)
+    out[0] = v[0]
+    np.subtract(v[1:], v[:-1], out=out[1:])
+    out[run_starts] = v[run_starts]
+    return out
+
+
+def gap_decode_resets(gaps: np.ndarray, run_starts: np.ndarray,
+                      run_lens: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`gap_encode_resets`: absolute values from a gap
+    stream whose cumsum restarts at each ``run_starts[i]`` (run i spans
+    ``run_lens[i]`` values). Vectorized: one global cumsum, then the
+    pre-run prefix is subtracted from every element of the run."""
+    g = np.asarray(gaps, dtype=np.int64)
+    if g.size == 0:
+        return g
+    cum = np.cumsum(g)
+    starts = np.asarray(run_starts, dtype=np.int64)
+    prefix = cum[starts] - g[starts]
+    return cum - np.repeat(prefix, np.asarray(run_lens, dtype=np.int64))
 
 
 def skip_block_size(df: int) -> int:

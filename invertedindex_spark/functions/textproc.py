@@ -159,34 +159,47 @@ def preprocess_query(query: str, stopwords=True, stemming=True):
     cap at MAX_QUERY_LENGTH tokens *counting the type token*, stopword
     removal, truncate, stem, HashSet dedup.
 
-    Returns (query_type, set_of_terms); raises ValueError on a query
-    whose first token is neither ``and`` nor ``or``
-    (IllegalQueryTypeException parity).
+    Returns (query_type, terms); raises ValueError on a query whose
+    first token is none of ``and``/``or``/``phrase``
+    (IllegalQueryTypeException parity). For ``AND``/``OR`` the terms
+    are a **set** (HashSet dedup, reference semantics). ``PHRASE`` is
+    an engine extension (the reference has no positional index): terms
+    come back as an ordered **list**, duplicates preserved — adjacency
+    is order-sensitive. The same per-token pipeline applies either
+    way (stopword removal / truncate / stem), which mirrors how the
+    indexed token stream was produced, so phrase positions line up
+    with the post-filter positions the positional index stores.
     """
     tokens = tokenize_text(query)
     if not tokens:
         raise ValueError(
-            "illegal query: no tokens (expected [AND|OR] term1 ... termN)")
+            "illegal query: no tokens (expected [AND|OR|PHRASE] "
+            "term1 ... termN)")
     head = tokens[0]
     if head == "and":
         qtype = "AND"
     elif head == "or":
         qtype = "OR"
+    elif head == "phrase":
+        qtype = "PHRASE"
     else:
         raise ValueError(
-            f"illegal query type {head!r}: expected [AND|OR] term1 ... termN")
+            f"illegal query type {head!r}: expected [AND|OR|PHRASE] "
+            "term1 ... termN")
     limit = len(tokens)
     if len(tokens) > MAX_QUERY_LENGTH:
         limit = MAX_QUERY_LENGTH + 1
-    terms: set[str] = set()
+    ordered: list[str] = []
     for tok in tokens[1:limit]:
         if stopwords and tok in _STOPWORD_SET:
             continue
         tok = tok[:MAX_TERM_LEN]
         if stemming:
             tok = stem(tok)
-        terms.add(tok)
-    return qtype, terms
+        ordered.append(tok)
+    if qtype == "PHRASE":
+        return qtype, ordered
+    return qtype, set(ordered)
 
 
 # --------------------------------------------------------------------

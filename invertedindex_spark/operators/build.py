@@ -68,6 +68,14 @@ class IndexConfig:
     # north star's alternative codec; no skip pointers — kernels fall
     # back to full-list decode, results identical)
     codec: str = "vbyte"
+    # positional index (engine extension — the reference stores no
+    # positions): per-term streams of within-doc token positions
+    # (post-stopword/truncate/stem indices), gap+VByte encoded with an
+    # absolute anchor at every document boundary, in a sidecar table
+    # aligned row-for-row with the postings (same (term, grp) rows,
+    # same doc order, same term-hash buckets). Enables PHRASE queries.
+    # Batch builds only; streaming appends refuse it.
+    positions: bool = False
     # per-merge-task compressed payload budget: the term-merge shuffle
     # partition count is raised above num_blocks whenever the partial
     # blocks exceed num_blocks * this many bytes (see
@@ -755,6 +763,174 @@ def _merge_partials(partials, cfg: IndexConfig, num_docs: int,
     return shuffled.mapInArrow(merge, POSTINGS_SCHEMA)
 
 
+# ---------------------------------------------------------------------
+# positional sidecar (cfg.positions): per-term position streams,
+# aligned row-for-row with the postings table
+# ---------------------------------------------------------------------
+
+POS_PARTIAL_SCHEMA = (
+    "block_id int, term string, first_doc_id long, n_pos long, "
+    "pos_vb binary"
+)
+
+POSITIONS_SCHEMA = (
+    "term string, grp int, first_doc_id long, n_pos long, pos_vb binary"
+)
+
+
+def _build_pos_partials(staged_ids):
+    """mapInArrow: per-block positional segments. For each (term, doc)
+    the within-doc token positions (indices into the post-
+    stopword/truncate/stem ``terms`` array — the same domain query
+    preprocessing lives in) are gap-encoded with the first position of
+    every document absolute, then VByte-packed one stream per term.
+
+    The per-document absolute anchor is the key layout decision: a
+    term's stream is a concatenation of self-contained per-doc runs,
+    so the SPIMI merge (and any future segment merge) is pure byte
+    concatenation — no decode, at any scale. Run boundaries are not
+    stored here: they are the aligned postings row's tf values, and
+    alignment is by construction — both builders sort the identical
+    staged partition by (term, doc_id) with a stable sort, and both
+    merges order segments by (term, grp, block_id).
+
+    Positions are always VByte regardless of ``cfg.codec``: phrase
+    evaluation decodes whole candidate streams (no skip geometry to
+    exploit), and VByte over small within-doc deltas is already near
+    the entropy floor there.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    out_fields = pa.schema([
+        ("block_id", pa.int32()),
+        ("term", pa.string()),
+        ("first_doc_id", pa.int64()),
+        ("n_pos", pa.int64()),
+        ("pos_vb", pa.binary()),
+    ])
+
+    def build(iterator):
+        from pyspark import TaskContext
+
+        pa.set_cpu_count(1)
+        pid = TaskContext.get().partitionId()
+        frames = []
+        for batch in iterator:
+            tbl = batch.to_pandas()
+            if not len(tbl):
+                continue
+            lens = tbl["terms"].map(len).to_numpy(dtype=np.int64)
+            total = int(lens.sum())
+            if total == 0:
+                continue
+            flat = np.concatenate(
+                [np.asarray(t, dtype=object) for t in tbl["terms"]])
+            rep_doc = np.repeat(tbl["doc_id"].to_numpy(), lens)
+            # within-doc position of every token: global arange minus
+            # each doc's start offset
+            offs = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            pos = np.arange(total, dtype=np.int64) - np.repeat(offs, lens)
+            frames.append(pd.DataFrame(
+                {"term": flat, "doc_id": rep_doc, "pos": pos}))
+        if not frames:
+            return
+        f = pd.concat(frames, ignore_index=True) if len(frames) > 1 \
+            else frames[0]
+        # stable: within (term, doc) the original token order — i.e.
+        # ascending position — survives
+        f = f.sort_values(["term", "doc_id"], kind="stable",
+                          ignore_index=True)
+        terms = f["term"].to_numpy()
+        doc = f["doc_id"].to_numpy(np.int64)
+        pos = f["pos"].to_numpy(np.int64)
+        n = len(f)
+        tchange = np.empty(n, dtype=bool)
+        tchange[0] = True
+        tchange[1:] = terms[1:] != terms[:-1]
+        dchange = tchange.copy()
+        dchange[1:] |= doc[1:] != doc[:-1]
+        t_starts = np.flatnonzero(tchange)
+        t_ends = np.append(t_starts[1:], n)
+        gaps = codec.gap_encode_resets(pos, np.flatnonzero(dchange))
+        streams = codec.vbyte_encode_runs(gaps, t_starts, t_ends)
+        uniq_terms = terms[t_starts]
+        n_terms = t_starts.size
+
+        CHUNK = 1 << 14
+        full = pa.RecordBatch.from_arrays(
+            [pa.array(np.full(n_terms, pid, np.int32)),
+             pa.array(uniq_terms, pa.string()),
+             pa.array(doc[t_starts], pa.int64()),
+             pa.array((t_ends - t_starts).astype(np.int64), pa.int64()),
+             pa.array(streams, pa.binary())],
+            schema=out_fields)
+        for lo in range(0, n_terms, CHUNK):
+            yield full.slice(lo, min(CHUNK, n_terms - lo))
+
+    return staged_ids.mapInArrow(build, POS_PARTIAL_SCHEMA)
+
+
+def _merge_pos_partials(pos_partials, cfg: IndexConfig,
+                        num_partitions: int):
+    """Positional segments → final per-(term, grp) streams by BYTE
+    CONCATENATION — the per-doc absolute anchors make decode
+    unnecessary. Ordering mirrors `_merge_partials` exactly (hash
+    repartition by term, sortWithinPartitions(term, grp, block_id)),
+    so the concatenated per-doc runs land in the same doc order as the
+    aligned postings row's postings."""
+    import numpy as np
+    import pyarrow as pa
+    from pyspark.sql import functions as F
+
+    width = cfg.merge_width
+    grp = (F.col("block_id") / width).cast("int") if width else F.lit(0)
+    shuffled = (pos_partials.withColumn("grp", grp)
+                .repartition(num_partitions, "term")
+                .sortWithinPartitions("term", "grp", "block_id"))
+
+    def merge(iterator):
+        pa.set_cpu_count(1)
+        batches = list(iterator)
+        if not batches:
+            return
+        tbl = pa.Table.from_batches(batches).combine_chunks()
+        n_rows = tbl.num_rows
+        if n_rows == 0:
+            return
+        terms = np.asarray(tbl.column("term").to_pylist(), dtype=object)
+        grps = tbl.column("grp").to_numpy()
+        firsts = tbl.column("first_doc_id").to_numpy()
+        n_pos = tbl.column("n_pos").to_numpy()
+        streams = tbl.column("pos_vb").to_pylist()
+        gchange = np.empty(n_rows, dtype=bool)
+        gchange[0] = True
+        gchange[1:] = ((terms[1:] != terms[:-1])
+                       | (grps[1:] != grps[:-1]))
+        g_starts = np.flatnonzero(gchange)
+        g_ends = np.append(g_starts[1:], n_rows)
+        out = {"term": [], "grp": [], "first": [], "n": [], "vb": []}
+        for s, e in zip(g_starts, g_ends):
+            out["term"].append(terms[s])
+            out["grp"].append(int(grps[s]))
+            out["first"].append(int(firsts[s]))
+            out["n"].append(int(n_pos[s:e].sum()))
+            out["vb"].append(b"".join(streams[s:e]))
+        CHUNK = 1 << 12
+        full = pa.RecordBatch.from_arrays(
+            [pa.array(out["term"], pa.string()),
+             pa.array(out["grp"], pa.int32()),
+             pa.array(out["first"], pa.int64()),
+             pa.array(out["n"], pa.int64()),
+             pa.array(out["vb"], pa.binary())],
+            names=["term", "grp", "first_doc_id", "n_pos", "pos_vb"])
+        for lo in range(0, len(out["term"]), CHUNK):
+            yield full.slice(lo, min(CHUNK, len(out["term"]) - lo))
+
+    return shuffled.mapInArrow(merge, POSITIONS_SCHEMA)
+
+
 def write_rg_index(spark, warehouse_dir: str) -> int:
     """Persist the term → parquet-row-group map as a build-time
     sidecar table (``rg_index/``: file, rg, term — one row per term
@@ -824,7 +1000,7 @@ def build_index(spark, corpus, warehouse_dir: str,
                                                             "metrics": {}}
     paths = {name: os.path.join(warehouse_dir, name)
              for name in ("docs", "stats", "partials", "lexicon",
-                          "postings")}
+                          "postings", "pos_partials", "positions")}
     if resume and not check_partials_format(
             manifest, strict=False, partials_path=paths["partials"]):
         # stale partial-block format (schema sniff also failed): every
@@ -844,7 +1020,7 @@ def build_index(spark, corpus, warehouse_dir: str,
         # merge_width/table_format are layout-defining too: silently
         # overwriting them below would misrecord the on-disk layout
         for f in ("codec", "stemming", "stopwords", "truncate",
-                  "merge_width", "table_format"):
+                  "merge_width", "table_format", "positions"):
             if f in recorded and recorded[f] != getattr(cfg, f):
                 # the existing stages were built under a different
                 # text/codec pipeline — resuming would mix
@@ -864,11 +1040,22 @@ def build_index(spark, corpus, warehouse_dir: str,
         return bool(info.get("done")) and (
             info.get("deleted") or os.path.exists(paths["partials"]))
 
+    def _pos_partials_present():
+        info = manifest["stages"].get("pos_partials") or {}
+        return bool(info.get("done")) and (
+            info.get("deleted") or os.path.exists(paths["pos_partials"]))
+
     staged = stats = None
     need_upstream = not (
         _stage_done(manifest, "docs", paths["docs"])
         and _stage_done(manifest, "stats", paths["stats"])
-        and _partials_present())
+        and _partials_present()
+        # positions derive from the SAME staging pass as the postings
+        # partials (docId assignment is session-dependent), so adding
+        # positions to an existing warehouse rebuilds the whole
+        # upstream group — mixing a new staging's positions with old
+        # postings could silently misalign doc order
+        and (not cfg.positions or _pos_partials_present()))
     if need_upstream:
         # docs/stats/partials form ONE atomic group: they all derive
         # from a single staging pass whose dense docId assignment is
@@ -920,8 +1107,14 @@ def build_index(spark, corpus, warehouse_dir: str,
          .partitionBy("block_id").parquet(paths["partials"]))
         manifest["partials_format"] = PARTIALS_FORMAT_VERSION
         _mark_stage(manifest, warehouse_dir, "partials")
+        if cfg.positions:
+            pos_partials_df = _build_pos_partials(
+                staged_ids.select("doc_id", "terms"))
+            (pos_partials_df.write.mode("overwrite")
+             .partitionBy("block_id").parquet(paths["pos_partials"]))
+            _mark_stage(manifest, warehouse_dir, "pos_partials")
         # the group invalidates everything derived from it
-        for s in ("postings", "lexicon"):
+        for s in ("postings", "lexicon", "positions"):
             manifest["stages"].pop(s, None)
         manifest["metrics"]["block_docs"] = {str(k): v for k, v
                                              in block_docs.items()}
@@ -970,6 +1163,28 @@ def build_index(spark, corpus, warehouse_dir: str,
         # would silently fall back to footer scans on every process)
         manifest["stages"].pop("rg_index", None)
         _mark_stage(manifest, warehouse_dir, "postings")
+
+    if cfg.positions and not _stage_done(manifest, "positions",
+                                         paths["positions"]):
+        pos_partials = spark.read.parquet(paths["pos_partials"])
+        # positional payload is larger than the postings payload
+        # (every token occurrence, not one row per (term, doc)), so
+        # its merge partition count is sized from ITS bytes — same
+        # per-task budget, rounded onto the postings bucket grid so
+        # each merge task lands in exactly one bucket dir
+        n_buckets = manifest["postings_buckets"]
+        n_pos_merge = auto_merge_partitions(
+            paths["pos_partials"], num_blocks, cfg)
+        n_pos_merge = -(-max(n_pos_merge, n_buckets) // n_buckets) \
+            * n_buckets
+        pos_merged = _merge_pos_partials(pos_partials, cfg, n_pos_merge)
+        (pos_merged.withColumn("bucket", F.pmod(F.hash("term"),
+                                                F.lit(n_buckets)))
+         .write.mode("overwrite")
+         .option("parquet.block.size", 2 * 1024 * 1024)
+         .partitionBy("bucket")
+         .parquet(paths["positions"]))
+        _mark_stage(manifest, warehouse_dir, "positions")
 
     need_rg = (not _stage_done(manifest, "rg_index",
                                os.path.join(warehouse_dir, "rg_index"))
@@ -1049,5 +1264,11 @@ def build_index(spark, corpus, warehouse_dir: str,
         shutil.rmtree(paths["partials"], ignore_errors=True)
         manifest["stages"]["partials"] = {"done": True, "deleted": True,
                                           "ts": time.time()}
+    if not cfg.keep_partials and os.path.isdir(paths["pos_partials"]):
+        import shutil
+
+        shutil.rmtree(paths["pos_partials"], ignore_errors=True)
+        manifest["stages"]["pos_partials"] = {
+            "done": True, "deleted": True, "ts": time.time()}
     _save_manifest(warehouse_dir, manifest)
     return manifest

@@ -138,6 +138,16 @@ class InvertedIndex:
         # filled by the last search(prune=True): block-max pruning
         # counters (blocks_before/blocks_decoded/acc_dropped)
         self.last_prune_stats: dict = {}
+        # positional sidecar (PHRASE queries): present when the build
+        # ran with IndexConfig(positions=True). Decoded per-term
+        # position arrays are LRU-cached alongside the postings decode
+        # cache; rows (compressed streams) are fetched on demand.
+        self.has_positions = bool(
+            (manifest.get("stages", {}).get("positions") or {})
+            .get("done"))
+        self._pos_ds = None
+        self._pos_cache: OrderedDict = OrderedDict()
+        self._pos_cache_size = 256
         # filtered search: document-attribute table registered via
         # set_attributes(); per-WHERE allowed-doc masks LRU-cached
         # (driver paths only — distributed plans use the DataFrame)
@@ -799,6 +809,153 @@ class InvertedIndex:
                     self._term_cache.popitem(last=False)
         return out
 
+    # -- positional sidecar / PHRASE queries ---------------------------
+    @property
+    def positions(self):
+        return self.spark.read.parquet(f"{self.warehouse_dir}/positions")
+
+    def _require_positions(self):
+        if not self.has_positions:
+            raise ValueError(
+                "PHRASE queries need the positional sidecar — rebuild "
+                "with IndexConfig(positions=True)")
+        if self.fresh:
+            raise ValueError(
+                "PHRASE queries are not served by fresh (merged-on-"
+                "read) handles: streaming appends carry no positions")
+
+    def _local_positions(self):
+        if self._pos_ds is None:
+            import pyarrow.dataset as ds
+
+            self._pos_ds = ds.dataset(
+                f"{self.warehouse_dir}/positions", format="parquet")
+        return self._pos_ds
+
+    def _fetch_pos_rows(self, terms):
+        """Positional rows per term, sorted by first_doc_id — the same
+        group order `_fetch_rows` gives the aligned postings rows, so
+        concatenated streams line up doc-for-doc."""
+        cols = ["term", "first_doc_id", "n_pos", "pos_vb"]
+        if not terms:
+            return {}
+        if self.io_mode == "local":
+            import pyarrow.dataset as ds
+
+            rows = (self._local_positions()
+                    .to_table(columns=cols,
+                              filter=ds.field("term").isin(list(terms)))
+                    .to_pylist())
+        else:
+            from pyspark.sql import functions as F
+
+            rows = [r.asDict() for r in
+                    (self.positions
+                     .where(F.col("term").isin(list(terms)))
+                     .select(*cols).collect())]
+        by_term: dict[str, list] = {}
+        for r in rows:
+            by_term.setdefault(r["term"], []).append(r)
+        for rs in by_term.values():
+            rs.sort(key=lambda r: r["first_doc_id"])
+        return by_term
+
+    def _decoded_positions(self, terms):
+        """term → (doc_ids, tfs, flat_positions, boundaries) with
+        ``flat_positions`` the concatenation of each doc's ascending
+        position list and ``boundaries = cumsum(tfs)`` delimiting the
+        per-doc runs; LRU-cached. Positions are always VByte (build-
+        side invariant, independent of the postings codec)."""
+        out = {}
+        missing = []
+        for t in terms:
+            if t in self._pos_cache:
+                self._pos_cache.move_to_end(t)
+                hit = self._pos_cache[t]
+                if hit is not None:
+                    out[t] = hit
+            else:
+                missing.append(t)
+        if not missing:
+            return out
+        decoded = self._fetch_decoded(missing)   # aligned (d, tf, ...)
+        pos_rows = self._fetch_pos_rows(
+            [t for t in missing if t in decoded])
+        for t in missing:
+            dec = decoded.get(t)
+            if dec is None:
+                self._pos_cache[t] = None
+                continue
+            d, tf, _dl, _df = dec
+            rs = pos_rows.get(t)
+            if rs is None:
+                raise ValueError(
+                    f"positions table has no rows for indexed term "
+                    f"{t!r} — sidecar out of sync with postings")
+            stream = b"".join(r["pos_vb"] for r in rs)
+            vals = codec.vbyte_decode(stream)
+            if vals.size != int(tf.sum()):
+                raise ValueError(
+                    f"positional stream length {vals.size} != cf "
+                    f"{int(tf.sum())} for term {t!r} — sidecar out of "
+                    "sync with postings")
+            bounds = np.cumsum(tf)
+            starts = np.concatenate(([0], bounds[:-1]))
+            flat = codec.gap_decode_resets(vals, starts, tf)
+            entry = (d, tf, flat, bounds)
+            self._pos_cache[t] = entry
+            out[t] = entry
+            if len(self._pos_cache) > self._pos_cache_size:
+                self._pos_cache.popitem(last=False)
+        return out
+
+    # positions fit in 32 bits by construction (doc_len is bounded far
+    # below 2^32), so (doc_id, position) packs into one int64 key and
+    # phrase adjacency becomes sorted-set intersection of shifted keys
+    _POS_KEY_SHIFT = 32
+
+    def _phrase_doc_ids(self, terms):
+        """doc_ids (ascending) containing ``terms`` as an exact
+        adjacent sequence in the post-filter token stream. Kernel:
+        pack (doc, pos) into int64 keys per term, shift term i's keys
+        by -i, intersect left-to-right starting from the rarest term —
+        after the chain, the surviving keys are the phrase start
+        positions."""
+        self._require_positions()
+        if not terms:
+            return np.zeros(0, dtype=np.int64)
+        uniq = list(dict.fromkeys(terms))
+        dec = self._decoded_positions(uniq)
+        if len(dec) < len(uniq):
+            return np.zeros(0, dtype=np.int64)   # unknown term
+        keys = {}
+        for t, (d, tf, flat, _bounds) in dec.items():
+            keys[t] = (np.repeat(d, tf) << self._POS_KEY_SHIFT) | flat
+        # intersect cheapest-first: chain cost is bounded by the
+        # smallest positional payload among the phrase's terms
+        order = sorted(range(len(terms)),
+                       key=lambda i: keys[terms[i]].size)
+        i0 = order[0]
+        k0 = keys[terms[i0]]
+        surv = k0[(k0 & 0xFFFFFFFF) >= i0] - i0
+        for i in order[1:]:
+            if surv.size == 0:
+                break
+            ki = keys[terms[i]]
+            ki = ki[(ki & 0xFFFFFFFF) >= i] - i
+            surv = np.intersect1d(surv, ki, assume_unique=True)
+        return np.unique(surv >> self._POS_KEY_SHIFT)
+
+    def _phrase_mask(self, terms):
+        """Boolean allowed-mask over docIds for a phrase — feeds the
+        same mask machinery as filtered search, so PHRASE composes
+        with ``where=`` and reuses the exact scoring kernels."""
+        mask = np.zeros(self.num_docs, dtype=bool)
+        ids = self._phrase_doc_ids(terms)
+        if ids.size:
+            mask[ids[ids < self.num_docs]] = True
+        return mask
+
     def set_attributes(self, attrs_df, key: str = "doc_no"):
         """Register a document-attribute table for filtered search.
 
@@ -899,12 +1056,25 @@ class InvertedIndex:
         """
         qtype, terms = preprocess_query(
             query, stopwords=self.stopwords, stemming=self.stemming)
-        key = (qtype, frozenset(terms), k, prune, where)
+        key = (qtype,
+               tuple(terms) if qtype == "PHRASE" else frozenset(terms),
+               k, prune, where)
         if key in self._cache:
             self._cache.move_to_end(key)
             return self._cache[key]
         mask = self._allowed_mask(where) if where is not None else None
-        if prune:
+        if qtype == "PHRASE":
+            # adjacency restricts WHICH docs may rank (the phrase
+            # mask composes with where= by AND); survivors score as
+            # the BM25 sum of the phrase's unique terms — the same
+            # filter-then-rank contract as attribute filters, so the
+            # same doc scores identically under phrase and AND
+            pmask = self._phrase_mask(terms)
+            if mask is not None:
+                pmask &= mask
+            doc_ids, scores = self._score_terms(set(terms), "OR",
+                                                mask=pmask)
+        elif prune:
             doc_ids, scores = self._score_terms_pruned(
                 terms, qtype, k, mask=mask)
         else:
@@ -1287,6 +1457,100 @@ class InvertedIndex:
         return (out.unionByName(fresh_rows)
                 .withColumn("df", F.count("*").over(
                     Window.partitionBy("term"))))
+
+    def decoded_positions_df(self, terms):
+        """Positional payloads → (term, doc_id, positions array<long>)
+        DataFrame. One term-filtered scan of each sidecar table, an
+        equality join on (term, grp) — both tables share the term-hash
+        bucket layout, so the join moves only the queried terms' rows —
+        and one Arrow decode pass that explodes per-doc position
+        arrays. The doc/tf streams come from the aligned postings row;
+        positional streams are always VByte."""
+        import pyarrow as pa
+        from pyspark.sql import functions as F
+
+        self._require_positions()
+        post = (self.postings
+                .where(F.col("term").isin(list(terms)))
+                .select("term", "grp", "doc_ids_vbyte", "freqs_vbyte"))
+        pos = (self.positions
+               .where(F.col("term").isin(list(terms)))
+               .select("term", "grp", "pos_vb"))
+        df = post.join(pos, ["term", "grp"])
+        use_pfd = self.codec == "pfd"
+
+        def decode(iterator):
+            stream_dec = codec.pfd_decode if use_pfd else codec.vbyte_decode
+            for batch in iterator:
+                ids_b = batch.column("doc_ids_vbyte").to_pylist()
+                tf_b = batch.column("freqs_vbyte").to_pylist()
+                pv_b = batch.column("pos_vb").to_pylist()
+                id_out, off_out, flat_out = [], [], []
+                for ib, fb, pb in zip(ids_b, tf_b, pv_b):
+                    d = codec.gap_decode(stream_dec(ib))
+                    tf = stream_dec(fb)
+                    vals = codec.vbyte_decode(pb)
+                    if vals.size != int(tf.sum()):
+                        raise ValueError(
+                            "positional stream length mismatch vs cf — "
+                            "sidecar out of sync with postings")
+                    bounds = np.cumsum(tf)
+                    starts = np.concatenate(([0], bounds[:-1]))
+                    id_out.append(d)
+                    off_out.append(bounds)
+                    flat_out.append(codec.gap_decode_resets(
+                        vals, starts, tf))
+                lens = np.array([d.size for d in id_out], dtype=np.int64)
+                total = int(lens.sum())
+                if total == 0:
+                    continue
+                row_idx = np.repeat(
+                    np.arange(len(lens), dtype=np.int64), lens)
+                # per-row offset arrays concatenate with a running base
+                base = np.concatenate(
+                    ([0], np.cumsum([f.size for f in flat_out])[:-1]))
+                offsets = np.concatenate(
+                    [[0]] + [b + o for b, o in zip(off_out, base)])
+                list_arr = pa.ListArray.from_arrays(
+                    pa.array(offsets, pa.int32()),
+                    pa.array(np.concatenate(flat_out), pa.int64()))
+                yield pa.RecordBatch.from_arrays(
+                    [batch.column("term").take(pa.array(row_idx)),
+                     pa.array(np.concatenate(id_out)),
+                     list_arr],
+                    names=["term", "doc_id", "positions"])
+
+        return df.mapInArrow(
+            decode, "term string, doc_id long, positions array<long>")
+
+    def _phrase_docs_df(self, terms):
+        """DataFrame[doc_id] of documents containing ``terms`` as an
+        adjacent sequence — the cluster-scale twin of
+        :meth:`_phrase_doc_ids`: per-occurrence position arrays stay
+        executor-side; adjacency is a join chain on doc_id narrowing a
+        running start-position array with ``array_intersect`` of each
+        successive term's (positions − i). JVM expressions throughout;
+        every join after the first is against an already doc-filtered
+        side."""
+        from pyspark.sql import functions as F
+
+        uniq = list(dict.fromkeys(terms))
+        pos_df = self.decoded_positions_df(uniq)
+        acc = None
+        for i, t in enumerate(terms):
+            shifted = F.col("positions") if i == 0 else F.transform(
+                F.filter("positions", lambda x: x >= F.lit(i)),
+                lambda x: x - F.lit(i))
+            cur = (pos_df.where(F.col("term") == t)
+                   .select("doc_id", shifted.alias("_p")))
+            if acc is None:
+                acc = cur.withColumnRenamed("_p", "_s")
+            else:
+                acc = (acc.join(cur, "doc_id")
+                       .withColumn("_s", F.array_intersect("_s", "_p"))
+                       .drop("_p")
+                       .where(F.size("_s") > 0))
+        return acc.select("doc_id")
 
     # -- distributed dynamic pruning ----------------------------------
     # caps for the two driver-side materializations of the pruned plan:
@@ -1742,11 +2006,15 @@ class InvertedIndex:
 
         qtype, terms = preprocess_query(
             query, stopwords=self.stopwords, stemming=self.stemming)
-        present = self._present_terms(terms)
-        if not present or (qtype == "AND" and len(present) < len(terms)):
+        if qtype == "PHRASE":
+            self._require_positions()
+        present = self._present_terms(set(terms))
+        if not present or (qtype != "OR" and len(present)
+                           < len(set(terms))):
+            # AND and PHRASE both demand every term; OR skips unknowns
             return self.spark.createDataFrame(
                 [], "doc_no string, score double")
-        if prune:
+        if qtype != "PHRASE" and prune:
             res = self._search_distributed_pruned(qtype, present, k,
                                                   where=where)
             if res is not None:
@@ -1756,6 +2024,13 @@ class InvertedIndex:
             # and the exhaustive plan below served the query
             self.last_prune_stats["mode"] = "distributed_fallback"
         exploded = self.decoded_postings_df(present)
+        if qtype == "PHRASE":
+            # adjacency filter: semi-join the scored postings against
+            # the distributed phrase-occurrence plan — scoring stays
+            # the BM25 sum of the unique terms (filter-then-rank, the
+            # same contract as the driver kernel and where=)
+            exploded = exploded.join(self._phrase_docs_df(terms),
+                                     "doc_id", "left_semi")
         if where is not None:
             exploded = exploded.join(self._allowed_ids_df(where),
                                      "doc_id", "left_semi")

@@ -139,6 +139,16 @@ def append_batch(spark, corpus_batch: Corpus, warehouse_dir: str,
     # same fail-fast seam as build_index: never write data in a format
     # the session can't actually produce, nor record one in the manifest
     B.check_table_format(spark, cfg)
+    if cfg.positions:
+        # the positional sidecar is batch-build only so far: appends
+        # would have to extend both payload families in lockstep and
+        # compaction would have to re-concatenate them identically —
+        # fail fast rather than serve a positions table that silently
+        # stops covering appended documents
+        raise ValueError(
+            "positions=True is batch-build only; streaming appends do "
+            "not maintain the positional sidecar — build_index() the "
+            "corpus instead, or drop positions from the config")
     if "stream" not in manifest and B._stage_done(manifest, "docs"):
         raise ValueError(
             "warehouse was batch-built (docs stage committed without "

@@ -1,0 +1,258 @@
+"""Positional sidecar + PHRASE queries.
+
+Reference model (pure Python, this file): a phrase matches a document
+when its processed token stream — the exact stopword/truncate/stem
+pipeline the index stores positions for — contains the processed
+phrase terms as an adjacent run. Ranking is filter-then-rank: BM25 sum
+of the phrase's unique terms over matching docs, collection-global
+stats, reference queue semantics (score-desc, min docId per distinct
+score). The engine's driver kernel, distributed plan, and their
+``where=`` compositions must all match it.
+
+The reference engine has no positional index; this is the documented
+engine extension (see ``IndexConfig.positions``).
+"""
+
+import collections
+
+import numpy as np
+import pytest
+
+from invertedindex_spark import (
+    IndexConfig, InvertedIndex, OracleIndex, build_index, corpus,
+)
+from invertedindex_spark.functions.textproc import (
+    preprocess_query, process_tokens, tokenize_text,
+)
+from invertedindex_spark.streaming import append_batch
+
+N_DOCS = 220
+SEED = 23
+
+
+def _doc_term_lists(rows):
+    """doc_no → processed token list, in engine docId order."""
+    memo = {}
+    out = []
+    for r, p, cm, _lang, content in sorted(
+            rows, key=lambda x: (x[0], x[1], x[2])):
+        if not content:
+            continue
+        terms, dl = process_tokens(
+            tokenize_text(content), stopwords=True, stemming=True,
+            memo=memo)
+        if dl == 0:
+            continue
+        out.append((f"{r}:{p}@{cm}", terms))
+    return out
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("pwarehouse"))
+    rows = corpus.synthesize_source_code_rows(N_DOCS, seed=SEED)
+    c = corpus.synthesize_source_code(spark, N_DOCS, seed=SEED,
+                                      num_partitions=5)
+    build_index(spark, c, wh, IndexConfig(num_blocks=4, positions=True))
+    doc_terms = _doc_term_lists(rows)
+    oracle = OracleIndex(
+        [(f"{r}:{p}@{cm}", content) for r, p, cm, _l, content in
+         sorted(rows, key=lambda x: (x[0], x[1], x[2]))])
+    idx = InvertedIndex(spark, wh)
+    return idx, oracle, doc_terms, rows
+
+
+def _ref_phrase_doc_nos(doc_terms, phrase):
+    n = len(phrase)
+    hit = set()
+    for dn, ts in doc_terms:
+        if any(ts[i:i + n] == phrase for i in range(len(ts) - n + 1)):
+            hit.add(dn)
+    return hit
+
+
+def _ref_topk(oracle, doc_terms, phrase, k=10):
+    allowed = _ref_phrase_doc_nos(doc_terms, phrase)
+    scores = oracle._scores(set(phrase), False)   # OR accumulation
+    scores = {d: s for d, s in scores.items()
+              if oracle.doc_nos[d] in allowed}
+    return oracle.queue_select(scores, k)
+
+
+def _common_ngrams(doc_terms, n, want=6):
+    """The most document-frequent n-grams — phrases that actually hit
+    several documents, so the parity checks are not vacuous."""
+    c = collections.Counter()
+    for _dn, ts in doc_terms:
+        grams = {tuple(ts[i:i + n]) for i in range(len(ts) - n + 1)}
+        c.update(grams)
+    return [list(g) for g, _cnt in c.most_common(want)]
+
+
+def _assert_ranked(got, ref):
+    assert [dn for dn, _ in got] == [dn for dn, _ in ref]
+    for (_, gs), (_, rs) in zip(got, ref):
+        assert gs == pytest.approx(rs, rel=1e-12)
+
+
+def test_phrase_preprocess_ordered_with_duplicates():
+    qt, terms = preprocess_query("PHRASE tables tables of the data")
+    assert qt == "PHRASE"
+    # order kept, duplicates kept, stopwords (of/the) removed, stemmed
+    assert terms == ["tabl", "tabl", "data"]
+
+
+def test_phrase_driver_matches_reference(built):
+    idx, oracle, doc_terms, _ = built
+    phrases = _common_ngrams(doc_terms, 2) + _common_ngrams(doc_terms, 3)
+    assert phrases
+    checked = 0
+    for ph in phrases:
+        ref_docs = _ref_phrase_doc_nos(doc_terms, ph)
+        got_ids = idx._phrase_doc_ids(ph)
+        got = {idx._attach_doc_nos(
+            got_ids, np.zeros(got_ids.size))[i][0]
+            for i in range(got_ids.size)}
+        assert got == ref_docs, ph
+        if ref_docs:
+            checked += 1
+        _assert_ranked(idx.search("PHRASE " + " ".join(ph), k=10),
+                       _ref_topk(oracle, doc_terms, ph))
+    assert checked >= 4   # the sampled phrases genuinely match docs
+
+
+def test_phrase_distributed_matches_driver(built):
+    idx, _oracle, doc_terms, _ = built
+    for ph in _common_ngrams(doc_terms, 2, want=3):
+        q = "PHRASE " + " ".join(ph)
+        drv = idx.search(q, k=10)
+        dist = [(r["doc_no"], r["score"])
+                for r in idx.search_distributed(q, k=10).collect()]
+        assert [d for d, _ in dist] == [d for d, _ in drv]
+        for (_, a), (_, b) in zip(dist, drv):
+            assert a == pytest.approx(b, rel=1e-12)
+
+
+def test_single_term_phrase_equals_and(built):
+    idx, _oracle, doc_terms, _ = built
+    term = _common_ngrams(doc_terms, 1, want=1)[0][0]
+    got = idx.search(f"PHRASE {term}", k=10)
+    ref = idx.search(f"AND {term}", k=10)
+    _assert_ranked(got, ref)
+
+
+def test_repeated_term_phrase(built):
+    idx, _oracle, doc_terms, _ = built
+    # find a doc with an adjacent repeated term, if the corpus has one;
+    # the engine must agree with the reference either way
+    best = None
+    for _dn, ts in doc_terms:
+        for a, b in zip(ts, ts[1:]):
+            if a == b:
+                best = a
+                break
+        if best:
+            break
+    term = best or "data"
+    ph = [term, term]
+    ref = _ref_phrase_doc_nos(doc_terms, ph)
+    ids = idx._phrase_doc_ids(ph)
+    got = {idx._attach_doc_nos(ids, np.zeros(ids.size))[i][0]
+           for i in range(ids.size)}
+    assert got == ref
+
+
+def test_unknown_term_and_stopword_phrases(built):
+    idx, _oracle, _doc_terms, _ = built
+    assert idx.search("PHRASE zzzzunknownterm data", k=5) == []
+    assert idx.search_distributed(
+        "PHRASE zzzzunknownterm data", k=5).count() == 0
+    # all-stopword phrase preprocesses to zero terms → empty result
+    assert idx.search("PHRASE the of and", k=5) == []
+
+
+def test_phrase_composes_with_where(built, spark):
+    idx, _oracle, doc_terms, rows = built
+    attrs = spark.createDataFrame(
+        [(f"{r}:{p}@{cm}", lang) for r, p, cm, lang, _ in rows],
+        "doc_no string, lang string")
+    idx.set_attributes(attrs, key="doc_no")
+    langs = {f"{r}:{p}@{cm}": lang for r, p, cm, lang, _ in rows}
+    ph = _common_ngrams(doc_terms, 2, want=1)[0]
+    q = "PHRASE " + " ".join(ph)
+    base = idx.search(q, k=50)
+    langs_of = {dn for dn, _ in base if langs[dn] == "python"}
+    got = idx.search(q, k=50, where="lang = 'python'")
+    assert {dn for dn, _ in got} == langs_of
+    dist = {r["doc_no"] for r in idx.search_distributed(
+        q, k=50, where="lang = 'python'").collect()}
+    assert dist == langs_of
+    idx._cache.clear()
+
+
+def test_phrase_requires_positions(spark, tmp_path):
+    wh = str(tmp_path / "nopos")
+    c = corpus.synthesize_source_code(spark, 40, seed=3,
+                                      num_partitions=2)
+    build_index(spark, c, wh, IndexConfig(num_blocks=2))
+    idx = InvertedIndex(spark, wh)
+    with pytest.raises(ValueError, match="positions"):
+        idx.search("PHRASE data table", k=5)
+    with pytest.raises(ValueError, match="positions"):
+        idx.search_distributed("PHRASE data table", k=5)
+
+
+def test_append_batch_refuses_positions(spark, tmp_path):
+    wh = str(tmp_path / "stream")
+    c = corpus.synthesize_source_code(spark, 20, seed=4,
+                                      num_partitions=2)
+    with pytest.raises(ValueError, match="batch-build only"):
+        append_batch(spark, c, wh,
+                     IndexConfig(num_blocks=2, positions=True))
+
+
+def test_adding_positions_rebuilds_group(spark, tmp_path):
+    """positions=True over a warehouse built without them must rebuild
+    the whole pipeline (positions derive from the same staging pass);
+    a repeated positional build must resume as a no-op."""
+    wh = str(tmp_path / "upgrade")
+    c = corpus.synthesize_source_code(spark, 60, seed=5,
+                                      num_partitions=3)
+    build_index(spark, c, wh, IndexConfig(num_blocks=2))
+    m = build_index(spark, c, wh,
+                    IndexConfig(num_blocks=2, positions=True),
+                    resume=True)
+    assert (m["stages"].get("positions") or {}).get("done")
+    idx = InvertedIndex(spark, wh)
+    assert idx.has_positions
+    assert idx.search("PHRASE data", k=3) == idx.search("AND data", k=3)
+    # no-op resume keeps every stage marked done
+    import time as _t
+    t0 = _t.time()
+    m2 = build_index(spark, c, wh,
+                     IndexConfig(num_blocks=2, positions=True),
+                     resume=True)
+    assert (m2["stages"].get("positions") or {}).get("done")
+    assert _t.time() - t0 < 20
+
+
+def test_phrase_on_pfd_codec(spark, tmp_path):
+    """Positions are always VByte; the aligned postings may be PFD —
+    decode dispatch must stay per-family."""
+    wh = str(tmp_path / "pfd")
+    rows = corpus.synthesize_source_code_rows(80, seed=9)
+    c = corpus.synthesize_source_code(spark, 80, seed=9,
+                                      num_partitions=3)
+    build_index(spark, c, wh,
+                IndexConfig(num_blocks=2, positions=True, codec="pfd"))
+    doc_terms = _doc_term_lists(rows)
+    idx = InvertedIndex(spark, wh)
+    ph = _common_ngrams(doc_terms, 2, want=1)[0]
+    ref = _ref_phrase_doc_nos(doc_terms, ph)
+    ids = idx._phrase_doc_ids(ph)
+    got = {idx._attach_doc_nos(ids, np.zeros(ids.size))[i][0]
+           for i in range(ids.size)}
+    assert got == ref
+    dist = {r["doc_no"] for r in idx.search_distributed(
+        "PHRASE " + " ".join(ph), k=50).collect()}
+    assert dist == ref
