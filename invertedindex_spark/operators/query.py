@@ -815,12 +815,16 @@ class InvertedIndex:
         return self.spark.read.parquet(f"{self.warehouse_dir}/positions")
 
     def _require_positions(self):
+        # RuntimeError, not ValueError: the batch APIs skip
+        # ValueError as their malformed-QUERY policy (reference
+        # parity) — a missing index capability must surface, not be
+        # silently dropped from the batch
         if not self.has_positions:
-            raise ValueError(
+            raise RuntimeError(
                 "PHRASE queries need the positional sidecar — rebuild "
                 "with IndexConfig(positions=True)")
         if self.fresh:
-            raise ValueError(
+            raise RuntimeError(
                 "PHRASE queries are not served by fresh (merged-on-"
                 "read) handles: streaming appends carry no positions")
 
@@ -2094,12 +2098,17 @@ class InvertedIndex:
         coerce = (lambda q: q) if int_qids else str
 
         prepped = []
+        phrase_qs = []   # PHRASE entries run the single-query plan
         for qid, q in queries:
             try:
-                prepped.append((qid, *preprocess_query(
-                    q, stopwords=self.stopwords, stemming=self.stemming)))
+                qtype, terms = preprocess_query(
+                    q, stopwords=self.stopwords, stemming=self.stemming)
             except ValueError:
                 continue
+            if qtype == "PHRASE":
+                phrase_qs.append((qid, q))
+            else:
+                prepped.append((qid, qtype, terms))
         # one lexicon probe for the whole batch (in spark io_mode a
         # per-query probe would be one collect per query)
         found = self._present_terms(
@@ -2112,23 +2121,50 @@ class InvertedIndex:
                 continue
             for t in present:
                 parsed.append((coerce(qid), t, qtype, len(present)))
+        phrase_df = None
+        if phrase_qs:
+            # each phrase runs the single-query adjacency plan (the
+            # join chain is per-phrase by construction); their top-k
+            # frames union into the batch result. A batch dominated by
+            # phrases therefore scans positions once PER phrase — the
+            # documented trade-off until a shared-scan phrase plan
+            # exists.
+            from pyspark.sql import Window
+            from pyspark.sql import functions as F
+
+            frames = []
+            for qid, q in phrase_qs:
+                single = self.search_distributed(q, k=k)
+                w = Window.orderBy(F.desc("score"))
+                frames.append(
+                    single.withColumn("rank", F.row_number().over(w))
+                    .select(F.lit(coerce(qid)).cast(qid_t).alias("qid"),
+                            "rank", "doc_no", "score"))
+            phrase_df = frames[0]
+            for f in frames[1:]:
+                phrase_df = phrase_df.unionByName(f)
         if not parsed:
-            return self.spark.createDataFrame(
-                [], f"qid {qid_t}, rank int, doc_no string, score double")
+            if phrase_df is None:
+                return self.spark.createDataFrame(
+                    [],
+                    f"qid {qid_t}, rank int, doc_no string, score double")
+            return phrase_df.orderBy("qid", "rank")
         pruned_df = None
         if prune:
             res = self._batch_distributed_pruned(parsed, qid_t, k)
             if res is not None:
                 pruned_df, parsed = res
-                if not parsed:   # every query was prunable
+                if not parsed and phrase_df is None:
                     return pruned_df.orderBy("qid", "rank")
             else:
                 # honest telemetry: the whole batch ran exhaustive
                 self.last_prune_stats["mode"] = \
                     "batch_distributed_fallback"
-        rest = self._batch_exhaustive_top(parsed, qid_t, k)
-        if pruned_df is not None:
-            rest = rest.unionByName(pruned_df)
+        rest = (self._batch_exhaustive_top(parsed, qid_t, k) if parsed
+                else None)
+        for part in (pruned_df, phrase_df):
+            if part is not None:
+                rest = part if rest is None else rest.unionByName(part)
         return rest.orderBy("qid", "rank")
 
     def _batch_exhaustive_top(self, parsed, qid_t, k):

@@ -196,10 +196,14 @@ def test_phrase_requires_positions(spark, tmp_path):
                                       num_partitions=2)
     build_index(spark, c, wh, IndexConfig(num_blocks=2))
     idx = InvertedIndex(spark, wh)
-    with pytest.raises(ValueError, match="positions"):
+    with pytest.raises(RuntimeError, match="positions"):
         idx.search("PHRASE data table", k=5)
-    with pytest.raises(ValueError, match="positions"):
+    with pytest.raises(RuntimeError, match="positions"):
         idx.search_distributed("PHRASE data table", k=5)
+    # the batch APIs skip malformed queries (ValueError) but must NOT
+    # swallow a missing index capability
+    with pytest.raises(RuntimeError, match="positions"):
+        idx.batch_search([(1, "PHRASE data table")], k=5)
 
 
 def test_append_batch_refuses_positions(spark, tmp_path):
@@ -234,6 +238,25 @@ def test_adding_positions_rebuilds_group(spark, tmp_path):
                      resume=True)
     assert (m2["stages"].get("positions") or {}).get("done")
     assert _t.time() - t0 < 20
+
+
+def test_batch_distributed_with_phrase_queries(built):
+    """A mixed batch (AND / OR / PHRASE) through the one-plan batch
+    API: phrase entries run the single-query adjacency plan and union
+    in; every qid's rows must equal its individual query."""
+    idx, _oracle, doc_terms, _ = built
+    ph = _common_ngrams(doc_terms, 2, want=1)[0]
+    t = ph[0]
+    batch = [(1, f"OR {t} data"), (2, "PHRASE " + " ".join(ph)),
+             (3, f"AND {t}")]
+    got = {(r["qid"], r["rank"], r["doc_no"], round(r["score"], 9))
+           for r in idx.batch_search_distributed(batch, k=10).collect()}
+    want = set()
+    for qid, q in batch:
+        for rank, (dn, sc) in enumerate(idx.search(q, k=10), start=1):
+            want.add((qid, rank, dn, round(sc, 9)))
+    assert got == want
+    idx._cache.clear()
 
 
 def test_phrase_on_pfd_codec(spark, tmp_path):
