@@ -926,6 +926,84 @@ m AS (SELECT doc_id, {counts} FROM src)
 SELECT doc_id, {case} AS pred_lang FROM m"""
 
 
+def q_gopher_quality(spark, sf_dir):
+    """Gopher-style repetition/quality filter (Rae et al. 2021 A1.1):
+    word-count/mean-length/alpha-ratio plus top-2-gram and
+    duplicated-5-gram character fractions, thresholds applied on
+    micro-unit ints (see operators/quality.py)."""
+    from .operators.quality import gopher_quality
+    return gopher_quality(_docs_df(spark, sf_dir))
+
+
+def sql_gopher_quality():
+    from .operators.quality import DEFAULTS
+    from .operators.textstats import WS_WORD_PATTERN
+    th = DEFAULTS
+    return f"""
+WITH d AS (SELECT doc_id, text FROM documents
+           WHERE text IS NOT NULL AND len(text) > 0),
+w AS (SELECT doc_id, regexp_extract_all(text, '{WS_WORD_PATTERN}')
+        AS words FROM d),
+w2 AS (SELECT doc_id, words FROM w WHERE len(words) > 0),
+base AS (
+  SELECT doc_id, len(words) AS n_words,
+         CAST(list_aggregate(list_transform(words, x -> length(x)),
+                             'sum') AS BIGINT) AS total_chars,
+         len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
+           AS alpha_words
+  FROM w2),
+g2 AS (
+  SELECT doc_id, unnest(CASE WHEN len(words) >= 2 THEN
+    [words[i] || ' ' || words[i+1]
+     for i in generate_series(1, len(words) - 1)]
+    ELSE [] END) AS gram
+  FROM w2),
+g2c AS (SELECT doc_id, gram, count(*) AS cnt FROM g2
+        GROUP BY doc_id, gram),
+top2 AS (SELECT doc_id, max(cnt * (length(gram) - 1)) AS top2_chars
+         FROM g2c GROUP BY doc_id),
+g5 AS (
+  SELECT doc_id, unnest(CASE WHEN len(words) >= 5 THEN
+    [words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' ' ||
+     words[i+3] || ' ' || words[i+4]
+     for i in generate_series(1, len(words) - 4)]
+    ELSE [] END) AS gram
+  FROM w2),
+g5c AS (SELECT doc_id, gram, count(*) AS cnt FROM g5
+        GROUP BY doc_id, gram),
+dup5 AS (SELECT doc_id,
+                CAST(sum(cnt * (length(gram) - 4)) AS BIGINT)
+                  AS dup5_chars
+         FROM g5c WHERE cnt >= 2 GROUP BY doc_id),
+m AS (
+  SELECT base.doc_id, n_words, total_chars, alpha_words,
+         COALESCE(top2_chars, 0) AS top2_chars,
+         COALESCE(dup5_chars, 0) AS dup5_chars
+  FROM base LEFT JOIN top2 USING (doc_id)
+            LEFT JOIN dup5 USING (doc_id)),
+u AS (
+  SELECT doc_id, n_words,
+    CAST(round((total_chars::DOUBLE / n_words) * 1e6) AS BIGINT)
+      AS mean_word_len_u6,
+    CAST(round((alpha_words::DOUBLE / n_words) * 1e6) AS BIGINT)
+      AS alpha_word_ratio_u6,
+    CAST(round((top2_chars::DOUBLE / total_chars) * 1e6) AS BIGINT)
+      AS top2gram_frac_u6,
+    CAST(round(least(1.0, dup5_chars::DOUBLE / total_chars) * 1e6)
+         AS BIGINT) AS dup5gram_frac_u6
+  FROM m)
+SELECT doc_id, n_words, mean_word_len_u6, alpha_word_ratio_u6,
+       top2gram_frac_u6, dup5gram_frac_u6,
+       (n_words >= {th['min_words']} AND n_words <= {th['max_words']}
+        AND mean_word_len_u6 >= {th['min_mean_word_len_u6']}
+        AND mean_word_len_u6 <= {th['max_mean_word_len_u6']}
+        AND alpha_word_ratio_u6 >= {th['min_alpha_word_ratio_u6']}
+        AND top2gram_frac_u6 <= {th['max_top2gram_frac_u6']}
+        AND dup5gram_frac_u6 <= {th['max_dup5gram_frac_u6']})
+         AS gopher_keep
+FROM u"""
+
+
 # ---------------------------------------------------------------------
 # similarity search family (embeddings)
 # ---------------------------------------------------------------------
@@ -1671,6 +1749,7 @@ def all_queries():
         "events_sessions": q_events_sessions,
         "corpus_clean": q_corpus_clean,
         "lang_id": q_lang_id,
+        "gopher_quality": q_gopher_quality,
         "ann_cosine_topk": q_ann_cosine_topk,
         "lsh_buckets": q_lsh_buckets,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -1719,6 +1798,7 @@ def all_oracle_sql(query_vec=None, sf_dir=None):
         "events_windowed": sql_events_windowed(),
         "events_sessions": sql_events_sessions(),
         "corpus_clean": sql_corpus_clean(),
+        "gopher_quality": sql_gopher_quality(),
         "lsh_buckets": sql_lsh_buckets(),
         "vbyte_roundtrip": sql_vbyte_roundtrip(),
         "multimodal_features": sql_multimodal_features(),

@@ -1,0 +1,132 @@
+"""Gopher-style document quality / repetition filters (Rae et al. 2021,
+"Scaling Language Models: Methods, Analysis & Insights from Training
+Gopher", Appendix A1.1) — the standard pre-training curation recipe
+layered on the reference engine's corpus model (reference has no
+curation stage; this extends the training-data family in
+operators/textstats.py / operators/pipeline.py).
+
+All signals are computed engine-portably (Spark Column expressions /
+one (doc_id, gram) shuffle) and have exact DuckDB SQL twins in
+entry_queries; thresholds are applied on micro-unit INTEGERS so a
+1-ulp float divergence between engines can never flip a verdict.
+
+Signals (per document, over whitespace words):
+
+* ``n_words``, ``mean_word_len_u6`` — word count and mean word length
+  (Gopher keeps 50..100k words, mean length 3..10).
+* ``alpha_word_ratio_u6`` — fraction of words containing at least one
+  [A-Za-z] (Gopher: >= 0.80 must contain an alphabetic char).
+* ``top2gram_frac_u6`` — fraction of word characters attributable to
+  the heaviest word 2-gram, computed as
+  ``max_g count(g)·chars(g) / total_word_chars`` (chars(g) counts the
+  gram's word characters, not the joining space).  Taking the max of
+  the *product* makes the statistic deterministic without a gram
+  tie-break rule; Gopher's own variant (chars of the single most
+  frequent 2-gram) is tie-ambiguous.  Threshold 0.20.
+* ``dup5gram_frac_u6`` — fraction of word characters covered by
+  duplicated 5-grams: ``sum_{g: count(g)>=2} count(g)·chars(g) /
+  total_word_chars`` capped at 1.0.  (Gopher de-overlaps the covered
+  characters; the standard streaming approximation above upper-bounds
+  it and is exactly reproducible in SQL.)  Threshold 0.15.
+* ``gopher_keep`` — AND of the five threshold tests.
+
+Scale shape: one narrow pass computes the word-level signals; the
+n-gram signals explode to (doc_id, gram) rows — O(total words), the
+same row volume the indexer's posting build shuffles — and aggregate
+by (doc_id, gram) then doc_id.  No joins, no windows over the corpus,
+nothing all-pairs; survives 100 TB exactly as the posting build does.
+"""
+
+from __future__ import annotations
+
+DEFAULTS = dict(
+    min_words=50, max_words=100_000,
+    min_mean_word_len_u6=3_000_000, max_mean_word_len_u6=10_000_000,
+    min_alpha_word_ratio_u6=800_000,
+    max_top2gram_frac_u6=200_000,
+    max_dup5gram_frac_u6=150_000,
+)
+
+
+def _words_col(text):
+    from pyspark.sql import functions as F
+
+    from .textstats import WS_WORD_PATTERN
+    return F.regexp_extract_all(text, F.lit(WS_WORD_PATTERN), 0)
+
+
+def _gram_rows(words_df, n: int):
+    """(doc_id, gram_chars, cnt) rows: per-document counts of word
+    n-grams, gram_chars = sum of the gram's word lengths."""
+    from pyspark.sql import functions as F
+
+    grams = F.expr(
+        f"CASE WHEN size(words) >= {n} THEN "
+        f"transform(sequence(0, size(words) - {n}), "
+        f"i -> array_join(slice(words, i + 1, {n}), ' ')) "
+        "ELSE array() END")
+    g = (words_df.select("doc_id", F.explode(grams).alias("gram"))
+         .groupBy("doc_id", "gram").agg(F.count("*").alias("cnt")))
+    gram_chars = F.length("gram") - (n - 1)  # exclude joining spaces
+    return g.select("doc_id", gram_chars.alias("gram_chars"), "cnt")
+
+
+def gopher_quality(df, **thresholds):
+    """(doc_id, n_words, mean_word_len_u6, alpha_word_ratio_u6,
+    top2gram_frac_u6, dup5gram_frac_u6, gopher_keep) for every doc with
+    at least one whitespace word.  See module docstring for the signal
+    definitions and scale shape."""
+    from pyspark.sql import functions as F
+
+    th = {**DEFAULTS, **thresholds}
+
+    d = df.where(F.col("text").isNotNull() & (F.length("text") > 0))
+    w = d.select("doc_id", _words_col(F.col("text")).alias("words"))
+    w = w.where(F.size("words") > 0)
+
+    total_chars = F.aggregate(
+        "words", F.lit(0).cast("long"),
+        lambda acc, x: acc + F.length(x))
+    alpha_words = F.size(F.filter("words", lambda x: x.rlike("[A-Za-z]")))
+    base = w.select(
+        "doc_id", F.size("words").alias("n_words"),
+        total_chars.alias("total_chars"),
+        alpha_words.alias("alpha_words"))
+
+    top2 = (_gram_rows(w, 2)
+            .groupBy("doc_id")
+            .agg(F.max(F.col("cnt") * F.col("gram_chars"))
+                 .alias("top2_chars")))
+    dup5 = (_gram_rows(w, 5).where(F.col("cnt") >= 2)
+            .groupBy("doc_id")
+            .agg(F.sum(F.col("cnt") * F.col("gram_chars"))
+                 .alias("dup5_chars")))
+
+    j = (base.join(top2, "doc_id", "left").join(dup5, "doc_id", "left")
+         .fillna(0, subset=["top2_chars", "dup5_chars"]))
+
+    def u6(c):
+        return F.round(c * 1e6).cast("long")
+
+    mean_len = u6(F.col("total_chars") / F.col("n_words"))
+    alpha_ratio = u6(F.col("alpha_words") / F.col("n_words"))
+    top2_frac = u6(F.col("top2_chars") / F.col("total_chars"))
+    dup5_frac = u6(F.least(F.lit(1.0),
+                           F.col("dup5_chars") / F.col("total_chars")))
+
+    out = j.select(
+        "doc_id", "n_words",
+        mean_len.alias("mean_word_len_u6"),
+        alpha_ratio.alias("alpha_word_ratio_u6"),
+        top2_frac.alias("top2gram_frac_u6"),
+        dup5_frac.alias("dup5gram_frac_u6"))
+
+    keep = (
+        (F.col("n_words") >= th["min_words"])
+        & (F.col("n_words") <= th["max_words"])
+        & (F.col("mean_word_len_u6") >= th["min_mean_word_len_u6"])
+        & (F.col("mean_word_len_u6") <= th["max_mean_word_len_u6"])
+        & (F.col("alpha_word_ratio_u6") >= th["min_alpha_word_ratio_u6"])
+        & (F.col("top2gram_frac_u6") <= th["max_top2gram_frac_u6"])
+        & (F.col("dup5gram_frac_u6") <= th["max_dup5gram_frac_u6"]))
+    return out.withColumn("gopher_keep", keep)

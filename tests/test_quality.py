@@ -1,0 +1,78 @@
+"""Gopher-style quality/repetition filter (operators/quality.py):
+crafted-document signal checks + DuckDB oracle parity at sf0.001."""
+
+import duckdb
+import pytest
+
+
+def _rows(spark, docs):
+    from invertedindex_spark.operators.quality import gopher_quality
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = gopher_quality(df)
+    return {r["doc_id"]: r.asDict() for r in out.collect()}
+
+
+def test_repetition_signals_on_crafted_docs(spark):
+    docs = [
+        # 60 distinct-ish words, mean len 4, no repetition beyond noise
+        (1, " ".join(f"word{i:02d}" for i in range(60))),
+        # the same 2-gram repeated 30 times: top2gram_frac ~ 1
+        (2, " ".join(["alpha beta"] * 30)),
+        # a 5-gram repeated 10 times: dup5gram covers everything
+        (3, " ".join(["one two three four five"] * 10)),
+        # numeric soup: alpha ratio 0
+        (4, " ".join(str(i) for i in range(80))),
+    ]
+    r = _rows(spark, docs)
+
+    assert r[1]["n_words"] == 60
+    assert r[1]["alpha_word_ratio_u6"] == 1_000_000
+    assert r[1]["gopher_keep"] is True
+
+    # doc 2: heaviest 2-gram is "beta alpha" or "alpha beta" (29/30
+    # occurrences x 9 chars) over 540 chars -> far above the 0.20 bar
+    assert r[2]["top2gram_frac_u6"] > 400_000
+    assert r[2]["gopher_keep"] is False
+
+    # doc 3: every 5-gram window recurs -> dup fraction capped at 1
+    assert r[3]["dup5gram_frac_u6"] == 1_000_000
+    assert r[3]["gopher_keep"] is False
+
+    assert r[4]["alpha_word_ratio_u6"] == 0
+    assert r[4]["gopher_keep"] is False
+
+
+def test_mean_word_len_bounds(spark):
+    r = _rows(spark, [
+        (1, " ".join(["ab"] * 60)),                  # mean 2 < 3
+        (2, " ".join(["abcdefghijkl"] * 60)),        # mean 12 > 10
+    ])
+    assert r[1]["mean_word_len_u6"] == 2_000_000
+    assert r[1]["gopher_keep"] is False
+    assert r[2]["mean_word_len_u6"] == 12_000_000
+    assert r[2]["gopher_keep"] is False
+
+
+def test_docs_without_words_are_dropped(spark):
+    r = _rows(spark, [(1, "   \t  "), (2, "actual words here")])
+    assert set(r) == {2}
+
+
+@pytest.mark.parametrize("name", ["gopher_quality"])
+def test_matches_duckdb_oracle_sf0001(spark, sf0001_dir, name):
+    import __spark_entry__ as entry
+
+    sdf = entry.queries()[name](spark, sf0001_dir)
+    srows = sorted(tuple(row[c] for c in sdf.columns)
+                   for row in sdf.collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf0001_dir}/documents.parquet')")
+    res = con.execute(entry.oracle_sql()[name])
+    dcols = [x[0] for x in res.description]
+    drows = sorted(tuple(dict(zip(dcols, r))[c] for c in sdf.columns)
+                   for r in res.fetchall())
+    assert len(srows) > 0
+    assert srows == drows
