@@ -1004,6 +1004,42 @@ SELECT doc_id, n_words, mean_word_len_u6, alpha_word_ratio_u6,
 FROM u"""
 
 
+def q_lm_perplexity(spark, sf_dir):
+    """CCNet-style bigram-LM quality signal: per-doc average bigram
+    negative log-likelihood under an add-one-smoothed LM trained on
+    the corpus itself (operators/lm.py). Per-bigram NLL is quantized
+    to micro-nat BIGINTs before any aggregation so both engines sum
+    exact integers."""
+    from .operators.lm import bigram_nll
+    return bigram_nll(_docs_df(spark, sf_dir))
+
+
+def sql_lm_perplexity():
+    return _raw_tok_cte() + """,
+t AS (SELECT doc_id, tokens FROM src WHERE len(tokens) >= 2),
+bg AS (SELECT doc_id,
+              unnest(tokens[1:len(tokens) - 1]) AS w1,
+              unnest(tokens[2:len(tokens)]) AS w2
+       FROM t),
+dbc AS (SELECT doc_id, w1, w2, count(*) AS c FROM bg
+        GROUP BY doc_id, w1, w2),
+gbc AS (SELECT w1, w2, CAST(sum(c) AS BIGINT) AS b FROM dbc
+        GROUP BY w1, w2),
+ucnt AS (SELECT w, CAST(count(*) AS BIGINT) AS u
+         FROM (SELECT unnest(tokens) AS w FROM t) GROUP BY w),
+v AS (SELECT CAST(count(*) AS BIGINT) AS vsize FROM ucnt),
+sc AS (SELECT dbc.doc_id, c,
+              CAST(round(ln((u + vsize) / (b + 1.0)) * 1e6) AS BIGINT)
+                AS nll_u6
+       FROM dbc JOIN gbc USING (w1, w2)
+                JOIN ucnt ON dbc.w1 = ucnt.w
+                CROSS JOIN v)
+SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+       CAST(round(CAST(sum(c * nll_u6) AS BIGINT)
+                  / CAST(sum(c) AS BIGINT)) AS BIGINT) AS avg_nll_u6
+FROM sc GROUP BY doc_id"""
+
+
 # ---------------------------------------------------------------------
 # similarity search family (embeddings)
 # ---------------------------------------------------------------------
@@ -1750,6 +1786,7 @@ def all_queries():
         "corpus_clean": q_corpus_clean,
         "lang_id": q_lang_id,
         "gopher_quality": q_gopher_quality,
+        "lm_perplexity": q_lm_perplexity,
         "ann_cosine_topk": q_ann_cosine_topk,
         "lsh_buckets": q_lsh_buckets,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -1799,6 +1836,7 @@ def all_oracle_sql(query_vec=None, sf_dir=None):
         "events_sessions": sql_events_sessions(),
         "corpus_clean": sql_corpus_clean(),
         "gopher_quality": sql_gopher_quality(),
+        "lm_perplexity": sql_lm_perplexity(),
         "lsh_buckets": sql_lsh_buckets(),
         "vbyte_roundtrip": sql_vbyte_roundtrip(),
         "multimodal_features": sql_multimodal_features(),

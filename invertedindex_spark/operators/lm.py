@@ -1,0 +1,102 @@
+"""Bigram language-model perplexity scoring — the CCNet-style quality
+signal (Wenzek et al. 2020 score documents against an LM and bucket by
+perplexity; here the LM is trained on the corpus itself, so the score
+is a self-contained "how typical is this document" signal with no
+external model artifact).
+
+Model: add-one-smoothed bigram LM over the engine tokenizer's raw
+token stream (the same tokens the indexer sees, stopwords kept)::
+
+    p(w2 | w1) = (B(w1, w2) + 1) / (U(w1) + V)
+
+with B = bigram occurrence count, U = unigram occurrence count, V =
+vocabulary size, all over documents with >= 2 tokens (the scored set
+is the training set — one corpus pass, documented choice).
+
+Per-document score: average negative log-likelihood of its bigrams.
+
+Engine-portability: each DISTINCT bigram's NLL is quantized ONCE to
+micro-nats (``round(ln((U+V)/(B+1)) * 1e6)`` as BIGINT); every
+downstream aggregate — per-doc sums, the average — is then exact
+integer / single-division arithmetic, identical in Spark and DuckDB.
+Summing raw doubles instead would expose the driver hash to
+summation-order noise; quantize-then-sum makes the plan's arithmetic
+associative. A 1-ulp libm-vs-JVM ``ln`` divergence only matters if a
+bigram's NLL lands within ~1e-15 of a 0.5-micro-nat boundary.
+
+Scale shape: the token explode is O(total tokens) — the same row
+volume the posting build shuffles; bigram counts aggregate doc-grain
+first, then global (two keyed shuffles, map-side combined); scoring
+joins are equality-keyed on (w1, w2) / w1 (AQE broadcasts the unigram
+side when small); V arrives via a one-row aggregate cross join — no
+driver collect anywhere. No windows, nothing all-pairs.
+"""
+
+from __future__ import annotations
+
+
+def train_bigram_lm(df):
+    """Train the LM over ``df`` (doc_id, text): returns (unigrams,
+    bigrams, vocab) DataFrames — (w, u), (w1, w2, b), (vsize,) — that
+    :func:`bigram_nll` joins against. Materialize (write/cache) to
+    score other corpora against a fixed model."""
+    from pyspark.sql import functions as F
+
+    toks = _tokens(df)
+    uni = (toks.select(F.explode("tokens").alias("w"))
+           .groupBy("w").agg(F.count("*").alias("u")))
+    bg = _bigram_doc_counts(toks)
+    gbc = bg.groupBy("w1", "w2").agg(F.sum("c").alias("b"))
+    vdf = uni.agg(F.count("*").alias("vsize"))
+    return uni, gbc, vdf
+
+
+def bigram_nll(df, model=None):
+    """(doc_id, n_bigrams, avg_nll_u6) for every document with >= 2
+    tokens: average bigram negative log-likelihood in micro-nats
+    (higher = less typical of the training corpus). ``model`` is the
+    :func:`train_bigram_lm` triple; trained on ``df`` itself when
+    omitted. Unseen bigrams/unigrams under an external model score
+    with B=0 / U=0 (pure smoothing mass)."""
+    from pyspark.sql import functions as F
+
+    uni, gbc, vdf = model if model is not None else train_bigram_lm(df)
+    toks = _tokens(df)
+    dbc = _bigram_doc_counts(toks)
+
+    j = (dbc.join(gbc, ["w1", "w2"], "left")
+         .join(uni.withColumnRenamed("w", "w1"), "w1", "left")
+         .crossJoin(F.broadcast(vdf))
+         .fillna(0, subset=["b", "u"]))
+    nll_u6 = F.round(
+        F.log((F.col("u") + F.col("vsize")) / (F.col("b") + F.lit(1.0)))
+        * 1e6).cast("long")
+    per = j.select("doc_id", "c", nll_u6.alias("nll_u6"))
+    agg = per.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.sum(F.col("c") * F.col("nll_u6")).alias("nll_sum_q6"))
+    avg = F.round(F.col("nll_sum_q6") / F.col("n_bigrams")).cast("long")
+    return agg.select("doc_id", "n_bigrams", avg.alias("avg_nll_u6"))
+
+
+def _tokens(df):
+    from pyspark.sql import functions as F
+
+    from ..functions.textproc import tokens_col
+
+    d = df.where(F.col("text").isNotNull() & (F.length("text") > 0))
+    t = d.select("doc_id", tokens_col(F.col("text")).alias("tokens"))
+    return t.where(F.size("tokens") >= 2)
+
+
+def _bigram_doc_counts(toks):
+    """(doc_id, w1, w2, c): per-document bigram occurrence counts."""
+    from pyspark.sql import functions as F
+
+    g = F.explode(F.expr(
+        "transform(sequence(1, size(tokens) - 1), "
+        "i -> struct(tokens[i-1] AS w1, tokens[i] AS w2))")).alias("g")
+    return (toks.select("doc_id", g)
+            .select("doc_id", "g.w1", "g.w2")
+            .groupBy("doc_id", "w1", "w2")
+            .agg(F.count("*").alias("c")))
