@@ -386,6 +386,61 @@ def sql_bm25_topk_and():
     return _topk_sql(AND_TERMS, conjunctive=True)
 
 
+def q_bm25_topk_snippets(spark, sf_dir):
+    """Top-k OR search with keyword-in-context snippets: the engine's
+    distributed search joined (broadcast, k rows) against the document
+    table, re-tokenized only for the hits, with the deterministic
+    token-window rule in operators/snippets.py."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    from .operators.snippets import attach_snippets
+    idx = get_index(spark, sf_dir)
+    res = idx.search_distributed("OR " + " ".join(OR_TERMS), k=K)
+    docs = _docs_df(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_no"), "text")
+    out = attach_snippets(res, docs, OR_TERMS)
+    w = Window.orderBy(F.desc("score"))
+    return out.select(F.row_number().over(w).alias("rank"), "doc_no",
+                      _u6(F.col("score")).alias("score_u6"),
+                      "first_pos", "snippet")
+
+
+def sql_bm25_topk_snippets(k: int = K) -> str:
+    from .functions.textproc import tokens_sql
+    tlist = ", ".join(f"'{t}'" for t in OR_TERMS)
+    poss = ", ".join(
+        f"coalesce(list_position(rtoks, '{t}'), 0)" for t in OR_TERMS)
+    return _base_cte() + f""",
+scores AS (
+  SELECT tf.doc_id, sum({_bm25_expr()}) AS score
+  FROM tf JOIN lex USING (term) CROSS JOIN stats
+  WHERE tf.term IN ({tlist})
+  GROUP BY tf.doc_id
+), dedup AS (
+  SELECT score, min(doc_id) AS doc_id FROM scores GROUP BY score
+  ORDER BY score DESC LIMIT {k}
+), ranked AS (
+  SELECT row_number() OVER (ORDER BY score DESC) AS rank, d.doc_no,
+         CAST(round(score * 1e6) AS BIGINT) AS score_u6
+  FROM dedup JOIN docs d USING (doc_id)
+), snip AS (
+  SELECT r.rank, r.doc_no, r.score_u6,
+         {tokens_sql('d2.text')} AS rtoks
+  FROM ranked r JOIN documents d2
+    ON CAST(d2.doc_id AS VARCHAR) = r.doc_no
+), pos AS (
+  SELECT rank, doc_no, score_u6, rtoks,
+         list_aggregate(list_filter([{poss}], x -> x > 0), 'min')
+           AS first_pos
+  FROM snip
+)
+SELECT rank, doc_no, score_u6, CAST(first_pos AS BIGINT) AS first_pos,
+       array_to_string(rtoks[greatest(1, first_pos - 3)
+                             : greatest(1, first_pos - 3) + 6], ' ')
+         AS snippet
+FROM pos"""
+
+
 PHRASE_TERMS = ["slow", "key", "column"]
 
 
@@ -1764,6 +1819,7 @@ def all_queries():
         "bm25_topk_and": q_bm25_topk_and,
         "bm25_topk_filtered": q_bm25_topk_filtered,
         "bm25_topk_phrase": q_bm25_topk_phrase,
+        "bm25_topk_snippets": q_bm25_topk_snippets,
         "bm25_batch_topk": q_bm25_batch_topk,
         "and_intersection": q_and_intersection,
         "top_terms": q_top_terms,
@@ -1816,6 +1872,7 @@ def all_oracle_sql(query_vec=None, sf_dir=None):
         "bm25_topk_and": sql_bm25_topk_and(),
         "bm25_topk_filtered": sql_bm25_topk_filtered(),
         "bm25_topk_phrase": sql_bm25_topk_phrase(),
+        "bm25_topk_snippets": sql_bm25_topk_snippets(),
         "bm25_batch_topk": sql_bm25_batch_topk(),
         "and_intersection": sql_and_intersection(),
         "top_terms": sql_top_terms(),
