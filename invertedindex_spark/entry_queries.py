@@ -1096,6 +1096,76 @@ FROM sc GROUP BY doc_id"""
 
 
 # ---------------------------------------------------------------------
+# deterministic sampling / splitting family
+# ---------------------------------------------------------------------
+
+SAMPLE_RATES = {"en": 0.9, "de": 0.5, "zh": 0.2}
+SAMPLE_DEFAULT_RATE = 0.1
+TAKE_PER_LANG = 25
+
+
+def q_train_test_split(spark, sf_dir):
+    """Deterministic hash split (train/valid/test 90/5/5): pure
+    function of (seed, doc_id) — reproducible across engines, re-runs
+    and cluster sizes; narrow, no shuffle (operators/sampling.py)."""
+    from .operators.sampling import hash_split
+    return hash_split(_docs_df(spark, sf_dir).select("doc_id"))
+
+
+def sql_train_test_split():
+    from .operators.sampling import bucket_sql
+    b = bucket_sql("doc_id", "split")
+    return f"""
+SELECT doc_id,
+       CASE WHEN {b} < 900000 THEN 'train'
+            WHEN {b} < 950000 THEN 'valid'
+            ELSE 'test' END AS split
+FROM documents"""
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Per-stratum rate sampling (domain-mix control): language-keyed
+    keep rates, deterministic buckets, no shuffle."""
+    from .operators.sampling import stratified_sample
+    return stratified_sample(
+        _docs_df(spark, sf_dir).select("doc_id", "lang"),
+        SAMPLE_RATES, "lang", default_rate=SAMPLE_DEFAULT_RATE)
+
+
+def sql_stratified_sample():
+    from .operators.sampling import BUCKETS, bucket_sql
+    b = bucket_sql("doc_id", "sample")
+    cases = " ".join(
+        f"WHEN lang = '{v}' THEN {int(round(r * BUCKETS))}"
+        for v, r in sorted(SAMPLE_RATES.items()))
+    default = int(round(SAMPLE_DEFAULT_RATE * BUCKETS))
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE {b} < (CASE {cases} ELSE {default} END)"""
+
+
+def q_stratified_take(spark, sf_dir):
+    """Exact-N-per-stratum deterministic draw (reservoir-sampling
+    twin): hash-ordered rank within each language."""
+    from .operators.sampling import stratified_take
+    return stratified_take(
+        _docs_df(spark, sf_dir).select("doc_id", "lang"),
+        TAKE_PER_LANG, "lang")
+
+
+def sql_stratified_take():
+    from .operators.sampling import bucket_sql
+    b = bucket_sql("doc_id", "take")
+    return f"""
+WITH rk AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY {b}, doc_id) AS rk
+  FROM documents)
+SELECT doc_id, lang FROM rk WHERE rk <= {TAKE_PER_LANG}"""
+
+
+# ---------------------------------------------------------------------
 # similarity search family (embeddings)
 # ---------------------------------------------------------------------
 
@@ -1843,6 +1913,9 @@ def all_queries():
         "lang_id": q_lang_id,
         "gopher_quality": q_gopher_quality,
         "lm_perplexity": q_lm_perplexity,
+        "train_test_split": q_train_test_split,
+        "stratified_sample": q_stratified_sample,
+        "stratified_take": q_stratified_take,
         "ann_cosine_topk": q_ann_cosine_topk,
         "lsh_buckets": q_lsh_buckets,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -1894,6 +1967,9 @@ def all_oracle_sql(query_vec=None, sf_dir=None):
         "corpus_clean": sql_corpus_clean(),
         "gopher_quality": sql_gopher_quality(),
         "lm_perplexity": sql_lm_perplexity(),
+        "train_test_split": sql_train_test_split(),
+        "stratified_sample": sql_stratified_sample(),
+        "stratified_take": sql_stratified_take(),
         "lsh_buckets": sql_lsh_buckets(),
         "vbyte_roundtrip": sql_vbyte_roundtrip(),
         "multimodal_features": sql_multimodal_features(),

@@ -55,7 +55,8 @@ def _random_docs(seed: int, n: int):
 QUERIES = ["exact_dedup", "token_counts", "token_stats", "lang_id",
            "simhash32", "doc_fingerprint", "minhash_signatures",
            "corpus_clean", "substring_dup_stats", "substring_spans",
-           "substring_span_removal", "gopher_quality", "lm_perplexity"]
+           "substring_span_removal", "gopher_quality", "lm_perplexity",
+           "train_test_split"]
 
 
 @pytest.mark.parametrize("seed", [11, 17, 23])
