@@ -1095,6 +1095,34 @@ SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
 FROM sc GROUP BY doc_id"""
 
 
+def q_domain_stats(spark, sf_dir):
+    """Per-source curation rollup (docs / dups / tokens / Gopher keep
+    rate): the monitoring table a 100 TB pipeline keeps per domain
+    (operators/report.py). Integer-only output."""
+    from .operators.report import domain_stats
+    return domain_stats(_docs_df(spark, sf_dir))
+
+
+def sql_domain_stats():
+    from .operators.textstats import WS_WORD_PATTERN
+    gq = sql_gopher_quality()
+    return f"""
+WITH gq AS ({gq}),
+d AS (SELECT doc_id, source, sha256(text) AS sha,
+             length(text) AS n_chars,
+             len(regexp_extract_all(text, '{WS_WORD_PATTERN}'))
+               AS ws_tokens
+      FROM documents WHERE text IS NOT NULL AND length(text) > 0)
+SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) - count(DISTINCT d.sha) AS BIGINT) AS dup_docs,
+       CAST(sum(d.ws_tokens) AS BIGINT) AS total_ws_tokens,
+       CAST(sum(d.n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(CASE WHEN coalesce(gq.gopher_keep, FALSE)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS gopher_kept
+FROM d LEFT JOIN gq USING (doc_id)
+GROUP BY d.source"""
+
+
 # ---------------------------------------------------------------------
 # deterministic sampling / splitting family
 # ---------------------------------------------------------------------
@@ -1913,6 +1941,7 @@ def all_queries():
         "lang_id": q_lang_id,
         "gopher_quality": q_gopher_quality,
         "lm_perplexity": q_lm_perplexity,
+        "domain_stats": q_domain_stats,
         "train_test_split": q_train_test_split,
         "stratified_sample": q_stratified_sample,
         "stratified_take": q_stratified_take,
@@ -1967,6 +1996,7 @@ def all_oracle_sql(query_vec=None, sf_dir=None):
         "corpus_clean": sql_corpus_clean(),
         "gopher_quality": sql_gopher_quality(),
         "lm_perplexity": sql_lm_perplexity(),
+        "domain_stats": sql_domain_stats(),
         "train_test_split": sql_train_test_split(),
         "stratified_sample": sql_stratified_sample(),
         "stratified_take": sql_stratified_take(),

@@ -56,7 +56,7 @@ QUERIES = ["exact_dedup", "token_counts", "token_stats", "lang_id",
            "simhash32", "doc_fingerprint", "minhash_signatures",
            "corpus_clean", "substring_dup_stats", "substring_spans",
            "substring_span_removal", "gopher_quality", "lm_perplexity",
-           "train_test_split"]
+           "train_test_split", "domain_stats"]
 
 
 @pytest.mark.parametrize("seed", [11, 17, 23])
@@ -67,9 +67,16 @@ def test_differential_docs_queries(spark, duck, tmp_path, seed):
     rows = _random_docs(seed, 120)
     sf_dir = str(tmp_path / f"sf_fuzz_{seed}")
     os.makedirs(sf_dir)
+    # low-cardinality stratum column for the rollup queries; nasties
+    # included (empty string, unicode, space-only) but no NULLs — the
+    # sorted-tuple compare can't order None against str
+    srcs = ["web", "", "wiki dump", " ", "ärchive"]
+    rng2 = random.Random(seed * 7 + 1)
     pq.write_table(
         pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
-                  "text": pa.array([r[1] for r in rows], pa.string())}),
+                  "text": pa.array([r[1] for r in rows], pa.string()),
+                  "source": pa.array([rng2.choice(srcs) for _ in rows],
+                                     pa.string())}),
         f"{sf_dir}/documents.parquet")
     duck.execute(
         "CREATE OR REPLACE VIEW documents AS "
