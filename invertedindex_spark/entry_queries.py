@@ -1123,6 +1123,107 @@ FROM d LEFT JOIN gq USING (doc_id)
 GROUP BY d.source"""
 
 
+def q_contamination_check(spark, sf_dir):
+    """Benchmark decontamination (GPT-3/PaLM 8-gram overlap): a
+    deterministic 5% hash slice of the corpus plays the eval set; per
+    remaining train doc, count of word 8-grams leaking into it. The
+    bench shingle set is broadcast — the train shingle stream never
+    shuffles for the membership test (operators/decontaminate.py)."""
+    from pyspark.sql import functions as F
+
+    from .operators.decontaminate import contamination
+    from .operators.sampling import _bucket_col
+
+    docs = _docs_df(spark, sf_dir).select("doc_id", "text")
+    b = _bucket_col(F.col("doc_id"), "bench")
+    bench = docs.where(b < 50_000)
+    train = docs.where(b >= 50_000)
+    return contamination(train, bench, k=8)
+
+
+def sql_contamination_check():
+    from .operators.sampling import bucket_sql
+    b = bucket_sql("doc_id", "bench")
+    sh = ("CAST(concat('0x', substr(md5("
+          "array_to_string(ts[p+1:p+8], ' ')), 1, 15)) AS BIGINT)")
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ts
+              FROM documents),
+tr AS (SELECT * FROM toks WHERE {b} >= 50000),
+be AS (SELECT * FROM toks WHERE {b} < 50000),
+tsh AS (SELECT doc_id, {sh} AS h
+        FROM (SELECT doc_id, ts, unnest(range(len(ts) - 7)) AS p
+              FROM tr)),
+bsh AS (SELECT DISTINCT {sh} AS h
+        FROM (SELECT doc_id, ts, unnest(range(len(ts) - 7)) AS p
+              FROM be)),
+base AS (SELECT doc_id,
+                CAST(greatest(len(ts) - 7, 0) AS BIGINT) AS n_shingles
+         FROM tr),
+cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS no
+        FROM tsh JOIN bsh USING (h) GROUP BY doc_id)
+SELECT b.doc_id, b.n_shingles,
+       coalesce(c.no, 0) AS n_overlap,
+       coalesce(c.no, 0) > 0 AS contaminated
+FROM base b LEFT JOIN cnt c USING (doc_id)"""
+
+
+def q_cross_dedup(spark, sf_dir):
+    """Cross-corpus exact dedup: a deterministic 30% hash slice plays
+    the incoming crawl, the rest the existing corpus; keep incoming
+    docs whose text appears in neither the corpus nor earlier in the
+    slice (operators/dedup.dedup_against). Hash joins on sha256 only,
+    never pair-expanding."""
+    from pyspark.sql import functions as F
+
+    from .operators.dedup import dedup_against
+    from .operators.sampling import _bucket_col
+
+    docs = _docs_df(spark, sf_dir).select("doc_id", "text")
+    b = _bucket_col(F.col("doc_id"), "xdedup")
+    incoming = docs.where(b < 300_000)
+    existing = docs.where(b >= 300_000)
+    return dedup_against(incoming, existing).select("doc_id")
+
+
+def sql_cross_dedup():
+    from .operators.sampling import bucket_sql
+    b = bucket_sql("doc_id", "xdedup")
+    return f"""
+WITH inc AS (SELECT doc_id, sha256(text) AS sha FROM documents
+             WHERE {b} < 300000 AND text IS NOT NULL),
+ref AS (SELECT DISTINCT sha256(text) AS sha FROM documents
+        WHERE {b} >= 300000 AND text IS NOT NULL),
+keep AS (SELECT sha, min(doc_id) AS doc_id FROM inc GROUP BY sha)
+SELECT doc_id FROM keep k
+WHERE NOT EXISTS (SELECT 1 FROM ref r WHERE r.sha = k.sha)"""
+
+
+def q_doc_chunks(spark, sf_dir):
+    """Fixed-token-budget chunking (32-token windows, 8-token
+    overlap) for embedding/pretraining pipelines: pure narrow per-row
+    expansion, zero shuffle (operators/chunking.py)."""
+    from .operators.chunking import chunk_documents
+    return chunk_documents(
+        _docs_df(spark, sf_dir).select("doc_id", "text"),
+        chunk=32, overlap=8)
+
+
+def sql_doc_chunks():
+    from .operators.textstats import WS_WORD_PATTERN
+    return f"""
+WITH t AS (SELECT doc_id,
+                  regexp_extract_all(coalesce(text, ''),
+                                     '{WS_WORD_PATTERN}') AS ts
+           FROM documents),
+s AS (SELECT doc_id, ts, unnest(range(0, len(ts), 24)) AS start
+      FROM t WHERE len(ts) > 0)
+SELECT doc_id, CAST(start // 24 AS BIGINT) AS chunk_id,
+       CAST(least(32, len(ts) - start) AS BIGINT) AS n_tokens,
+       array_to_string(ts[start+1:start+32], ' ') AS chunk_text
+FROM s"""
+
+
 # ---------------------------------------------------------------------
 # deterministic sampling / splitting family
 # ---------------------------------------------------------------------
@@ -1942,6 +2043,9 @@ def all_queries():
         "gopher_quality": q_gopher_quality,
         "lm_perplexity": q_lm_perplexity,
         "domain_stats": q_domain_stats,
+        "contamination_check": q_contamination_check,
+        "cross_dedup": q_cross_dedup,
+        "doc_chunks": q_doc_chunks,
         "train_test_split": q_train_test_split,
         "stratified_sample": q_stratified_sample,
         "stratified_take": q_stratified_take,
@@ -1997,6 +2101,9 @@ def all_oracle_sql(query_vec=None, sf_dir=None):
         "gopher_quality": sql_gopher_quality(),
         "lm_perplexity": sql_lm_perplexity(),
         "domain_stats": sql_domain_stats(),
+        "contamination_check": sql_contamination_check(),
+        "cross_dedup": sql_cross_dedup(),
+        "doc_chunks": sql_doc_chunks(),
         "train_test_split": sql_train_test_split(),
         "stratified_sample": sql_stratified_sample(),
         "stratified_take": sql_stratified_take(),

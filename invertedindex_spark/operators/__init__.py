@@ -1,11 +1,11 @@
-from . import (dedup, events, maxscore, multimodal, pipeline,
-               similarity, textstats)
+from . import (chunking, decontaminate, dedup, events, maxscore,
+               multimodal, pipeline, similarity, textstats)
 from .build import IndexConfig, build_index, read_manifest
 from .query import InvertedIndex, queue_topk_np
 
 __all__ = [
     "IndexConfig", "build_index", "read_manifest",
     "InvertedIndex", "queue_topk_np",
-    "dedup", "events", "maxscore", "multimodal", "pipeline",
-    "similarity", "textstats",
+    "chunking", "decontaminate", "dedup", "events", "maxscore",
+    "multimodal", "pipeline", "similarity", "textstats",
 ]

@@ -92,6 +92,31 @@ def exact_dedup(df):
                  F.min("doc_id").alias("keep_doc_id")))
 
 
+def dedup_against(df, ref_df):
+    """Cross-corpus exact dedup: rows of ``df`` whose text does NOT
+    appear in ``ref_df`` — the "dedup the new crawl against the
+    corpus we already have" pass every incremental ingestion runs
+    (CCNet and RefinedWeb both dedup each new dump against prior
+    dumps). Also drops within-``df`` duplicates (keep lowest doc_id),
+    so the output is ingestion-ready.
+
+    Scale shape: one (sha256, doc_id) aggregation per side plus a
+    left-anti hash join on the 64-hex key — never pair-expanding; AQE
+    broadcasts the reference side when it is small. NULL texts are
+    dropped (they carry no content to dedup).
+    """
+    from pyspark.sql import functions as F
+
+    keyed = (df.where(F.col("text").isNotNull())
+             .withColumn("_sha", F.sha2("text", 256)))
+    keep = (keyed.groupBy("_sha")
+            .agg(F.min("doc_id").alias("doc_id")))
+    ref = (ref_df.where(F.col("text").isNotNull())
+           .select(F.sha2("text", 256).alias("_sha")).distinct())
+    fresh = keep.join(ref, "_sha", "left_anti").select("doc_id")
+    return df.join(fresh, "doc_id", "left_semi")
+
+
 def jaccard_top_pairs(df, top: int = 20):
     """Exact token-set Jaccard over all pairs (the O(n²) baseline the
     LSH variant approximates); broadcast self-join — small n only."""

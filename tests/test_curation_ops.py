@@ -1,0 +1,93 @@
+"""Decontamination, cross-corpus dedup, and chunking semantics that
+the driver oracles can't pin (action-form outputs, parameter guards,
+plan shape)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from invertedindex_spark.operators.chunking import chunk_documents
+from invertedindex_spark.operators.decontaminate import (
+    contamination, decontaminated)
+from invertedindex_spark.operators.dedup import dedup_against
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_contamination_counts_positions_not_distinct(spark):
+    # the repeated leaked 8-gram counts once per POSITION (3 shingles
+    # of the 10-word train doc hit the bench set: the 8-gram starting
+    # at words 0, 1 and 2 — bench holds all three via its 10-gram)
+    bench = _docs(spark, [(100, "a b c d e f g h i j")])
+    train = _docs(spark, [(1, "a b c d e f g h i j"),
+                          (2, "z y x w v u t s r q"),
+                          (3, "too short")])
+    out = {r["doc_id"]: r for r in
+           contamination(train, bench, k=8).collect()}
+    assert out[1]["n_overlap"] == 3 and out[1]["contaminated"]
+    assert out[2]["n_overlap"] == 0 and not out[2]["contaminated"]
+    assert out[3]["n_shingles"] == 0 and not out[3]["contaminated"]
+
+
+def test_decontaminated_drops_only_leaky_docs(spark):
+    bench = _docs(spark, [(100, "one two three four five six seven "
+                                "eight nine")])
+    train = _docs(spark, [(1, "one two three four five six seven "
+                              "eight nine extra tail"),
+                          (2, "completely different words here that "
+                              "never leak anything at all")])
+    kept = decontaminated(train, bench, k=8)
+    assert [r["doc_id"] for r in kept.collect()] == [2]
+    # broadcast=False produces identical rows (shuffled-join fallback)
+    kept2 = decontaminated(train, bench, k=8, broadcast_bench=False)
+    assert [r["doc_id"] for r in kept2.collect()] == [2]
+
+
+def test_contamination_bench_side_is_broadcast(spark):
+    bench = _docs(spark, [(100, "a b c d e f g h")])
+    train = _docs(spark, [(1, "a b c d e f g h i")])
+    plan = contamination(train, bench, k=8)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_dedup_against_keeps_first_and_antijoins(spark):
+    ref = _docs(spark, [(50, "already in the corpus"), (51, None)])
+    inc = _docs(spark, [(1, "already in the corpus"),   # in ref
+                        (2, "fresh text"),
+                        (3, "fresh text"),              # dup of 2
+                        (4, None),                      # no content
+                        (5, "another fresh one")])
+    kept = sorted(r["doc_id"] for r in dedup_against(inc, ref).collect())
+    assert kept == [2, 5]
+
+
+def test_chunk_documents_windows_and_tail(spark):
+    docs = _docs(spark, [(1, " ".join(f"w{i}" for i in range(10))),
+                         (2, "only three words"),
+                         (3, ""), (4, None)])
+    rows = {(r["doc_id"], r["chunk_id"]): r
+            for r in chunk_documents(docs, chunk=4, overlap=1).collect()}
+    # doc 1: 10 tokens, stride 3 -> starts 0,3,6,9
+    assert {(d, c) for d, c in rows if d == 1} == {(1, 0), (1, 1),
+                                                   (1, 2), (1, 3)}
+    assert rows[(1, 0)]["chunk_text"] == "w0 w1 w2 w3"
+    assert rows[(1, 1)]["chunk_text"] == "w3 w4 w5 w6"
+    assert rows[(1, 3)]["chunk_text"] == "w9"
+    assert rows[(1, 3)]["n_tokens"] == 1
+    assert rows[(2, 0)]["n_tokens"] == 3
+    assert not [k for k in rows if k[0] in (3, 4)]
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    docs = _docs(spark, [(1, "a b c")])
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(docs, chunk=4, overlap=4)
+
+
+def test_chunk_documents_no_shuffle(spark):
+    docs = _docs(spark, [(1, "a b c d e f")])
+    plan = chunk_documents(docs)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -56,7 +56,8 @@ QUERIES = ["exact_dedup", "token_counts", "token_stats", "lang_id",
            "simhash32", "doc_fingerprint", "minhash_signatures",
            "corpus_clean", "substring_dup_stats", "substring_spans",
            "substring_span_removal", "gopher_quality", "lm_perplexity",
-           "train_test_split", "domain_stats"]
+           "train_test_split", "domain_stats", "contamination_check",
+           "cross_dedup", "doc_chunks"]
 
 
 @pytest.mark.parametrize("seed", [11, 17, 23])
