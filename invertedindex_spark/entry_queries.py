@@ -1224,6 +1224,35 @@ SELECT doc_id, CAST(start // 24 AS BIGINT) AS chunk_id,
 FROM s"""
 
 
+def q_pack_sequences(spark, sf_dir):
+    """GPT-style sequence packing: each doc's (seq_id, seq_offset) in
+    the packed stream of 256-token training sequences. Global running
+    sum WITHOUT a single-task global window — distributed prefix-sum
+    (range partition + per-partition offsets), operators/packing.py."""
+    from .operators.packing import pack_sequences
+    return pack_sequences(
+        _docs_df(spark, sf_dir).select("doc_id", "text"), budget=256)
+
+
+def sql_pack_sequences():
+    from .operators.textstats import WS_WORD_PATTERN
+    return f"""
+WITH t AS (SELECT doc_id,
+                  len(regexp_extract_all(coalesce(text, ''),
+                                         '{WS_WORD_PATTERN}'))
+                    AS n_tokens
+           FROM documents),
+c AS (SELECT doc_id, n_tokens,
+             coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS ce
+      FROM t)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(ce // 256 AS BIGINT) AS seq_id,
+       CAST(ce % 256 AS BIGINT) AS seq_offset
+FROM c"""
+
+
 # ---------------------------------------------------------------------
 # deterministic sampling / splitting family
 # ---------------------------------------------------------------------
@@ -2046,6 +2075,7 @@ def all_queries():
         "contamination_check": q_contamination_check,
         "cross_dedup": q_cross_dedup,
         "doc_chunks": q_doc_chunks,
+        "pack_sequences": q_pack_sequences,
         "train_test_split": q_train_test_split,
         "stratified_sample": q_stratified_sample,
         "stratified_take": q_stratified_take,
@@ -2104,6 +2134,7 @@ def all_oracle_sql(query_vec=None, sf_dir=None):
         "contamination_check": sql_contamination_check(),
         "cross_dedup": sql_cross_dedup(),
         "doc_chunks": sql_doc_chunks(),
+        "pack_sequences": sql_pack_sequences(),
         "train_test_split": sql_train_test_split(),
         "stratified_sample": sql_stratified_sample(),
         "stratified_take": sql_stratified_take(),

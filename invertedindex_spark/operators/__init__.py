@@ -1,5 +1,5 @@
 from . import (chunking, decontaminate, dedup, events, maxscore,
-               multimodal, pipeline, similarity, textstats)
+               multimodal, packing, pipeline, similarity, textstats)
 from .build import IndexConfig, build_index, read_manifest
 from .query import InvertedIndex, queue_topk_np
 
@@ -7,5 +7,5 @@ __all__ = [
     "IndexConfig", "build_index", "read_manifest",
     "InvertedIndex", "queue_topk_np",
     "chunking", "decontaminate", "dedup", "events", "maxscore",
-    "multimodal", "pipeline", "similarity", "textstats",
+    "multimodal", "packing", "pipeline", "similarity", "textstats",
 ]

@@ -91,3 +91,38 @@ def test_chunk_documents_no_shuffle(spark):
     plan = chunk_documents(docs)._jdf \
         .queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_pack_sequences_straddles_boundaries(spark):
+    from invertedindex_spark.operators.packing import pack_sequences
+
+    docs = _docs(spark, [(1, "a b c"),        # tokens 0-2   -> seq 0
+                         (2, "d e f g"),      # tokens 3-6   -> seq 0
+                         (3, ""),             # 0 tokens at position 7
+                         (4, "h i j"),        # tokens 7-9, straddles
+                         (5, "k")])           # token 10     -> seq 1
+    rows = {r["doc_id"]: r for r in
+            pack_sequences(docs, budget=8).collect()}
+    assert (rows[1]["seq_id"], rows[1]["seq_offset"]) == (0, 0)
+    assert (rows[2]["seq_id"], rows[2]["seq_offset"]) == (0, 3)
+    assert (rows[3]["seq_id"], rows[3]["seq_offset"]) == (0, 7)
+    assert (rows[4]["seq_id"], rows[4]["seq_offset"]) == (0, 7)
+    assert (rows[5]["seq_id"], rows[5]["seq_offset"]) == (1, 2)
+    with pytest.raises(ValueError, match="budget"):
+        pack_sequences(docs, budget=0)
+
+
+def test_pack_sequences_never_uses_global_window(spark):
+    """The scale guarantee: the running sum is computed per range
+    partition + broadcast offsets — the physical plan must contain no
+    Window with an empty partition spec (single-task at 100 TB)."""
+    from invertedindex_spark.operators.packing import pack_sequences
+
+    docs = _docs(spark, [(i, "w " * (i % 5)) for i in range(50)])
+    plan = pack_sequences(docs, budget=16)._jdf \
+        .queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert "_pid" in line, f"global window found: {line}"
+    # offsets side is broadcast, not shuffled
+    assert "BroadcastExchange" in plan
