@@ -1253,6 +1253,33 @@ SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
 FROM c"""
 
 
+def q_token_budget_select(spark, sf_dir):
+    """Token-budget corpus cut (Dolma/FineWeb mix drawing): keep docs
+    in doc_id order while the running whitespace-token total fits a
+    20k budget; first overflow stops the prefix. Same distributed
+    prefix-sum as pack_sequences — no global window."""
+    from .operators.packing import select_token_budget
+    return select_token_budget(
+        _docs_df(spark, sf_dir).select("doc_id", "text"),
+        budget=20_000).select("doc_id")
+
+
+def sql_token_budget_select():
+    from .operators.textstats import WS_WORD_PATTERN
+    return f"""
+WITH t AS (SELECT doc_id,
+                  len(regexp_extract_all(coalesce(text, ''),
+                                         '{WS_WORD_PATTERN}'))
+                    AS n_tokens
+           FROM documents),
+c AS (SELECT doc_id, n_tokens,
+             coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS ce
+      FROM t)
+SELECT doc_id FROM c WHERE ce + n_tokens <= 20000"""
+
+
 # ---------------------------------------------------------------------
 # deterministic sampling / splitting family
 # ---------------------------------------------------------------------
@@ -2076,6 +2103,7 @@ def all_queries():
         "cross_dedup": q_cross_dedup,
         "doc_chunks": q_doc_chunks,
         "pack_sequences": q_pack_sequences,
+        "token_budget_select": q_token_budget_select,
         "train_test_split": q_train_test_split,
         "stratified_sample": q_stratified_sample,
         "stratified_take": q_stratified_take,
@@ -2135,6 +2163,7 @@ def all_oracle_sql(query_vec=None, sf_dir=None):
         "cross_dedup": sql_cross_dedup(),
         "doc_chunks": sql_doc_chunks(),
         "pack_sequences": sql_pack_sequences(),
+        "token_budget_select": sql_token_budget_select(),
         "train_test_split": sql_train_test_split(),
         "stratified_sample": sql_stratified_sample(),
         "stratified_take": sql_stratified_take(),

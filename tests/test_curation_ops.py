@@ -112,6 +112,23 @@ def test_pack_sequences_straddles_boundaries(spark):
         pack_sequences(docs, budget=0)
 
 
+def test_select_token_budget_prefix_semantics(spark):
+    from invertedindex_spark.operators.packing import \
+        select_token_budget
+
+    docs = _docs(spark, [(1, "a b c d e f g h"),  # 8 tokens, fits
+                         (2, "i j k l m"),        # 13 > 10: overflow
+                         (3, "n")])               # after overflow: out
+    kept = sorted(r["doc_id"] for r in
+                  select_token_budget(docs, budget=10).collect())
+    # prefix semantics: doc 3 alone would fit (8+1=9) but the cut
+    # stops at the first overflowing document
+    assert kept == [1]
+    assert select_token_budget(docs, budget=0).count() == 0
+    with pytest.raises(ValueError, match="budget"):
+        select_token_budget(docs, budget=-1)
+
+
 def test_pack_sequences_never_uses_global_window(spark):
     """The scale guarantee: the running sum is computed per range
     partition + broadcast offsets — the physical plan must contain no

@@ -57,7 +57,8 @@ QUERIES = ["exact_dedup", "token_counts", "token_stats", "lang_id",
            "corpus_clean", "substring_dup_stats", "substring_spans",
            "substring_span_removal", "gopher_quality", "lm_perplexity",
            "train_test_split", "domain_stats", "contamination_check",
-           "cross_dedup", "doc_chunks", "pack_sequences"]
+           "cross_dedup", "doc_chunks", "pack_sequences",
+           "token_budget_select"]
 
 
 @pytest.mark.parametrize("seed", [11, 17, 23])
