@@ -1095,6 +1095,38 @@ SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
 FROM sc GROUP BY doc_id"""
 
 
+def q_top_collocations(spark, sf_dir):
+    """Strongest bigram collocations by PMI (Church & Hanks): corpus
+    analytics / tokenizer-merge signal over the same token stream as
+    lm_perplexity. Deterministic top-k via (pmi desc, w1, w2)."""
+    from .operators.lm import top_collocations
+    return top_collocations(_docs_df(spark, sf_dir), top=20,
+                            min_count=5)
+
+
+def sql_top_collocations():
+    return _raw_tok_cte() + """,
+t AS (SELECT doc_id, tokens FROM src WHERE len(tokens) >= 2),
+bg AS (SELECT unnest(tokens[1:len(tokens) - 1]) AS w1,
+              unnest(tokens[2:len(tokens)]) AS w2
+       FROM t),
+gbc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS pair_count
+        FROM bg GROUP BY w1, w2),
+ucnt AS (SELECT w, CAST(count(*) AS BIGINT) AS u
+         FROM (SELECT unnest(tokens) AS w FROM t) GROUP BY w),
+nb AS (SELECT CAST(sum(pair_count) AS BIGINT) AS nb FROM gbc)
+SELECT w1, w2, pair_count,
+       CAST(round(ln((CAST(pair_count AS DOUBLE) * CAST(nb AS DOUBLE))
+                     / (CAST(u1.u AS DOUBLE) * CAST(u2.u AS DOUBLE)))
+                  * 1e6) AS BIGINT) AS pmi_u6
+FROM gbc
+JOIN ucnt u1 ON gbc.w1 = u1.w
+JOIN ucnt u2 ON gbc.w2 = u2.w
+CROSS JOIN nb
+WHERE pair_count >= 5
+ORDER BY pmi_u6 DESC, w1, w2 LIMIT 20"""
+
+
 def q_domain_stats(spark, sf_dir):
     """Per-source curation rollup (docs / dups / tokens / Gopher keep
     rate): the monitoring table a 100 TB pipeline keeps per domain
@@ -2098,6 +2130,7 @@ def all_queries():
         "lang_id": q_lang_id,
         "gopher_quality": q_gopher_quality,
         "lm_perplexity": q_lm_perplexity,
+        "top_collocations": q_top_collocations,
         "domain_stats": q_domain_stats,
         "contamination_check": q_contamination_check,
         "cross_dedup": q_cross_dedup,
@@ -2158,6 +2191,7 @@ def all_oracle_sql(query_vec=None, sf_dir=None):
         "corpus_clean": sql_corpus_clean(),
         "gopher_quality": sql_gopher_quality(),
         "lm_perplexity": sql_lm_perplexity(),
+        "top_collocations": sql_top_collocations(),
         "domain_stats": sql_domain_stats(),
         "contamination_check": sql_contamination_check(),
         "cross_dedup": sql_cross_dedup(),

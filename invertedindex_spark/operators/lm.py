@@ -100,3 +100,43 @@ def _bigram_doc_counts(toks):
             .select("doc_id", "g.w1", "g.w2")
             .groupBy("doc_id", "w1", "w2")
             .agg(F.count("*").alias("c")))
+
+
+def top_collocations(df, top: int = 20, min_count: int = 5):
+    """(w1, w2, pair_count, pmi_u6): the corpus's strongest bigram
+    collocations by pointwise mutual information — the classic
+    corpus-analytics query (Church & Hanks 1990) and a practical
+    vocabulary/tokenizer-merge signal. Reuses the bigram-LM counts
+    (:func:`train_bigram_lm`), so the token stream and the >= 2-token
+    document filter match `lm_perplexity` exactly.
+
+    PMI is quantized to micro-nats AFTER one double-precision
+    expression with fixed associativity (same portability argument as
+    the NLL quantization above); all counts stay exact bigints. The
+    double products keep PMI correct even where count products would
+    overflow int64 at 100 TB. Ties at equal pmi_u6 break
+    lexicographically on (w1, w2), so the top-k is deterministic in
+    both engines.
+
+    Scale shape: two keyed count shuffles (shared with the LM), two
+    equality joins on single-token keys (AQE broadcasts the unigram
+    side when small), a one-row total via broadcast cross join, and a
+    TakeOrdered top-k — nothing all-pairs, no windows.
+    """
+    from pyspark.sql import functions as F
+
+    uni, gbc, _ = train_bigram_lm(df)
+    nb = gbc.agg(F.sum("b").alias("nb"))
+    j = (gbc.where(F.col("b") >= min_count)
+         .join(uni.select(F.col("w").alias("w1"),
+                          F.col("u").alias("u1")), "w1")
+         .join(uni.select(F.col("w").alias("w2"),
+                          F.col("u").alias("u2")), "w2")
+         .crossJoin(F.broadcast(nb)))
+    pmi = F.round(F.log(
+        (F.col("b").cast("double") * F.col("nb").cast("double"))
+        / (F.col("u1").cast("double") * F.col("u2").cast("double")))
+        * 1e6).cast("long")
+    return (j.select("w1", "w2", F.col("b").alias("pair_count"),
+                     pmi.alias("pmi_u6"))
+            .orderBy(F.desc("pmi_u6"), "w1", "w2").limit(top))

@@ -78,3 +78,28 @@ def test_matches_duckdb_oracle_sf0001(spark, sf0001_dir, name):
                    for r in res.fetchall())
     assert len(srows) > 0
     assert srows == drows
+
+
+def test_top_collocations_hand_computed(spark):
+    """Three docs, one dominant collocation: 'new york' always
+    adjacent; 'the cat' co-occurs but 'the' is frequent everywhere,
+    so PMI('new','york') > PMI('the','cat')."""
+    import math
+
+    from invertedindex_spark.operators.lm import top_collocations
+
+    docs = spark.createDataFrame(
+        [(1, "the cat saw new york"),
+         (2, "new york is the cat town"),
+         (3, "the dog left new york")],
+        "doc_id long, text string")
+    rows = top_collocations(docs, top=5, min_count=2).collect()
+    by_pair = {(r["w1"], r["w2"]): r for r in rows}
+    assert ("new", "york") in by_pair
+    ny = by_pair[("new", "york")]
+    assert ny["pair_count"] == 3
+    # totals: 13 bigrams (4+5+4), u(new)=u(york)=3
+    expect = round(math.log((3.0 * 13.0) / (3.0 * 3.0)) * 1e6)
+    assert ny["pmi_u6"] == expect
+    # ranking: the dominant collocation outranks the frequent-word pair
+    assert rows[0]["w1"] == "new" and rows[0]["w2"] == "york"
