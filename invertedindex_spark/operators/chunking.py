@@ -26,15 +26,14 @@ def chunk_documents(df, chunk: int = 64, overlap: int = 16):
     """
     from pyspark.sql import functions as F
 
-    from .textstats import WS_WORD_PATTERN
+    from .textstats import ws_tokens_col
 
-    if overlap >= chunk:
-        raise ValueError("overlap must be smaller than chunk")
+    if chunk <= 0:
+        raise ValueError("chunk must be positive")
+    if not 0 <= overlap < chunk:
+        raise ValueError("overlap must satisfy 0 <= overlap < chunk")
     stride = chunk - overlap
-    toks = F.regexp_extract_all(
-        F.coalesce(F.col("text"), F.lit("")),
-        F.lit(WS_WORD_PATTERN), F.lit(0))
-    base = df.select("doc_id", toks.alias("ts"))
+    base = df.select("doc_id", ws_tokens_col(F.col("text")).alias("ts"))
     n = F.size("ts")
     # start positions 0, stride, 2*stride, ... strictly below n
     starts = F.sequence(

@@ -107,10 +107,12 @@ def dedup_against(df, ref_df):
     """
     from pyspark.sql import functions as F
 
-    keyed = (df.where(F.col("text").isNotNull())
-             .withColumn("_sha", F.sha2("text", 256)))
-    keep = (keyed.groupBy("_sha")
-            .agg(F.min("doc_id").alias("doc_id")))
+    # the dedup key + keep rule is exact_dedup's, by construction —
+    # one definition, so the in-corpus and cross-corpus passes can't
+    # drift apart
+    keep = exact_dedup(df).select(
+        F.col("content_sha256").alias("_sha"),
+        F.col("keep_doc_id").alias("doc_id"))
     ref = (ref_df.where(F.col("text").isNotNull())
            .select(F.sha2("text", 256).alias("_sha")).distinct())
     fresh = keep.join(ref, "_sha", "left_anti").select("doc_id")

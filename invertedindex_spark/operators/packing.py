@@ -22,9 +22,13 @@ from __future__ import annotations
 def _with_exclusive_cumsum(df, value_col: str, order_col: str):
     """Return ``df`` (narrowed to ``order_col``/``value_col``) plus a
     ``_ce`` column = the exclusive global running sum of ``value_col``
-    in ``order_col`` order. The intermediate is persisted so the
-    per-partition offsets and the final pass see identical
-    partitioning (same contract as the build staging); it is one
+    in ``order_col`` order. The intermediate is pinned via
+    ``localCheckpoint`` so the per-partition offsets and the final
+    pass see identical partitioning (same contract as the build
+    staging); unlike ``persist`` — whose CacheManager entry lives
+    until an explicit unpersist — the checkpointed RDD is released by
+    the ContextCleaner once the returned plan is garbage-collected,
+    so repeated calls don't accumulate pinned copies. It is one
     (key, long) row per input row.
     """
     from pyspark.sql import Window
@@ -33,7 +37,7 @@ def _with_exclusive_cumsum(df, value_col: str, order_col: str):
     t = (df.repartitionByRange(F.col(order_col))
          .sortWithinPartitions(order_col)
          .withColumn("_pid", F.spark_partition_id())
-         .persist())
+         .localCheckpoint(eager=False))
     # pass 1: one row per partition -> exclusive partition offsets
     sizes = (t.groupBy("_pid").agg(F.sum(value_col).alias("tot"))
              .collect())
@@ -56,13 +60,11 @@ def _with_exclusive_cumsum(df, value_col: str, order_col: str):
 def _token_counts(df, id_col: str):
     from pyspark.sql import functions as F
 
-    from .textstats import WS_WORD_PATTERN
+    from .textstats import ws_tokens_col
 
-    toks = F.regexp_extract_all(
-        F.coalesce(F.col("text"), F.lit("")),
-        F.lit(WS_WORD_PATTERN), F.lit(0))
     return df.select(F.col(id_col),
-                     F.size(toks).cast("long").alias("n_tokens"))
+                     F.size(ws_tokens_col(F.col("text")))
+                     .cast("long").alias("n_tokens"))
 
 
 def pack_sequences(df, budget: int = 2048, id_col: str = "doc_id"):

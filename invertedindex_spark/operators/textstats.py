@@ -126,6 +126,18 @@ BPE_PATTERN = "[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9 \\t\\n\\r\\f\\x0B]+"
 WS_WORD_PATTERN = "[^ \\t\\n\\r\\f\\x0B]+"
 
 
+def ws_tokens_col(text_col):
+    """Column expression: array of whitespace tokens of ``text_col``
+    (null text → empty array). THE canonical whitespace tokenization —
+    chunking/packing/token counting all derive from this one
+    expression so Spark/DuckDB oracle parity has a single source."""
+    from pyspark.sql import functions as F
+
+    return F.regexp_extract_all(
+        F.coalesce(text_col, F.lit("")),
+        F.lit(WS_WORD_PATTERN), F.lit(0))
+
+
 def token_counts(df):
     """(doc_id, ws_tokens, bpe_tokens, chars_per_bpe_u6): token counting
     for training-data budgeting — whitespace-split word count and a

@@ -143,3 +143,11 @@ def test_pack_sequences_never_uses_global_window(spark):
             assert "_pid" in line, f"global window found: {line}"
     # offsets side is broadcast, not shuffled
     assert "BroadcastExchange" in plan
+
+
+def test_chunk_documents_rejects_degenerate_params(spark):
+    docs = _docs(spark, [(1, "a b c")])
+    with pytest.raises(ValueError, match="chunk"):
+        chunk_documents(docs, chunk=0, overlap=-1)
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(docs, chunk=4, overlap=-2)
