@@ -24,6 +24,9 @@ Components (each timed separately in "queries"):
   token_stats      — quality/token stats over sf documents.
   embedding_near_dup — LSH-banded cosine near-dup pairs over embeddings.
   token_counts     — whitespace + BPE-ish-regex token counting.
+  pack_sequences   — GPT-style packing map via distributed prefix-sum.
+  contamination    — 8-gram benchmark-overlap check (broadcast bench
+                     shingle set) over sf documents.
 """
 
 from __future__ import annotations
@@ -284,6 +287,15 @@ def main():
             n_runs=3)
         run("token_counts",
             lambda: eq.q_token_counts(spark, SF_DIR).count(), n_runs=3)
+        # round-4 curation family: the distributed prefix-sum shape
+        # (pack_sequences) and the broadcast shingle semi-join shape
+        # (contamination_check)
+        run("pack_sequences",
+            lambda: eq.q_pack_sequences(spark, SF_DIR).count(),
+            n_runs=3)
+        run("contamination",
+            lambda: eq.q_contamination_check(spark, SF_DIR).count(),
+            n_runs=3)
     finally:
         shutil.rmtree(wh, ignore_errors=True)
         spark.stop()

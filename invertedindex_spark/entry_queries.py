@@ -847,7 +847,10 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     return out.select("a", "b", _u6(F.col("j")).alias("j_u6"))
 
 
-def sql_minhash_lsh_pairs():
+def _sql_lsh_base() -> str:
+    """Shared CTE chain: minhash sigs -> band buckets -> candidate
+    pairs -> shingle sets (used by the pairs query and the
+    connected-components query)."""
     band_rows = []
     for j in range(N_BANDS):
         cols = " || '_' || ".join(
@@ -864,13 +867,51 @@ cand AS (
     ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
 ), sets AS (
   SELECT doc_id, list_distinct(shingles) AS s FROM shingled
-)
+)"""
+
+
+def sql_minhash_lsh_pairs():
+    return _sql_lsh_base() + """
 SELECT cand.a, cand.b,
        CAST(round(1e6 * len(list_intersect(sa.s, sb.s)) /
             (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))))
             AS BIGINT) AS j_u6
 FROM cand JOIN sets sa ON sa.doc_id = cand.a
           JOIN sets sb ON sb.doc_id = cand.b"""
+
+
+def q_near_dup_components(spark, sf_dir):
+    """Duplicate CLUSTERS: connected components of the verified
+    near-dup graph (LSH pairs with Jaccard >= 0.5), labeled by the
+    component's smallest doc_id — the step between pair detection and
+    keep-one-per-cluster deletion. Distributed min-label propagation
+    (operators/dedup.py); oracle is the recursive-CTE transitive
+    closure over the same edges."""
+    from .operators.dedup import near_dup_components
+    return near_dup_components(_docs_df(spark, sf_dir), MINHASH_PERMS,
+                               N_BANDS, BAND_WIDTH, min_jaccard=0.5)
+
+
+def sql_near_dup_components():
+    # the raw-double Jaccard filter matches the Spark side bit-for-bit
+    # (identical integer operands, one division each)
+    inner = _sql_lsh_base() + """
+SELECT cand.a, cand.b
+FROM cand JOIN sets sa ON sa.doc_id = cand.a
+          JOIN sets sb ON sb.doc_id = cand.b
+WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+      (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= 0.5"""
+    return f"""
+WITH RECURSIVE pairs AS ({inner}),
+e AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+reach(src, dst) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a
+)
+SELECT src AS doc_id,
+       CAST(least(src, min(dst)) AS BIGINT) AS component_id
+FROM reach GROUP BY src"""
 
 
 def q_simhash32(spark, sf_dir):
@@ -2119,6 +2160,7 @@ def all_queries():
         "jaccard_top_pairs": q_jaccard_top_pairs,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "near_dup_components": q_near_dup_components,
         "simhash32": q_simhash32,
         "doc_fingerprint": q_doc_fingerprint,
         "embedding_near_dup": q_embedding_near_dup,
@@ -2180,6 +2222,7 @@ def all_oracle_sql(query_vec=None, sf_dir=None):
         "jaccard_top_pairs": sql_jaccard_top_pairs(),
         "minhash_signatures": sql_minhash_signatures(),
         "minhash_lsh_pairs": sql_minhash_lsh_pairs(),
+        "near_dup_components": sql_near_dup_components(),
         "simhash32": sql_simhash32(),
         "doc_fingerprint": sql_doc_fingerprint(),
         "embedding_near_dup": sql_embedding_near_dup(),

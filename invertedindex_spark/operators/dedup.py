@@ -203,6 +203,67 @@ def minhash_lsh_pairs(df, perms, n_bands: int, band_width: int,
                      / F.size(F.array_union("sa", "sb"))).alias("j")))
 
 
+def near_dup_components(df, perms, n_bands: int, band_width: int,
+                        shingle_n: int = 3, min_jaccard: float = 0.5,
+                        max_bucket: int | None = None,
+                        max_iter: int = 25):
+    """(doc_id, component_id): duplicate CLUSTERS — connected
+    components of the near-duplicate graph (LSH candidate pairs whose
+    verified shingle Jaccard >= ``min_jaccard``), labeled by the
+    smallest doc_id in each component. This is the step between pair
+    detection and the keep-one-per-cluster curation action: pairwise
+    drops under-delete transitive duplicates (a~b, b~c but a!~c keeps
+    two of the three); components delete exactly one survivor per
+    cluster. Only documents incident to >= 1 edge appear.
+
+    Scale shape: distributed min-label propagation — per iteration
+    one equality join of the edge list against the current labels and
+    one min-aggregation, converging in <= graph-diameter iterations
+    (near-dup clusters are shallow; boilerplate stars have diameter
+    2). Each iteration localCheckpoints so lineage stays flat, and
+    the convergence probe is a single monotone aggregate: labels only
+    ever decrease, so an unchanged sum IS the fixpoint — no
+    row-by-row comparison join. Raises after ``max_iter`` rather than
+    returning a half-converged labeling.
+    """
+    from pyspark.sql import functions as F
+
+    pairs = (minhash_lsh_pairs(df, perms, n_bands, band_width,
+                               shingle_n, max_bucket)
+             .where(F.col("j") >= min_jaccard)
+             .select("a", "b"))
+    e = (pairs.union(pairs.select(F.col("b").alias("a"),
+                                  F.col("a").alias("b")))
+         .distinct().localCheckpoint(eager=False))
+    labels = (e.select(F.col("a").alias("doc")).distinct()
+              .withColumn("lbl", F.col("doc"))
+              .localCheckpoint(eager=False))
+    prev = labels.agg(F.sum("lbl")).collect()[0][0]
+    if prev is None:                      # no edges at all
+        return labels.select(F.col("doc").alias("doc_id"),
+                             F.col("lbl").alias("component_id"))
+    for _ in range(max_iter):
+        nbr = (e.join(labels.withColumnRenamed("doc", "b"), "b")
+               .groupBy("a").agg(F.min("lbl").alias("nl")))
+        labels = (labels.join(nbr.withColumnRenamed("a", "doc"),
+                              "doc", "left")
+                  .select("doc",
+                          F.least(F.col("lbl"),
+                                  F.coalesce("nl", F.col("lbl")))
+                          .alias("lbl"))
+                  .localCheckpoint(eager=False))
+        cur = labels.agg(F.sum("lbl")).collect()[0][0]
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"near_dup_components did not converge in {max_iter} "
+            "iterations (graph diameter exceeds max_iter)")
+    return labels.select(F.col("doc").alias("doc_id"),
+                         F.col("lbl").alias("component_id"))
+
+
 def simhash32(df):
     """(doc_id, simhash32): 32-bit SimHash over tf-weighted tokens —
     full-width hash so bit 31 carries signal too."""

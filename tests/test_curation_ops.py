@@ -151,3 +151,29 @@ def test_chunk_documents_rejects_degenerate_params(spark):
         chunk_documents(docs, chunk=0, overlap=-1)
     with pytest.raises(ValueError, match="overlap"):
         chunk_documents(docs, chunk=4, overlap=-2)
+
+
+def test_near_dup_components_transitive_chain(spark):
+    """a~bridge and bridge~c but a!~c: pairwise dropping would keep 2
+    of the 3; components put all three in ONE cluster labeled by the
+    min doc_id. Fixed perms + width-1 bands make the LSH candidate
+    step deterministic and (at j≈0.43) near-certain to fire."""
+    import random
+
+    from invertedindex_spark.operators.dedup import near_dup_components
+
+    rng = random.Random(7)
+    M = (1 << 31) - 1
+    perms = [(rng.randrange(1, M), rng.randrange(0, M))
+             for _ in range(8)]
+    a = " ".join(f"x{i}" for i in range(8))
+    c = " ".join(f"y{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [(1, a), (2, a + " " + c), (3, c),
+         (9, "totally unrelated words that share no shingles at all"),
+         (10, "totally unrelated words that share no shingles at all")],
+        "doc_id long, text string")
+    out = near_dup_components(docs, perms, n_bands=8, band_width=1,
+                              min_jaccard=0.3)
+    comp = {r["doc_id"]: r["component_id"] for r in out.collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 9: 9, 10: 9}

@@ -58,7 +58,8 @@ QUERIES = ["exact_dedup", "token_counts", "token_stats", "lang_id",
            "substring_span_removal", "gopher_quality", "lm_perplexity",
            "train_test_split", "domain_stats", "contamination_check",
            "cross_dedup", "doc_chunks", "pack_sequences",
-           "token_budget_select", "top_collocations"]
+           "token_budget_select", "top_collocations",
+           "near_dup_components"]
 
 
 @pytest.mark.parametrize("seed", [11, 17, 23])
