@@ -292,6 +292,53 @@ SELECT term, count(*) AS df,
 FROM tf GROUP BY term"""
 
 
+def q_doc_keywords(spark, sf_dir):
+    """Index-backed keyword extraction: each document's top-3 terms
+    by TF-IDF, computed FROM the warehouse postings + lexicon (no
+    re-tokenization) — the 'what is this doc about' analytics query a
+    search engine serves from its own index. Scale shape: one
+    postings-lexicon equality join (AQE broadcasts the lexicon side),
+    a per-doc window (bounded by doc length), and the doc_no
+    re-attach join. TF-IDF quantized to u6 BEFORE ranking so the
+    tie-break (tfidf desc, term asc) is engine-identical."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    idx = get_index(spark, sf_dir)
+    dec = idx.decoded_postings_df().select("term", "doc_id", "tf")
+    lex = idx.lexicon.select("term", "df")
+    n = idx.num_docs
+    tfidf = F.round(F.col("tf") * F.log(F.lit(n) / F.col("df"))
+                    * F.lit(1e6)).cast("long")
+    sc = dec.join(lex, "term").select(
+        "doc_id", "term", tfidf.alias("tfidf_u6"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf_u6"), F.asc("term"))
+    rk = sc.withColumn("rk", F.row_number().over(w)) \
+           .where(F.col("rk") <= 3)
+    docs = idx.docs.select("doc_id", "doc_no")
+    return rk.join(docs, "doc_id").select(
+        "doc_no", "term", "tfidf_u6", F.col("rk").cast("long")
+        .alias("rk"))
+
+
+def sql_doc_keywords():
+    return _base_cte() + """,
+sc AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(round(tf.tf * ln(stats.num_docs / lex.df) * 1e6)
+              AS BIGINT) AS tfidf_u6
+  FROM tf JOIN lex USING (term) CROSS JOIN stats
+), rk AS (
+  SELECT doc_id, term, tfidf_u6,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf_u6 DESC, term) AS rk
+  FROM sc
+)
+SELECT d.doc_no, rk.term, rk.tfidf_u6, CAST(rk.rk AS BIGINT) AS rk
+FROM rk JOIN docs d USING (doc_id) WHERE rk.rk <= 3"""
+
+
 def q_postings_gaps(spark, sf_dir):
     """Validates the *physical* gap encoding: decodes each VByte gap
     stream and compares the per-term gap sequence against SQL lag
@@ -2142,6 +2189,7 @@ def all_queries():
         "lexicon_lookup": q_lexicon_lookup,
         "postings_lists": q_postings_lists,
         "postings_gaps": q_postings_gaps,
+        "doc_keywords": q_doc_keywords,
         "term_upper_bounds": q_term_upper_bounds,
         "bm25_topk_or": q_bm25_topk_or,
         "bm25_topk_and": q_bm25_topk_and,
@@ -2206,6 +2254,7 @@ def all_oracle_sql(query_vec=None, sf_dir=None):
         "lexicon_lookup": sql_lexicon_lookup(),
         "postings_lists": sql_postings_lists(),
         "postings_gaps": sql_postings_gaps(),
+        "doc_keywords": sql_doc_keywords(),
         "term_upper_bounds": sql_term_upper_bounds(),
         "bm25_topk_or": sql_bm25_topk_or(),
         "bm25_topk_and": sql_bm25_topk_and(),

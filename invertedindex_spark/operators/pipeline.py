@@ -39,8 +39,12 @@ def clean_corpus(df, min_quality_u6: int = DEFAULT_MIN_QUALITY_U6,
     ≥ threshold the HIGHER doc_id gets verdict ``near_dup``
     (keep-first, same rule as exact dedup; candidates come from the
     banded equality join in :func:`operators.dedup.minhash_lsh_pairs`,
-    never an all-pairs cross). Rule order: empty > exact_dup >
-    near_dup > low_quality > lang.
+    never an all-pairs cross). This is PAIRWISE deletion — a doc
+    similar to two mutually-dissimilar docs drops only itself; for
+    cluster-level keep-one-per-component semantics run
+    :func:`operators.dedup.near_dup_components` and drop every doc
+    whose component_id != doc_id instead. Rule order: empty >
+    exact_dup > near_dup > low_quality > lang.
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
