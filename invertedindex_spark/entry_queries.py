@@ -339,6 +339,69 @@ SELECT d.doc_no, rk.term, rk.tfidf_u6, CAST(rk.rk AS BIGINT) AS rk
 FROM rk JOIN docs d USING (doc_id) WHERE rk.rk <= 3"""
 
 
+MLT_DOC = "42"   # seed doc_no for the more-like-this query
+
+
+def q_more_like_this(spark, sf_dir):
+    """Relevance feedback ("more like this"): take the seed document's
+    top-3 TF-IDF index terms (doc_keywords) as an OR query and rank
+    every OTHER document with the engine's filtered distributed
+    search (the seed is excluded filter-then-rank via ``where=``, the
+    same attribute path bm25_topk_filtered exercises). Index terms
+    are fixpoints of the query preprocessor (lowercase, separator-
+    free, <= 20 chars), so feeding them back through search changes
+    nothing."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    idx = get_index(spark, sf_dir)
+    kw = (q_doc_keywords(spark, sf_dir)
+          .where(F.col("doc_no") == MLT_DOC)
+          .orderBy("rk").collect())
+    terms = [r["term"] for r in kw]
+    idx.set_attributes(
+        _docs_df(spark, sf_dir).select(
+            "doc_id", F.col("doc_id").alias("ext_id")),
+        key="doc_id")
+    res = idx.search_distributed("OR " + " ".join(terms), k=K,
+                                 where=f"ext_id <> {MLT_DOC}")
+    w = Window.orderBy(F.desc("score"))
+    return res.select(F.row_number().over(w).alias("rank"), "doc_no",
+                      _u6(F.col("score")).alias("score_u6"))
+
+
+def sql_more_like_this():
+    return _base_cte() + f""",
+sc0 AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(round(tf.tf * ln(stats.num_docs / lex.df) * 1e6)
+              AS BIGINT) AS tfidf_u6
+  FROM tf JOIN lex USING (term) CROSS JOIN stats
+),
+seed AS (SELECT doc_id FROM docs WHERE doc_no = '{MLT_DOC}'),
+mlt AS (
+  SELECT term FROM (
+    SELECT sc0.term,
+           row_number() OVER (PARTITION BY sc0.doc_id
+                              ORDER BY tfidf_u6 DESC, sc0.term) AS rk
+    FROM sc0 JOIN seed USING (doc_id))
+  WHERE rk <= 3
+),
+scores AS (
+  SELECT tf.doc_id, sum({_bm25_expr()}) AS score
+  FROM tf JOIN lex USING (term) CROSS JOIN stats
+  WHERE tf.term IN (SELECT term FROM mlt)
+    AND tf.doc_id NOT IN (SELECT doc_id FROM seed)
+  GROUP BY tf.doc_id
+), dedup AS (
+  SELECT score, min(doc_id) AS doc_id FROM scores GROUP BY score
+  ORDER BY score DESC LIMIT {K}
+)
+SELECT row_number() OVER (ORDER BY score DESC) AS rank, d.doc_no,
+       CAST(round(score * 1e6) AS BIGINT) AS score_u6
+FROM dedup JOIN docs d USING (doc_id)"""
+
+
 def q_postings_gaps(spark, sf_dir):
     """Validates the *physical* gap encoding: decodes each VByte gap
     stream and compares the per-term gap sequence against SQL lag
@@ -2190,6 +2253,7 @@ def all_queries():
         "postings_lists": q_postings_lists,
         "postings_gaps": q_postings_gaps,
         "doc_keywords": q_doc_keywords,
+        "more_like_this": q_more_like_this,
         "term_upper_bounds": q_term_upper_bounds,
         "bm25_topk_or": q_bm25_topk_or,
         "bm25_topk_and": q_bm25_topk_and,
@@ -2255,6 +2319,7 @@ def all_oracle_sql(query_vec=None, sf_dir=None):
         "postings_lists": sql_postings_lists(),
         "postings_gaps": sql_postings_gaps(),
         "doc_keywords": sql_doc_keywords(),
+        "more_like_this": sql_more_like_this(),
         "term_upper_bounds": sql_term_upper_bounds(),
         "bm25_topk_or": sql_bm25_topk_or(),
         "bm25_topk_and": sql_bm25_topk_and(),
