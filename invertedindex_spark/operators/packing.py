@@ -7,13 +7,14 @@ FineWeb-style mixes are drawn from oversized pools).
 
 Both need a GLOBAL running sum of token counts in a deterministic
 order — the naive `Window.orderBy(...)` plan collapses to ONE task at
-100 TB. This module computes it with the engine's distributed
-prefix-sum instead (same pattern as the dense docId assignment in
-`operators/build.py:_partition_offsets`): range-repartition on the
-order key, one cheap per-partition sum pass collected to the driver
-(one row per partition), broadcast the exclusive per-partition
-offsets back, and add a within-partition running sum — every stage is
-fully parallel and the driver sees only ``num_partitions`` rows.
+100 TB. This module computes it with a distributed prefix-sum (the
+same idea as the dense docId assignment in
+`operators/build.py:_partition_offsets`, but keyed by DETERMINISTIC
+quantile-boundary range buckets instead of physical partition ids —
+no pinned intermediate): one cheap per-bucket sum pass collected to
+the driver (one row per bucket), broadcast the exclusive per-bucket
+offsets back, and add a within-bucket running sum — every stage is
+fully parallel and the driver sees only ``num_buckets`` rows.
 """
 
 from __future__ import annotations
@@ -22,39 +23,53 @@ from __future__ import annotations
 def _with_exclusive_cumsum(df, value_col: str, order_col: str):
     """Return ``df`` (narrowed to ``order_col``/``value_col``) plus a
     ``_ce`` column = the exclusive global running sum of ``value_col``
-    in ``order_col`` order. The intermediate is pinned via
-    ``localCheckpoint`` so the per-partition offsets and the final
-    pass see identical partitioning (same contract as the build
-    staging); unlike ``persist`` — whose CacheManager entry lives
-    until an explicit unpersist — the checkpointed RDD is released by
-    the ContextCleaner once the returned plan is garbage-collected,
-    so repeated calls don't accumulate pinned copies. It is one
-    (key, long) row per input row.
+    in ``order_col`` order (``order_col`` must be numeric and should
+    be unique).
+
+    The range buckets are DETERMINISTIC FROM THE DATA — quantile
+    boundaries collected once and embedded as literals — rather than
+    physical partition ids, so the offsets pass and the final pass
+    agree without pinning any intermediate. (The obvious alternative,
+    ``repartitionByRange + spark_partition_id + persist/
+    localCheckpoint``, measured ~100x slower than recomputing the
+    narrow child at 4M rows: materializing a shuffled DataFrame
+    through either pinning path dominated everything else.) Each pass
+    recomputes the cheap (key, long) projection; the driver sees B-1
+    quantile scalars and one B-row offset table.
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    t = (df.repartitionByRange(F.col(order_col))
-         .sortWithinPartitions(order_col)
-         .withColumn("_pid", F.spark_partition_id())
-         .localCheckpoint(eager=False))
-    # pass 1: one row per partition -> exclusive partition offsets
-    sizes = (t.groupBy("_pid").agg(F.sum(value_col).alias("tot"))
+    t = df.select(F.col(order_col), F.col(value_col))
+    # bucket count: enough for full-cluster parallelism, capped so the
+    # bucket expression (one comparison per boundary, whole-stage
+    # codegen'd) stays small — an array HOF here measured 7x slower
+    # because lambda functions are interpreted, not codegen'd
+    b = min(256, int(df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "200")))
+    probs = [i / b for i in range(1, b)]
+    bounds = sorted(set(t.stat.approxQuantile(order_col, probs, 0.001)))
+    bucket = F.lit(0)       # empty input / single distinct key
+    for x in bounds:
+        bucket = bucket + F.when(F.col(order_col) > x, 1).otherwise(0)
+    t = t.withColumn("_bkt", bucket)
+    # pass 1: one row per bucket -> exclusive bucket offsets
+    sizes = (t.groupBy("_bkt").agg(F.sum(value_col).alias("tot"))
              .collect())
-    per_pid = {r["_pid"]: r["tot"] for r in sizes}
+    per_bkt = {r["_bkt"]: r["tot"] for r in sizes}
     offsets, acc = {}, 0
-    for pid in sorted(per_pid):
-        offsets[pid] = acc
-        acc += per_pid[pid]
+    for k in sorted(per_bkt):
+        offsets[k] = acc
+        acc += per_bkt[k] or 0
     off_df = F.broadcast(df.sparkSession.createDataFrame(
-        [(int(p), int(o)) for p, o in offsets.items()],
-        "_pid int, _off long"))
-    # pass 2: within-partition running sum + broadcast offset
-    w = (Window.partitionBy("_pid").orderBy(order_col)
+        [(int(k), int(o)) for k, o in offsets.items()],
+        "_bkt int, _off long"))
+    # pass 2: within-bucket running sum + broadcast offset
+    w = (Window.partitionBy("_bkt").orderBy(order_col)
          .rowsBetween(Window.unboundedPreceding, -1))
     ce = (F.coalesce(F.sum(value_col).over(w), F.lit(0))
           + F.col("_off"))
-    return t.join(off_df, "_pid").withColumn("_ce", ce)
+    return t.join(off_df, "_bkt").withColumn("_ce", ce)
 
 
 def _token_counts(df, id_col: str):

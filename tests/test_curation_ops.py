@@ -140,7 +140,7 @@ def test_pack_sequences_never_uses_global_window(spark):
         .queryExecution().executedPlan().toString()
     for line in plan.splitlines():
         if "Window" in line and "windowspecdefinition" in line:
-            assert "_pid" in line, f"global window found: {line}"
+            assert "_bkt" in line, f"global window found: {line}"
     # offsets side is broadcast, not shuffled
     assert "BroadcastExchange" in plan
 
