@@ -1278,6 +1278,44 @@ WHERE pair_count >= 5
 ORDER BY pmi_u6 DESC, w1, w2 LIMIT 20"""
 
 
+def q_boilerplate_shingles(spark, sf_dir):
+    """Per-source boilerplate candidates: each source's top-3 word
+    8-grams by document frequency (the CCNet per-domain repeated-
+    paragraph signal). Heavy agg on the 60-bit shingle key; the 8-word
+    text reconstructed only for winners (operators/dedup.py)."""
+    from .operators.dedup import boilerplate_shingles
+    return boilerplate_shingles(_docs_df(spark, sf_dir), k=8, top=3,
+                                min_docs=2)
+
+
+def sql_boilerplate_shingles():
+    sh_h = ("CAST(concat('0x', substr(md5("
+            "array_to_string(ts[p+1:p+8], ' ')), 1, 15)) AS BIGINT)")
+    return f"""
+WITH toks AS (SELECT doc_id, source,
+                     string_split(coalesce(text, ''), ' ') AS ts
+              FROM documents),
+sh AS (SELECT doc_id, source, {sh_h} AS h,
+              array_to_string(ts[p+1:p+8], ' ') AS txt
+       FROM (SELECT doc_id, source, ts, unnest(range(len(ts) - 7)) AS p
+             FROM toks)),
+cnt AS (SELECT source, h,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM sh GROUP BY source, h
+        HAVING count(DISTINCT doc_id) >= 2),
+wk AS (SELECT source, h, n_docs,
+              row_number() OVER (PARTITION BY source
+                                 ORDER BY n_docs DESC, h) AS rk
+       FROM cnt),
+win AS (SELECT * FROM wk WHERE rk <= 3),
+ex AS (SELECT sh.source, sh.h, min(sh.txt) AS shingle_text
+       FROM sh JOIN win ON sh.source = win.source AND sh.h = win.h
+       GROUP BY sh.source, sh.h)
+SELECT win.source, ex.shingle_text, win.n_docs,
+       CAST(win.rk AS BIGINT) AS rk
+FROM win JOIN ex ON win.source = ex.source AND win.h = ex.h"""
+
+
 def q_domain_stats(spark, sf_dir):
     """Per-source curation rollup (docs / dups / tokens / Gopher keep
     rate): the monitoring table a 100 TB pipeline keeps per domain
@@ -2286,6 +2324,7 @@ def all_queries():
         "lm_perplexity": q_lm_perplexity,
         "top_collocations": q_top_collocations,
         "domain_stats": q_domain_stats,
+        "boilerplate_shingles": q_boilerplate_shingles,
         "contamination_check": q_contamination_check,
         "cross_dedup": q_cross_dedup,
         "doc_chunks": q_doc_chunks,
@@ -2350,6 +2389,7 @@ def all_oracle_sql(query_vec=None, sf_dir=None):
         "lm_perplexity": sql_lm_perplexity(),
         "top_collocations": sql_top_collocations(),
         "domain_stats": sql_domain_stats(),
+        "boilerplate_shingles": sql_boilerplate_shingles(),
         "contamination_check": sql_contamination_check(),
         "cross_dedup": sql_cross_dedup(),
         "doc_chunks": sql_doc_chunks(),

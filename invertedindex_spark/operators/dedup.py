@@ -203,6 +203,54 @@ def minhash_lsh_pairs(df, perms, n_bands: int, band_width: int,
                      / F.size(F.array_union("sa", "sb"))).alias("j")))
 
 
+def boilerplate_shingles(df, k: int = 8, top: int = 5,
+                         min_docs: int = 3, strata_col: str = "source"):
+    """(source, shingle_text, n_docs, rk): each stratum's most
+    document-frequent word ``k``-grams — the per-domain boilerplate
+    signal (CCNet drops paragraphs repeated across a domain's pages;
+    headers/footers/license blurbs surface exactly here).
+
+    Scale shape: the heavy aggregation runs on the NARROW 60-bit
+    shingle key ((source, h, doc_id) distinct-count, two keyed
+    shuffles with map-side combine); the 8-word shingle TEXT is only
+    reconstructed afterwards, by semi-joining the winners (top*strata
+    rows, broadcast) back against the shingle stream and taking
+    min(text) per key — so the wide strings never enter the main
+    shuffle. Ties break on (n_docs desc, h asc): h is deterministic,
+    so the top-k is engine-identical.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ts = F.split(F.coalesce(F.col("text"), F.lit("")), " ", -1)
+    base = df.select("doc_id", F.col(strata_col).alias("_src"),
+                     ts.alias("ts"))
+    n = F.size("ts")
+    pos = F.when(n >= k, F.sequence(F.lit(0), n - k)) \
+        .otherwise(F.array().cast("array<int>"))
+    sh = base.select(
+        "doc_id", "_src",
+        F.explode(F.transform(
+            pos, lambda p: F.struct(
+                _shingle60(F.col("ts"), p, k).alias("h"),
+                F.array_join(F.slice(F.col("ts"), p + 1, k), " ")
+                .alias("txt")))).alias("s"))
+    counts = (sh.select("doc_id", "_src", F.col("s.h").alias("h"))
+              .groupBy("_src", "h")
+              .agg(F.count_distinct("doc_id").alias("n_docs"))
+              .where(F.col("n_docs") >= min_docs))
+    w = Window.partitionBy("_src").orderBy(F.desc("n_docs"), F.asc("h"))
+    winners = (counts.withColumn("rk", F.row_number().over(w))
+               .where(F.col("rk") <= top))
+    ex = (sh.select("_src", F.col("s.h").alias("h"),
+                    F.col("s.txt").alias("txt"))
+          .join(F.broadcast(winners.select("_src", "h")), ["_src", "h"])
+          .groupBy("_src", "h").agg(F.min("txt").alias("shingle_text")))
+    return (winners.join(ex, ["_src", "h"])
+            .select(F.col("_src").alias(strata_col), "shingle_text",
+                    "n_docs", F.col("rk").cast("long").alias("rk")))
+
+
 def near_dup_components(df, perms, n_bands: int, band_width: int,
                         shingle_n: int = 3, min_jaccard: float = 0.5,
                         max_bucket: int | None = None,

@@ -177,3 +177,25 @@ def test_near_dup_components_transitive_chain(spark):
                               min_jaccard=0.3)
     comp = {r["doc_id"]: r["component_id"] for r in out.collect()}
     assert comp == {1: 1, 2: 1, 3: 1, 9: 9, 10: 9}
+
+
+def test_boilerplate_shingles_finds_shared_footer(spark):
+    from invertedindex_spark.operators.dedup import boilerplate_shingles
+
+    footer = "this page is part of the acme documentation set online"
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma " + footer, "web"),
+         (2, "delta epsilon zeta " + footer, "web"),
+         (3, "eta theta iota " + footer, "web"),
+         (4, "unrelated text " + footer, "wiki"),  # other stratum
+         (5, "totally different content with no repeats here", "web")],
+        "doc_id long, text string, source string")
+    out = boilerplate_shingles(docs, k=8, top=2, min_docs=3)
+    rows = out.collect()
+    # only the 'web' stratum has an 8-gram in >= 3 docs; the winning
+    # shingles are windows of the shared footer (plus 1 leading word)
+    assert rows and all(r["source"] == "web" for r in rows)
+    assert all(r["n_docs"] == 3 for r in rows)
+    assert all("documentation" in r["shingle_text"]
+               or "acme" in r["shingle_text"] for r in rows)
+    assert sorted(r["rk"] for r in rows) == [1, 2]
