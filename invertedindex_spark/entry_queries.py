@@ -355,10 +355,24 @@ def q_more_like_this(spark, sf_dir):
     from pyspark.sql.window import Window
 
     idx = get_index(spark, sf_dir)
-    kw = (q_doc_keywords(spark, sf_dir)
-          .where(F.col("doc_no") == MLT_DOC)
-          .orderBy("rk").collect())
+    # seed's terms only: semi-join the postings to the ONE seed doc
+    # BEFORE ranking (the full doc_keywords window would rank every
+    # document in the corpus just to read back 3 rows)
+    seed = idx.docs.where(F.col("doc_no") == MLT_DOC) \
+        .select("doc_id")
+    dec = (idx.decoded_postings_df().select("term", "doc_id", "tf")
+           .join(F.broadcast(seed), "doc_id"))
+    n = idx.num_docs
+    tfidf = F.round(F.col("tf") * F.log(F.lit(n) / F.col("df"))
+                    * F.lit(1e6)).cast("long")
+    kw = (dec.join(idx.lexicon.select("term", "df"), "term")
+          .select("term", tfidf.alias("tfidf_u6"))
+          .orderBy(F.desc("tfidf_u6"), F.asc("term"))
+          .limit(3).collect())
     terms = [r["term"] for r in kw]
+    if not terms:    # seed absent/empty: no feedback terms, no hits
+        return spark.createDataFrame(
+            [], "rank int, doc_no string, score_u6 long")
     idx.set_attributes(
         _docs_df(spark, sf_dir).select(
             "doc_id", F.col("doc_id").alias("ext_id")),

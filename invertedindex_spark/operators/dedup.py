@@ -210,13 +210,16 @@ def boilerplate_shingles(df, k: int = 8, top: int = 5,
     signal (CCNet drops paragraphs repeated across a domain's pages;
     headers/footers/license blurbs surface exactly here).
 
-    Scale shape: the heavy aggregation runs on the NARROW 60-bit
-    shingle key ((source, h, doc_id) distinct-count, two keyed
-    shuffles with map-side combine); the 8-word shingle TEXT is only
-    reconstructed afterwards, by semi-joining the winners (top*strata
-    rows, broadcast) back against the shingle stream and taking
-    min(text) per key — so the wide strings never enter the main
-    shuffle. Ties break on (n_docs desc, h asc): h is deterministic,
+    Scale shape: the counting pass streams ONLY (source, h, doc_id) —
+    the 8-word text column is not even present in its plan, so the
+    narrow-key claim holds in the executed plan, not just intent
+    (building the text struct alongside h and projecting it away does
+    NOT work: Spark leaves the array_join inside the explode lambda
+    unpruned). Winners (top*strata rows) are COLLECTED, so the heavy
+    distinct-count aggregation executes exactly once; the text pass
+    rebuilds the 8-word strings map-side and a broadcast winners join
+    discards all but the winners before anything wide reaches an
+    exchange. Ties break on (n_docs desc, h asc): h is deterministic,
     so the top-k is engine-identical.
     """
     from pyspark.sql import Window
@@ -228,25 +231,37 @@ def boilerplate_shingles(df, k: int = 8, top: int = 5,
     n = F.size("ts")
     pos = F.when(n >= k, F.sequence(F.lit(0), n - k)) \
         .otherwise(F.array().cast("array<int>"))
-    sh = base.select(
+    # counting pass: hash-only stream, no text anywhere in the plan
+    hs = base.select(
         "doc_id", "_src",
+        F.explode(F.transform(
+            pos, lambda p: _shingle60(F.col("ts"), p, k))).alias("h"))
+    counts = (hs.groupBy("_src", "h")
+              .agg(F.count_distinct("doc_id").alias("n_docs"))
+              .where(F.col("n_docs") >= min_docs))
+    w = Window.partitionBy("_src").orderBy(F.desc("n_docs"), F.asc("h"))
+    win_rows = (counts.withColumn("rk", F.row_number().over(w))
+                .where(F.col("rk") <= top).collect())
+    if not win_rows:
+        return df.sparkSession.createDataFrame(
+            [], f"{strata_col} string, shingle_text string, "
+                "n_docs long, rk long")
+    winners = df.sparkSession.createDataFrame(
+        [(r["_src"], r["h"], r["n_docs"], r["rk"]) for r in win_rows],
+        "_src string, h long, n_docs long, rk long")
+    # text pass: rebuild the 8-word string only for winner shingles
+    tx = base.select(
+        "_src",
         F.explode(F.transform(
             pos, lambda p: F.struct(
                 _shingle60(F.col("ts"), p, k).alias("h"),
                 F.array_join(F.slice(F.col("ts"), p + 1, k), " ")
                 .alias("txt")))).alias("s"))
-    counts = (sh.select("doc_id", "_src", F.col("s.h").alias("h"))
-              .groupBy("_src", "h")
-              .agg(F.count_distinct("doc_id").alias("n_docs"))
-              .where(F.col("n_docs") >= min_docs))
-    w = Window.partitionBy("_src").orderBy(F.desc("n_docs"), F.asc("h"))
-    winners = (counts.withColumn("rk", F.row_number().over(w))
-               .where(F.col("rk") <= top))
-    ex = (sh.select("_src", F.col("s.h").alias("h"),
+    ex = (tx.select("_src", F.col("s.h").alias("h"),
                     F.col("s.txt").alias("txt"))
           .join(F.broadcast(winners.select("_src", "h")), ["_src", "h"])
           .groupBy("_src", "h").agg(F.min("txt").alias("shingle_text")))
-    return (winners.join(ex, ["_src", "h"])
+    return (F.broadcast(winners).join(ex, ["_src", "h"])
             .select(F.col("_src").alias(strata_col), "shingle_text",
                     "n_docs", F.col("rk").cast("long").alias("rk")))
 

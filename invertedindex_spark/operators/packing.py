@@ -26,6 +26,13 @@ def _with_exclusive_cumsum(df, value_col: str, order_col: str):
     in ``order_col`` order (``order_col`` must be numeric and should
     be unique).
 
+    PRECONDITION: ``df`` must be deterministic across
+    re-materializations (a source read or deterministic transforms —
+    no unseeded sample()/rand(), no monotonically_increasing_id
+    minted inside the plan). The offsets pass and the window pass
+    each materialize the input; like Spark's own lost-partition
+    recompute, correctness relies on both seeing the same rows.
+
     The range buckets are DETERMINISTIC FROM THE DATA — quantile
     boundaries collected once and embedded as literals — rather than
     physical partition ids, so the offsets pass and the final pass
@@ -48,7 +55,10 @@ def _with_exclusive_cumsum(df, value_col: str, order_col: str):
     b = min(256, int(df.sparkSession.conf.get(
         "spark.sql.shuffle.partitions", "200")))
     probs = [i / b for i in range(1, b)]
-    bounds = sorted(set(t.stat.approxQuantile(order_col, probs, 0.001)))
+    # b == 1 -> no interior quantiles; approxQuantile([]) crashes
+    bounds = sorted(set(
+        t.stat.approxQuantile(order_col, probs, 0.001))) if probs \
+        else []
     bucket = F.lit(0)       # empty input / single distinct key
     for x in bounds:
         bucket = bucket + F.when(F.col(order_col) > x, 1).otherwise(0)

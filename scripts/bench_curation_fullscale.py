@@ -93,7 +93,10 @@ def main():
     lo = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     hi = int(sys.argv[3]) if len(sys.argv) > 3 else 32
     path = f"/tmp/iis_curation_docs_{n}"
-    if not os.path.isdir(path):
+    # _SUCCESS check: a killed generation run leaves the directory
+    # without the commit marker — regenerate instead of benchmarking
+    # a partial corpus
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
         t0 = time.time()
         subprocess.run([sys.executable, "-c", GEN % {"repo": REPO},
                         str(n), path], check=True)

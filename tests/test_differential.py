@@ -175,7 +175,8 @@ def test_differential_events_queries(spark, duck, tmp_path, seed):
 # warehouse builds fresh per seed under tmp_path
 IDX_QUERIES = ["doc_table", "collection_stats", "term_stats",
                "postings_lists", "postings_gaps", "term_upper_bounds",
-               "top_terms", "vbyte_roundtrip", "doc_keywords"]
+               "top_terms", "vbyte_roundtrip", "doc_keywords",
+               "more_like_this"]
 
 
 @pytest.mark.parametrize("seed", [31, 37])
