@@ -115,7 +115,8 @@ def _check_docs_layout(manifest: dict, warehouse_dir: str) -> None:
 def append_batch(spark, corpus_batch: Corpus, warehouse_dir: str,
                  cfg: B.IndexConfig | None = None,
                  blocks_per_batch: int | None = None,
-                 batch_id: int | None = None) -> dict:
+                 batch_id: int | None = None,
+                 dedup: bool = False) -> dict:
     """Index one micro-batch: assign the next dense docId range, build
     its partial posting blocks, append to docs/partials, roll stats.
     Pure batch function — usable directly or from foreachBatch.
@@ -130,6 +131,20 @@ def append_batch(spark, corpus_batch: Corpus, warehouse_dir: str,
     deterministic location (docs under ``ingest=<block_base>``,
     partials via dynamic partition overwrite of its own block_ids),
     so orphaned files are replaced, never duplicated.
+
+    ``dedup=True``: EXACT dedup-on-ingest (the CCNet/RefinedWeb
+    incremental-dump rule) — a document is skipped when its
+    sha256(text) already exists in the warehouse OR earlier in the
+    same batch (keep-lowest-doc_no within the batch). The
+    cross-batch check reads ONLY the 64-hex sha column of prior
+    ``ingest=`` partitions, and excludes ``ingest >= next_block_id``
+    so a crash-replayed batch never anti-joins against its own
+    orphaned docs write (which would silently drop the whole batch).
+    Scale note: this is one column-pruned scan of the doc table per
+    batch; the standard optimization when that scan dominates — a
+    bloom-filter sidecar rolled forward per batch, with the exact
+    anti-join run only for bloom-positive candidates — composes on
+    top without changing these semantics.
     """
     from pyspark import StorageLevel
     from pyspark.sql import functions as F
@@ -173,9 +188,30 @@ def append_batch(spark, corpus_batch: Corpus, warehouse_dir: str,
     staged = (raw.where(F.size("terms") > 0)
               .select("doc_no", F.size("terms").alias("doc_len"),
                       "terms", "content_sha256"))
+    staged_pinned = False
+    if dedup:
+        keep = (staged.groupBy("content_sha256")
+                .agg(F.min("doc_no").alias("doc_no")))
+        staged = staged.join(keep, ["content_sha256", "doc_no"],
+                             "left_semi")
+        if state["num_docs"] > 0:
+            prior = (spark.read
+                     .parquet(os.path.join(warehouse_dir, "docs"))
+                     .where(F.col("ingest") < state["next_block_id"])
+                     .select("content_sha256").distinct())
+            staged = staged.join(prior, "content_sha256", "left_anti")
+        # the dedup joins reshuffle: pin the result so the offsets
+        # pass and the docId pass see identical partitions AND row
+        # order (_with_doc_ids derives ids from within-partition
+        # position — same contract the narrow raw-derived staging
+        # gets from raw's persist)
+        staged = staged.persist(StorageLevel.MEMORY_AND_DISK)
+        staged_pinned = True
     offsets, num_docs, num_tokens, block_docs = B._partition_offsets(staged)
     if num_docs == 0:
         raw.unpersist()
+        if staged_pinned:
+            staged.unpersist()
         return manifest
     base = state["next_doc_id"]
     offsets = {p: o + base for p, o in offsets.items()}
@@ -213,6 +249,8 @@ def append_batch(spark, corpus_batch: Corpus, warehouse_dir: str,
     manifest["stages"] = manifest.get("stages") or {}
     manifest["stages"]["partials"] = {"done": True}
     raw.unpersist()
+    if staged_pinned:
+        staged.unpersist()
 
     state["next_doc_id"] = base + num_docs
     # advance by the ACTUAL partition span, not the requested
@@ -498,7 +536,8 @@ def start_incremental_build(spark, stream_df, order_keys, warehouse_dir,
                             cfg: B.IndexConfig | None = None,
                             compact_every: int = 5,
                             checkpoint_dir: str | None = None,
-                            trigger: dict | None = None):
+                            trigger: dict | None = None,
+                            dedup: bool = False):
     """readStream source (input_hint columns) → incremental index.
 
     ``stream_df`` must be a streaming DataFrame with the corpus columns
@@ -514,7 +553,8 @@ def start_incremental_build(spark, stream_df, order_keys, warehouse_dir,
 
     def process(batch_df, batch_id: int):
         c = Corpus(batch_df, tuple(order_keys))
-        append_batch(spark, c, warehouse_dir, cfg, batch_id=batch_id)
+        append_batch(spark, c, warehouse_dir, cfg, batch_id=batch_id,
+                     dedup=dedup)
         if (batch_id + 1) % compact_every == 0:
             compact(spark, warehouse_dir, cfg)
 

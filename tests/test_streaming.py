@@ -572,3 +572,91 @@ def test_append_crash_replay_heals_instead_of_poisoning(spark, tmp_path):
     got, want = ii.search("OR hotterm quick", 10), \
         bi.search("OR hotterm quick", 10)
     assert [g[0] for g in got] == [w[0] for w in want]
+
+
+def test_append_dedup_within_and_across_batches(spark, tmp_path):
+    """dedup=True: a batch drops its own internal duplicates
+    (keep-lowest-doc_no) and every doc whose text already exists in
+    the warehouse; the result matches a batch build over one
+    representative per text. Expected counts come from a no-dedup
+    scratch warehouse (the synthetic corpus has natural duplicate
+    texts AND token-empty docs that staging drops either way)."""
+    cfg = IndexConfig(num_blocks=2)
+    srt = _sorted_rows(80)
+    b1 = sorted(srt[:40])
+    b2 = sorted(list(srt[10:30]) + list(srt[40:60]))
+    df1 = spark.createDataFrame(b1, corpus._CORPUS_SCHEMA)
+    df2 = spark.createDataFrame(b2, corpus._CORPUS_SCHEMA)
+
+    # expectations from engine semantics, no dedup
+    wh_s = str(tmp_path / "scratch")
+    append_batch(spark, corpus.from_source_code(df1), wh_s, cfg,
+                 blocks_per_batch=2, batch_id=0)
+    e1 = (spark.read.parquet(f"{wh_s}/docs")
+          .select("content_sha256").distinct().count())
+    append_batch(spark, corpus.from_source_code(df2), wh_s, cfg,
+                 blocks_per_batch=2, batch_id=1)
+    e_all = (spark.read.parquet(f"{wh_s}/docs")
+             .select("content_sha256").distinct().count())
+    assert e1 < 40 and e_all > e1   # natural dups + real growth
+
+    wh = str(tmp_path / "dedup_wh")
+    append_batch(spark, corpus.from_source_code(df1), wh, cfg,
+                 blocks_per_batch=2, batch_id=0, dedup=True)
+    assert spark.read.parquet(f"{wh}/docs").count() == e1
+    append_batch(spark, corpus.from_source_code(df2), wh, cfg,
+                 blocks_per_batch=2, batch_id=1, dedup=True)
+    docs = spark.read.parquet(f"{wh}/docs")
+    assert docs.count() == e_all
+    assert docs.select("content_sha256").distinct().count() == e_all
+
+    # compacted result answers queries like a batch build over one
+    # representative row per text (same texts -> same scores)
+    compact(spark, wh, cfg)
+    seen, uniq_rows = set(), []
+    for r in b1 + b2:
+        if r[4] not in seen:
+            seen.add(r[4])
+            uniq_rows.append(r)
+    wh_b = str(tmp_path / "dedup_batch")
+    build_index(spark, corpus.from_source_code(
+        spark.createDataFrame(sorted(uniq_rows), corpus._CORPUS_SCHEMA)),
+        wh_b, cfg)
+    ii, bi = InvertedIndex(spark, wh), InvertedIndex(spark, wh_b)
+    assert ii.num_docs == bi.num_docs == e_all
+    got = ii.search("OR hotterm quick", 10)
+    want = bi.search("OR hotterm quick", 10)
+    assert [g[1] for g in got] == [w[1] for w in want]  # same scores
+
+
+def test_append_dedup_replay_not_self_poisoned(spark, tmp_path):
+    """A crash-replayed batch (same id, un-advanced manifest) must not
+    anti-join against its OWN orphaned docs write — that would
+    silently drop the entire batch on replay."""
+    import json
+    import shutil
+
+    cfg = IndexConfig(num_blocks=2)
+    wh = str(tmp_path / "dedup_replay")
+    srt = _sorted_rows(120)
+    df1 = spark.createDataFrame(srt[:60], corpus._CORPUS_SCHEMA)
+    append_batch(spark, corpus.from_source_code(df1), wh, cfg,
+                 blocks_per_batch=2, batch_id=0, dedup=True)
+    mpath = os.path.join(wh, "_manifest.json")
+    shutil.copy(mpath, mpath + ".pre")
+
+    df2 = spark.createDataFrame(srt[60:], corpus._CORPUS_SCHEMA)
+    append_batch(spark, corpus.from_source_code(df2), wh, cfg,
+                 blocks_per_batch=2, batch_id=1, dedup=True)
+    n_committed = spark.read.parquet(f"{wh}/docs").count()
+    # crash: docs/partials written, manifest save lost -> replay
+    shutil.copy(mpath + ".pre", mpath)
+    append_batch(spark, corpus.from_source_code(df2), wh, cfg,
+                 blocks_per_batch=2, batch_id=1, dedup=True)
+
+    docs = spark.read.parquet(f"{wh}/docs")
+    assert docs.count() == n_committed   # batch 2 NOT self-deduped away
+    assert docs.select("doc_id").distinct().count() == n_committed
+    with open(mpath) as f:
+        assert json.load(f)["stream"]["num_docs"] == n_committed
+    compact(spark, wh, cfg)             # merges clean
