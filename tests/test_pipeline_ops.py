@@ -559,3 +559,38 @@ def test_pq_ann_recall_and_determinism(spark):
             ann_pq_topk(df, cb, q, k=10, rerank=1000,
                         exclude_id=0).collect()]
     assert full == exact
+
+
+def test_curate_cli_end_to_end(spark, tmp_path, capsys):
+    """python -m invertedindex_spark.curate: parquet in, cleaned
+    parquet + JSON summary out; --token-budget composes the prefix
+    cut; --report prints per-source rollups."""
+    import json
+
+    from invertedindex_spark import curate
+
+    src = str(tmp_path / "docs_in.parquet")
+    rows = [(i, f"the quick brown fox document number {i} runs fast "
+                "and keeps enough plain words to pass the filters",
+             "web" if i % 2 else "wiki")
+            for i in range(20)]
+    rows += [(100, rows[0][1], "web"),  # exact dup of doc 0
+             (101, "", "web"), (102, None, "web")]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string") \
+        .write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "docs_out")
+    rc = curate.main([src, out, "--langs", "en", "--report",
+                      "--min-quality-u6", "0"])
+    assert rc == 0
+    lines = [json.loads(x) for x in
+             capsys.readouterr().out.strip().splitlines()]
+    summary = lines[-1]
+    assert summary["input_docs"] == 23
+    kept = spark.read.parquet(out)
+    assert summary["kept_docs"] == kept.count()
+    # dup + empty + null dropped
+    assert kept.count() <= 20
+    assert 100 not in [r["doc_id"] for r in kept.collect()]
+    reports = [x for x in lines[:-1] if "n_docs" in x]
+    assert {r["source"] for r in reports} <= {"web", "wiki"}
