@@ -70,8 +70,11 @@ def main(argv=None):
     n_out = out.count()
     if args.report:
         from .operators.report import domain_stats
+        # NULL-source rows form their own stratum; None can't order
+        # against str in Python 3, so sort them first explicitly
         for row in sorted(domain_stats(out).collect(),
-                          key=lambda r: r["source"]):
+                          key=lambda r: (r["source"] is not None,
+                                         r["source"] or "")):
             print(json.dumps(row.asDict()))
     print(json.dumps({"input_docs": n_in, "kept_docs": n_out,
                       "dropped": n_in - n_out,

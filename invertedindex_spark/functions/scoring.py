@@ -15,7 +15,8 @@ from __future__ import annotations
 import numpy as np
 
 __all__ = ["K_BM25", "B_BM25", "bm25_col", "bm25_np", "bm25_sql",
-           "tfidf_np"]
+           "tfidf_np", "U6", "u6_np", "u6_col", "bm25_u6_np",
+           "bm25_u6_col", "bm25_u6_sql"]
 
 K_BM25 = 1.2   # Constants.java:46
 B_BM25 = 0.75  # Constants.java:45
@@ -91,3 +92,52 @@ def dense_ok(num_docs: int, postings: int) -> bool:
     this many postings over this docId space."""
     return (num_docs <= DENSE_MAX_DOCS
             and postings * DENSE_POSTINGS_RATIO >= num_docs)
+
+
+# -- quantized (u6) scoring domain -------------------------------------
+# Every ranked-query path accumulates PER-(term,doc) partials that were
+# quantized to integer micro-units: q(p) = floor(p*1e6 + 0.5). Integer
+# sums are associative, so the per-doc score is bit-identical across
+# summation orders — the float domain is not (two per-doc double sums
+# of the same partials can differ in the last ulp depending on order,
+# which made the reference's equal-score tie dedup flip between the
+# engine and its DuckDB oracle on corpora with byte-identical
+# documents). The partials themselves stay float64 and are computed
+# with the same expression tree in NumPy / Spark SQL / DuckDB, so q(p)
+# agrees across all three. q is monotone, so every upper-bound
+# structure (TUB, block_max, the stats-invariant recomputed bounds)
+# remains a sound bound after quantization: p <= ub  ⇒  q(p) <= q(ub).
+# BM25 partials are non-negative (df <= N ⇒ ln(N/df) >= 0), so the
+# floor(x + 0.5) form equals HALF_UP rounding on every engine.
+U6 = 1_000_000
+
+
+def u6_np(x: np.ndarray) -> np.ndarray:
+    """Quantize non-negative float64 partials to int64 micro-units."""
+    return np.floor(np.asarray(x, dtype=np.float64) * U6 + 0.5) \
+             .astype(np.int64)
+
+
+def bm25_u6_np(tf, doc_len, df, num_docs, avg_doc_len):
+    """Quantized BM25 partial (the only form query kernels sum)."""
+    return u6_np(bm25_np(tf, doc_len, df, num_docs, avg_doc_len))
+
+
+def u6_col(col):
+    """Spark Column twin of :func:`u6_np` (floor(double) is LongType)."""
+    from pyspark.sql import functions as F
+
+    return F.floor(col * float(U6) + 0.5).cast("long")
+
+
+def bm25_u6_col(tf, doc_len, df, num_docs, avg_doc_len):
+    return u6_col(bm25_col(tf, doc_len, df, num_docs, avg_doc_len))
+
+
+def bm25_u6_sql(tf_expr: str, doc_len_expr: str, df_expr: str,
+                num_docs_expr: str, avg_doc_len_expr: str) -> str:
+    """ANSI-SQL twin: quantized partial as BIGINT (DuckDB floor is
+    DOUBLE-valued, hence the cast)."""
+    inner = bm25_sql(tf_expr, doc_len_expr, df_expr, num_docs_expr,
+                     avg_doc_len_expr)
+    return f"CAST(floor(({inner}) * {U6} + 0.5) AS BIGINT)"

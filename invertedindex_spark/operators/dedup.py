@@ -215,12 +215,15 @@ def boilerplate_shingles(df, k: int = 8, top: int = 5,
     narrow-key claim holds in the executed plan, not just intent
     (building the text struct alongside h and projecting it away does
     NOT work: Spark leaves the array_join inside the explode lambda
-    unpruned). Winners (top*strata rows) are COLLECTED, so the heavy
-    distinct-count aggregation executes exactly once; the text pass
-    rebuilds the 8-word strings map-side and a broadcast winners join
-    discards all but the winners before anything wide reaches an
-    exchange. Ties break on (n_docs desc, h asc): h is deterministic,
-    so the top-k is engine-identical.
+    unpruned). Winners stay a DATAFRAME end-to-end — no driver
+    collect: at web scale ``top × |strata|`` is 10^7+ rows for a
+    domain-grain stratum, which must never materialize on the driver.
+    The text pass rebuilds the 8-word strings map-side and ONE
+    equi-join against the winner set discards all but the winners;
+    the join ships no hint, so AQE broadcasts the winner side while
+    it is small and degrades to a shuffle join when strata
+    cardinality explodes. Ties break on (n_docs desc, h asc): h is
+    deterministic, so the top-k is engine-identical.
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
@@ -240,16 +243,10 @@ def boilerplate_shingles(df, k: int = 8, top: int = 5,
               .agg(F.count_distinct("doc_id").alias("n_docs"))
               .where(F.col("n_docs") >= min_docs))
     w = Window.partitionBy("_src").orderBy(F.desc("n_docs"), F.asc("h"))
-    win_rows = (counts.withColumn("rk", F.row_number().over(w))
-                .where(F.col("rk") <= top).collect())
-    if not win_rows:
-        return df.sparkSession.createDataFrame(
-            [], f"{strata_col} string, shingle_text string, "
-                "n_docs long, rk long")
-    winners = df.sparkSession.createDataFrame(
-        [(r["_src"], r["h"], r["n_docs"], r["rk"]) for r in win_rows],
-        "_src string, h long, n_docs long, rk long")
-    # text pass: rebuild the 8-word string only for winner shingles
+    winners = (counts.withColumn("rk", F.row_number().over(w))
+               .where(F.col("rk") <= top))
+    # text pass: rebuild the 8-word string only for winner shingles —
+    # one join, so the distinct-count aggregation executes exactly once
     tx = base.select(
         "_src",
         F.explode(F.transform(
@@ -259,11 +256,11 @@ def boilerplate_shingles(df, k: int = 8, top: int = 5,
                 .alias("txt")))).alias("s"))
     ex = (tx.select("_src", F.col("s.h").alias("h"),
                     F.col("s.txt").alias("txt"))
-          .join(F.broadcast(winners.select("_src", "h")), ["_src", "h"])
-          .groupBy("_src", "h").agg(F.min("txt").alias("shingle_text")))
-    return (F.broadcast(winners).join(ex, ["_src", "h"])
-            .select(F.col("_src").alias(strata_col), "shingle_text",
-                    "n_docs", F.col("rk").cast("long").alias("rk")))
+          .join(winners, ["_src", "h"])
+          .groupBy("_src", "h", "n_docs", "rk")
+          .agg(F.min("txt").alias("shingle_text")))
+    return ex.select(F.col("_src").alias(strata_col), "shingle_text",
+                     "n_docs", F.col("rk").cast("long").alias("rk"))
 
 
 def near_dup_components(df, perms, n_bands: int, band_width: int,

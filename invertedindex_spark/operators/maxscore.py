@@ -159,12 +159,12 @@ def intersect_topk(decoded: dict, num_docs: int, avg_doc_len: float):
             break
     if cand.size == 0:
         z = np.zeros(0, dtype=np.int64)
-        return z, z.astype(np.float64)
-    score = np.zeros(cand.size, dtype=np.float64)
+        return z, z
+    score = np.zeros(cand.size, dtype=np.int64)
     for d, tf, dl, df in items:
         pos = np.searchsorted(d, cand)
-        score += scoring.bm25_np(tf[pos], dl[pos], df, num_docs,
-                                 avg_doc_len)
+        score += scoring.bm25_u6_np(tf[pos], dl[pos], df, num_docs,
+                                    avg_doc_len)
     return cand, score
 
 
@@ -199,10 +199,13 @@ def maxscore_or_topk(lists, num_docs: int, avg_doc_len: float, k: int,
     from ..functions import scoring
 
     order = sorted(range(len(lists)), key=lambda i: -lists[i][0])
-    ubs = np.array([lists[i][0] for i in order])
-    suffix = np.concatenate([np.cumsum(ubs[::-1])[::-1], [0.0]])
+    # u6 domain: tubs and block bounds arrive quantized (int64), so
+    # every comparison against accumulated integer scores is exact
+    ubs = np.array([lists[i][0] for i in order], dtype=np.int64)
+    suffix = np.concatenate([np.cumsum(ubs[::-1])[::-1],
+                             np.zeros(1, dtype=np.int64)])
     acc_d = np.zeros(0, dtype=np.int64)
-    acc_s = np.zeros(0, dtype=np.float64)
+    acc_s = np.zeros(0, dtype=np.int64)
     threshold = -np.inf
     for pos, i in enumerate(order):
         entry = lists[i]
@@ -222,9 +225,9 @@ def maxscore_or_topk(lists, num_docs: int, avg_doc_len: float, k: int,
                 blk = np.searchsorted(bf, acc_d, side="right") - 1
                 in_range = (blk >= 0) & (acc_d <= last_id)
                 ub = np.where(
-                    in_range, bm[np.clip(blk, 0, bm.size - 1)], 0.0)
+                    in_range, bm[np.clip(blk, 0, bm.size - 1)], 0)
             else:
-                ub = np.full(acc_d.size, tub)
+                ub = np.full(acc_d.size, tub, dtype=np.int64)
             keep = acc_s + ub + suffix[pos + 1] >= threshold
             # block-I/O counters only when fetch_for really decodes
             # selectively (a cached term's boost reads decoded arrays —
@@ -249,7 +252,7 @@ def maxscore_or_topk(lists, num_docs: int, avg_doc_len: float, k: int,
         if d.size == 0:
             continue
         if essential:
-            s = scoring.bm25_np(tf, dl, df, num_docs, avg_doc_len)
+            s = scoring.bm25_u6_np(tf, dl, df, num_docs, avg_doc_len)
             both = np.concatenate([acc_d, d])
             vals = np.concatenate([acc_s, s])
             # same dense-vs-sort dispatch as the exhaustive kernel
@@ -260,10 +263,13 @@ def maxscore_or_topk(lists, num_docs: int, avg_doc_len: float, k: int,
             # measurably SLOWER than exact (0.80 s vs 0.65 s at 8.2M
             # docs) because every hot list is essential
             if scoring.dense_ok(num_docs, both.size):
+                # bincount weights go through float64; integral u6
+                # values stay exact below 2**53, so the int64 cast
+                # back is lossless
                 w = np.bincount(both, weights=vals, minlength=num_docs)
                 cnt = np.bincount(both, minlength=num_docs)
                 acc_d = np.flatnonzero(cnt)
-                acc_s = w[acc_d]
+                acc_s = w[acc_d].astype(np.int64)
             else:
                 o = np.argsort(both, kind="stable")
                 both, vals = both[o], vals[o]
@@ -279,8 +285,8 @@ def maxscore_or_topk(lists, num_docs: int, avg_doc_len: float, k: int,
             posn_c = np.clip(posn, 0, d.size - 1)
             hit = d[posn_c] == acc_d
             m = posn_c[hit]
-            acc_s[hit] += scoring.bm25_np(tf[m], dl[m], df,
-                                          num_docs, avg_doc_len)
+            acc_s[hit] += scoring.bm25_u6_np(tf[m], dl[m], df,
+                                             num_docs, avg_doc_len)
         # tie-aware threshold: the reference queue keeps ONE entry per
         # DISTINCT score (DocumentScore.compareTo), so k docs sharing a
         # score fill a single rank — the k-th largest RAW accumulated

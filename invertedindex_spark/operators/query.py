@@ -1116,8 +1116,8 @@ class InvertedIndex:
             np.concatenate([[r["first_doc_id"]],
                             np.asarray(r["skip_doc_ids"], dtype=np.int64)])
             for r in rs])
-        bm = np.concatenate([
-            np.asarray(r["block_max"], dtype=np.float64) for r in rs])
+        bm = scoring.u6_np(np.concatenate([
+            np.asarray(r["block_max"], dtype=np.float64) for r in rs]))
         return bf, bm, int(rs[-1]["last_doc_id"])
 
     def _computed_block_bounds(self, rs):
@@ -1134,7 +1134,7 @@ class InvertedIndex:
         predates the bound columns (legacy format — callers fall back
         to exhaustive scoring as before)."""
         df = int(rs[0]["df"])
-        idf = math.log(self.num_docs / float(df))
+        idf = float(np.log(float(self.num_docs) / float(df)))
         bfs, bms = [], []
         for r in rs:
             mt, md = r.get("block_max_tf"), r.get("block_min_dl")
@@ -1143,9 +1143,9 @@ class InvertedIndex:
             bfs.append(np.concatenate(
                 [[r["first_doc_id"]],
                  np.asarray(r["skip_doc_ids"], dtype=np.int64)]))
-            bms.append(idf * scoring.factor_np(
+            bms.append(scoring.u6_np(idf * scoring.factor_np(
                 np.asarray(mt, dtype=np.int64),
-                np.asarray(md, dtype=np.int64), self.avg_doc_len))
+                np.asarray(md, dtype=np.int64), self.avg_doc_len)))
         last = rs[-1]["last_doc_id"]
         # partial segments carry no last_doc_id; bound the final
         # block's range by the collection end (sound overestimate)
@@ -1159,7 +1159,7 @@ class InvertedIndex:
         z = np.zeros(0, dtype=np.int64)
         stats = self.last_prune_stats = {}
         if not by_term or (qtype == "AND" and len(by_term) < len(terms)):
-            return z, z.astype(np.float64)
+            return z, z
         # dense-scale dispatch (shared crossover, scoring.dense_ok):
         # when even the RAREST term covers ≥ 1/ratio of the docId
         # space, candidates blanket every skip block — selective
@@ -1211,7 +1211,7 @@ class InvertedIndex:
             cand = smallest[0]
             for t, rs in items[1:]:
                 if cand.size == 0:
-                    return z, z.astype(np.float64)
+                    return z, z
                 # an already-decoded hot term beats selective decoding
                 # (intersect_topk accepts full lists as supersets)
                 hit = self._term_cache.get(t)
@@ -1220,18 +1220,19 @@ class InvertedIndex:
                 decoded[t] = dec
                 cand = cand[np.isin(cand, dec[0], assume_unique=True)]
             if cand.size == 0:
-                return z, z.astype(np.float64)
+                return z, z
             return intersect_topk(decoded, self.num_docs,
                                   self.avg_doc_len)
         lists = []
         for t, rs in by_term.items():
             cached = self._term_cache.get(t)
             if bmap is None:
-                tub = float(rs[0]["term_upper_bound"])
+                tub = int(scoring.u6_np(
+                    float(rs[0]["term_upper_bound"])))
                 bb = lambda rs=rs: self._block_bounds(rs)
             else:
                 ba = bmap[t]
-                tub = float(ba[1].max()) if ba[1].size else 0.0
+                tub = int(ba[1].max()) if ba[1].size else 0
                 bb = lambda ba=ba: ba
             # a cached term's boost phase reads the decoded arrays, not
             # skip blocks — the kernel's block-I/O counters must not
@@ -1265,7 +1266,7 @@ class InvertedIndex:
         decoded = self._fetch_decoded(terms)
         if (not decoded) or (qtype == "AND" and len(decoded) < len(terms)):
             z = np.zeros(0, dtype=np.int64)
-            return z, z.astype(np.float64)
+            return z, z
         all_ids = []
         all_scores = []
         # sorted term order: per-doc sums accumulate in a fixed order
@@ -1275,23 +1276,25 @@ class InvertedIndex:
             if mask is not None:
                 d, tf, dl, df = self._mask_dec((d, tf, dl, df), mask)
             all_ids.append(d)
-            all_scores.append(scoring.bm25_np(
+            all_scores.append(scoring.bm25_u6_np(
                 tf, dl, df, self.num_docs, self.avg_doc_len))
         ids = np.concatenate(all_ids)
         sc = np.concatenate(all_scores)
         if ids.size == 0:
             z = np.zeros(0, dtype=np.int64)
-            return z, z.astype(np.float64)
+            return z, z
         # dense accumulators are O(N) in the docId space regardless of
         # how few postings the query touches; the sort path is
         # O(P log P) — rare-term queries must not pay an O(N)
         # allocation tax (crossover + ceiling: scoring.dense_ok)
         if scoring.dense_ok(self.num_docs, ids.size):
+            # float64 bincount weights are exact for integral u6 sums
+            # below 2**53 — cast back is lossless
             w = np.bincount(ids, weights=sc)
             cnt = np.bincount(ids)
             keep = (cnt == len(decoded)) if qtype == "AND" else (cnt > 0)
             uniq = np.flatnonzero(keep)
-            return uniq, w[uniq]
+            return uniq, w[uniq].astype(np.int64)
         order = np.argsort(ids, kind="stable")
         ids, sc = ids[order], sc[order]
         uniq, start = np.unique(ids, return_index=True)
@@ -1311,7 +1314,7 @@ class InvertedIndex:
 
             if self.num_docs <= self._doc_nos_max:
                 doc_nos = self._load_doc_nos()
-                return [(doc_nos[d].as_py(), float(s))
+                return [(doc_nos[d].as_py(), float(s) / scoring.U6)
                         for d, s in zip(ids, scores)]
             rows = (self._local_docs()
                     .to_table(columns=["doc_id", "doc_no"],
@@ -1324,7 +1327,8 @@ class InvertedIndex:
             rows = (self.docs.where(F.col("doc_id").isin(ids))
                     .select("doc_id", "doc_no").collect())
             m = {r["doc_id"]: r["doc_no"] for r in rows}
-        return [(m[int(d)], float(s)) for d, s in zip(doc_ids, scores)]
+        return [(m[int(d)], float(s) / scoring.U6)
+                for d, s in zip(doc_ids, scores)]
 
     # -- distributed path -------------------------------------------------
     def _compacted_tables_exist(self) -> bool:
@@ -1366,18 +1370,34 @@ class InvertedIndex:
                          .select("term").distinct().collect())}
         return present
 
-    def decoded_postings_df(self, terms=None):
+    def decoded_postings_df(self, terms=None, doc_range=None):
         """Posting payloads → (term, df, doc_id, tf, dl) DataFrame via an
         Arrow decode pass; filter pushed to the parquet scan. Fresh
         handles union the uncompacted partial segments and recompute
         df over the union (a per-term window on the already
-        term-filtered stream)."""
+        term-filtered stream).
+
+        ``doc_range=(lo, hi)``: prune posting ROWS whose
+        [first_doc_id, last_doc_id] span misses the range BEFORE the
+        decode — the same JVM-side range predicate the pruned boost
+        pass uses (:meth:`_boost_partials_df`). Point lookups (e.g.
+        one seed document's terms) then decode O(terms-in-doc) rows
+        instead of the whole index. The decoded output is a row-grain
+        SUPERSET of the range — callers still filter/join on doc_id.
+        Caveat: with ``doc_range`` set, the ``df`` column reflects only
+        in-range rows on fresh (merged-on-read) handles — range
+        callers must take df from the lexicon instead."""
         import pyarrow as pa
         from pyspark.sql import functions as F
 
         if self._compacted_tables_exist():
-            df = self.postings.select("term", "df", "doc_ids_vbyte",
-                                      "freqs_vbyte", "dls_vbyte")
+            df = self.postings
+            if doc_range is not None:
+                lo, hi = doc_range
+                df = df.where((F.col("first_doc_id") <= int(hi))
+                              & (F.col("last_doc_id") >= int(lo)))
+            df = df.select("term", "df", "doc_ids_vbyte",
+                           "freqs_vbyte", "dls_vbyte")
         else:   # never-compacted stream warehouse: partials only
             df = self.spark.createDataFrame(
                 [], "term string, df long, doc_ids_vbyte binary, "
@@ -1425,6 +1445,10 @@ class InvertedIndex:
         # (always VByte) and recompute df as the per-term union count
         if terms is not None:
             p = p.where(F.col("term").isin(list(terms)))
+        if doc_range is not None:
+            # partial segments carry no last_doc_id; the first-id
+            # bound alone still prunes segments past the range
+            p = p.where(F.col("first_doc_id") <= int(doc_range[1]))
         p = p.select("term", F.col("df_b").alias("df"),
                      F.col("doc_gaps_vb").alias("doc_ids_vbyte"),
                      F.col("tfs_vb").alias("freqs_vbyte"),
@@ -1633,13 +1657,14 @@ class InvertedIndex:
         for t, rs in by_term.items():
             if use_stored:
                 bf, bm, last = self._block_bounds(rs)
-                tub = float(rs[0]["term_upper_bound"])
+                tub = int(scoring.u6_np(
+                    float(rs[0]["term_upper_bound"])))
             else:
                 ba = self._computed_block_bounds(rs)
                 if ba is None:
                     return None
                 bf, bm, last = ba
-                tub = float(bm.max()) if bm.size else 0.0
+                tub = int(bm.max()) if bm.size else 0
             out[t] = (tub, bf, bm, last)
         return out
 
@@ -1660,9 +1685,9 @@ class InvertedIndex:
                            "doc_id", "left_semi")
         scored = ess.withColumn(
             "partial",
-            scoring.bm25_col(F.col("tf"), F.col("dl"), F.col("df"),
-                             F.lit(float(self.num_docs)),
-                             F.lit(self.avg_doc_len)))
+            scoring.bm25_u6_col(F.col("tf"), F.col("dl"), F.col("df"),
+                                F.lit(float(self.num_docs)),
+                                F.lit(self.avg_doc_len)))
         # the cap rides the SAME collect (limit cap+1): one Spark job
         # total for the essential phase — a separate count() would
         # re-evaluate the whole decode
@@ -1686,11 +1711,12 @@ class InvertedIndex:
             ids = np.array([r["doc_id"] for r in rows],
                            dtype=np.int64)
             accs = np.array([r["acc"] for r in rows],
-                            dtype=np.float64)
+                            dtype=np.int64)
             dls = np.array([r["dl"] for r in rows], dtype=np.int64)
             nts = np.array([r["nt"] for r in rows], dtype=np.int64)
         order = np.argsort(ids)
-        return (ids[order].astype(np.int64), accs[order],
+        return (ids[order].astype(np.int64),
+                accs[order].astype(np.int64),
                 dls[order].astype(np.int64), nts[order].astype(np.int64))
 
     def _boost_partials_df(self, terms, wanted_ids, wanted_dls,
@@ -1799,8 +1825,8 @@ class InvertedIndex:
                         continue
                     widx = np.flatnonzero(hitmask) + lo
                     idf = idf_map[r["term"]]
-                    s = scoring.factor_np(
-                        tf[m], wdls[widx], avg_dl) * idf
+                    s = scoring.u6_np(scoring.factor_np(
+                        tf[m], wdls[widx], avg_dl) * idf)
                     out_ids.append(wids[widx])
                     out_sc.append(s)
                     out_terms.append(
@@ -1818,10 +1844,10 @@ class InvertedIndex:
                     names=["doc_id", "partial",
                            "term" if emit_term else "hits"])
 
-        # a term's boost partial (factor * idf) is QUERY-INDEPENDENT,
-        # so the batch plan decodes each block once and fans the same
-        # rows out to every query containing the term
-        schema = ("doc_id long, partial double, "
+        # a term's boost partial (factor * idf, u6-quantized) is
+        # QUERY-INDEPENDENT, so the batch plan decodes each block once
+        # and fans the same rows out to every query containing the term
+        schema = ("doc_id long, partial long, "
                   + ("term string" if emit_term else "hits long"))
         return base.mapInArrow(boost, schema)
 
@@ -1960,7 +1986,8 @@ class InvertedIndex:
             return self.spark.createDataFrame(
                 [], "doc_no string, score double")
 
-        idf_map = {t: math.log(self.num_docs / float(dfs[t]))
+        idf_map = {t: float(np.log(float(self.num_docs)
+                                           / float(dfs[t])))
                    for t in boost}
         boost_df = self._boost_partials_df(
             boost, wanted_ids, wanted_dls, idf_map)
@@ -1970,24 +1997,28 @@ class InvertedIndex:
 
         kept = self.spark.createDataFrame(
             pd.DataFrame({"doc_id": wanted_ids.astype("int64"),
-                          "acc": wanted_acc.astype("float64")}))
+                          "acc": wanted_acc.astype("int64")}))
         totals = (boost_df.groupBy("doc_id")
                   .agg(F.sum("partial").alias("boost"),
                        F.sum("hits").alias("nb")))
         final = (kept.join(totals, "doc_id", "left")
                  .select("doc_id",
                          (F.col("acc")
-                          + F.coalesce(F.col("boost"), F.lit(0.0)))
-                         .alias("score"),
+                          + F.coalesce(F.col("boost"), F.lit(0)))
+                         .alias("score_u6"),
                          F.coalesce(F.col("nb"), F.lit(0))
                          .alias("nb")))
         if qtype == "AND":
             final = final.where(F.col("nb") == len(boost))
-        top = (final.groupBy("score")
+        # exact integer tie dedup (reference: min docId per distinct
+        # score), then the public double score = u6 / 1e6
+        top = (final.groupBy("score_u6")
                .agg(F.min("doc_id").alias("doc_id"))
-               .orderBy(F.desc("score")).limit(k))
+               .orderBy(F.desc("score_u6")).limit(k))
         return (self.docs.join(F.broadcast(top), "doc_id")
-                .select("doc_no", "score").orderBy(F.desc("score")))
+                .select("doc_no",
+                        (F.col("score_u6") / F.lit(1e6)).alias("score"))
+                .orderBy(F.desc("score")))
 
     def search_distributed(self, query: str, k: int = 20,
                            prune: bool = False,
@@ -2040,19 +2071,23 @@ class InvertedIndex:
                                      "doc_id", "left_semi")
         scored = exploded.withColumn(
             "partial",
-            scoring.bm25_col(F.col("tf"), F.col("dl"), F.col("df"),
-                             F.lit(float(self.num_docs)),
-                             F.lit(self.avg_doc_len)))
+            scoring.bm25_u6_col(F.col("tf"), F.col("dl"), F.col("df"),
+                                F.lit(float(self.num_docs)),
+                                F.lit(self.avg_doc_len)))
         agg = (scored.groupBy("doc_id")
-               .agg(F.sum("partial").alias("score"),
+               .agg(F.sum("partial").alias("score_u6"),
                     F.count("*").alias("nt")))
         if qtype == "AND":
             agg = agg.where(F.col("nt") == len(present))
-        # reference top-k semantics: min docId per distinct score
-        top = (agg.groupBy("score").agg(F.min("doc_id").alias("doc_id"))
-               .orderBy(F.desc("score")).limit(k))
+        # reference top-k semantics: min docId per distinct score —
+        # the dedup runs in the associative u6 integer domain
+        top = (agg.groupBy("score_u6")
+               .agg(F.min("doc_id").alias("doc_id"))
+               .orderBy(F.desc("score_u6")).limit(k))
         return (self.docs.join(F.broadcast(top), "doc_id")
-                .select("doc_no", "score").orderBy(F.desc("score")))
+                .select("doc_no",
+                        (F.col("score_u6") / F.lit(1e6)).alias("score"))
+                .orderBy(F.desc("score")))
 
     def batch_search_distributed(self, queries, k: int = 100,
                                  prune: bool = False):
@@ -2180,25 +2215,26 @@ class InvertedIndex:
         all_terms = {p[1] for p in parsed}
         exploded = self.decoded_postings_df(all_terms)
         scored = (exploded.join(F.broadcast(qterms), "term")
-                  .withColumn("partial", scoring.bm25_col(
+                  .withColumn("partial", scoring.bm25_u6_col(
                       F.col("tf"), F.col("dl"), F.col("df"),
                       F.lit(float(self.num_docs)),
                       F.lit(self.avg_doc_len))))
         agg = (scored.groupBy("qid", "qtype", "n_terms", "doc_id")
-               .agg(F.sum("partial").alias("score"),
+               .agg(F.sum("partial").alias("score_u6"),
                     F.count("*").alias("nt")))
         agg = agg.where((F.col("qtype") == "OR")
                         | (F.col("nt") == F.col("n_terms")))
-        # reference top-k per qid: min docId per distinct score, then
-        # the k highest scores
-        per_score = (agg.groupBy("qid", "score")
+        # reference top-k per qid: min docId per distinct (u6) score,
+        # then the k highest scores
+        per_score = (agg.groupBy("qid", "score_u6")
                      .agg(F.min("doc_id").alias("doc_id")))
-        w = Window.partitionBy("qid").orderBy(F.desc("score"))
+        w = Window.partitionBy("qid").orderBy(F.desc("score_u6"))
         top = (per_score.withColumn("rank", F.row_number().over(w))
                .where(F.col("rank") <= k))
         return (self.docs.select("doc_id", "doc_no")
                 .join(F.broadcast(top), "doc_id")
-                .select("qid", "rank", "doc_no", "score"))
+                .select("qid", "rank", "doc_no",
+                        (F.col("score_u6") / F.lit(1e6)).alias("score")))
 
     def _batch_distributed_pruned(self, parsed, qid_t, k):
         """Batch flavor of the two-phase pruned plan: ONE essential job
@@ -2258,7 +2294,7 @@ class InvertedIndex:
         ess_df = self.decoded_postings_df(
             {t for _q, t in qe_rows})
         scored = (ess_df.join(F.broadcast(qterms_ess), "term")
-                  .withColumn("partial", scoring.bm25_col(
+                  .withColumn("partial", scoring.bm25_u6_col(
                       F.col("tf"), F.col("dl"), F.col("df"),
                       F.lit(float(self.num_docs)),
                       F.lit(self.avg_doc_len))))
@@ -2280,7 +2316,7 @@ class InvertedIndex:
                 return None
             a_qids = [r["qid"] for r in rows]
             a_ids = np.array([r["doc_id"] for r in rows], np.int64)
-            a_acc = np.array([r["acc"] for r in rows], np.float64)
+            a_acc = np.array([r["acc"] for r in rows], np.int64)
             a_dl = np.array([r["dl"] for r in rows], np.int64)
 
         from .maxscore import kth_largest_distinct
@@ -2313,7 +2349,7 @@ class InvertedIndex:
             w_ids, w_acc, w_dl = ids[keep], accs[keep], dls[keep]
             prunable[qid] = (ess, boost)
             for d, a, dl in zip(w_ids, w_acc, w_dl):
-                wanted_rows.append((qid, int(d), float(a)))
+                wanted_rows.append((qid, int(d), int(a)))
                 union_ids[int(d)] = int(dl)
         if not prunable:
             return None
@@ -2328,7 +2364,8 @@ class InvertedIndex:
         u_dls = np.array([union_ids[int(d)] for d in u_ids], np.int64)
         boost_terms = sorted({t for _e, b in prunable.values()
                               for t in b})
-        idf_map = {t: math.log(self.num_docs / float(dfs[t]))
+        idf_map = {t: float(np.log(float(self.num_docs)
+                                           / float(dfs[t])))
                    for t in boost_terms}
         boost_df = self._boost_partials_df(
             boost_terms, u_ids, u_dls, idf_map, emit_term=True)
@@ -2346,16 +2383,17 @@ class InvertedIndex:
         final = (kept.join(contrib, ["qid", "doc_id"], "left")
                  .select("qid", "doc_id",
                          (F.col("acc")
-                          + F.coalesce(F.col("boost"), F.lit(0.0)))
-                         .alias("score")))
-        per_score = (final.groupBy("qid", "score")
+                          + F.coalesce(F.col("boost"), F.lit(0)))
+                         .alias("score_u6")))
+        per_score = (final.groupBy("qid", "score_u6")
                      .agg(F.min("doc_id").alias("doc_id")))
-        w = Window.partitionBy("qid").orderBy(F.desc("score"))
+        w = Window.partitionBy("qid").orderBy(F.desc("score_u6"))
         top = (per_score.withColumn("rank", F.row_number().over(w))
                .where(F.col("rank") <= k))
         out = (self.docs.select("doc_id", "doc_no")
                .join(F.broadcast(top), "doc_id")
-               .select("qid", "rank", "doc_no", "score"))
+               .select("qid", "rank", "doc_no",
+                       (F.col("score_u6") / F.lit(1e6)).alias("score")))
         return out, leftover
 
     # -- batch (TREC-run style) -------------------------------------------

@@ -52,6 +52,12 @@ def hash_split(df, id_col: str = "doc_id", seed: str = "split",
 
     weights = list(weights or
                    [("train", 0.9), ("valid", 0.05), ("test", 0.05)])
+    if any(w < 0 for _n, w in weights):
+        raise ValueError(f"negative split fraction in {weights}")
+    if sum(w for _n, w in weights[:-1]) > 1.0:
+        raise ValueError(
+            "split fractions before the residual last bucket exceed 1: "
+            f"{weights}")
     b = _bucket_col(F.col(id_col), seed)
     bounds, acc = [], 0.0
     for name, w in weights[:-1]:

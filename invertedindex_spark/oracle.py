@@ -75,6 +75,13 @@ class OracleIndex:
                                  + B_BM25 * (doc_len / self.avg_doc_len)))
                       + tf)) * math.log(self.num_docs / df)
 
+    def bm25_u6(self, doc_len: int, tf: int, df: int) -> int:
+        """The u6-quantized partial the engine kernels sum: integer
+        micro-units make per-doc accumulation associative, so the
+        reference's equal-score tie dedup is summation-order-proof
+        (functions/scoring.py U6 rationale)."""
+        return int(math.floor(self.bm25(doc_len, tf, df) * 1e6 + 0.5))
+
     def term_upper_bound(self, term) -> float:
         doc_ids, tfs = self.postings[term]
         df = len(doc_ids)
@@ -97,13 +104,13 @@ class OracleIndex:
                 return {}  # unknown term ⇒ AND returns nothing (:202-210)
         elif not present:
             return {}
-        scores: dict[int, float] = {}
+        scores: dict[int, int] = {}
         counts: dict[int, int] = {}
         for t in present:
             doc_ids, tfs = self.postings[t]
             df = len(doc_ids)
             for d, tf in zip(doc_ids, tfs):
-                scores[d] = scores.get(d, 0.0) + self.bm25(
+                scores[d] = scores.get(d, 0) + self.bm25_u6(
                     self.doc_lens[d], tf, df)
                 counts[d] = counts.get(d, 0) + 1
         if conjunctive:
@@ -112,18 +119,22 @@ class OracleIndex:
         return scores
 
     def topk(self, query: str, k: int = 20):
-        """Full reference pipeline: returns [(doc_no, score)] desc."""
+        """Full reference pipeline: returns [(doc_no, score)] desc,
+        score = u6 integer sum / 1e6 (the engine's public domain)."""
         qtype, terms = preprocess_query(
             query, stopwords=self.stopwords, stemming=self.stemming)
         scores = self._scores(terms, qtype == "AND")
-        return self.queue_select(scores, k)
+        return [(doc_no, s / 1e6)
+                for doc_no, s in self.queue_select(scores, k)]
 
     def queue_select(self, scores: dict[int, float], k: int):
         """Exact TreeSet<DocumentScore> simulation in ascending docId
         order (compareTo on score only ⇒ equal-score dedup; eviction of
-        the min; insert gated on size<k or score>min)."""
+        the min; insert gated on size<k or score>min). Domain-agnostic:
+        returns scores verbatim (:meth:`topk` feeds u6 integers and
+        converts; property tests feed raw floats)."""
         queue: list[tuple[float, int]] = []   # (score, doc_id)
-        in_queue: set[float] = set()
+        in_queue: set = set()
         for d in sorted(scores):
             s = scores[d]
             if len(queue) < k or s > queue[-1][0]:

@@ -204,8 +204,15 @@ def append_batch(spark, corpus_batch: Corpus, warehouse_dir: str,
         # pass and the docId pass see identical partitions AND row
         # order (_with_doc_ids derives ids from within-partition
         # position — same contract the narrow raw-derived staging
-        # gets from raw's persist)
-        staged = staged.persist(StorageLevel.MEMORY_AND_DISK)
+        # gets from raw's persist). persist alone pins order only
+        # while cached blocks survive: a recomputed partition
+        # (executor loss) re-fetches shuffle rows in nondeterministic
+        # order, and the offsets / docs / partials passes could then
+        # disagree on docId assignment. sortWithinPartitions makes the
+        # recompute order-deterministic without an extra shuffle
+        # (doc_no is unique per batch after the dedup joins).
+        staged = (staged.sortWithinPartitions("doc_no")
+                  .persist(StorageLevel.MEMORY_AND_DISK))
         staged_pinned = True
     offsets, num_docs, num_tokens, block_docs = B._partition_offsets(staged)
     if num_docs == 0:

@@ -199,3 +199,36 @@ def test_boilerplate_shingles_finds_shared_footer(spark):
     assert all("documentation" in r["shingle_text"]
                or "acme" in r["shingle_text"] for r in rows)
     assert sorted(r["rk"] for r in rows) == [1, 2]
+
+
+def test_boilerplate_shingles_high_cardinality_strata(spark):
+    """Winners must stay distributed: with one boilerplate family per
+    stratum across MANY strata, every stratum still surfaces its own
+    winners (the round-4 implementation collected winner rows to the
+    driver — 5x10^7 rows at a 10^7-domain grain; the rewrite keeps
+    them as a DataFrame through a single join)."""
+    import inspect
+
+    from invertedindex_spark.operators import dedup
+    from invertedindex_spark.operators.dedup import boilerplate_shingles
+
+    # structural guard: no driver materialization inside the operator
+    src = inspect.getsource(boilerplate_shingles)
+    assert ".collect()" not in src and ".toPandas()" not in src
+
+    n_strata = 120
+    rows = []
+    did = 0
+    for s_i in range(n_strata):
+        footer = f"shared footer line number {s_i} repeated across pages"
+        for d in range(3):
+            rows.append((did, f"doc body {did} " + footer, f"dom{s_i}"))
+            did += 1
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string")
+    out = boilerplate_shingles(docs, k=8, top=1, min_docs=3)
+    got = out.collect()
+    assert len(got) == n_strata
+    assert {r["source"] for r in got} == {f"dom{i}"
+                                          for i in range(n_strata)}
+    assert all(r["n_docs"] == 3 and r["rk"] == 1 for r in got)

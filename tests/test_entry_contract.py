@@ -12,6 +12,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entry_mod  # noqa: E402
 
+from invertedindex_spark import entry_queries as EQ  # noqa: E402
+
+# the driver runs the 50-entry registry; the extras registry (operators
+# folded out of the driver's 50-row cap) is verified HERE so nothing
+# loses its oracle check
+ALL_QUERIES = {**entry_mod.queries(), **EQ.extra_queries()}
+
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
 
@@ -42,12 +49,13 @@ def _rowset(cols, rows):
     return sorted(tuple(_norm(r[c]) for c in cols) for r in rows)
 
 
-@pytest.mark.parametrize("name", sorted(entry_mod.queries()))
+@pytest.mark.parametrize("name", sorted(ALL_QUERIES))
 def test_query_matches_oracle(name, spark, duck_views, sf001_dir):
-    q = entry_mod.queries()[name]
+    q = ALL_QUERIES[name]
     sdf = q(spark, sf001_dir)
     spark_rows = sdf.collect()
-    oracles = entry_mod.oracle_sql()
+    oracles = {**entry_mod.oracle_sql(),
+               **EQ.extra_oracle_sql(sf_dir=sf001_dir)}
     if name not in oracles:
         assert len(spark_rows) >= 0  # rows-only contract
         if name == "vbyte_roundtrip":

@@ -47,7 +47,8 @@ def _ref_topk(oracle, query, allowed_doc_nos, k=10):
     scores = oracle._scores(terms, qtype == "AND")
     scores = {d: s for d, s in scores.items()
               if oracle.doc_nos[d] in allowed_doc_nos}
-    return oracle.queue_select(scores, k)
+    return [(dn, s / 1e6)   # u6 → the engine's public float domain
+            for dn, s in oracle.queue_select(scores, k)]
 
 
 def _allowed(langs, pred):

@@ -76,7 +76,8 @@ def _ref_topk(oracle, doc_terms, phrase, k=10):
     scores = oracle._scores(set(phrase), False)   # OR accumulation
     scores = {d: s for d, s in scores.items()
               if oracle.doc_nos[d] in allowed}
-    return oracle.queue_select(scores, k)
+    return [(dn, s / 1e6)   # u6 → the engine's public float domain
+            for dn, s in oracle.queue_select(scores, k)]
 
 
 def _common_ngrams(doc_terms, n, want=6):

@@ -155,3 +155,15 @@ def test_ivfpq_layout_pruning_and_exactness(spark, tmp_path):
     whole = ann_pq_topk(df, cb, q, k=5, rerank=40, exclude_id=7)
     w_ids = {r["vec_id"] for r in whole.collect()}
     assert len(w_ids & set(got)) >= 3
+
+
+def test_more_like_this_seed_decode_is_range_filtered(spark, sf0001_dir):
+    """The more-like-this seed-term extraction must not decode the
+    whole postings table for one document (round-4 verdict #2): the
+    [first_doc_id, last_doc_id] range predicate has to reach the
+    parquet scan feeding the mapInArrow decode."""
+    idx = _index(spark, sf0001_dir)
+    dec = idx.decoded_postings_df(doc_range=(7, 7))
+    pushed = pushed_filters(dec)
+    assert any("first_doc_id" in f for f in pushed), pushed
+    assert any("last_doc_id" in f for f in pushed), pushed
