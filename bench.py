@@ -44,6 +44,80 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 ONLY = os.environ.get("BENCH_ONLY", "")  # comma-separated subset
+# interleaved A/B anchor: the previous round's HEAD. This host's noise
+# swings identical builds up to ~3x (verified by interleaved reruns in
+# round 4), so a recorded round-over-round delta is meaningless
+# without a same-window control — the harness clones this ref into
+# /tmp and alternates baseline/HEAD builds so both sample the same
+# noise distribution. "skip" disables the A/B (e.g. iterating
+# locally).
+AB_REF = os.environ.get("BENCH_BASELINE_REF", "bf26e0a")
+
+_AB_CHILD = """
+import sys, time, tempfile, shutil
+sys.path.insert(0, {clone!r})
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master('local[{cpus}]')
+         .config('spark.sql.shuffle.partitions', '{cpus}')
+         .config('spark.default.parallelism', '{cpus}')
+         .config('spark.sql.adaptive.enabled', 'true')
+         .config('spark.driver.memory', '24g')
+         .config('spark.ui.enabled', 'false')
+         .getOrCreate())
+from invertedindex_spark import IndexConfig, build_index, corpus
+# untimed warm-up build: the child JVM's first jobs pay classloading/
+# codegen warm-up that the in-process HEAD runs amortize across their
+# min-of-3 — timing it would bias the baseline upward
+warm = corpus.synthesize_source_code(spark, 2000, seed=1,
+        num_partitions=2, input_order=True)
+wh_w = tempfile.mkdtemp(prefix='iis_ab_warm_')
+build_index(spark, warm, wh_w, IndexConfig(num_blocks=2))
+shutil.rmtree(wh_w, ignore_errors=True)
+c = corpus.synthesize_source_code(spark, {n_docs}, seed=42,
+        num_partitions={parts}, input_order=True)
+c.df.cache().count()
+wh = tempfile.mkdtemp(prefix='iis_ab_wh_')
+t0 = time.perf_counter()
+build_index(spark, c, wh, IndexConfig(num_blocks={parts}))
+print('AB_BUILD_SEC', round(time.perf_counter() - t0, 4))
+shutil.rmtree(wh, ignore_errors=True)
+"""
+
+
+def _ab_baseline_runner(n_docs: int):
+    """Callable running ONE pinned prior-round build in a child
+    process (fresh JVM; Spark startup and corpus synthesis are
+    OUTSIDE the timed region), or None when the A/B cannot run (no
+    git, unknown ref)."""
+    import subprocess
+
+    clone = f"/tmp/iis_ab_{AB_REF}"
+    try:
+        if not os.path.isdir(os.path.join(clone, ".git")):
+            shutil.rmtree(clone, ignore_errors=True)
+            here = os.path.dirname(os.path.abspath(__file__))
+            subprocess.run(["git", "clone", "-q", "--shared", here,
+                            clone], check=True, timeout=120)
+        subprocess.run(["git", "-C", clone, "checkout", "-q", AB_REF],
+                       check=True, timeout=60)
+    except Exception:
+        return None
+    child = _AB_CHILD.format(clone=clone, cpus=CPUS, n_docs=n_docs,
+                             parts=CPUS * 2)
+
+    def one():
+        try:
+            r = subprocess.run([sys.executable, "-c", child],
+                               capture_output=True, text=True,
+                               timeout=900)
+            for line in r.stdout.splitlines():
+                if line.startswith("AB_BUILD_SEC"):
+                    return float(line.split()[1])
+        except Exception:
+            pass
+        return None
+
+    return one
 
 
 def sf_value(sf_dir: str) -> float:
@@ -119,17 +193,35 @@ def main():
             shutil.rmtree(wh, ignore_errors=True)
 
         if not ONLY or "index_build" in ONLY.split(","):
-            # min of 3 runs: the sandbox VM shares a host with bursty
-            # neighbors (observed 33s vs 56s for identical runs);
-            # run 1 also absorbs JVM/codegen warm-up
-            runs = []
+            # INTERLEAVED A/B vs the pinned prior-round ref: this host
+            # swings identical builds ~3x, so HEAD's number only means
+            # something next to a same-window control. Alternate
+            # baseline-child / HEAD builds, report both per-run arrays
+            # and the min-ratio. Falls back to plain min-of-3 when the
+            # clone is unavailable.
+            ab_one = (None if AB_REF == "skip"
+                      else _ab_baseline_runner(n_docs))
+            runs, base_runs = [], []
             for _ in range(3):
+                if ab_one is not None:
+                    b = ab_one()
+                    if b is not None:
+                        base_runs.append(b)
                 clear_wh()
                 t0 = time.perf_counter()
                 build()
                 runs.append(round(time.perf_counter() - t0, 4))
             timings["index_build"] = min(runs)
             extras["index_build_runs"] = runs
+            extras["index_build_noise"] = round(
+                (max(runs) - min(runs)) / max(min(runs), 1e-9), 3)
+            if base_runs:
+                extras["ab_baseline"] = {
+                    "ref": AB_REF, "interleaved": True,
+                    "baseline_runs": base_runs,
+                    "head_runs": runs,
+                    "min_ratio_head_over_baseline": round(
+                        min(runs) / min(base_runs), 3)}
         else:
             clear_wh()
             build()  # queries need the warehouse either way

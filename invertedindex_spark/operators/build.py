@@ -74,7 +74,10 @@ class IndexConfig:
     # absolute anchor at every document boundary, in a sidecar table
     # aligned row-for-row with the postings (same (term, grp) rows,
     # same doc order, same term-hash buckets). Enables PHRASE queries.
-    # Batch builds only; streaming appends refuse it.
+    # Streaming appends maintain a pos_partials sidecar with the same
+    # deterministic block ids; compaction folds it next to the
+    # postings (streaming/incremental._compact_positions), and fresh
+    # handles serve PHRASE from the uncompacted segments.
     positions: bool = False
     # per-merge-task compressed payload budget: the term-merge shuffle
     # partition count is raised above num_blocks whenever the partial

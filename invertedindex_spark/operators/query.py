@@ -208,6 +208,14 @@ class InvertedIndex:
         # init-time block high-water mark so the handle serves one
         # consistent snapshot until refresh()
         self._fresh_upto_block = (stream or {}).get("next_block_id")
+        if not self.has_positions and self.fresh and bool(
+                (manifest.get("stages", {}).get("pos_partials") or {})
+                .get("done")):
+            # stream warehouse whose positional sidecar has not been
+            # compacted yet: fresh handles serve PHRASE from the
+            # pos_partials segments (merged-on-read, the same
+            # block-window as the postings partials)
+            self.has_positions = True
 
     def _read_manifest(self) -> dict:
         if self.io_mode == "local":
@@ -823,10 +831,39 @@ class InvertedIndex:
             raise RuntimeError(
                 "PHRASE queries need the positional sidecar — rebuild "
                 "with IndexConfig(positions=True)")
-        if self.fresh:
-            raise RuntimeError(
-                "PHRASE queries are not served by fresh (merged-on-"
-                "read) handles: streaming appends carry no positions")
+
+    def _compacted_positions_exist(self) -> bool:
+        if self.io_mode == "local":
+            return os.path.isdir(f"{self.warehouse_dir}/positions")
+        return self.has_positions
+
+    def _fresh_pos_rows(self, terms):
+        """Positional segments from uncompacted pos_partials blocks —
+        the merged-on-read twin of :meth:`_fresh_partial_rows`, same
+        snapshot window. Streams are always VByte with per-doc
+        absolute anchors, so they concatenate with compacted rows by
+        plain byte append once sorted by first_doc_id."""
+        out: dict[str, list] = {}
+        if (not self.fresh or not terms or not os.path.isdir(
+                f"{self.warehouse_dir}/pos_partials")):
+            return out
+        import pyarrow.dataset as ds
+
+        dataset = ds.dataset(f"{self.warehouse_dir}/pos_partials",
+                             format="parquet", partitioning="hive")
+        filt = ds.field("term").isin(list(terms))
+        if self._fresh_from_block > 0:
+            filt = filt & (ds.field("block_id")
+                           >= self._fresh_from_block)
+        if self._fresh_upto_block is not None:
+            filt = filt & (ds.field("block_id")
+                           < self._fresh_upto_block)
+        rows = dataset.to_table(
+            columns=["term", "first_doc_id", "n_pos", "pos_vb"],
+            filter=filt).to_pylist()
+        for r in rows:
+            out.setdefault(r["term"], []).append(r)
+        return out
 
     def _local_positions(self):
         if self._pos_ds is None:
@@ -843,7 +880,9 @@ class InvertedIndex:
         cols = ["term", "first_doc_id", "n_pos", "pos_vb"]
         if not terms:
             return {}
-        if self.io_mode == "local":
+        if not self._compacted_positions_exist():
+            rows = []   # never-compacted stream warehouse: fresh only
+        elif self.io_mode == "local":
             import pyarrow.dataset as ds
 
             rows = (self._local_positions()
@@ -860,7 +899,12 @@ class InvertedIndex:
         by_term: dict[str, list] = {}
         for r in rows:
             by_term.setdefault(r["term"], []).append(r)
+        for t, rs in self._fresh_pos_rows(terms).items():
+            by_term.setdefault(t, []).extend(rs)
         for rs in by_term.values():
+            # appended segments' docId ranges are disjoint and later
+            # than every compacted row, so this sort keeps the
+            # concatenated per-doc runs aligned with _fetch_rows
             rs.sort(key=lambda r: r["first_doc_id"])
         return by_term
 
@@ -1337,6 +1381,21 @@ class InvertedIndex:
         return (not self.fresh
                 or os.path.isdir(f"{self.warehouse_dir}/postings"))
 
+    def _fresh_pos_partials_sdf(self):
+        """Uncompacted pos_partials blocks as a Spark DataFrame (same
+        block window as :meth:`_fresh_partials_sdf`), or None."""
+        if (not self.fresh or not os.path.isdir(
+                f"{self.warehouse_dir}/pos_partials")):
+            return None
+        from pyspark.sql import functions as F
+
+        p = self.spark.read.parquet(f"{self.warehouse_dir}/pos_partials")
+        if self._fresh_from_block > 0:
+            p = p.where(F.col("block_id") >= self._fresh_from_block)
+        if self._fresh_upto_block is not None:
+            p = p.where(F.col("block_id") < self._fresh_upto_block)
+        return p
+
     def _fresh_partials_sdf(self):
         """The uncompacted partial blocks as a Spark DataFrame, or
         None when this handle has no fresh tail — the ONE definition
@@ -1498,13 +1557,41 @@ class InvertedIndex:
         from pyspark.sql import functions as F
 
         self._require_positions()
-        post = (self.postings
-                .where(F.col("term").isin(list(terms)))
-                .select("term", "grp", "doc_ids_vbyte", "freqs_vbyte"))
-        pos = (self.positions
-               .where(F.col("term").isin(list(terms)))
-               .select("term", "grp", "pos_vb"))
-        df = post.join(pos, ["term", "grp"])
+        if (self._compacted_positions_exist()
+                and self._compacted_tables_exist()):
+            post = (self.postings
+                    .where(F.col("term").isin(list(terms)))
+                    .select("term", "grp", "doc_ids_vbyte",
+                            "freqs_vbyte"))
+            pos = (self.positions
+                   .where(F.col("term").isin(list(terms)))
+                   .select("term", "grp", "pos_vb"))
+            df = (post.join(pos, ["term", "grp"]).drop("grp")
+                  .select("term", "doc_ids_vbyte", "freqs_vbyte",
+                          "pos_vb", F.lit(False).alias("is_partial")))
+        else:   # never-compacted stream warehouse
+            df = self.spark.createDataFrame(
+                [], "term string, doc_ids_vbyte binary, "
+                    "freqs_vbyte binary, pos_vb binary, "
+                    "is_partial boolean")
+        pp = self._fresh_pos_partials_sdf()
+        if pp is not None:
+            # fresh tail: pair each postings partial segment with its
+            # positional sibling on (term, block_id) — both were
+            # written from the same staged partition, so streams align
+            # run-for-run. Partial streams are always VByte.
+            p = self._fresh_partials_sdf()
+            part = (p.where(F.col("term").isin(list(terms)))
+                    .select("term", "block_id",
+                            F.col("doc_gaps_vb").alias("doc_ids_vbyte"),
+                            F.col("tfs_vb").alias("freqs_vbyte"))
+                    .join(pp.where(F.col("term").isin(list(terms)))
+                          .select("term", "block_id", "pos_vb"),
+                          ["term", "block_id"])
+                    .drop("block_id")
+                    .select("term", "doc_ids_vbyte", "freqs_vbyte",
+                            "pos_vb", F.lit(True).alias("is_partial")))
+            df = df.unionByName(part)
         use_pfd = self.codec == "pfd"
 
         def decode(iterator):
@@ -1513,10 +1600,12 @@ class InvertedIndex:
                 ids_b = batch.column("doc_ids_vbyte").to_pylist()
                 tf_b = batch.column("freqs_vbyte").to_pylist()
                 pv_b = batch.column("pos_vb").to_pylist()
+                ip_b = batch.column("is_partial").to_pylist()
                 id_out, off_out, flat_out = [], [], []
-                for ib, fb, pb in zip(ids_b, tf_b, pv_b):
-                    d = codec.gap_decode(stream_dec(ib))
-                    tf = stream_dec(fb)
+                for ib, fb, pb, ip in zip(ids_b, tf_b, pv_b, ip_b):
+                    dec = codec.vbyte_decode if ip else stream_dec
+                    d = codec.gap_decode(dec(ib))
+                    tf = dec(fb)
                     vals = codec.vbyte_decode(pb)
                     if vals.size != int(tf.sum()):
                         raise ValueError(

@@ -154,16 +154,6 @@ def append_batch(spark, corpus_batch: Corpus, warehouse_dir: str,
     # same fail-fast seam as build_index: never write data in a format
     # the session can't actually produce, nor record one in the manifest
     B.check_table_format(spark, cfg)
-    if cfg.positions:
-        # the positional sidecar is batch-build only so far: appends
-        # would have to extend both payload families in lockstep and
-        # compaction would have to re-concatenate them identically —
-        # fail fast rather than serve a positions table that silently
-        # stops covering appended documents
-        raise ValueError(
-            "positions=True is batch-build only; streaming appends do "
-            "not maintain the positional sidecar — build_index() the "
-            "corpus instead, or drop positions from the config")
     if "stream" not in manifest and B._stage_done(manifest, "docs"):
         raise ValueError(
             "warehouse was batch-built (docs stage committed without "
@@ -255,6 +245,21 @@ def append_batch(spark, corpus_batch: Corpus, warehouse_dir: str,
     manifest["partials_format"] = B.PARTIALS_FORMAT_VERSION
     manifest["stages"] = manifest.get("stages") or {}
     manifest["stages"]["partials"] = {"done": True}
+    if cfg.positions:
+        # the positional sidecar rides the SAME staged pass and the
+        # same deterministic block ids, so appends and crash replays
+        # keep it aligned row-for-row with the postings partials
+        # (build.py _build_pos_partials invariants)
+        pos_partials = B._build_pos_partials(
+            staged_ids.select("doc_id", "terms"))
+        pos_partials = pos_partials.withColumn(
+            "block_id",
+            (F.col("block_id") + F.lit(block_base)).cast("int"))
+        (pos_partials.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("block_id")
+         .parquet(os.path.join(warehouse_dir, "pos_partials")))
+        manifest["stages"]["pos_partials"] = {"done": True}
     raw.unpersist()
     if staged_pinned:
         staged.unpersist()
@@ -308,6 +313,87 @@ def _link_tree(src_dir: str, dst_dir: str) -> int:
     return total
 
 
+def _compact_positions(spark, cfg, manifest, paths, metrics,
+                       incremental, affected, aff_buckets):
+    """Positional-sidecar twin of the postings compaction branches:
+    full mode re-concatenates every pos_partials segment onto the
+    postings' term-hash bucket grid; incremental mode re-merges ONLY
+    the affected terms' segments, passes untouched position rows
+    through verbatim and hardlinks the unaffected buckets — the same
+    hardlink-dominance shape as the postings (positions never carry
+    score bounds, so there is nothing to go stale)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    n_buckets = (manifest.get("postings_buckets")
+                 or spark.sparkContext.defaultParallelism)
+    pos_partials = spark.read.parquet(paths["pos_partials"])
+    # positional payload is every token occurrence — size the merge
+    # from ITS bytes, rounded onto the bucket grid (build.py does the
+    # same for batch builds)
+    n_pos_merge = B.auto_merge_partitions(
+        paths["pos_partials"], spark.sparkContext.defaultParallelism,
+        cfg)
+    n_pos_merge = -(-max(n_pos_merge, n_buckets) // n_buckets) \
+        * n_buckets
+    pos_done = B._stage_done(manifest, "positions", paths["positions"])
+    if incremental and pos_done:
+        aff_pos = pos_partials.join(affected, "term", "left_semi")
+        pos_merged = B._merge_pos_partials(aff_pos, cfg, n_pos_merge)
+        old_pos = spark.read.parquet(paths["positions"])
+        tmp = paths["positions"] + "_compact_tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        if aff_buckets is not None and "bucket" in old_pos.columns:
+            if aff_buckets:
+                passthrough = (old_pos.where(F.col("bucket")
+                                             .isin(aff_buckets))
+                               .join(affected, "term", "left_anti")
+                               .drop("bucket"))
+                out = (passthrough.unionByName(pos_merged)
+                       .withColumn("bucket",
+                                   F.pmod(F.hash("term"),
+                                          F.lit(n_buckets))))
+                (out.write.mode("overwrite")
+                 .option("parquet.block.size", 2 * 1024 * 1024)
+                 .partitionBy("bucket").parquet(tmp))
+            else:
+                os.makedirs(tmp, exist_ok=True)
+            linked = 0
+            for d in os.listdir(paths["positions"]):
+                if not d.startswith("bucket="):
+                    continue
+                if int(d.split("=", 1)[1]) in aff_buckets:
+                    continue
+                linked += _link_tree(
+                    os.path.join(paths["positions"], d),
+                    os.path.join(tmp, d))
+            metrics["positions_linked_payload_bytes"] = linked
+        else:
+            # legacy/unbucketed positions table: verbatim pass-through
+            # still avoids decode; bytes rewrite once
+            out = (old_pos.drop("bucket")
+                   .join(affected, "term", "left_anti")
+                   .unionByName(pos_merged)
+                   .withColumn("bucket", F.pmod(F.hash("term"),
+                                                F.lit(n_buckets))))
+            (out.write.mode("overwrite")
+             .option("parquet.block.size", 2 * 1024 * 1024)
+             .partitionBy("bucket").parquet(tmp))
+        shutil.rmtree(paths["positions"], ignore_errors=True)
+        os.rename(tmp, paths["positions"])
+        metrics["positions_mode"] = "incremental"
+    else:
+        pos_merged = B._merge_pos_partials(pos_partials, cfg,
+                                           n_pos_merge)
+        (pos_merged.withColumn("bucket", F.pmod(F.hash("term"),
+                                                F.lit(n_buckets)))
+         .write.mode("overwrite")
+         .option("parquet.block.size", 2 * 1024 * 1024)
+         .partitionBy("bucket").parquet(paths["positions"]))
+        metrics["positions_mode"] = "full"
+
+
 def compact(spark, warehouse_dir: str,
             cfg: B.IndexConfig | None = None,
             incremental_threshold: float = 0.5) -> dict:
@@ -346,7 +432,8 @@ def compact(spark, warehouse_dir: str,
     cfg = _resolve_cfg(manifest, cfg)
     B.check_table_format(spark, cfg)
     paths = {n: os.path.join(warehouse_dir, n)
-             for n in ("partials", "lexicon", "postings")}
+             for n in ("partials", "lexicon", "postings",
+                       "pos_partials", "positions")}
     # compaction cannot regenerate partials (the corpus batches are
     # gone) — a stale block format must fail loudly, not decode garbage
     B.check_partials_format(manifest, strict=True,
@@ -369,6 +456,13 @@ def compact(spark, warehouse_dir: str,
     # compaction (the partials below are the source of truth)
     shutil.rmtree(paths["postings"] + "_compact_tmp",
                   ignore_errors=True)
+    shutil.rmtree(paths["positions"] + "_compact_tmp",
+                  ignore_errors=True)
+    if cfg.positions and not os.path.isdir(paths["pos_partials"]):
+        raise ValueError(
+            "positions=True but the pos_partials blocks are missing — "
+            "compaction re-concatenates positional segments and cannot "
+            "run without them; rebuild the warehouse instead")
     partials = spark.read.parquet(paths["partials"])
     state = manifest.get("stream", {})
     prev_hwm = state.get("compacted_through_block")
@@ -381,6 +475,7 @@ def compact(spark, warehouse_dir: str,
         paths["partials"], spark.sparkContext.defaultParallelism, cfg)
 
     affected = None
+    aff_buckets = None
     incremental = (prev_hwm is not None
                    and cfg.merge_width is None
                    and B._stage_done(manifest, "postings",
@@ -497,6 +592,9 @@ def compact(spark, warehouse_dir: str,
              .write.mode("overwrite")
              .option("parquet.block.size", 2 * 1024 * 1024)
              .partitionBy("bucket").parquet(paths["postings"]))
+        if cfg.positions:
+            _compact_positions(spark, cfg, manifest, paths, metrics,
+                               incremental, affected, aff_buckets)
     finally:
         if affected is not None:
             affected.unpersist()
@@ -514,7 +612,10 @@ def compact(spark, warehouse_dir: str,
     if os.path.isdir(paths["postings"]):
         B.write_rg_index(spark, warehouse_dir)
         manifest.setdefault("stages", {})["rg_index"] = {"done": True}
-    for s in ("docs", "stats", "partials", "lexicon", "postings"):
+    done_stages = ["docs", "stats", "partials", "lexicon", "postings"]
+    if cfg.positions:
+        done_stages += ["pos_partials", "positions"]
+    for s in done_stages:
         manifest["stages"][s] = {"done": True}
     # the strict check at entry proved (or adopted) the current format;
     # stamp it so marking partials done cannot orphan a legacy manifest

@@ -62,13 +62,46 @@ try:
     t0 = time.perf_counter()
     m = build_index(spark, src, wh, IndexConfig(num_blocks=64))
     dt = time.perf_counter() - t0
+
+    # distributed-pruned query path at this parallelism: the two-phase
+    # threshold-broadcast plan (essential job + selective boost pass)
+    from invertedindex_spark import InvertedIndex
+    idx = InvertedIndex(spark, wh, io_mode="spark")
+    qs = ["OR hotterm quick brown", "OR optimization throughput latency",
+          "OR partition shuffle broadcast", "OR import return public",
+          "OR alpha beta gamma delta", "OR schema column filter"]
+    idx.search_distributed(qs[0], k=10, prune=True).collect()  # warm
+    tq = time.perf_counter()
+    for q in qs:
+        idx.search_distributed(q, k=10, prune=True).collect()
+    dq = time.perf_counter() - tq
+
+    # curation-family operator at this parallelism: MinHash-LSH
+    # near-dup pairs (signature pass + band-bucket join — the dedup
+    # scale shape)
+    import random as _random
+    from pyspark.sql import functions as F
+    from invertedindex_spark.operators.dedup import (
+        MERSENNE31, minhash_lsh_pairs)
+    _rng = _random.Random(7)
+    perms = [(_rng.randrange(1, MERSENNE31),
+              _rng.randrange(0, MERSENNE31)) for _ in range(16)]
+    docs = (spark.read.parquet(path)
+            .select(F.xxhash64("repo", "path", "commit")
+                    .alias("doc_id"),
+                    F.col("content").alias("text")))
+    tc = time.perf_counter()
+    minhash_lsh_pairs(docs, perms, n_bands=4, band_width=4).count()
+    dc = time.perf_counter() - tc
 except BaseException:
     shutil.rmtree(wh, ignore_errors=True)
     raise
 print(json.dumps({"cpus": cpus,
                   "docs": m["stats"]["num_docs"],
                   "secs": round(dt, 2),
-                  "docs_per_sec": round(m["stats"]["num_docs"] / dt, 1)}))
+                  "docs_per_sec": round(m["stats"]["num_docs"] / dt, 1),
+                  "query_pruned_secs": round(dq, 2),
+                  "minhash_lsh_secs": round(dc, 2)}))
 shutil.rmtree(wh, ignore_errors=True)   # a 2M-doc warehouse per rep adds up
 spark.stop()
 """
@@ -106,10 +139,23 @@ def main():
     t_lo, t_hi = results[0]["secs"], results[1]["secs"]
     speedup = t_lo / t_hi
     eff = speedup / (hi / lo)
+    # per-component efficiency: each component's min across reps at
+    # each level (components are timed inside the same child runs)
+    comp_eff = {}
+    for key, label in (("query_pruned_secs", "query_pruned"),
+                       ("minhash_lsh_secs", "minhash_lsh")):
+        lo_min = min(r[key] for r in runs[lo] if key in r)
+        hi_min = min(r[key] for r in runs[hi] if key in r)
+        comp_eff[label] = {
+            f"local{lo}_secs": round(lo_min, 2),
+            f"local{hi}_secs": round(hi_min, 2),
+            "speedup": round(lo_min / hi_min, 2),
+            "efficiency": round((lo_min / hi_min) / (hi / lo), 3)}
     report = {"n_docs_input": n, f"local{lo}": results[0],
               f"local{hi}": results[1],
               "speedup": round(speedup, 2),
-              "scaling_efficiency": round(eff, 3)}
+              "scaling_efficiency": round(eff, 3),
+              "components": comp_eff}
     print(json.dumps(report))
     md_dir = os.path.join(REPO, "BENCH")
     os.makedirs(md_dir, exist_ok=True)
@@ -125,12 +171,14 @@ parallelism levels on the same machine — the sandbox proxy for the
 north rule's N vs 4N executors (local[{lo}] vs local[{hi}]; the larger
 run's JVM threads + Python workers still fit the 32 physical cores).
 
-| parallelism | wall (s) | docs/s |
-|---|---|---|
-| local[{lo}]  | {t_lo} | {results[0]['docs_per_sec']} |
-| local[{hi}] | {t_hi} | {results[1]['docs_per_sec']} |
+| component | local[{lo}] (s) | local[{hi}] (s) | speedup | efficiency |
+|---|---|---|---|---|
+| index build | {t_lo} | {t_hi} | {speedup:.2f}× | {eff:.3f} |
+| distributed-pruned queries (6) | {comp_eff['query_pruned']['local%d_secs' % lo]} | {comp_eff['query_pruned']['local%d_secs' % hi]} | {comp_eff['query_pruned']['speedup']:.2f}× | {comp_eff['query_pruned']['efficiency']:.3f} |
+| minhash-lsh near-dup | {comp_eff['minhash_lsh']['local%d_secs' % lo]} | {comp_eff['minhash_lsh']['local%d_secs' % hi]} | {comp_eff['minhash_lsh']['speedup']:.2f}× | {comp_eff['minhash_lsh']['efficiency']:.3f} |
 
-speedup {lo}→{hi} = **{speedup:.2f}×**, scaling efficiency =
+build docs/s: local[{lo}] {results[0]['docs_per_sec']} → local[{hi}]
+{results[1]['docs_per_sec']}. Headline (build) scaling efficiency =
 speedup/{hi / lo:g} = **{eff:.3f}** (north-rule target ≥ 0.8).
 """)
     print(f"wrote {path}")

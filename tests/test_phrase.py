@@ -14,6 +14,7 @@ engine extension (see ``IndexConfig.positions``).
 """
 
 import collections
+import os
 
 import numpy as np
 import pytest
@@ -207,13 +208,99 @@ def test_phrase_requires_positions(spark, tmp_path):
         idx.batch_search([(1, "PHRASE data table")], k=5)
 
 
-def test_append_batch_refuses_positions(spark, tmp_path):
-    wh = str(tmp_path / "stream")
-    c = corpus.synthesize_source_code(spark, 20, seed=4,
-                                      num_partitions=2)
-    with pytest.raises(ValueError, match="batch-build only"):
-        append_batch(spark, c, wh,
-                     IndexConfig(num_blocks=2, positions=True))
+def test_phrase_on_stream_warehouse(spark, tmp_path):
+    """PHRASE on a STREAM warehouse, end to end: appends maintain a
+    pos_partials sidecar, FRESH handles serve phrase from the
+    uncompacted segments (driver and distributed paths), compaction
+    folds positions next to the postings (full then incremental with
+    hardlinked untouched buckets), and the final index is
+    phrase-rank-identical to a from-scratch batch build."""
+    import json
+
+    from invertedindex_spark.streaming import compact
+
+    cfg = IndexConfig(num_blocks=3, positions=True)
+    n = 180
+    rows = corpus.synthesize_source_code_rows(n, seed=11)
+    srt = sorted(rows, key=lambda x: (x[0], x[1], x[2]))
+    # rare-vocab tail that sorts after every synth row: drives the
+    # INCREMENTAL compaction path and carries its own phrase
+    extra = [("zzzrepo", f"src/p_{i:02d}.py", "c0",
+              f"zzzrepo:src/p_{i:02d}.py@c0",
+              "quokka wombat zebra quokka wombat")
+             for i in range(10)]
+
+    wh_batch = str(tmp_path / "pbatch")
+    build_index(spark, corpus.from_source_code(
+        spark.createDataFrame(srt + extra, corpus._CORPUS_SCHEMA)),
+        wh_batch, cfg)
+    bi = InvertedIndex(spark, wh_batch)
+    doc_terms = _doc_term_lists(srt + extra)
+    phrases = (_common_ngrams(doc_terms, 2, want=3)
+               + _common_ngrams(doc_terms, 3, want=2))
+
+    wh_inc = str(tmp_path / "pinc")
+    for lo in range(0, n, 60):
+        df = spark.createDataFrame(srt[lo:lo + 60],
+                                   corpus._CORPUS_SCHEMA)
+        append_batch(spark, corpus.from_source_code(df), wh_inc, cfg,
+                     blocks_per_batch=3)
+
+    # FRESH, never compacted: phrase must come entirely from the
+    # pos_partials segments; reference = batch build over the same
+    # first-n collection (identical stats and docIds)
+    wh_b1 = str(tmp_path / "pbatch1")
+    build_index(spark, corpus.from_source_code(
+        spark.createDataFrame(srt, corpus._CORPUS_SCHEMA)),
+        wh_b1, cfg)
+    b1 = InvertedIndex(spark, wh_b1)
+    fresh = InvertedIndex(spark, wh_inc, fresh=True)
+    for ph in phrases:
+        q = "PHRASE " + " ".join(ph)
+        want = b1.search(q, k=10)
+        got = fresh.search(q, k=10)
+        assert [g[0] for g in got] == [w[0] for w in want], ph
+        for (_gd, gs), (_wd, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, rel=1e-12), ph
+        dist = [(r["doc_no"], r["score"]) for r in
+                fresh.search_distributed(q, k=10).collect()]
+        assert [d for d, _ in dist] == [w[0] for w in want], ph
+
+    compact(spark, wh_inc, cfg)   # first compaction: full
+    with open(os.path.join(wh_inc, "_manifest.json")) as f:
+        m = json.load(f)["metrics"]["last_compaction"]
+    assert m["positions_mode"] == "full"
+
+    append_batch(spark, corpus.from_source_code(
+        spark.createDataFrame(extra, corpus._CORPUS_SCHEMA)),
+        wh_inc, cfg, blocks_per_batch=1)
+    # fresh tail over a COMPACTED positions table + new segments
+    fresh2 = InvertedIndex(spark, wh_inc, fresh=True)
+    got = fresh2.search("PHRASE quokka wombat", k=10)
+    want = bi.search("PHRASE quokka wombat", k=10)
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for (_gd, gs), (_wd, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, rel=1e-12)
+
+    compact(spark, wh_inc, cfg)   # second: incremental + hardlinks
+    with open(os.path.join(wh_inc, "_manifest.json")) as f:
+        m = json.load(f)["metrics"]["last_compaction"]
+    assert m["mode"] == "incremental", m
+    assert m["positions_mode"] == "incremental", m
+    assert m.get("positions_linked_payload_bytes", 0) > 0, m
+
+    ii = InvertedIndex(spark, wh_inc)
+    for ph in phrases + [["quokka", "wombat"],
+                         ["quokka", "wombat", "zebra"]]:
+        q = "PHRASE " + " ".join(ph)
+        want = bi.search(q, k=10)
+        got = ii.search(q, k=10)
+        assert [g[0] for g in got] == [w[0] for w in want], ph
+        for (_gd, gs), (_wd, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, rel=1e-12), ph
+        dist = [(r["doc_no"], r["score"]) for r in
+                ii.search_distributed(q, k=10).collect()]
+        assert [d for d, _ in dist] == [w[0] for w in want], ph
 
 
 def test_adding_positions_rebuilds_group(spark, tmp_path):
