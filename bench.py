@@ -51,7 +51,25 @@ ONLY = os.environ.get("BENCH_ONLY", "")  # comma-separated subset
 # /tmp and alternates baseline/HEAD builds so both sample the same
 # noise distribution. "skip" disables the A/B (e.g. iterating
 # locally).
-AB_REF = os.environ.get("BENCH_BASELINE_REF", "bf26e0a")
+
+
+def _default_ab_ref() -> str:
+    """Most recent end-of-round commit (the driver commits each round
+    as 'round N: ...'), so the baseline auto-advances to the previous
+    round's HEAD without per-round edits; literal fallback = round 4."""
+    import subprocess
+
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        r = subprocess.run(
+            ["git", "-C", here, "log", "--grep", "^round ", "-n", "1",
+             "--format=%h"], capture_output=True, text=True, timeout=30)
+        return r.stdout.strip() or "bf26e0a"
+    except Exception:
+        return "bf26e0a"
+
+
+AB_REF = os.environ.get("BENCH_BASELINE_REF") or _default_ab_ref()
 
 _AB_CHILD = """
 import sys, time, tempfile, shutil

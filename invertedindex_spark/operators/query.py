@@ -363,9 +363,11 @@ class InvertedIndex:
                     .to_table(filter=ds.field("term").isin(list(terms)))
                     .to_pylist())
             return {r["term"]: r for r in rows}
-        rows = (self.lexicon
-                .where(self.lexicon.term.isin(list(terms)))
-                .collect())
+        # bind ONE DataFrame instance: self.lexicon re-reads the
+        # parquet per property call, and an attribute taken from a
+        # second instance fails analysis against the first
+        lex = self.lexicon
+        rows = lex.where(lex["term"].isin(list(terms))).collect()
         return {r["term"]: r for r in rows}
 
     def _term_row_groups(self):

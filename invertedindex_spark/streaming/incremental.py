@@ -112,6 +112,204 @@ def _check_docs_layout(manifest: dict, warehouse_dir: str) -> None:
     manifest["docs_layout"] = DOCS_LAYOUT_VERSION
 
 
+# ---------------------------------------------------------------------
+# bloom-filter sidecar for dedup-on-ingest
+# ---------------------------------------------------------------------
+# The exact cross-batch dedup anti-joins every batch against a
+# column-pruned scan of ALL prior ingest partitions' sha column. That
+# scan is O(corpus) per batch — fine for micro-batches over a small
+# warehouse, the dominant cost at web scale. The standard fix (already
+# promised in append_batch's docstring) is a bloom filter rolled
+# forward per batch: bloom-NEGATIVE documents are definitely new and
+# skip the scan entirely; only bloom-positive candidates run the exact
+# anti-join (which stays the source of truth — the bloom can only
+# produce false POSITIVES, never drop a document wrongly).
+#
+# Layout: ``bloom/sha_bloom.npy`` (uint8 bit array) + manifest entry
+# {"m_bits", "k", "n_added"}. k bit positions come from k disjoint
+# 8-hex slices of the sha256 hex (independent uniform 32-bit values),
+# so membership is computable identically in NumPy batch code and in
+# any future engine. When the load factor passes m/16 bits-per-doc the
+# filter is rebuilt at 8x from the docs table's sha column (one
+# column-pruned scan, streamed to the driver in chunks — the amortized
+# dynamic-array pattern). Crash safety: bits are OR-idempotent and the
+# exact join verifies every positive, so replays and torn writes can
+# only cost speed, never correctness.
+
+BLOOM_K = 8
+BLOOM_INIT_BITS = 1 << 23          # 1 MiB to start
+BLOOM_BITS_PER_DOC = 16            # rebuild threshold (fpp ~ 5e-4)
+
+
+def _bloom_path(warehouse_dir: str) -> str:
+    return os.path.join(warehouse_dir, "bloom", "sha_bloom.npy")
+
+
+def _bloom_positions_np(shas, m_bits: int):
+    """Distinct bit positions for an array of 64-hex sha strings."""
+    import numpy as np
+
+    out = []
+    for i in range(BLOOM_K):
+        sl = [int(h[8 * i:8 * i + 8], 16) for h in shas]
+        out.append(np.asarray(sl, dtype=np.int64) % m_bits)
+    return np.unique(np.concatenate(out)) if out and len(shas) \
+        else np.zeros(0, dtype=np.int64)
+
+
+def _bloom_load(warehouse_dir: str, manifest: dict):
+    """(bits uint8 array, meta) or (None, None) when absent/invalid."""
+    import numpy as np
+
+    meta = manifest.get("bloom")
+    path = _bloom_path(warehouse_dir)
+    if not meta or not os.path.exists(path):
+        return None, None
+    try:
+        bits = np.load(path)
+    except Exception:
+        return None, None
+    if bits.dtype != np.uint8 or bits.size * 8 != meta.get("m_bits"):
+        return None, None
+    covered = meta.get("covered_through_block")
+    if covered is not None and covered != (
+            manifest.get("stream", {}).get("next_block_id", 0)):
+        return None, None   # gap (e.g. a dedup=False append) → reseed
+    return bits, meta
+
+
+def _bloom_save(warehouse_dir: str, bits) -> None:
+    import numpy as np
+
+    path = _bloom_path(warehouse_dir)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp.npy"
+    np.save(open(tmp, "wb"), bits)
+    os.replace(tmp, path)
+
+
+def _bloom_add_df(spark, warehouse_dir, manifest, sha_df,
+                  covered_block: int) -> None:
+    """OR the shas of ``sha_df`` (one string column named
+    content_sha256) into the sidecar, creating it when absent and
+    rebuilding at 8x from the docs table when the load factor passes
+    BLOOM_BITS_PER_DOC. Bit positions are computed distributed and
+    streamed to the driver partition-by-partition (never one giant
+    collect)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    bits, meta = _bloom_load(warehouse_dir, manifest)
+    n_new = sha_df.count()
+    if bits is None:
+        bits = np.zeros(BLOOM_INIT_BITS // 8, dtype=np.uint8)
+        meta = {"m_bits": BLOOM_INIT_BITS, "k": BLOOM_K, "n_added": 0,
+                # pre-existing documents must be seeded in (see below)
+                "seed_from_docs": manifest.get("stream", {})
+                .get("num_docs", 0) > 0}
+    if (meta["n_added"] + n_new) * BLOOM_BITS_PER_DOC > meta["m_bits"] \
+            or meta.get("seed_from_docs"):
+        # rebuild over EVERYTHING committed (this runs after the docs
+        # write, so the sha-column-pruned docs scan already covers the
+        # current batch too); amortized O(1) per doc like any dynamic
+        # array. seed_from_docs also lands here: first bloom on a
+        # warehouse with pre-existing documents MUST contain their
+        # shas or a later duplicate would skip the exact check.
+        grow = meta["m_bits"]
+        need = max(1, meta["n_added"] + n_new) * BLOOM_BITS_PER_DOC
+        while grow < need:
+            grow *= 8
+        docs_dir = os.path.join(warehouse_dir, "docs")
+        if os.path.isdir(docs_dir):
+            sha_df = (spark.read.parquet(docs_dir)
+                      .select("content_sha256"))
+        bits = np.zeros(grow // 8, dtype=np.uint8)
+        meta = {"m_bits": grow, "k": BLOOM_K, "n_added": 0}
+        n_new = None   # recounted below (covers the whole scan)
+    m_bits = meta["m_bits"]
+
+    def to_pos(iterator):
+        import pyarrow as pa
+
+        for batch in iterator:
+            shas = batch.column("content_sha256").to_pylist()
+            pos = _bloom_positions_np(shas, m_bits)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(pos, pa.int64())], names=["pos"])
+
+    # distinct positions computed distributed; streamed to the driver
+    # one partition at a time and OR-ed into the bit array in chunks
+    it = (sha_df.select("content_sha256")
+          .mapInArrow(to_pos, "pos long")
+          .toLocalIterator(prefetchPartitions=True))
+    chunk = []
+    for row in it:
+        chunk.append(row["pos"])
+        if len(chunk) >= 1 << 20:
+            idx = np.asarray(chunk, dtype=np.int64)
+            np.bitwise_or.at(bits, idx // 8,
+                             (1 << (idx % 8)).astype(np.uint8))
+            chunk = []
+    if chunk:
+        idx = np.asarray(chunk, dtype=np.int64)
+        np.bitwise_or.at(bits, idx // 8,
+                         (1 << (idx % 8)).astype(np.uint8))
+    if n_new is None:   # rebuild pass: count covers everything OR-ed
+        meta["n_added"] = sha_df.count()
+    else:
+        meta["n_added"] = meta["n_added"] + n_new
+    meta.pop("seed_from_docs", None)
+    # the bloom is only trustworthy when it covers every committed
+    # block: a dedup=False append in between leaves a gap, and
+    # _bloom_load treats a stale marker as "absent" (reseed)
+    meta["covered_through_block"] = covered_block
+    _bloom_save(warehouse_dir, bits)
+    manifest["bloom"] = meta
+
+
+_last_bloom_bc = None
+
+
+def _bloom_filter_col(spark, bits, m_bits: int):
+    """(filter_fn) Column-producing callable: maybe_dup(content_sha256)
+    via a broadcast bit array and an Arrow-batched membership test.
+    The broadcast must outlive the batch's staged plan (persist
+    recompute re-evaluates the UDF), so it is released lazily at the
+    NEXT append — a long-lived foreachBatch stream holds at most one
+    extra filter's bytes."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    global _last_bloom_bc
+    if _last_bloom_bc is not None:
+        try:
+            _last_bloom_bc.unpersist(False)
+        except Exception:
+            pass
+    bc = spark.sparkContext.broadcast(bits)
+    _last_bloom_bc = bc
+
+    def _maybe(shas):
+        b = bc.value
+        h = shas.to_numpy(dtype=object)
+        if not h.size:
+            return pd.Series(np.zeros(0, dtype=bool))
+        hit = np.ones(h.size, dtype=bool)
+        for i in range(BLOOM_K):
+            sl = np.asarray([int(x[8 * i:8 * i + 8], 16) for x in h],
+                            dtype=np.int64) % m_bits
+            hit &= (b[sl // 8] & (1 << (sl % 8)).astype(np.uint8)) != 0
+            if not hit.any():
+                break
+        return pd.Series(hit)
+
+    # no type hints: `from __future__ import annotations` stringifies
+    # them and pyspark's hint parser rejects string forms — the
+    # explicit SCALAR form is hint-free
+    return F.pandas_udf(_maybe, "boolean")
+
+
 def append_batch(spark, corpus_batch: Corpus, warehouse_dir: str,
                  cfg: B.IndexConfig | None = None,
                  blocks_per_batch: int | None = None,
@@ -140,11 +338,14 @@ def append_batch(spark, corpus_batch: Corpus, warehouse_dir: str,
     ``ingest=`` partitions, and excludes ``ingest >= next_block_id``
     so a crash-replayed batch never anti-joins against its own
     orphaned docs write (which would silently drop the whole batch).
-    Scale note: this is one column-pruned scan of the doc table per
-    batch; the standard optimization when that scan dominates — a
-    bloom-filter sidecar rolled forward per batch, with the exact
-    anti-join run only for bloom-positive candidates — composes on
-    top without changing these semantics.
+    Scale shape: a bloom-filter sidecar (``bloom/sha_bloom.npy``,
+    rolled forward per batch) screens the batch first — a batch with
+    zero bloom positives skips the O(corpus) prior-sha scan outright,
+    and otherwise only the positive candidates pay the exact
+    anti-join, which remains the source of truth (bloom false
+    positives are verified away; false negatives cannot occur for
+    committed docs because coverage is tracked per block and any gap
+    forces a reseed from the docs table).
     """
     from pyspark import StorageLevel
     from pyspark.sql import functions as F
@@ -179,29 +380,68 @@ def append_batch(spark, corpus_batch: Corpus, warehouse_dir: str,
               .select("doc_no", F.size("terms").alias("doc_len"),
                       "terms", "content_sha256"))
     staged_pinned = False
+    bloom_flagged = None
     if dedup:
         keep = (staged.groupBy("content_sha256")
                 .agg(F.min("doc_no").alias("doc_no")))
         staged = staged.join(keep, ["content_sha256", "doc_no"],
                              "left_semi")
         if state["num_docs"] > 0:
-            prior = (spark.read
-                     .parquet(os.path.join(warehouse_dir, "docs"))
-                     .where(F.col("ingest") < state["next_block_id"])
-                     .select("content_sha256").distinct())
-            staged = staged.join(prior, "content_sha256", "left_anti")
-        # the dedup joins reshuffle: pin the result so the offsets
-        # pass and the docId pass see identical partitions AND row
-        # order (_with_doc_ids derives ids from within-partition
-        # position — same contract the narrow raw-derived staging
-        # gets from raw's persist). persist alone pins order only
-        # while cached blocks survive: a recomputed partition
-        # (executor loss) re-fetches shuffle rows in nondeterministic
-        # order, and the offsets / docs / partials passes could then
-        # disagree on docId assignment. sortWithinPartitions makes the
-        # recompute order-deterministic without an extra shuffle
-        # (doc_no is unique per batch after the dedup joins).
-        staged = (staged.sortWithinPartitions("doc_no")
+            # bloom fast path: bloom-NEGATIVE docs are definitely new
+            # (no false negatives by construction) and skip the
+            # O(corpus) prior-sha scan; positives verify through the
+            # exact anti-join, which stays the source of truth
+            bits, bmeta = _bloom_load(warehouse_dir, manifest)
+            append_metrics = manifest.setdefault(
+                "metrics", {}).setdefault("last_append", {})
+            append_metrics.clear()
+            flagged = None
+            if bits is not None:
+                maybe = _bloom_filter_col(spark, bits,
+                                          bmeta["m_bits"])
+                flagged = bloom_flagged = (staged.withColumn(
+                    "_maybe_dup", maybe(F.col("content_sha256")))
+                    .persist(StorageLevel.MEMORY_AND_DISK))
+                n_pos = flagged.where(F.col("_maybe_dup")).count()
+                append_metrics.update(
+                    bloom_positives=int(n_pos),
+                    bloom_m_bits=int(bmeta["m_bits"]))
+            if flagged is not None and n_pos == 0:
+                append_metrics["prior_scan_skipped"] = True
+                staged = flagged.drop("_maybe_dup")
+            else:
+                prior = (spark.read
+                         .parquet(os.path.join(warehouse_dir, "docs"))
+                         .where(F.col("ingest")
+                                < state["next_block_id"])
+                         .select("content_sha256").distinct())
+                if flagged is not None:
+                    # only the bloom-positive candidates pay the join
+                    neg = (flagged.where(~F.col("_maybe_dup"))
+                           .drop("_maybe_dup"))
+                    pos = (flagged.where(F.col("_maybe_dup"))
+                           .drop("_maybe_dup")
+                           .join(prior, "content_sha256",
+                                 "left_anti"))
+                    staged = neg.unionByName(pos)
+                else:
+                    staged = staged.join(prior, "content_sha256",
+                                         "left_anti")
+        # CANONICAL partitioning: hash-repartition on doc_no, then
+        # sort within partitions. This makes the (partition, row
+        # order) — and therefore the docId and block-id assignment —
+        # a pure function of the KEPT DOC SET, independent of (a)
+        # cache eviction / executor-loss recompute (shuffle-fetch
+        # order is nondeterministic; r4 advisor finding), and (b)
+        # WHICH dedup plan shape produced the set: a crash-replayed
+        # batch can legitimately take a different plan than the
+        # committed run (the bloom sidecar already contains the
+        # batch's shas, flipping the skip/split/exact branch), and
+        # without canonicalization its partials would land under
+        # different block ids than the orphaned write — duplicate
+        # segments the merge then rejects.
+        staged = (staged.repartition(n_blocks, "doc_no")
+                  .sortWithinPartitions("doc_no")
                   .persist(StorageLevel.MEMORY_AND_DISK))
         staged_pinned = True
     offsets, num_docs, num_tokens, block_docs = B._partition_offsets(staged)
@@ -209,6 +449,8 @@ def append_batch(spark, corpus_batch: Corpus, warehouse_dir: str,
         raw.unpersist()
         if staged_pinned:
             staged.unpersist()
+        if bloom_flagged is not None:
+            bloom_flagged.unpersist()
         return manifest
     base = state["next_doc_id"]
     offsets = {p: o + base for p, o in offsets.items()}
@@ -260,17 +502,28 @@ def append_batch(spark, corpus_batch: Corpus, warehouse_dir: str,
          .partitionBy("block_id")
          .parquet(os.path.join(warehouse_dir, "pos_partials")))
         manifest["stages"]["pos_partials"] = {"done": True}
-    raw.unpersist()
-    if staged_pinned:
-        staged.unpersist()
-
-    state["next_doc_id"] = base + num_docs
     # advance by the ACTUAL partition span, not the requested
     # n_blocks: input-order staging can keep up to 4x n_blocks scan
     # partitions, and overlapping block_ids across batches would
     # interleave two batches' segments inside one partition dir
-    state["next_block_id"] = block_base + max(
+    next_block = block_base + max(
         n_blocks, (max(block_docs) + 1) if block_docs else 0)
+    if dedup:
+        # roll the sidecar forward with the KEPT shas (while staged is
+        # still pinned — the pass re-reads it); stamped with the
+        # post-advance high-water mark so a dedup=False append in
+        # between invalidates coverage and forces a reseed
+        _bloom_add_df(spark, warehouse_dir, manifest,
+                      staged_ids.select("content_sha256"),
+                      covered_block=next_block)
+    raw.unpersist()
+    if staged_pinned:
+        staged.unpersist()
+    if bloom_flagged is not None:
+        bloom_flagged.unpersist()
+
+    state["next_doc_id"] = base + num_docs
+    state["next_block_id"] = next_block
     state["num_docs"] = tot_docs
     state["num_tokens"] = tot_tokens
     if batch_id is not None:

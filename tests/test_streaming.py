@@ -660,3 +660,143 @@ def test_append_dedup_replay_not_self_poisoned(spark, tmp_path):
     with open(mpath) as f:
         assert json.load(f)["stream"]["num_docs"] == n_committed
     compact(spark, wh, cfg)             # merges clean
+
+
+def test_append_dedup_bloom_sidecar(spark, tmp_path):
+    """The bloom sidecar behind dedup-on-ingest: an all-new batch skips
+    the O(corpus) prior-sha scan outright (metrics prove it), a batch
+    with cross-batch duplicates routes only bloom-positive candidates
+    through the exact anti-join (results unchanged — the join stays the
+    source of truth), and a dedup=False append in between breaks
+    coverage so the next dedup append reseeds from the docs table
+    rather than trusting a bloom with gaps."""
+    import json
+
+    cfg = IndexConfig(num_blocks=2)
+    srt = _sorted_rows(90)
+    b1, b2 = sorted(srt[:30]), sorted(srt[30:60])
+    b3 = sorted(list(srt[5:15]) + list(srt[60:75]))   # dups of b1 + new
+
+    def _manifest(wh):
+        with open(os.path.join(wh, "_manifest.json")) as f:
+            return json.load(f)
+
+    wh = str(tmp_path / "bloom_wh")
+    append_batch(spark, corpus.from_source_code(
+        spark.createDataFrame(b1, corpus._CORPUS_SCHEMA)), wh, cfg,
+        blocks_per_batch=2, batch_id=0, dedup=True)
+    m = _manifest(wh)
+    assert m["bloom"]["n_added"] > 0
+    assert m["bloom"]["covered_through_block"] == \
+        m["stream"]["next_block_id"]
+    assert os.path.exists(os.path.join(wh, "bloom", "sha_bloom.npy"))
+
+    # batch 2: disjoint texts → every doc bloom-negative, scan skipped
+    append_batch(spark, corpus.from_source_code(
+        spark.createDataFrame(b2, corpus._CORPUS_SCHEMA)), wh, cfg,
+        blocks_per_batch=2, batch_id=1, dedup=True)
+    m = _manifest(wh)
+    la = m["metrics"]["last_append"]
+    assert la.get("prior_scan_skipped") is True, la
+    assert la["bloom_positives"] == 0, la
+
+    # batch 3: contains texts already in the warehouse → positives
+    # detected, exact join removes exactly the duplicates
+    shas_before = set(
+        r["content_sha256"] for r in
+        spark.read.parquet(f"{wh}/docs")
+        .select("content_sha256").collect())
+    append_batch(spark, corpus.from_source_code(
+        spark.createDataFrame(b3, corpus._CORPUS_SCHEMA)), wh, cfg,
+        blocks_per_batch=2, batch_id=2, dedup=True)
+    m = _manifest(wh)
+    la = m["metrics"]["last_append"]
+    assert la["bloom_positives"] > 0, la
+    assert "prior_scan_skipped" not in la, la
+    docs = spark.read.parquet(f"{wh}/docs")
+    shas_after = set(r["content_sha256"] for r in
+                     docs.select("content_sha256").collect())
+    assert docs.count() == len(shas_after)   # still exactly deduped
+    assert shas_before <= shas_after
+
+    # reference: the same three batches through the pre-bloom exact
+    # path produce the identical document set
+    wh_ref = str(tmp_path / "bloom_ref")
+    for i, b in enumerate((b1, b2, b3)):
+        append_batch(spark, corpus.from_source_code(
+            spark.createDataFrame(b, corpus._CORPUS_SCHEMA)), wh_ref,
+            cfg, blocks_per_batch=2, batch_id=i, dedup=True)
+        # strip the sidecar so every append runs the full exact join
+        import shutil as _sh
+        _sh.rmtree(os.path.join(wh_ref, "bloom"), ignore_errors=True)
+        mj = _manifest(wh_ref)
+        if "bloom" in mj:
+            del mj["bloom"]
+            with open(os.path.join(wh_ref, "_manifest.json"), "w") as f:
+                json.dump(mj, f)
+    ref_shas = set(r["content_sha256"] for r in
+                   spark.read.parquet(f"{wh_ref}/docs")
+                   .select("content_sha256").collect())
+    assert shas_after == ref_shas
+
+    # a dedup=False append leaves a coverage gap → next dedup append
+    # must reseed (covered_through re-stamped) and still catch dups of
+    # the un-bloomed batch
+    b4 = sorted(srt[75:85])
+    append_batch(spark, corpus.from_source_code(
+        spark.createDataFrame(b4, corpus._CORPUS_SCHEMA)), wh, cfg,
+        blocks_per_batch=2, batch_id=3, dedup=False)
+    n_after_4 = spark.read.parquet(f"{wh}/docs").count()
+    b5 = sorted(srt[75:85])   # exact dups of the un-bloomed batch
+    append_batch(spark, corpus.from_source_code(
+        spark.createDataFrame(b5, corpus._CORPUS_SCHEMA)), wh, cfg,
+        blocks_per_batch=2, batch_id=4, dedup=True)
+    # all-duplicate batch: every doc dropped by the exact path (the
+    # stale bloom was NOT trusted), count unchanged; the batch
+    # early-returns before the bloom roll-forward, so coverage stays
+    # stale — safe (stale == reseed-next-time), re-stamped by the next
+    # batch that actually appends
+    assert spark.read.parquet(f"{wh}/docs").count() == n_after_4
+    b6 = sorted(srt[85:90])
+    append_batch(spark, corpus.from_source_code(
+        spark.createDataFrame(b6, corpus._CORPUS_SCHEMA)), wh, cfg,
+        blocks_per_batch=2, batch_id=5, dedup=True)
+    m = _manifest(wh)
+    assert m["bloom"]["covered_through_block"] == \
+        m["stream"]["next_block_id"]
+    docs6 = spark.read.parquet(f"{wh}/docs")
+    assert docs6.count() == docs6.select("content_sha256") \
+        .distinct().count()
+
+
+def test_append_dedup_bloom_rebuild_on_saturation(spark, tmp_path,
+                                                  monkeypatch):
+    """When the load factor passes BLOOM_BITS_PER_DOC the sidecar is
+    rebuilt larger from the docs table's sha column — dedup results
+    unchanged."""
+    import json
+
+    from invertedindex_spark.streaming import incremental as inc
+
+    monkeypatch.setattr(inc, "BLOOM_INIT_BITS", 256)   # force growth
+    cfg = IndexConfig(num_blocks=2)
+    srt = _sorted_rows(80)
+    wh = str(tmp_path / "bloom_sat")
+    for i, lo in enumerate(range(0, 80, 20)):
+        append_batch(spark, corpus.from_source_code(
+            spark.createDataFrame(sorted(srt[lo:lo + 20]),
+                                  corpus._CORPUS_SCHEMA)), wh, cfg,
+            blocks_per_batch=2, batch_id=i, dedup=True)
+    with open(os.path.join(wh, "_manifest.json")) as f:
+        m = json.load(f)
+    assert m["bloom"]["m_bits"] > 256   # grew past the tiny seed
+    docs = spark.read.parquet(f"{wh}/docs")
+    assert docs.count() == docs.select("content_sha256") \
+        .distinct().count()
+    # duplicates of the very first batch are still caught post-rebuild
+    n = docs.count()
+    append_batch(spark, corpus.from_source_code(
+        spark.createDataFrame(sorted(srt[:20]),
+                              corpus._CORPUS_SCHEMA)), wh, cfg,
+        blocks_per_batch=2, batch_id=9, dedup=True)
+    assert spark.read.parquet(f"{wh}/docs").count() == n
