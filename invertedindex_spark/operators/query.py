@@ -1642,7 +1642,7 @@ class InvertedIndex:
         return df.mapInArrow(
             decode, "term string, doc_id long, positions array<long>")
 
-    def _phrase_docs_df(self, terms):
+    def _phrase_docs_df(self, terms, pos_df=None):
         """DataFrame[doc_id] of documents containing ``terms`` as an
         adjacent sequence — the cluster-scale twin of
         :meth:`_phrase_doc_ids`: per-occurrence position arrays stay
@@ -1650,11 +1650,14 @@ class InvertedIndex:
         running start-position array with ``array_intersect`` of each
         successive term's (positions − i). JVM expressions throughout;
         every join after the first is against an already doc-filtered
-        side."""
+        side. ``pos_df``: a pre-decoded (term, doc_id, positions)
+        frame covering at least ``terms`` — the batch plan passes one
+        SHARED persisted decode for every phrase in the batch."""
         from pyspark.sql import functions as F
 
         uniq = list(dict.fromkeys(terms))
-        pos_df = self.decoded_positions_df(uniq)
+        if pos_df is None:
+            pos_df = self.decoded_positions_df(uniq)
         acc = None
         for i, t in enumerate(terms):
             shifted = F.col("positions") if i == 0 else F.transform(
@@ -2180,6 +2183,78 @@ class InvertedIndex:
                         (F.col("score_u6") / F.lit(1e6)).alias("score"))
                 .orderBy(F.desc("score")))
 
+    def _batch_phrase_top(self, phrase_qs, coerce, qid_t, k):
+        """Shared-scan batch plan for the PHRASE entries: ONE
+        positions+postings decode for the union of every phrase's
+        vocabulary (persisted for the duration of planning), each
+        phrase's adjacency chain narrowing on that shared frame, the
+        per-qid allowed doc sets unioned into a small (qid, doc_id)
+        table, and BM25 scored through one shared postings decode with
+        a per-qid semi-join (filter-then-rank, the single-query phrase
+        contract). Replaces the previous behavior of running the full
+        single-query plan — one positions scan — PER phrase, which
+        made phrase-heavy batches O(batch x index) in scan volume.
+        Returns None when no phrase is servable (unknown terms follow
+        the AND rule: that qid yields no rows)."""
+        from pyspark import StorageLevel
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        self._require_positions()
+        parsed = []
+        for qid, q in phrase_qs:
+            _qt, terms = preprocess_query(
+                q, stopwords=self.stopwords, stemming=self.stemming)
+            parsed.append((coerce(qid), terms))
+        vocab = {t for _q, ts in parsed for t in ts}
+        found = self._present_terms(vocab)
+        parsed = [(qid, ts) for qid, ts in parsed
+                  if ts and all(t in found for t in ts)]
+        if not parsed:
+            return None
+        uniq_terms = sorted({t for _q, ts in parsed for t in ts})
+        pos_df = (self.decoded_positions_df(uniq_terms)
+                  .persist(StorageLevel.MEMORY_AND_DISK))
+        try:
+            frames = []
+            for qid, ts in parsed:
+                frames.append(
+                    self._phrase_docs_df(ts, pos_df=pos_df)
+                    .select(F.lit(qid).cast(qid_t).alias("qid"),
+                            "doc_id"))
+            allowed = frames[0]
+            for fdf in frames[1:]:
+                allowed = allowed.unionByName(fdf)
+            # materialize the small allowed table eagerly so the
+            # shared decode can be released before the (lazy) scoring
+            # plan executes — localCheckpoint truncates the lineage
+            allowed = allowed.localCheckpoint(eager=True)
+        finally:
+            pos_df.unpersist()
+        q_rows = [(qid, t) for qid, ts in parsed
+                  for t in dict.fromkeys(ts)]
+        qterms = self.spark.createDataFrame(
+            q_rows, f"qid {qid_t}, term string")
+        exploded = self.decoded_postings_df({t for _q, t in q_rows})
+        scored = (exploded.join(F.broadcast(qterms), "term")
+                  .join(allowed, ["qid", "doc_id"], "left_semi")
+                  .withColumn("partial", scoring.bm25_u6_col(
+                      F.col("tf"), F.col("dl"), F.col("df"),
+                      F.lit(float(self.num_docs)),
+                      F.lit(self.avg_doc_len))))
+        agg = (scored.groupBy("qid", "doc_id")
+               .agg(F.sum("partial").alias("score_u6")))
+        per_score = (agg.groupBy("qid", "score_u6")
+                     .agg(F.min("doc_id").alias("doc_id")))
+        w = Window.partitionBy("qid").orderBy(F.desc("score_u6"))
+        top = (per_score.withColumn("rank", F.row_number().over(w))
+               .where(F.col("rank") <= k))
+        return (self.docs.select("doc_id", "doc_no")
+                .join(F.broadcast(top), "doc_id")
+                .select("qid", "rank", "doc_no",
+                        (F.col("score_u6") / F.lit(1e6))
+                        .alias("score")))
+
     def batch_search_distributed(self, queries, k: int = 100,
                                  prune: bool = False):
         """Evaluate a whole query batch as ONE distributed plan — the
@@ -2201,7 +2276,9 @@ class InvertedIndex:
         so this plan wins on broad-vocabulary batches (terms mostly
         distinct across queries, lists too big to collect); for small
         repeated vocabularies the sequential :meth:`batch_search` with
-        its decode LRU is faster by construction.
+        its decode LRU is faster by construction. PHRASE entries share
+        ONE positions+postings decode across the whole batch
+        (:meth:`_batch_phrase_top`).
 
         ``prune=True`` routes every OR query with both rare and hot
         lists through the batched two-phase pruned plan
@@ -2249,26 +2326,8 @@ class InvertedIndex:
                 parsed.append((coerce(qid), t, qtype, len(present)))
         phrase_df = None
         if phrase_qs:
-            # each phrase runs the single-query adjacency plan (the
-            # join chain is per-phrase by construction); their top-k
-            # frames union into the batch result. A batch dominated by
-            # phrases therefore scans positions once PER phrase — the
-            # documented trade-off until a shared-scan phrase plan
-            # exists.
-            from pyspark.sql import Window
-            from pyspark.sql import functions as F
-
-            frames = []
-            for qid, q in phrase_qs:
-                single = self.search_distributed(q, k=k)
-                w = Window.orderBy(F.desc("score"))
-                frames.append(
-                    single.withColumn("rank", F.row_number().over(w))
-                    .select(F.lit(coerce(qid)).cast(qid_t).alias("qid"),
-                            "rank", "doc_no", "score"))
-            phrase_df = frames[0]
-            for f in frames[1:]:
-                phrase_df = phrase_df.unionByName(f)
+            phrase_df = self._batch_phrase_top(phrase_qs, coerce,
+                                               qid_t, k)
         if not parsed:
             if phrase_df is None:
                 return self.spark.createDataFrame(

@@ -347,6 +347,28 @@ def test_batch_distributed_with_phrase_queries(built):
     idx._cache.clear()
 
 
+def test_batch_distributed_phrase_heavy_shared_scan(built):
+    """A phrase-HEAVY batch through the shared-scan plan: several
+    phrases (plus an unknown-term phrase that must yield no rows, the
+    AND rule) — every qid's rows equal its individual query. The
+    round-5 plan decodes positions ONCE for the union vocabulary
+    instead of once per phrase."""
+    idx, _oracle, doc_terms, _ = built
+    phrases = _common_ngrams(doc_terms, 2, want=3)
+    batch = [(i + 1, "PHRASE " + " ".join(ph))
+             for i, ph in enumerate(phrases)]
+    batch.append((99, "PHRASE zzzzunknownterm data"))
+    got = {(r["qid"], r["rank"], r["doc_no"], round(r["score"], 9))
+           for r in idx.batch_search_distributed(batch, k=10).collect()}
+    want = set()
+    for qid, q in batch:
+        for rank, (dn, sc) in enumerate(idx.search(q, k=10), start=1):
+            want.add((qid, rank, dn, round(sc, 9)))
+    assert got == want
+    assert not any(qid == 99 for qid, *_ in got)
+    idx._cache.clear()
+
+
 def test_phrase_on_pfd_codec(spark, tmp_path):
     """Positions are always VByte; the aligned postings may be PFD —
     decode dispatch must stay per-family."""
