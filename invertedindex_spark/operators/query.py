@@ -164,6 +164,15 @@ class InvertedIndex:
         self._max_warm_terms = max_warm_terms
         self._n_terms = None
         self._bounds_fresh = self._bounds_fresh_from(manifest)
+        # logical deletes (streaming.delete_docs): tombstoned docIds
+        # are filtered out of every ranked path until the next full
+        # compaction physically purges them (Lucene's live-docs
+        # model). Snapshot semantics like appends: a handle pins the
+        # tombstone set it saw at init; refresh() picks up new deletes.
+        self._tomb_meta = manifest.get("tombstones") or {}
+        self._tomb_ids_np = None
+        self._tombs_df = None
+        self._alive = None
         # merged-on-read freshness: also serve posting segments from
         # partial blocks appended AFTER the last compaction, so queries
         # see streamed documents without waiting for compact(). df is
@@ -491,6 +500,11 @@ class InvertedIndex:
         self.avg_doc_len = srow["avg_doc_len"]
         manifest = self._read_manifest()
         self._bounds_fresh = self._bounds_fresh_from(manifest)
+        self._tomb_meta = manifest.get("tombstones") or {}
+        self._tomb_ids_np = None
+        self._tombs_df = None
+        self._alive = None
+        self._filter_masks.clear()
         # re-read the stream high-water mark too: after a compaction
         # the partial blocks REMAIN on disk (they are the source of
         # truth) and only compacted_through_block advances — a fresh
@@ -1073,6 +1087,78 @@ class InvertedIndex:
             self._filter_masks.popitem(last=False)
         return mask
 
+    # -- logical deletes (tombstones) -----------------------------------
+    @property
+    def _tomb_count(self) -> int:
+        return int(self._tomb_meta.get("count", 0))
+
+    def _tombstone_ids(self):
+        """Sorted unique int64 array of tombstoned docIds (committed
+        batches only: ``batch < batches`` — an orphaned batch dir from
+        a crashed delete_docs is invisible until its retry commits,
+        the same fencing as the ingest high-water mark)."""
+        if self._tomb_ids_np is None:
+            n = int(self._tomb_meta.get("batches", 0))
+            path = f"{self.warehouse_dir}/tombstones"
+            if self._tomb_count <= 0 or n <= 0:
+                self._tomb_ids_np = np.zeros(0, dtype=np.int64)
+            elif self.io_mode == "local":
+                import pyarrow.dataset as ds
+
+                t = (ds.dataset(path, format="parquet",
+                                partitioning="hive")
+                     .to_table(columns=["doc_id"],
+                               filter=ds.field("batch") < n))
+                self._tomb_ids_np = np.unique(
+                    t.column("doc_id").to_numpy(zero_copy_only=False)
+                    .astype(np.int64))
+            else:
+                from pyspark.sql import functions as F
+
+                rows = (self.spark.read.parquet(path)
+                        .where(F.col("batch") < n)
+                        .select("doc_id").distinct().collect())
+                self._tomb_ids_np = np.sort(np.array(
+                    [r["doc_id"] for r in rows], dtype=np.int64))
+        return self._tomb_ids_np
+
+    def _alive_mask(self):
+        """num_docs bools, False at tombstoned ids — the driver
+        kernels' live-docs bitmap (1 bit/doc at scale; the distributed
+        plans use :meth:`_drop_tombstoned` and never build it)."""
+        if self._alive is None:
+            ids = self._tombstone_ids()
+            m = np.ones(self.num_docs, dtype=bool)
+            if ids.size:
+                m[ids[ids < self.num_docs]] = False
+            self._alive = m
+        return self._alive
+
+    def _tombstones_df(self):
+        if self._tombs_df is None:
+            from pyspark.sql import functions as F
+
+            self._tombs_df = (
+                self.spark.read
+                .parquet(f"{self.warehouse_dir}/tombstones")
+                .where(F.col("batch")
+                       < int(self._tomb_meta.get("batches", 0)))
+                .select("doc_id").distinct())
+        return self._tombs_df
+
+    def _drop_tombstoned(self, df):
+        """Anti-join the tombstone set off a candidate frame (no-op
+        without deletes). The tombstone table is delete-batch-sized,
+        so the broadcast hash anti-join adds no shuffle to any plan;
+        beyond broadcast scale a warehouse should compact() — the
+        purge makes this a no-op again."""
+        from pyspark.sql import functions as F
+
+        if self._tomb_count <= 0:
+            return df
+        return df.join(F.broadcast(self._tombstones_df()),
+                       "doc_id", "left_anti")
+
     @staticmethod
     def _mask_dec(dec, mask):
         """Restrict a decoded (doc_ids, tfs, dls, df) tuple to mask-
@@ -1113,6 +1199,9 @@ class InvertedIndex:
             self._cache.move_to_end(key)
             return self._cache[key]
         mask = self._allowed_mask(where) if where is not None else None
+        if self._tomb_count:
+            am = self._alive_mask()
+            mask = am if mask is None else (mask & am)
         if qtype == "PHRASE":
             # adjacency restricts WHICH docs may rank (the phrase
             # mask composes with where= by AND); survivors score as
@@ -1773,7 +1862,7 @@ class InvertedIndex:
         is filter-allowed without any driver-side mask."""
         from pyspark.sql import functions as F
 
-        ess = self.decoded_postings_df(terms)
+        ess = self._drop_tombstoned(self.decoded_postings_df(terms))
         if where is not None:
             ess = ess.join(self._allowed_ids_df(where),
                            "doc_id", "left_semi")
@@ -2152,7 +2241,7 @@ class InvertedIndex:
             # (legacy bounds / tiny boost side / accumulator overflow)
             # and the exhaustive plan below served the query
             self.last_prune_stats["mode"] = "distributed_fallback"
-        exploded = self.decoded_postings_df(present)
+        exploded = self._drop_tombstoned(self.decoded_postings_df(present))
         if qtype == "PHRASE":
             # adjacency filter: semi-join the scored postings against
             # the distributed phrase-occurrence plan — scoring stays
@@ -2235,7 +2324,8 @@ class InvertedIndex:
                   for t in dict.fromkeys(ts)]
         qterms = self.spark.createDataFrame(
             q_rows, f"qid {qid_t}, term string")
-        exploded = self.decoded_postings_df({t for _q, t in q_rows})
+        exploded = self._drop_tombstoned(
+            self.decoded_postings_df({t for _q, t in q_rows}))
         scored = (exploded.join(F.broadcast(qterms), "term")
                   .join(allowed, ["qid", "doc_id"], "left_semi")
                   .withColumn("partial", scoring.bm25_u6_col(
@@ -2363,7 +2453,8 @@ class InvertedIndex:
         qterms = self.spark.createDataFrame(
             parsed, f"qid {qid_t}, term string, qtype string, n_terms int")
         all_terms = {p[1] for p in parsed}
-        exploded = self.decoded_postings_df(all_terms)
+        exploded = self._drop_tombstoned(
+            self.decoded_postings_df(all_terms))
         scored = (exploded.join(F.broadcast(qterms), "term")
                   .withColumn("partial", scoring.bm25_u6_col(
                       F.col("tf"), F.col("dl"), F.col("df"),
@@ -2441,8 +2532,8 @@ class InvertedIndex:
                    for t in ess]
         qterms_ess = self.spark.createDataFrame(
             qe_rows, f"qid {qid_t}, term string")
-        ess_df = self.decoded_postings_df(
-            {t for _q, t in qe_rows})
+        ess_df = self._drop_tombstoned(self.decoded_postings_df(
+            {t for _q, t in qe_rows}))
         scored = (ess_df.join(F.broadcast(qterms_ess), "term")
                   .withColumn("partial", scoring.bm25_u6_col(
                       F.col("tf"), F.col("dl"), F.col("df"),

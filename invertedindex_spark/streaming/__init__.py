@@ -1,3 +1,5 @@
-from .incremental import append_batch, compact, start_incremental_build
+from .incremental import (append_batch, compact, delete_docs,
+                          delete_docs_where, start_incremental_build)
 
-__all__ = ["append_batch", "compact", "start_incremental_build"]
+__all__ = ["append_batch", "compact", "delete_docs",
+           "delete_docs_where", "start_incremental_build"]

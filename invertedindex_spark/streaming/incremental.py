@@ -39,7 +39,8 @@ import os
 from ..operators import build as B
 from ..sources.corpus import Corpus
 
-__all__ = ["start_incremental_build", "append_batch", "compact"]
+__all__ = ["start_incremental_build", "append_batch", "compact",
+           "delete_docs", "delete_docs_where"]
 
 
 def _resolve_cfg(manifest: dict, cfg: B.IndexConfig | None) -> B.IndexConfig:
@@ -541,6 +542,475 @@ def append_batch(spark, corpus_batch: Corpus, warehouse_dir: str,
     return manifest
 
 
+# ---------------------------------------------------------------------
+# logical deletes (tombstones) + physical purge
+# ---------------------------------------------------------------------
+# Lucene's live-docs model re-expressed over the warehouse tables:
+# delete_docs() only WRITES a tombstone batch (doc_id, doc_no) under
+# tombstones/batch=<n>/ and bumps the manifest counter — no index
+# table is touched, so a delete is O(delete batch) regardless of
+# corpus size. Every ranked serve path (driver kernels via the alive
+# bitmap, distributed plans via a broadcast anti-join — see
+# InvertedIndex._drop_tombstoned) filters tombstoned docs; BM25 stats
+# stay collection-global until the purge, exactly like Lucene scoring
+# against segments with deletions. The next compact() PURGES: partials
+# / pos_partials / docs are rewritten without the deleted documents
+# and every surviving docId is REMAPPED to keep the dense-docId
+# invariant (new_id = old_id − #deleted ≤ old_id — order-preserving,
+# so segments stay docId-ascending and the driver's position==id
+# arrays keep working), after which the normal full merge produces an
+# index byte-equivalent to a from-scratch build over the surviving
+# corpus (asserted in tests/test_deletes.py).
+#
+# Crash safety: the purge is journaled. All rewritten tables land in
+# *_purge_tmp dirs first; only then does the manifest record
+# purge_pending (stats + stream deltas), and _finish_pending_purge
+# swaps dirs / rewrites stats / clears tombstones — each step
+# idempotent, so a crash anywhere is healed by the next compact() or
+# delete_docs() call. Bloom sidecar note: deleted docs' shas stay in
+# the bloom filter; that only makes re-ingest of an identical text a
+# bloom POSITIVE, and the exact anti-join (against the purged docs
+# table, sha gone) then correctly keeps it.
+
+
+def _tombstones_path(warehouse_dir: str) -> str:
+    return os.path.join(warehouse_dir, "tombstones")
+
+
+def _committed_tombstones(spark, warehouse_dir: str, manifest: dict):
+    """DataFrame[doc_id] of committed tombstones (batch < batches),
+    or None when there are none."""
+    from pyspark.sql import functions as F
+
+    meta = manifest.get("tombstones") or {}
+    n = int(meta.get("batches", 0))
+    if n <= 0 or not os.path.isdir(_tombstones_path(warehouse_dir)):
+        return None
+    return (spark.read.parquet(_tombstones_path(warehouse_dir))
+            .where(F.col("batch") < n).select("doc_id").distinct())
+
+
+def delete_docs(spark, warehouse_dir: str, doc_nos,
+                strict: bool = True) -> dict:
+    """Tombstone documents by their external ``doc_no`` (logical
+    delete). Takes effect immediately for new / refresh()ed
+    InvertedIndex handles; the next :func:`compact` physically purges
+    the postings, positions, and doc rows and re-densifies docIds.
+
+    ``strict=True`` raises when any requested doc_no does not exist
+    in the warehouse (already-tombstoned doc_nos re-delete silently —
+    the operation is idempotent). The tombstone batch write targets a
+    deterministic ``tombstones/batch=<n>/`` dir that is only made
+    visible by the manifest counter bump, so a crashed delete is
+    invisible and its retry overwrites the orphan (the same fencing
+    as append_batch's ingest high-water mark)."""
+    from pyspark.sql import functions as F
+
+    doc_nos = list(dict.fromkeys(doc_nos))
+    manifest = B.read_manifest(warehouse_dir)
+    if "stats" not in manifest:
+        raise ValueError(
+            "warehouse has no recorded stats — nothing was ever "
+            "appended or built here; there is nothing to delete")
+    manifest = _finish_pending_purge(spark, warehouse_dir, manifest)
+    if not doc_nos:
+        return manifest
+    docs = spark.read.parquet(os.path.join(warehouse_dir, "docs"))
+    state = manifest.get("stream")
+    if state is not None and "ingest" in docs.columns:
+        # never tombstone a crashed append's orphan rows: their ids
+        # are reassigned when the batch replays
+        docs = docs.where(F.col("ingest") < state["next_block_id"])
+    hit = (docs.where(F.col("doc_no").isin(doc_nos))
+           .select("doc_id", "doc_no"))
+    rows = hit.collect()
+    found = {r["doc_no"] for r in rows}
+    missing = [d for d in doc_nos if d not in found]
+    if missing and strict:
+        raise ValueError(
+            f"delete_docs: {len(missing)} doc_no(s) not found in the "
+            f"warehouse (first few: {missing[:5]!r}); pass "
+            "strict=False to ignore unknown ids")
+    if rows:
+        manifest = _commit_tombstone_batch(
+            spark, warehouse_dir, manifest,
+            spark.createDataFrame(rows, "doc_id long, doc_no string"),
+            n_files=1)
+    return manifest
+
+
+def delete_docs_where(spark, warehouse_dir: str, condition,
+                      max_fraction: float = 0.5) -> dict:
+    """Tombstone every committed document matching ``condition`` — a
+    SQL boolean expression string or a Column over the docs table
+    columns (``doc_no``, ``doc_len``, ``content_sha256``, plus
+    ``ingest`` on stream warehouses). The retro-filtering / takedown
+    path at corpus scale: the matched set is written straight from the
+    filtered scan into the tombstone batch and is NEVER collected to
+    the driver, so deleting millions of documents costs one filtered
+    column scan + one parquet write. Returns the updated manifest
+    (``manifest["tombstones"]["count"]`` is the live tombstone total).
+
+    ``max_fraction`` is the fat-finger guard: a predicate matching
+    more than this fraction of the corpus raises before anything is
+    committed (raise it explicitly for intentional mass deletes; a
+    predicate matching EVERY document always raises). Matching zero
+    documents is a silent no-op — predicates are how curation rules
+    express "whatever fails the filter", which may be nothing."""
+    from pyspark.sql import Column
+    from pyspark.sql import functions as F
+
+    manifest = B.read_manifest(warehouse_dir)
+    if "stats" not in manifest:
+        raise ValueError(
+            "warehouse has no recorded stats — nothing was ever "
+            "appended or built here; there is nothing to delete")
+    manifest = _finish_pending_purge(spark, warehouse_dir, manifest)
+    docs = spark.read.parquet(os.path.join(warehouse_dir, "docs"))
+    state = manifest.get("stream")
+    if state is not None and "ingest" in docs.columns:
+        docs = docs.where(F.col("ingest") < state["next_block_id"])
+    cond = condition if isinstance(condition, Column) \
+        else F.expr(condition)
+    hit = docs.where(cond).select("doc_id", "doc_no")
+    n_hit = hit.count()
+    if n_hit == 0:
+        return manifest
+    num_docs = int(manifest["stats"]["num_docs"])
+    if n_hit >= num_docs:
+        raise ValueError(
+            "delete_docs_where: predicate matches every document in "
+            "the warehouse; rebuild (or rm -rf) instead")
+    if n_hit > max_fraction * num_docs:
+        raise ValueError(
+            f"delete_docs_where: predicate matches {n_hit} of "
+            f"{num_docs} documents (> max_fraction={max_fraction}); "
+            "pass a larger max_fraction if this mass delete is "
+            "intentional")
+    # ~4M (doc_id, doc_no) rows per tombstone file keeps both the
+    # write and the serve-side broadcast read reasonably chunked
+    return _commit_tombstone_batch(
+        spark, warehouse_dir, manifest, hit,
+        n_files=max(1, min(64, n_hit // 4_000_000 + 1)))
+
+
+def _commit_tombstone_batch(spark, warehouse_dir: str, manifest: dict,
+                            hit_df, n_files: int) -> dict:
+    """Write one tombstone batch and commit it via the manifest
+    counter bump. The batch dir is deterministic and only made visible
+    by the bump, so a crash between write and save leaves an invisible
+    orphan that the retry overwrites. The delete-all guard runs AFTER
+    the recount but BEFORE the save — a rejected commit leaves the
+    warehouse unchanged."""
+    meta = manifest.setdefault("tombstones", {"batches": 0, "count": 0})
+    batch_no = int(meta.get("batches", 0))
+    (hit_df.coalesce(n_files).write.mode("overwrite")
+     .parquet(os.path.join(_tombstones_path(warehouse_dir),
+                           f"batch={batch_no}")))
+    meta["batches"] = batch_no + 1
+    tomb = _committed_tombstones(spark, warehouse_dir, manifest)
+    meta["count"] = 0 if tomb is None else tomb.count()
+    if meta["count"] >= manifest["stats"]["num_docs"]:
+        raise ValueError(
+            "delete would tombstone every document in the "
+            "warehouse; rebuild (or rm -rf) instead")
+    B._save_manifest(warehouse_dir, manifest)
+    return manifest
+
+
+def _purge_remap_udf(spark, deleted_sorted):
+    """pandas_udf old docId → dense new docId (old − #deleted ≤ old)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    bc = spark.sparkContext.broadcast(deleted_sorted)
+
+    def remap(s):
+        arr = s.to_numpy(np.int64)
+        return pd.Series(
+            arr - np.searchsorted(bc.value, arr, side="right"))
+
+    # real-type annotations, assigned post-hoc: this module uses
+    # `from __future__ import annotations`, so inline hints would be
+    # the STRING 'pd.Series', which pandas_udf cannot resolve against
+    # module globals (pandas is imported function-locally here)
+    remap.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf("long")(remap), bc
+
+
+_PARTIAL_COLS = ("block_id", "term", "first_doc_id", "df_b", "max_tf",
+                 "min_dl", "doc_gaps_vb", "tfs_vb", "dls_vb")
+
+
+def _purge_partials_pass(partials_df, bc_deleted):
+    """mapInArrow: drop deleted docIds from every partial segment and
+    remap the survivors to the dense id space. Segments whose doc set
+    empties are dropped; df_b / max_tf / min_dl / first_doc_id are
+    recomputed so fresh-path bounds stay sound. Runs per input block
+    partition — no shuffle."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..functions import codec
+
+    schema = pa.schema([
+        ("block_id", pa.int32()), ("term", pa.string()),
+        ("first_doc_id", pa.int64()), ("df_b", pa.int64()),
+        ("max_tf", pa.int64()), ("min_dl", pa.int64()),
+        ("doc_gaps_vb", pa.binary()), ("tfs_vb", pa.binary()),
+        ("dls_vb", pa.binary())])
+
+    def purge(iterator):
+        pa.set_cpu_count(1)
+        deleted = bc_deleted.value
+        for batch in iterator:
+            cols = {n: batch.column(i)
+                    for i, n in enumerate(batch.schema.names)}
+            n = batch.num_rows
+            out = {k: [] for k in schema.names}
+            for i in range(n):
+                bd = cols["doc_gaps_vb"][i].as_py()
+                doc = codec.gap_decode(codec.vbyte_decode(bd))
+                keep = ~np.isin(doc, deleted)
+                if not keep.any():
+                    continue
+                tf = codec.vbyte_decode(cols["tfs_vb"][i].as_py())
+                dl = codec.vbyte_decode(cols["dls_vb"][i].as_py())
+                if keep.all():
+                    # verbatim only when NO deleted id ≤ the segment's
+                    # last doc — a deleted id strictly inside the
+                    # range (even if absent from this segment) still
+                    # shifts the remap of later docIds non-uniformly
+                    if int(np.searchsorted(deleted, doc[-1],
+                                           side="right")) == 0:
+                        out["block_id"].append(
+                            cols["block_id"][i].as_py())
+                        out["term"].append(cols["term"][i].as_py())
+                        out["first_doc_id"].append(int(doc[0]))
+                        out["df_b"].append(int(doc.size))
+                        out["max_tf"].append(int(tf.max()))
+                        out["min_dl"].append(int(dl.min()))
+                        out["doc_gaps_vb"].append(bd)
+                        out["tfs_vb"].append(
+                            cols["tfs_vb"][i].as_py())
+                        out["dls_vb"].append(
+                            cols["dls_vb"][i].as_py())
+                        continue
+                kd = doc[keep]
+                kd = kd - np.searchsorted(deleted, kd, side="right")
+                ktf, kdl = tf[keep], dl[keep]
+                gaps = np.empty_like(kd)
+                gaps[0] = kd[0]
+                gaps[1:] = kd[1:] - kd[:-1]
+                out["block_id"].append(cols["block_id"][i].as_py())
+                out["term"].append(cols["term"][i].as_py())
+                out["first_doc_id"].append(int(kd[0]))
+                out["df_b"].append(int(kd.size))
+                out["max_tf"].append(int(ktf.max()))
+                out["min_dl"].append(int(kdl.min()))
+                out["doc_gaps_vb"].append(codec.vbyte_encode(gaps))
+                out["tfs_vb"].append(codec.vbyte_encode(ktf))
+                out["dls_vb"].append(codec.vbyte_encode(kdl))
+            if out["term"]:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(out[f.name], f.type) for f in schema],
+                    schema=schema)
+
+    sdf = partials_df.select(*_PARTIAL_COLS)
+    ddl = ("block_id int, term string, first_doc_id long, df_b long, "
+           "max_tf long, min_dl long, doc_gaps_vb binary, "
+           "tfs_vb binary, dls_vb binary")
+    return sdf.mapInArrow(purge, ddl)
+
+
+def _purge_positions_pass(pos_df, partials_df, bc_deleted):
+    """Positions purge: every per-doc run starts with an ABSOLUTE
+    anchor (build.py _build_pos_partials's layout invariant), so
+    dropping a deleted doc's run leaves every other run's bytes
+    valid — the kernel only splices runs out and re-packs. Run
+    boundaries come from the ALIGNED postings segment's (doc, tf),
+    joined on (block_id, term) from the PRE-purge partials."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..functions import codec
+
+    joined = pos_df.select("block_id", "term", "pos_vb").join(
+        partials_df.select("block_id", "term", "doc_gaps_vb",
+                           "tfs_vb"),
+        ["block_id", "term"])
+
+    schema = pa.schema([
+        ("block_id", pa.int32()), ("term", pa.string()),
+        ("first_doc_id", pa.int64()), ("n_pos", pa.int64()),
+        ("pos_vb", pa.binary())])
+
+    def purge(iterator):
+        pa.set_cpu_count(1)
+        deleted = bc_deleted.value
+        for batch in iterator:
+            cols = {n: batch.column(i)
+                    for i, n in enumerate(batch.schema.names)}
+            out = {k: [] for k in schema.names}
+            for i in range(batch.num_rows):
+                doc = codec.gap_decode(codec.vbyte_decode(
+                    cols["doc_gaps_vb"][i].as_py()))
+                keep = ~np.isin(doc, deleted)
+                if not keep.any():
+                    continue
+                tf = codec.vbyte_decode(cols["tfs_vb"][i].as_py())
+                pv = cols["pos_vb"][i].as_py()
+                kd = doc[keep]
+                kd = kd - np.searchsorted(deleted, kd, side="right")
+                if keep.all():
+                    # positions encode no docIds, so a pure remap
+                    # leaves the stream bytes untouched
+                    new_pv, n_pos = pv, int(tf.sum())
+                else:
+                    vals = codec.vbyte_decode(pv)
+                    mask = np.repeat(keep, tf)
+                    vals = vals[mask]
+                    new_pv, n_pos = codec.vbyte_encode(vals), int(
+                        vals.size)
+                out["block_id"].append(cols["block_id"][i].as_py())
+                out["term"].append(cols["term"][i].as_py())
+                out["first_doc_id"].append(int(kd[0]))
+                out["n_pos"].append(n_pos)
+                out["pos_vb"].append(new_pv)
+            if out["term"]:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(out[f.name], f.type) for f in schema],
+                    schema=schema)
+
+    ddl = ("block_id int, term string, first_doc_id long, "
+           "n_pos long, pos_vb binary")
+    return joined.mapInArrow(purge, ddl)
+
+
+def _purge_tombstones(spark, warehouse_dir: str, manifest: dict,
+                      cfg) -> dict:
+    """Physically remove tombstoned documents: rewrite partials /
+    pos_partials / docs into *_purge_tmp (deterministic, re-runnable),
+    journal the commit in the manifest, then swap via
+    :func:`_finish_pending_purge`. Called from compact() before the
+    merge, so the subsequent full re-merge builds postings from the
+    purged segments under the corrected stats."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    tomb = _committed_tombstones(spark, warehouse_dir, manifest)
+    if tomb is None:
+        return manifest
+    try:
+        ids = (tomb.toArrow().column("doc_id")
+               .to_numpy(zero_copy_only=False).astype(np.int64))
+    except Exception:
+        ids = np.array([r["doc_id"] for r in tomb.collect()],
+                       dtype=np.int64)
+    ids = np.unique(ids)
+    if ids.size == 0:
+        manifest.pop("tombstones", None)
+        B._save_manifest(warehouse_dir, manifest)
+        return manifest
+    stats = manifest["stats"]
+    paths = {n: os.path.join(warehouse_dir, n)
+             for n in ("docs", "partials", "pos_partials")}
+    docs = spark.read.parquet(paths["docs"])
+    state = manifest.get("stream")
+    if state is not None and "ingest" in docs.columns:
+        docs = docs.where(F.col("ingest") < state["next_block_id"])
+    removed = (docs.join(F.broadcast(tomb), "doc_id", "left_semi")
+               .agg(F.count("*").alias("n"),
+                    F.coalesce(F.sum("doc_len"), F.lit(0))
+                    .alias("tok")).collect()[0])
+    new_docs = int(stats["num_docs"]) - int(removed["n"])
+    new_tokens = int(stats["num_tokens"]) - int(removed["tok"])
+    if new_docs <= 0:
+        raise ValueError(
+            "purge would delete every document in the warehouse; "
+            "rebuild (or rm -rf) instead")
+
+    remap, bc = _purge_remap_udf(spark, ids)
+    kept = (docs.join(F.broadcast(tomb), "doc_id", "left_anti")
+            .withColumn("doc_id", remap("doc_id")))
+    w = kept.write.mode("overwrite")
+    if "ingest" in docs.columns:
+        w = w.partitionBy("ingest")
+    w.parquet(paths["docs"] + "_purge_tmp")
+
+    partials_df = spark.read.parquet(paths["partials"])
+    (_purge_partials_pass(partials_df, bc)
+     .write.mode("overwrite").partitionBy("block_id")
+     .parquet(paths["partials"] + "_purge_tmp"))
+    if cfg.positions and os.path.isdir(paths["pos_partials"]):
+        pos_df = spark.read.parquet(paths["pos_partials"])
+        (_purge_positions_pass(pos_df, partials_df, bc)
+         .write.mode("overwrite").partitionBy("block_id")
+         .parquet(paths["pos_partials"] + "_purge_tmp"))
+
+    manifest["purge_pending"] = {
+        "stats": {"num_docs": new_docs, "num_tokens": new_tokens,
+                  "avg_doc_len": new_tokens / new_docs}}
+    B._save_manifest(warehouse_dir, manifest)
+    return _finish_pending_purge(spark, warehouse_dir, manifest)
+
+
+def _finish_pending_purge(spark, warehouse_dir: str,
+                          manifest: dict) -> dict:
+    """Complete a journaled purge commit: swap *_purge_tmp dirs in,
+    rewrite the stats table, correct the stream counters, clear the
+    tombstones. Every step is idempotent — a crash anywhere inside
+    re-heals on the next call (compact() and delete_docs() both run
+    this first)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    pend = manifest.get("purge_pending")
+    if not pend:
+        # no journal: stray tmp dirs are a crashed PREPARE — recompute
+        # is the recovery, so just drop them
+        for n in ("docs", "partials", "pos_partials"):
+            shutil.rmtree(os.path.join(warehouse_dir,
+                                       n + "_purge_tmp"),
+                          ignore_errors=True)
+        return manifest
+    for n in ("partials", "pos_partials", "docs"):
+        tmp = os.path.join(warehouse_dir, n + "_purge_tmp")
+        dst = os.path.join(warehouse_dir, n)
+        if os.path.isdir(tmp):
+            shutil.rmtree(dst, ignore_errors=True)
+            os.replace(tmp, dst)
+    ns = pend["stats"]
+    (spark.range(1)
+     .select(F.lit(int(ns["num_docs"])).alias("num_docs"),
+             F.lit(int(ns["num_tokens"])).alias("num_tokens"),
+             F.lit(float(ns["avg_doc_len"])).alias("avg_doc_len"))
+     .coalesce(1).write.mode("overwrite")
+     .parquet(os.path.join(warehouse_dir, "stats")))
+    manifest["stats"] = dict(ns)
+    state = manifest.get("stream")
+    if state is not None:
+        state["num_docs"] = int(ns["num_docs"])
+        state["num_tokens"] = int(ns["num_tokens"])
+        state["next_doc_id"] = int(ns["num_docs"])
+        # the purge rewrote every partial block: the next compaction
+        # MUST be a full re-merge (postings still carry pre-remap ids)
+        state.pop("compacted_through_block", None)
+    stages = manifest.get("stages") or {}
+    for s in ("postings", "lexicon", "positions"):
+        stages.pop(s, None)
+    if "docs" in stages:
+        stages["docs"]["rows"] = int(ns["num_docs"])
+    manifest.pop("bounds_stats", None)
+    manifest.pop("tombstones", None)
+    manifest.pop("purge_pending", None)
+    B._save_manifest(warehouse_dir, manifest)
+    shutil.rmtree(_tombstones_path(warehouse_dir), ignore_errors=True)
+    return manifest
+
+
 def _link_tree(src_dir: str, dst_dir: str) -> int:
     """Hardlink every data file under ``src_dir`` into ``dst_dir``
     (copy fallback for filesystems without link support). Returns the
@@ -716,6 +1186,18 @@ def compact(spark, warehouse_dir: str,
             "positions=True but the pos_partials blocks are missing — "
             "compaction re-concatenates positional segments and cannot "
             "run without them; rebuild the warehouse instead")
+    # logical deletes: finish any crashed purge commit, then purge
+    # committed tombstones — both rewrite partials/docs/stats, so the
+    # collection stats and the stream high-water mark are re-read
+    # after (the purge clears compacted_through_block to force the
+    # full re-merge the remapped ids require)
+    manifest = _finish_pending_purge(spark, warehouse_dir, manifest)
+    if (manifest.get("tombstones") or {}).get("count", 0) > 0:
+        manifest = _purge_tombstones(spark, warehouse_dir, manifest,
+                                     cfg)
+    stats = manifest["stats"]
+    avg = float(stats["avg_doc_len"])
+    num_docs = stats["num_docs"]
     partials = spark.read.parquet(paths["partials"])
     state = manifest.get("stream", {})
     prev_hwm = state.get("compacted_through_block")
