@@ -40,7 +40,7 @@ from ..operators import build as B
 from ..sources.corpus import Corpus
 
 __all__ = ["start_incremental_build", "append_batch", "compact",
-           "delete_docs", "delete_docs_where"]
+           "delete_docs", "delete_docs_where", "upsert_docs"]
 
 
 def _resolve_cfg(manifest: dict, cfg: B.IndexConfig | None) -> B.IndexConfig:
@@ -695,13 +695,16 @@ def delete_docs_where(spark, warehouse_dir: str, condition,
 
 
 def _commit_tombstone_batch(spark, warehouse_dir: str, manifest: dict,
-                            hit_df, n_files: int) -> dict:
+                            hit_df, n_files: int,
+                            allow_all: bool = False) -> dict:
     """Write one tombstone batch and commit it via the manifest
     counter bump. The batch dir is deterministic and only made visible
     by the bump, so a crash between write and save leaves an invisible
     orphan that the retry overwrites. The delete-all guard runs AFTER
     the recount but BEFORE the save — a rejected commit leaves the
-    warehouse unchanged."""
+    warehouse unchanged. ``allow_all`` relaxes that guard for callers
+    that immediately re-ingest replacements (upsert_docs can
+    legitimately replace every document of a small warehouse)."""
     meta = manifest.setdefault("tombstones", {"batches": 0, "count": 0})
     batch_no = int(meta.get("batches", 0))
     (hit_df.coalesce(n_files).write.mode("overwrite")
@@ -710,10 +713,168 @@ def _commit_tombstone_batch(spark, warehouse_dir: str, manifest: dict,
     meta["batches"] = batch_no + 1
     tomb = _committed_tombstones(spark, warehouse_dir, manifest)
     meta["count"] = 0 if tomb is None else tomb.count()
-    if meta["count"] >= manifest["stats"]["num_docs"]:
+    if not allow_all and meta["count"] >= manifest["stats"]["num_docs"]:
         raise ValueError(
             "delete would tombstone every document in the "
             "warehouse; rebuild (or rm -rf) instead")
+    B._save_manifest(warehouse_dir, manifest)
+    return manifest
+
+
+def upsert_docs(spark, corpus_batch: Corpus, warehouse_dir: str,
+                cfg: B.IndexConfig | None = None,
+                blocks_per_batch: int | None = None,
+                batch_id: int | None = None,
+                dedup: bool = False) -> dict:
+    """Upsert a batch into a stream warehouse by external ``doc_no``
+    — the re-crawl / re-curation primitive. Per batch document:
+
+    * ``doc_no`` unseen → ingested (plain insert);
+    * ``doc_no`` exists with the SAME ``sha256(content)`` → skipped
+      entirely (no tombstone, no re-index — a re-crawl where most
+      pages didn't change costs one sha comparison per page);
+    * ``doc_no`` exists with a DIFFERENT sha → every alive old version
+      is tombstoned (see :func:`delete_docs`) and the new content is
+      ingested under a fresh docId.
+
+    Scale shape: the change-detection join reads only the
+    (doc_id, doc_no, content_sha256) columns of the docs table and
+    broadcasts the batch side — one narrow corpus scan, no corpus
+    shuffle, nothing corpus-sized on the driver. The to-ingest subset
+    is then canonically hash-partitioned + sorted on doc_no before
+    :func:`append_batch` (same recipe as dedup staging), so docId
+    assignment is a pure function of the ingested set and a crash
+    replay rewrites identical files.
+
+    Crash safety: the tombstone commit and the append are two separate
+    manifest commits; a crash between them is healed by re-running the
+    SAME upsert — the replaced doc_nos are already tombstoned, so the
+    replay classifies their new contents as plain inserts and the
+    append's own idempotence (deterministic block ids, ``batch_id``
+    fencing) applies. A replay of a fully-committed upsert is a no-op
+    (same-sha rows all classify unchanged).
+
+    A batch with two different contents for one doc_no is ambiguous
+    and raises. Intra-batch *identical* rows (same doc_no AND sha) are
+    collapsed to one. Returns the updated manifest;
+    ``manifest["metrics"]["last_upsert"]`` records
+    {batch_docs, unchanged, replaced, inserted, tombstoned_rows}.
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql import functions as F
+
+    manifest = B.read_manifest(warehouse_dir)
+    if "stream" not in manifest and B._stage_done(manifest, "docs"):
+        raise ValueError(
+            "warehouse was batch-built (docs stage committed without "
+            "stream state); upserts need an appendable stream "
+            "warehouse — rebuild via append_batch/upsert_docs into a "
+            "fresh dir")
+    manifest = _finish_pending_purge(spark, warehouse_dir, manifest)
+    state = manifest.get("stream")
+    if (batch_id is not None and state is not None
+            and batch_id <= state.get("last_batch_id", -1)):
+        return manifest  # replay of a committed upsert → no-op
+    n_blocks = blocks_per_batch or spark.sparkContext.defaultParallelism
+
+    # batch key frame: (doc_no, sha) after the malformed-line policy
+    # (null/empty content never matches, never tombstones)
+    batch = (corpus_batch.df
+             .where(F.col("content").isNotNull()
+                    & (F.length("content") > 0))
+             .select("doc_no",
+                     F.sha2(F.col("content"), 256).alias("_sha"))
+             .distinct()
+             .persist(StorageLevel.MEMORY_AND_DISK))
+    pinned_ingest = None
+    try:
+        n_batch = batch.count()
+        if n_batch == 0:
+            return manifest
+        ambiguous = (batch.groupBy("doc_no").count()
+                     .where(F.col("count") > 1).limit(5).collect())
+        if ambiguous:
+            raise ValueError(
+                "upsert_docs: batch carries multiple distinct contents "
+                "for the same doc_no (ambiguous upsert); first few: "
+                f"{[r['doc_no'] for r in ambiguous]!r}")
+
+        to_ingest_nos = batch.select("doc_no")  # default: all insert
+        n_unchanged = n_replaced = n_tomb_rows = 0
+        if state is not None and state.get("num_docs", 0) > 0:
+            docs = spark.read.parquet(
+                os.path.join(warehouse_dir, "docs"))
+            if "ingest" in docs.columns:
+                # a crashed append's orphan rows replay with fresh ids
+                # — never match (nor tombstone) against them
+                docs = docs.where(
+                    F.col("ingest") < state["next_block_id"])
+            alive = docs.select("doc_id", "doc_no", "content_sha256")
+            tomb = _committed_tombstones(spark, warehouse_dir, manifest)
+            if tomb is not None:
+                alive = alive.join(F.broadcast(tomb), "doc_id",
+                                   "left_anti")
+            # ONE narrow scan of the corpus-sized docs table; the
+            # match result is batch-sized, pin it for the two splits
+            matches = (alive.join(F.broadcast(batch), "doc_no")
+                       .persist(StorageLevel.MEMORY_AND_DISK))
+            to_delete = (matches
+                         .where(F.col("content_sha256") != F.col("_sha"))
+                         .select("doc_id", "doc_no"))
+            unchanged_nos = (matches
+                             .where(F.col("content_sha256")
+                                    == F.col("_sha"))
+                             .select("doc_no").distinct())
+            n_unchanged = unchanged_nos.count()
+            n_tomb_rows = to_delete.count()
+            # pin the to-ingest key set (batch-sized) before matches
+            # is unpersisted — the append below must not re-scan the
+            # docs table just to rebuild this frame
+            pinned_ingest = (batch.join(F.broadcast(unchanged_nos),
+                                        "doc_no", "left_anti")
+                             .select("doc_no")
+                             .persist(StorageLevel.MEMORY_AND_DISK))
+            pinned_ingest.count()
+            to_ingest_nos = pinned_ingest
+            if n_tomb_rows:
+                n_replaced = (to_delete.select("doc_no").distinct()
+                              .count())
+                manifest = _commit_tombstone_batch(
+                    spark, warehouse_dir, manifest, to_delete,
+                    n_files=max(1, min(64,
+                                       n_tomb_rows // 4_000_000 + 1)),
+                    allow_all=True)
+            matches.unpersist()
+
+        n_insert = n_batch - n_unchanged
+        if n_insert > 0:
+            # canonical staging (dedup-staging recipe): partition and
+            # order are a pure function of the ingested set, so a
+            # crash replay regenerates byte-identical block files.
+            # distinct() also collapses intra-batch IDENTICAL rows
+            # (same doc_no+content — distinct contents already raised)
+            staged_src = (corpus_batch.df
+                          .select("doc_no", "content").distinct()
+                          .join(F.broadcast(to_ingest_nos), "doc_no",
+                                "left_semi")
+                          .repartition(n_blocks, "doc_no")
+                          .sortWithinPartitions("doc_no"))
+            manifest = append_batch(
+                spark, Corpus(staged_src, ()), warehouse_dir, cfg=cfg,
+                blocks_per_batch=n_blocks, batch_id=batch_id,
+                dedup=dedup)
+        elif batch_id is not None and state is not None:
+            # nothing to ingest — still fence the batch id so a
+            # Structured Streaming replay of this batch is a no-op
+            manifest["stream"]["last_batch_id"] = batch_id
+    finally:
+        batch.unpersist()
+        if pinned_ingest is not None:
+            pinned_ingest.unpersist()
+    manifest.setdefault("metrics", {})["last_upsert"] = {
+        "batch_docs": int(n_batch), "unchanged": int(n_unchanged),
+        "replaced": int(n_replaced), "inserted": int(n_insert),
+        "tombstoned_rows": int(n_tomb_rows)}
     B._save_manifest(warehouse_dir, manifest)
     return manifest
 
