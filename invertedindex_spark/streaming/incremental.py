@@ -1541,7 +1541,8 @@ def start_incremental_build(spark, stream_df, order_keys, warehouse_dir,
                             compact_every: int = 5,
                             checkpoint_dir: str | None = None,
                             trigger: dict | None = None,
-                            dedup: bool = False):
+                            dedup: bool = False,
+                            mode: str = "append"):
     """readStream source (input_hint columns) → incremental index.
 
     ``stream_df`` must be a streaming DataFrame with the corpus columns
@@ -1551,14 +1552,26 @@ def start_incremental_build(spark, stream_df, order_keys, warehouse_dir,
     folds partials into the queryable index. ``cfg=None`` inherits the
     warehouse's recorded config (passed through unresolved so a stream
     resumed on a pfd / stem-off warehouse keeps its pipeline).
+
+    ``mode="upsert"`` routes each micro-batch through
+    :func:`upsert_docs` instead — the continuous re-crawl pipeline:
+    re-sent unchanged documents are skipped, changed documents replace
+    their old version (tombstone + fresh ingest), new doc_nos insert.
+    Structured Streaming's batch_id replay is fenced in both modes.
     """
+    if mode not in ("append", "upsert"):
+        raise ValueError(f"mode must be 'append' or 'upsert': {mode!r}")
     checkpoint_dir = checkpoint_dir or os.path.join(warehouse_dir,
                                                     "_checkpoints")
 
     def process(batch_df, batch_id: int):
         c = Corpus(batch_df, tuple(order_keys))
-        append_batch(spark, c, warehouse_dir, cfg, batch_id=batch_id,
-                     dedup=dedup)
+        if mode == "upsert":
+            upsert_docs(spark, c, warehouse_dir, cfg,
+                        batch_id=batch_id, dedup=dedup)
+        else:
+            append_batch(spark, c, warehouse_dir, cfg,
+                         batch_id=batch_id, dedup=dedup)
         if (batch_id + 1) % compact_every == 0:
             compact(spark, warehouse_dir, cfg)
 

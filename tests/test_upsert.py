@@ -211,6 +211,49 @@ def test_upsert_compact_parity_with_rebuild(spark, tmp_path):
     assert dec(a, wh) == dec(b, wh_ref)
 
 
+def test_structured_streaming_upsert_mode(spark, tmp_path):
+    """mode='upsert' through a real readStream/foreachBatch: a second
+    availableNow pass re-delivering a changed re-crawl updates in
+    place (deterministic batch order via two sequential streams over
+    one checkpoint — real re-crawl cadence, not file-glob order)."""
+    import os
+
+    from invertedindex_spark.sources.corpus import from_source_code
+    from invertedindex_spark.streaming import start_incremental_build
+
+    rows = _rows(90)
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    wh = str(tmp_path / "wh")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_pass(chunk_rows, chunk_no):
+        spark.createDataFrame(chunk_rows, corpus._CORPUS_SCHEMA) \
+            .coalesce(1).write.parquet(f"{src_dir}/chunk={chunk_no}")
+        stream = (spark.readStream.schema(corpus._CORPUS_SCHEMA)
+                  .parquet(src_dir + "/chunk=*"))
+        q = start_incremental_build(
+            spark, from_source_code(stream).df,
+            ("repo", "path", "commit"), wh, IndexConfig(**CFG),
+            compact_every=1000, checkpoint_dir=ckpt,
+            trigger={"availableNow": True}, mode="upsert")
+        q.awaitTermination(120)
+
+    run_pass(rows[:60], 0)
+    assert len(_alive_doc_nos(spark, wh)) == 60
+
+    # re-crawl: 40 unchanged re-sends + 10 changed + 30 new
+    recrawl = rows[:40] + [_changed(r) for r in rows[40:50]] + rows[60:]
+    run_pass(recrawl, 1)
+    m = read_manifest(wh)["metrics"]["last_upsert"]
+    assert m["unchanged"] == 40 and m["replaced"] == 10
+    assert m["inserted"] == 40  # 10 new versions + 30 inserts
+    assert _alive_doc_nos(spark, wh) == {_doc_no(r) for r in rows}
+    idx = InvertedIndex(spark, wh, fresh=True)
+    hits = {d for d, _ in idx.search(f"OR {MARK}", k=50)}
+    assert hits == {_doc_no(r) for r in rows[40:50]}
+
+
 def test_upsert_validation_and_edge_cases(spark, tmp_path):
     rows = _rows(60)
     wh = str(tmp_path / "wh")
