@@ -522,6 +522,55 @@ def sql_bm25_topk_or():
     return _topk_sql(OR_TERMS, conjunctive=False)
 
 
+def q_bm25_topk_prefix(spark, sf_dir):
+    """Wildcard (prefix) search: 'ta*' rewrites to the
+    lexicographically-first 32 stored vocabulary terms in
+    [ta, tb) via a row-group-pruned lexicon range scan
+    (InvertedIndex.expand_prefix — the Lucene PrefixQuery rewrite),
+    then serves as a plain OR."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    idx = get_index(spark, sf_dir)
+    res = idx.search_distributed("OR fast ta*", k=K)
+    w = Window.orderBy(F.desc("score"))
+    return res.select(F.row_number().over(w).alias("rank"), "doc_no",
+                      _u6(F.col("score")).alias("score_u6"))
+
+
+def _topk_prefix_sql(terms, prefixes, k=K, max_expand=32) -> str:
+    """_topk_sql with prefix expansion: each prefix admits the
+    lexicographically-first ``max_expand`` matching vocabulary terms
+    (the engine cap in InvertedIndex.MAX_PREFIX_EXPAND)."""
+    preds = []
+    if terms:
+        tlist = ", ".join(f"'{t}'" for t in terms)
+        preds.append(f"tf.term IN ({tlist})")
+    for p in prefixes:
+        hi = p[:-1] + chr(ord(p[-1]) + 1)
+        preds.append(
+            f"tf.term IN (SELECT term FROM lex WHERE term >= '{p}' "
+            f"AND term < '{hi}' ORDER BY term LIMIT {max_expand})")
+    where = " OR ".join(preds)
+    return _base_cte() + f""",
+scores AS (
+  SELECT tf.doc_id, CAST(sum({_bm25_u6_expr()}) AS BIGINT) AS score_u6
+  FROM tf JOIN lex USING (term) CROSS JOIN stats
+  WHERE {where}
+  GROUP BY tf.doc_id
+), dedup AS (
+  SELECT score_u6, min(doc_id) AS doc_id
+  FROM scores GROUP BY score_u6
+  ORDER BY score_u6 DESC LIMIT {k}
+)
+SELECT row_number() OVER (ORDER BY score_u6 DESC) AS rank, d.doc_no,
+       score_u6
+FROM dedup JOIN docs d USING (doc_id)"""
+
+
+def sql_bm25_topk_prefix():
+    return _topk_prefix_sql(["fast"], ["ta"])
+
+
 def q_bm25_topk_and(spark, sf_dir):
     return _topk_df(spark, sf_dir, AND_TERMS, conjunctive=True)
 
@@ -2516,6 +2565,7 @@ def extra_queries():
     stem_on_topk_and ~ stem_on_topk_or, lsh_buckets ⊂ ann_lsh_topk,
     multimodal_* ⊂ multimodal_pipeline)."""
     return {
+        "bm25_topk_prefix": q_bm25_topk_prefix,
         "top_terms": q_top_terms,
         "token_counts": q_token_counts,
         "substring_spans": q_substring_spans,
@@ -2532,6 +2582,7 @@ def extra_oracle_sql(query_vec=None, sf_dir=None):
     """Oracle twins for :func:`extra_queries` (same parameter contract
     as :func:`all_oracle_sql`)."""
     out = {
+        "bm25_topk_prefix": sql_bm25_topk_prefix(),
         "top_terms": sql_top_terms(),
         "token_counts": sql_token_counts(),
         "substring_spans": sql_substring_spans(),

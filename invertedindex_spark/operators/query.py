@@ -39,7 +39,8 @@ from collections import OrderedDict
 import numpy as np
 
 from ..functions import codec, scoring
-from ..functions.textproc import preprocess_query
+from ..functions.textproc import (MAX_TERM_LEN, preprocess_query,
+                                  tokenize_text)
 from .build import read_manifest
 
 __all__ = ["InvertedIndex", "queue_topk_np"]
@@ -378,6 +379,100 @@ class InvertedIndex:
         lex = self.lexicon
         rows = lex.where(lex["term"].isin(list(terms))).collect()
         return {r["term"]: r for r in rows}
+
+    # -- prefix (wildcard) expansion -------------------------------------
+    MAX_PREFIX_EXPAND = 32
+
+    def expand_prefix(self, prefix: str, limit: int | None = None):
+        """Lexicographically-first ``limit`` STORED vocabulary terms
+        starting with ``prefix`` — the Lucene PrefixQuery rewrite over
+        this engine's lexicon. Matching is against stored (stemmed)
+        forms; the prefix itself is never stemmed.
+
+        Scale shape: the lexicon is term-sorted parquet, so the range
+        filter [prefix, prefix+1) prunes to the row groups that
+        overlap it — O(matching range), not O(vocabulary) — in both
+        the driver pyarrow path and the Spark pushdown path (the
+        analogue of the reference's mmap binary search,
+        DiskDataStructuresSearch.java:36-67, for a range instead of a
+        point). Fresh handles also range-scan the term column of
+        uncompacted partial blocks, where new vocabulary lives until
+        compaction."""
+        if not prefix:
+            raise ValueError("expand_prefix: empty prefix")
+        limit = self.MAX_PREFIX_EXPAND if limit is None else limit
+        last = prefix[-1]
+        hi = (prefix[:-1] + chr(ord(last) + 1)
+              if ord(last) < 0x10FFFF else None)
+        found: set[str] = set()
+        if self._compacted_tables_exist():
+            if self.io_mode == "local":
+                import pyarrow.dataset as ds
+
+                flt = ds.field("term") >= prefix
+                if hi is not None:
+                    flt = flt & (ds.field("term") < hi)
+                t = (ds.dataset(f"{self.warehouse_dir}/lexicon",
+                                format="parquet")
+                     .to_table(columns=["term"], filter=flt))
+                found |= set(t.column("term").to_pylist())
+            else:
+                from pyspark.sql import functions as F
+
+                c = F.col("term") >= prefix
+                if hi is not None:
+                    c = c & (F.col("term") < hi)
+                found |= {r["term"] for r in
+                          (self.lexicon.where(c).select("term")
+                           .orderBy("term").limit(limit).collect())}
+        p = self._fresh_partials_sdf()
+        if p is not None:
+            from pyspark.sql import functions as F
+
+            c = F.col("term") >= prefix
+            if hi is not None:
+                c = c & (F.col("term") < hi)
+            found |= {r["term"] for r in
+                      (p.where(c).select("term").distinct()
+                       .orderBy("term").limit(limit).collect())}
+        return sorted(found)[:limit]
+
+    def _preprocess_with_prefixes(self, query: str):
+        """preprocess_query plus ``term*`` wildcard support (engine
+        extension; the reference grammar is plain [AND|OR] terms).
+        Each trailing-star token is expanded via :meth:`expand_prefix`
+        and the expansions join the term set. OR-only: under AND a
+        wildcard would need per-clause any-of grouping the reference
+        top-k contract has no shape for, and PHRASE adjacency is
+        position-ordered — both raise."""
+        if "*" not in query:
+            return preprocess_query(query, stopwords=self.stopwords,
+                                    stemming=self.stemming)
+        base, prefixes = [], []
+        for i, p in enumerate(query.split()):
+            if i > 0 and len(p) > 1 and p.endswith("*"):
+                prefixes.append(p[:-1])
+            else:
+                base.append(p)
+        qtype, terms = preprocess_query(
+            " ".join(base), stopwords=self.stopwords,
+            stemming=self.stemming)
+        if not prefixes:
+            return qtype, terms
+        if qtype != "OR":
+            raise ValueError(
+                "prefix terms (term*) are OR-only: AND would need "
+                "any-of clause grouping and PHRASE is position-"
+                f"ordered (got {qtype})")
+        for p in prefixes:
+            toks = tokenize_text(p)
+            if len(toks) != 1:
+                raise ValueError(
+                    f"illegal prefix {p + '*'!r}: must normalize to "
+                    "exactly one token")
+            terms = set(terms) | set(
+                self.expand_prefix(toks[0][:MAX_TERM_LEN]))
+        return qtype, terms
 
     def _term_row_groups(self):
         """Build the term → parquet-row-group map ONCE by reading only
@@ -1190,8 +1285,7 @@ class InvertedIndex:
         block-max stay sound upper bounds (they only over-estimate
         filtered maxima, never under).
         """
-        qtype, terms = preprocess_query(
-            query, stopwords=self.stopwords, stemming=self.stemming)
+        qtype, terms = self._preprocess_with_prefixes(query)
         key = (qtype,
                tuple(terms) if qtype == "PHRASE" else frozenset(terms),
                k, prune, where)
@@ -2222,8 +2316,7 @@ class InvertedIndex:
         collection-global (same scoring contract as :meth:`search`)."""
         from pyspark.sql import functions as F
 
-        qtype, terms = preprocess_query(
-            query, stopwords=self.stopwords, stemming=self.stemming)
+        qtype, terms = self._preprocess_with_prefixes(query)
         if qtype == "PHRASE":
             self._require_positions()
         present = self._present_terms(set(terms))
