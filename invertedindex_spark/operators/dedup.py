@@ -163,8 +163,14 @@ def minhash_lsh_pairs(df, perms, n_bands: int, band_width: int,
     alternative — a union of per-band projections self-joined on
     (band, sig) — recomputes the expensive signature subtree once per
     union branch per join side; Catalyst does not CSE across union
-    branches.) Verification joins the small candidate set (broadcast)
-    against the shingle sets.
+    branches.) Verification joins the candidate set against the
+    shingle sets WITHOUT a broadcast hint: the candidate count is
+    data-dependent and unbounded (a near-dup-heavy corpus yields
+    O(dups) pairs), so forcing a broadcast collects an arbitrarily
+    large table to the driver — observed >1 GiB on a 1M-doc synthetic
+    code corpus, aborting on spark.driver.maxResultSize. AQE still
+    picks a broadcast join at runtime when the built side is actually
+    small; when it is not, a shuffle join is the correct plan.
 
     ``max_bucket``: at web scale a degenerate bucket (boilerplate
     docs sharing one band signature) makes the in-bucket pair
@@ -195,7 +201,7 @@ def minhash_lsh_pairs(df, perms, n_bands: int, band_width: int,
         .alias("s"))
     return (sets.withColumnRenamed("doc_id", "a")
                 .withColumnRenamed("s", "sa")
-            .join(F.broadcast(cand), "a")
+            .join(cand, "a")
             .join(sets.withColumnRenamed("doc_id", "b")
                       .withColumnRenamed("s", "sb"), "b")
             .select("a", "b",
