@@ -75,7 +75,7 @@ def main(argv=None):
         return 0
     quit_codes = {"Q", "q", "QUIT", "quit", "EXIT", "exit"}
     print("Starting the command line..")
-    print("Input Format: [AND|OR] term1 ... termN")
+    print("Input Format: [AND|OR|PHRASE] term1 ... termN (OR supports term*)")
     try:
         while True:
             try:
@@ -94,7 +94,7 @@ def main(argv=None):
                     print(doc_no, score)
             except ValueError as e:
                 print(e)
-                print("Input Format: [AND|OR] term1 ... termN")
+                print("Input Format: [AND|OR|PHRASE] term1 ... termN (OR supports term*)")
             print(f"{time.time() - t0} seconds")
     finally:
         if own_session:
