@@ -2205,6 +2205,72 @@ SELECT doc_id, ws_tokens, bpe_tokens,
 FROM c"""
 
 
+def _pii_augmented_docs(spark, sf_dir):
+    """documents with deterministic PII planted by doc_id % 4 (email /
+    IPv4 / phone / untouched) — the sf tables and fuzz corpora carry no
+    natural PII, so an un-augmented scrub would verify only the no-op
+    path. The augmentation is replicated literally in the oracle CTE."""
+    from pyspark.sql import functions as F
+
+    d = _docs_df(spark, sf_dir)
+    base = F.coalesce(F.col("text"), F.lit(""))
+    sid = F.col("doc_id").cast("string")
+    aug = (F.when(F.col("doc_id") % 4 == 0,
+                  F.concat(base, F.lit(" contact user"), sid,
+                           F.lit("@example.com now")))
+           .when(F.col("doc_id") % 4 == 1,
+                 F.concat(base, F.lit(" host 10."),
+                          (F.col("doc_id") % 200).cast("string"),
+                          F.lit(".0."),
+                          (F.col("doc_id") % 250).cast("string"),
+                          F.lit(" up")))
+           .when(F.col("doc_id") % 4 == 2,
+                 F.concat(base, F.lit(" call +1 (555) 010-"),
+                          F.lpad((F.col("doc_id") % 10000)
+                                 .cast("string"), 4, "0"),
+                          F.lit(" today")))
+           .otherwise(base))
+    return d.select("doc_id", aug.alias("text"))
+
+
+def q_pii_scrub(spark, sf_dir):
+    from .operators.pii import pii_scrub
+    return pii_scrub(_pii_augmented_docs(spark, sf_dir))
+
+
+def sql_pii_scrub():
+    from .operators.pii import EMAIL_PATTERN, IPV4_PATTERN, PHONE_PATTERN
+    return f"""
+WITH d AS (SELECT doc_id,
+  CASE CAST(doc_id % 4 AS INTEGER)
+    WHEN 0 THEN coalesce(text,'') || ' contact user'
+                || CAST(doc_id AS VARCHAR) || '@example.com now'
+    WHEN 1 THEN coalesce(text,'') || ' host 10.'
+                || CAST(doc_id % 200 AS VARCHAR) || '.0.'
+                || CAST(doc_id % 250 AS VARCHAR) || ' up'
+    WHEN 2 THEN coalesce(text,'') || ' call +1 (555) 010-'
+                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                || ' today'
+    ELSE coalesce(text,'') END AS text
+  FROM documents),
+s1 AS (SELECT doc_id,
+       len(regexp_extract_all(text, '{EMAIL_PATTERN}')) AS n_emails,
+       regexp_replace(text, '{EMAIL_PATTERN}', '<EMAIL>', 'g') AS t1
+       FROM d),
+s2 AS (SELECT doc_id, n_emails,
+       len(regexp_extract_all(t1, '{IPV4_PATTERN}')) AS n_ips,
+       regexp_replace(t1, '{IPV4_PATTERN}', '<IP>', 'g') AS t2
+       FROM s1)
+SELECT doc_id,
+       regexp_replace(t2, '{PHONE_PATTERN}', '<PHONE>', 'g')
+         AS clean_text,
+       CAST(n_emails AS BIGINT) AS n_emails,
+       CAST(n_ips AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(t2, '{PHONE_PATTERN}')) AS BIGINT)
+         AS n_phones
+FROM s2"""
+
+
 # ---------------------------------------------------------------------
 # physical-format / multimodal checks
 # ---------------------------------------------------------------------
@@ -2563,8 +2629,11 @@ def extra_queries():
     token_counts ⊂ token_stats, substring_spans ⊂
     substring_span_removal, stratified_take ~ stratified_sample,
     stem_on_topk_and ~ stem_on_topk_or, lsh_buckets ⊂ ann_lsh_topk,
-    multimodal_* ⊂ multimodal_pipeline)."""
+    multimodal_* ⊂ multimodal_pipeline); pii_scrub is a round-5
+    addition kept outside the capped driver registry from day one
+    (differential fuzz + contract pytest are its gates)."""
     return {
+        "pii_scrub": q_pii_scrub,
         "bm25_topk_prefix": q_bm25_topk_prefix,
         "top_terms": q_top_terms,
         "token_counts": q_token_counts,
@@ -2582,6 +2651,7 @@ def extra_oracle_sql(query_vec=None, sf_dir=None):
     """Oracle twins for :func:`extra_queries` (same parameter contract
     as :func:`all_oracle_sql`)."""
     out = {
+        "pii_scrub": sql_pii_scrub(),
         "bm25_topk_prefix": sql_bm25_topk_prefix(),
         "top_terms": sql_top_terms(),
         "token_counts": sql_token_counts(),
