@@ -1,7 +1,8 @@
 from .incremental import (append_batch, compact, delete_docs,
                           delete_docs_where, start_incremental_build,
                           upsert_docs)
+from .shards import merge_warehouses
 
 __all__ = ["append_batch", "compact", "delete_docs",
-           "delete_docs_where", "start_incremental_build",
-           "upsert_docs"]
+           "delete_docs_where", "merge_warehouses",
+           "start_incremental_build", "upsert_docs"]
