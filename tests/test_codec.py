@@ -149,3 +149,33 @@ def test_vbyte_int64_range():
     assert np.array_equal(codec.vbyte_decode(enc), v)
     lens = codec.vbyte_encoded_lengths(v)
     assert lens.tolist() == [1, 1, 5, 6, 6, 9, 9, 9]
+
+
+def test_vbyte_head_rewrite_invariant():
+    """The shard-merge docId remap (streaming/shards.py) rewrites ONLY
+    the absolute head of a gap-encoded VByte stream. That is sound iff
+    (a) a stream is the concatenation of per-value encodings, and
+    (b) the head's byte length is vbyte_encoded_lengths(first) —
+    property-checked here over adversarial magnitudes (byte-length
+    boundaries 128^k, zero gaps, 10^12-scale offsets)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from invertedindex_spark.functions import codec
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=0, max_value=128 ** 6),
+                 min_size=1, max_size=30),
+        st.integers(min_value=0, max_value=10 ** 12))
+    def check(gaps, offset):
+        gaps = np.asarray(gaps, dtype=np.int64)
+        stream = codec.vbyte_encode(gaps)
+        head_len = int(codec.vbyte_encoded_lengths(gaps[:1])[0])
+        new_head = codec.vbyte_encode(gaps[:1] + offset)
+        rewritten = new_head + stream[head_len:]
+        want = gaps.copy()
+        want[0] += offset
+        assert np.array_equal(codec.vbyte_decode(rewritten), want)
+
+    check()
