@@ -49,3 +49,19 @@ def oracle_sql() -> dict[str, str]:
         "where vec_id = 0").fetchone()[0]
     return entry_queries.all_oracle_sql([float(x) for x in q],
                                         sf_dir=sf_dir)
+
+
+# -- beyond the driver contract: the demoted-twin registries ----------
+# The external driver records at most 50 correctness rows, so
+# all_queries() is capped at 50; these expose the remaining oracle-
+# checked queries (verified by tests/test_entry_contract.py and the
+# differential fuzz suites) for full sweeps:
+#   {**queries(), **extra_queries()} / {**oracle_sql(), **extra_oracle_sql()}
+
+def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return entry_queries.extra_queries()
+
+
+def extra_oracle_sql() -> dict[str, str]:
+    sf_dir = os.path.join(TESTDATA, "sf0.01")
+    return entry_queries.extra_oracle_sql(sf_dir=sf_dir)

@@ -2205,6 +2205,27 @@ SELECT doc_id, ws_tokens, bpe_tokens,
 FROM c"""
 
 
+def q_facet_counts(spark, sf_dir):
+    """Search-engine facet sidebar: per-source document counts over
+    the FULL disjunctive match set (every doc containing any query
+    term — not the top-k), via the index's selective postings decode."""
+    idx = get_index(spark, sf_dir)
+    idx.set_attributes(_docs_df(spark, sf_dir).select("doc_id", "source"),
+                       key="doc_id")
+    return idx.facet_counts("OR " + " ".join(OR_TERMS), by="source",
+                            top=10)
+
+
+def sql_facet_counts(top: int = 10) -> str:
+    tlist = ", ".join(f"'{t}'" for t in OR_TERMS)
+    return _base_cte() + f""",
+m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({tlist})),
+md AS (SELECT d.doc_no FROM m JOIN docs d USING (doc_id))
+SELECT dd.source AS source, CAST(count(*) AS BIGINT) AS n_docs
+FROM md JOIN documents dd ON CAST(dd.doc_id AS VARCHAR) = md.doc_no
+GROUP BY dd.source ORDER BY n_docs DESC, source ASC LIMIT {top}"""
+
+
 def _pii_augmented_docs(spark, sf_dir):
     """documents with deterministic PII planted by doc_id % 4 (email /
     IPv4 / phone / untouched) — the sf tables and fuzz corpora carry no
@@ -2634,6 +2655,7 @@ def extra_queries():
     (differential fuzz + contract pytest are its gates)."""
     return {
         "pii_scrub": q_pii_scrub,
+        "facet_counts": q_facet_counts,
         "bm25_topk_prefix": q_bm25_topk_prefix,
         "top_terms": q_top_terms,
         "token_counts": q_token_counts,
@@ -2652,6 +2674,7 @@ def extra_oracle_sql(query_vec=None, sf_dir=None):
     as :func:`all_oracle_sql`)."""
     out = {
         "pii_scrub": sql_pii_scrub(),
+        "facet_counts": sql_facet_counts(),
         "bm25_topk_prefix": sql_bm25_topk_prefix(),
         "top_terms": sql_top_terms(),
         "token_counts": sql_token_counts(),

@@ -77,7 +77,10 @@ try:
 
     # curation-family operator at this parallelism: MinHash-LSH
     # near-dup pairs (signature pass + band-bucket join — the dedup
-    # scale shape)
+    # scale shape). max_bucket=64 is the operator's web-scale
+    # configuration: the synthetic code corpus has degenerate band
+    # buckets whose O(b^2) pair expansion measures pathology, not the
+    # operator (unbounded parity mode is for the small-sf oracle).
     import random as _random
     from pyspark.sql import functions as F
     from invertedindex_spark.operators.dedup import (
@@ -94,7 +97,8 @@ try:
                     F.col("content").alias("text"))
             .where(F.pmod(F.xxhash64("repo", "path"), F.lit(8)) == 0))
     tc = time.perf_counter()
-    minhash_lsh_pairs(docs, perms, n_bands=4, band_width=4).count()
+    minhash_lsh_pairs(docs, perms, n_bands=4, band_width=4,
+                      max_bucket=64).count()
     dc = time.perf_counter() - tc
 except BaseException:
     shutil.rmtree(wh, ignore_errors=True)

@@ -1,0 +1,87 @@
+"""facet_counts: per-attribute doc counts over the FULL match set —
+AND/OR semantics, where= composition, tombstone filtering, guards.
+Engine-vs-oracle parity runs in test_differential (facet_counts is in
+RANKED_QUERIES) and test_entry_contract (extras registry)."""
+
+import pytest
+
+from invertedindex_spark import IndexConfig, InvertedIndex, build_index
+from invertedindex_spark.sources.corpus import from_documents
+
+
+@pytest.fixture(scope="module")
+def facet_idx(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("facets")
+    rows = [(0, "fast data", "a"), (1, "fast table", "a"),
+            (2, "data table", "b"), (3, "fast", "b"),
+            (4, "zebra", "c")]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in rows], "doc_id long, text string")
+    wh = str(root / "wh")
+    build_index(spark, from_documents(df), wh,
+                IndexConfig(num_blocks=2, stemming=False))
+    idx = InvertedIndex(spark, wh)
+    attrs = spark.createDataFrame(
+        [(i, s) for i, _, s in rows], "doc_id long, src string")
+    idx.set_attributes(attrs, key="doc_id")
+    return idx
+
+
+def _counts(df):
+    return [(r[0], r[1]) for r in df.collect()]
+
+
+def test_or_facets_full_match_set(facet_idx):
+    # OR fast data matches docs 0,1,2,3 -> a:2, b:2 (tie: value asc)
+    got = _counts(facet_idx.facet_counts("OR fast data", by="src"))
+    assert got == [("a", 2), ("b", 2)]
+
+
+def test_and_facets(facet_idx):
+    got = _counts(facet_idx.facet_counts("AND fast data", by="src"))
+    assert got == [("a", 1)]
+
+
+def test_where_composes(facet_idx):
+    got = _counts(facet_idx.facet_counts("OR fast data", by="src",
+                                         where="src = 'b'"))
+    assert got == [("b", 2)]
+
+
+def test_top_caps_output(facet_idx):
+    got = _counts(facet_idx.facet_counts("OR fast data table zebra",
+                                         by="src", top=1))
+    assert got == [("a", 2)]
+
+
+def test_guards(facet_idx, spark, tmp_path):
+    with pytest.raises(ValueError, match="PHRASE"):
+        facet_idx.facet_counts("PHRASE fast data", by="src")
+    df = spark.createDataFrame([(0, "fast data")],
+                               "doc_id long, text string")
+    wh = str(tmp_path / "noattrs")
+    build_index(spark, from_documents(df), wh,
+                IndexConfig(num_blocks=1, stemming=False))
+    bare = InvertedIndex(spark, wh)
+    with pytest.raises(ValueError, match="set_attributes"):
+        bare.facet_counts("OR fast", by="src")
+
+
+def test_tombstoned_docs_leave_facets(spark, tmp_path):
+    from invertedindex_spark.streaming import append_batch, delete_docs
+
+    rows = [(0, "fast data", "a"), (1, "fast table", "a"),
+            (2, "data table", "b"), (3, "fast", "b")]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in rows], "doc_id long, text string")
+    wh = str(tmp_path / "wh")
+    append_batch(spark, from_documents(df), wh,
+                 IndexConfig(num_blocks=2, stemming=False),
+                 blocks_per_batch=2)
+    delete_docs(spark, wh, ["3"])
+    idx = InvertedIndex(spark, wh, fresh=True)
+    attrs = spark.createDataFrame(
+        [(i, s) for i, _, s in rows], "doc_id long, src string")
+    idx.set_attributes(attrs, key="doc_id")
+    got = _counts(idx.facet_counts("OR fast data", by="src"))
+    assert got == [("a", 2), ("b", 1)]
