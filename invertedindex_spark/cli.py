@@ -21,6 +21,35 @@ import sys
 import time
 
 
+def _did_you_mean(idx, line):
+    """Spell-suggestion hints for a zero-hit query: one line per
+    out-of-vocabulary term with its nearest stored terms. Silent on
+    stream-fresh warehouses (no lexicon to suggest from yet) and on
+    queries whose terms all exist (the empty result is then real)."""
+    from .functions.textproc import preprocess_query
+
+    try:
+        _qtype, terms = preprocess_query(
+            line, stopwords=idx.stopwords, stemming=idx.stemming)
+    except ValueError:
+        return []
+    terms = sorted(set(terms))
+    known = idx.lookup(terms)
+    out = []
+    for t in terms:
+        if t in known:
+            continue
+        try:
+            sug = idx.suggest(t, top=3)
+        except ValueError:
+            # no lexicon (stream-fresh) or a degenerate token — no hint
+            continue
+        if sug:
+            out.append(f"did you mean: {t} -> "
+                       + ", ".join(s for s, _df, _d in sug))
+    return out
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("warehouse")
@@ -75,7 +104,7 @@ def main(argv=None):
         return 0
     quit_codes = {"Q", "q", "QUIT", "quit", "EXIT", "exit"}
     print("Starting the command line..")
-    print("Input Format: [AND|OR|PHRASE] term1 ... termN (OR supports term*)")
+    print("Input Format: [AND|OR|PHRASE] term1 ... termN (OR supports term* and term~)")
     try:
         while True:
             try:
@@ -89,12 +118,15 @@ def main(argv=None):
                 continue
             t0 = time.time()
             try:
-                for doc_no, score in idx.search(line, args.k,
-                                                prune=args.prune):
+                hits = idx.search(line, args.k, prune=args.prune)
+                for doc_no, score in hits:
                     print(doc_no, score)
+                if not hits:
+                    for hint in _did_you_mean(idx, line):
+                        print(hint)
             except ValueError as e:
                 print(e)
-                print("Input Format: [AND|OR|PHRASE] term1 ... termN (OR supports term*)")
+                print("Input Format: [AND|OR|PHRASE] term1 ... termN (OR supports term* and term~)")
             print(f"{time.time() - t0} seconds")
     finally:
         if own_session:

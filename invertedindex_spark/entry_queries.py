@@ -571,6 +571,82 @@ def sql_bm25_topk_prefix():
     return _topk_prefix_sql(["fast"], ["ta"])
 
 
+FUZZY_TOKEN = "qery"     # deliberate typo of "query" (dist 1)
+
+
+def q_did_you_mean(spark, sf_dir):
+    """Spell suggestion ("did you mean"): the 5 closest stored
+    vocabulary terms to the typo 'qery' within 2 edits, ranked
+    (distance asc, df desc, term asc) — InvertedIndex.suggest_df, a
+    narrow length-banded lexicon scan with Spark's threshold-banded
+    levenshtein kernel. Oracle parity domain: Spark levenshtein counts
+    codepoints, DuckDB's counts BYTES — never diverges here because
+    the tokenizer maps every stored term (and the probe) into
+    [a-z0-9]*, where bytes == codepoints."""
+    idx = get_index(spark, sf_dir)
+    return idx.suggest_df(FUZZY_TOKEN, top=5, max_dist=2)
+
+
+def sql_did_you_mean(top: int = 5, max_dist: int = 2) -> str:
+    return _base_cte() + f"""
+SELECT term, df,
+       CAST(levenshtein(term, '{FUZZY_TOKEN}') AS INTEGER) AS dist
+FROM lex
+WHERE levenshtein(term, '{FUZZY_TOKEN}') <= {max_dist}
+ORDER BY dist ASC, df DESC, term ASC LIMIT {top}"""
+
+
+def q_bm25_topk_fuzzy(spark, sf_dir):
+    """Fuzzy search: 'qery~' rewrites to the nearest ≤8 vocabulary
+    terms within 2 edits (InvertedIndex.expand_fuzzy — the Lucene
+    FuzzyQuery rewrite, cap boundary ordered (dist, df desc, term)),
+    then serves as a plain OR."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    idx = get_index(spark, sf_dir)
+    res = idx.search_distributed(f"OR fast {FUZZY_TOKEN}~", k=K)
+    w = Window.orderBy(F.desc("score"))
+    return res.select(F.row_number().over(w).alias("rank"), "doc_no",
+                      _u6(F.col("score")).alias("score_u6"))
+
+
+def _topk_fuzzy_sql(terms, fuzzies, k=K, max_expand=8,
+                    max_dist=2) -> str:
+    """_topk_sql with fuzzy expansion: each fuzzy token admits the
+    ``max_expand`` nearest vocabulary terms within ``max_dist`` edits
+    by the engine's (dist, df desc, term) suggestion order
+    (InvertedIndex.MAX_FUZZY_EXPAND cap)."""
+    preds = []
+    if terms:
+        tlist = ", ".join(f"'{t}'" for t in terms)
+        preds.append(f"tf.term IN ({tlist})")
+    for tok in fuzzies:
+        preds.append(f"""tf.term IN (
+    SELECT term FROM (
+      SELECT term, df, levenshtein(term, '{tok}') AS d FROM lex
+      WHERE levenshtein(term, '{tok}') <= {max_dist})
+    ORDER BY d ASC, df DESC, term ASC LIMIT {max_expand})""")
+    where = " OR ".join(preds)
+    return _base_cte() + f""",
+scores AS (
+  SELECT tf.doc_id, CAST(sum({_bm25_u6_expr()}) AS BIGINT) AS score_u6
+  FROM tf JOIN lex USING (term) CROSS JOIN stats
+  WHERE {where}
+  GROUP BY tf.doc_id
+), dedup AS (
+  SELECT score_u6, min(doc_id) AS doc_id
+  FROM scores GROUP BY score_u6
+  ORDER BY score_u6 DESC LIMIT {k}
+)
+SELECT row_number() OVER (ORDER BY score_u6 DESC) AS rank, d.doc_no,
+       score_u6
+FROM dedup JOIN docs d USING (doc_id)"""
+
+
+def sql_bm25_topk_fuzzy():
+    return _topk_fuzzy_sql(["fast"], [FUZZY_TOKEN])
+
+
 def q_bm25_topk_and(spark, sf_dir):
     return _topk_df(spark, sf_dir, AND_TERMS, conjunctive=True)
 
@@ -2656,6 +2732,8 @@ def extra_queries():
     return {
         "pii_scrub": q_pii_scrub,
         "facet_counts": q_facet_counts,
+        "did_you_mean": q_did_you_mean,
+        "bm25_topk_fuzzy": q_bm25_topk_fuzzy,
         "bm25_topk_prefix": q_bm25_topk_prefix,
         "top_terms": q_top_terms,
         "token_counts": q_token_counts,
@@ -2675,6 +2753,8 @@ def extra_oracle_sql(query_vec=None, sf_dir=None):
     out = {
         "pii_scrub": sql_pii_scrub(),
         "facet_counts": sql_facet_counts(),
+        "did_you_mean": sql_did_you_mean(),
+        "bm25_topk_fuzzy": sql_bm25_topk_fuzzy(),
         "bm25_topk_prefix": sql_bm25_topk_prefix(),
         "top_terms": sql_top_terms(),
         "token_counts": sql_token_counts(),

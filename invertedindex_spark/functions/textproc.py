@@ -141,6 +141,39 @@ def tokenize_text(document: str) -> list[str]:
     return _SPLIT_RE.split(cleaned)
 
 
+def levenshtein_banded(a: str, b: str, max_dist: int) -> int:
+    """Levenshtein distance of ``a``/``b``, or -1 once it provably
+    exceeds ``max_dist`` — the driver-side twin of Spark's
+    ``levenshtein(l, r, threshold)`` (and DuckDB's ``levenshtein``
+    filtered to ≤ threshold): plain codepoint edit distance,
+    insert/delete/substitute each cost 1, no transposition. Banded DP:
+    only the 2·max_dist+1 diagonal band is computed, O(max_dist·len)."""
+    if abs(len(a) - len(b)) > max_dist:
+        return -1
+    if a == b:
+        return 0
+    if len(a) > len(b):
+        a, b = b, a
+    if not a:
+        return len(b)       # band check above bounded it already
+    big = max_dist + 1
+    prev = list(range(len(a) + 1))
+    for j in range(1, len(b) + 1):
+        lo = max(1, j - max_dist)
+        hi = min(len(a), j + max_dist)
+        cur = [big] * (len(a) + 1)
+        if lo == 1:
+            cur[0] = j if j <= max_dist else big
+        bj = b[j - 1]
+        for i in range(lo, hi + 1):
+            cur[i] = min(prev[i] + 1, cur[i - 1] + 1,
+                         prev[i - 1] + (a[i - 1] != bj))
+        if min(cur) > max_dist:
+            return -1
+        prev = cur
+    return prev[len(a)] if prev[len(a)] <= max_dist else -1
+
+
 def process_tokens(tokens, stopwords=True, truncate=True, stemming=True,
                    memo=None):
     """Full token pipeline (post-tokenize). Returns (terms, doc_len)."""

@@ -437,33 +437,125 @@ class InvertedIndex:
                        .orderBy("term").limit(limit).collect())}
         return sorted(found)[:limit]
 
+    # -- spell suggestion / fuzzy expansion -------------------------------
+    MAX_FUZZY_EXPAND = 8
+
+    def suggest_df(self, token: str, top: int = 5, max_dist: int = 2):
+        """Spell suggestion ("did you mean"): the ``top`` STORED
+        vocabulary terms within Levenshtein distance ``max_dist`` of
+        ``token``, ranked (distance asc, df desc, term asc) — closest
+        first, popularity breaking ties, a total deterministic order.
+        The token is tokenized/lowercased like a query term but never
+        stemmed (a typo fed to a stemmer corrects toward the wrong
+        stem); matching is against stored forms, the Lucene
+        FuzzyQuery contract. Returns DataFrame(term, df, dist).
+
+        Scale shape: one narrow scan of the lexicon (term, df only —
+        vocabulary grows Heaps-sublinearly in corpus size, ≪ index),
+        pre-filtered by the length band |len(term) − len(token)| ≤
+        max_dist (a lower bound on edit distance, so it drops nothing)
+        and computed with Spark's threshold-banded ``levenshtein(l, r,
+        threshold)`` kernel — O(max_dist·len) per term, not O(len²) —
+        all inside whole-stage codegen; TakeOrdered for the top-k. No
+        shuffle, no UDF, no driver-side vocabulary."""
+        from pyspark.sql import functions as F
+
+        toks = tokenize_text(token)
+        if len(toks) != 1:
+            raise ValueError(
+                f"suggest: {token!r} must normalize to exactly one "
+                "token")
+        tok = toks[0]
+        if not os.path.isdir(f"{self.warehouse_dir}/lexicon"):
+            raise ValueError(
+                "suggest requires a compacted warehouse (the stream-"
+                "fresh vocabulary has no lexicon yet — compact() "
+                "first)")
+        band = F.abs(F.length("term") - F.lit(len(tok))) <= max_dist
+        # threshold form returns -1 past the band — banded DP, not a
+        # full edit matrix per candidate
+        d = F.levenshtein(F.col("term"), F.lit(tok), max_dist)
+        return (self.lexicon.select("term", "df")
+                .where(band)
+                .select("term", "df", d.alias("dist"))
+                .where(F.col("dist") >= 0)
+                .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
+                .limit(top))
+
+    def suggest(self, token: str, top: int = 5, max_dist: int = 2):
+        """Driver-side :meth:`suggest_df`: list of (term, df, dist).
+        Local mode serves from the warm lexicon map (the reference
+        mmaps its whole lexicon, QueryProcessor.java:50-53) with a
+        banded Python DP — no Spark job on the interactive path; above
+        the warm-map guardrail it falls back to the distributed scan."""
+        toks = tokenize_text(token)
+        if len(toks) != 1:
+            raise ValueError(
+                f"suggest: {token!r} must normalize to exactly one "
+                "token")
+        tok = toks[0]
+        if (self.io_mode == "local"
+                and os.path.isdir(f"{self.warehouse_dir}/lexicon")
+                and (self._lexicon_map is not None
+                     or self._warm_maps_allowed())):
+            from ..functions.textproc import levenshtein_banded
+
+            hits = []
+            for term, (df, _cf, _tub) in self.lexicon_map().items():
+                if abs(len(term) - len(tok)) > max_dist:
+                    continue
+                dist = levenshtein_banded(term, tok, max_dist)
+                if dist >= 0:
+                    hits.append((dist, -df, term))
+            hits.sort()
+            return [(term, -negdf, dist)
+                    for dist, negdf, term in hits[:top]]
+        return [(r["term"], r["df"], r["dist"])
+                for r in self.suggest_df(tok, top=top,
+                                         max_dist=max_dist).collect()]
+
+    def expand_fuzzy(self, token: str, limit: int | None = None,
+                     max_dist: int = 2):
+        """Stored terms a ``term~`` fuzzy token rewrites to: the
+        ``limit`` (default :attr:`MAX_FUZZY_EXPAND`) nearest vocabulary
+        terms within ``max_dist`` edits, by the :meth:`suggest` order —
+        so the cap boundary is deterministic. The exact term itself,
+        when present, is distance 0 and always survives the cap."""
+        limit = self.MAX_FUZZY_EXPAND if limit is None else limit
+        return [t for t, _df, _d in
+                self.suggest(token, top=limit, max_dist=max_dist)]
+
     def _preprocess_with_prefixes(self, query: str):
-        """preprocess_query plus ``term*`` wildcard support (engine
-        extension; the reference grammar is plain [AND|OR] terms).
-        Each trailing-star token is expanded via :meth:`expand_prefix`
-        and the expansions join the term set. OR-only: under AND a
-        wildcard would need per-clause any-of grouping the reference
-        top-k contract has no shape for, and PHRASE adjacency is
-        position-ordered — both raise."""
-        if "*" not in query:
+        """preprocess_query plus ``term*`` wildcard and ``term~``
+        fuzzy support (engine extensions; the reference grammar is
+        plain [AND|OR] terms). Each trailing-star token is expanded
+        via :meth:`expand_prefix`, each trailing-tilde token via
+        :meth:`expand_fuzzy`, and the expansions join the term set.
+        OR-only: under AND a wildcard/fuzzy clause would need per-
+        clause any-of grouping the reference top-k contract has no
+        shape for, and PHRASE adjacency is position-ordered — both
+        raise."""
+        if "*" not in query and "~" not in query:
             return preprocess_query(query, stopwords=self.stopwords,
                                     stemming=self.stemming)
-        base, prefixes = [], []
+        base, prefixes, fuzzies = [], [], []
         for i, p in enumerate(query.split()):
             if i > 0 and len(p) > 1 and p.endswith("*"):
                 prefixes.append(p[:-1])
+            elif i > 0 and len(p) > 1 and p.endswith("~"):
+                fuzzies.append(p[:-1])
             else:
                 base.append(p)
         qtype, terms = preprocess_query(
             " ".join(base), stopwords=self.stopwords,
             stemming=self.stemming)
-        if not prefixes:
+        if not prefixes and not fuzzies:
             return qtype, terms
         if qtype != "OR":
             raise ValueError(
-                "prefix terms (term*) are OR-only: AND would need "
-                "any-of clause grouping and PHRASE is position-"
-                f"ordered (got {qtype})")
+                "prefix (term*) and fuzzy (term~) terms are OR-only: "
+                "AND would need any-of clause grouping and PHRASE is "
+                f"position-ordered (got {qtype})")
         for p in prefixes:
             toks = tokenize_text(p)
             if len(toks) != 1:
@@ -472,6 +564,8 @@ class InvertedIndex:
                     "exactly one token")
             terms = set(terms) | set(
                 self.expand_prefix(toks[0][:MAX_TERM_LEN]))
+        for p in fuzzies:
+            terms = set(terms) | set(self.expand_fuzzy(p))
         return qtype, terms
 
     def _term_row_groups(self):

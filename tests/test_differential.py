@@ -176,7 +176,7 @@ def test_differential_events_queries(spark, duck, tmp_path, seed):
 IDX_QUERIES = ["doc_table", "collection_stats", "term_stats",
                "postings_lists", "postings_gaps", "term_upper_bounds",
                "top_terms", "vbyte_roundtrip", "doc_keywords",
-               "more_like_this"]
+               "more_like_this", "did_you_mean", "bm25_topk_fuzzy"]
 
 
 @pytest.mark.parametrize("seed", [31, 37, 41, 43, 47])
@@ -219,7 +219,7 @@ def test_differential_index_queries(spark, duck, tmp_path, seed):
 # carries the lang/source columns the filtered query reads
 RANKED_QUERIES = ["bm25_topk_or", "bm25_topk_and", "bm25_topk_filtered",
                   "bm25_batch_topk", "more_like_this", "doc_keywords",
-                  "facet_counts"]
+                  "facet_counts", "did_you_mean", "bm25_topk_fuzzy"]
 
 
 def test_differential_duplicate_texts_in_topk(spark, duck, tmp_path):
