@@ -16,12 +16,14 @@ Public API:
 
 from .operators.build import IndexConfig, build_index, read_manifest
 from .operators.query import InvertedIndex, queue_topk_np
+from .operators.sharded import ShardedIndex
 from .oracle import OracleIndex
 from .sources import corpus
 
 __all__ = [
     "IndexConfig", "build_index", "read_manifest",
-    "InvertedIndex", "queue_topk_np", "OracleIndex", "corpus",
+    "InvertedIndex", "queue_topk_np", "ShardedIndex", "OracleIndex",
+    "corpus",
 ]
 
 __version__ = "0.1.0"

@@ -109,6 +109,53 @@ def get_index(spark, sf_dir: str, stemming: bool = False):
     return idx
 
 
+_SHARDED: dict[tuple, object] = {}
+
+
+def get_sharded(spark, sf_dir: str):
+    """Split the documents table into two CONTIGUOUS doc_id ranges,
+    build each as an independent shard warehouse (once per process+sf,
+    fingerprint-invalidated like get_index), and return a ShardedIndex
+    serving both scatter-gather. Contiguity keeps the global docId
+    order identical to the single-warehouse build, so even score-tie
+    winners (min docId) match the oracle's row_number ordering."""
+    import json
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from .operators.build import IndexConfig, build_index, read_manifest
+    from .operators.sharded import ShardedIndex
+    from .sources.corpus import from_documents
+
+    if sf_dir in _SHARDED:
+        return _SHARDED[sf_dir]
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    fp = _source_fingerprint(sf_dir)
+    docs = _docs_df(spark, sf_dir)
+    cut = (docs.agg(F.max("doc_id")).first()[0] or 0) // 2 + 1
+    cfg = IndexConfig(stemming=False, num_blocks=4)
+    whs = []
+    for i, pred in enumerate((F.col("doc_id") < cut,
+                              F.col("doc_id") >= cut)):
+        wh = os.path.join(WAREHOUSE_ROOT, f"wh_{tag}_shard{i}")
+        whs.append(wh)
+        if os.path.isdir(wh) and read_manifest(wh).get("source_fp") != fp:
+            shutil.rmtree(wh, ignore_errors=True)
+        build_index(spark, from_documents(docs.where(pred)), wh, cfg,
+                    resume=True)
+        manifest_path = os.path.join(wh, "_manifest.json")
+        m = read_manifest(wh)
+        if m.get("source_fp") != fp:
+            m["source_fp"] = fp
+            with open(manifest_path + ".tmp", "w") as f:
+                json.dump(m, f, indent=2, sort_keys=True, default=str)
+            os.replace(manifest_path + ".tmp", manifest_path)
+    sh = ShardedIndex(spark, whs)
+    _SHARDED[sf_dir] = sh
+    return sh
+
+
 def _docs_df(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -645,6 +692,29 @@ FROM dedup JOIN docs d USING (doc_id)"""
 
 def sql_bm25_topk_fuzzy():
     return _topk_fuzzy_sql(["fast"], [FUZZY_TOKEN])
+
+
+SHARD_TERMS = ["data", "row", "merge"]
+
+
+def q_sharded_topk(spark, sf_dir):
+    """Scatter-gather serving: the documents table split into two
+    contiguous shard warehouses served IN PLACE by ShardedIndex —
+    globalized BM25 stats (num_docs/avg_doc_len summed, per-term df
+    via bounded lexicon point lookups) and merge-order doc offsets
+    make the rows identical to the single-warehouse build, so the
+    oracle is the plain single-index top-k SQL."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    sh = get_sharded(spark, sf_dir)
+    res = sh.search_distributed("OR " + " ".join(SHARD_TERMS), k=K)
+    w = Window.orderBy(F.desc("score"))
+    return res.select(F.row_number().over(w).alias("rank"), "doc_no",
+                      _u6(F.col("score")).alias("score_u6"))
+
+
+def sql_sharded_topk():
+    return _topk_sql(SHARD_TERMS, conjunctive=False)
 
 
 def q_bm25_topk_and(spark, sf_dir):
@@ -2734,6 +2804,7 @@ def extra_queries():
         "facet_counts": q_facet_counts,
         "did_you_mean": q_did_you_mean,
         "bm25_topk_fuzzy": q_bm25_topk_fuzzy,
+        "sharded_topk": q_sharded_topk,
         "bm25_topk_prefix": q_bm25_topk_prefix,
         "top_terms": q_top_terms,
         "token_counts": q_token_counts,
@@ -2755,6 +2826,7 @@ def extra_oracle_sql(query_vec=None, sf_dir=None):
         "facet_counts": sql_facet_counts(),
         "did_you_mean": sql_did_you_mean(),
         "bm25_topk_fuzzy": sql_bm25_topk_fuzzy(),
+        "sharded_topk": sql_sharded_topk(),
         "bm25_topk_prefix": sql_bm25_topk_prefix(),
         "top_terms": sql_top_terms(),
         "token_counts": sql_token_counts(),

@@ -1,0 +1,193 @@
+"""Scatter-gather query serving across shard warehouses (no fan-in).
+
+``streaming/shards.py::merge_warehouses`` folds independently built
+warehouses into one; this module is the other half of the sharded
+story: serve queries ACROSS the shards in place, immediately, with
+results identical to what the merged warehouse would return
+(tests/test_sharded.py holds that parity bar, ties included). The
+reference engine has no analogue — it is single-node mmap
+(QueryProcessor.java) — this is the standard IR scatter-gather
+(query-then-fetch over index shards) re-expressed as ONE Spark plan
+instead of an RPC round-trip.
+
+Why results match the merged warehouse exactly:
+
+- BM25 stats are GLOBALIZED before scoring: ``num_docs``/token counts
+  sum across shards, and per-query-term df sums via bounded lexicon
+  point lookups (≤32 terms × n_shards), broadcast into the plan — a
+  shard-local df would mis-score exactly like an un-merged
+  Elasticsearch index with ``dfs_query_then_fetch`` disabled.
+- Document identity is globalized with the same prefix offsets
+  ``merge_warehouses`` assigns (shard order), so the reference
+  tie-dedup (equal score ⇒ min docId, DocumentScore.java:6-12) picks
+  the same winner on byte-identical documents.
+- A document lives in exactly one shard, so per-doc aggregation never
+  crosses shards; the union is the only cross-shard plan node.
+
+100 TB shape: per query, O(n_shards) driver-side lexicon point reads
+(row-group-pruned) plus one distributed plan whose leaves are each
+shard's term-filtered selective postings decode — no index bytes ever
+move between shards (merge rewrites or hardlinks everything). Shards
+may even use different compression codecs (each leaf decodes its
+own); only the TEXT pipeline must match, because mixing stemmed and
+unstemmed vocabularies mis-scores silently.
+"""
+
+from __future__ import annotations
+
+import os
+
+from ..functions import scoring
+from ..functions.textproc import preprocess_query
+from .build import read_manifest
+from .query import InvertedIndex
+
+# fields that change what a stored term MEANS — these must agree
+# across shards; layout fields (codec, merge_width, num_blocks) may
+# differ freely because every shard decodes its own leaves
+_TEXT_CFG_FIELDS = ("stemming", "stopwords", "truncate")
+
+
+class ShardedIndex:
+    """Read-only scatter-gather handle over N compacted warehouses.
+
+    ``search_distributed(query, k)`` matches
+    ``merge_warehouses(shards) → compact → search_distributed`` row
+    for row. Plain ``[AND|OR|PHRASE]`` queries only: prefix (``term*``)
+    and fuzzy (``term~``) rewrites rank their expansion cap by global
+    df, which a per-shard expansion cannot reproduce — run those on a
+    merged warehouse, or expand explicitly first."""
+
+    def __init__(self, spark, shard_dirs):
+        shard_dirs = [str(w) for w in shard_dirs]
+        if len(shard_dirs) < 2:
+            raise ValueError(
+                "need at least two shard warehouses (a single "
+                "warehouse is just InvertedIndex)")
+        self.spark = spark
+        for wh in shard_dirs:
+            if not os.path.isdir(os.path.join(wh, "lexicon")):
+                raise ValueError(
+                    f"{wh}: no lexicon — sharded serving needs "
+                    "compacted shards (global df comes from lexicon "
+                    "point lookups); compact() stream shards first")
+            m = read_manifest(wh)
+            if (m.get("tombstones") or {}).get("count", 0) > 0:
+                raise ValueError(
+                    f"{wh}: shard has uncommitted tombstones — their "
+                    "docIds would skew the global offsets; compact() "
+                    "the shard first")
+        self.idxs = [InvertedIndex(spark, wh) for wh in shard_dirs]
+        base = self.idxs[0]
+        for wh, idx in zip(shard_dirs[1:], self.idxs[1:]):
+            for f in _TEXT_CFG_FIELDS:
+                a, b = getattr(base, f, None), getattr(idx, f, None)
+                if a != b:
+                    raise ValueError(
+                        f"{wh}: config field {f!r} = {b!r} differs "
+                        f"from the first shard's {a!r} — shards must "
+                        "share the text pipeline")
+        # prefix offsets in shard order — identical to the docId
+        # remap merge_warehouses would apply (shards.py)
+        self.offsets = []
+        tot = 0
+        for idx in self.idxs:
+            self.offsets.append(tot)
+            tot += idx.num_docs
+        self.num_docs = tot
+        # exact global token count: avg_doc_len was stored as
+        # num_tokens / num_docs in double, so the product rounds back
+        # to the integer it came from
+        self.num_tokens = sum(
+            round(i.num_docs * i.avg_doc_len) for i in self.idxs)
+        self.avg_doc_len = (self.num_tokens / self.num_docs
+                            if self.num_docs else 0.0)
+        self.stopwords = base.stopwords
+        self.stemming = base.stemming
+
+    # -- helpers ---------------------------------------------------------
+    def _global_df(self, terms):
+        """term → collection-wide df via per-shard lexicon point
+        lookups (bounded: ≤32 query terms × n_shards row-group-pruned
+        point reads — the scatter phase of dfs_query_then_fetch)."""
+        out: dict = {}
+        for idx in self.idxs:
+            for t, row in idx.lookup(terms).items():
+                out[t] = out.get(t, 0) + int(row["df"])
+        return out
+
+    # -- the query path --------------------------------------------------
+    def search_distributed(self, query: str, k: int = 20):
+        """[AND|OR|PHRASE] term1 … termN → DataFrame (doc_no, score)
+        ordered by score desc — the single-warehouse
+        :meth:`InvertedIndex.search_distributed` contract, served
+        scatter-gather."""
+        from pyspark.sql import functions as F
+
+        if any(p.endswith(("*", "~")) and len(p) > 1
+               for p in query.split()[1:]):
+            raise ValueError(
+                "sharded serving takes plain [AND|OR|PHRASE] queries: "
+                "prefix (term*) and fuzzy (term~) expansion caps rank "
+                "by global df — merge the shards or expand explicitly")
+        qtype, terms = preprocess_query(query, stopwords=self.stopwords,
+                                        stemming=self.stemming)
+        if qtype == "PHRASE":
+            for idx in self.idxs:
+                idx._require_positions()
+        shard_present = [idx._present_terms(set(terms))
+                         for idx in self.idxs]
+        present = set().union(*shard_present)
+        if not present or (qtype != "OR"
+                           and len(present) < len(set(terms))):
+            # AND and PHRASE demand every term somewhere in the
+            # collection; OR skips globally unknown terms — the same
+            # rule the merged warehouse applies
+            return self.spark.createDataFrame(
+                [], "doc_no string, score double")
+        gdf = self._global_df(present)
+        gdf_df = F.broadcast(self.spark.createDataFrame(
+            sorted(gdf.items()), "term string, gdf long"))
+        parts = []
+        for idx, off, sp in zip(self.idxs, self.offsets, shard_present):
+            want = present & sp
+            if not want or (qtype != "OR" and want < set(terms)):
+                # this shard cannot contribute: AND/PHRASE need every
+                # term locally for a doc to match; OR needs any
+                continue
+            dec = (idx._drop_tombstoned(idx.decoded_postings_df(want))
+                   .select("term", "doc_id", "tf", "dl"))
+            if qtype == "PHRASE":
+                dec = dec.join(idx._phrase_docs_df(list(terms)),
+                               "doc_id", "left_semi")
+            parts.append(dec.withColumn(
+                "doc_id", F.col("doc_id") + F.lit(int(off))))
+        if not parts:
+            return self.spark.createDataFrame(
+                [], "doc_no string, score double")
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        scored = u.join(gdf_df, "term").withColumn(
+            "partial",
+            scoring.bm25_u6_col(F.col("tf"), F.col("dl"), F.col("gdf"),
+                                F.lit(float(self.num_docs)),
+                                F.lit(self.avg_doc_len)))
+        agg = (scored.groupBy("doc_id")
+               .agg(F.sum("partial").alias("score_u6"),
+                    F.count("*").alias("nt")))
+        if qtype == "AND":
+            agg = agg.where(F.col("nt") == len(present))
+        top = (agg.groupBy("score_u6")
+               .agg(F.min("doc_id").alias("doc_id"))
+               .orderBy(F.desc("score_u6")).limit(k))
+        docs_u = None
+        for idx, off in zip(self.idxs, self.offsets):
+            d = idx.docs.select(
+                (F.col("doc_id") + F.lit(int(off))).alias("doc_id"),
+                "doc_no")
+            docs_u = d if docs_u is None else docs_u.unionByName(d)
+        return (docs_u.join(F.broadcast(top), "doc_id")
+                .select("doc_no",
+                        (F.col("score_u6") / F.lit(1e6)).alias("score"))
+                .orderBy(F.desc("score")))

@@ -1,0 +1,164 @@
+"""Scatter-gather serving (ShardedIndex): querying N shard warehouses
+in place must equal the single warehouse that ingested everything —
+same stats, same df, same ranked rows, same tie winners. Mixed-codec
+shards are first-class (each leaf decodes its own); guards fail loudly.
+Engine-vs-oracle parity runs in test_differential/test_entry_contract
+(sharded_topk)."""
+
+import pytest
+
+from invertedindex_spark import (IndexConfig, InvertedIndex,
+                                 ShardedIndex, build_index, corpus)
+from invertedindex_spark.sources.corpus import from_documents
+from invertedindex_spark.streaming import append_batch, compact
+
+N = 160
+QUERIES = ["OR hotterm quick", "AND hotterm parties",
+           "OR optimization throughput latency", "OR def class import",
+           "AND def import"]
+
+
+def _halves():
+    rows = sorted(corpus.synthesize_source_code_rows(N, seed=42),
+                  key=lambda x: (x[0], x[1], x[2]))
+    return rows[:N // 2], rows[N // 2:]
+
+
+def _corpus(spark, rows):
+    return corpus.from_source_code(
+        spark.createDataFrame(rows, corpus._CORPUS_SCHEMA))
+
+
+@pytest.fixture(scope="module")
+def setup(spark, tmp_path_factory):
+    """Reference = one stream warehouse fed both halves (docId order =
+    half-1 then half-2, the order the shard offsets reproduce).
+    Shards = independent batch builds of each half."""
+    root = tmp_path_factory.mktemp("sharded")
+    cfg = IndexConfig(num_blocks=3, positions=True)
+    h1, h2 = _halves()
+    wh_ref = str(root / "ref")
+    append_batch(spark, _corpus(spark, h1), wh_ref, cfg,
+                 blocks_per_batch=3)
+    append_batch(spark, _corpus(spark, h2), wh_ref, cfg,
+                 blocks_per_batch=3)
+    compact(spark, wh_ref, cfg)
+    wh_a, wh_b = str(root / "a"), str(root / "b")
+    build_index(spark, _corpus(spark, h1), wh_a, cfg)
+    build_index(spark, _corpus(spark, h2), wh_b, cfg)
+    return {"ref": InvertedIndex(spark, wh_ref),
+            "sharded": ShardedIndex(spark, [wh_a, wh_b]),
+            "a": wh_a, "b": wh_b, "cfg": cfg, "root": root,
+            "h1": h1, "h2": h2}
+
+
+def _rows(df):
+    return [(r["doc_no"], round(r["score"], 9)) for r in df.collect()]
+
+
+def test_global_stats_match_single_warehouse(setup):
+    ref, sh = setup["ref"], setup["sharded"]
+    assert sh.num_docs == ref.num_docs
+    assert sh.avg_doc_len == pytest.approx(ref.avg_doc_len, rel=1e-12)
+    terms = {"hotterm", "def", "import"}
+    want = {t: r["df"] for t, r in ref.lookup(terms).items()}
+    assert sh._global_df(terms) == want
+
+
+def test_ranked_parity_with_single_warehouse(setup):
+    ref, sh = setup["ref"], setup["sharded"]
+    for q in QUERIES:
+        got = _rows(sh.search_distributed(q, k=10))
+        want = _rows(ref.search_distributed(q, k=10))
+        assert got == want, q
+
+
+def test_unknown_terms_follow_merged_semantics(setup):
+    sh = setup["sharded"]
+    assert _rows(sh.search_distributed("AND hotterm zzznothere")) == []
+    ref = setup["ref"]
+    got = _rows(sh.search_distributed("OR hotterm zzznothere", k=10))
+    assert got == _rows(ref.search_distributed("OR hotterm", k=10))
+
+
+def test_phrase_and_cross_shard_ties(spark, tmp_path):
+    """Hand corpus: a duplicate text lives in BOTH shards — the winner
+    must be the min GLOBAL docId (shard order), exactly what the
+    merged warehouse would return; PHRASE must match across shards."""
+    cfg = IndexConfig(num_blocks=1, stemming=False, positions=True)
+    h1 = [(0, "fast data pipeline"), (1, "dup text here")]
+    h2 = [(2, "dup text here"), (3, "data pipeline slow")]
+
+    def mk(rows, wh):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        build_index(spark, from_documents(df), wh, cfg)
+        return wh
+
+    wh_a = mk(h1, str(tmp_path / "a"))
+    wh_b = mk(h2, str(tmp_path / "b"))
+    ref_wh = str(tmp_path / "ref")
+    build_index(spark, from_documents(
+        spark.createDataFrame(h1 + h2, "doc_id long, text string")),
+        ref_wh, cfg)
+    sh = ShardedIndex(spark, [wh_a, wh_b])
+    ref = InvertedIndex(spark, ref_wh)
+    got = _rows(sh.search_distributed("OR dup text", k=5))
+    assert got == _rows(ref.search_distributed("OR dup text", k=5))
+    assert [d for d, _s in got] == ["1"]      # min global docId wins
+    for q in ["PHRASE data pipeline", "PHRASE dup text here"]:
+        assert _rows(sh.search_distributed(q, k=5)) == \
+            _rows(ref.search_distributed(q, k=5)), q
+
+
+def test_mixed_codec_shards(spark, tmp_path):
+    rows = [(i, t) for i, t in enumerate(
+        ["fast data", "data table scan", "fast scan", "table fast data"])]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    wh_a = str(tmp_path / "a")
+    build_index(spark, from_documents(df.where("doc_id < 2")), wh_a,
+                IndexConfig(num_blocks=1, stemming=False, codec="vbyte"))
+    wh_b = str(tmp_path / "b")
+    build_index(spark, from_documents(df.where("doc_id >= 2")), wh_b,
+                IndexConfig(num_blocks=1, stemming=False, codec="pfd"))
+    ref_wh = str(tmp_path / "ref")
+    build_index(spark, from_documents(df), ref_wh,
+                IndexConfig(num_blocks=1, stemming=False))
+    sh = ShardedIndex(spark, [wh_a, wh_b])
+    ref = InvertedIndex(spark, ref_wh)
+    for q in ["OR fast table", "AND data fast"]:
+        assert _rows(sh.search_distributed(q, k=5)) == \
+            _rows(ref.search_distributed(q, k=5)), q
+
+
+def test_guards(spark, setup, tmp_path):
+    with pytest.raises(ValueError, match="at least two"):
+        ShardedIndex(spark, [setup["a"]])
+    with pytest.raises(ValueError, match="term\\*"):
+        setup["sharded"].search_distributed("OR fast ta*")
+    with pytest.raises(ValueError, match="term~"):
+        setup["sharded"].search_distributed("OR fast qery~")
+    # text-pipeline mismatch (stemming differs)
+    df = spark.createDataFrame([(0, "running fast")],
+                               "doc_id long, text string")
+    wh_nostem = str(tmp_path / "nostem")
+    build_index(spark, from_documents(df), wh_nostem,
+                IndexConfig(num_blocks=1, stemming=False))
+    with pytest.raises(ValueError, match="stemming"):
+        ShardedIndex(spark, [setup["a"], wh_nostem])
+    # uncompacted stream shard: no lexicon to globalize df from
+    wh_fresh = str(tmp_path / "fresh")
+    append_batch(spark, from_documents(df), wh_fresh,
+                 IndexConfig(num_blocks=1), blocks_per_batch=1)
+    with pytest.raises(ValueError, match="lexicon"):
+        ShardedIndex(spark, [setup["a"], wh_fresh])
+    # tombstoned shard refused (same contract as merge_warehouses)
+    from invertedindex_spark.streaming import delete_docs
+
+    wh_t = str(tmp_path / "tomb")
+    build_index(spark, from_documents(
+        spark.createDataFrame([(0, "fast data"), (1, "data table")],
+                              "doc_id long, text string")), wh_t,
+        IndexConfig(num_blocks=1))
+    delete_docs(spark, wh_t, ["0"])
+    with pytest.raises(ValueError, match="tombstones"):
+        ShardedIndex(spark, [setup["a"], wh_t])
