@@ -76,6 +76,50 @@ def queue_topk_np(doc_ids: np.ndarray, scores: np.ndarray, k: int):
     return doc_ids[keep], scores[keep]
 
 
+def preprocess_with_rewrites(query: str, *, stopwords, stemming,
+                             expand_prefix, expand_fuzzy):
+    """The full query grammar shared by :class:`InvertedIndex` and
+    :class:`~..operators.sharded.ShardedIndex`: ``preprocess_query``
+    plus ``term*`` wildcard and ``term~`` fuzzy rewrites (engine
+    extensions; the reference grammar is plain [AND|OR] terms). Each
+    trailing-star token expands via ``expand_prefix``, each trailing-
+    tilde token via ``expand_fuzzy``, and the expansions join the term
+    set. OR-only: under AND a wildcard/fuzzy clause would need
+    per-clause any-of grouping the reference top-k contract has no
+    shape for, and PHRASE adjacency is position-ordered — both
+    raise."""
+    if "*" not in query and "~" not in query:
+        return preprocess_query(query, stopwords=stopwords,
+                                stemming=stemming)
+    base, prefixes, fuzzies = [], [], []
+    for i, p in enumerate(query.split()):
+        if i > 0 and len(p) > 1 and p.endswith("*"):
+            prefixes.append(p[:-1])
+        elif i > 0 and len(p) > 1 and p.endswith("~"):
+            fuzzies.append(p[:-1])
+        else:
+            base.append(p)
+    qtype, terms = preprocess_query(" ".join(base), stopwords=stopwords,
+                                    stemming=stemming)
+    if not prefixes and not fuzzies:
+        return qtype, terms
+    if qtype != "OR":
+        raise ValueError(
+            "prefix (term*) and fuzzy (term~) terms are OR-only: "
+            "AND would need any-of clause grouping and PHRASE is "
+            f"position-ordered (got {qtype})")
+    for p in prefixes:
+        toks = tokenize_text(p)
+        if len(toks) != 1:
+            raise ValueError(
+                f"illegal prefix {p + '*'!r}: must normalize to "
+                "exactly one token")
+        terms = set(terms) | set(expand_prefix(toks[0][:MAX_TERM_LEN]))
+    for p in fuzzies:
+        terms = set(terms) | set(expand_fuzzy(p))
+    return qtype, terms
+
+
 class InvertedIndex:
     """Query handle over a warehouse built by operators.build.
 
@@ -475,12 +519,14 @@ class InvertedIndex:
         # threshold form returns -1 past the band — banded DP, not a
         # full edit matrix per candidate
         d = F.levenshtein(F.col("term"), F.lit(tok), max_dist)
-        return (self.lexicon.select("term", "df")
-                .where(band)
-                .select("term", "df", d.alias("dist"))
-                .where(F.col("dist") >= 0)
-                .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
-                .limit(top))
+        out = (self.lexicon.select("term", "df")
+               .where(band)
+               .select("term", "df", d.alias("dist"))
+               .where(F.col("dist") >= 0)
+               .orderBy(F.asc("dist"), F.desc("df"), F.asc("term")))
+        # top=None: the whole edit ball (small — scatter-gather
+        # callers re-rank it against OTHER shards' dfs before capping)
+        return out if top is None else out.limit(top)
 
     def suggest(self, token: str, top: int = 5, max_dist: int = 2):
         """Driver-side :meth:`suggest_df`: list of (term, df, dist).
@@ -508,8 +554,9 @@ class InvertedIndex:
                 if dist >= 0:
                     hits.append((dist, -df, term))
             hits.sort()
-            return [(term, -negdf, dist)
-                    for dist, negdf, term in hits[:top]]
+            if top is not None:
+                hits = hits[:top]
+            return [(term, -negdf, dist) for dist, negdf, term in hits]
         return [(r["term"], r["df"], r["dist"])
                 for r in self.suggest_df(tok, top=top,
                                          max_dist=max_dist).collect()]
@@ -528,45 +575,13 @@ class InvertedIndex:
     def _preprocess_with_prefixes(self, query: str):
         """preprocess_query plus ``term*`` wildcard and ``term~``
         fuzzy support (engine extensions; the reference grammar is
-        plain [AND|OR] terms). Each trailing-star token is expanded
-        via :meth:`expand_prefix`, each trailing-tilde token via
-        :meth:`expand_fuzzy`, and the expansions join the term set.
-        OR-only: under AND a wildcard/fuzzy clause would need per-
-        clause any-of grouping the reference top-k contract has no
-        shape for, and PHRASE adjacency is position-ordered — both
-        raise."""
-        if "*" not in query and "~" not in query:
-            return preprocess_query(query, stopwords=self.stopwords,
-                                    stemming=self.stemming)
-        base, prefixes, fuzzies = [], [], []
-        for i, p in enumerate(query.split()):
-            if i > 0 and len(p) > 1 and p.endswith("*"):
-                prefixes.append(p[:-1])
-            elif i > 0 and len(p) > 1 and p.endswith("~"):
-                fuzzies.append(p[:-1])
-            else:
-                base.append(p)
-        qtype, terms = preprocess_query(
-            " ".join(base), stopwords=self.stopwords,
-            stemming=self.stemming)
-        if not prefixes and not fuzzies:
-            return qtype, terms
-        if qtype != "OR":
-            raise ValueError(
-                "prefix (term*) and fuzzy (term~) terms are OR-only: "
-                "AND would need any-of clause grouping and PHRASE is "
-                f"position-ordered (got {qtype})")
-        for p in prefixes:
-            toks = tokenize_text(p)
-            if len(toks) != 1:
-                raise ValueError(
-                    f"illegal prefix {p + '*'!r}: must normalize to "
-                    "exactly one token")
-            terms = set(terms) | set(
-                self.expand_prefix(toks[0][:MAX_TERM_LEN]))
-        for p in fuzzies:
-            terms = set(terms) | set(self.expand_fuzzy(p))
-        return qtype, terms
+        plain [AND|OR] terms) — the shared grammar in
+        :func:`preprocess_with_rewrites`, bound to this index's
+        expanders."""
+        return preprocess_with_rewrites(
+            query, stopwords=self.stopwords, stemming=self.stemming,
+            expand_prefix=self.expand_prefix,
+            expand_fuzzy=self.expand_fuzzy)
 
     def _term_row_groups(self):
         """Build the term → parquet-row-group map ONCE by reading only

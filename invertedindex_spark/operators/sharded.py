@@ -40,7 +40,7 @@ import os
 from ..functions import scoring
 from ..functions.textproc import preprocess_query
 from .build import read_manifest
-from .query import InvertedIndex
+from .query import InvertedIndex, preprocess_with_rewrites
 
 # fields that change what a stored term MEANS — these must agree
 # across shards; layout fields (codec, merge_width, num_blocks) may
@@ -51,12 +51,14 @@ _TEXT_CFG_FIELDS = ("stemming", "stopwords", "truncate")
 class ShardedIndex:
     """Read-only scatter-gather handle over N compacted warehouses.
 
-    ``search_distributed(query, k)`` matches
-    ``merge_warehouses(shards) → compact → search_distributed`` row
-    for row. Plain ``[AND|OR|PHRASE]`` queries only: prefix (``term*``)
-    and fuzzy (``term~``) rewrites rank their expansion cap by global
-    df, which a per-shard expansion cannot reproduce — run those on a
-    merged warehouse, or expand explicitly first."""
+    The full query surface — ``[AND|OR|PHRASE]`` plus ``term*`` prefix
+    and ``term~`` fuzzy rewrites, spell suggestion, and facet counts —
+    matches ``merge_warehouses(shards) → compact`` row for row: prefix
+    expansion caps the lexicographically-first terms of the UNION
+    vocabulary (any term in the merged cap is within its own shard's
+    cap, so the union loses nothing), and fuzzy/suggest gather each
+    shard's full edit ball and re-rank on SUMMED df before capping —
+    per-shard caps alone would rank by shard-local popularity."""
 
     def __init__(self, spark, shard_dirs):
         shard_dirs = [str(w) for w in shard_dirs]
@@ -104,6 +106,8 @@ class ShardedIndex:
                             if self.num_docs else 0.0)
         self.stopwords = base.stopwords
         self.stemming = base.stemming
+        self._attrs_df = None
+        self._attrs_key = "doc_no"
 
     # -- helpers ---------------------------------------------------------
     def _global_df(self, terms):
@@ -116,22 +120,62 @@ class ShardedIndex:
                 out[t] = out.get(t, 0) + int(row["df"])
         return out
 
+    # -- query rewrites (merged-warehouse-exact) ---------------------------
+    MAX_PREFIX_EXPAND = InvertedIndex.MAX_PREFIX_EXPAND
+    MAX_FUZZY_EXPAND = InvertedIndex.MAX_FUZZY_EXPAND
+
+    def expand_prefix(self, prefix: str, limit: int | None = None):
+        """Lexicographically-first ``limit`` UNION-vocabulary terms in
+        [prefix, prefix+1) — exact vs the merged lexicon: every term in
+        the merged cap is within its own shard's cap, so unioning the
+        per-shard caps and re-capping loses nothing."""
+        limit = self.MAX_PREFIX_EXPAND if limit is None else limit
+        found: set = set()
+        for idx in self.idxs:
+            found |= set(idx.expand_prefix(prefix, limit=limit))
+        return sorted(found)[:limit]
+
+    def suggest(self, token: str, top: int | None = 5,
+                max_dist: int = 2):
+        """:meth:`InvertedIndex.suggest` over the union vocabulary:
+        gather each shard's FULL edit ball (distance is shard-
+        invariant), sum df per term, then rank (dist asc, df desc,
+        term asc) — capping per shard first would rank by shard-local
+        popularity and diverge from the merged warehouse."""
+        acc: dict = {}
+        for idx in self.idxs:
+            for term, df, dist in idx.suggest(token, top=None,
+                                              max_dist=max_dist):
+                if term in acc:
+                    acc[term] = (acc[term][0] + df, dist)
+                else:
+                    acc[term] = (df, dist)
+        hits = sorted((dist, -df, term)
+                      for term, (df, dist) in acc.items())
+        if top is not None:
+            hits = hits[:top]
+        return [(term, -negdf, dist) for dist, negdf, term in hits]
+
+    def expand_fuzzy(self, token: str, limit: int | None = None,
+                     max_dist: int = 2):
+        limit = self.MAX_FUZZY_EXPAND if limit is None else limit
+        return [t for t, _df, _d in
+                self.suggest(token, top=limit, max_dist=max_dist)]
+
+    def set_attributes(self, attrs_df, key: str = "doc_no"):
+        """External per-document attribute table for
+        :meth:`facet_counts` — keyed by the collection-wide document
+        number, so one table serves every shard."""
+        self._attrs_df = attrs_df
+        self._attrs_key = key
+
     # -- the query path --------------------------------------------------
-    def search_distributed(self, query: str, k: int = 20):
-        """[AND|OR|PHRASE] term1 … termN → DataFrame (doc_no, score)
-        ordered by score desc — the single-warehouse
-        :meth:`InvertedIndex.search_distributed` contract, served
-        scatter-gather."""
+    def _match_union(self, qtype, terms):
+        """The scatter phase shared by search and facets: per-shard
+        term-filtered selective decodes with GLOBAL doc ids, unioned.
+        Returns (union_df | None, present_terms)."""
         from pyspark.sql import functions as F
 
-        if any(p.endswith(("*", "~")) and len(p) > 1
-               for p in query.split()[1:]):
-            raise ValueError(
-                "sharded serving takes plain [AND|OR|PHRASE] queries: "
-                "prefix (term*) and fuzzy (term~) expansion caps rank "
-                "by global df — merge the shards or expand explicitly")
-        qtype, terms = preprocess_query(query, stopwords=self.stopwords,
-                                        stemming=self.stemming)
         if qtype == "PHRASE":
             for idx in self.idxs:
                 idx._require_positions()
@@ -143,11 +187,7 @@ class ShardedIndex:
             # AND and PHRASE demand every term somewhere in the
             # collection; OR skips globally unknown terms — the same
             # rule the merged warehouse applies
-            return self.spark.createDataFrame(
-                [], "doc_no string, score double")
-        gdf = self._global_df(present)
-        gdf_df = F.broadcast(self.spark.createDataFrame(
-            sorted(gdf.items()), "term string, gdf long"))
+            return None, present
         parts = []
         for idx, off, sp in zip(self.idxs, self.offsets, shard_present):
             want = present & sp
@@ -163,11 +203,41 @@ class ShardedIndex:
             parts.append(dec.withColumn(
                 "doc_id", F.col("doc_id") + F.lit(int(off))))
         if not parts:
-            return self.spark.createDataFrame(
-                [], "doc_no string, score double")
+            return None, present
         u = parts[0]
         for p in parts[1:]:
             u = u.unionByName(p)
+        return u, present
+
+    def _docs_union(self):
+        from pyspark.sql import functions as F
+
+        docs_u = None
+        for idx, off in zip(self.idxs, self.offsets):
+            d = idx.docs.select(
+                (F.col("doc_id") + F.lit(int(off))).alias("doc_id"),
+                "doc_no")
+            docs_u = d if docs_u is None else docs_u.unionByName(d)
+        return docs_u
+
+    def search_distributed(self, query: str, k: int = 20):
+        """[AND|OR|PHRASE] term1 … termN (incl. ``term*`` / ``term~``
+        rewrites) → DataFrame (doc_no, score) ordered by score desc —
+        the single-warehouse :meth:`InvertedIndex.search_distributed`
+        contract, served scatter-gather."""
+        from pyspark.sql import functions as F
+
+        qtype, terms = preprocess_with_rewrites(
+            query, stopwords=self.stopwords, stemming=self.stemming,
+            expand_prefix=self.expand_prefix,
+            expand_fuzzy=self.expand_fuzzy)
+        u, present = self._match_union(qtype, terms)
+        if u is None:
+            return self.spark.createDataFrame(
+                [], "doc_no string, score double")
+        gdf = self._global_df(present)
+        gdf_df = F.broadcast(self.spark.createDataFrame(
+            sorted(gdf.items()), "term string, gdf long"))
         scored = u.join(gdf_df, "term").withColumn(
             "partial",
             scoring.bm25_u6_col(F.col("tf"), F.col("dl"), F.col("gdf"),
@@ -181,13 +251,52 @@ class ShardedIndex:
         top = (agg.groupBy("score_u6")
                .agg(F.min("doc_id").alias("doc_id"))
                .orderBy(F.desc("score_u6")).limit(k))
-        docs_u = None
-        for idx, off in zip(self.idxs, self.offsets):
-            d = idx.docs.select(
-                (F.col("doc_id") + F.lit(int(off))).alias("doc_id"),
-                "doc_no")
-            docs_u = d if docs_u is None else docs_u.unionByName(d)
-        return (docs_u.join(F.broadcast(top), "doc_id")
+        return (self._docs_union().join(F.broadcast(top), "doc_id")
                 .select("doc_no",
                         (F.col("score_u6") / F.lit(1e6)).alias("score"))
                 .orderBy(F.desc("score")))
+
+    def facet_counts(self, query: str, by: str, top: int = 10,
+                     where: str | None = None):
+        """:meth:`InvertedIndex.facet_counts` served scatter-gather:
+        per-``by``-value document counts over the FULL AND/OR match
+        set across every shard, ``where=`` restricting the match set
+        first. Requires :meth:`set_attributes` (keyed by doc_no —
+        shard-independent)."""
+        from pyspark.sql import functions as F
+
+        if self._attrs_df is None:
+            raise ValueError(
+                "facet_counts requires set_attributes(attrs_df)")
+        qtype, terms = preprocess_query(query, stopwords=self.stopwords,
+                                        stemming=self.stemming)
+        if qtype == "PHRASE":
+            raise ValueError(
+                "facet_counts supports AND/OR queries (a PHRASE match "
+                "set needs position evaluation — run "
+                "search_distributed() instead)")
+        if not terms:
+            raise ValueError("query has no terms after preprocessing")
+        u, present = self._match_union(qtype, set(terms))
+        if u is None:
+            return self.spark.createDataFrame(
+                [], f"{by} string, n_docs long")
+        if qtype == "AND":
+            ids = (u.groupBy("doc_id")
+                   .agg(F.count_distinct("term").alias("nt"))
+                   .where(F.col("nt") == len(present))
+                   .select("doc_id"))
+        else:
+            ids = u.select("doc_id").distinct()
+        md = ids.join(self._docs_union(), "doc_id")
+        if where is not None:
+            allowed = (self._attrs_df.where(F.expr(where))
+                       .select(F.col(self._attrs_key).cast("string")
+                               .alias("doc_no")).distinct())
+            md = md.join(allowed, "doc_no", "left_semi")
+        attrs = self._attrs_df.select(
+            F.col(self._attrs_key).cast("string").alias("doc_no"),
+            F.col(by))
+        return (md.join(attrs, "doc_no")
+                .groupBy(by).agg(F.count("*").alias("n_docs"))
+                .orderBy(F.desc("n_docs"), F.asc(by)).limit(top))

@@ -130,13 +130,42 @@ def test_mixed_codec_shards(spark, tmp_path):
             _rows(ref.search_distributed(q, k=5)), q
 
 
+def test_prefix_fuzzy_suggest_facets_parity(spark, setup):
+    """The rewrite surface must also match the merged warehouse:
+    prefix caps over the union vocabulary, fuzzy/suggest re-ranked on
+    summed df, facet counts over the cross-shard match set."""
+    from pyspark.sql import functions as F
+
+    ref, sh = setup["ref"], setup["sharded"]
+    for q in ["OR hotterm par*", "OR quick import*", "OR qick~ class"]:
+        assert _rows(sh.search_distributed(q, k=10)) == \
+            _rows(ref.search_distributed(q, k=10)), q
+    assert sh.expand_prefix("par") == ref.expand_prefix("par")
+    assert sh.suggest("qick", top=5) == ref.suggest("qick", top=5)
+    assert sh.expand_fuzzy("qick") == ref.expand_fuzzy("qick")
+    attrs = ref.docs.select(
+        "doc_no", F.pmod(F.xxhash64("doc_no"), F.lit(3))
+        .cast("string").alias("bucket"))
+    ref.set_attributes(attrs)
+    sh.set_attributes(attrs)
+    for q in ["OR hotterm quick", "AND def import"]:
+        got = [(r[0], r[1]) for r in
+               sh.facet_counts(q, by="bucket").collect()]
+        want = [(r[0], r[1]) for r in
+                ref.facet_counts(q, by="bucket").collect()]
+        assert got == want, q
+    got = [(r[0], r[1]) for r in
+           sh.facet_counts("OR hotterm quick", by="bucket",
+                           where="bucket = '1'").collect()]
+    want = [(r[0], r[1]) for r in
+            ref.facet_counts("OR hotterm quick", by="bucket",
+                             where="bucket = '1'").collect()]
+    assert got == want and got
+
+
 def test_guards(spark, setup, tmp_path):
     with pytest.raises(ValueError, match="at least two"):
         ShardedIndex(spark, [setup["a"]])
-    with pytest.raises(ValueError, match="term\\*"):
-        setup["sharded"].search_distributed("OR fast ta*")
-    with pytest.raises(ValueError, match="term~"):
-        setup["sharded"].search_distributed("OR fast qery~")
     # text-pipeline mismatch (stemming differs)
     df = spark.createDataFrame([(0, "running fast")],
                                "doc_id long, text string")
