@@ -694,6 +694,49 @@ def sql_bm25_topk_fuzzy():
     return _topk_fuzzy_sql(["fast"], [FUZZY_TOKEN])
 
 
+BOOSTS = {"fast": 2.5, "table": 0.5}
+
+
+def q_bm25_topk_boosted(spark, sf_dir):
+    """Query-time term boosting (Lucene term^w): boosted terms'
+    partials become u6(w × BM25) — quantized AFTER the multiply, so
+    the SQL twin's CASE-weighted expression is bit-identical. Boosted
+    queries serve the exhaustive distributed plan (stored upper
+    bounds assume weight 1)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    idx = get_index(spark, sf_dir)
+    res = idx.search_distributed("OR " + " ".join(OR_TERMS), k=K,
+                                 boosts=BOOSTS)
+    w = Window.orderBy(F.desc("score"))
+    return res.select(F.row_number().over(w).alias("rank"), "doc_no",
+                      _u6(F.col("score")).alias("score_u6"))
+
+
+def sql_bm25_topk_boosted(k: int = K) -> str:
+    from .functions.scoring import U6
+    tlist = ", ".join(f"'{t}'" for t in OR_TERMS)
+    whens = " ".join(f"WHEN '{t}' THEN CAST({w!r} AS DOUBLE)"
+                     for t, w in sorted(BOOSTS.items()))
+    case = f"CASE tf.term {whens} ELSE CAST(1.0 AS DOUBLE) END"
+    partial = (f"CAST(floor(({case}) * ({_bm25_expr()}) * {U6} + 0.5) "
+               "AS BIGINT)")
+    return _base_cte() + f""",
+scores AS (
+  SELECT tf.doc_id, CAST(sum({partial}) AS BIGINT) AS score_u6
+  FROM tf JOIN lex USING (term) CROSS JOIN stats
+  WHERE tf.term IN ({tlist})
+  GROUP BY tf.doc_id
+), dedup AS (
+  SELECT score_u6, min(doc_id) AS doc_id
+  FROM scores GROUP BY score_u6
+  ORDER BY score_u6 DESC LIMIT {k}
+)
+SELECT row_number() OVER (ORDER BY score_u6 DESC) AS rank, d.doc_no,
+       score_u6
+FROM dedup JOIN docs d USING (doc_id)"""
+
+
 SHARD_TERMS = ["data", "row", "merge"]
 
 
@@ -2805,6 +2848,7 @@ def extra_queries():
         "did_you_mean": q_did_you_mean,
         "bm25_topk_fuzzy": q_bm25_topk_fuzzy,
         "sharded_topk": q_sharded_topk,
+        "bm25_topk_boosted": q_bm25_topk_boosted,
         "bm25_topk_prefix": q_bm25_topk_prefix,
         "top_terms": q_top_terms,
         "token_counts": q_token_counts,
@@ -2827,6 +2871,7 @@ def extra_oracle_sql(query_vec=None, sf_dir=None):
         "did_you_mean": sql_did_you_mean(),
         "bm25_topk_fuzzy": sql_bm25_topk_fuzzy(),
         "sharded_topk": sql_sharded_topk(),
+        "bm25_topk_boosted": sql_bm25_topk_boosted(),
         "bm25_topk_prefix": sql_bm25_topk_prefix(),
         "top_terms": sql_top_terms(),
         "token_counts": sql_token_counts(),

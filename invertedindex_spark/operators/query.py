@@ -2458,9 +2458,34 @@ class InvertedIndex:
                         (F.col("score_u6") / F.lit(1e6)).alias("score"))
                 .orderBy(F.desc("score")))
 
+    def _normalize_boosts(self, boosts: dict) -> dict:
+        """User boost keys → stored-term weights through the same
+        token pipeline as query terms (tokenize, truncate, stem);
+        boosting a stopword is a silent no-op (the term can never
+        match), non-positive weights fail loudly."""
+        from ..functions.textproc import process_tokens
+
+        out: dict = {}
+        for key, w in boosts.items():
+            w = float(w)
+            if not w > 0:
+                raise ValueError(
+                    f"boost for {key!r} must be > 0 (got {w})")
+            toks = tokenize_text(key)
+            if len(toks) != 1:
+                raise ValueError(
+                    f"boost key {key!r} must normalize to exactly one "
+                    "token")
+            kept, _dl = process_tokens(toks, stopwords=self.stopwords,
+                                       stemming=self.stemming)
+            if kept:
+                out[kept[0]] = w
+        return out
+
     def search_distributed(self, query: str, k: int = 20,
                            prune: bool = False,
-                           where: str | None = None):
+                           where: str | None = None,
+                           boosts: dict | None = None):
         """Same query, pure DataFrame plan; returns a DataFrame
         (doc_no, score) ordered by score desc. Scales to posting lists
         that must never be collected to the driver.
@@ -2474,9 +2499,18 @@ class InvertedIndex:
         matching documents via a semi-join of the exploded postings
         against the attribute scan — no driver-side mask is ever
         built, so filtered search holds at cluster scale. Stats stay
-        collection-global (same scoring contract as :meth:`search`)."""
+        collection-global (same scoring contract as :meth:`search`).
+
+        ``boosts=`` ({term: weight}, Lucene ``term^w``): each term's
+        partial becomes u6(w × BM25) — quantized AFTER the multiply so
+        the oracle SQL twin is exact. Boosted queries serve the
+        exhaustive plan (the stored upper bounds assume weight 1, and
+        a pruned plan with unsound bounds would be silently wrong —
+        telemetry records mode=boost_exhaustive when prune was
+        requested)."""
         from pyspark.sql import functions as F
 
+        bmap = self._normalize_boosts(boosts) if boosts else {}
         qtype, terms = self._preprocess_with_prefixes(query)
         if qtype == "PHRASE":
             self._require_positions()
@@ -2486,7 +2520,7 @@ class InvertedIndex:
             # AND and PHRASE both demand every term; OR skips unknowns
             return self.spark.createDataFrame(
                 [], "doc_no string, score double")
-        if qtype != "PHRASE" and prune:
+        if qtype != "PHRASE" and prune and not bmap:
             res = self._search_distributed_pruned(qtype, present, k,
                                                   where=where)
             if res is not None:
@@ -2495,6 +2529,8 @@ class InvertedIndex:
             # (legacy bounds / tiny boost side / accumulator overflow)
             # and the exhaustive plan below served the query
             self.last_prune_stats["mode"] = "distributed_fallback"
+        elif prune and bmap:
+            self.last_prune_stats = {"mode": "boost_exhaustive"}
         exploded = self._drop_tombstoned(self.decoded_postings_df(present))
         if qtype == "PHRASE":
             # adjacency filter: semi-join the scored postings against
@@ -2506,11 +2542,18 @@ class InvertedIndex:
         if where is not None:
             exploded = exploded.join(self._allowed_ids_df(where),
                                      "doc_id", "left_semi")
-        scored = exploded.withColumn(
-            "partial",
-            scoring.bm25_u6_col(F.col("tf"), F.col("dl"), F.col("df"),
+        bm25 = scoring.bm25_col(F.col("tf"), F.col("dl"), F.col("df"),
                                 F.lit(float(self.num_docs)),
-                                F.lit(self.avg_doc_len)))
+                                F.lit(self.avg_doc_len))
+        if bmap:
+            w_col = F.lit(1.0)
+            for t, w in sorted(bmap.items()):
+                w_col = (F.when(F.col("term") == F.lit(t), F.lit(w))
+                         .otherwise(w_col))
+            partial = scoring.u6_col(w_col * bm25)
+        else:
+            partial = scoring.u6_col(bm25)
+        scored = exploded.withColumn("partial", partial)
         agg = (scored.groupBy("doc_id")
                .agg(F.sum("partial").alias("score_u6"),
                     F.count("*").alias("nt")))
