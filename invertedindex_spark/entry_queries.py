@@ -700,9 +700,9 @@ BOOSTS = {"fast": 2.5, "table": 0.5}
 def q_bm25_topk_boosted(spark, sf_dir):
     """Query-time term boosting (Lucene term^w): boosted terms'
     partials become u6(w × BM25) — quantized AFTER the multiply, so
-    the SQL twin's CASE-weighted expression is bit-identical. Boosted
-    queries serve the exhaustive distributed plan (stored upper
-    bounds assume weight 1)."""
+    the SQL twin's CASE-weighted expression is bit-identical. With
+    prune=True the pruned plan scales the stored weight-1 bounds by
+    each term's weight (sound; parity in tests/test_boosts.py)."""
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
     idx = get_index(spark, sf_dir)

@@ -2106,7 +2106,8 @@ class InvertedIndex:
             out[t] = (tub, bf, bm, last)
         return out
 
-    def _acc_table(self, terms, qtype, where: str | None = None):
+    def _acc_table(self, terms, qtype, where: str | None = None,
+                   wmap: dict | None = None):
         """Essential-phase accumulators as driver arrays:
         (doc_ids, scores, dls, n_terms_hit) summed over ``terms`` via
         ONE distributed job, or None above DIST_ACC_CAP.
@@ -2121,11 +2122,22 @@ class InvertedIndex:
         if where is not None:
             ess = ess.join(self._allowed_ids_df(where),
                            "doc_id", "left_semi")
-        scored = ess.withColumn(
-            "partial",
-            scoring.bm25_u6_col(F.col("tf"), F.col("dl"), F.col("df"),
+        bm25 = scoring.bm25_col(F.col("tf"), F.col("dl"), F.col("df"),
                                 F.lit(float(self.num_docs)),
-                                F.lit(self.avg_doc_len)))
+                                F.lit(self.avg_doc_len))
+        # same CASE-weighted construction as the exhaustive boosted
+        # plan, so pruned == exhaustive holds bit-for-bit
+        live = {t: w for t, w in (wmap or {}).items()
+                if t in set(terms) and w != 1.0}
+        if live:
+            w_col = F.lit(1.0)
+            for t, w in sorted(live.items()):
+                w_col = (F.when(F.col("term") == F.lit(t), F.lit(w))
+                         .otherwise(w_col))
+            partial = scoring.u6_col(w_col * bm25)
+        else:
+            partial = scoring.u6_col(bm25)
+        scored = ess.withColumn("partial", partial)
         # the cap rides the SAME collect (limit cap+1): one Spark job
         # total for the essential phase — a separate count() would
         # re-evaluate the whole decode
@@ -2262,9 +2274,12 @@ class InvertedIndex:
                     if m.size == 0:
                         continue
                     widx = np.flatnonzero(hitmask) + lo
-                    idf = idf_map[r["term"]]
-                    s = scoring.u6_np(scoring.factor_np(
-                        tf[m], wdls[widx], avg_dl) * idf)
+                    idf, wt = idf_map[r["term"]]
+                    # wt * (factor * idf) mirrors the exhaustive
+                    # plan's u6(w_col * bm25_col) evaluation order
+                    # exactly (1.0 * x == x bitwise for unboosted)
+                    s = scoring.u6_np(wt * (scoring.factor_np(
+                        tf[m], wdls[widx], avg_dl) * idf))
                     out_ids.append(wids[widx])
                     out_sc.append(s)
                     out_terms.append(
@@ -2315,7 +2330,8 @@ class InvertedIndex:
         return keep, blocks_total, blocks_wanted
 
     def _search_distributed_pruned(self, qtype, present, k,
-                                   where: str | None = None):
+                                   where: str | None = None,
+                                   wmap: dict | None = None):
         """Two-phase distributed plan with dynamic pruning — the
         cluster-side analogue of the driver MaxScore/BMM kernel
         (reference seam ``QueryProcessor.java:251-432``):
@@ -2343,6 +2359,7 @@ class InvertedIndex:
         from pyspark.sql import functions as F
 
         stats = self.last_prune_stats = {"mode": "distributed"}
+        wmap = wmap or {}
         by_term = self._light_rows(present)
         if len(by_term) != len(present):
             return None
@@ -2350,6 +2367,22 @@ class InvertedIndex:
         if bounds is None:
             stats["stale_bounds_fallback"] = True
             return None
+        if wmap:
+            # weight-scaled sound bounds: stored tub / block maxima
+            # assume weight 1. For any partial x with u6(x) <= b we
+            # have x*1e6 <= b + 0.5, so u6(w*x) <= w*(b+0.5)+0.5
+            # <= ceil(w*(b+1)+1) — a couple of micro-units of slack
+            # only loosens pruning, never correctness.
+            def _scale(b, w):
+                return int(np.ceil(w * (float(b) + 1.0) + 1.0))
+
+            bounds = {
+                t: ((_scale(tub, wmap[t]), bf,
+                     np.ceil(wmap[t] * (bm.astype(np.float64) + 1.0)
+                             + 1.0).astype(np.int64), last)
+                    if wmap.get(t, 1.0) != 1.0 else (tub, bf, bm, last))
+                for t, (tub, bf, bm, last) in bounds.items()}
+            stats["boosted"] = True
         if not self._bounds_fresh or any(
                 r.get("_partial") for rs in by_term.values()
                 for r in rs):
@@ -2375,7 +2408,7 @@ class InvertedIndex:
         theta = -np.inf
         acc = None
         while True:
-            acc = self._acc_table(ess, qtype, where=where)
+            acc = self._acc_table(ess, qtype, where=where, wmap=wmap)
             if acc is None:
                 return None
             ids, accs, dls, nts = acc
@@ -2424,8 +2457,9 @@ class InvertedIndex:
             return self.spark.createDataFrame(
                 [], "doc_no string, score double")
 
-        idf_map = {t: float(np.log(float(self.num_docs)
-                                           / float(dfs[t])))
+        idf_map = {t: (float(np.log(float(self.num_docs)
+                                    / float(dfs[t]))),
+                       float(wmap.get(t, 1.0)))
                    for t in boost}
         boost_df = self._boost_partials_df(
             boost, wanted_ids, wanted_dls, idf_map)
@@ -2503,11 +2537,11 @@ class InvertedIndex:
 
         ``boosts=`` ({term: weight}, Lucene ``term^w``): each term's
         partial becomes u6(w × BM25) — quantized AFTER the multiply so
-        the oracle SQL twin is exact. Boosted queries serve the
-        exhaustive plan (the stored upper bounds assume weight 1, and
-        a pruned plan with unsound bounds would be silently wrong —
-        telemetry records mode=boost_exhaustive when prune was
-        requested)."""
+        the oracle SQL twin is exact. With ``prune=True`` boosted
+        queries still take the two-phase pruned plan: the stored
+        weight-1 upper bounds and block maxima are scaled by each
+        term's weight at query time (sound by monotonicity;
+        telemetry records boosted=True)."""
         from pyspark.sql import functions as F
 
         bmap = self._normalize_boosts(boosts) if boosts else {}
@@ -2520,17 +2554,16 @@ class InvertedIndex:
             # AND and PHRASE both demand every term; OR skips unknowns
             return self.spark.createDataFrame(
                 [], "doc_no string, score double")
-        if qtype != "PHRASE" and prune and not bmap:
+        if qtype != "PHRASE" and prune:
             res = self._search_distributed_pruned(qtype, present, k,
-                                                  where=where)
+                                                  where=where,
+                                                  wmap=bmap)
             if res is not None:
                 return res
             # label the telemetry honestly: the pruned plan declined
             # (legacy bounds / tiny boost side / accumulator overflow)
             # and the exhaustive plan below served the query
             self.last_prune_stats["mode"] = "distributed_fallback"
-        elif prune and bmap:
-            self.last_prune_stats = {"mode": "boost_exhaustive"}
         exploded = self._drop_tombstoned(self.decoded_postings_df(present))
         if qtype == "PHRASE":
             # adjacency filter: semi-join the scored postings against
@@ -2902,8 +2935,8 @@ class InvertedIndex:
         u_dls = np.array([union_ids[int(d)] for d in u_ids], np.int64)
         boost_terms = sorted({t for _e, b in prunable.values()
                               for t in b})
-        idf_map = {t: float(np.log(float(self.num_docs)
-                                           / float(dfs[t])))
+        idf_map = {t: (float(np.log(float(self.num_docs)
+                                    / float(dfs[t]))), 1.0)
                    for t in boost_terms}
         boost_df = self._boost_partials_df(
             boost_terms, u_ids, u_dls, idf_map, emit_term=True)

@@ -47,13 +47,75 @@ def test_boosting_stopword_or_absent_term_is_noop(boost_idx):
         "OR fast table", k=4, boosts={"zebra": 9.0})) == plain
 
 
-def test_boosted_prune_routes_exhaustive(boost_idx):
-    boosted = boost_idx.search_distributed(
-        "OR fast table", k=4, boosts={"table": 5.0}, prune=True)
-    assert boost_idx.last_prune_stats["mode"] == "boost_exhaustive"
-    exhaustive = boost_idx.search_distributed(
-        "OR fast table", k=4, boosts={"table": 5.0})
-    assert _rows(boosted) == _rows(exhaustive)
+def test_boosted_pruned_plan_matches_exhaustive(boost_idx):
+    # engage pruning at toy scale: df('data')=3 >= 3 makes it the
+    # boost list, df('fast')=2 the essential list. Downweighting the
+    # hot list keeps its scaled bound below θ (prunes); a big upweight
+    # legitimately promotes it and falls back — parity must hold
+    # either way.
+    old = boost_idx.DIST_BOOST_DF_MIN
+    boost_idx.DIST_BOOST_DF_MIN = 3
+    try:
+        for w, want_prune in ((0.25, True), (6.0, False)):
+            pruned = _rows(boost_idx.search_distributed(
+                "OR fast data", k=1, boosts={"data": w}, prune=True))
+            mode = boost_idx.last_prune_stats["mode"]
+            if want_prune:
+                assert mode == "distributed"
+                assert boost_idx.last_prune_stats.get("boosted")
+            else:
+                assert mode in ("distributed", "distributed_fallback")
+            exhaustive = _rows(boost_idx.search_distributed(
+                "OR fast data", k=1, boosts={"data": w}))
+            assert pruned == exhaustive
+    finally:
+        boost_idx.DIST_BOOST_DF_MIN = old
+
+
+@pytest.fixture(scope="module")
+def skew_idx(spark, tmp_path_factory):
+    """400 docs, every doc holds 'common'; 'rare'/'scarce' in a few —
+    a df distribution where the pruned plan genuinely engages."""
+    root = tmp_path_factory.mktemp("boost_skew")
+    rows = []
+    for i in range(400):
+        # df(common)=300 (idf > 0 so the boost phase scores real
+        # mass); the 5 rare docs get pairwise-distinct (tf, dl)
+        # profiles so k=5 distinct scores exist and θ is defined
+        words = (["common"] * (1 + i % 7)) if i % 4 != 3 else []
+        if i % 80 == 0:
+            words += ["rare"] * (1 + (i // 80) % 4)
+        if i % 95 == 0:
+            words += ["scarce"]
+        words += [f"id{i}"]
+        rows.append((i, " ".join(words)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    wh = str(root / "wh")
+    build_index(spark, from_documents(df), wh,
+                IndexConfig(num_blocks=4, stemming=False))
+    return InvertedIndex(spark, wh)
+
+
+def test_boosted_pruned_parity_on_skewed_corpus(skew_idx):
+    old = skew_idx.DIST_BOOST_DF_MIN
+    skew_idx.DIST_BOOST_DF_MIN = 64
+    try:
+        for q, boosts in (("OR rare common", {"common": 0.3}),
+                          ("OR rare scarce common", {"rare": 2.0}),
+                          ("AND rare common", {"common": 0.5})):
+            pruned = _rows(skew_idx.search_distributed(
+                q, k=5, boosts=boosts, prune=True))
+            exhaustive = _rows(skew_idx.search_distributed(
+                q, k=5, boosts=boosts))
+            assert pruned == exhaustive, (q, boosts)
+        # at least the downweight query must actually prune
+        pruned = skew_idx.search_distributed(
+            "OR rare common", k=5, boosts={"common": 0.3}, prune=True)
+        pruned.collect()
+        st = skew_idx.last_prune_stats
+        assert st["mode"] == "distributed" and st.get("boosted")
+    finally:
+        skew_idx.DIST_BOOST_DF_MIN = old
 
 
 def test_boost_guards(boost_idx):
