@@ -737,6 +737,36 @@ SELECT row_number() OVER (ORDER BY score_u6 DESC) AS rank, d.doc_no,
 FROM dedup JOIN docs d USING (doc_id)"""
 
 
+def q_score_explain(spark, sf_dir):
+    """Lucene-style explain: per-term BM25 contributions (u6 micro-
+    units) for the flagship OR query's top-k docs — one distributed
+    plan, the winner set broadcast back onto the scored frame
+    (InvertedIndex.explain_distributed)."""
+    idx = get_index(spark, sf_dir)
+    return idx.explain_distributed("OR " + " ".join(OR_TERMS), k=K)
+
+
+def sql_score_explain(k: int = K) -> str:
+    tlist = ", ".join(f"'{t}'" for t in OR_TERMS)
+    return _base_cte() + f""",
+scores AS (
+  SELECT tf.doc_id, CAST(sum({_bm25_u6_expr()}) AS BIGINT) AS score_u6
+  FROM tf JOIN lex USING (term) CROSS JOIN stats
+  WHERE tf.term IN ({tlist})
+  GROUP BY tf.doc_id
+), dedup AS (
+  SELECT score_u6, min(doc_id) AS doc_id
+  FROM scores GROUP BY score_u6
+  ORDER BY score_u6 DESC LIMIT {k}
+)
+SELECT dense_rank() OVER (ORDER BY dedup.score_u6 DESC) AS rank,
+       d.doc_no, tf.term, tf.tf, {_bm25_u6_expr()} AS partial_u6,
+       dedup.score_u6
+FROM dedup JOIN tf USING (doc_id) JOIN lex USING (term)
+     CROSS JOIN stats JOIN docs d ON d.doc_id = dedup.doc_id
+WHERE tf.term IN ({tlist})"""
+
+
 SHARD_TERMS = ["data", "row", "merge"]
 
 
@@ -2849,6 +2879,7 @@ def extra_queries():
         "bm25_topk_fuzzy": q_bm25_topk_fuzzy,
         "sharded_topk": q_sharded_topk,
         "bm25_topk_boosted": q_bm25_topk_boosted,
+        "score_explain": q_score_explain,
         "bm25_topk_prefix": q_bm25_topk_prefix,
         "top_terms": q_top_terms,
         "token_counts": q_token_counts,
@@ -2872,6 +2903,7 @@ def extra_oracle_sql(query_vec=None, sf_dir=None):
         "bm25_topk_fuzzy": sql_bm25_topk_fuzzy(),
         "sharded_topk": sql_sharded_topk(),
         "bm25_topk_boosted": sql_bm25_topk_boosted(),
+        "score_explain": sql_score_explain(),
         "bm25_topk_prefix": sql_bm25_topk_prefix(),
         "top_terms": sql_top_terms(),
         "token_counts": sql_token_counts(),

@@ -1426,7 +1426,7 @@ class InvertedIndex:
         return d[keep], tf[keep], dl[keep], df
 
     def search(self, query: str, k: int = 20, prune: bool = False,
-               where: str | None = None):
+               where: str | None = None, boosts: dict | None = None):
         """[AND|OR] term1 … termN → [(doc_no, score)] descending.
 
         Unknown term ⇒ AND returns [] / OR skips it
@@ -1445,11 +1445,19 @@ class InvertedIndex:
         so thresholds are exact-filtered while the stored TUB/
         block-max stay sound upper bounds (they only over-estimate
         filtered maxima, never under).
-        """
+
+        ``boosts=`` ({term: weight}, Lucene ``term^w``): same
+        semantics as :meth:`search_distributed` — u6(w × BM25)
+        partials, row-identical to the distributed plan. The driver
+        MaxScore kernels don't take weights, so boosted ``prune=True``
+        serves the exhaustive kernel (mode=boost_exhaustive; the
+        distributed pruned plan DOES boost — this path is the
+        small-index REPL path)."""
+        bmap = self._normalize_boosts(boosts) if boosts else {}
         qtype, terms = self._preprocess_with_prefixes(query)
         key = (qtype,
                tuple(terms) if qtype == "PHRASE" else frozenset(terms),
-               k, prune, where)
+               k, prune, where, frozenset(bmap.items()))
         if key in self._cache:
             self._cache.move_to_end(key)
             return self._cache[key]
@@ -1457,6 +1465,8 @@ class InvertedIndex:
         if self._tomb_count:
             am = self._alive_mask()
             mask = am if mask is None else (mask & am)
+        if bmap and prune:
+            self.last_prune_stats = {"mode": "boost_exhaustive"}
         if qtype == "PHRASE":
             # adjacency restricts WHICH docs may rank (the phrase
             # mask composes with where= by AND); survivors score as
@@ -1467,12 +1477,13 @@ class InvertedIndex:
             if mask is not None:
                 pmask &= mask
             doc_ids, scores = self._score_terms(set(terms), "OR",
-                                                mask=pmask)
-        elif prune:
+                                                mask=pmask, wmap=bmap)
+        elif prune and not bmap:
             doc_ids, scores = self._score_terms_pruned(
                 terms, qtype, k, mask=mask)
         else:
-            doc_ids, scores = self._score_terms(terms, qtype, mask=mask)
+            doc_ids, scores = self._score_terms(terms, qtype, mask=mask,
+                                                wmap=bmap)
         top_ids, top_scores = queue_topk_np(doc_ids, scores, k)
         result = self._attach_doc_nos(top_ids, top_scores)
         self._cache[key] = result
@@ -1652,7 +1663,7 @@ class InvertedIndex:
         return maxscore_or_topk(lists, self.num_docs, self.avg_doc_len,
                                 k, stats=stats)
 
-    def _score_terms(self, terms, qtype, mask=None):
+    def _score_terms(self, terms, qtype, mask=None, wmap=None):
         decoded = self._fetch_decoded(terms)
         if (not decoded) or (qtype == "AND" and len(decoded) < len(terms)):
             z = np.zeros(0, dtype=np.int64)
@@ -1666,8 +1677,15 @@ class InvertedIndex:
             if mask is not None:
                 d, tf, dl, df = self._mask_dec((d, tf, dl, df), mask)
             all_ids.append(d)
-            all_scores.append(scoring.bm25_u6_np(
-                tf, dl, df, self.num_docs, self.avg_doc_len))
+            w = float((wmap or {}).get(t, 1.0))
+            if w != 1.0:
+                # u6(w * bm25): same evaluation order as the
+                # distributed boosted plan's u6_col(w_col * bm25_col)
+                all_scores.append(scoring.u6_np(w * scoring.bm25_np(
+                    tf, dl, df, self.num_docs, self.avg_doc_len)))
+            else:
+                all_scores.append(scoring.bm25_u6_np(
+                    tf, dl, df, self.num_docs, self.avg_doc_len))
         ids = np.concatenate(all_ids)
         sc = np.concatenate(all_scores)
         if ids.size == 0:
@@ -2601,6 +2619,71 @@ class InvertedIndex:
                 .select("doc_no",
                         (F.col("score_u6") / F.lit(1e6)).alias("score"))
                 .orderBy(F.desc("score")))
+
+    def explain_distributed(self, query: str, k: int = 10,
+                            where: str | None = None,
+                            boosts: dict | None = None):
+        """Lucene-style ``explain``: per-term score contributions for
+        the query's top-k documents, as ONE distributed plan —
+        DataFrame (rank, doc_no, term, tf, partial_u6, score_u6), one
+        row per (winning doc, matched term). The winning docs are
+        exactly :meth:`search_distributed`'s top-k (same u6 partials,
+        same distinct-score/min-docId tie dedup); ``rank`` is the
+        dense rank by score (equal for all term rows of a doc). The
+        per-term pass re-joins the SAME scored frame against the
+        broadcast winner set, so no full re-decode happens and nothing
+        is collected to the driver. AND/OR only (a PHRASE match set
+        needs position evaluation; its per-term BM25 breakdown equals
+        the OR explain restricted to phrase matches)."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        bmap = self._normalize_boosts(boosts) if boosts else {}
+        qtype, terms = self._preprocess_with_prefixes(query)
+        if qtype == "PHRASE":
+            raise ValueError(
+                "explain_distributed supports AND/OR queries")
+        empty = ("rank int, doc_no string, term string, tf long, "
+                 "partial_u6 long, score_u6 long")
+        present = self._present_terms(set(terms))
+        if not present or (qtype != "OR" and len(present)
+                           < len(set(terms))):
+            return self.spark.createDataFrame([], empty)
+        exploded = self._drop_tombstoned(
+            self.decoded_postings_df(present))
+        if where is not None:
+            exploded = exploded.join(self._allowed_ids_df(where),
+                                     "doc_id", "left_semi")
+        bm25 = scoring.bm25_col(F.col("tf"), F.col("dl"), F.col("df"),
+                                F.lit(float(self.num_docs)),
+                                F.lit(self.avg_doc_len))
+        if bmap:
+            w_col = F.lit(1.0)
+            for t, w in sorted(bmap.items()):
+                w_col = (F.when(F.col("term") == F.lit(t), F.lit(w))
+                         .otherwise(w_col))
+            partial = scoring.u6_col(w_col * bm25)
+        else:
+            partial = scoring.u6_col(bm25)
+        scored = exploded.withColumn("partial", partial)
+        agg = (scored.groupBy("doc_id")
+               .agg(F.sum("partial").alias("score_u6"),
+                    F.count("*").alias("nt")))
+        if qtype == "AND":
+            agg = agg.where(F.col("nt") == len(present))
+        top = (agg.groupBy("score_u6")
+               .agg(F.min("doc_id").alias("doc_id"))
+               .orderBy(F.desc("score_u6")).limit(k))
+        # distinct score_u6 per winner (the dedup guarantees it), so
+        # the dense rank is deterministic without a doc tiebreak
+        w = Window.orderBy(F.desc("score_u6"))
+        return (scored.join(F.broadcast(top), "doc_id")
+                .join(self.docs.select("doc_id", "doc_no"), "doc_id")
+                .select(F.dense_rank().over(w).alias("rank"),
+                        "doc_no", "term", "tf",
+                        F.col("partial").alias("partial_u6"),
+                        "score_u6")
+                .orderBy("rank", "term"))
 
     def _batch_phrase_top(self, phrase_qs, coerce, qid_t, k):
         """Shared-scan batch plan for the PHRASE entries: ONE

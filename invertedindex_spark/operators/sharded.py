@@ -220,13 +220,18 @@ class ShardedIndex:
             docs_u = d if docs_u is None else docs_u.unionByName(d)
         return docs_u
 
-    def search_distributed(self, query: str, k: int = 20):
+    def search_distributed(self, query: str, k: int = 20,
+                           boosts: dict | None = None):
         """[AND|OR|PHRASE] term1 … termN (incl. ``term*`` / ``term~``
         rewrites) → DataFrame (doc_no, score) ordered by score desc —
         the single-warehouse :meth:`InvertedIndex.search_distributed`
-        contract, served scatter-gather."""
+        contract, served scatter-gather. ``boosts=`` carries the same
+        Lucene ``term^w`` semantics (u6(w × BM25) partials under the
+        GLOBAL stats — row-identical to the merged warehouse)."""
         from pyspark.sql import functions as F
 
+        bmap = (self.idxs[0]._normalize_boosts(boosts)
+                if boosts else {})
         qtype, terms = preprocess_with_rewrites(
             query, stopwords=self.stopwords, stemming=self.stemming,
             expand_prefix=self.expand_prefix,
@@ -238,11 +243,18 @@ class ShardedIndex:
         gdf = self._global_df(present)
         gdf_df = F.broadcast(self.spark.createDataFrame(
             sorted(gdf.items()), "term string, gdf long"))
-        scored = u.join(gdf_df, "term").withColumn(
-            "partial",
-            scoring.bm25_u6_col(F.col("tf"), F.col("dl"), F.col("gdf"),
+        bm25 = scoring.bm25_col(F.col("tf"), F.col("dl"), F.col("gdf"),
                                 F.lit(float(self.num_docs)),
-                                F.lit(self.avg_doc_len)))
+                                F.lit(self.avg_doc_len))
+        if bmap:
+            w_col = F.lit(1.0)
+            for t, w in sorted(bmap.items()):
+                w_col = (F.when(F.col("term") == F.lit(t), F.lit(w))
+                         .otherwise(w_col))
+            partial = scoring.u6_col(w_col * bm25)
+        else:
+            partial = scoring.u6_col(bm25)
+        scored = u.join(gdf_df, "term").withColumn("partial", partial)
         agg = (scored.groupBy("doc_id")
                .agg(F.sum("partial").alias("score_u6"),
                     F.count("*").alias("nt")))

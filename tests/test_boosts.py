@@ -118,6 +118,24 @@ def test_boosted_pruned_parity_on_skewed_corpus(skew_idx):
         skew_idx.DIST_BOOST_DF_MIN = old
 
 
+def test_driver_search_boosts_match_distributed(skew_idx):
+    for q, boosts in (("OR rare common", {"common": 0.3}),
+                      ("OR rare scarce common", {"rare": 2.0}),
+                      ("AND rare common", {"common": 5.0})):
+        drv = [(d, round(s, 9))
+               for d, s in skew_idx.search(q, k=5, boosts=boosts)]
+        dist = _rows(skew_idx.search_distributed(q, k=5, boosts=boosts))
+        assert drv == dist, (q, boosts)
+        assert drv  # non-vacuous
+    # boosted prune on the driver path: honest exhaustive routing,
+    # same rows (the distributed plan is the pruned-boosted path)
+    pruned = skew_idx.search("OR rare common", k=5,
+                             boosts={"common": 0.3}, prune=True)
+    assert skew_idx.last_prune_stats["mode"] == "boost_exhaustive"
+    assert pruned == skew_idx.search("OR rare common", k=5,
+                                     boosts={"common": 0.3})
+
+
 def test_boost_guards(boost_idx):
     with pytest.raises(ValueError, match="> 0"):
         boost_idx.search_distributed("OR fast", boosts={"fast": 0})

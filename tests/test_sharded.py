@@ -73,6 +73,16 @@ def test_ranked_parity_with_single_warehouse(setup):
         assert got == want, q
 
 
+def test_boosted_parity_with_single_warehouse(setup):
+    ref, sh = setup["ref"], setup["sharded"]
+    for q, boosts in (("OR hotterm def", {"def": 3.0}),
+                      ("AND hotterm import", {"hotterm": 0.4})):
+        got = _rows(sh.search_distributed(q, k=10, boosts=boosts))
+        want = _rows(ref.search_distributed(q, k=10, boosts=boosts))
+        assert got == want, (q, boosts)
+        assert got  # non-vacuous
+
+
 def test_unknown_terms_follow_merged_semantics(setup):
     sh = setup["sharded"]
     assert _rows(sh.search_distributed("AND hotterm zzznothere")) == []
