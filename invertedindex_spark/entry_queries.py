@@ -767,6 +767,75 @@ FROM dedup JOIN tf USING (doc_id) JOIN lex USING (term)
 WHERE tf.term IN ({tlist})"""
 
 
+RRF_N = 20      # depth of each input list fed to the fusion
+RRF_K = 60      # the standard RRF constant
+
+
+def q_hybrid_rrf_topk(spark, sf_dir):
+    """Hybrid retrieval: BM25 top-20 (flagship OR query) fused with
+    the brute-force cosine top-20 (sf query embedding) by reciprocal-
+    rank fusion — contributions quantized to u6 BEFORE the integer sum
+    (operators/hybrid.rrf_fuse), final order (rrf_u6 desc, key asc).
+    The doc_no ↔ vec_id join convention: embedding i embeds doc i."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    from .operators.hybrid import rrf_fuse
+    from .operators.similarity import cosine_topk
+
+    idx = get_index(spark, sf_dir)
+    bm = (idx.search_distributed("OR " + " ".join(OR_TERMS), k=RRF_N)
+          .select("doc_no", F.row_number().over(
+              Window.orderBy(F.desc("score"))).alias("rank")))
+    q = _query_vec(spark, sf_dir)
+    ann = (cosine_topk(_emb_df(spark, sf_dir), q, RRF_N, exclude_id=0)
+           .where(F.col("cos").isNotNull())
+           .select(F.col("vec_id").cast("string").alias("doc_no"),
+                   F.row_number().over(
+                       Window.orderBy(F.desc("cos"), F.asc("vec_id")))
+                   .alias("rank")))
+    return rrf_fuse([bm, ann], key="doc_no", rrf_k=RRF_K, top=K)
+
+
+def sql_hybrid_rrf_topk(q) -> str:
+    from .functions.scoring import U6
+    tlist = ", ".join(f"'{t}'" for t in OR_TERMS)
+    lit = _qvec_sql_literal(q)
+    contrib = (f"CAST(floor((1.0 / ({RRF_K} + rank)) * {U6} + 0.5) "
+               "AS BIGINT)")
+    return _base_cte() + f""",
+scores AS (
+  SELECT tf.doc_id, CAST(sum({_bm25_u6_expr()}) AS BIGINT) AS score_u6
+  FROM tf JOIN lex USING (term) CROSS JOIN stats
+  WHERE tf.term IN ({tlist})
+  GROUP BY tf.doc_id
+), dedup AS (
+  SELECT score_u6, min(doc_id) AS doc_id
+  FROM scores GROUP BY score_u6
+  ORDER BY score_u6 DESC LIMIT {RRF_N}
+), bm AS (
+  SELECT d.doc_no AS key,
+         row_number() OVER (ORDER BY score_u6 DESC) AS rank
+  FROM dedup JOIN docs d USING (doc_id)
+), ann AS (
+  SELECT key, row_number() OVER (ORDER BY cos DESC, vid ASC) AS rank
+  FROM (
+    SELECT CAST(vec_id AS VARCHAR) AS key, vec_id AS vid,
+           list_cosine_similarity(embedding::DOUBLE[], {lit}) AS cos
+    FROM embeddings WHERE vec_id <> 0
+      AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+    ORDER BY cos DESC, vec_id ASC LIMIT {RRF_N}
+  )
+), fused AS (
+  SELECT key, CAST(sum({contrib}) AS BIGINT) AS rrf_u6,
+         count(*) AS n_lists
+  FROM (SELECT * FROM bm UNION ALL SELECT * FROM ann)
+  GROUP BY key
+)
+SELECT row_number() OVER (ORDER BY rrf_u6 DESC, key ASC) AS rank,
+       key AS doc_no, rrf_u6, n_lists
+FROM fused ORDER BY rrf_u6 DESC, key ASC LIMIT {K}"""
+
+
 SHARD_TERMS = ["data", "row", "merge"]
 
 
@@ -2880,6 +2949,7 @@ def extra_queries():
         "sharded_topk": q_sharded_topk,
         "bm25_topk_boosted": q_bm25_topk_boosted,
         "score_explain": q_score_explain,
+        "hybrid_rrf_topk": q_hybrid_rrf_topk,
         "bm25_topk_prefix": q_bm25_topk_prefix,
         "top_terms": q_top_terms,
         "token_counts": q_token_counts,
@@ -2914,6 +2984,13 @@ def extra_oracle_sql(query_vec=None, sf_dir=None):
         "multimodal_frames": sql_multimodal_frames(),
         "multimodal_resize": sql_multimodal_resize(),
     }
+    if query_vec is None and sf_dir is not None:
+        import duckdb
+        query_vec = [float(x) for x in duckdb.sql(
+            f"select embedding from '{sf_dir}/embeddings.parquet' "
+            "where vec_id = 0").fetchone()[0]]
+    if query_vec is not None:
+        out["hybrid_rrf_topk"] = sql_hybrid_rrf_topk(query_vec)
     if sf_dir is not None:
         out["stem_on_topk_and"] = _python_oracle_topk_values(
             sf_dir, "AND " + " ".join(AND_TERMS))
