@@ -767,6 +767,140 @@ FROM dedup JOIN tf USING (doc_id) JOIN lex USING (term)
 WHERE tf.term IN ({tlist})"""
 
 
+_FIELDED: dict = {}
+
+FIELD_WEIGHTS = [("title", 2.0), ("body", 1.0)]
+
+
+def get_fielded(spark, sf_dir: str):
+    """Fielded search needs per-field warehouses; the driver testdata
+    carries ONE text column, so fields are synthesized
+    deterministically: title = the first 8 space-tokens, body = the
+    rest (split on literal ' ', empties kept — the established DuckDB
+    parity domain). One batch warehouse per field under the shared
+    cache root, fused by operators/fielded.FieldedIndex."""
+    import json
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from .operators.build import IndexConfig, build_index, read_manifest
+    from .operators.fielded import FieldedIndex
+    from .sources.corpus import from_documents
+
+    if sf_dir in _FIELDED:
+        return _FIELDED[sf_dir]
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    fp = _source_fingerprint(sf_dir)
+    docs = _docs_df(spark, sf_dir)
+    toks = F.split(F.col("text"), " ", -1)
+    fexpr = {
+        "title": F.array_join(F.slice(toks, 1, 8), " "),
+        "body": F.array_join(
+            F.slice(toks, 9,
+                    F.greatest(F.lit(0), F.size(toks) - F.lit(8))),
+            " "),
+    }
+    fields = []
+    for name, w in FIELD_WEIGHTS:
+        wh = os.path.join(WAREHOUSE_ROOT, f"wh_{tag}_field_{name}")
+        if (os.path.isdir(wh)
+                and read_manifest(wh).get("source_fp") != fp):
+            shutil.rmtree(wh, ignore_errors=True)
+        fdf = docs.select("doc_id", fexpr[name].alias("text"))
+        build_index(spark, from_documents(fdf), wh,
+                    IndexConfig(stemming=False, num_blocks=4),
+                    resume=True)
+        m = read_manifest(wh)
+        if m.get("source_fp") != fp:
+            m["source_fp"] = fp
+            mp = os.path.join(wh, "_manifest.json")
+            with open(mp + ".tmp", "w") as f:
+                json.dump(m, f, indent=2, sort_keys=True, default=str)
+            os.replace(mp + ".tmp", mp)
+        fields.append((name, wh, w))
+    fi = FieldedIndex(spark, fields)
+    _FIELDED[sf_dir] = fi
+    return fi
+
+
+def q_fielded_topk(spark, sf_dir):
+    """Multi-field ranked search (Lucene title:^2 body:): per-field
+    BM25 under per-field statistics, fused as Σ w_f × BM25_f with
+    u6-after-multiply partials, keyed by doc_no (field doc spaces need
+    not align). Tie rule: min doc_no per distinct score."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    fi = get_fielded(spark, sf_dir)
+    res = fi.search_distributed("OR " + " ".join(OR_TERMS), k=K)
+    w = Window.orderBy(F.desc("score"))
+    return res.select(F.row_number().over(w).alias("rank"), "doc_no",
+                      _u6(F.col("score")).alias("score_u6"))
+
+
+def _field_cte(suffix: str, field_expr: str) -> str:
+    toks = tokens_sql("ftext")
+    return f"""
+src_{suffix} AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_no, {field_expr} AS ftext
+  FROM documents WHERE text IS NOT NULL AND length(text) > 0
+), kept_{suffix} AS (
+  SELECT doc_no, terms, doc_len FROM (
+    SELECT doc_no, {terms_sql(toks)} AS terms,
+           {doc_len_sql(toks)} AS doc_len
+    FROM src_{suffix})
+  WHERE doc_len > 0
+), post_{suffix} AS (
+  SELECT doc_no, doc_len, unnest(terms) AS term FROM kept_{suffix}
+), tf_{suffix} AS (
+  SELECT term, doc_no, any_value(doc_len) AS dl, count(*) AS tf
+  FROM post_{suffix} GROUP BY term, doc_no
+), lex_{suffix} AS (
+  SELECT term, count(*) AS df FROM tf_{suffix} GROUP BY term
+), stats_{suffix} AS (
+  SELECT count(*) AS num_docs,
+         sum(doc_len) / CAST(count(*) AS DOUBLE) AS avg_doc_len
+  FROM kept_{suffix}
+)"""
+
+
+def sql_fielded_topk(k: int = K) -> str:
+    from .functions.scoring import U6
+    tlist = ", ".join(f"'{t}'" for t in OR_TERMS)
+    split = "(string_split(text, ' '))"
+    exprs = {"title": f"array_to_string({split}[1:8], ' ')",
+             "body": f"array_to_string({split}[9:], ' ')"}
+    ctes, scs = [], []
+    for name, w in FIELD_WEIGHTS:
+        s = name[0]
+        ctes.append(_field_cte(s, exprs[name]))
+        bm25 = bm25_sql(f"tf_{s}.tf", f"tf_{s}.dl", f"lex_{s}.df",
+                        f"stats_{s}.num_docs", f"stats_{s}.avg_doc_len")
+        scs.append(f"""
+sc_{s} AS (
+  SELECT tf_{s}.doc_no, tf_{s}.term,
+         CAST(floor(CAST({w!r} AS DOUBLE) * ({bm25}) * {U6} + 0.5)
+              AS BIGINT) AS partial
+  FROM tf_{s} JOIN lex_{s} USING (term) CROSS JOIN stats_{s}
+  WHERE tf_{s}.term IN ({tlist})
+)""")
+    return ("WITH " + ", ".join(c.strip().lstrip() for c in ctes)
+            + ", " + ", ".join(s.strip() for s in scs) + f""",
+uni AS (
+  SELECT * FROM sc_t UNION ALL SELECT * FROM sc_b
+), fused AS (
+  SELECT doc_no, CAST(sum(partial) AS BIGINT) AS score_u6
+  FROM uni GROUP BY doc_no
+), dedup AS (
+  SELECT score_u6, min(doc_no) AS doc_no
+  FROM fused GROUP BY score_u6
+  ORDER BY score_u6 DESC LIMIT {k}
+)
+SELECT row_number() OVER (ORDER BY score_u6 DESC) AS rank, doc_no,
+       score_u6
+FROM dedup""")
+
+
 RRF_N = 20      # depth of each input list fed to the fusion
 RRF_K = 60      # the standard RRF constant
 
@@ -2950,6 +3084,7 @@ def extra_queries():
         "bm25_topk_boosted": q_bm25_topk_boosted,
         "score_explain": q_score_explain,
         "hybrid_rrf_topk": q_hybrid_rrf_topk,
+        "fielded_topk": q_fielded_topk,
         "bm25_topk_prefix": q_bm25_topk_prefix,
         "top_terms": q_top_terms,
         "token_counts": q_token_counts,
@@ -2974,6 +3109,7 @@ def extra_oracle_sql(query_vec=None, sf_dir=None):
         "sharded_topk": sql_sharded_topk(),
         "bm25_topk_boosted": sql_bm25_topk_boosted(),
         "score_explain": sql_score_explain(),
+        "fielded_topk": sql_fielded_topk(),
         "bm25_topk_prefix": sql_bm25_topk_prefix(),
         "top_terms": sql_top_terms(),
         "token_counts": sql_token_counts(),
