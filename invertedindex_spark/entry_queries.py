@@ -901,6 +901,61 @@ SELECT row_number() OVER (ORDER BY score_u6 DESC) AS rank, doc_no,
 FROM dedup""")
 
 
+SYN_QUERY_TERMS = ["fast", "table"]
+SYNONYMS = {"table": ["row", "column"]}
+
+
+def q_bm25_topk_synonyms(spark, sf_dir):
+    """Lucene SynonymQuery: 'table' and its synonyms row/column form
+    ONE pseudo-term — summed tf per doc, blended (max) df, scored once
+    with BM25 — not an additive OR over members."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    idx = get_index(spark, sf_dir)
+    res = idx.synonym_search_distributed(
+        "OR " + " ".join(SYN_QUERY_TERMS), SYNONYMS, k=K)
+    w = Window.orderBy(F.desc("score"))
+    return res.select(F.row_number().over(w).alias("rank"), "doc_no",
+                      _u6(F.col("score")).alias("score_u6"))
+
+
+def sql_bm25_topk_synonyms(k: int = K) -> str:
+    from .functions.scoring import U6
+    members = sorted({*SYN_QUERY_TERMS,
+                      *(a for alts in SYNONYMS.values() for a in alts)})
+    mlist = ", ".join(f"'{m}'" for m in members)
+    whens = " ".join(f"WHEN '{a}' THEN '{g}'"
+                     for g, alts in sorted(SYNONYMS.items())
+                     for a in sorted(alts))
+    bm25 = bm25_sql("grp.tfs", "grp.dl", "gdf.df", "stats.num_docs",
+                    "stats.avg_doc_len")
+    return _base_cte() + f""",
+grp AS (
+  SELECT CASE tf.term {whens} ELSE tf.term END AS g, tf.doc_id,
+         any_value(tf.dl) AS dl, CAST(sum(tf.tf) AS BIGINT) AS tfs
+  FROM tf WHERE tf.term IN ({mlist})
+  GROUP BY g, tf.doc_id
+), gdf AS (
+  SELECT g, max(df) AS df FROM (
+    SELECT CASE term {whens} ELSE term END AS g, df
+    FROM lex WHERE term IN ({mlist}))
+  GROUP BY g
+), scores AS (
+  SELECT grp.doc_id,
+         CAST(sum(CAST(floor(({bm25}) * {U6} + 0.5) AS BIGINT))
+              AS BIGINT) AS score_u6
+  FROM grp JOIN gdf USING (g) CROSS JOIN stats
+  GROUP BY grp.doc_id
+), dedup AS (
+  SELECT score_u6, min(doc_id) AS doc_id
+  FROM scores GROUP BY score_u6
+  ORDER BY score_u6 DESC LIMIT {k}
+)
+SELECT row_number() OVER (ORDER BY score_u6 DESC) AS rank, d.doc_no,
+       score_u6
+FROM dedup JOIN docs d USING (doc_id)"""
+
+
 RRF_N = 20      # depth of each input list fed to the fusion
 RRF_K = 60      # the standard RRF constant
 
@@ -3085,6 +3140,7 @@ def extra_queries():
         "score_explain": q_score_explain,
         "hybrid_rrf_topk": q_hybrid_rrf_topk,
         "fielded_topk": q_fielded_topk,
+        "bm25_topk_synonyms": q_bm25_topk_synonyms,
         "bm25_topk_prefix": q_bm25_topk_prefix,
         "top_terms": q_top_terms,
         "token_counts": q_token_counts,
@@ -3110,6 +3166,7 @@ def extra_oracle_sql(query_vec=None, sf_dir=None):
         "bm25_topk_boosted": sql_bm25_topk_boosted(),
         "score_explain": sql_score_explain(),
         "fielded_topk": sql_fielded_topk(),
+        "bm25_topk_synonyms": sql_bm25_topk_synonyms(),
         "bm25_topk_prefix": sql_bm25_topk_prefix(),
         "top_terms": sql_top_terms(),
         "token_counts": sql_token_counts(),

@@ -2620,6 +2620,95 @@ class InvertedIndex:
                         (F.col("score_u6") / F.lit(1e6)).alias("score"))
                 .orderBy(F.desc("score")))
 
+    def synonym_search_distributed(self, query: str, synonyms: dict,
+                                   k: int = 20,
+                                   where: str | None = None):
+        """Lucene ``SynonymQuery`` semantics: each query term plus its
+        synonyms form ONE pseudo-term — per document the group's tf is
+        the SUM of member tfs and its df is the MAX of member dfs (the
+        Lucene blended-df convention), scored once with BM25. This is
+        NOT an OR over members: a doc matching two members of a group
+        gets one saturated contribution, not two additive ones.
+
+        ``synonyms``: {query_term: [synonym, ...]} — keys and members
+        run through the full tokenize/truncate/stem pipeline; stopword
+        or vocabulary-absent members simply drop out of their group.
+        AND demands every GROUP match (any member); OR skips groups
+        with no present member. Equal-score ties keep min docId (the
+        reference rule). Plan shape: one selective postings decode for
+        the union of members, a CASE group remap, groupBy(group, doc)
+        then groupBy(doc) — two keyed shuffles, group dfs attached
+        from bounded lexicon point lookups, nothing collected."""
+        from pyspark.sql import functions as F
+
+        qtype, terms = self._preprocess_with_prefixes(query)
+        if qtype == "PHRASE":
+            raise ValueError(
+                "synonym search supports AND/OR queries")
+        groups: dict = {t: {t} for t in set(terms)}
+        for key, alts in synonyms.items():
+            kt = self._normalize_boosts({key: 1.0})
+            if not kt:
+                continue   # stopword key: that group can never match
+            (kterm,) = kt
+            if kterm not in groups:
+                raise ValueError(
+                    f"synonym key {key!r} ({kterm!r}) is not a term "
+                    "of the query")
+            for alt in alts:
+                at = self._normalize_boosts({alt: 1.0})
+                if at:
+                    groups[kterm].add(next(iter(at)))
+        members = sorted({m for ms in groups.values() for m in ms})
+        present = set(self._present_terms(set(members)))
+        live = {g: sorted(ms & present) for g, ms in groups.items()}
+        if qtype == "AND" and any(not ms for ms in live.values()):
+            return self.spark.createDataFrame(
+                [], "doc_no string, score double")
+        live = {g: ms for g, ms in live.items() if ms}
+        if not live:
+            return self.spark.createDataFrame(
+                [], "doc_no string, score double")
+        # blended df: max over the group's present members (bounded
+        # lexicon point lookups — ≤ 32 terms × ≤ a few synonyms each)
+        dfs = {t: int(r["df"])
+               for t, r in self.lookup(sorted(present)).items()}
+        gdf_rows = [(g, max(dfs[m] for m in ms))
+                    for g, ms in sorted(live.items())]
+        gdf_df = F.broadcast(self.spark.createDataFrame(
+            gdf_rows, "grp string, gdf long"))
+        grp_col = F.lit(None).cast("string")
+        for g, ms in sorted(live.items()):
+            for m in ms:
+                grp_col = (F.when(F.col("term") == F.lit(m), F.lit(g))
+                           .otherwise(grp_col))
+        want = sorted({m for ms in live.values() for m in ms})
+        exploded = self._drop_tombstoned(self.decoded_postings_df(want))
+        if where is not None:
+            exploded = exploded.join(self._allowed_ids_df(where),
+                                     "doc_id", "left_semi")
+        grouped = (exploded.withColumn("grp", grp_col)
+                   .groupBy("grp", "doc_id")
+                   .agg(F.sum("tf").alias("tfs"),
+                        F.first("dl").alias("dl")))
+        partial = scoring.u6_col(scoring.bm25_col(
+            F.col("tfs"), F.col("dl"), F.col("gdf"),
+            F.lit(float(self.num_docs)), F.lit(self.avg_doc_len)))
+        scored = grouped.join(gdf_df, "grp").withColumn(
+            "partial", partial)
+        agg = (scored.groupBy("doc_id")
+               .agg(F.sum("partial").alias("score_u6"),
+                    F.count("*").alias("nt")))
+        if qtype == "AND":
+            agg = agg.where(F.col("nt") == len(live))
+        top = (agg.groupBy("score_u6")
+               .agg(F.min("doc_id").alias("doc_id"))
+               .orderBy(F.desc("score_u6")).limit(k))
+        return (self.docs.join(F.broadcast(top), "doc_id")
+                .select("doc_no",
+                        (F.col("score_u6") / F.lit(1e6)).alias("score"))
+                .orderBy(F.desc("score")))
+
     def explain_distributed(self, query: str, k: int = 10,
                             where: str | None = None,
                             boosts: dict | None = None):
