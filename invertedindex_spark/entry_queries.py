@@ -1158,6 +1158,65 @@ SELECT row_number() OVER (ORDER BY score_u6 DESC) AS rank, d.doc_no,
 FROM dedup JOIN docs d USING (doc_id)"""
 
 
+PHRASE_SLOP = 2
+
+
+def q_bm25_topk_phrase_sloppy(spark, sf_dir):
+    """Sloppy phrase ("…"~2, ordered): the phrase terms must occur IN
+    ORDER with total extra gap ≤ 2 in the post-stopword token stream —
+    slop 0 is the exact-adjacency phrase query. Greedy position
+    chaining executor-side; filter-then-rank scoring like exact
+    PHRASE."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    idx = get_index(spark, sf_dir)
+    q = "PHRASE " + " ".join(PHRASE_TERMS)
+    res = idx.search_distributed(q, k=K, slop=PHRASE_SLOP)
+    w = Window.orderBy(F.desc("score"))
+    return res.select(F.row_number().over(w).alias("rank"), "doc_no",
+                      _u6(F.col("score")).alias("score_u6"))
+
+
+def sql_bm25_topk_phrase_sloppy(k: int = K) -> str:
+    """Oracle: an ordered occurrence chain p1 < p2 < p3 with window
+    p3 − p1 ≤ (k_terms − 1) + slop exists — equivalent to the engine's
+    greedy minimal chaining (greedy only shrinks the window)."""
+    uniq = list(dict.fromkeys(PHRASE_TERMS))
+    tlist = ", ".join(f"'{t}'" for t in uniq)
+    width = len(PHRASE_TERMS) - 1 + PHRASE_SLOP
+    t1, t2, t3 = PHRASE_TERMS
+    return _base_cte() + f""",
+scores AS (
+  SELECT tf.doc_id, CAST(sum({_bm25_u6_expr()}) AS BIGINT) AS score_u6
+  FROM tf JOIN lex USING (term) CROSS JOIN stats
+  WHERE tf.term IN ({tlist})
+  GROUP BY tf.doc_id
+), pos AS (
+  SELECT doc_id, term, pos FROM (
+    SELECT doc_id, unnest(terms) AS term,
+           generate_subscripts(terms, 1) AS pos
+    FROM docs)
+  WHERE term IN ({tlist})
+), matched AS (
+  SELECT DISTINCT p1.doc_id
+  FROM pos p1 JOIN pos p2 ON p2.doc_id = p1.doc_id
+       JOIN pos p3 ON p3.doc_id = p1.doc_id
+  WHERE p1.term = '{t1}' AND p2.term = '{t2}' AND p3.term = '{t3}'
+    AND p2.pos > p1.pos AND p3.pos > p2.pos
+    AND p3.pos - p1.pos <= {width}
+), fscores AS (
+  SELECT s.doc_id, s.score_u6
+  FROM scores s JOIN matched USING (doc_id)
+), dedup AS (
+  SELECT score_u6, min(doc_id) AS doc_id
+  FROM fscores GROUP BY score_u6
+  ORDER BY score_u6 DESC LIMIT {k}
+)
+SELECT row_number() OVER (ORDER BY score_u6 DESC) AS rank, d.doc_no,
+       score_u6
+FROM dedup JOIN docs d USING (doc_id)"""
+
+
 FILTER_WHERE = "lang = 'en'"
 
 
@@ -3141,6 +3200,7 @@ def extra_queries():
         "hybrid_rrf_topk": q_hybrid_rrf_topk,
         "fielded_topk": q_fielded_topk,
         "bm25_topk_synonyms": q_bm25_topk_synonyms,
+        "bm25_topk_phrase_sloppy": q_bm25_topk_phrase_sloppy,
         "bm25_topk_prefix": q_bm25_topk_prefix,
         "top_terms": q_top_terms,
         "token_counts": q_token_counts,
@@ -3167,6 +3227,7 @@ def extra_oracle_sql(query_vec=None, sf_dir=None):
         "score_explain": sql_score_explain(),
         "fielded_topk": sql_fielded_topk(),
         "bm25_topk_synonyms": sql_bm25_topk_synonyms(),
+        "bm25_topk_phrase_sloppy": sql_bm25_topk_phrase_sloppy(),
         "bm25_topk_prefix": sql_bm25_topk_prefix(),
         "top_terms": sql_top_terms(),
         "token_counts": sql_token_counts(),

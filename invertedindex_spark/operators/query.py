@@ -2004,7 +2004,7 @@ class InvertedIndex:
         return df.mapInArrow(
             decode, "term string, doc_id long, positions array<long>")
 
-    def _phrase_docs_df(self, terms, pos_df=None):
+    def _phrase_docs_df(self, terms, pos_df=None, slop: int = 0):
         """DataFrame[doc_id] of documents containing ``terms`` as an
         adjacent sequence — the cluster-scale twin of
         :meth:`_phrase_doc_ids`: per-occurrence position arrays stay
@@ -2014,12 +2014,57 @@ class InvertedIndex:
         every join after the first is against an already doc-filtered
         side. ``pos_df``: a pre-decoded (term, doc_id, positions)
         frame covering at least ``terms`` — the batch plan passes one
-        SHARED persisted decode for every phrase in the batch."""
+        SHARED persisted decode for every phrase in the batch.
+
+        ``slop > 0`` (the Lucene ``"…"~N`` surface, ordered): a doc
+        matches iff an IN-ORDER occurrence chain p1 < … < pk exists
+        with total extra gap (pk − p1) − (k−1) ≤ slop. Evaluated by
+        greedy chaining — per start the next term takes its smallest
+        position after the running end (array_min ∘ filter inside a
+        transform), which minimizes the final window per start, so
+        greedy-match ⇔ any-chain-match. Same join-chain shape as the
+        exact path; higher-order functions run interpreted, the honest
+        cost of positional windows."""
         from pyspark.sql import functions as F
 
         uniq = list(dict.fromkeys(terms))
         if pos_df is None:
             pos_df = self.decoded_positions_df(uniq)
+        if slop:
+            acc = None
+            for t in terms:
+                cur = (pos_df.where(F.col("term") == t)
+                       .select("doc_id", F.col("positions").alias("_p")))
+                if acc is None:
+                    acc = cur.select(
+                        "doc_id", F.col("_p").alias("_starts"),
+                        F.col("_p").alias("_ends"))
+                    continue
+                # NB: the inner lambda must stay single-arg — a 2-arg
+                # lambda is the (element, index) HOF form in pyspark
+                # and would silently bind e to the array index
+                acc = (acc.join(cur, "doc_id")
+                       .withColumn("_ends", F.transform(
+                           "_ends",
+                           lambda e: F.array_min(
+                               F.filter(F.col("_p"),
+                                        lambda p: p > e))))
+                       .drop("_p"))
+                z = F.filter(
+                    F.arrays_zip("_starts", "_ends"),
+                    lambda x: x["_ends"].isNotNull())
+                acc = (acc.withColumn("_z", z)
+                       .where(F.size("_z") > 0)
+                       .select("doc_id",
+                               F.transform("_z", lambda x: x["_starts"])
+                               .alias("_starts"),
+                               F.transform("_z", lambda x: x["_ends"])
+                               .alias("_ends")))
+            width = len(terms) - 1 + int(slop)
+            ok = F.exists(
+                F.arrays_zip("_starts", "_ends"),
+                lambda x: (x["_ends"] - x["_starts"]) <= F.lit(width))
+            return acc.where(ok).select("doc_id")
         acc = None
         for i, t in enumerate(terms):
             shifted = F.col("positions") if i == 0 else F.transform(
@@ -2537,7 +2582,8 @@ class InvertedIndex:
     def search_distributed(self, query: str, k: int = 20,
                            prune: bool = False,
                            where: str | None = None,
-                           boosts: dict | None = None):
+                           boosts: dict | None = None,
+                           slop: int = 0):
         """Same query, pure DataFrame plan; returns a DataFrame
         (doc_no, score) ordered by score desc. Scales to posting lists
         that must never be collected to the driver.
@@ -2559,11 +2605,21 @@ class InvertedIndex:
         queries still take the two-phase pruned plan: the stored
         weight-1 upper bounds and block maxima are scaled by each
         term's weight at query time (sound by monotonicity;
-        telemetry records boosted=True)."""
+        telemetry records boosted=True).
+
+        ``slop=N`` (PHRASE only — the Lucene ``"…"~N`` surface,
+        ordered): terms must occur in order with total extra gap ≤ N;
+        slop 0 is exact adjacency. Filter-then-rank like exact PHRASE:
+        survivors score as the BM25 sum of the unique terms."""
         from pyspark.sql import functions as F
 
+        slop = int(slop)
+        if slop < 0:
+            raise ValueError(f"slop must be >= 0 (got {slop})")
         bmap = self._normalize_boosts(boosts) if boosts else {}
         qtype, terms = self._preprocess_with_prefixes(query)
+        if slop and qtype != "PHRASE":
+            raise ValueError("slop= applies to PHRASE queries only")
         if qtype == "PHRASE":
             self._require_positions()
         present = self._present_terms(set(terms))
@@ -2588,8 +2644,9 @@ class InvertedIndex:
             # the distributed phrase-occurrence plan — scoring stays
             # the BM25 sum of the unique terms (filter-then-rank, the
             # same contract as the driver kernel and where=)
-            exploded = exploded.join(self._phrase_docs_df(terms),
-                                     "doc_id", "left_semi")
+            exploded = exploded.join(
+                self._phrase_docs_df(terms, slop=slop),
+                "doc_id", "left_semi")
         if where is not None:
             exploded = exploded.join(self._allowed_ids_df(where),
                                      "doc_id", "left_semi")

@@ -97,6 +97,68 @@ def _assert_ranked(got, ref):
         assert gs == pytest.approx(rs, rel=1e-12)
 
 
+def _ref_sloppy_doc_nos(doc_terms, phrase, slop):
+    """Pure-Python sloppy reference: exists an in-order occurrence
+    chain with window ≤ (k−1)+slop (greedy = minimal window)."""
+    import bisect
+
+    width = len(phrase) - 1 + slop
+    hit = set()
+    for dn, ts in doc_terms:
+        pos = {t: [i for i, x in enumerate(ts) if x == t]
+               for t in set(phrase)}
+        for p1 in pos.get(phrase[0], []):
+            e, ok = p1, True
+            for t in phrase[1:]:
+                arr = pos.get(t, [])
+                j = bisect.bisect_right(arr, e)
+                if j == len(arr):
+                    ok = False
+                    break
+                e = arr[j]
+            if ok and e - p1 <= width:
+                hit.add(dn)
+                break
+    return hit
+
+
+def test_sloppy_phrase_matches_reference(built):
+    idx, oracle, doc_terms, _rows = built
+    checked = 0
+    for phrase in _common_ngrams(doc_terms, 2, want=3):
+        for slop in (1, 3):
+            allowed = _ref_sloppy_doc_nos(doc_terms, phrase, slop)
+            scores = {d: s for d, s in
+                      oracle._scores(set(phrase), False).items()
+                      if oracle.doc_nos[d] in allowed}
+            ref = [(dn, s / 1e6)
+                   for dn, s in oracle.queue_select(scores, 10)]
+            got = [(r["doc_no"], r["score"]) for r in
+                   idx.search_distributed(
+                       "PHRASE " + " ".join(phrase), k=10,
+                       slop=slop).collect()]
+            _assert_ranked(got, ref)
+            checked += len(ref)
+            # slop only widens the match set (monotone)
+            assert _ref_sloppy_doc_nos(doc_terms, phrase, 0) <= allowed
+    assert checked > 0  # non-vacuous
+
+
+def test_sloppy_zero_equals_exact_and_guards(built):
+    idx, _oracle, doc_terms, _rows = built
+    phrase = _common_ngrams(doc_terms, 2, want=1)[0]
+    q = "PHRASE " + " ".join(phrase)
+    a = [(r["doc_no"], r["score"])
+         for r in idx.search_distributed(q, k=10, slop=0).collect()]
+    b = [(r["doc_no"], r["score"])
+         for r in idx.search_distributed(q, k=10).collect()]
+    assert a == b and a
+    with pytest.raises(ValueError, match="slop"):
+        idx.search_distributed(q, k=5, slop=-1)
+    with pytest.raises(ValueError, match="PHRASE"):
+        idx.search_distributed("OR " + " ".join(phrase), slop=2)
+
+
 def test_phrase_preprocess_ordered_with_duplicates():
     qt, terms = preprocess_query("PHRASE tables tables of the data")
     assert qt == "PHRASE"
