@@ -157,6 +157,39 @@ def test_ivfpq_layout_pruning_and_exactness(spark, tmp_path):
     assert len(w_ids & set(got)) >= 3
 
 
+def test_explain_and_synonym_plan_shapes(spark, sf0001_dir):
+    """explain: the winner set re-attaches to the scored frame via a
+    BROADCAST join (never a corpus-wide shuffle join); synonym search:
+    the member-union postings scan stays term-filtered and the final
+    docs attach reads no payload columns."""
+    from invertedindex_spark.plans import physical_plan
+
+    idx = _index(spark, sf0001_dir)
+    exp = idx.explain_distributed("OR fast key", k=5)
+    plan = physical_plan(exp)
+    assert "BroadcastExchange" in plan
+    assert any("term" in f.lower() for f in pushed_filters(exp)), \
+        pushed_filters(exp)
+    syn = idx.synonym_search_distributed("OR fast", {"fast": ["key"]},
+                                         k=5)
+    assert any("term" in f.lower() for f in pushed_filters(syn))
+    assert_column_pruned(syn, "content_sha256")
+    assert_column_pruned(syn, "doc_len")
+
+
+def test_fielded_plan_term_filters_both_fields(spark, sf0001_dir):
+    """Every field's postings scan is term-filtered (the fused plan
+    never decodes a field exhaustively) and the result is
+    non-vacuous."""
+    from invertedindex_spark.entry_queries import OR_TERMS, get_fielded
+
+    fi = get_fielded(spark, sf0001_dir)
+    fdf = fi.search_distributed("OR " + " ".join(OR_TERMS), k=5)
+    termy = [f for f in pushed_filters(fdf) if "term" in f.lower()]
+    assert len(termy) >= 2, pushed_filters(fdf)
+    assert fdf.count() > 0
+
+
 def test_more_like_this_seed_decode_is_range_filtered(spark, sf0001_dir):
     """The more-like-this seed-term extraction must not decode the
     whole postings table for one document (round-4 verdict #2): the
