@@ -104,7 +104,8 @@ def main(argv=None):
         return 0
     quit_codes = {"Q", "q", "QUIT", "quit", "EXIT", "exit"}
     print("Starting the command line..")
-    print("Input Format: [AND|OR|PHRASE] term1 ... termN (OR supports term* and term~)")
+    print("Input Format: [AND|OR|PHRASE] term1 ... termN "
+          "(OR supports term*, term~ and term^weight)")
     try:
         while True:
             try:
@@ -118,15 +119,20 @@ def main(argv=None):
                 continue
             t0 = time.time()
             try:
-                hits = idx.search(line, args.k, prune=args.prune)
+                from .functions.textproc import split_inline_boosts
+
+                clean, boosts = split_inline_boosts(line)
+                hits = idx.search(clean, args.k, prune=args.prune,
+                                  boosts=boosts or None)
                 for doc_no, score in hits:
                     print(doc_no, score)
                 if not hits:
-                    for hint in _did_you_mean(idx, line):
+                    for hint in _did_you_mean(idx, clean):
                         print(hint)
             except ValueError as e:
                 print(e)
-                print("Input Format: [AND|OR|PHRASE] term1 ... termN (OR supports term* and term~)")
+                print("Input Format: [AND|OR|PHRASE] term1 ... termN "
+                      "(OR supports term*, term~ and term^weight)")
             print(f"{time.time() - t0} seconds")
     finally:
         if own_session:

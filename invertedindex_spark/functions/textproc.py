@@ -235,6 +235,31 @@ def preprocess_query(query: str, stopwords=True, stemming=True):
     return qtype, set(ordered)
 
 
+def split_inline_boosts(query: str) -> tuple[str, dict]:
+    """Lucene inline boost grammar: ``'OR fast^2.5 table'`` →
+    ``('OR fast table', {'fast': 2.5})``. Keys are the RAW pre-pipeline
+    tokens (callers hand them to ``boosts=``, which normalizes). Safe
+    to run on every query line — ``^`` can never survive tokenization,
+    so a caret always means a boost. Bad weights raise ValueError; the
+    first (type) token is never parsed for boosts."""
+    parts = query.split()
+    boosts: dict = {}
+    clean = []
+    for i, tok in enumerate(parts):
+        if i > 0 and "^" in tok and not tok.startswith("^"):
+            base, _, w = tok.rpartition("^")
+            try:
+                boosts[base] = float(w)
+            except ValueError:
+                raise ValueError(
+                    f"bad boost weight in {tok!r} (expected "
+                    "term^number)") from None
+            clean.append(base)
+        else:
+            clean.append(tok)
+    return " ".join(clean), boosts
+
+
 # --------------------------------------------------------------------
 # Arrow-vectorized twin (RE2 via pyarrow.compute — the index-build hot
 # path; semantically identical to tokens_col/terms_col, asserted in

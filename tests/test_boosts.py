@@ -136,6 +136,21 @@ def test_driver_search_boosts_match_distributed(skew_idx):
                                      boosts={"common": 0.3})
 
 
+def test_inline_boost_grammar(boost_idx):
+    from invertedindex_spark.functions.textproc import (
+        split_inline_boosts,
+    )
+    assert split_inline_boosts("OR fast^2.5 table") == (
+        "OR fast table", {"fast": 2.5})
+    assert split_inline_boosts("OR fast table") == ("OR fast table", {})
+    with pytest.raises(ValueError, match="boost weight"):
+        split_inline_boosts("OR fast^x")
+    clean, b = split_inline_boosts("OR fast table^8")
+    assert (boost_idx.search(clean, 4, boosts=b)
+            == boost_idx.search("OR fast table", 4,
+                                boosts={"table": 8.0}))
+
+
 def test_boost_guards(boost_idx):
     with pytest.raises(ValueError, match="> 0"):
         boost_idx.search_distributed("OR fast", boosts={"fast": 0})
