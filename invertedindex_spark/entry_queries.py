@@ -901,6 +901,59 @@ SELECT row_number() OVER (ORDER BY score_u6 DESC) AS rank, doc_no,
 FROM dedup""")
 
 
+BPE_MERGES = 16
+
+
+def q_bpe_token_counts(spark, sf_dir):
+    """Distributed BPE: train 16 merges on the corpus word-frequency
+    table (one corpus shuffle; every merge iteration runs on the small
+    vocabulary table only), then count each document's encoded tokens
+    by joining the exploded word stream against the trained word →
+    subword-count map. Deterministic: integer counts, lexicographic
+    argmax tie-break, greedy left-to-right merge fold."""
+    from .operators.bpe import bpe_token_counts, train_bpe
+    docs = _docs_df(spark, sf_dir)
+    _merges, vocab = train_bpe(docs, num_merges=BPE_MERGES)
+    return bpe_token_counts(docs, vocab)
+
+
+def sql_bpe_token_counts(sf_dir: str) -> str:
+    """Oracle: an INDEPENDENT pure-Python BPE trainer
+    (operators/bpe.train_bpe_python) runs over the same corpus at
+    oracle-build time; its word → subword-count map is embedded as a
+    VALUES literal and the per-doc counting is replicated in SQL over
+    the same tokenization."""
+    import duckdb
+
+    from .functions.textproc import tokenize_text
+    from .operators.bpe import train_bpe_python
+
+    rows = duckdb.sql(
+        f"select text from '{sf_dir}/documents.parquet' "
+        "where text is not null").fetchall()
+    wc: dict = {}
+    for (t,) in rows:
+        for w in tokenize_text(t):
+            if w:
+                wc[w] = wc.get(w, 0) + 1
+    _m, seqs = train_bpe_python(wc, num_merges=BPE_MERGES)
+    vals = ", ".join(f"('{w}', {len(s)})"
+                     for w, s in sorted(seqs.items()))
+    toks = tokens_sql("text")
+    return f"""
+WITH lens(word, wlen) AS (VALUES {vals}),
+src AS (
+  SELECT doc_id, {toks} AS tokens
+  FROM documents WHERE text IS NOT NULL AND length(text) > 0
+), words AS (
+  SELECT doc_id, unnest(tokens) AS word FROM src
+)
+SELECT w.doc_id, CAST(sum(l.wlen) AS BIGINT) AS n_bpe_tokens
+FROM words w JOIN lens l USING (word)
+WHERE w.word <> ''
+GROUP BY w.doc_id"""
+
+
 SYN_QUERY_TERMS = ["fast", "table"]
 SYNONYMS = {"table": ["row", "column"]}
 
@@ -3201,6 +3254,7 @@ def extra_queries():
         "fielded_topk": q_fielded_topk,
         "bm25_topk_synonyms": q_bm25_topk_synonyms,
         "bm25_topk_phrase_sloppy": q_bm25_topk_phrase_sloppy,
+        "bpe_token_counts": q_bpe_token_counts,
         "bm25_topk_prefix": q_bm25_topk_prefix,
         "top_terms": q_top_terms,
         "token_counts": q_token_counts,
@@ -3248,4 +3302,5 @@ def extra_oracle_sql(query_vec=None, sf_dir=None):
     if sf_dir is not None:
         out["stem_on_topk_and"] = _python_oracle_topk_values(
             sf_dir, "AND " + " ".join(AND_TERMS))
+        out["bpe_token_counts"] = sql_bpe_token_counts(sf_dir)
     return out
