@@ -901,6 +901,41 @@ SELECT row_number() OVER (ORDER BY score_u6 DESC) AS rank, doc_no,
 FROM dedup""")
 
 
+def q_bm25_topk_page2(spark, sf_dir):
+    """Search-after pagination: page 2 of the flagship OR query —
+    the next K distinct-score winners strictly below page 1's last
+    score. The distinct-score dedup makes the score a total cursor,
+    so no (score, doc) tuple is needed."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    idx = get_index(spark, sf_dir)
+    q = "OR " + " ".join(OR_TERMS)
+    page1 = idx.search_distributed(q, k=K).collect()   # bounded: K rows
+    after = min(r["score"] for r in page1)
+    res = idx.search_distributed(q, k=K, after_score=after)
+    w = Window.orderBy(F.desc("score"))
+    return res.select(F.row_number().over(w).alias("rank"), "doc_no",
+                      _u6(F.col("score")).alias("score_u6"))
+
+
+def sql_bm25_topk_page2(k: int = K) -> str:
+    tlist = ", ".join(f"'{t}'" for t in OR_TERMS)
+    return _base_cte() + f""",
+scores AS (
+  SELECT tf.doc_id, CAST(sum({_bm25_u6_expr()}) AS BIGINT) AS score_u6
+  FROM tf JOIN lex USING (term) CROSS JOIN stats
+  WHERE tf.term IN ({tlist})
+  GROUP BY tf.doc_id
+), dedup AS (
+  SELECT score_u6, min(doc_id) AS doc_id
+  FROM scores GROUP BY score_u6
+  ORDER BY score_u6 DESC LIMIT {k} OFFSET {k}
+)
+SELECT row_number() OVER (ORDER BY score_u6 DESC) AS rank, d.doc_no,
+       score_u6
+FROM dedup JOIN docs d USING (doc_id)"""
+
+
 BPE_MERGES = 16
 
 
@@ -3255,6 +3290,7 @@ def extra_queries():
         "bm25_topk_synonyms": q_bm25_topk_synonyms,
         "bm25_topk_phrase_sloppy": q_bm25_topk_phrase_sloppy,
         "bpe_token_counts": q_bpe_token_counts,
+        "bm25_topk_page2": q_bm25_topk_page2,
         "bm25_topk_prefix": q_bm25_topk_prefix,
         "top_terms": q_top_terms,
         "token_counts": q_token_counts,
@@ -3282,6 +3318,7 @@ def extra_oracle_sql(query_vec=None, sf_dir=None):
         "fielded_topk": sql_fielded_topk(),
         "bm25_topk_synonyms": sql_bm25_topk_synonyms(),
         "bm25_topk_phrase_sloppy": sql_bm25_topk_phrase_sloppy(),
+        "bm25_topk_page2": sql_bm25_topk_page2(),
         "bm25_topk_prefix": sql_bm25_topk_prefix(),
         "top_terms": sql_top_terms(),
         "token_counts": sql_token_counts(),

@@ -1426,7 +1426,8 @@ class InvertedIndex:
         return d[keep], tf[keep], dl[keep], df
 
     def search(self, query: str, k: int = 20, prune: bool = False,
-               where: str | None = None, boosts: dict | None = None):
+               where: str | None = None, boosts: dict | None = None,
+               after_score: float | None = None):
         """[AND|OR] term1 … termN → [(doc_no, score)] descending.
 
         Unknown term ⇒ AND returns [] / OR skips it
@@ -1457,7 +1458,7 @@ class InvertedIndex:
         qtype, terms = self._preprocess_with_prefixes(query)
         key = (qtype,
                tuple(terms) if qtype == "PHRASE" else frozenset(terms),
-               k, prune, where, frozenset(bmap.items()))
+               k, prune, where, frozenset(bmap.items()), after_score)
         if key in self._cache:
             self._cache.move_to_end(key)
             return self._cache[key]
@@ -1465,6 +1466,11 @@ class InvertedIndex:
         if self._tomb_count:
             am = self._alive_mask()
             mask = am if mask is None else (mask & am)
+        if after_score is not None and prune:
+            # search-after cuts the score domain; the pruned kernel's
+            # θ comes from the GLOBAL top-k — serve exhaustively
+            prune = False
+            self.last_prune_stats = {"mode": "after_exhaustive"}
         if bmap and prune:
             self.last_prune_stats = {"mode": "boost_exhaustive"}
         if qtype == "PHRASE":
@@ -1484,6 +1490,10 @@ class InvertedIndex:
         else:
             doc_ids, scores = self._score_terms(terms, qtype, mask=mask,
                                                 wmap=bmap)
+        if after_score is not None and doc_ids.size:
+            cut = int(round(float(after_score) * 1e6))
+            keep = scores < cut
+            doc_ids, scores = doc_ids[keep], scores[keep]
         top_ids, top_scores = queue_topk_np(doc_ids, scores, k)
         result = self._attach_doc_nos(top_ids, top_scores)
         self._cache[key] = result
@@ -2583,7 +2593,8 @@ class InvertedIndex:
                            prune: bool = False,
                            where: str | None = None,
                            boosts: dict | None = None,
-                           slop: int = 0):
+                           slop: int = 0,
+                           after_score: float | None = None):
         """Same query, pure DataFrame plan; returns a DataFrame
         (doc_no, score) ordered by score desc. Scales to posting lists
         that must never be collected to the driver.
@@ -2610,7 +2621,16 @@ class InvertedIndex:
         ``slop=N`` (PHRASE only — the Lucene ``"…"~N`` surface,
         ordered): terms must occur in order with total extra gap ≤ N;
         slop 0 is exact adjacency. Filter-then-rank like exact PHRASE:
-        survivors score as the BM25 sum of the unique terms."""
+        survivors score as the BM25 sum of the unique terms.
+
+        ``after_score=`` (search-after pagination): return the next k
+        results STRICTLY BELOW that score — page 2 is
+        ``after_score=<last score of page 1>``. The distinct-score
+        dedup makes the score itself a total cursor (one doc per
+        distinct score), so no (score, doc) tuple is needed. Serves
+        the exhaustive plan: the pruned plan's θ is derived from the
+        global top-k, which is the wrong k-th once a page boundary
+        cuts the score domain."""
         from pyspark.sql import functions as F
 
         slop = int(slop)
@@ -2620,6 +2640,9 @@ class InvertedIndex:
         qtype, terms = self._preprocess_with_prefixes(query)
         if slop and qtype != "PHRASE":
             raise ValueError("slop= applies to PHRASE queries only")
+        if after_score is not None and prune:
+            prune = False
+            self.last_prune_stats = {"mode": "after_exhaustive"}
         if qtype == "PHRASE":
             self._require_positions()
         present = self._present_terms(set(terms))
@@ -2667,6 +2690,12 @@ class InvertedIndex:
                     F.count("*").alias("nt")))
         if qtype == "AND":
             agg = agg.where(F.col("nt") == len(present))
+        if after_score is not None:
+            # the public score is score_u6 / 1e6; round() recovers the
+            # exact integer cursor (|n/1e6·1e6 − n| ≪ 0.5 in double)
+            agg = agg.where(
+                F.col("score_u6")
+                < F.round(F.lit(float(after_score)) * 1e6).cast("long"))
         # reference top-k semantics: min docId per distinct score —
         # the dedup runs in the associative u6 integer domain
         top = (agg.groupBy("score_u6")
