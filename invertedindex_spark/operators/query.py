@@ -2755,10 +2755,13 @@ class InvertedIndex:
         if not live:
             return self.spark.createDataFrame(
                 [], "doc_no string, score double")
-        # blended df: max over the group's present members (bounded
-        # lexicon point lookups — ≤ 32 terms × ≤ a few synonyms each)
-        dfs = {t: int(r["df"])
-               for t, r in self.lookup(sorted(present)).items()}
+        # blended df: max over the group's present members — from the
+        # bounded posting-row metadata (fresh handles union partial
+        # segments and rewrite df to the union count, so stream
+        # warehouses blend correctly; a lexicon point lookup would
+        # miss partial-only terms)
+        dfs = {t: int(rs[0]["df"])
+               for t, rs in self._light_rows(sorted(present)).items()}
         gdf_rows = [(g, max(dfs[m] for m in ms))
                     for g, ms in sorted(live.items())]
         gdf_df = F.broadcast(self.spark.createDataFrame(

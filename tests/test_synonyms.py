@@ -58,6 +58,31 @@ def test_and_matches_group_via_any_member(syn_idx):
     assert {d for d, _s in plain} == {"1"}
 
 
+def test_synonyms_on_fresh_stream_warehouse(spark, tmp_path, syn_idx):
+    """Blended dfs must come from the fresh-aware posting metadata —
+    a lexicon point lookup misses partial-only terms on an
+    uncompacted stream warehouse (regression: KeyError)."""
+    from invertedindex_spark import InvertedIndex
+    from invertedindex_spark.sources.corpus import from_documents
+    from invertedindex_spark.streaming import append_batch
+    from invertedindex_spark import IndexConfig
+
+    texts = ["table row data", "table table fast pad",
+             "row row row fast pad", "fast data pad pad pad pad",
+             "data data"]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string")
+    wh = str(tmp_path / "fresh_wh")
+    append_batch(spark, from_documents(df), wh,
+                 IndexConfig(num_blocks=2, stemming=False))
+    fresh = InvertedIndex(spark, wh, fresh=True)
+    got = _rows(fresh.synonym_search_distributed(
+        "OR table", {"table": ["row"]}, k=5))
+    want = _rows(syn_idx.synonym_search_distributed(
+        "OR table", {"table": ["row"]}, k=5))
+    assert got == want
+
+
 def test_absent_members_and_guards(syn_idx):
     # vocabulary-absent member drops silently from the group
     a = _rows(syn_idx.synonym_search_distributed(
