@@ -170,7 +170,7 @@ class ShardedIndex:
         self._attrs_key = key
 
     # -- the query path --------------------------------------------------
-    def _match_union(self, qtype, terms):
+    def _match_union(self, qtype, terms, slop: int = 0):
         """The scatter phase shared by search and facets: per-shard
         term-filtered selective decodes with GLOBAL doc ids, unioned.
         Returns (union_df | None, present_terms)."""
@@ -198,8 +198,9 @@ class ShardedIndex:
             dec = (idx._drop_tombstoned(idx.decoded_postings_df(want))
                    .select("term", "doc_id", "tf", "dl"))
             if qtype == "PHRASE":
-                dec = dec.join(idx._phrase_docs_df(list(terms)),
-                               "doc_id", "left_semi")
+                dec = dec.join(
+                    idx._phrase_docs_df(list(terms), slop=slop),
+                    "doc_id", "left_semi")
             parts.append(dec.withColumn(
                 "doc_id", F.col("doc_id") + F.lit(int(off))))
         if not parts:
@@ -221,22 +222,32 @@ class ShardedIndex:
         return docs_u
 
     def search_distributed(self, query: str, k: int = 20,
-                           boosts: dict | None = None):
+                           boosts: dict | None = None,
+                           slop: int = 0,
+                           after_score: float | None = None):
         """[AND|OR|PHRASE] term1 … termN (incl. ``term*`` / ``term~``
         rewrites) → DataFrame (doc_no, score) ordered by score desc —
         the single-warehouse :meth:`InvertedIndex.search_distributed`
         contract, served scatter-gather. ``boosts=`` carries the same
         Lucene ``term^w`` semantics (u6(w × BM25) partials under the
-        GLOBAL stats — row-identical to the merged warehouse)."""
+        GLOBAL stats — row-identical to the merged warehouse);
+        ``slop=`` the ordered PHRASE proximity window (per-shard
+        position chaining — phrases never span shards, documents
+        don't); ``after_score=`` the search-after page cursor."""
         from pyspark.sql import functions as F
 
+        slop = int(slop)
+        if slop < 0:
+            raise ValueError(f"slop must be >= 0 (got {slop})")
         bmap = (self.idxs[0]._normalize_boosts(boosts)
                 if boosts else {})
         qtype, terms = preprocess_with_rewrites(
             query, stopwords=self.stopwords, stemming=self.stemming,
             expand_prefix=self.expand_prefix,
             expand_fuzzy=self.expand_fuzzy)
-        u, present = self._match_union(qtype, terms)
+        if slop and qtype != "PHRASE":
+            raise ValueError("slop= applies to PHRASE queries only")
+        u, present = self._match_union(qtype, terms, slop=slop)
         if u is None:
             return self.spark.createDataFrame(
                 [], "doc_no string, score double")
@@ -260,6 +271,10 @@ class ShardedIndex:
                     F.count("*").alias("nt")))
         if qtype == "AND":
             agg = agg.where(F.col("nt") == len(present))
+        if after_score is not None:
+            agg = agg.where(
+                F.col("score_u6")
+                < F.round(F.lit(float(after_score)) * 1e6).cast("long"))
         top = (agg.groupBy("score_u6")
                .agg(F.min("doc_id").alias("doc_id"))
                .orderBy(F.desc("score_u6")).limit(k))

@@ -83,6 +83,21 @@ def test_boosted_parity_with_single_warehouse(setup):
         assert got  # non-vacuous
 
 
+def test_slop_and_pagination_parity(setup):
+    ref, sh = setup["ref"], setup["sharded"]
+    # pagination: sharded page 2 == merged page 2
+    p1 = _rows(sh.search_distributed("OR hotterm def import", k=3))
+    assert p1
+    cursor = p1[-1][1]
+    got = _rows(sh.search_distributed("OR hotterm def import", k=3,
+                                      after_score=cursor))
+    want = _rows(ref.search_distributed("OR hotterm def import", k=3,
+                                        after_score=cursor))
+    assert got == want
+    with pytest.raises(ValueError, match="PHRASE"):
+        sh.search_distributed("OR hotterm", slop=2)
+
+
 def test_unknown_terms_follow_merged_semantics(setup):
     sh = setup["sharded"]
     assert _rows(sh.search_distributed("AND hotterm zzznothere")) == []
@@ -118,6 +133,17 @@ def test_phrase_and_cross_shard_ties(spark, tmp_path):
     for q in ["PHRASE data pipeline", "PHRASE dup text here"]:
         assert _rows(sh.search_distributed(q, k=5)) == \
             _rows(ref.search_distributed(q, k=5)), q
+    # sloppy phrase: 'fast pipeline'~1 hits doc 0 only (one-gap), on
+    # shards exactly like the merged warehouse
+    for slop in (0, 1):
+        assert _rows(sh.search_distributed("PHRASE fast pipeline",
+                                           k=5, slop=slop)) == \
+            _rows(ref.search_distributed("PHRASE fast pipeline",
+                                         k=5, slop=slop)), slop
+    assert {r["doc_no"] for r in sh.search_distributed(
+        "PHRASE fast pipeline", k=5, slop=1).collect()} == {"0"}
+    assert sh.search_distributed("PHRASE fast pipeline", k=5,
+                                 slop=0).count() == 0
 
 
 def test_mixed_codec_shards(spark, tmp_path):
