@@ -911,7 +911,9 @@ def q_bm25_topk_page2(spark, sf_dir):
     idx = get_index(spark, sf_dir)
     q = "OR " + " ".join(OR_TERMS)
     page1 = idx.search_distributed(q, k=K).collect()   # bounded: K rows
-    after = min(r["score"] for r in page1)
+    # empty page 1 (query matches nothing on this corpus) ⇒ page 2 is
+    # empty too: cursor 0.0 excludes every positive score
+    after = min((r["score"] for r in page1), default=0.0)
     res = idx.search_distributed(q, k=K, after_score=after)
     w = Window.orderBy(F.desc("score"))
     return res.select(F.row_number().over(w).alias("rank"), "doc_no",

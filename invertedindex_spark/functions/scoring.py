@@ -134,6 +134,26 @@ def bm25_u6_col(tf, doc_len, df, num_docs, avg_doc_len):
     return u6_col(bm25_col(tf, doc_len, df, num_docs, avg_doc_len))
 
 
+def weighted_u6_col(bm25, wmap, term_col: str = "term"):
+    """The ONE definition of the boosted partial — u6(w × bm25) with
+    w selected by a CASE over the term column (Lucene ``term^w``).
+    Shared by the exhaustive plan, the pruned essential phase, and
+    sharded serving so their values stay bit-identical. Weight-1
+    entries are dropped (1.0 × x == x bitwise), so an all-ones map
+    compiles to the plain quantized partial."""
+    from pyspark.sql import functions as F
+
+    live = {t: float(w) for t, w in (wmap or {}).items()
+            if float(w) != 1.0}
+    if not live:
+        return u6_col(bm25)
+    w_col = F.lit(1.0)
+    for t, w in sorted(live.items()):
+        w_col = (F.when(F.col(term_col) == F.lit(t), F.lit(w))
+                 .otherwise(w_col))
+    return u6_col(w_col * bm25)
+
+
 def bm25_u6_sql(tf_expr: str, doc_len_expr: str, df_expr: str,
                 num_docs_expr: str, avg_doc_len_expr: str) -> str:
     """ANSI-SQL twin: quantized partial as BIGINT (DuckDB floor is

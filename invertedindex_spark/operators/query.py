@@ -2198,19 +2198,10 @@ class InvertedIndex:
         bm25 = scoring.bm25_col(F.col("tf"), F.col("dl"), F.col("df"),
                                 F.lit(float(self.num_docs)),
                                 F.lit(self.avg_doc_len))
-        # same CASE-weighted construction as the exhaustive boosted
-        # plan, so pruned == exhaustive holds bit-for-bit
-        live = {t: w for t, w in (wmap or {}).items()
-                if t in set(terms) and w != 1.0}
-        if live:
-            w_col = F.lit(1.0)
-            for t, w in sorted(live.items()):
-                w_col = (F.when(F.col("term") == F.lit(t), F.lit(w))
-                         .otherwise(w_col))
-            partial = scoring.u6_col(w_col * bm25)
-        else:
-            partial = scoring.u6_col(bm25)
-        scored = ess.withColumn("partial", partial)
+        # the shared CASE-weighted partial definition keeps
+        # pruned == exhaustive bit-for-bit
+        scored = ess.withColumn(
+            "partial", scoring.weighted_u6_col(bm25, wmap))
         # the cap rides the SAME collect (limit cap+1): one Spark job
         # total for the essential phase — a separate count() would
         # re-evaluate the whole decode
@@ -2676,15 +2667,8 @@ class InvertedIndex:
         bm25 = scoring.bm25_col(F.col("tf"), F.col("dl"), F.col("df"),
                                 F.lit(float(self.num_docs)),
                                 F.lit(self.avg_doc_len))
-        if bmap:
-            w_col = F.lit(1.0)
-            for t, w in sorted(bmap.items()):
-                w_col = (F.when(F.col("term") == F.lit(t), F.lit(w))
-                         .otherwise(w_col))
-            partial = scoring.u6_col(w_col * bm25)
-        else:
-            partial = scoring.u6_col(bm25)
-        scored = exploded.withColumn("partial", partial)
+        scored = exploded.withColumn(
+            "partial", scoring.weighted_u6_col(bm25, bmap))
         agg = (scored.groupBy("doc_id")
                .agg(F.sum("partial").alias("score_u6"),
                     F.count("*").alias("nt")))

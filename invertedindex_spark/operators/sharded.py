@@ -257,15 +257,8 @@ class ShardedIndex:
         bm25 = scoring.bm25_col(F.col("tf"), F.col("dl"), F.col("gdf"),
                                 F.lit(float(self.num_docs)),
                                 F.lit(self.avg_doc_len))
-        if bmap:
-            w_col = F.lit(1.0)
-            for t, w in sorted(bmap.items()):
-                w_col = (F.when(F.col("term") == F.lit(t), F.lit(w))
-                         .otherwise(w_col))
-            partial = scoring.u6_col(w_col * bm25)
-        else:
-            partial = scoring.u6_col(bm25)
-        scored = u.join(gdf_df, "term").withColumn("partial", partial)
+        scored = u.join(gdf_df, "term").withColumn(
+            "partial", scoring.weighted_u6_col(bm25, bmap))
         agg = (scored.groupBy("doc_id")
                .agg(F.sum("partial").alias("score_u6"),
                     F.count("*").alias("nt")))

@@ -176,7 +176,10 @@ def test_differential_events_queries(spark, duck, tmp_path, seed):
 IDX_QUERIES = ["doc_table", "collection_stats", "term_stats",
                "postings_lists", "postings_gaps", "term_upper_bounds",
                "top_terms", "vbyte_roundtrip", "doc_keywords",
-               "more_like_this", "did_you_mean", "bm25_topk_fuzzy"]
+               "more_like_this", "did_you_mean", "bm25_topk_fuzzy",
+               "bm25_topk_boosted", "bm25_topk_synonyms",
+               "bm25_topk_phrase_sloppy", "score_explain",
+               "bm25_topk_page2"]
 
 
 @pytest.mark.parametrize("seed", [31, 37, 41, 43, 47])
