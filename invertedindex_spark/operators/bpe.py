@@ -128,6 +128,27 @@ def bpe_token_counts(docs_df, vocab_df, text_col: str = "text",
             .agg(F.sum("wlen").cast("long").alias("n_bpe_tokens")))
 
 
+def bpe_encode_words(words_df, merges, word_col: str = "word",
+                     checkpoint_every: int = 8):
+    """Encode UNSEEN words with a learned merge list: applies each
+    merge in order as the greedy JVM array fold (exactly the trainer's
+    fold, so corpus words round-trip to their trained seqs). The plan
+    is checkpointed every ``checkpoint_every`` merges — the fold nests
+    one HOF per merge and the expression tree otherwise grows
+    quadratically. Adds a ``bpe`` array<string> column.
+
+    Scale note: encode the DISTINCT words of a corpus, then join —
+    never fold per occurrence."""
+    from pyspark.sql import functions as F
+
+    out = words_df.withColumn("bpe", _initial_seq(F.col(word_col)))
+    for i, (a, b) in enumerate(merges):
+        out = out.withColumn("bpe", _fold_merge(F.col("bpe"), a, b))
+        if (i + 1) % int(checkpoint_every) == 0:
+            out = out.localCheckpoint(eager=True)
+    return out
+
+
 def encode_word(word: str, merges) -> list:
     """Pure-Python twin of the merge fold (oracle + unit tests):
     encode one word with a learned merge list, in order."""

@@ -61,6 +61,24 @@ def test_token_counts_and_determinism(docs, spark):
     assert merges2 == merges
 
 
+def test_encode_unseen_words(docs, spark):
+    from invertedindex_spark.operators.bpe import bpe_encode_words
+
+    merges, vocab = train_bpe(docs, num_merges=12)
+    unseen = ["lowly", "newish", "wid", "zq"]
+    wdf = spark.createDataFrame([(w,) for w in unseen], "word string")
+    got = {r["word"]: list(r["bpe"])
+           for r in bpe_encode_words(wdf, merges).collect()}
+    assert got == {w: encode_word(w, merges) for w in unseen}
+    # corpus words round-trip to their trained sequences
+    trained = {r["word"]: list(r["seq"]) for r in vocab.collect()}
+    wdf2 = spark.createDataFrame(
+        [(w,) for w in sorted(trained)], "word string")
+    got2 = {r["word"]: list(r["bpe"])
+            for r in bpe_encode_words(wdf2, merges).collect()}
+    assert got2 == trained
+
+
 def test_word_counts_skips_empty_quirk(spark):
     df = spark.createDataFrame([(0, " leading space"), (1, "")],
                                "doc_id long, text string")
