@@ -122,6 +122,40 @@ def _ref_sloppy_doc_nos(doc_terms, phrase, slop):
     return hit
 
 
+def test_greedy_chain_equals_any_chain_property():
+    """The lemma both sloppy implementations rely on: an in-order
+    occurrence chain with window ≤ W exists IFF the greedy chain
+    (each next term takes its smallest position after the running
+    end) from some start is within W. Fuzzed against brute force."""
+    import bisect
+    import itertools
+    import random
+
+    rng = random.Random(11)
+    for _case in range(300):
+        k = rng.randint(2, 4)
+        pos = [sorted(rng.sample(range(20), rng.randint(0, 5)))
+               for _ in range(k)]
+        w = (k - 1) + rng.randint(0, 4)
+        brute = any(
+            all(c[i] < c[i + 1] for i in range(k - 1))
+            and c[-1] - c[0] <= w
+            for c in itertools.product(*pos)) if all(pos) else False
+        greedy = False
+        for p1 in pos[0]:
+            e, ok = p1, True
+            for arr in pos[1:]:
+                j = bisect.bisect_right(arr, e)
+                if j == len(arr):
+                    ok = False
+                    break
+                e = arr[j]
+            if ok and e - p1 <= w:
+                greedy = True
+                break
+        assert greedy == brute, (pos, w)
+
+
 def test_sloppy_phrase_matches_reference(built):
     idx, oracle, doc_terms, _rows = built
     checked = 0
