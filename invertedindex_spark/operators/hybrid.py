@@ -21,13 +21,17 @@ from ..functions import scoring
 
 
 def rrf_fuse(ranked, key: str = "doc_no", rrf_k: int = 60,
-             top: int | None = None):
+             top: int | None = None, weights=None):
     """Fuse ranked DataFrames into one ranking.
 
     ``ranked``: list of DataFrames, each with columns (``key``,
     ``rank``) — rank 1-based and deterministic (break score ties
     explicitly upstream). A key absent from a list simply contributes
-    nothing (standard RRF). Returns a DataFrame
+    nothing (standard RRF). ``weights``: optional per-list weights
+    (the hybrid-search alpha knob — e.g. [0.7, 0.3] tilts toward the
+    first list); each list's contribution becomes
+    ``u6(w / (rrf_k + rank))``, quantized AFTER the multiply so a SQL
+    twin stays exact. Returns a DataFrame
     (rank, <key>, rrf_u6, n_lists) ordered by (rrf_u6 desc, key asc)
     — a total order, so the output rank is reproducible.
     """
@@ -38,14 +42,22 @@ def rrf_fuse(ranked, key: str = "doc_no", rrf_k: int = 60,
         raise ValueError("rrf_fuse needs at least two ranked lists")
     if not rrf_k >= 0:
         raise ValueError(f"rrf_k must be >= 0 (got {rrf_k})")
+    if weights is None:
+        weights = [1.0] * len(ranked)
+    if len(weights) != len(ranked):
+        raise ValueError(
+            f"{len(weights)} weights for {len(ranked)} lists")
+    if any(not float(w) > 0 for w in weights):
+        raise ValueError(f"weights must be > 0 (got {weights})")
     parts = [df.select(F.col(key).cast("string").alias(key),
-                       F.col("rank").cast("long").alias("rank"))
-             for df in ranked]
+                       F.col("rank").cast("long").alias("rank"),
+                       F.lit(float(w)).alias("_w"))
+             for df, w in zip(ranked, weights)]
     u = parts[0]
     for p in parts[1:]:
         u = u.unionByName(p)
     contrib = scoring.u6_col(
-        F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("rank")))
+        F.col("_w") / (F.lit(float(rrf_k)) + F.col("rank")))
     fused = (u.withColumn("contrib", contrib)
              .groupBy(key)
              .agg(F.sum("contrib").alias("rrf_u6"),

@@ -48,3 +48,26 @@ def test_rrf_top_and_guards(spark, lists):
         rrf_fuse([a])
     with pytest.raises(ValueError, match="rrf_k"):
         rrf_fuse([a, b], rrf_k=-1)
+    with pytest.raises(ValueError, match="weights"):
+        rrf_fuse([a, b], weights=[1.0])
+    with pytest.raises(ValueError, match="> 0"):
+        rrf_fuse([a, b], weights=[1.0, 0.0])
+
+
+def test_weighted_rrf_tilts_the_fusion(spark, lists):
+    a, b = lists
+    rows = rrf_fuse([a, b], rrf_k=60, weights=[5.0, 1.0]).collect()
+    got = {r["doc_no"]: r["rrf_u6"] for r in rows}
+    want = {
+        "d1": _u6(5 / 61) + _u6(1 / 62),
+        "d3": _u6(5 / 62) + _u6(1 / 61),
+        "d2": _u6(5 / 63),
+        "d9": _u6(1 / 63),
+    }
+    assert got == want
+    # the d1/d3 tie breaks: list-a dominance now ranks d1 first
+    assert [r["doc_no"] for r in rows][:2] == ["d1", "d3"]
+    assert got["d1"] > got["d3"]
+    # weight 1 everywhere == unweighted (bit-identical contributions)
+    assert (rrf_fuse([a, b], weights=[1.0, 1.0]).collect()
+            == rrf_fuse([a, b]).collect())
