@@ -276,6 +276,88 @@ class ShardedIndex:
                         (F.col("score_u6") / F.lit(1e6)).alias("score"))
                 .orderBy(F.desc("score")))
 
+    def synonym_search_distributed(self, query: str, synonyms: dict,
+                                   k: int = 20):
+        """:meth:`InvertedIndex.synonym_search_distributed` served
+        scatter-gather: per document a group's tf is the sum of member
+        tfs and its df is the MAX over members of the GLOBAL
+        (cross-shard summed) dfs — row-identical to the merged
+        warehouse. The member union comes from the shared scatter
+        (:meth:`_match_union` in OR mode — group semantics are
+        enforced after the remap, since an AND shard-gate over raw
+        members would wrongly drop shards holding only some of a
+        group's members)."""
+        from pyspark.sql import functions as F
+
+        from ..functions.textproc import preprocess_query
+
+        base = self.idxs[0]
+        qtype, terms = preprocess_query(
+            query, stopwords=self.stopwords, stemming=self.stemming)
+        if qtype == "PHRASE":
+            raise ValueError(
+                "synonym search supports AND/OR queries")
+        groups: dict = {t: {t} for t in set(terms)}
+        for key, alts in synonyms.items():
+            kt = base._normalize_boosts({key: 1.0})
+            if not kt:
+                continue
+            (kterm,) = kt
+            if kterm not in groups:
+                raise ValueError(
+                    f"synonym key {key!r} ({kterm!r}) is not a term "
+                    "of the query")
+            for alt in alts:
+                at = base._normalize_boosts({alt: 1.0})
+                if at:
+                    groups[kterm].add(next(iter(at)))
+        members = sorted({m for ms in groups.values() for m in ms})
+        gdfs = self._global_df(members)
+        live = {g: sorted(m for m in ms if m in gdfs)
+                for g, ms in groups.items()}
+        if qtype == "AND" and any(not ms for ms in live.values()):
+            return self.spark.createDataFrame(
+                [], "doc_no string, score double")
+        live = {g: ms for g, ms in live.items() if ms}
+        if not live:
+            return self.spark.createDataFrame(
+                [], "doc_no string, score double")
+        u, _present = self._match_union(
+            "OR", {m for ms in live.values() for m in ms})
+        if u is None:
+            return self.spark.createDataFrame(
+                [], "doc_no string, score double")
+        gdf_rows = [(g, max(gdfs[m] for m in ms))
+                    for g, ms in sorted(live.items())]
+        gdf_df = F.broadcast(self.spark.createDataFrame(
+            gdf_rows, "grp string, gdf long"))
+        grp_col = F.lit(None).cast("string")
+        for g, ms in sorted(live.items()):
+            for m in ms:
+                grp_col = (F.when(F.col("term") == F.lit(m), F.lit(g))
+                           .otherwise(grp_col))
+        grouped = (u.withColumn("grp", grp_col)
+                   .groupBy("grp", "doc_id")
+                   .agg(F.sum("tf").alias("tfs"),
+                        F.first("dl").alias("dl")))
+        partial = scoring.u6_col(scoring.bm25_col(
+            F.col("tfs"), F.col("dl"), F.col("gdf"),
+            F.lit(float(self.num_docs)), F.lit(self.avg_doc_len)))
+        scored = grouped.join(gdf_df, "grp").withColumn(
+            "partial", partial)
+        agg = (scored.groupBy("doc_id")
+               .agg(F.sum("partial").alias("score_u6"),
+                    F.count("*").alias("nt")))
+        if qtype == "AND":
+            agg = agg.where(F.col("nt") == len(live))
+        top = (agg.groupBy("score_u6")
+               .agg(F.min("doc_id").alias("doc_id"))
+               .orderBy(F.desc("score_u6")).limit(k))
+        return (self._docs_union().join(F.broadcast(top), "doc_id")
+                .select("doc_no",
+                        (F.col("score_u6") / F.lit(1e6)).alias("score"))
+                .orderBy(F.desc("score")))
+
     def facet_counts(self, query: str, by: str, top: int = 10,
                      where: str | None = None):
         """:meth:`InvertedIndex.facet_counts` served scatter-gather:

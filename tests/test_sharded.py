@@ -83,6 +83,16 @@ def test_boosted_parity_with_single_warehouse(setup):
         assert got  # non-vacuous
 
 
+def test_synonym_parity_with_single_warehouse(setup):
+    ref, sh = setup["ref"], setup["sharded"]
+    for q, syn in (("OR hotterm", {"hotterm": ["def"]}),
+                   ("AND hotterm import", {"import": ["def"]})):
+        got = _rows(sh.synonym_search_distributed(q, syn, k=10))
+        want = _rows(ref.synonym_search_distributed(q, syn, k=10))
+        assert got == want, (q, syn)
+        assert got  # non-vacuous
+
+
 def test_slop_and_pagination_parity(setup):
     ref, sh = setup["ref"], setup["sharded"]
     # pagination: sharded page 2 == merged page 2
