@@ -56,15 +56,25 @@ class FieldedIndex:
         self.stopwords = base.stopwords
         self.stemming = base.stemming
 
-    def search_distributed(self, query: str, k: int = 20):
+    def search_distributed(self, query: str, k: int = 20,
+                           boosts: dict | None = None):
         """[AND|OR] term1 … termN → DataFrame (doc_no, score) ordered
         by score desc. A term matches a document if it occurs in ANY
         field (the Lucene multi-field semantics): OR ranks every doc
         matching any term anywhere; AND keeps docs where every query
-        term matched in at least one field."""
+        term matched in at least one field.
+
+        ``boosts=`` composes with the field weights multiplicatively
+        (Lucene ``title:term^2`` under ``qf=title^3`` scores the
+        partial at 6×): each (field, term) partial is
+        u6((w_field × w_term) × BM25_field), the product computed
+        driver-side so the quantization still happens after ONE
+        multiply."""
         from pyspark.sql import functions as F
         from ..functions.textproc import preprocess_query
 
+        bmap = (self.fields[0][1]._normalize_boosts(boosts)
+                if boosts else {})
         qtype, terms = preprocess_query(query, stopwords=self.stopwords,
                                         stemming=self.stemming)
         if qtype == "PHRASE":
@@ -92,8 +102,11 @@ class FieldedIndex:
             bm25 = scoring.bm25_col(
                 F.col("tf"), F.col("dl"), F.col("df"),
                 F.lit(float(idx.num_docs)), F.lit(idx.avg_doc_len))
+            # per-(field, term) combined weight — ONE multiply before
+            # the u6 quantization (weight-1 entries drop inside)
+            wmap = {t: w * bmap.get(t, 1.0) for t in p}
             part = dec.withColumn(
-                "partial", scoring.u6_col(F.lit(w) * bm25))
+                "partial", scoring.weighted_u6_col(bm25, wmap))
             parts.append(
                 part.join(idx.docs.select("doc_id", "doc_no"), "doc_id")
                 .select("doc_no", "term", "partial"))

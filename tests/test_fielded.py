@@ -61,6 +61,29 @@ def test_weights_change_ranking(fielded, spark, tmp_path_factory):
     assert heavy_title[0][0] == "0"
 
 
+def test_term_boosts_compose_with_field_weights(fielded):
+    import math
+
+    plain = _rows(fielded.search_distributed("OR fast table", k=5))
+    boosted = _rows(fielded.search_distributed(
+        "OR fast table", k=5, boosts={"table": 10.0}))
+    assert plain != boosted
+    # doc 1 ('table guide' title, 'table table data' body) overtakes
+    # under a strong table boost
+    assert boosted[0][0] == "1"
+    # combined weight is exactly w_field × w_term: recompute doc 4's
+    # title-only 'fast' score (w=3 field, boost 2 ⇒ 6×)
+    six = dict(_rows(fielded.search_distributed(
+        "OR fast", k=5, boosts={"fast": 2.0})))
+    three = dict(_rows(fielded.search_distributed("OR fast", k=5)))
+    # doc 4 is title-only: u6(6·bm25) vs u6(3·bm25); allow the ±1
+    # micro-unit that double-rounding of the ratio can introduce
+    assert math.isclose(six["4"], 2 * three["4"], abs_tol=2e-6)
+    # weight-1 boost is a no-op
+    assert _rows(fielded.search_distributed(
+        "OR fast table", k=5, boosts={"fast": 1.0})) == plain
+
+
 def test_guards(fielded, spark):
     with pytest.raises(ValueError, match="AND/OR"):
         fielded.search_distributed("PHRASE fast data")
