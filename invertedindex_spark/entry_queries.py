@@ -938,6 +938,30 @@ SELECT row_number() OVER (ORDER BY score_u6 DESC) AS rank, d.doc_no,
 FROM dedup JOIN docs d USING (doc_id)"""
 
 
+def q_match_count(spark, sf_dir):
+    """Total hit counts (Lucene TotalHits) for the flagship OR and AND
+    queries — no scoring, one distributed count each."""
+    idx = get_index(spark, sf_dir)
+    rows = [("OR", idx.count_matches("OR " + " ".join(OR_TERMS))),
+            ("AND", idx.count_matches("AND " + " ".join(AND_TERMS)))]
+    return spark.createDataFrame(rows, "qtype string, n_docs long")
+
+
+def sql_match_count() -> str:
+    or_list = ", ".join(f"'{t}'" for t in OR_TERMS)
+    and_list = ", ".join(f"'{t}'" for t in AND_TERMS)
+    return _base_cte() + f"""
+SELECT 'OR' AS qtype,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM tf WHERE term IN ({or_list})
+UNION ALL
+SELECT 'AND' AS qtype, CAST(count(*) AS BIGINT) AS n_docs
+FROM (
+  SELECT doc_id FROM tf WHERE term IN ({and_list})
+  GROUP BY doc_id HAVING count(*) = {len(AND_TERMS)}
+)"""
+
+
 BPE_MERGES = 16
 
 
@@ -3293,6 +3317,7 @@ def extra_queries():
         "bm25_topk_phrase_sloppy": q_bm25_topk_phrase_sloppy,
         "bpe_token_counts": q_bpe_token_counts,
         "bm25_topk_page2": q_bm25_topk_page2,
+        "match_count": q_match_count,
         "bm25_topk_prefix": q_bm25_topk_prefix,
         "top_terms": q_top_terms,
         "token_counts": q_token_counts,
@@ -3321,6 +3346,7 @@ def extra_oracle_sql(query_vec=None, sf_dir=None):
         "bm25_topk_synonyms": sql_bm25_topk_synonyms(),
         "bm25_topk_phrase_sloppy": sql_bm25_topk_phrase_sloppy(),
         "bm25_topk_page2": sql_bm25_topk_page2(),
+        "match_count": sql_match_count(),
         "bm25_topk_prefix": sql_bm25_topk_prefix(),
         "top_terms": sql_top_terms(),
         "token_counts": sql_token_counts(),

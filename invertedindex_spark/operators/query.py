@@ -2690,6 +2690,43 @@ class InvertedIndex:
                         (F.col("score_u6") / F.lit(1e6)).alias("score"))
                 .orderBy(F.desc("score")))
 
+    def count_matches(self, query: str, where: str | None = None,
+                      slop: int = 0) -> int:
+        """Total hit count (Lucene ``TotalHits``): how many documents
+        match the query — no scoring, no top-k, one distributed
+        count over the selective postings decode (plus the phrase /
+        attribute semi-joins when they apply). AND counts docs
+        holding every term; OR counts docs holding any."""
+        from pyspark.sql import functions as F
+
+        slop = int(slop)
+        if slop < 0:
+            raise ValueError(f"slop must be >= 0 (got {slop})")
+        qtype, terms = self._preprocess_with_prefixes(query)
+        if slop and qtype != "PHRASE":
+            raise ValueError("slop= applies to PHRASE queries only")
+        if qtype == "PHRASE":
+            self._require_positions()
+        present = self._present_terms(set(terms))
+        if not present or (qtype != "OR" and len(present)
+                           < len(set(terms))):
+            return 0
+        exploded = (self._drop_tombstoned(
+            self.decoded_postings_df(present))
+            .select("term", "doc_id"))
+        if qtype == "PHRASE":
+            exploded = exploded.join(
+                self._phrase_docs_df(terms, slop=slop),
+                "doc_id", "left_semi")
+        if where is not None:
+            exploded = exploded.join(self._allowed_ids_df(where),
+                                     "doc_id", "left_semi")
+        if qtype == "AND":
+            return (exploded.groupBy("doc_id")
+                    .agg(F.count("*").alias("nt"))
+                    .where(F.col("nt") == len(present)).count())
+        return exploded.select("doc_id").distinct().count()
+
     def synonym_search_distributed(self, query: str, synonyms: dict,
                                    k: int = 20,
                                    where: str | None = None):

@@ -65,6 +65,14 @@ def test_explain_boosted_and_conjunctive(exp_idx):
         assert round(total / 1e6, 9) == want[doc_no]
 
 
+def test_count_matches(exp_idx):
+    assert exp_idx.count_matches("OR fast table data") == 5
+    assert exp_idx.count_matches("AND fast table") == 2
+    assert exp_idx.count_matches("AND fast zzznothere") == 0
+    with pytest.raises(ValueError, match="PHRASE"):
+        exp_idx.count_matches("OR fast", slop=2)
+
+
 def test_explain_guards(exp_idx):
     with pytest.raises(ValueError, match="AND/OR"):
         exp_idx.explain_distributed("PHRASE fast data")
