@@ -962,6 +962,43 @@ FROM (
 )"""
 
 
+MSM = 2
+
+
+def q_bm25_topk_msm(spark, sf_dir):
+    """Minimum-should-match (Lucene
+    BooleanQuery.setMinimumNumberShouldMatch): the flagship OR query
+    gated to docs holding ≥ 2 distinct query terms; survivors keep
+    their full OR score. One extra integer filter on the per-doc
+    aggregation — no new shuffle."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    idx = get_index(spark, sf_dir)
+    res = idx.search_distributed("OR " + " ".join(OR_TERMS), k=K,
+                                 min_should_match=MSM)
+    w = Window.orderBy(F.desc("score"))
+    return res.select(F.row_number().over(w).alias("rank"), "doc_no",
+                      _u6(F.col("score")).alias("score_u6"))
+
+
+def sql_bm25_topk_msm(k: int = K) -> str:
+    tlist = ", ".join(f"'{t}'" for t in OR_TERMS)
+    return _base_cte() + f""",
+scores AS (
+  SELECT tf.doc_id, CAST(sum({_bm25_u6_expr()}) AS BIGINT) AS score_u6
+  FROM tf JOIN lex USING (term) CROSS JOIN stats
+  WHERE tf.term IN ({tlist})
+  GROUP BY tf.doc_id HAVING count(*) >= {MSM}
+), dedup AS (
+  SELECT score_u6, min(doc_id) AS doc_id
+  FROM scores GROUP BY score_u6
+  ORDER BY score_u6 DESC LIMIT {k}
+)
+SELECT row_number() OVER (ORDER BY score_u6 DESC) AS rank, d.doc_no,
+       score_u6
+FROM dedup JOIN docs d USING (doc_id)"""
+
+
 BPE_MERGES = 16
 
 
@@ -3317,6 +3354,7 @@ def extra_queries():
         "bm25_topk_phrase_sloppy": q_bm25_topk_phrase_sloppy,
         "bpe_token_counts": q_bpe_token_counts,
         "bm25_topk_page2": q_bm25_topk_page2,
+        "bm25_topk_msm": q_bm25_topk_msm,
         "match_count": q_match_count,
         "bm25_topk_prefix": q_bm25_topk_prefix,
         "top_terms": q_top_terms,
@@ -3346,6 +3384,7 @@ def extra_oracle_sql(query_vec=None, sf_dir=None):
         "bm25_topk_synonyms": sql_bm25_topk_synonyms(),
         "bm25_topk_phrase_sloppy": sql_bm25_topk_phrase_sloppy(),
         "bm25_topk_page2": sql_bm25_topk_page2(),
+        "bm25_topk_msm": sql_bm25_topk_msm(),
         "match_count": sql_match_count(),
         "bm25_topk_prefix": sql_bm25_topk_prefix(),
         "top_terms": sql_top_terms(),

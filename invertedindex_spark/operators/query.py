@@ -1427,7 +1427,8 @@ class InvertedIndex:
 
     def search(self, query: str, k: int = 20, prune: bool = False,
                where: str | None = None, boosts: dict | None = None,
-               after_score: float | None = None):
+               after_score: float | None = None,
+               min_should_match: int = 0):
         """[AND|OR] term1 … termN → [(doc_no, score)] descending.
 
         Unknown term ⇒ AND returns [] / OR skips it
@@ -1453,12 +1454,26 @@ class InvertedIndex:
         MaxScore kernels don't take weights, so boosted ``prune=True``
         serves the exhaustive kernel (mode=boost_exhaustive; the
         distributed pruned plan DOES boost — this path is the
-        small-index REPL path)."""
+        small-index REPL path).
+
+        ``min_should_match=m`` (OR only): same Lucene mm semantics as
+        :meth:`search_distributed` — docs holding ≥ m distinct query
+        terms rank with their full OR score; m > 1 demotes
+        ``prune=True`` to the exhaustive kernel
+        (mode=msm_exhaustive, same θ-soundness argument)."""
         bmap = self._normalize_boosts(boosts) if boosts else {}
         qtype, terms = self._preprocess_with_prefixes(query)
+        msm = int(min_should_match)
+        if msm < 0:
+            raise ValueError(
+                f"min_should_match must be >= 0 (got {msm})")
+        if msm > 1 and qtype != "OR":
+            raise ValueError(
+                "min_should_match applies to OR queries only")
         key = (qtype,
                tuple(terms) if qtype == "PHRASE" else frozenset(terms),
-               k, prune, where, frozenset(bmap.items()), after_score)
+               k, prune, where, frozenset(bmap.items()), after_score,
+               msm)
         if key in self._cache:
             self._cache.move_to_end(key)
             return self._cache[key]
@@ -1466,6 +1481,9 @@ class InvertedIndex:
         if self._tomb_count:
             am = self._alive_mask()
             mask = am if mask is None else (mask & am)
+        if msm > 1 and prune:
+            prune = False
+            self.last_prune_stats = {"mode": "msm_exhaustive"}
         if after_score is not None and prune:
             # search-after cuts the score domain; the pruned kernel's
             # θ comes from the GLOBAL top-k — serve exhaustively
@@ -1489,7 +1507,7 @@ class InvertedIndex:
                 terms, qtype, k, mask=mask)
         else:
             doc_ids, scores = self._score_terms(terms, qtype, mask=mask,
-                                                wmap=bmap)
+                                                wmap=bmap, msm=msm)
         if after_score is not None and doc_ids.size:
             cut = int(round(float(after_score) * 1e6))
             keep = scores < cut
@@ -1673,7 +1691,7 @@ class InvertedIndex:
         return maxscore_or_topk(lists, self.num_docs, self.avg_doc_len,
                                 k, stats=stats)
 
-    def _score_terms(self, terms, qtype, mask=None, wmap=None):
+    def _score_terms(self, terms, qtype, mask=None, wmap=None, msm=0):
         decoded = self._fetch_decoded(terms)
         if (not decoded) or (qtype == "AND" and len(decoded) < len(terms)):
             z = np.zeros(0, dtype=np.int64)
@@ -1710,16 +1728,18 @@ class InvertedIndex:
             # below 2**53 — cast back is lossless
             w = np.bincount(ids, weights=sc)
             cnt = np.bincount(ids)
-            keep = (cnt == len(decoded)) if qtype == "AND" else (cnt > 0)
+            keep = (cnt == len(decoded)) if qtype == "AND" \
+                else (cnt >= max(1, msm))
             uniq = np.flatnonzero(keep)
             return uniq, w[uniq].astype(np.int64)
         order = np.argsort(ids, kind="stable")
         ids, sc = ids[order], sc[order]
         uniq, start = np.unique(ids, return_index=True)
         sums = np.add.reduceat(sc, start)
-        if qtype == "AND":
+        if qtype == "AND" or msm > 1:
             counts = np.diff(np.append(start, ids.size))
-            keep = counts == len(decoded)
+            keep = (counts == len(decoded)) if qtype == "AND" \
+                else (counts >= msm)
             uniq, sums = uniq[keep], sums[keep]
         return uniq, sums
 
@@ -2585,7 +2605,8 @@ class InvertedIndex:
                            where: str | None = None,
                            boosts: dict | None = None,
                            slop: int = 0,
-                           after_score: float | None = None):
+                           after_score: float | None = None,
+                           min_should_match: int = 0):
         """Same query, pure DataFrame plan; returns a DataFrame
         (doc_no, score) ordered by score desc. Scales to posting lists
         that must never be collected to the driver.
@@ -2621,16 +2642,37 @@ class InvertedIndex:
         distinct score), so no (score, doc) tuple is needed. Serves
         the exhaustive plan: the pruned plan's θ is derived from the
         global top-k, which is the wrong k-th once a page boundary
-        cuts the score domain."""
+        cuts the score domain.
+
+        ``min_should_match=m`` (OR only — Lucene
+        ``BooleanQuery.setMinimumNumberShouldMatch``): a doc ranks
+        only if it holds ≥ m DISTINCT query terms; m ≤ 1 is the OR
+        default (any term), m == #terms is AND, m > #present terms
+        matches nothing. Survivors keep their full OR score (the sum
+        over the terms they DO hold — Lucene scores mm queries the
+        same way). Serves the exhaustive plan when m > 1: the pruned
+        θ comes from the UNFILTERED top-k, whose k-th score
+        overshoots the mm-filtered k-th, so pruning could drop true
+        mm results (mode=msm_exhaustive)."""
         from pyspark.sql import functions as F
 
         slop = int(slop)
         if slop < 0:
             raise ValueError(f"slop must be >= 0 (got {slop})")
+        msm = int(min_should_match)
+        if msm < 0:
+            raise ValueError(
+                f"min_should_match must be >= 0 (got {msm})")
         bmap = self._normalize_boosts(boosts) if boosts else {}
         qtype, terms = self._preprocess_with_prefixes(query)
         if slop and qtype != "PHRASE":
             raise ValueError("slop= applies to PHRASE queries only")
+        if msm > 1 and qtype != "OR":
+            raise ValueError(
+                "min_should_match applies to OR queries only")
+        if msm > 1 and prune:
+            prune = False
+            self.last_prune_stats = {"mode": "msm_exhaustive"}
         if after_score is not None and prune:
             prune = False
             self.last_prune_stats = {"mode": "after_exhaustive"}
@@ -2674,6 +2716,10 @@ class InvertedIndex:
                     F.count("*").alias("nt")))
         if qtype == "AND":
             agg = agg.where(F.col("nt") == len(present))
+        elif msm > 1:
+            # nt counts one row per (term, doc) of the selective
+            # decode = distinct matched query terms per doc
+            agg = agg.where(F.col("nt") >= msm)
         if after_score is not None:
             # the public score is score_u6 / 1e6; round() recovers the
             # exact integer cursor (|n/1e6·1e6 − n| ≪ 0.5 in double)
@@ -2691,20 +2737,28 @@ class InvertedIndex:
                 .orderBy(F.desc("score")))
 
     def count_matches(self, query: str, where: str | None = None,
-                      slop: int = 0) -> int:
+                      slop: int = 0, min_should_match: int = 0) -> int:
         """Total hit count (Lucene ``TotalHits``): how many documents
         match the query — no scoring, no top-k, one distributed
         count over the selective postings decode (plus the phrase /
         attribute semi-joins when they apply). AND counts docs
-        holding every term; OR counts docs holding any."""
+        holding every term; OR counts docs holding any —
+        ``min_should_match=m`` raises that to ≥ m distinct terms."""
         from pyspark.sql import functions as F
 
         slop = int(slop)
         if slop < 0:
             raise ValueError(f"slop must be >= 0 (got {slop})")
+        msm = int(min_should_match)
+        if msm < 0:
+            raise ValueError(
+                f"min_should_match must be >= 0 (got {msm})")
         qtype, terms = self._preprocess_with_prefixes(query)
         if slop and qtype != "PHRASE":
             raise ValueError("slop= applies to PHRASE queries only")
+        if msm > 1 and qtype != "OR":
+            raise ValueError(
+                "min_should_match applies to OR queries only")
         if qtype == "PHRASE":
             self._require_positions()
         present = self._present_terms(set(terms))
@@ -2725,6 +2779,10 @@ class InvertedIndex:
             return (exploded.groupBy("doc_id")
                     .agg(F.count("*").alias("nt"))
                     .where(F.col("nt") == len(present)).count())
+        if msm > 1:
+            return (exploded.groupBy("doc_id")
+                    .agg(F.count("*").alias("nt"))
+                    .where(F.col("nt") >= msm).count())
         return exploded.select("doc_id").distinct().count()
 
     def synonym_search_distributed(self, query: str, synonyms: dict,

@@ -224,7 +224,8 @@ class ShardedIndex:
     def search_distributed(self, query: str, k: int = 20,
                            boosts: dict | None = None,
                            slop: int = 0,
-                           after_score: float | None = None):
+                           after_score: float | None = None,
+                           min_should_match: int = 0):
         """[AND|OR|PHRASE] term1 … termN (incl. ``term*`` / ``term~``
         rewrites) → DataFrame (doc_no, score) ordered by score desc —
         the single-warehouse :meth:`InvertedIndex.search_distributed`
@@ -233,12 +234,20 @@ class ShardedIndex:
         GLOBAL stats — row-identical to the merged warehouse);
         ``slop=`` the ordered PHRASE proximity window (per-shard
         position chaining — phrases never span shards, documents
-        don't); ``after_score=`` the search-after page cursor."""
+        don't); ``after_score=`` the search-after page cursor;
+        ``min_should_match=m`` the Lucene mm gate (≥ m distinct terms
+        per doc — per-doc counts are shard-local facts, documents
+        never span shards, so the filter composes with scatter-gather
+        unchanged)."""
         from pyspark.sql import functions as F
 
         slop = int(slop)
         if slop < 0:
             raise ValueError(f"slop must be >= 0 (got {slop})")
+        msm = int(min_should_match)
+        if msm < 0:
+            raise ValueError(
+                f"min_should_match must be >= 0 (got {msm})")
         bmap = (self.idxs[0]._normalize_boosts(boosts)
                 if boosts else {})
         qtype, terms = preprocess_with_rewrites(
@@ -247,6 +256,9 @@ class ShardedIndex:
             expand_fuzzy=self.expand_fuzzy)
         if slop and qtype != "PHRASE":
             raise ValueError("slop= applies to PHRASE queries only")
+        if msm > 1 and qtype != "OR":
+            raise ValueError(
+                "min_should_match applies to OR queries only")
         u, present = self._match_union(qtype, terms, slop=slop)
         if u is None:
             return self.spark.createDataFrame(
@@ -264,6 +276,8 @@ class ShardedIndex:
                     F.count("*").alias("nt")))
         if qtype == "AND":
             agg = agg.where(F.col("nt") == len(present))
+        elif msm > 1:
+            agg = agg.where(F.col("nt") >= msm)
         if after_score is not None:
             agg = agg.where(
                 F.col("score_u6")
