@@ -999,6 +999,51 @@ SELECT row_number() OVER (ORDER BY score_u6 DESC) AS rank, d.doc_no,
 FROM dedup JOIN docs d USING (doc_id)"""
 
 
+def q_bm25_topk_collapse(spark, sf_dir):
+    """Field collapsing (Lucene/Elasticsearch `collapse`): the
+    flagship OR query returning at most ONE doc per `source` — each
+    source represented by its best-scoring doc (tie ⇒ min docId).
+    Winner-per-key via max(struct(score, -docId)) — map-side partial
+    aggregation, one keyed shuffle, no window."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    idx = get_index(spark, sf_dir)
+    idx.set_attributes(_docs_df(spark, sf_dir).select("doc_id", "source"),
+                       key="doc_id")
+    res = idx.search_distributed("OR " + " ".join(OR_TERMS), k=K,
+                                 collapse_by="source")
+    w = Window.orderBy(F.desc("score"))
+    return res.select(F.row_number().over(w).alias("rank"), "doc_no",
+                      _u6(F.col("score")).alias("score_u6"))
+
+
+def sql_bm25_topk_collapse(k: int = K) -> str:
+    tlist = ", ".join(f"'{t}'" for t in OR_TERMS)
+    return _base_cte() + f""",
+scores AS (
+  SELECT tf.doc_id, CAST(sum({_bm25_u6_expr()}) AS BIGINT) AS score_u6
+  FROM tf JOIN lex USING (term) CROSS JOIN stats
+  WHERE tf.term IN ({tlist})
+  GROUP BY tf.doc_id
+), keyed AS (
+  SELECT s.score_u6, s.doc_id, dd.source AS ckey
+  FROM scores s JOIN docs d USING (doc_id)
+  LEFT JOIN documents dd ON CAST(dd.doc_id AS VARCHAR) = d.doc_no
+), winners AS (
+  SELECT doc_id, score_u6 FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY ckey ORDER BY score_u6 DESC, doc_id ASC) AS rn
+    FROM keyed) WHERE rn = 1
+), dedup AS (
+  SELECT score_u6, min(doc_id) AS doc_id
+  FROM winners GROUP BY score_u6
+  ORDER BY score_u6 DESC LIMIT {k}
+)
+SELECT row_number() OVER (ORDER BY score_u6 DESC) AS rank, d.doc_no,
+       score_u6
+FROM dedup JOIN docs d USING (doc_id)"""
+
+
 BPE_MERGES = 16
 
 
@@ -3355,6 +3400,7 @@ def extra_queries():
         "bpe_token_counts": q_bpe_token_counts,
         "bm25_topk_page2": q_bm25_topk_page2,
         "bm25_topk_msm": q_bm25_topk_msm,
+        "bm25_topk_collapse": q_bm25_topk_collapse,
         "match_count": q_match_count,
         "bm25_topk_prefix": q_bm25_topk_prefix,
         "top_terms": q_top_terms,
@@ -3385,6 +3431,7 @@ def extra_oracle_sql(query_vec=None, sf_dir=None):
         "bm25_topk_phrase_sloppy": sql_bm25_topk_phrase_sloppy(),
         "bm25_topk_page2": sql_bm25_topk_page2(),
         "bm25_topk_msm": sql_bm25_topk_msm(),
+        "bm25_topk_collapse": sql_bm25_topk_collapse(),
         "match_count": sql_match_count(),
         "bm25_topk_prefix": sql_bm25_topk_prefix(),
         "top_terms": sql_top_terms(),

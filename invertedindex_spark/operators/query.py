@@ -200,6 +200,7 @@ class InvertedIndex:
         self._attrs_key = "doc_no"
         self._filter_masks: OrderedDict = OrderedDict()
         self._filter_masks_size = 32
+        self._collapse_key_arrays: dict = {}
         # driver-memory guardrail: above this term count the full
         # lexicon map and the term→row-group index are NOT built (the
         # reference mmaps a 77 MB lexicon; at web scale — 10⁸⁺ terms —
@@ -1244,6 +1245,7 @@ class InvertedIndex:
         self._attrs_df = attrs_df
         self._attrs_key = key
         self._filter_masks.clear()
+        self._collapse_key_arrays.clear()
 
     def _allowed_ids_df(self, where: str):
         """DataFrame[doc_id] matching ``where`` — pure Spark (filter
@@ -1261,6 +1263,78 @@ class InvertedIndex:
              .select(F.col(self._attrs_key).cast("string")
                      .alias("doc_no")))
         return self.docs.join(a, "doc_no").select("doc_id")
+
+    def _collapse_keys_df(self, by: str):
+        """DataFrame[doc_id, ckey] — each doc's collapse-key attribute
+        (NULL where the attrs table has no row / a NULL value). Same
+        attrs-join shape as :meth:`_allowed_ids_df`: the attribute
+        scan prunes to the key columns and equality-joins the doc
+        table on doc_no, so it holds at cluster scale."""
+        from pyspark.sql import functions as F
+
+        if self._attrs_df is None:
+            raise ValueError(
+                "collapse_by= requires set_attributes(attrs_df) "
+                "before searching")
+        if by not in self._attrs_df.columns:
+            raise ValueError(
+                f"collapse_by={by!r}: no such attribute column "
+                f"(have {self._attrs_df.columns})")
+        a = self._attrs_df.select(
+            F.col(self._attrs_key).cast("string").alias("doc_no"),
+            F.col(by).alias("ckey"))
+        return (self.docs.join(a, "doc_no", "left")
+                .select("doc_id", "ckey"))
+
+    def _collapse_key_array(self, by: str):
+        """doc_id → collapse-key object array (None = missing/NULL),
+        cached per attribute column — the driver-kernel twin of
+        :meth:`_collapse_keys_df`, same O(num_docs) driver-memory
+        class as :meth:`_allowed_mask` (this path is the small-index
+        REPL kernel; the distributed plan never builds it)."""
+        hit = self._collapse_key_arrays.get(by)
+        if hit is not None:
+            return hit
+        rows = self._collapse_keys_df(by).collect()
+        size = max([int(self.num_docs)]
+                   + [r["doc_id"] + 1 for r in rows])
+        arr = np.empty(size, dtype=object)
+        for r in rows:
+            arr[r["doc_id"]] = r["ckey"]
+        self._collapse_key_arrays[by] = arr
+        return arr
+
+    def _collapse_winners_np(self, doc_ids, scores, by: str):
+        """Driver-kernel collapse: one (max-score, tie ⇒ min-docId)
+        winner per key. Sort by (score desc, docId asc) then keep the
+        first occurrence of each key — pandas ``duplicated`` treats
+        None/NaN keys as equal, giving the same single NULL group as
+        the SQL side."""
+        import pandas as pd
+
+        arr = self._collapse_key_array(by)
+        order = np.lexsort((doc_ids, -scores))
+        ids_s, sc_s = doc_ids[order], scores[order]
+        first = ~pd.Series(arr[ids_s], dtype="object"
+                           ).duplicated().to_numpy()
+        return ids_s[first], sc_s[first]
+
+    def _collapse_winners_df(self, agg, by: str):
+        """Collapse a scored frame (doc_id, score_u6, …) to one winner
+        per collapse-key: max score, tie ⇒ min docId — via
+        ``max(struct(score_u6, -doc_id))`` so Spark's partial (map-
+        side) aggregation applies; NULL keys group together. Returns
+        (doc_id, score_u6)."""
+        from pyspark.sql import functions as F
+
+        keyed = agg.join(self._collapse_keys_df(by), "doc_id", "left")
+        return (keyed.groupBy("ckey")
+                .agg(F.max(F.struct(
+                    F.col("score_u6"),
+                    (-F.col("doc_id")).alias("neg_doc"))).alias("w"))
+                .select(F.col("w.neg_doc").cast("long").alias("tmp_nd"),
+                        F.col("w.score_u6").alias("score_u6"))
+                .select((-F.col("tmp_nd")).alias("doc_id"), "score_u6"))
 
     def _allowed_mask(self, where: str):
         """Driver-side allowed mask (num_docs bools) for ``where``,
@@ -1428,7 +1502,8 @@ class InvertedIndex:
     def search(self, query: str, k: int = 20, prune: bool = False,
                where: str | None = None, boosts: dict | None = None,
                after_score: float | None = None,
-               min_should_match: int = 0):
+               min_should_match: int = 0,
+               collapse_by: str | None = None):
         """[AND|OR] term1 … termN → [(doc_no, score)] descending.
 
         Unknown term ⇒ AND returns [] / OR skips it
@@ -1460,7 +1535,12 @@ class InvertedIndex:
         :meth:`search_distributed` — docs holding ≥ m distinct query
         terms rank with their full OR score; m > 1 demotes
         ``prune=True`` to the exhaustive kernel
-        (mode=msm_exhaustive, same θ-soundness argument)."""
+        (mode=msm_exhaustive, same θ-soundness argument).
+
+        ``collapse_by=col``: same field-collapse semantics as
+        :meth:`search_distributed` (one best doc per attribute value,
+        NULL keys share a group); demotes ``prune=True``
+        (mode=collapse_exhaustive)."""
         bmap = self._normalize_boosts(boosts) if boosts else {}
         qtype, terms = self._preprocess_with_prefixes(query)
         msm = int(min_should_match)
@@ -1473,7 +1553,7 @@ class InvertedIndex:
         key = (qtype,
                tuple(terms) if qtype == "PHRASE" else frozenset(terms),
                k, prune, where, frozenset(bmap.items()), after_score,
-               msm)
+               msm, collapse_by)
         if key in self._cache:
             self._cache.move_to_end(key)
             return self._cache[key]
@@ -1484,6 +1564,9 @@ class InvertedIndex:
         if msm > 1 and prune:
             prune = False
             self.last_prune_stats = {"mode": "msm_exhaustive"}
+        if collapse_by is not None and prune:
+            prune = False
+            self.last_prune_stats = {"mode": "collapse_exhaustive"}
         if after_score is not None and prune:
             # search-after cuts the score domain; the pruned kernel's
             # θ comes from the GLOBAL top-k — serve exhaustively
@@ -1508,6 +1591,9 @@ class InvertedIndex:
         else:
             doc_ids, scores = self._score_terms(terms, qtype, mask=mask,
                                                 wmap=bmap, msm=msm)
+        if collapse_by is not None and doc_ids.size:
+            doc_ids, scores = self._collapse_winners_np(
+                doc_ids, scores, collapse_by)
         if after_score is not None and doc_ids.size:
             cut = int(round(float(after_score) * 1e6))
             keep = scores < cut
@@ -2606,7 +2692,8 @@ class InvertedIndex:
                            boosts: dict | None = None,
                            slop: int = 0,
                            after_score: float | None = None,
-                           min_should_match: int = 0):
+                           min_should_match: int = 0,
+                           collapse_by: str | None = None):
         """Same query, pure DataFrame plan; returns a DataFrame
         (doc_no, score) ordered by score desc. Scales to posting lists
         that must never be collected to the driver.
@@ -2653,7 +2740,19 @@ class InvertedIndex:
         same way). Serves the exhaustive plan when m > 1: the pruned
         θ comes from the UNFILTERED top-k, whose k-th score
         overshoots the mm-filtered k-th, so pruning could drop true
-        mm results (mode=msm_exhaustive)."""
+        mm results (mode=msm_exhaustive).
+
+        ``collapse_by=col`` (Lucene / Elasticsearch field collapsing;
+        needs :meth:`set_attributes`): at most ONE result per distinct
+        value of attribute ``col`` — each group is represented by its
+        best-scoring doc (tie ⇒ min docId), then the usual
+        distinct-score dedup + top-k run over the group winners. NULL
+        / missing keys form one shared group (SQL GROUP BY
+        semantics). One winner-per-key aggregation —
+        ``max(struct(score, -docId))``, so map-side partial
+        aggregation applies; no window, one keyed shuffle. Demotes
+        ``prune=True`` (collapse removes docs, so the unfiltered θ
+        overshoots; mode=collapse_exhaustive)."""
         from pyspark.sql import functions as F
 
         slop = int(slop)
@@ -2673,6 +2772,9 @@ class InvertedIndex:
         if msm > 1 and prune:
             prune = False
             self.last_prune_stats = {"mode": "msm_exhaustive"}
+        if collapse_by is not None and prune:
+            prune = False
+            self.last_prune_stats = {"mode": "collapse_exhaustive"}
         if after_score is not None and prune:
             prune = False
             self.last_prune_stats = {"mode": "after_exhaustive"}
@@ -2720,9 +2822,13 @@ class InvertedIndex:
             # nt counts one row per (term, doc) of the selective
             # decode = distinct matched query terms per doc
             agg = agg.where(F.col("nt") >= msm)
+        if collapse_by is not None:
+            agg = self._collapse_winners_df(agg, collapse_by)
         if after_score is not None:
             # the public score is score_u6 / 1e6; round() recovers the
-            # exact integer cursor (|n/1e6·1e6 − n| ≪ 0.5 in double)
+            # exact integer cursor (|n/1e6·1e6 − n| ≪ 0.5 in double);
+            # with collapse_by the cursor cuts the COLLAPSED ranking
+            # (winners), so pages partition what the user actually sees
             agg = agg.where(
                 F.col("score_u6")
                 < F.round(F.lit(float(after_score)) * 1e6).cast("long"))

@@ -225,7 +225,8 @@ class ShardedIndex:
                            boosts: dict | None = None,
                            slop: int = 0,
                            after_score: float | None = None,
-                           min_should_match: int = 0):
+                           min_should_match: int = 0,
+                           collapse_by: str | None = None):
         """[AND|OR|PHRASE] term1 … termN (incl. ``term*`` / ``term~``
         rewrites) → DataFrame (doc_no, score) ordered by score desc —
         the single-warehouse :meth:`InvertedIndex.search_distributed`
@@ -238,7 +239,10 @@ class ShardedIndex:
         ``min_should_match=m`` the Lucene mm gate (≥ m distinct terms
         per doc — per-doc counts are shard-local facts, documents
         never span shards, so the filter composes with scatter-gather
-        unchanged)."""
+        unchanged); ``collapse_by=col`` field collapsing over the
+        GLOBAL attribute table (winner-per-key runs on the gathered
+        per-doc scores, so a key spanning shards still yields exactly
+        one global winner — max is associative across shards)."""
         from pyspark.sql import functions as F
 
         slop = int(slop)
@@ -278,6 +282,32 @@ class ShardedIndex:
             agg = agg.where(F.col("nt") == len(present))
         elif msm > 1:
             agg = agg.where(F.col("nt") >= msm)
+        if collapse_by is not None:
+            if self._attrs_df is None:
+                raise ValueError(
+                    "collapse_by= requires set_attributes(attrs_df) "
+                    "before searching")
+            if collapse_by not in self._attrs_df.columns:
+                raise ValueError(
+                    f"collapse_by={collapse_by!r}: no such attribute "
+                    f"column (have {self._attrs_df.columns})")
+            keys = (self._docs_union().join(
+                self._attrs_df.select(
+                    F.col(self._attrs_key).cast("string")
+                    .alias("doc_no"),
+                    F.col(collapse_by).alias("ckey")),
+                "doc_no", "left").select("doc_id", "ckey"))
+            # winner per key (max score, tie ⇒ min GLOBAL docId) —
+            # same max(struct) partial-agg shape as the single-
+            # warehouse plan; NULL keys share one group
+            agg = (agg.join(keys, "doc_id", "left")
+                   .groupBy("ckey")
+                   .agg(F.max(F.struct(
+                       F.col("score_u6"),
+                       (-F.col("doc_id")).alias("neg_doc"))).alias("w"))
+                   .select((-F.col("w.neg_doc")).cast("long")
+                           .alias("doc_id"),
+                           F.col("w.score_u6").alias("score_u6")))
         if after_score is not None:
             agg = agg.where(
                 F.col("score_u6")

@@ -224,7 +224,8 @@ RANKED_QUERIES = ["bm25_topk_or", "bm25_topk_and", "bm25_topk_filtered",
                   "bm25_batch_topk", "more_like_this", "doc_keywords",
                   "facet_counts", "did_you_mean", "bm25_topk_fuzzy",
                   "sharded_topk", "bm25_topk_boosted", "score_explain",
-                  "bm25_topk_synonyms", "fielded_topk", "bm25_topk_msm"]
+                  "bm25_topk_synonyms", "fielded_topk", "bm25_topk_msm",
+                  "bm25_topk_collapse"]
 
 
 def test_differential_duplicate_texts_in_topk(spark, duck, tmp_path):
