@@ -999,6 +999,46 @@ SELECT row_number() OVER (ORDER BY score_u6 DESC) AS rank, d.doc_no,
 FROM dedup JOIN docs d USING (doc_id)"""
 
 
+NOT_TERM = "scan"
+
+
+def q_bm25_topk_not(spark, sf_dir):
+    """Boolean NOT (Lucene MUST_NOT, the ``-term`` grammar): the
+    flagship OR query excluding every document that contains
+    ``scan``. Filter-then-rank — survivors keep their plain OR
+    scores; the exclusion is ONE anti-join of the scored postings
+    against the negated term's selective decode (AQE broadcasts the
+    small side), composing with the pruned plan's θ unchanged."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    idx = get_index(spark, sf_dir)
+    res = idx.search_distributed(
+        "OR " + " ".join(OR_TERMS) + f" -{NOT_TERM}", k=K)
+    w = Window.orderBy(F.desc("score"))
+    return res.select(F.row_number().over(w).alias("rank"), "doc_no",
+                      _u6(F.col("score")).alias("score_u6"))
+
+
+def sql_bm25_topk_not(k: int = K) -> str:
+    tlist = ", ".join(f"'{t}'" for t in OR_TERMS)
+    return _base_cte() + f""",
+scores AS (
+  SELECT tf.doc_id, CAST(sum({_bm25_u6_expr()}) AS BIGINT) AS score_u6
+  FROM tf JOIN lex USING (term) CROSS JOIN stats
+  WHERE tf.term IN ({tlist})
+    AND tf.doc_id NOT IN (
+      SELECT doc_id FROM tf WHERE term = '{NOT_TERM}')
+  GROUP BY tf.doc_id
+), dedup AS (
+  SELECT score_u6, min(doc_id) AS doc_id
+  FROM scores GROUP BY score_u6
+  ORDER BY score_u6 DESC LIMIT {k}
+)
+SELECT row_number() OVER (ORDER BY score_u6 DESC) AS rank, d.doc_no,
+       score_u6
+FROM dedup JOIN docs d USING (doc_id)"""
+
+
 def q_bm25_topk_collapse(spark, sf_dir):
     """Field collapsing (Lucene/Elasticsearch `collapse`): the
     flagship OR query returning at most ONE doc per `source` — each
@@ -3400,6 +3440,7 @@ def extra_queries():
         "bpe_token_counts": q_bpe_token_counts,
         "bm25_topk_page2": q_bm25_topk_page2,
         "bm25_topk_msm": q_bm25_topk_msm,
+        "bm25_topk_not": q_bm25_topk_not,
         "bm25_topk_collapse": q_bm25_topk_collapse,
         "match_count": q_match_count,
         "bm25_topk_prefix": q_bm25_topk_prefix,
@@ -3431,6 +3472,7 @@ def extra_oracle_sql(query_vec=None, sf_dir=None):
         "bm25_topk_phrase_sloppy": sql_bm25_topk_phrase_sloppy(),
         "bm25_topk_page2": sql_bm25_topk_page2(),
         "bm25_topk_msm": sql_bm25_topk_msm(),
+        "bm25_topk_not": sql_bm25_topk_not(),
         "bm25_topk_collapse": sql_bm25_topk_collapse(),
         "match_count": sql_match_count(),
         "bm25_topk_prefix": sql_bm25_topk_prefix(),

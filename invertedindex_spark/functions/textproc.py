@@ -39,6 +39,7 @@ __all__ = [
     "STOPWORDS", "MAX_TERM_LEN", "MAX_QUERY_LENGTH",
     "tokens_col", "terms_col", "doc_len_col",
     "tokenize_text", "process_tokens", "preprocess_query",
+    "split_inline_boosts", "split_not_terms",
     "tokens_sql", "terms_sql", "doc_len_sql", "stopword_array_sql",
 ]
 
@@ -258,6 +259,53 @@ def split_inline_boosts(query: str) -> tuple[str, dict]:
         else:
             clean.append(tok)
     return " ".join(clean), boosts
+
+
+def split_not_terms(query: str, *, stopwords: bool = True,
+                    stemming: bool = True) -> tuple[str, frozenset]:
+    """Lucene MUST_NOT grammar: ``'OR fast table -slow'`` →
+    ``('OR fast table', frozenset({'slow'}))``. A token after the
+    type token whose first character is ``-`` is an exclusion clause;
+    the stripped term runs through the SAME per-token pipeline as the
+    positive terms (tokenize / stopword / truncate-to-20 / stem —
+    ``QueryProcessor.java:135-174`` order), so ``-Running`` excludes
+    what ``running`` would match. Safe on every query line: ``-``
+    never survives tokenization, so a leading minus always means NOT.
+
+    Pipeline outcomes per NOT token: a stopword or empty-normalizing
+    token drops silently (Lucene analyzers do the same); a token that
+    normalizes to MORE than one token raises (``-foo.bar`` is two
+    clauses — the caller must split them); rewrite suffixes
+    (``-term*`` / ``-term~``) raise — NOT applies to plain terms.
+    Excluded terms absent from the vocabulary are the caller's no-op.
+    """
+    parts = query.split()
+    nots: set[str] = set()
+    clean = []
+    for i, tok in enumerate(parts):
+        if i == 0 or not tok.startswith("-") or len(tok) == 1:
+            clean.append(tok)
+            continue
+        raw = tok[1:]
+        if raw.endswith("*") or raw.endswith("~"):
+            raise ValueError(
+                f"NOT clause {tok!r}: prefix/fuzzy rewrites cannot "
+                "be negated (exclude the expanded terms explicitly)")
+        toks = tokenize_text(raw)
+        if len(toks) > 1:
+            raise ValueError(
+                f"NOT clause {tok!r} normalizes to {len(toks)} "
+                "tokens; negate each one separately")
+        if not toks:
+            continue
+        t = toks[0]
+        if stopwords and t in _STOPWORD_SET:
+            continue
+        t = t[:MAX_TERM_LEN]
+        if stemming:
+            t = stem(t)
+        nots.add(t)
+    return " ".join(clean), frozenset(nots)
 
 
 # --------------------------------------------------------------------

@@ -40,7 +40,7 @@ import numpy as np
 
 from ..functions import codec, scoring
 from ..functions.textproc import (MAX_TERM_LEN, preprocess_query,
-                                  tokenize_text)
+                                  split_not_terms, tokenize_text)
 from .build import read_manifest
 
 __all__ = ["InvertedIndex", "queue_topk_np"]
@@ -1365,6 +1365,23 @@ class InvertedIndex:
             self._filter_masks.popitem(last=False)
         return mask
 
+    def _not_allowed_mask(self, nots: frozenset):
+        """Allowed mask (True = NOT excluded) for a set of negated
+        terms, or None when no excluded term is in the vocabulary
+        (the exclusion is then a no-op, matching how OR skips unknown
+        positive terms — QueryProcessor.java:202-214). Mask size is
+        num_docs bools — the same driver-memory class as
+        :meth:`_allowed_mask`; the excluded docIds come from the
+        ordinary selective postings decode of the negated terms, so
+        the cost scales with THEIR posting lists, not the corpus."""
+        present = self._present_terms(set(nots))
+        if not present:
+            return None
+        allowed = np.ones(self.num_docs, dtype=bool)
+        for t, (d, tf, dl, df) in self._fetch_decoded(present).items():
+            allowed[d[d < self.num_docs]] = False
+        return allowed
+
     def facet_counts(self, query: str, by: str, top: int = 10,
                      where: str | None = None):
         """Facet aggregation over the FULL match set of ``query`` (not
@@ -1505,6 +1522,8 @@ class InvertedIndex:
                min_should_match: int = 0,
                collapse_by: str | None = None):
         """[AND|OR] term1 … termN → [(doc_no, score)] descending.
+        A ``-term`` token is a Lucene MUST_NOT clause: docs holding
+        it never rank; scoring stays over the positive terms.
 
         Unknown term ⇒ AND returns [] / OR skips it
         (QueryProcessor.java:202-214). Results LRU-cached on
@@ -1542,6 +1561,8 @@ class InvertedIndex:
         NULL keys share a group); demotes ``prune=True``
         (mode=collapse_exhaustive)."""
         bmap = self._normalize_boosts(boosts) if boosts else {}
+        query, nots = split_not_terms(query, stopwords=self.stopwords,
+                                      stemming=self.stemming)
         qtype, terms = self._preprocess_with_prefixes(query)
         msm = int(min_should_match)
         if msm < 0:
@@ -1553,7 +1574,7 @@ class InvertedIndex:
         key = (qtype,
                tuple(terms) if qtype == "PHRASE" else frozenset(terms),
                k, prune, where, frozenset(bmap.items()), after_score,
-               msm, collapse_by)
+               msm, collapse_by, nots)
         if key in self._cache:
             self._cache.move_to_end(key)
             return self._cache[key]
@@ -1561,6 +1582,16 @@ class InvertedIndex:
         if self._tomb_count:
             am = self._alive_mask()
             mask = am if mask is None else (mask & am)
+        if nots:
+            # Lucene MUST_NOT: docs holding ANY excluded term never
+            # rank; scoring stays over the positive terms only. The
+            # exclusion composes as one more allowed-mask conjunct —
+            # exactly the where= contract, so every kernel (incl. the
+            # pruned ones: filters only shrink true maxima, stored
+            # bounds stay sound upper bounds) serves it unchanged.
+            ex = self._not_allowed_mask(nots)
+            if ex is not None:
+                mask = ex if mask is None else (mask & ex)
         if msm > 1 and prune:
             prune = False
             self.last_prune_stats = {"mode": "msm_exhaustive"}
@@ -2286,7 +2317,8 @@ class InvertedIndex:
         return out
 
     def _acc_table(self, terms, qtype, where: str | None = None,
-                   wmap: dict | None = None):
+                   wmap: dict | None = None,
+                   exclude: set | None = None):
         """Essential-phase accumulators as driver arrays:
         (doc_ids, scores, dls, n_terms_hit) summed over ``terms`` via
         ONE distributed job, or None above DIST_ACC_CAP.
@@ -2294,13 +2326,23 @@ class InvertedIndex:
         ``where``: attribute predicate (see :meth:`set_attributes`) —
         applied as a semi-join on the exploded essential postings, so
         every accumulator (and hence θ and every survivor downstream)
-        is filter-allowed without any driver-side mask."""
+        is filter-allowed without any driver-side mask. ``exclude``:
+        negated terms (Lucene MUST_NOT), an anti-join at the same
+        spot — the final phase only rescores acc-table docs (boost-
+        only docs can never reach the top-k by θ-soundness), so
+        excluding here excludes everywhere."""
         from pyspark.sql import functions as F
 
         ess = self._drop_tombstoned(self.decoded_postings_df(terms))
         if where is not None:
             ess = ess.join(self._allowed_ids_df(where),
                            "doc_id", "left_semi")
+        if exclude:
+            ess = ess.join(
+                self._drop_tombstoned(
+                    self.decoded_postings_df(set(exclude)))
+                .select("doc_id"),
+                "doc_id", "left_anti")
         bm25 = scoring.bm25_col(F.col("tf"), F.col("dl"), F.col("df"),
                                 F.lit(float(self.num_docs)),
                                 F.lit(self.avg_doc_len))
@@ -2501,7 +2543,8 @@ class InvertedIndex:
 
     def _search_distributed_pruned(self, qtype, present, k,
                                    where: str | None = None,
-                                   wmap: dict | None = None):
+                                   wmap: dict | None = None,
+                                   exclude: set | None = None):
         """Two-phase distributed plan with dynamic pruning — the
         cluster-side analogue of the driver MaxScore/BMM kernel
         (reference seam ``QueryProcessor.java:251-432``):
@@ -2578,7 +2621,8 @@ class InvertedIndex:
         theta = -np.inf
         acc = None
         while True:
-            acc = self._acc_table(ess, qtype, where=where, wmap=wmap)
+            acc = self._acc_table(ess, qtype, where=where, wmap=wmap,
+                                  exclude=exclude)
             if acc is None:
                 return None
             ids, accs, dls, nts = acc
@@ -2696,7 +2740,11 @@ class InvertedIndex:
                            collapse_by: str | None = None):
         """Same query, pure DataFrame plan; returns a DataFrame
         (doc_no, score) ordered by score desc. Scales to posting lists
-        that must never be collected to the driver.
+        that must never be collected to the driver. ``-term`` tokens
+        are Lucene MUST_NOT clauses (one anti-join against the
+        negated terms' selective decode; composes with the pruned
+        plan — exclusion only shrinks true maxima, stored bounds stay
+        sound and θ is computed over the excluded accumulators).
 
         ``prune=True`` runs the two-phase dynamic-pruning plan
         (:meth:`_search_distributed_pruned`) and falls back to the
@@ -2763,6 +2811,8 @@ class InvertedIndex:
             raise ValueError(
                 f"min_should_match must be >= 0 (got {msm})")
         bmap = self._normalize_boosts(boosts) if boosts else {}
+        query, nots = split_not_terms(query, stopwords=self.stopwords,
+                                      stemming=self.stemming)
         qtype, terms = self._preprocess_with_prefixes(query)
         if slop and qtype != "PHRASE":
             raise ValueError("slop= applies to PHRASE queries only")
@@ -2786,10 +2836,12 @@ class InvertedIndex:
             # AND and PHRASE both demand every term; OR skips unknowns
             return self.spark.createDataFrame(
                 [], "doc_no string, score double")
+        not_present = self._present_terms(set(nots)) if nots else set()
         if qtype != "PHRASE" and prune:
             res = self._search_distributed_pruned(qtype, present, k,
                                                   where=where,
-                                                  wmap=bmap)
+                                                  wmap=bmap,
+                                                  exclude=not_present)
             if res is not None:
                 return res
             # label the telemetry honestly: the pruned plan declined
@@ -2797,6 +2849,16 @@ class InvertedIndex:
             # and the exhaustive plan below served the query
             self.last_prune_stats["mode"] = "distributed_fallback"
         exploded = self._drop_tombstoned(self.decoded_postings_df(present))
+        if not_present:
+            # Lucene MUST_NOT: one anti-join against the negated
+            # terms' selective decode (duplicate right rows are fine
+            # for anti-join — no distinct shuffle). AQE broadcasts
+            # the excluded side when the negated lists are small.
+            exploded = exploded.join(
+                self._drop_tombstoned(
+                    self.decoded_postings_df(not_present))
+                .select("doc_id"),
+                "doc_id", "left_anti")
         if qtype == "PHRASE":
             # adjacency filter: semi-join the scored postings against
             # the distributed phrase-occurrence plan — scoring stays
@@ -2859,6 +2921,8 @@ class InvertedIndex:
         if msm < 0:
             raise ValueError(
                 f"min_should_match must be >= 0 (got {msm})")
+        query, nots = split_not_terms(query, stopwords=self.stopwords,
+                                      stemming=self.stemming)
         qtype, terms = self._preprocess_with_prefixes(query)
         if slop and qtype != "PHRASE":
             raise ValueError("slop= applies to PHRASE queries only")
@@ -2874,6 +2938,13 @@ class InvertedIndex:
         exploded = (self._drop_tombstoned(
             self.decoded_postings_df(present))
             .select("term", "doc_id"))
+        not_present = self._present_terms(set(nots)) if nots else set()
+        if not_present:
+            exploded = exploded.join(
+                self._drop_tombstoned(
+                    self.decoded_postings_df(not_present))
+                .select("doc_id"),
+                "doc_id", "left_anti")
         if qtype == "PHRASE":
             exploded = exploded.join(
                 self._phrase_docs_df(terms, slop=slop),

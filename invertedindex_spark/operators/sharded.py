@@ -38,7 +38,7 @@ from __future__ import annotations
 import os
 
 from ..functions import scoring
-from ..functions.textproc import preprocess_query
+from ..functions.textproc import preprocess_query, split_not_terms
 from .build import read_manifest
 from .query import InvertedIndex, preprocess_with_rewrites
 
@@ -210,6 +210,30 @@ class ShardedIndex:
             u = u.unionByName(p)
         return u, present
 
+    def _excluded_union(self, nots):
+        """Global doc_ids holding ANY negated term (Lucene MUST_NOT),
+        as a union of per-shard selective decodes — documents never
+        span shards, so exclusion is a shard-local fact carried into
+        the gathered plan by one anti-join. None when no shard knows
+        any negated term (exclusion is then a no-op)."""
+        from pyspark.sql import functions as F
+
+        parts = []
+        for idx, off in zip(self.idxs, self.offsets):
+            want = idx._present_terms(set(nots))
+            if not want:
+                continue
+            parts.append(
+                idx._drop_tombstoned(idx.decoded_postings_df(want))
+                .select((F.col("doc_id") + F.lit(int(off)))
+                        .alias("doc_id")))
+        if not parts:
+            return None
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        return u
+
     def _docs_union(self):
         from pyspark.sql import functions as F
 
@@ -254,6 +278,8 @@ class ShardedIndex:
                 f"min_should_match must be >= 0 (got {msm})")
         bmap = (self.idxs[0]._normalize_boosts(boosts)
                 if boosts else {})
+        query, nots = split_not_terms(query, stopwords=self.stopwords,
+                                      stemming=self.stemming)
         qtype, terms = preprocess_with_rewrites(
             query, stopwords=self.stopwords, stemming=self.stemming,
             expand_prefix=self.expand_prefix,
@@ -267,6 +293,10 @@ class ShardedIndex:
         if u is None:
             return self.spark.createDataFrame(
                 [], "doc_no string, score double")
+        if nots:
+            ex = self._excluded_union(nots)
+            if ex is not None:
+                u = u.join(ex, "doc_id", "left_anti")
         gdf = self._global_df(present)
         gdf_df = F.broadcast(self.spark.createDataFrame(
             sorted(gdf.items()), "term string, gdf long"))
