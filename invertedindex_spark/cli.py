@@ -67,6 +67,9 @@ def main(argv=None):
                     help="batch mode: write run lines here (default "
                          "stdout)")
     ap.add_argument("--tag", default="01", help="TREC run tag")
+    ap.add_argument("--similarity", choices=["bm25", "tfidf"],
+                    default="bm25",
+                    help="scoring function (ScoringFunctions.java)")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -90,7 +93,8 @@ def main(argv=None):
         try:
             lines = idx.trec_run_lines(load_queries_tsv(args.batch),
                                        k=args.k, tag=args.tag,
-                                       prune=args.prune)
+                                       prune=args.prune,
+                                       similarity=args.similarity)
             if args.out:
                 with open(args.out, "w") as f:
                     f.write("\n".join(lines) + ("\n" if lines else ""))
@@ -123,7 +127,8 @@ def main(argv=None):
 
                 clean, boosts = split_inline_boosts(line)
                 hits = idx.search(clean, args.k, prune=args.prune,
-                                  boosts=boosts or None)
+                                  boosts=boosts or None,
+                                  similarity=args.similarity)
                 for doc_no, score in hits:
                     print(doc_no, score)
                 if not hits:

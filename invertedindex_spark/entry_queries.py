@@ -22,7 +22,7 @@ from __future__ import annotations
 import os
 import random
 
-from .functions.scoring import bm25_sql, bm25_u6_sql
+from .functions.scoring import bm25_sql, bm25_u6_sql, tfidf_u6_sql
 from .functions.textproc import (
     STOPWORDS, doc_len_sql, stopword_array_sql, terms_sql, tokens_sql,
 )
@@ -989,6 +989,41 @@ scores AS (
   FROM tf JOIN lex USING (term) CROSS JOIN stats
   WHERE tf.term IN ({tlist})
   GROUP BY tf.doc_id HAVING count(*) >= {MSM}
+), dedup AS (
+  SELECT score_u6, min(doc_id) AS doc_id
+  FROM scores GROUP BY score_u6
+  ORDER BY score_u6 DESC LIMIT {k}
+)
+SELECT row_number() OVER (ORDER BY score_u6 DESC) AS rank, d.doc_no,
+       score_u6
+FROM dedup JOIN docs d USING (doc_id)"""
+
+
+def q_tfidf_topk(spark, sf_dir):
+    """The reference's ALTERNATIVE similarity at query time
+    (ScoringFunctions.java:14-17, the commented-out choice at
+    LexiconTermBinaryIndexing.java:49): the flagship OR query scored
+    with TFIDF — ln(N/df)·(1+ln(tf)), no length normalization. Same
+    distributed plan as BM25, one different partial expression."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    idx = get_index(spark, sf_dir)
+    res = idx.search_distributed("OR " + " ".join(OR_TERMS), k=K,
+                                 similarity="tfidf")
+    w = Window.orderBy(F.desc("score"))
+    return res.select(F.row_number().over(w).alias("rank"), "doc_no",
+                      _u6(F.col("score")).alias("score_u6"))
+
+
+def sql_tfidf_topk(k: int = K) -> str:
+    tlist = ", ".join(f"'{t}'" for t in OR_TERMS)
+    part = tfidf_u6_sql("tf.tf", "lex.df", "stats.num_docs")
+    return _base_cte() + f""",
+scores AS (
+  SELECT tf.doc_id, CAST(sum({part}) AS BIGINT) AS score_u6
+  FROM tf JOIN lex USING (term) CROSS JOIN stats
+  WHERE tf.term IN ({tlist})
+  GROUP BY tf.doc_id
 ), dedup AS (
   SELECT score_u6, min(doc_id) AS doc_id
   FROM scores GROUP BY score_u6
@@ -3441,6 +3476,7 @@ def extra_queries():
         "bm25_topk_page2": q_bm25_topk_page2,
         "bm25_topk_msm": q_bm25_topk_msm,
         "bm25_topk_not": q_bm25_topk_not,
+        "tfidf_topk": q_tfidf_topk,
         "bm25_topk_collapse": q_bm25_topk_collapse,
         "match_count": q_match_count,
         "bm25_topk_prefix": q_bm25_topk_prefix,
@@ -3473,6 +3509,7 @@ def extra_oracle_sql(query_vec=None, sf_dir=None):
         "bm25_topk_page2": sql_bm25_topk_page2(),
         "bm25_topk_msm": sql_bm25_topk_msm(),
         "bm25_topk_not": sql_bm25_topk_not(),
+        "tfidf_topk": sql_tfidf_topk(),
         "bm25_topk_collapse": sql_bm25_topk_collapse(),
         "match_count": sql_match_count(),
         "bm25_topk_prefix": sql_bm25_topk_prefix(),

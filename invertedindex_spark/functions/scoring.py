@@ -15,7 +15,8 @@ from __future__ import annotations
 import numpy as np
 
 __all__ = ["K_BM25", "B_BM25", "bm25_col", "bm25_np", "bm25_sql",
-           "tfidf_np", "U6", "u6_np", "u6_col", "bm25_u6_np",
+           "tfidf_np", "tfidf_col", "tfidf_u6_np", "tfidf_sql",
+           "tfidf_u6_sql", "U6", "u6_np", "u6_col", "bm25_u6_np",
            "bm25_u6_col", "bm25_u6_sql"]
 
 K_BM25 = 1.2   # Constants.java:46
@@ -69,10 +70,43 @@ def factor_np(tf, doc_len, avg_doc_len):
 
 
 def tfidf_np(tf, df, num_docs):
-    """The reference's TFIDF variant (present but unused at query time;
-    commented-out alternative in LexiconTermBinaryIndexing.java:48)."""
+    """The reference's TFIDF variant (``ScoringFunctions.java:14-17``;
+    query-time alternative commented at
+    LexiconTermBinaryIndexing.java:49):
+
+        score(tf) = ln(N/df) * (1 + ln(tf))
+
+    No document-length normalization. tf >= 1 and df <= N, so the
+    partial is always >= 0 (u6 quantization stays HALF_UP-exact)."""
     tf = np.asarray(tf, dtype=np.float64)
     return np.log(float(num_docs) / df) * (1.0 + np.log(tf))
+
+
+def tfidf_col(tf, df, num_docs):
+    """TFIDF partial as a Spark Column (same float64 operation order
+    as :func:`tfidf_np`; IEEE multiply is commutative-exact, so the
+    ln(N/df)-first order matches bit-for-bit)."""
+    from pyspark.sql import functions as F
+
+    return (F.log(num_docs / df.cast("double"))
+            * (F.lit(1.0) + F.log(tf.cast("double"))))
+
+
+def tfidf_u6_np(tf, df, num_docs):
+    """Quantized TFIDF partial (the only form query kernels sum)."""
+    return u6_np(tfidf_np(tf, df, num_docs))
+
+
+def tfidf_sql(tf_expr: str, df_expr: str, num_docs_expr: str) -> str:
+    """ANSI-SQL twin runnable by DuckDB."""
+    return (f"ln(CAST({num_docs_expr} AS DOUBLE) / "
+            f"CAST({df_expr} AS DOUBLE)) * "
+            f"(1 + ln(CAST({tf_expr} AS DOUBLE)))")
+
+
+def tfidf_u6_sql(tf_expr: str, df_expr: str, num_docs_expr: str) -> str:
+    inner = tfidf_sql(tf_expr, df_expr, num_docs_expr)
+    return f"CAST(floor(({inner}) * {U6} + 0.5) AS BIGINT)"
 
 
 # -- dense-accumulator dispatch (shared by every driver kernel) --------

@@ -1520,7 +1520,8 @@ class InvertedIndex:
                where: str | None = None, boosts: dict | None = None,
                after_score: float | None = None,
                min_should_match: int = 0,
-               collapse_by: str | None = None):
+               collapse_by: str | None = None,
+               similarity: str = "bm25"):
         """[AND|OR] term1 … termN → [(doc_no, score)] descending.
         A ``-term`` token is a Lucene MUST_NOT clause: docs holding
         it never rank; scoring stays over the positive terms.
@@ -1559,7 +1560,16 @@ class InvertedIndex:
         ``collapse_by=col``: same field-collapse semantics as
         :meth:`search_distributed` (one best doc per attribute value,
         NULL keys share a group); demotes ``prune=True``
-        (mode=collapse_exhaustive)."""
+        (mode=collapse_exhaustive).
+
+        ``similarity``: ``"bm25"`` (default) or ``"tfidf"`` — the
+        reference's two scoring functions
+        (``ScoringFunctions.java:7-17``; TFIDF is the commented-out
+        alternative at LexiconTermBinaryIndexing.java:49):
+        ln(N/df)·(1+ln(tf)), no length normalization. The stored
+        upper bounds are BM25 bounds, so ``prune=True`` demotes to
+        the exhaustive kernel (mode=tfidf_exhaustive)."""
+        sim = self._check_similarity(similarity)
         bmap = self._normalize_boosts(boosts) if boosts else {}
         query, nots = split_not_terms(query, stopwords=self.stopwords,
                                       stemming=self.stemming)
@@ -1574,7 +1584,7 @@ class InvertedIndex:
         key = (qtype,
                tuple(terms) if qtype == "PHRASE" else frozenset(terms),
                k, prune, where, frozenset(bmap.items()), after_score,
-               msm, collapse_by, nots)
+               msm, collapse_by, nots, sim)
         if key in self._cache:
             self._cache.move_to_end(key)
             return self._cache[key]
@@ -1598,6 +1608,11 @@ class InvertedIndex:
         if collapse_by is not None and prune:
             prune = False
             self.last_prune_stats = {"mode": "collapse_exhaustive"}
+        if sim != "bm25" and prune:
+            # stored TUB/block-max are BM25 bounds — not sound for a
+            # different similarity; serve exhaustively
+            prune = False
+            self.last_prune_stats = {"mode": "tfidf_exhaustive"}
         if after_score is not None and prune:
             # search-after cuts the score domain; the pruned kernel's
             # θ comes from the GLOBAL top-k — serve exhaustively
@@ -1615,13 +1630,15 @@ class InvertedIndex:
             if mask is not None:
                 pmask &= mask
             doc_ids, scores = self._score_terms(set(terms), "OR",
-                                                mask=pmask, wmap=bmap)
+                                                mask=pmask, wmap=bmap,
+                                                sim=sim)
         elif prune and not bmap:
             doc_ids, scores = self._score_terms_pruned(
                 terms, qtype, k, mask=mask)
         else:
             doc_ids, scores = self._score_terms(terms, qtype, mask=mask,
-                                                wmap=bmap, msm=msm)
+                                                wmap=bmap, msm=msm,
+                                                sim=sim)
         if collapse_by is not None and doc_ids.size:
             doc_ids, scores = self._collapse_winners_np(
                 doc_ids, scores, collapse_by)
@@ -1808,7 +1825,26 @@ class InvertedIndex:
         return maxscore_or_topk(lists, self.num_docs, self.avg_doc_len,
                                 k, stats=stats)
 
-    def _score_terms(self, terms, qtype, mask=None, wmap=None, msm=0):
+    def _check_similarity(self, similarity: str) -> str:
+        """Validate the similarity selector (the reference's two
+        scoring functions, ScoringFunctions.java:7-17)."""
+        if similarity not in ("bm25", "tfidf"):
+            raise ValueError(
+                f"similarity must be 'bm25' or 'tfidf' "
+                f"(got {similarity!r})")
+        return similarity
+
+    def _partial_np(self, tf, dl, df, sim: str):
+        """The one per-(term,doc) float partial definition shared by
+        every driver kernel: BM25 (default) or the reference's TFIDF
+        (length-free, ScoringFunctions.java:14-17)."""
+        if sim == "tfidf":
+            return scoring.tfidf_np(tf, df, self.num_docs)
+        return scoring.bm25_np(tf, dl, df, self.num_docs,
+                               self.avg_doc_len)
+
+    def _score_terms(self, terms, qtype, mask=None, wmap=None, msm=0,
+                     sim: str = "bm25"):
         decoded = self._fetch_decoded(terms)
         if (not decoded) or (qtype == "AND" and len(decoded) < len(terms)):
             z = np.zeros(0, dtype=np.int64)
@@ -1824,13 +1860,13 @@ class InvertedIndex:
             all_ids.append(d)
             w = float((wmap or {}).get(t, 1.0))
             if w != 1.0:
-                # u6(w * bm25): same evaluation order as the
-                # distributed boosted plan's u6_col(w_col * bm25_col)
-                all_scores.append(scoring.u6_np(w * scoring.bm25_np(
-                    tf, dl, df, self.num_docs, self.avg_doc_len)))
+                # u6(w * partial): same evaluation order as the
+                # distributed boosted plan's u6_col(w_col * partial)
+                all_scores.append(scoring.u6_np(
+                    w * self._partial_np(tf, dl, df, sim)))
             else:
-                all_scores.append(scoring.bm25_u6_np(
-                    tf, dl, df, self.num_docs, self.avg_doc_len))
+                all_scores.append(scoring.u6_np(
+                    self._partial_np(tf, dl, df, sim)))
         ids = np.concatenate(all_ids)
         sc = np.concatenate(all_scores)
         if ids.size == 0:
@@ -2737,7 +2773,8 @@ class InvertedIndex:
                            slop: int = 0,
                            after_score: float | None = None,
                            min_should_match: int = 0,
-                           collapse_by: str | None = None):
+                           collapse_by: str | None = None,
+                           similarity: str = "bm25"):
         """Same query, pure DataFrame plan; returns a DataFrame
         (doc_no, score) ordered by score desc. Scales to posting lists
         that must never be collected to the driver. ``-term`` tokens
@@ -2800,9 +2837,17 @@ class InvertedIndex:
         ``max(struct(score, -docId))``, so map-side partial
         aggregation applies; no window, one keyed shuffle. Demotes
         ``prune=True`` (collapse removes docs, so the unfiltered θ
-        overshoots; mode=collapse_exhaustive)."""
+        overshoots; mode=collapse_exhaustive).
+
+        ``similarity``: ``"bm25"`` (default) or ``"tfidf"`` — the
+        reference's alternative scoring function
+        (ScoringFunctions.java:14-17; ln(N/df)·(1+ln(tf)), no length
+        normalization). Same plan, one different partial expression.
+        Stored bounds are BM25 bounds, so ``prune=True`` demotes to
+        the exhaustive plan (mode=tfidf_exhaustive)."""
         from pyspark.sql import functions as F
 
+        sim = self._check_similarity(similarity)
         slop = int(slop)
         if slop < 0:
             raise ValueError(f"slop must be >= 0 (got {slop})")
@@ -2825,6 +2870,9 @@ class InvertedIndex:
         if collapse_by is not None and prune:
             prune = False
             self.last_prune_stats = {"mode": "collapse_exhaustive"}
+        if sim != "bm25" and prune:
+            prune = False
+            self.last_prune_stats = {"mode": "tfidf_exhaustive"}
         if after_score is not None and prune:
             prune = False
             self.last_prune_stats = {"mode": "after_exhaustive"}
@@ -2870,11 +2918,16 @@ class InvertedIndex:
         if where is not None:
             exploded = exploded.join(self._allowed_ids_df(where),
                                      "doc_id", "left_semi")
-        bm25 = scoring.bm25_col(F.col("tf"), F.col("dl"), F.col("df"),
-                                F.lit(float(self.num_docs)),
-                                F.lit(self.avg_doc_len))
+        if sim == "tfidf":
+            part = scoring.tfidf_col(F.col("tf"), F.col("df"),
+                                     F.lit(float(self.num_docs)))
+        else:
+            part = scoring.bm25_col(F.col("tf"), F.col("dl"),
+                                    F.col("df"),
+                                    F.lit(float(self.num_docs)),
+                                    F.lit(self.avg_doc_len))
         scored = exploded.withColumn(
-            "partial", scoring.weighted_u6_col(bm25, bmap))
+            "partial", scoring.weighted_u6_col(part, bmap))
         agg = (scored.groupBy("doc_id")
                .agg(F.sum("partial").alias("score_u6"),
                     F.count("*").alias("nt")))
@@ -3485,15 +3538,18 @@ class InvertedIndex:
         return out, leftover
 
     # -- batch (TREC-run style) -------------------------------------------
-    def batch_search(self, queries, k: int = 100, prune: bool = False):
+    def batch_search(self, queries, k: int = 100, prune: bool = False,
+                     similarity: str = "bm25"):
         """Sequential exact-path batch: [(qid, query)] → list of
         (qid, rank, doc_no, score); mirrors QueryProcessorTest.java:76-108.
         ``prune=True`` routes each query through the dynamic-pruning
-        kernels (same opt-in semantics as :meth:`search`)."""
+        kernels (same opt-in semantics as :meth:`search`);
+        ``similarity`` selects the scoring function per run."""
         out = []
         for qid, q in queries:
             try:
-                res = self.search(q, k, prune=prune)
+                res = self.search(q, k, prune=prune,
+                                  similarity=similarity)
             except ValueError:
                 continue
             for rank, (doc_no, score) in enumerate(res, start=1):
@@ -3501,9 +3557,10 @@ class InvertedIndex:
         return out
 
     def trec_run_lines(self, queries, k: int = 100, tag: str = "01",
-                       prune: bool = False):
+                       prune: bool = False, similarity: str = "bm25"):
         """TREC run format 'qid Q0 docno rank score tag'
         (QueryProcessorTest.java:100-103)."""
         return [f"{qid} Q0 {doc_no} {rank} {score} {tag}"
                 for qid, rank, doc_no, score
-                in self.batch_search(queries, k, prune=prune)]
+                in self.batch_search(queries, k, prune=prune,
+                                     similarity=similarity)]

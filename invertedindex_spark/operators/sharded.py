@@ -250,7 +250,8 @@ class ShardedIndex:
                            slop: int = 0,
                            after_score: float | None = None,
                            min_should_match: int = 0,
-                           collapse_by: str | None = None):
+                           collapse_by: str | None = None,
+                           similarity: str = "bm25"):
         """[AND|OR|PHRASE] term1 … termN (incl. ``term*`` / ``term~``
         rewrites) → DataFrame (doc_no, score) ordered by score desc —
         the single-warehouse :meth:`InvertedIndex.search_distributed`
@@ -266,9 +267,13 @@ class ShardedIndex:
         unchanged); ``collapse_by=col`` field collapsing over the
         GLOBAL attribute table (winner-per-key runs on the gathered
         per-doc scores, so a key spanning shards still yields exactly
-        one global winner — max is associative across shards)."""
+        one global winner — max is associative across shards);
+        ``similarity="tfidf"`` the reference's alternative scoring
+        function over the GLOBAL blended dfs (length-free, so
+        scatter-gather composes identically)."""
         from pyspark.sql import functions as F
 
+        sim = self.idxs[0]._check_similarity(similarity)
         slop = int(slop)
         if slop < 0:
             raise ValueError(f"slop must be >= 0 (got {slop})")
@@ -300,11 +305,16 @@ class ShardedIndex:
         gdf = self._global_df(present)
         gdf_df = F.broadcast(self.spark.createDataFrame(
             sorted(gdf.items()), "term string, gdf long"))
-        bm25 = scoring.bm25_col(F.col("tf"), F.col("dl"), F.col("gdf"),
-                                F.lit(float(self.num_docs)),
-                                F.lit(self.avg_doc_len))
+        if sim == "tfidf":
+            part = scoring.tfidf_col(F.col("tf"), F.col("gdf"),
+                                     F.lit(float(self.num_docs)))
+        else:
+            part = scoring.bm25_col(F.col("tf"), F.col("dl"),
+                                    F.col("gdf"),
+                                    F.lit(float(self.num_docs)),
+                                    F.lit(self.avg_doc_len))
         scored = u.join(gdf_df, "term").withColumn(
-            "partial", scoring.weighted_u6_col(bm25, bmap))
+            "partial", scoring.weighted_u6_col(part, bmap))
         agg = (scored.groupBy("doc_id")
                .agg(F.sum("partial").alias("score_u6"),
                     F.count("*").alias("nt")))

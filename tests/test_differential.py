@@ -225,7 +225,7 @@ RANKED_QUERIES = ["bm25_topk_or", "bm25_topk_and", "bm25_topk_filtered",
                   "facet_counts", "did_you_mean", "bm25_topk_fuzzy",
                   "sharded_topk", "bm25_topk_boosted", "score_explain",
                   "bm25_topk_synonyms", "fielded_topk", "bm25_topk_msm",
-                  "bm25_topk_collapse", "bm25_topk_not"]
+                  "bm25_topk_collapse", "bm25_topk_not", "tfidf_topk"]
 
 
 def test_differential_duplicate_texts_in_topk(spark, duck, tmp_path):
