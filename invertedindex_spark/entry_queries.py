@@ -2105,6 +2105,107 @@ SELECT doc_id, n_words, mean_word_len_u6, alpha_word_ratio_u6,
 FROM u"""
 
 
+def _newline_augmented_docs(spark, sf_dir):
+    """documents with deterministic line/paragraph structure planted
+    by doc_id % 3 (dup lines / dup paragraphs / untouched) — the sf
+    tables are single-line, so an un-augmented repetition filter
+    would verify only the all-zeros path. Replicated literally in the
+    oracle CTE (same substr head, same separators)."""
+    from pyspark.sql import functions as F
+
+    d = _docs_df(spark, sf_dir)
+    base = F.coalesce(F.col("text"), F.lit(""))
+    head = F.substring(base, 1, 24)
+    aug = (F.when(F.col("doc_id") % 3 == 0,
+                  F.concat(head, F.lit("\n"), head, F.lit("\n\n"),
+                           base))
+           .when(F.col("doc_id") % 3 == 1,
+                 F.concat(head, F.lit("\n\n"), head, F.lit("\n\n"),
+                          base, F.lit(" x")))
+           .otherwise(base))
+    return d.select("doc_id", aug.alias("text"))
+
+
+def q_repetition_signals(spark, sf_dir):
+    """Gopher A1.1 repetition filters (Rae et al. 2021 Table A1):
+    duplicate-line / duplicate-paragraph fractions and their character
+    fractions, thresholds on micro-unit ints — the line-structure
+    complement to gopher_quality's n-gram signals
+    (operators/quality.py::repetition_signals)."""
+    from .operators.quality import repetition_signals
+    return repetition_signals(_newline_augmented_docs(spark, sf_dir))
+
+
+def sql_repetition_signals():
+    from .operators.quality import REPETITION_DEFAULTS
+    th = REPETITION_DEFAULTS
+    return r"""
+WITH d0 AS (
+  SELECT doc_id, COALESCE(text, '') AS base FROM documents),
+a0 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN
+                substr(base, 1, 24) || chr(10) || substr(base, 1, 24)
+                || chr(10) || chr(10) || base
+              WHEN doc_id % 3 = 1 THEN
+                substr(base, 1, 24) || chr(10) || chr(10)
+                || substr(base, 1, 24) || chr(10) || chr(10)
+                || base || ' x'
+              ELSE base END AS aug
+  FROM d0),
+a AS (SELECT doc_id, aug FROM a0 WHERE length(aug) > 0),
+lines AS (
+  SELECT doc_id, unnest(list_filter(string_split(aug, chr(10)),
+                                    x -> length(x) > 0)) AS u
+  FROM a),
+lc AS (SELECT doc_id, u, count(*) AS cnt FROM lines
+       GROUP BY doc_id, u),
+lstat AS (
+  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_lines,
+    CAST(sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS BIGINT)
+      AS dup_lines,
+    CAST(sum(CASE WHEN cnt >= 2 THEN cnt * length(u) ELSE 0 END)
+         AS BIGINT) AS dup_lines_chars,
+    CAST(sum(cnt * length(u)) AS BIGINT) AS total_lines_chars
+  FROM lc GROUP BY doc_id),
+paras AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(aug, '\n{2,}'),
+                            x -> length(x) > 0)) AS u
+  FROM a),
+pc AS (SELECT doc_id, u, count(*) AS cnt FROM paras
+       GROUP BY doc_id, u),
+pstat AS (
+  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_paras,
+    CAST(sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS BIGINT)
+      AS dup_paras,
+    CAST(sum(CASE WHEN cnt >= 2 THEN cnt * length(u) ELSE 0 END)
+         AS BIGINT) AS dup_paras_chars,
+    CAST(sum(cnt * length(u)) AS BIGINT) AS total_paras_chars
+  FROM pc GROUP BY doc_id),
+u AS (
+  SELECT l.doc_id, n_lines,
+    CAST(round((dup_lines::DOUBLE / n_lines) * 1e6) AS BIGINT)
+      AS dup_line_frac_u6,
+    CAST(round((dup_lines_chars::DOUBLE / total_lines_chars) * 1e6)
+         AS BIGINT) AS dup_line_char_frac_u6,
+    n_paras,
+    CAST(round((dup_paras::DOUBLE / n_paras) * 1e6) AS BIGINT)
+      AS dup_para_frac_u6,
+    CAST(round((dup_paras_chars::DOUBLE / total_paras_chars) * 1e6)
+         AS BIGINT) AS dup_para_char_frac_u6
+  FROM lstat l JOIN pstat USING (doc_id))
+SELECT doc_id, n_lines, dup_line_frac_u6, dup_line_char_frac_u6,
+       n_paras, dup_para_frac_u6, dup_para_char_frac_u6,
+""" + f"""       (dup_line_frac_u6 <= {th['max_dup_line_frac_u6']}
+        AND dup_para_frac_u6 <= {th['max_dup_para_frac_u6']}
+        AND dup_line_char_frac_u6
+            <= {th['max_dup_line_char_frac_u6']}
+        AND dup_para_char_frac_u6
+            <= {th['max_dup_para_char_frac_u6']}) AS repetition_keep
+FROM u"""
+
+
 def q_lm_perplexity(spark, sf_dir):
     """CCNet-style bigram-LM quality signal: per-doc average bigram
     negative log-likelihood under an add-one-smoothed LM trained on
@@ -3477,6 +3578,7 @@ def extra_queries():
         "bm25_topk_msm": q_bm25_topk_msm,
         "bm25_topk_not": q_bm25_topk_not,
         "tfidf_topk": q_tfidf_topk,
+        "repetition_signals": q_repetition_signals,
         "bm25_topk_collapse": q_bm25_topk_collapse,
         "match_count": q_match_count,
         "bm25_topk_prefix": q_bm25_topk_prefix,
@@ -3510,6 +3612,7 @@ def extra_oracle_sql(query_vec=None, sf_dir=None):
         "bm25_topk_msm": sql_bm25_topk_msm(),
         "bm25_topk_not": sql_bm25_topk_not(),
         "tfidf_topk": sql_tfidf_topk(),
+        "repetition_signals": sql_repetition_signals(),
         "bm25_topk_collapse": sql_bm25_topk_collapse(),
         "match_count": sql_match_count(),
         "bm25_topk_prefix": sql_bm25_topk_prefix(),

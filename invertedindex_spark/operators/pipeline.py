@@ -30,7 +30,9 @@ DEFAULT_MIN_QUALITY_U6 = 450_000   # quality < 0.45 → low_quality
 
 
 def clean_corpus(df, min_quality_u6: int = DEFAULT_MIN_QUALITY_U6,
-                 keep_langs: tuple = ("en",), near_dup: dict | None = None):
+                 keep_langs: tuple = ("en",),
+                 near_dup: dict | None = None,
+                 repetition: dict | None = None):
     """documents(doc_id, text) → (doc_id, reason) for every row.
 
     ``near_dup``: optional MinHash-LSH near-duplicate stage, e.g.
@@ -43,8 +45,16 @@ def clean_corpus(df, min_quality_u6: int = DEFAULT_MIN_QUALITY_U6,
     similar to two mutually-dissimilar docs drops only itself; for
     cluster-level keep-one-per-component semantics run
     :func:`operators.dedup.near_dup_components` and drop every doc
-    whose component_id != doc_id instead. Rule order: empty >
-    exact_dup > near_dup > low_quality > lang.
+    whose component_id != doc_id instead.
+
+    ``repetition``: optional Gopher A1.1 line/paragraph repetition
+    stage (``{}`` for the paper thresholds, or any
+    :data:`operators.quality.REPETITION_DEFAULTS` override) — docs
+    failing ``repetition_keep`` get verdict ``repetitive``. Two extra
+    (doc_id, unit) count shuffles, nothing all-pairs.
+
+    Rule order: empty > exact_dup > near_dup > repetitive >
+    low_quality > lang.
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
@@ -117,9 +127,24 @@ def clean_corpus(df, min_quality_u6: int = DEFAULT_MIN_QUALITY_U6,
     else:
         near_dup_hit = F.lit(False)
 
+    if repetition is not None:
+        from .quality import repetition_signals
+
+        rep = (repetition_signals(df, **repetition)
+               .where(~F.col("repetition_keep"))
+               .select("doc_id")
+               .withColumn("is_repetitive", F.lit(True)))
+        # un-hinted join for the same reason as the near-dup drops:
+        # the repetitive set is data-proportional
+        scalars = scalars.join(rep, "doc_id", "left")
+        rep_hit = F.coalesce(F.col("is_repetitive"), F.lit(False))
+    else:
+        rep_hit = F.lit(False)
+
     reason = (F.when(F.col("is_empty"), "empty")
               .when(F.col("is_exact_dup"), "exact_dup")
               .when(near_dup_hit, "near_dup")
+              .when(rep_hit, "repetitive")
               .when(F.col("quality_u6") < min_quality_u6, "low_quality")
               .when(~F.col("pred").isin(*keep_langs), "lang")
               .otherwise("kept"))

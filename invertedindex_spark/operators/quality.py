@@ -47,6 +47,16 @@ DEFAULTS = dict(
     max_dup5gram_frac_u6=150_000,
 )
 
+# Gopher A1.1 repetition thresholds (Rae et al. 2021, Table A1):
+# documents are removed when too much of their line/paragraph
+# structure repeats verbatim
+REPETITION_DEFAULTS = dict(
+    max_dup_line_frac_u6=300_000,        # <= 0.30
+    max_dup_para_frac_u6=300_000,        # <= 0.30
+    max_dup_line_char_frac_u6=200_000,   # <= 0.20
+    max_dup_para_char_frac_u6=200_000,   # <= 0.20
+)
+
 
 def _words_col(text):
     from pyspark.sql import functions as F
@@ -130,3 +140,86 @@ def gopher_quality(df, **thresholds):
         & (F.col("top2gram_frac_u6") <= th["max_top2gram_frac_u6"])
         & (F.col("dup5gram_frac_u6") <= th["max_dup5gram_frac_u6"]))
     return out.withColumn("gopher_keep", keep)
+
+
+def _dup_unit_stats(d, unit_col, prefix: str):
+    """(doc_id, n_<p>, dup_<p>, dup_<p>_chars, total_<p>_chars) for an
+    exploded unit column (lines or paragraphs): one (doc_id, unit)
+    count shuffle, duplicates = units occurring >= 2 times COUNTING
+    ALL their occurrences (the Gopher convention)."""
+    from pyspark.sql import functions as F
+
+    per = (d.select("doc_id", F.explode(unit_col).alias("u"))
+           .groupBy("doc_id", "u").agg(F.count("*").alias("cnt")))
+    dup = F.when(F.col("cnt") >= 2, F.col("cnt")).otherwise(F.lit(0))
+    return (per.groupBy("doc_id").agg(
+        F.sum("cnt").alias(f"n_{prefix}"),
+        F.sum(dup).alias(f"dup_{prefix}"),
+        F.sum(dup * F.length("u")).alias(f"dup_{prefix}_chars"),
+        F.sum(F.col("cnt") * F.length("u"))
+        .alias(f"total_{prefix}_chars")))
+
+
+def repetition_signals(df, **thresholds):
+    """Gopher A1.1 repetition filters (Rae et al. 2021, Table A1) —
+    the line/paragraph-structure complement to :func:`gopher_quality`'s
+    n-gram signals: (doc_id, n_lines, dup_line_frac_u6,
+    dup_line_char_frac_u6, n_paras, dup_para_frac_u6,
+    dup_para_char_frac_u6, repetition_keep) for every doc with at
+    least one non-empty line.
+
+    Definitions (micro-unit integers so a float ulp can never flip a
+    verdict, the same recipe as gopher_quality):
+
+    * lines = non-empty ``\\n``-separated segments; paragraphs =
+      non-empty ``\\n{2,}``-separated segments (blank-line runs).
+    * ``dup_*_frac`` = occurrences of units appearing >= 2 times
+      (counting ALL their occurrences) / total units.
+    * ``dup_*_char_frac`` = characters of those occurrences / total
+      unit characters.
+    * ``repetition_keep`` = AND of the four Gopher thresholds
+      (0.30 / 0.30 line/para frac, 0.20 / 0.20 char frac).
+
+    Scale shape: two (doc_id, unit) count shuffles (lines,
+    paragraphs) — O(total lines), strictly below the posting build's
+    (doc_id, term) volume; no joins beyond doc_id, no windows,
+    nothing all-pairs."""
+    from pyspark.sql import functions as F
+
+    th = {**REPETITION_DEFAULTS, **thresholds}
+
+    d = df.where(F.col("text").isNotNull() & (F.length("text") > 0))
+    lines = F.filter(F.split("text", "\n", -1),
+                     lambda x: F.length(x) > 0)
+    paras = F.filter(F.split("text", "\n{2,}", -1),
+                     lambda x: F.length(x) > 0)
+    d = d.select("doc_id", lines.alias("lines"), paras.alias("paras"))
+    d = d.where(F.size("lines") > 0)
+
+    ls = _dup_unit_stats(d, "lines", "lines")
+    ps = _dup_unit_stats(d, "paras", "paras")
+    j = ls.join(ps, "doc_id", "left")
+
+    def u6(c):
+        return F.round(c * 1e6).cast("long")
+
+    return j.select(
+        "doc_id",
+        F.col("n_lines"),
+        u6(F.col("dup_lines") / F.col("n_lines"))
+        .alias("dup_line_frac_u6"),
+        u6(F.col("dup_lines_chars") / F.col("total_lines_chars"))
+        .alias("dup_line_char_frac_u6"),
+        F.col("n_paras"),
+        u6(F.col("dup_paras") / F.col("n_paras"))
+        .alias("dup_para_frac_u6"),
+        u6(F.col("dup_paras_chars") / F.col("total_paras_chars"))
+        .alias("dup_para_char_frac_u6"),
+    ).withColumn(
+        "repetition_keep",
+        (F.col("dup_line_frac_u6") <= th["max_dup_line_frac_u6"])
+        & (F.col("dup_para_frac_u6") <= th["max_dup_para_frac_u6"])
+        & (F.col("dup_line_char_frac_u6")
+           <= th["max_dup_line_char_frac_u6"])
+        & (F.col("dup_para_char_frac_u6")
+           <= th["max_dup_para_char_frac_u6"]))

@@ -594,3 +594,34 @@ def test_curate_cli_end_to_end(spark, tmp_path, capsys):
     assert 100 not in [r["doc_id"] for r in kept.collect()]
     reports = [x for x in lines[:-1] if "n_docs" in x]
     assert {r["source"] for r in reports} <= {"web", "wiki"}
+
+
+def test_clean_corpus_repetition_stage(spark):
+    """The optional Gopher A1.1 repetition verdict: a doc whose line
+    structure repeats past the paper thresholds drops as 'repetitive';
+    rule order puts exact_dup above it and repetition above
+    low_quality."""
+    from invertedindex_spark.operators.pipeline import clean_corpus
+
+    boiler = "\n".join(["subscribe to our newsletter today"] * 8
+                       + ["unique content sentence here"])
+    normal = ("spark engine builds the inverted index with arrow "
+              "batches and codecs\nand this second line differs")
+    rows = [(0, normal), (1, boiler), (2, boiler)]  # 2 = exact dup
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["reason"]
+           for r in clean_corpus(df, min_quality_u6=0,
+                                 repetition={}).collect()}
+    assert got == {0: "kept", 1: "repetitive", 2: "exact_dup"}
+    # stage off by default: same corpus keeps the boilerplate doc
+    off = {r["doc_id"]: r["reason"]
+           for r in clean_corpus(df, min_quality_u6=0).collect()}
+    assert off[1] == "kept"
+    # threshold override flows through
+    loose = {r["doc_id"]: r["reason"] for r in clean_corpus(
+        df, min_quality_u6=0,
+        repetition=dict(max_dup_line_frac_u6=1_000_000,
+                        max_dup_line_char_frac_u6=1_000_000,
+                        max_dup_para_frac_u6=1_000_000,
+                        max_dup_para_char_frac_u6=1_000_000)).collect()}
+    assert loose[1] == "kept"

@@ -76,3 +76,53 @@ def test_matches_duckdb_oracle_sf0001(spark, sf0001_dir, name):
                    for r in res.fetchall())
     assert len(srows) > 0
     assert srows == drows
+
+
+def test_line_paragraph_repetition_crafted(spark):
+    from invertedindex_spark.operators.quality import repetition_signals
+
+    docs = [
+        # 4 lines, 'dup' twice: dup_line_frac = 2/4; one paragraph
+        # block structure: 'dup\ndup' + blank + 'a longer line\nb'
+        (1, "dup\ndup\n\na longer line\nb"),
+        # two identical paragraphs + a distinct one
+        (2, "para one here\n\npara one here\n\nunique tail"),
+        # single line, no structure: all fractions 0, keep
+        (3, "just one line of text"),
+        # empty lines only: dropped entirely
+        (4, "\n\n\n"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    r = {x["doc_id"]: x.asDict()
+         for x in repetition_signals(df).collect()}
+
+    assert set(r) == {1, 2, 3}
+    assert r[1]["n_lines"] == 4
+    assert r[1]["dup_line_frac_u6"] == 500_000        # 2/4
+    # chars: dup 3+3=6 of total 3+3+13+1=20
+    assert r[1]["dup_line_char_frac_u6"] == 300_000
+    assert r[1]["n_paras"] == 2                        # no dup paras
+    assert r[1]["dup_para_frac_u6"] == 0
+    assert r[1]["repetition_keep"] is False            # line frac 0.5
+
+    assert r[2]["n_paras"] == 3
+    assert r[2]["dup_para_frac_u6"] == 666_667         # 2/3
+    assert r[2]["dup_para_char_frac_u6"] == 702_703    # 26/(26+11)
+    # its 3 lines are exactly its paragraphs: dup lines 2/3 > 0.30
+    assert r[2]["repetition_keep"] is False
+
+    assert r[3]["n_lines"] == 1 and r[3]["n_paras"] == 1
+    assert r[3]["dup_line_frac_u6"] == 0
+    assert r[3]["repetition_keep"] is True
+
+
+def test_repetition_thresholds_overridable(spark):
+    from invertedindex_spark.operators.quality import repetition_signals
+
+    df = spark.createDataFrame(
+        [(1, "x\nx\ny\nz")], "doc_id long, text string")
+    strict = repetition_signals(df, max_dup_line_frac_u6=400_000)
+    assert strict.collect()[0]["repetition_keep"] is False
+    loose = repetition_signals(df, max_dup_line_frac_u6=600_000,
+                               max_dup_line_char_frac_u6=600_000)
+    assert loose.collect()[0]["repetition_keep"] is True
