@@ -1034,6 +1034,60 @@ SELECT row_number() OVER (ORDER BY score_u6 DESC) AS rank, d.doc_no,
 FROM dedup JOIN docs d USING (doc_id)"""
 
 
+RANK_FEATURE_W = 0.05
+
+
+def q_bm25_topk_ranked(spark, sf_dir):
+    """Static rank feature (Elasticsearch ``rank_feature``): the
+    flagship OR query with each doc's text score boosted by
+    w·ln(1 + n_chars) — a document-priority prior (here: length)
+    fused in the u6 domain before tie-dedup. One (doc_id, double)
+    left join after the per-doc aggregation; postings never ride the
+    join."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    idx = get_index(spark, sf_dir)
+    idx.set_attributes(
+        _docs_df(spark, sf_dir).select("doc_id", "n_chars"),
+        key="doc_id")
+    res = idx.search_distributed(
+        "OR " + " ".join(OR_TERMS), k=K,
+        rank_boost=("n_chars", RANK_FEATURE_W))
+    w = Window.orderBy(F.desc("score"))
+    return res.select(F.row_number().over(w).alias("rank"), "doc_no",
+                      _u6(F.col("score")).alias("score_u6"))
+
+
+def sql_bm25_topk_ranked(k: int = K) -> str:
+    tlist = ", ".join(f"'{t}'" for t in OR_TERMS)
+    return _base_cte() + f""",
+scores AS (
+  SELECT tf.doc_id, CAST(sum({_bm25_u6_expr()}) AS BIGINT) AS score_u6
+  FROM tf JOIN lex USING (term) CROSS JOIN stats
+  WHERE tf.term IN ({tlist})
+  GROUP BY tf.doc_id
+), feat AS (
+  SELECT d.doc_id,
+         greatest(CAST(dd.n_chars AS DOUBLE), 0.0) AS fval
+  FROM docs d JOIN documents dd
+    ON CAST(dd.doc_id AS VARCHAR) = d.doc_no
+  WHERE dd.n_chars IS NOT NULL
+), boosted AS (
+  SELECT s.doc_id,
+         s.score_u6 + COALESCE(CAST(floor(
+           ({RANK_FEATURE_W} * ln(1 + f.fval)) * 1e6 + 0.5)
+           AS BIGINT), 0) AS score_u6
+  FROM scores s LEFT JOIN feat f USING (doc_id)
+), dedup AS (
+  SELECT score_u6, min(doc_id) AS doc_id
+  FROM boosted GROUP BY score_u6
+  ORDER BY score_u6 DESC LIMIT {k}
+)
+SELECT row_number() OVER (ORDER BY score_u6 DESC) AS rank, d.doc_no,
+       score_u6
+FROM dedup JOIN docs d USING (doc_id)"""
+
+
 NOT_TERM = "scan"
 
 
@@ -3579,6 +3633,7 @@ def extra_queries():
         "bm25_topk_not": q_bm25_topk_not,
         "tfidf_topk": q_tfidf_topk,
         "repetition_signals": q_repetition_signals,
+        "bm25_topk_ranked": q_bm25_topk_ranked,
         "bm25_topk_collapse": q_bm25_topk_collapse,
         "match_count": q_match_count,
         "bm25_topk_prefix": q_bm25_topk_prefix,
@@ -3613,6 +3668,7 @@ def extra_oracle_sql(query_vec=None, sf_dir=None):
         "bm25_topk_not": sql_bm25_topk_not(),
         "tfidf_topk": sql_tfidf_topk(),
         "repetition_signals": sql_repetition_signals(),
+        "bm25_topk_ranked": sql_bm25_topk_ranked(),
         "bm25_topk_collapse": sql_bm25_topk_collapse(),
         "match_count": sql_match_count(),
         "bm25_topk_prefix": sql_bm25_topk_prefix(),

@@ -201,6 +201,7 @@ class InvertedIndex:
         self._filter_masks: OrderedDict = OrderedDict()
         self._filter_masks_size = 32
         self._collapse_key_arrays: dict = {}
+        self._rank_feature_arrays: dict = {}
         # driver-memory guardrail: above this term count the full
         # lexicon map and the term→row-group index are NOT built (the
         # reference mmaps a 77 MB lexicon; at web scale — 10⁸⁺ terms —
@@ -1241,11 +1242,16 @@ class InvertedIndex:
         stay collection-global — a filter restricts WHICH documents
         may appear in the top-k, not how the survivors are scored, so
         the same doc scores identically under every filter.
-        Registering a new table drops cached filter masks."""
+        Registering a new table drops cached filter masks, warm
+        attribute arrays, AND cached query results — a result served
+        under the old table (where= / collapse_by= / rank_boost=)
+        would silently survive the swap otherwise."""
         self._attrs_df = attrs_df
         self._attrs_key = key
         self._filter_masks.clear()
         self._collapse_key_arrays.clear()
+        self._rank_feature_arrays.clear()
+        self._cache.clear()
 
     def _allowed_ids_df(self, where: str):
         """DataFrame[doc_id] matching ``where`` — pure Spark (filter
@@ -1263,6 +1269,55 @@ class InvertedIndex:
              .select(F.col(self._attrs_key).cast("string")
                      .alias("doc_no")))
         return self.docs.join(a, "doc_no").select("doc_id")
+
+    def _rank_feature_df(self, col: str):
+        """DataFrame[doc_id, fval] — each doc's non-negative rank
+        feature (NULL-safe: missing rows/values simply contribute no
+        boost). Same attrs-join shape as :meth:`_allowed_ids_df`, so
+        the distributed plan holds at cluster scale."""
+        from pyspark.sql import functions as F
+
+        if self._attrs_df is None:
+            raise ValueError(
+                "rank_boost= requires set_attributes(attrs_df) "
+                "before searching")
+        if col not in self._attrs_df.columns:
+            raise ValueError(
+                f"rank_boost column {col!r}: no such attribute "
+                f"column (have {self._attrs_df.columns})")
+        a = self._attrs_df.select(
+            F.col(self._attrs_key).cast("string").alias("doc_no"),
+            F.greatest(F.col(col).cast("double"), F.lit(0.0))
+            .alias("fval"))
+        return (self.docs.join(a, "doc_no")
+                .where(F.col("fval").isNotNull())
+                .select("doc_id", "fval"))
+
+    def _rank_feature_array(self, col: str):
+        """Driver-side warm twin of :meth:`_rank_feature_df`:
+        num_docs float64 values (0.0 where absent) — the same
+        driver-memory class as the warm doc_len array the exact
+        kernels already require."""
+        hit = self._rank_feature_arrays.get(col)
+        if hit is not None:
+            return hit
+        df = self._rank_feature_df(col)
+        try:
+            tbl = df.toArrow()
+            ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+            vals = tbl.column("fval").to_numpy(zero_copy_only=False)
+        except Exception:
+            rows = df.collect()
+            ids = np.array([r["doc_id"] for r in rows], dtype=np.int64)
+            vals = np.array([r["fval"] for r in rows],
+                            dtype=np.float64)
+        arr = np.zeros(self.num_docs, dtype=np.float64)
+        if ids.size:
+            ids = ids.astype(np.int64)
+            keep = ids < self.num_docs
+            arr[ids[keep]] = vals[keep]
+        self._rank_feature_arrays[col] = arr
+        return arr
 
     def _collapse_keys_df(self, by: str):
         """DataFrame[doc_id, ckey] — each doc's collapse-key attribute
@@ -1521,7 +1576,8 @@ class InvertedIndex:
                after_score: float | None = None,
                min_should_match: int = 0,
                collapse_by: str | None = None,
-               similarity: str = "bm25"):
+               similarity: str = "bm25",
+               rank_boost: tuple | None = None):
         """[AND|OR] term1 … termN → [(doc_no, score)] descending.
         A ``-term`` token is a Lucene MUST_NOT clause: docs holding
         it never rank; scoring stays over the positive terms.
@@ -1584,7 +1640,7 @@ class InvertedIndex:
         key = (qtype,
                tuple(terms) if qtype == "PHRASE" else frozenset(terms),
                k, prune, where, frozenset(bmap.items()), after_score,
-               msm, collapse_by, nots, sim)
+               msm, collapse_by, nots, sim, rank_boost)
         if key in self._cache:
             self._cache.move_to_end(key)
             return self._cache[key]
@@ -1613,6 +1669,11 @@ class InvertedIndex:
             # different similarity; serve exhaustively
             prune = False
             self.last_prune_stats = {"mode": "tfidf_exhaustive"}
+        if rank_boost is not None and prune:
+            # the static boost can promote a doc past the text-score
+            # θ, so the pruned kernels' threshold is unsound here
+            prune = False
+            self.last_prune_stats = {"mode": "rank_boost_exhaustive"}
         if after_score is not None and prune:
             # search-after cuts the score domain; the pruned kernel's
             # θ comes from the GLOBAL top-k — serve exhaustively
@@ -1639,6 +1700,14 @@ class InvertedIndex:
             doc_ids, scores = self._score_terms(terms, qtype, mask=mask,
                                                 wmap=bmap, msm=msm,
                                                 sim=sim)
+        if rank_boost is not None and doc_ids.size:
+            col_name, w = rank_boost
+            fv = self._rank_feature_array(col_name)
+            # same expression tree as the distributed plan / oracle:
+            # u6(w * ln(1 + fval)) — log(1+x), NOT log1p (last-ulp
+            # parity across engines)
+            scores = scores + scoring.u6_np(
+                float(w) * np.log(1.0 + fv[doc_ids]))
         if collapse_by is not None and doc_ids.size:
             doc_ids, scores = self._collapse_winners_np(
                 doc_ids, scores, collapse_by)
@@ -2774,7 +2843,8 @@ class InvertedIndex:
                            after_score: float | None = None,
                            min_should_match: int = 0,
                            collapse_by: str | None = None,
-                           similarity: str = "bm25"):
+                           similarity: str = "bm25",
+                           rank_boost: tuple | None = None):
         """Same query, pure DataFrame plan; returns a DataFrame
         (doc_no, score) ordered by score desc. Scales to posting lists
         that must never be collected to the driver. ``-term`` tokens
@@ -2844,7 +2914,16 @@ class InvertedIndex:
         (ScoringFunctions.java:14-17; ln(N/df)·(1+ln(tf)), no length
         normalization). Same plan, one different partial expression.
         Stored bounds are BM25 bounds, so ``prune=True`` demotes to
-        the exhaustive plan (mode=tfidf_exhaustive)."""
+        the exhaustive plan (mode=tfidf_exhaustive).
+
+        ``rank_boost=(col, w)`` (Elasticsearch ``rank_feature``;
+        needs :meth:`set_attributes`): adds ``u6(w · ln(1 +
+        max(attr, 0)))`` to each matching doc's aggregated text score
+        — one left join against the attribute scan AFTER the per-doc
+        aggregation (so the join moves (doc_id, double) pairs, never
+        postings), BEFORE tie-dedup / collapse / pagination. Demotes
+        ``prune=True`` (mode=rank_boost_exhaustive: the boost can
+        promote docs past the text-score θ)."""
         from pyspark.sql import functions as F
 
         sim = self._check_similarity(similarity)
@@ -2873,6 +2952,9 @@ class InvertedIndex:
         if sim != "bm25" and prune:
             prune = False
             self.last_prune_stats = {"mode": "tfidf_exhaustive"}
+        if rank_boost is not None and prune:
+            prune = False
+            self.last_prune_stats = {"mode": "rank_boost_exhaustive"}
         if after_score is not None and prune:
             prune = False
             self.last_prune_stats = {"mode": "after_exhaustive"}
@@ -2937,6 +3019,17 @@ class InvertedIndex:
             # nt counts one row per (term, doc) of the selective
             # decode = distinct matched query terms per doc
             agg = agg.where(F.col("nt") >= msm)
+        if rank_boost is not None:
+            col_name, w = rank_boost
+            extra = scoring.u6_col(
+                F.lit(float(w)) * F.log(F.lit(1.0) + F.col("fval")))
+            agg = (agg.join(self._rank_feature_df(col_name),
+                            "doc_id", "left")
+                   .withColumn(
+                       "score_u6",
+                       F.col("score_u6")
+                       + F.coalesce(extra, F.lit(0).cast("long")))
+                   .drop("fval"))
         if collapse_by is not None:
             agg = self._collapse_winners_df(agg, collapse_by)
         if after_score is not None:

@@ -225,7 +225,8 @@ RANKED_QUERIES = ["bm25_topk_or", "bm25_topk_and", "bm25_topk_filtered",
                   "facet_counts", "did_you_mean", "bm25_topk_fuzzy",
                   "sharded_topk", "bm25_topk_boosted", "score_explain",
                   "bm25_topk_synonyms", "fielded_topk", "bm25_topk_msm",
-                  "bm25_topk_collapse", "bm25_topk_not", "tfidf_topk"]
+                  "bm25_topk_collapse", "bm25_topk_not", "tfidf_topk",
+                  "bm25_topk_ranked"]
 
 
 def test_differential_duplicate_texts_in_topk(spark, duck, tmp_path):
@@ -260,7 +261,9 @@ def test_differential_duplicate_texts_in_topk(spark, duck, tmp_path):
                   "text": pa.array(texts, pa.string()),
                   "lang": pa.array(["en" if i % 3 else "de"
                                     for i in range(n)], pa.string()),
-                  "source": pa.array(["web"] * n, pa.string())}),
+                  "source": pa.array(["web"] * n, pa.string()),
+                  "n_chars": pa.array([len(t) for t in texts],
+                                      pa.int64())}),
         str(tmp_path / "documents.parquet"))
     sf_dir = str(tmp_path)
     duck.execute(
