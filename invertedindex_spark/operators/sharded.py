@@ -251,7 +251,8 @@ class ShardedIndex:
                            after_score: float | None = None,
                            min_should_match: int = 0,
                            collapse_by: str | None = None,
-                           similarity: str = "bm25"):
+                           similarity: str = "bm25",
+                           rank_boost: tuple | None = None):
         """[AND|OR|PHRASE] term1 … termN (incl. ``term*`` / ``term~``
         rewrites) → DataFrame (doc_no, score) ordered by score desc —
         the single-warehouse :meth:`InvertedIndex.search_distributed`
@@ -270,7 +271,11 @@ class ShardedIndex:
         one global winner — max is associative across shards);
         ``similarity="tfidf"`` the reference's alternative scoring
         function over the GLOBAL blended dfs (length-free, so
-        scatter-gather composes identically)."""
+        scatter-gather composes identically);
+        ``rank_boost=(col, w)`` the Elasticsearch rank_feature prior
+        — one left join of the gathered (doc_id, score) aggregates
+        against the GLOBAL attribute table, fused before tie-dedup
+        exactly like the single-warehouse plan."""
         from pyspark.sql import functions as F
 
         sim = self.idxs[0]._check_similarity(similarity)
@@ -322,6 +327,32 @@ class ShardedIndex:
             agg = agg.where(F.col("nt") == len(present))
         elif msm > 1:
             agg = agg.where(F.col("nt") >= msm)
+        if rank_boost is not None:
+            col_name, w = rank_boost
+            if self._attrs_df is None:
+                raise ValueError(
+                    "rank_boost= requires set_attributes(attrs_df) "
+                    "before searching")
+            if col_name not in self._attrs_df.columns:
+                raise ValueError(
+                    f"rank_boost column {col_name!r}: no such "
+                    f"attribute column (have {self._attrs_df.columns})")
+            feat = (self._docs_union().join(
+                self._attrs_df.select(
+                    F.col(self._attrs_key).cast("string")
+                    .alias("doc_no"),
+                    F.greatest(F.col(col_name).cast("double"),
+                               F.lit(0.0)).alias("fval")),
+                "doc_no").where(F.col("fval").isNotNull())
+                .select("doc_id", "fval"))
+            extra = scoring.u6_col(
+                F.lit(float(w)) * F.log(F.lit(1.0) + F.col("fval")))
+            agg = (agg.join(feat, "doc_id", "left")
+                   .withColumn(
+                       "score_u6",
+                       F.col("score_u6")
+                       + F.coalesce(extra, F.lit(0).cast("long")))
+                   .drop("fval"))
         if collapse_by is not None:
             if self._attrs_df is None:
                 raise ValueError(

@@ -119,3 +119,36 @@ def test_negative_values_clamp_to_zero(rb_idx, spark):
         rb_idx.set_attributes(spark.createDataFrame(
             [(i, v) for i, v in enumerate(VIEWS)],
             "doc_id long, views double"), key="doc_id")
+
+
+def test_sharded_rank_boost(spark, tmp_path_factory):
+    from invertedindex_spark.operators.sharded import ShardedIndex
+
+    root = tmp_path_factory.mktemp("rbsh")
+    whs = []
+    for i, chunk in enumerate([TEXTS[:3], TEXTS[3:]]):
+        df = spark.createDataFrame(
+            [(j + (0 if i == 0 else 3), t)
+             for j, t in enumerate(chunk)],
+            "doc_id long, text string")
+        wh = str(root / f"wh{i}")
+        build_index(spark, from_documents(df), wh,
+                    IndexConfig(num_blocks=2, stemming=False))
+        whs.append(wh)
+    sh = ShardedIndex(spark, whs)
+    attrs = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(VIEWS)],
+        "doc_id long, views double")
+    sh.set_attributes(attrs, key="doc_id")
+    df_all = spark.createDataFrame(
+        list(enumerate(TEXTS)), "doc_id long, text string")
+    wh_all = str(root / "whall")
+    build_index(spark, from_documents(df_all), wh_all,
+                IndexConfig(num_blocks=2, stemming=False))
+    one = InvertedIndex(spark, wh_all)
+    one.set_attributes(attrs, key="doc_id")
+    q = "OR red green"
+    assert (_rows(sh.search_distributed(q, k=10,
+                                        rank_boost=("views", 0.5)))
+            == _rows(one.search_distributed(
+                q, k=10, rank_boost=("views", 0.5))))
