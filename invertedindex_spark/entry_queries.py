@@ -618,6 +618,46 @@ def sql_bm25_topk_prefix():
     return _topk_prefix_sql(["fast"], ["ta"])
 
 
+RANGE_LO, RANGE_HI = "sa", "sd"
+
+
+def q_bm25_topk_range(spark, sf_dir):
+    """Term-range search (Lucene TermRangeQuery ``[a TO b]``): the
+    ``lo..hi`` token rewrites to the lexicographically-first 32
+    stored vocabulary terms in the INCLUSIVE range via the same
+    row-group-pruned lexicon scan as prefix expansion
+    (InvertedIndex.expand_range), then serves as a plain OR."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    idx = get_index(spark, sf_dir)
+    res = idx.search_distributed(
+        f"OR fast {RANGE_LO}..{RANGE_HI}", k=K)
+    w = Window.orderBy(F.desc("score"))
+    return res.select(F.row_number().over(w).alias("rank"), "doc_no",
+                      _u6(F.col("score")).alias("score_u6"))
+
+
+def sql_bm25_topk_range(k: int = K, max_expand: int = 32) -> str:
+    where = (
+        "tf.term IN ('fast') OR tf.term IN "
+        f"(SELECT term FROM lex WHERE term >= '{RANGE_LO}' "
+        f"AND term <= '{RANGE_HI}' ORDER BY term LIMIT {max_expand})")
+    return _base_cte() + f""",
+scores AS (
+  SELECT tf.doc_id, CAST(sum({_bm25_u6_expr()}) AS BIGINT) AS score_u6
+  FROM tf JOIN lex USING (term) CROSS JOIN stats
+  WHERE {where}
+  GROUP BY tf.doc_id
+), dedup AS (
+  SELECT score_u6, min(doc_id) AS doc_id
+  FROM scores GROUP BY score_u6
+  ORDER BY score_u6 DESC LIMIT {k}
+)
+SELECT row_number() OVER (ORDER BY score_u6 DESC) AS rank, d.doc_no,
+       score_u6
+FROM dedup JOIN docs d USING (doc_id)"""
+
+
 FUZZY_TOKEN = "qery"     # deliberate typo of "query" (dist 1)
 
 
@@ -3637,6 +3677,7 @@ def extra_queries():
         "bm25_topk_collapse": q_bm25_topk_collapse,
         "match_count": q_match_count,
         "bm25_topk_prefix": q_bm25_topk_prefix,
+        "bm25_topk_range": q_bm25_topk_range,
         "top_terms": q_top_terms,
         "token_counts": q_token_counts,
         "substring_spans": q_substring_spans,
@@ -3672,6 +3713,7 @@ def extra_oracle_sql(query_vec=None, sf_dir=None):
         "bm25_topk_collapse": sql_bm25_topk_collapse(),
         "match_count": sql_match_count(),
         "bm25_topk_prefix": sql_bm25_topk_prefix(),
+        "bm25_topk_range": sql_bm25_topk_range(),
         "top_terms": sql_top_terms(),
         "token_counts": sql_token_counts(),
         "substring_spans": sql_substring_spans(),

@@ -77,37 +77,45 @@ def queue_topk_np(doc_ids: np.ndarray, scores: np.ndarray, k: int):
 
 
 def preprocess_with_rewrites(query: str, *, stopwords, stemming,
-                             expand_prefix, expand_fuzzy):
+                             expand_prefix, expand_fuzzy,
+                             expand_range=None):
     """The full query grammar shared by :class:`InvertedIndex` and
     :class:`~..operators.sharded.ShardedIndex`: ``preprocess_query``
-    plus ``term*`` wildcard and ``term~`` fuzzy rewrites (engine
-    extensions; the reference grammar is plain [AND|OR] terms). Each
-    trailing-star token expands via ``expand_prefix``, each trailing-
-    tilde token via ``expand_fuzzy``, and the expansions join the term
-    set. OR-only: under AND a wildcard/fuzzy clause would need
-    per-clause any-of grouping the reference top-k contract has no
-    shape for, and PHRASE adjacency is position-ordered — both
-    raise."""
-    if "*" not in query and "~" not in query:
+    plus ``term*`` wildcard, ``term~`` fuzzy, and ``lo..hi`` term-
+    range rewrites (engine extensions; the reference grammar is plain
+    [AND|OR] terms). Each trailing-star token expands via
+    ``expand_prefix``, each trailing-tilde token via ``expand_fuzzy``,
+    each two-sided ``..`` token via ``expand_range`` (Lucene
+    TermRangeQuery ``[a TO b]``, inclusive), and the expansions join
+    the term set. OR-only: under AND a wildcard/fuzzy/range clause
+    would need per-clause any-of grouping the reference top-k
+    contract has no shape for, and PHRASE adjacency is
+    position-ordered — both raise."""
+    if ("*" not in query and "~" not in query
+            and ".." not in query):
         return preprocess_query(query, stopwords=stopwords,
                                 stemming=stemming)
-    base, prefixes, fuzzies = [], [], []
+    base, prefixes, fuzzies, ranges = [], [], [], []
     for i, p in enumerate(query.split()):
         if i > 0 and len(p) > 1 and p.endswith("*"):
             prefixes.append(p[:-1])
         elif i > 0 and len(p) > 1 and p.endswith("~"):
             fuzzies.append(p[:-1])
+        elif (i > 0 and ".." in p and expand_range is not None
+                and p.count("..") == 1
+                and all(p.split(".."))):
+            ranges.append(tuple(p.split("..")))
         else:
             base.append(p)
     qtype, terms = preprocess_query(" ".join(base), stopwords=stopwords,
                                     stemming=stemming)
-    if not prefixes and not fuzzies:
+    if not prefixes and not fuzzies and not ranges:
         return qtype, terms
     if qtype != "OR":
         raise ValueError(
-            "prefix (term*) and fuzzy (term~) terms are OR-only: "
-            "AND would need any-of clause grouping and PHRASE is "
-            f"position-ordered (got {qtype})")
+            "prefix (term*), fuzzy (term~) and range (lo..hi) terms "
+            "are OR-only: AND would need any-of clause grouping and "
+            f"PHRASE is position-ordered (got {qtype})")
     for p in prefixes:
         toks = tokenize_text(p)
         if len(toks) != 1:
@@ -117,6 +125,16 @@ def preprocess_with_rewrites(query: str, *, stopwords, stemming,
         terms = set(terms) | set(expand_prefix(toks[0][:MAX_TERM_LEN]))
     for p in fuzzies:
         terms = set(terms) | set(expand_fuzzy(p))
+    for lo, hi in ranges:
+        bounds = []
+        for side, b in (("lower", lo), ("upper", hi)):
+            toks = tokenize_text(b)
+            if len(toks) != 1:
+                raise ValueError(
+                    f"illegal range bound {b!r} ({side}): must "
+                    "normalize to exactly one token")
+            bounds.append(toks[0][:MAX_TERM_LEN])
+        terms = set(terms) | set(expand_range(bounds[0], bounds[1]))
     return qtype, terms
 
 
@@ -483,6 +501,47 @@ class InvertedIndex:
                        .orderBy("term").limit(limit).collect())}
         return sorted(found)[:limit]
 
+    def expand_range(self, lo: str, hi: str,
+                     limit: int | None = None):
+        """Lexicographically-first ``limit`` STORED vocabulary terms
+        in the INCLUSIVE range [lo, hi] — the Lucene TermRangeQuery
+        rewrite (``[a TO b]``) over this engine's lexicon, the exact
+        range sibling of :meth:`expand_prefix` (same row-group-pruned
+        scan, same cap, same never-stemmed bounds). lo > hi matches
+        nothing (Lucene semantics), returned as an empty expansion —
+        the OR query then skips it like an unknown term."""
+        if not lo or not hi:
+            raise ValueError("expand_range: empty bound")
+        limit = self.MAX_PREFIX_EXPAND if limit is None else limit
+        if lo > hi:
+            return []
+        found: set[str] = set()
+        if self._compacted_tables_exist():
+            if self.io_mode == "local":
+                import pyarrow.dataset as ds
+
+                flt = (ds.field("term") >= lo) & (ds.field("term") <= hi)
+                t = (ds.dataset(f"{self.warehouse_dir}/lexicon",
+                                format="parquet")
+                     .to_table(columns=["term"], filter=flt))
+                found |= set(t.column("term").to_pylist())
+            else:
+                from pyspark.sql import functions as F
+
+                c = (F.col("term") >= lo) & (F.col("term") <= hi)
+                found |= {r["term"] for r in
+                          (self.lexicon.where(c).select("term")
+                           .orderBy("term").limit(limit).collect())}
+        p = self._fresh_partials_sdf()
+        if p is not None:
+            from pyspark.sql import functions as F
+
+            c = (F.col("term") >= lo) & (F.col("term") <= hi)
+            found |= {r["term"] for r in
+                      (p.where(c).select("term").distinct()
+                       .orderBy("term").limit(limit).collect())}
+        return sorted(found)[:limit]
+
     # -- spell suggestion / fuzzy expansion -------------------------------
     MAX_FUZZY_EXPAND = 8
 
@@ -583,7 +642,8 @@ class InvertedIndex:
         return preprocess_with_rewrites(
             query, stopwords=self.stopwords, stemming=self.stemming,
             expand_prefix=self.expand_prefix,
-            expand_fuzzy=self.expand_fuzzy)
+            expand_fuzzy=self.expand_fuzzy,
+            expand_range=self.expand_range)
 
     def _term_row_groups(self):
         """Build the term → parquet-row-group map ONCE by reading only

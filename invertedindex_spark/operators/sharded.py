@@ -156,6 +156,17 @@ class ShardedIndex:
             hits = hits[:top]
         return [(term, -negdf, dist) for dist, negdf, term in hits]
 
+    def expand_range(self, lo: str, hi: str,
+                     limit: int | None = None):
+        """Inclusive [lo, hi] over the UNION vocabulary — exact vs the
+        merged lexicon by the same argument as :meth:`expand_prefix`
+        (any term in the merged cap is within its own shard's cap)."""
+        limit = self.MAX_PREFIX_EXPAND if limit is None else limit
+        found: set = set()
+        for idx in self.idxs:
+            found |= set(idx.expand_range(lo, hi, limit=limit))
+        return sorted(found)[:limit]
+
     def expand_fuzzy(self, token: str, limit: int | None = None,
                      max_dist: int = 2):
         limit = self.MAX_FUZZY_EXPAND if limit is None else limit
@@ -293,7 +304,8 @@ class ShardedIndex:
         qtype, terms = preprocess_with_rewrites(
             query, stopwords=self.stopwords, stemming=self.stemming,
             expand_prefix=self.expand_prefix,
-            expand_fuzzy=self.expand_fuzzy)
+            expand_fuzzy=self.expand_fuzzy,
+            expand_range=self.expand_range)
         if slop and qtype != "PHRASE":
             raise ValueError("slop= applies to PHRASE queries only")
         if msm > 1 and qtype != "OR":

@@ -104,3 +104,68 @@ def test_prefix_sees_fresh_vocab(spark, tmp_path):
     assert "tazz" in fresh.expand_prefix("ta")
     hits = {d for d, _ in fresh.search("OR tazz*", k=5)}
     assert hits == {"repo:g0.py@c1"}
+
+
+# -- term-range queries (lo..hi — Lucene TermRangeQuery) ---------------
+
+def test_expand_range_inclusive_and_capped(spark, wh):
+    idx = InvertedIndex(spark, wh)
+    # inclusive both ends over the stemmed vocabulary
+    assert idx.expand_range("tabl", "take") == ["tabl", "tail", "take"]
+    assert idx.expand_range("tabl", "tabl") == ["tabl"]
+    # lo > hi matches nothing (Lucene semantics)
+    assert idx.expand_range("tz", "ta") == []
+    assert idx.expand_range("tab", "talk", limit=2) == ["tabbi", "tabl"]
+    with pytest.raises(ValueError, match="empty bound"):
+        idx.expand_range("", "x")
+
+
+def test_range_search_equals_explicit_or(spark, wh):
+    idx = InvertedIndex(spark, wh)
+    expanded = idx.expand_range("tabl", "take")
+    assert expanded   # non-vacuous
+    explicit = idx.search("OR fast " + " ".join(expanded), k=20)
+    assert idx.search("OR fast tabl..take", k=20) == explicit
+    d = idx.search_distributed("OR fast tabl..take", k=20).collect()
+    assert [(r["doc_no"], r["score"]) for r in d] == explicit
+
+
+def test_range_validation(spark, wh):
+    idx = InvertedIndex(spark, wh)
+    with pytest.raises(ValueError, match="OR-only"):
+        idx.search("AND fast tabl..take")
+    with pytest.raises(ValueError, match="normalize to exactly"):
+        idx.search("OR fast ta.b..take")
+    # a lone '..' token has empty sides: stays a plain (tokenized)
+    # term pair, not a range — same as the pre-range grammar
+    assert (idx.search("OR table..", k=20)
+            == idx.search("OR table", k=20))
+
+
+def test_sharded_range(spark, tmp_path_factory):
+    from invertedindex_spark.operators.sharded import ShardedIndex
+
+    root = tmp_path_factory.mktemp("rangesh")
+    whs = []
+    for i, chunk in enumerate([TEXTS[:4], TEXTS[4:]]):
+        path = str(root / f"wh{i}")
+        rows = [("repo", f"f{j + (0 if i == 0 else 4)}.py", "c1",
+                 "py", t) for j, t in enumerate(chunk)]
+        build_index(spark, corpus.from_source_code(
+            spark.createDataFrame(rows, corpus._CORPUS_SCHEMA)), path,
+            IndexConfig(**CFG))
+        whs.append(path)
+    sh = ShardedIndex(spark, whs)
+    one_path = str(root / "whall")
+    build_index(spark, corpus.from_source_code(
+        spark.createDataFrame(_rows(), corpus._CORPUS_SCHEMA)),
+        one_path, IndexConfig(**CFG))
+    one = InvertedIndex(spark, one_path)
+    assert sh.expand_range("tabl", "take") == \
+        one.expand_range("tabl", "take")
+    q = "OR fast tabl..take"
+    got = [(r["doc_no"], round(r["score"], 9))
+           for r in sh.search_distributed(q, k=20).collect()]
+    want = [(r["doc_no"], round(r["score"], 9))
+            for r in one.search_distributed(q, k=20).collect()]
+    assert got == want
