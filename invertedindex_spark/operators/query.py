@@ -1520,6 +1520,8 @@ class InvertedIndex:
         if self._attrs_df is None:
             raise ValueError(
                 "facet_counts requires set_attributes(attrs_df)")
+        query, nots = split_not_terms(query, stopwords=self.stopwords,
+                                      stemming=self.stemming)
         qtype, terms = preprocess_query(query, stopwords=self.stopwords,
                                         stemming=self.stemming)
         if qtype == "PHRASE":
@@ -1538,6 +1540,14 @@ class InvertedIndex:
         else:
             ids = dec.select("doc_id").distinct()
         ids = self._drop_tombstoned(ids)
+        not_present = self._present_terms(set(nots)) if nots else set()
+        if not_present:
+            # facets mirror search's match set: -term excludes here too
+            ids = ids.join(
+                self._drop_tombstoned(
+                    self.decoded_postings_df(not_present))
+                .select("doc_id"),
+                "doc_id", "left_anti")
         if where is not None:
             ids = ids.join(self._allowed_ids_df(where), "doc_id",
                            "left_semi")

@@ -85,3 +85,15 @@ def test_tombstoned_docs_leave_facets(spark, tmp_path):
     idx.set_attributes(attrs, key="doc_id")
     got = _counts(idx.facet_counts("OR fast data", by="src"))
     assert got == [("a", 2), ("b", 1)]
+
+
+def test_not_composes_with_facets(facet_idx):
+    # OR fast data -table drops docs 1 and 2 -> a:1 (doc 0), b:1 (doc 3)
+    got = _counts(facet_idx.facet_counts("OR fast data -table",
+                                         by="src"))
+    assert got == [("a", 1), ("b", 1)]
+    # unknown negated term: no-op
+    assert (_counts(facet_idx.facet_counts("OR fast data -zzz",
+                                           by="src"))
+            == _counts(facet_idx.facet_counts("OR fast data",
+                                              by="src")))
