@@ -618,6 +618,37 @@ def sql_bm25_topk_prefix():
     return _topk_prefix_sql(["fast"], ["ta"])
 
 
+def q_sorted_topk(spark, sf_dir):
+    """Attribute-ordered results (Lucene Sort / the ES sort clause):
+    the flagship OR query's FULL match set ordered by n_chars desc
+    (NULLS LAST, tie → min docId) — no score evaluation at all; one
+    selective decode, one attr join, TakeOrdered(k)."""
+    from pyspark.sql import functions as F
+    idx = get_index(spark, sf_dir)
+    idx.set_attributes(
+        _docs_df(spark, sf_dir).select("doc_id", "n_chars"),
+        key="doc_id")
+    res = idx.search_sorted("OR " + " ".join(OR_TERMS),
+                            by="n_chars", k=K)
+    return res.select("doc_no",
+                      F.col("sort_value").cast("long")
+                      .alias("sort_value"))
+
+
+def sql_sorted_topk(k: int = K) -> str:
+    tlist = ", ".join(f"'{t}'" for t in OR_TERMS)
+    return _base_cte() + f""",
+ids AS (
+  SELECT DISTINCT doc_id FROM tf WHERE term IN ({tlist})
+), ordered AS (
+  SELECT d.doc_no, CAST(dd.n_chars AS BIGINT) AS sort_value
+  FROM ids JOIN docs d USING (doc_id)
+  LEFT JOIN documents dd ON CAST(dd.doc_id AS VARCHAR) = d.doc_no
+  ORDER BY sort_value DESC NULLS LAST, ids.doc_id ASC LIMIT {k}
+)
+SELECT doc_no, sort_value FROM ordered"""
+
+
 RANGE_LO, RANGE_HI = "sa", "sd"
 
 
@@ -3678,6 +3709,7 @@ def extra_queries():
         "match_count": q_match_count,
         "bm25_topk_prefix": q_bm25_topk_prefix,
         "bm25_topk_range": q_bm25_topk_range,
+        "sorted_topk": q_sorted_topk,
         "top_terms": q_top_terms,
         "token_counts": q_token_counts,
         "substring_spans": q_substring_spans,
@@ -3714,6 +3746,7 @@ def extra_oracle_sql(query_vec=None, sf_dir=None):
         "match_count": sql_match_count(),
         "bm25_topk_prefix": sql_bm25_topk_prefix(),
         "bm25_topk_range": sql_bm25_topk_range(),
+        "sorted_topk": sql_sorted_topk(),
         "top_terms": sql_top_terms(),
         "token_counts": sql_token_counts(),
         "substring_spans": sql_substring_spans(),

@@ -1559,6 +1559,80 @@ class InvertedIndex:
                 .groupBy(by).agg(F.count("*").alias("n_docs"))
                 .orderBy(F.desc("n_docs"), F.asc(by)).limit(top))
 
+    def search_sorted(self, query: str, by: str, k: int = 20,
+                      ascending: bool = False,
+                      where: str | None = None):
+        """Attribute-ordered results (Lucene ``Sort`` / the ES
+        ``sort`` clause): the query's FULL match set ordered by
+        attribute ``by`` instead of by score — date-sorted news,
+        price-sorted listings. Returns DataFrame(doc_no, sort_value)
+        with the top ``k`` under (value desc|asc NULLS LAST,
+        docId asc) — deterministic without any score evaluation, so
+        no BM25/stats work runs at all. AND/OR (+ ``-term`` / where=)
+        only: a PHRASE match set needs position evaluation — run
+        :meth:`search_distributed` for ranked phrases.
+
+        100 TB shape: the match set comes from the selective postings
+        decode (term filter pushed to the scan), one left join to the
+        attribute table, then a global TakeOrdered(k) — no full sort
+        is materialized (Spark plans orderBy+limit as
+        TakeOrderedAndProject)."""
+        from pyspark.sql import functions as F
+
+        if self._attrs_df is None:
+            raise ValueError(
+                "search_sorted requires set_attributes(attrs_df)")
+        if by not in self._attrs_df.columns:
+            raise ValueError(
+                f"search_sorted by={by!r}: no such attribute column "
+                f"(have {self._attrs_df.columns})")
+        query, nots = split_not_terms(query, stopwords=self.stopwords,
+                                      stemming=self.stemming)
+        qtype, terms = self._preprocess_with_prefixes(query)
+        if qtype == "PHRASE":
+            raise ValueError(
+                "search_sorted supports AND/OR queries (a PHRASE "
+                "match set needs position evaluation)")
+        present = self._present_terms(set(terms))
+        if not present or (qtype != "OR" and len(present)
+                           < len(set(terms))):
+            from pyspark.sql.types import (StringType, StructField,
+                                           StructType)
+
+            dt = self._attrs_df.schema[by].dataType
+            return self.spark.createDataFrame(
+                [], StructType([StructField("doc_no", StringType()),
+                                StructField("sort_value", dt)]))
+        dec = (self._drop_tombstoned(self.decoded_postings_df(present))
+               .select("term", "doc_id"))
+        if qtype == "AND":
+            ids = (dec.groupBy("doc_id")
+                   .agg(F.count_distinct("term").alias("nt"))
+                   .where(F.col("nt") == len(present))
+                   .select("doc_id"))
+        else:
+            ids = dec.select("doc_id").distinct()
+        not_present = self._present_terms(set(nots)) if nots else set()
+        if not_present:
+            ids = ids.join(
+                self._drop_tombstoned(
+                    self.decoded_postings_df(not_present))
+                .select("doc_id"),
+                "doc_id", "left_anti")
+        if where is not None:
+            ids = ids.join(self._allowed_ids_df(where), "doc_id",
+                           "left_semi")
+        attrs = self._attrs_df.select(
+            F.col(self._attrs_key).cast("string").alias("doc_no"),
+            F.col(by).alias("sort_value"))
+        joined = (ids.join(self.docs.select("doc_id", "doc_no"),
+                           "doc_id")
+                  .join(attrs, "doc_no", "left"))
+        order = (F.asc_nulls_last("sort_value") if ascending
+                 else F.desc_nulls_last("sort_value"))
+        return (joined.orderBy(order, F.asc("doc_id"))
+                .select("doc_no", "sort_value").limit(k))
+
     # -- logical deletes (tombstones) -----------------------------------
     @property
     def _tomb_count(self) -> int:

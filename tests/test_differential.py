@@ -179,7 +179,8 @@ IDX_QUERIES = ["doc_table", "collection_stats", "term_stats",
                "more_like_this", "did_you_mean", "bm25_topk_fuzzy",
                "bm25_topk_boosted", "bm25_topk_synonyms",
                "bm25_topk_phrase_sloppy", "score_explain",
-               "bm25_topk_page2"]
+               "bm25_topk_page2", "bm25_topk_not", "tfidf_topk",
+               "bm25_topk_range"]
 
 
 @pytest.mark.parametrize("seed", [31, 37, 41, 43, 47])
