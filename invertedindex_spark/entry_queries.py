@@ -2622,6 +2622,44 @@ c AS (SELECT doc_id, n_tokens,
 SELECT doc_id FROM c WHERE ce + n_tokens <= 20000"""
 
 
+MIX_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+MIX_BUDGET = 30_000
+
+
+def q_corpus_mix(spark, sf_dir):
+    """Mixture drawing (the Pile/Dolma recipe): each source stratum
+    cut to floor(w_s · budget) whitespace tokens in doc_id order —
+    per-source prefix semantics via the distributed prefix-sum
+    (operators/packing.py::mix_corpus); sources outside the mixture
+    drop entirely."""
+    from .operators.packing import mix_corpus
+    return mix_corpus(
+        _docs_df(spark, sf_dir).select("doc_id", "text", "source"),
+        MIX_WEIGHTS, MIX_BUDGET).select("doc_id", "source")
+
+
+def sql_corpus_mix():
+    from .operators.textstats import WS_WORD_PATTERN
+    shares = " ".join(
+        f"WHEN '{s}' THEN {int(w * MIX_BUDGET)}"
+        for s, w in sorted(MIX_WEIGHTS.items()))
+    slist = ", ".join(f"'{s}'" for s in sorted(MIX_WEIGHTS))
+    return f"""
+WITH t AS (SELECT doc_id, source,
+                  len(regexp_extract_all(coalesce(text, ''),
+                                         '{WS_WORD_PATTERN}'))
+                    AS n_tokens
+           FROM documents WHERE source IN ({slist})),
+c AS (SELECT doc_id, source, n_tokens,
+             coalesce(sum(n_tokens) OVER (PARTITION BY source
+                 ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS ce
+      FROM t)
+SELECT doc_id, source FROM c
+WHERE ce + n_tokens <= (CASE source {shares} END)"""
+
+
 # ---------------------------------------------------------------------
 # deterministic sampling / splitting family
 # ---------------------------------------------------------------------
@@ -3710,6 +3748,7 @@ def extra_queries():
         "bm25_topk_prefix": q_bm25_topk_prefix,
         "bm25_topk_range": q_bm25_topk_range,
         "sorted_topk": q_sorted_topk,
+        "corpus_mix": q_corpus_mix,
         "top_terms": q_top_terms,
         "token_counts": q_token_counts,
         "substring_spans": q_substring_spans,
@@ -3747,6 +3786,7 @@ def extra_oracle_sql(query_vec=None, sf_dir=None):
         "bm25_topk_prefix": sql_bm25_topk_prefix(),
         "bm25_topk_range": sql_bm25_topk_range(),
         "sorted_topk": sql_sorted_topk(),
+        "corpus_mix": sql_corpus_mix(),
         "top_terms": sql_top_terms(),
         "token_counts": sql_token_counts(),
         "substring_spans": sql_substring_spans(),

@@ -133,3 +133,62 @@ def select_token_budget(df, budget: int, id_col: str = "doc_id"):
     keep = (t.where(F.col("_ce") + F.col("n_tokens") <= budget)
             .select(id_col))
     return df.join(keep, id_col, "left_semi")
+
+
+def mix_corpus(df, weights: dict, token_budget: int,
+               strata_col: str = "source", id_col: str = "doc_id"):
+    """Mixture drawing (the Pile/Dolma/DoReMi recipe): cut each source
+    stratum to its share of a total token budget — stratum ``s`` keeps
+    documents in ``id_col`` order while the within-stratum running
+    whitespace-token total fits ``floor(weights[s] · token_budget)``
+    (the same prefix semantics as :func:`select_token_budget`, so the
+    draw is identical on every rerun and cluster size). Strata absent
+    from ``weights`` (and NULL strata) are dropped entirely. To
+    prioritize by quality within a source, pre-map the order key.
+
+    Returns the kept rows of ``df`` (all original columns).
+
+    Scale shape: one :func:`select_token_budget` pass per mixture
+    source over a (id, tokens) projection pre-filtered to that
+    stratum — mixture dicts are small by construction (a training mix
+    names a handful of sources), so this is O(|weights|) cheap narrow
+    passes, each with its own well-balanced quantile buckets, and the
+    driver never sees more than |weights| × num_buckets offset rows.
+    """
+    from pyspark.sql import functions as F
+
+    if token_budget < 0:
+        raise ValueError("token_budget must be non-negative")
+    if not weights:
+        raise ValueError("weights must name at least one stratum")
+    for s, w in weights.items():
+        if not float(w) > 0:
+            raise ValueError(
+                f"mixture weight for {s!r} must be > 0 (got {w})")
+    parts = []
+    for s in sorted(weights):
+        share = int(float(weights[s]) * token_budget)
+        kept = select_token_budget(
+            df.where(F.col(strata_col) == s), share, id_col=id_col)
+        parts.append(kept)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def mix_stats(df, weights: dict, token_budget: int,
+              strata_col: str = "source", id_col: str = "doc_id"):
+    """(stratum, n_docs, n_tokens) summary of a :func:`mix_corpus`
+    draw — the mixture audit table."""
+    from pyspark.sql import functions as F
+
+    kept = mix_corpus(df, weights, token_budget,
+                      strata_col=strata_col, id_col=id_col)
+    toks = _token_counts(kept, id_col)
+    return (kept.select(id_col, F.col(strata_col).alias("stratum"))
+            .join(toks, id_col)
+            .groupBy("stratum")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tokens").alias("n_tokens"))
+            .orderBy("stratum"))

@@ -232,3 +232,38 @@ def test_boilerplate_shingles_high_cardinality_strata(spark):
     assert {r["source"] for r in got} == {f"dom{i}"
                                           for i in range(n_strata)}
     assert all(r["n_docs"] == 3 and r["rk"] == 1 for r in got)
+
+
+def test_mix_corpus_per_source_budgets(spark):
+    """Mixture drawing: each named source keeps its doc_id-ordered
+    prefix up to floor(w*B) whitespace tokens; unnamed/NULL sources
+    drop entirely; prefix semantics are per-stratum."""
+    from invertedindex_spark.operators.packing import (mix_corpus,
+                                                       mix_stats)
+
+    rows = [
+        (0, "a b c d", "web"),        # 4 tokens
+        (1, "e f g", "web"),          # 3
+        (2, "h i j k l", "web"),      # 5 — overflows web budget of 8
+        (3, "m n", "code"),           # 2
+        (4, "o p q r s t", "code"),   # 6 — overflows code budget of 4
+        (5, "u v", "books"),          # unnamed source: dropped
+        (6, "w x", None),             # NULL source: dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, "
+                                     "source string")
+    got = {r["doc_id"] for r in mix_corpus(
+        df, {"web": 0.8, "code": 0.4}, 10).collect()}
+    assert got == {0, 1, 3}
+    stats = {r["stratum"]: (r["n_docs"], r["n_tokens"])
+             for r in mix_stats(df, {"web": 0.8, "code": 0.4},
+                                10).collect()}
+    assert stats == {"web": (2, 7), "code": (1, 2)}
+    # all original columns survive
+    cols = mix_corpus(df, {"web": 1.0}, 100).columns
+    assert cols == ["doc_id", "text", "source"]
+    import pytest
+    with pytest.raises(ValueError, match="must be > 0"):
+        mix_corpus(df, {"web": 0.0}, 10)
+    with pytest.raises(ValueError, match="at least one"):
+        mix_corpus(df, {}, 10)
