@@ -371,6 +371,40 @@ def main():
                 "map_distributed_pruned": round(dq["map"], 6),
                 "ndcg10_distributed_pruned": round(dq["ndcg@10"], 6),
             }
+        # --- round-5 query-feature latencies (extras, not headline
+        # components: the headline set stays stable round-over-round).
+        # min-of-3 wall per feature on the warm cached warehouse —
+        # evidence the new surface is served, not just correct.
+        if not ONLY:
+            feat: dict[str, float] = {}
+
+            def fl(name, fn, n=3):
+                best = None
+                for _ in range(n):
+                    idx_cached._cache.clear()   # result-LRU off: real work
+                    t0 = time.time()
+                    fn()
+                    dt = (time.time() - t0) * 1000
+                    best = dt if best is None else min(best, dt)
+                feat[name] = round(best, 2)
+
+            idx_cached.set_attributes(
+                idx_cached.docs.select("doc_no", "doc_len"))
+            fl("not_driver", lambda: idx_cached.search(
+                "OR fast key order -table", 10, prune=True))
+            fl("tfidf_driver", lambda: idx_cached.search(
+                "OR fast key order", 10, similarity="tfidf"))
+            fl("range_driver", lambda: idx_cached.search(
+                "OR fast sa..sd", 10))
+            fl("rank_boost_distributed", lambda: idx_cached
+               .search_distributed("OR fast key order", 10,
+                                   rank_boost=("doc_len", 0.05))
+               .collect())
+            fl("sorted_distributed", lambda: idx_cached
+               .search_sorted("OR fast key order", by="doc_len",
+                              k=10).collect())
+            extras["feature_latency_ms"] = feat
+
         # batch_search_distributed is deliberately NOT benched here: its
         # fan-out is Σ_t df(t)·|queries containing t|, and this bench's
         # 32-word vocabulary makes every hot term fan out to ~19 of the

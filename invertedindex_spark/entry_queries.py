@@ -3297,6 +3297,33 @@ FROM md JOIN documents dd ON CAST(dd.doc_id AS VARCHAR) = md.doc_no
 GROUP BY dd.source ORDER BY n_docs DESC, source ASC LIMIT {top}"""
 
 
+def q_facet_stats(spark, sf_dir):
+    """Facet metric sub-aggregation (ES terms+stats agg): per-source
+    doc count plus sum/min/max of n_chars over the full disjunctive
+    match set — "doc-length stats per source for this query". Sum/min/
+    max stay exact integers (a stored float avg would be summation-
+    order-fragile); avg is sum/n for the caller."""
+    idx = get_index(spark, sf_dir)
+    idx.set_attributes(
+        _docs_df(spark, sf_dir).select("doc_id", "source", "n_chars"),
+        key="doc_id")
+    return idx.facet_stats("OR " + " ".join(OR_TERMS), by="source",
+                           metric="n_chars", top=10)
+
+
+def sql_facet_stats(top: int = 10) -> str:
+    tlist = ", ".join(f"'{t}'" for t in OR_TERMS)
+    return _base_cte() + f""",
+m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({tlist})),
+md AS (SELECT d.doc_no FROM m JOIN docs d USING (doc_id))
+SELECT dd.source AS source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(dd.n_chars) AS BIGINT) AS sum_n_chars,
+       CAST(min(dd.n_chars) AS BIGINT) AS min_n_chars,
+       CAST(max(dd.n_chars) AS BIGINT) AS max_n_chars
+FROM md JOIN documents dd ON CAST(dd.doc_id AS VARCHAR) = md.doc_no
+GROUP BY dd.source ORDER BY n_docs DESC, source ASC LIMIT {top}"""
+
+
 def _pii_augmented_docs(spark, sf_dir):
     """documents with deterministic PII planted by doc_id % 4 (email /
     IPv4 / phone / untouched) — the sf tables and fuzz corpora carry no
@@ -3727,6 +3754,7 @@ def extra_queries():
     return {
         "pii_scrub": q_pii_scrub,
         "facet_counts": q_facet_counts,
+        "facet_stats": q_facet_stats,
         "did_you_mean": q_did_you_mean,
         "bm25_topk_fuzzy": q_bm25_topk_fuzzy,
         "sharded_topk": q_sharded_topk,
@@ -3767,6 +3795,7 @@ def extra_oracle_sql(query_vec=None, sf_dir=None):
     out = {
         "pii_scrub": sql_pii_scrub(),
         "facet_counts": sql_facet_counts(),
+        "facet_stats": sql_facet_stats(),
         "did_you_mean": sql_did_you_mean(),
         "bm25_topk_fuzzy": sql_bm25_topk_fuzzy(),
         "sharded_topk": sql_sharded_topk(),

@@ -1497,6 +1497,50 @@ class InvertedIndex:
             allowed[d[d < self.num_docs]] = False
         return allowed
 
+    def _match_ids(self, query: str, where: str | None = None):
+        """DataFrame[doc_id] — the query's FULL match set (AND/OR +
+        ``-term`` + where=), tombstone-filtered: the shared scatter
+        for facet_counts / facet_stats / search_sorted. PHRASE raises
+        (its match set needs position evaluation)."""
+        from pyspark.sql import functions as F
+
+        query, nots = split_not_terms(query, stopwords=self.stopwords,
+                                      stemming=self.stemming)
+        qtype, terms = self._preprocess_with_prefixes(query)
+        if qtype == "PHRASE":
+            raise ValueError(
+                "match-set operators support AND/OR queries (a PHRASE "
+                "match set needs position evaluation — run search() "
+                "instead)")
+        terms = sorted(set(terms))
+        if not terms:
+            raise ValueError("query has no terms after preprocessing")
+        present = self._present_terms(set(terms))
+        if not present or (qtype != "OR" and len(present)
+                           < len(terms)):
+            return None
+        dec = (self.decoded_postings_df(present)
+               .select("term", "doc_id"))
+        if qtype == "AND":
+            ids = (dec.groupBy("doc_id")
+                   .agg(F.count_distinct("term").alias("nt"))
+                   .where(F.col("nt") == len(present))
+                   .select("doc_id"))
+        else:
+            ids = dec.select("doc_id").distinct()
+        ids = self._drop_tombstoned(ids)
+        not_present = self._present_terms(set(nots)) if nots else set()
+        if not_present:
+            ids = ids.join(
+                self._drop_tombstoned(
+                    self.decoded_postings_df(not_present))
+                .select("doc_id"),
+                "doc_id", "left_anti")
+        if where is not None:
+            ids = ids.join(self._allowed_ids_df(where), "doc_id",
+                           "left_semi")
+        return ids
+
     def facet_counts(self, query: str, by: str, top: int = 10,
                      where: str | None = None):
         """Facet aggregation over the FULL match set of ``query`` (not
@@ -1520,43 +1564,57 @@ class InvertedIndex:
         if self._attrs_df is None:
             raise ValueError(
                 "facet_counts requires set_attributes(attrs_df)")
-        query, nots = split_not_terms(query, stopwords=self.stopwords,
-                                      stemming=self.stemming)
-        qtype, terms = preprocess_query(query, stopwords=self.stopwords,
-                                        stemming=self.stemming)
-        if qtype == "PHRASE":
-            raise ValueError(
-                "facet_counts supports AND/OR queries (a PHRASE match "
-                "set needs position evaluation — run search() instead)")
-        terms = sorted(terms)
-        if not terms:
-            raise ValueError("query has no terms after preprocessing")
-        dec = self.decoded_postings_df(terms).select("term", "doc_id")
-        if qtype == "AND":
-            ids = (dec.groupBy("doc_id")
-                   .agg(F.count_distinct("term").alias("nt"))
-                   .where(F.col("nt") == len(terms))
-                   .select("doc_id"))
-        else:
-            ids = dec.select("doc_id").distinct()
-        ids = self._drop_tombstoned(ids)
-        not_present = self._present_terms(set(nots)) if nots else set()
-        if not_present:
-            # facets mirror search's match set: -term excludes here too
-            ids = ids.join(
-                self._drop_tombstoned(
-                    self.decoded_postings_df(not_present))
-                .select("doc_id"),
-                "doc_id", "left_anti")
-        if where is not None:
-            ids = ids.join(self._allowed_ids_df(where), "doc_id",
-                           "left_semi")
+        ids = self._match_ids(query, where=where)
+        if ids is None:
+            return self.spark.createDataFrame(
+                [], self._attrs_df.select(by).schema
+                .add("n_docs", "long"))
         attrs = self._attrs_df.select(
             F.col(self._attrs_key).cast("string").alias("doc_no"),
             F.col(by))
         return (ids.join(self.docs.select("doc_id", "doc_no"), "doc_id")
                 .join(attrs, "doc_no")
                 .groupBy(by).agg(F.count("*").alias("n_docs"))
+                .orderBy(F.desc("n_docs"), F.asc(by)).limit(top))
+
+    def facet_stats(self, query: str, by: str, metric: str,
+                    top: int = 10, where: str | None = None):
+        """Facet metric sub-aggregation (the ES ``terms`` agg with a
+        ``stats`` sub-agg): per value of attribute ``by`` over the
+        query's FULL match set, the doc count plus sum/min/max of
+        numeric attribute ``metric`` — "avg price per brand for this
+        query". Returns DataFrame(``by``, n_docs, sum_<m>, min_<m>,
+        max_<m>) ordered (n_docs desc, value asc), capped at ``top``;
+        NULL metrics count toward n_docs but not the stats (SQL agg
+        semantics). Avg is ``sum/n`` for the caller — a stored float
+        average would be summation-order-fragile across engines; sum/
+        min/max are exact. Same 100 TB shape as :meth:`facet_counts`
+        (the metric rides the same attribute join)."""
+        from pyspark.sql import functions as F
+
+        if self._attrs_df is None:
+            raise ValueError(
+                "facet_stats requires set_attributes(attrs_df)")
+        for c in (by, metric):
+            if c not in self._attrs_df.columns:
+                raise ValueError(
+                    f"facet_stats: no attribute column {c!r} "
+                    f"(have {self._attrs_df.columns})")
+        ids = self._match_ids(query, where=where)
+        cols = [F.count("*").alias("n_docs"),
+                F.sum(metric).alias(f"sum_{metric}"),
+                F.min(metric).alias(f"min_{metric}"),
+                F.max(metric).alias(f"max_{metric}")]
+        if ids is None:
+            empty = (self._attrs_df.select(by, metric).limit(0)
+                     .groupBy(by).agg(*cols))
+            return empty
+        attrs = self._attrs_df.select(
+            F.col(self._attrs_key).cast("string").alias("doc_no"),
+            F.col(by), F.col(metric))
+        return (ids.join(self.docs.select("doc_id", "doc_no"), "doc_id")
+                .join(attrs, "doc_no")
+                .groupBy(by).agg(*cols)
                 .orderBy(F.desc("n_docs"), F.asc(by)).limit(top))
 
     def search_sorted(self, query: str, by: str, k: int = 20,
@@ -1586,16 +1644,15 @@ class InvertedIndex:
             raise ValueError(
                 f"search_sorted by={by!r}: no such attribute column "
                 f"(have {self._attrs_df.columns})")
-        query, nots = split_not_terms(query, stopwords=self.stopwords,
-                                      stemming=self.stemming)
-        qtype, terms = self._preprocess_with_prefixes(query)
-        if qtype == "PHRASE":
-            raise ValueError(
-                "search_sorted supports AND/OR queries (a PHRASE "
-                "match set needs position evaluation)")
-        present = self._present_terms(set(terms))
-        if not present or (qtype != "OR" and len(present)
-                           < len(set(terms))):
+        try:
+            ids = self._match_ids(query, where=where)
+        except ValueError as e:
+            if "match-set operators" in str(e):
+                raise ValueError(
+                    "search_sorted supports AND/OR queries (a PHRASE "
+                    "match set needs position evaluation)") from None
+            raise
+        if ids is None:
             from pyspark.sql.types import (StringType, StructField,
                                            StructType)
 
@@ -1603,25 +1660,6 @@ class InvertedIndex:
             return self.spark.createDataFrame(
                 [], StructType([StructField("doc_no", StringType()),
                                 StructField("sort_value", dt)]))
-        dec = (self._drop_tombstoned(self.decoded_postings_df(present))
-               .select("term", "doc_id"))
-        if qtype == "AND":
-            ids = (dec.groupBy("doc_id")
-                   .agg(F.count_distinct("term").alias("nt"))
-                   .where(F.col("nt") == len(present))
-                   .select("doc_id"))
-        else:
-            ids = dec.select("doc_id").distinct()
-        not_present = self._present_terms(set(nots)) if nots else set()
-        if not_present:
-            ids = ids.join(
-                self._drop_tombstoned(
-                    self.decoded_postings_df(not_present))
-                .select("doc_id"),
-                "doc_id", "left_anti")
-        if where is not None:
-            ids = ids.join(self._allowed_ids_df(where), "doc_id",
-                           "left_semi")
         attrs = self._attrs_df.select(
             F.col(self._attrs_key).cast("string").alias("doc_no"),
             F.col(by).alias("sort_value"))

@@ -97,3 +97,29 @@ def test_not_composes_with_facets(facet_idx):
                                            by="src"))
             == _counts(facet_idx.facet_counts("OR fast data",
                                               by="src")))
+
+
+def test_facet_stats(facet_idx, spark):
+    # re-register attrs with a numeric metric column
+    rows = [(0, "a", 10), (1, "a", 30), (2, "b", 5), (3, "b", None),
+            (4, "c", 7)]
+    facet_idx.set_attributes(
+        spark.createDataFrame(rows, "doc_id long, src string, "
+                                    "price long"), key="doc_id")
+    try:
+        got = [tuple(r) for r in facet_idx.facet_stats(
+            "OR fast data", by="src", metric="price").collect()]
+        # match set = docs 0,1,2,3; NULL price counts in n_docs only
+        assert got == [("a", 2, 40, 10, 30), ("b", 2, 5, 5, 5)]
+        # composes with -term and where=
+        got = [tuple(r) for r in facet_idx.facet_stats(
+            "OR fast data -table", by="src", metric="price").collect()]
+        assert got == [("a", 1, 10, 10, 10), ("b", 1, None, None, None)]
+        with pytest.raises(ValueError, match="no attribute column"):
+            facet_idx.facet_stats("OR fast", by="src", metric="nope")
+    finally:
+        facet_idx.set_attributes(
+            spark.createDataFrame(
+                [(i, s) for i, s in
+                 [(0, "a"), (1, "a"), (2, "b"), (3, "b"), (4, "c")]],
+                "doc_id long, src string"), key="doc_id")
