@@ -1934,7 +1934,7 @@ class InvertedIndex:
             np.asarray(r["block_max"], dtype=np.float64) for r in rs]))
         return bf, bm, int(rs[-1]["last_doc_id"])
 
-    def _computed_block_bounds(self, rs):
+    def _computed_block_bounds(self, rs, sim: str = "bm25"):
         """(block_first, block_bounds, last_doc_id) for a term's rows
         under the CURRENT collection stats, assembled from the
         persisted stats-invariant per-block (max_tf, min_dl): the BM25
@@ -1946,7 +1946,12 @@ class InvertedIndex:
         rewrite. df is the union df (``_fetch_rows`` rewrites it for
         fresh handles), so idf is exact. Returns None when any row
         predates the bound columns (legacy format — callers fall back
-        to exhaustive scoring as before)."""
+        to exhaustive scoring as before).
+
+        ``sim="tfidf"``: the same stats-invariant structure bounds the
+        reference's TFIDF too — ln(N/df)·(1+ln(tf)) is monotone in tf
+        and dl-free, so ``idf · (1 + ln(block_max_tf))`` is a sound
+        per-block bound under any stats drift."""
         df = int(rs[0]["df"])
         idf = float(np.log(float(self.num_docs) / float(df)))
         bfs, bms = [], []
@@ -1957,9 +1962,13 @@ class InvertedIndex:
             bfs.append(np.concatenate(
                 [[r["first_doc_id"]],
                  np.asarray(r["skip_doc_ids"], dtype=np.int64)]))
-            bms.append(scoring.u6_np(idf * scoring.factor_np(
-                np.asarray(mt, dtype=np.int64),
-                np.asarray(md, dtype=np.int64), self.avg_doc_len)))
+            if sim == "tfidf":
+                bms.append(scoring.u6_np(idf * (1.0 + np.log(
+                    np.asarray(mt, dtype=np.float64)))))
+            else:
+                bms.append(scoring.u6_np(idf * scoring.factor_np(
+                    np.asarray(mt, dtype=np.int64),
+                    np.asarray(md, dtype=np.int64), self.avg_doc_len)))
         last = rs[-1]["last_doc_id"]
         # partial segments carry no last_doc_id; bound the final
         # block's range by the collection end (sound overestimate)
@@ -2579,15 +2588,19 @@ class InvertedIndex:
                     r["df"] = total
         return by_term
 
-    def _term_bounds_for_pruning(self, by_term):
+    def _term_bounds_for_pruning(self, by_term, sim: str = "bm25"):
         """term → (tub, block_first, block_bounds, last_doc_id) under
         the live stats, or None when any term's rows predate the
         stats-invariant bound columns (caller falls back to the
         exhaustive plan). Stored tight bounds when ``_bounds_fresh``
         and no partial segments are in view; computed sound bounds
-        otherwise — the same dispatch as the driver pruned kernel."""
-        use_stored = self._bounds_fresh and not any(
-            r.get("_partial") for rs in by_term.values() for r in rs)
+        otherwise — the same dispatch as the driver pruned kernel.
+        TFIDF always takes the computed route: the stored TUB /
+        block_max are BM25 values."""
+        use_stored = (sim == "bm25" and self._bounds_fresh
+                      and not any(r.get("_partial")
+                                  for rs in by_term.values()
+                                  for r in rs))
         out = {}
         for t, rs in by_term.items():
             if use_stored:
@@ -2595,7 +2608,7 @@ class InvertedIndex:
                 tub = int(scoring.u6_np(
                     float(rs[0]["term_upper_bound"])))
             else:
-                ba = self._computed_block_bounds(rs)
+                ba = self._computed_block_bounds(rs, sim=sim)
                 if ba is None:
                     return None
                 bf, bm, last = ba
@@ -2605,7 +2618,8 @@ class InvertedIndex:
 
     def _acc_table(self, terms, qtype, where: str | None = None,
                    wmap: dict | None = None,
-                   exclude: set | None = None):
+                   exclude: set | None = None,
+                   sim: str = "bm25"):
         """Essential-phase accumulators as driver arrays:
         (doc_ids, scores, dls, n_terms_hit) summed over ``terms`` via
         ONE distributed job, or None above DIST_ACC_CAP.
@@ -2630,13 +2644,18 @@ class InvertedIndex:
                     self.decoded_postings_df(set(exclude)))
                 .select("doc_id"),
                 "doc_id", "left_anti")
-        bm25 = scoring.bm25_col(F.col("tf"), F.col("dl"), F.col("df"),
-                                F.lit(float(self.num_docs)),
-                                F.lit(self.avg_doc_len))
+        if sim == "tfidf":
+            part = scoring.tfidf_col(F.col("tf"), F.col("df"),
+                                     F.lit(float(self.num_docs)))
+        else:
+            part = scoring.bm25_col(F.col("tf"), F.col("dl"),
+                                    F.col("df"),
+                                    F.lit(float(self.num_docs)),
+                                    F.lit(self.avg_doc_len))
         # the shared CASE-weighted partial definition keeps
         # pruned == exhaustive bit-for-bit
         scored = ess.withColumn(
-            "partial", scoring.weighted_u6_col(bm25, wmap))
+            "partial", scoring.weighted_u6_col(part, wmap))
         # the cap rides the SAME collect (limit cap+1): one Spark job
         # total for the essential phase — a separate count() would
         # re-evaluate the whole decode
@@ -2669,7 +2688,8 @@ class InvertedIndex:
                 dls[order].astype(np.int64), nts[order].astype(np.int64))
 
     def _boost_partials_df(self, terms, wanted_ids, wanted_dls,
-                           score_info, emit_term: bool = False):
+                           score_info, emit_term: bool = False,
+                           sim: str = "bm25"):
         """The selective second phase: one mapInArrow pass over the
         boost terms' posting rows that uses each row's OWN skip
         pointers to decode only the blocks containing surviving
@@ -2696,7 +2716,7 @@ class InvertedIndex:
                 prev.unpersist(False)
             except Exception:
                 pass
-        bc = sc.broadcast((wanted_ids, wanted_dls, score_info))
+        bc = sc.broadcast((wanted_ids, wanted_dls, score_info, sim))
         self._boost_bc = bc
         use_pfd = self.codec == "pfd"
         num_docs, avg_dl = float(self.num_docs), self.avg_doc_len
@@ -2742,7 +2762,7 @@ class InvertedIndex:
         def boost(iterator):
             from .maxscore import selective_decode
 
-            wids, wdls, idf_map = bc.value
+            wids, wdls, idf_map, sim_kind = bc.value
             for batch in iterator:
                 rows = batch.to_pylist()
                 out_ids, out_sc, out_terms = [], [], []
@@ -2774,11 +2794,15 @@ class InvertedIndex:
                         continue
                     widx = np.flatnonzero(hitmask) + lo
                     idf, wt = idf_map[r["term"]]
-                    # wt * (factor * idf) mirrors the exhaustive
-                    # plan's u6(w_col * bm25_col) evaluation order
+                    # wt * (partial) mirrors the exhaustive plan's
+                    # u6(w_col * partial_col) evaluation order
                     # exactly (1.0 * x == x bitwise for unboosted)
-                    s = scoring.u6_np(wt * (scoring.factor_np(
-                        tf[m], wdls[widx], avg_dl) * idf))
+                    if sim_kind == "tfidf":
+                        s = scoring.u6_np(wt * (idf * (
+                            1.0 + np.log(tf[m].astype(np.float64)))))
+                    else:
+                        s = scoring.u6_np(wt * (scoring.factor_np(
+                            tf[m], wdls[widx], avg_dl) * idf))
                     out_ids.append(wids[widx])
                     out_sc.append(s)
                     out_terms.append(
@@ -2831,7 +2855,8 @@ class InvertedIndex:
     def _search_distributed_pruned(self, qtype, present, k,
                                    where: str | None = None,
                                    wmap: dict | None = None,
-                                   exclude: set | None = None):
+                                   exclude: set | None = None,
+                                   sim: str = "bm25"):
         """Two-phase distributed plan with dynamic pruning — the
         cluster-side analogue of the driver MaxScore/BMM kernel
         (reference seam ``QueryProcessor.java:251-432``):
@@ -2859,11 +2884,13 @@ class InvertedIndex:
         from pyspark.sql import functions as F
 
         stats = self.last_prune_stats = {"mode": "distributed"}
+        if sim != "bm25":
+            stats["similarity"] = sim
         wmap = wmap or {}
         by_term = self._light_rows(present)
         if len(by_term) != len(present):
             return None
-        bounds = self._term_bounds_for_pruning(by_term)
+        bounds = self._term_bounds_for_pruning(by_term, sim=sim)
         if bounds is None:
             stats["stale_bounds_fallback"] = True
             return None
@@ -2909,7 +2936,7 @@ class InvertedIndex:
         acc = None
         while True:
             acc = self._acc_table(ess, qtype, where=where, wmap=wmap,
-                                  exclude=exclude)
+                                  exclude=exclude, sim=sim)
             if acc is None:
                 return None
             ids, accs, dls, nts = acc
@@ -2963,7 +2990,7 @@ class InvertedIndex:
                        float(wmap.get(t, 1.0)))
                    for t in boost}
         boost_df = self._boost_partials_df(
-            boost, wanted_ids, wanted_dls, idf_map)
+            boost, wanted_ids, wanted_dls, idf_map, sim=sim)
         # Arrow-native survivor table: a python-tuple createDataFrame
         # would pickle up to DIST_ACC_CAP rows per query
         import pandas as pd
@@ -3095,8 +3122,11 @@ class InvertedIndex:
         reference's alternative scoring function
         (ScoringFunctions.java:14-17; ln(N/df)·(1+ln(tf)), no length
         normalization). Same plan, one different partial expression.
-        Stored bounds are BM25 bounds, so ``prune=True`` demotes to
-        the exhaustive plan (mode=tfidf_exhaustive).
+        ``prune=True`` serves TFIDF through the SAME two-phase pruned
+        plan: bounds are recomputed from the stats-invariant
+        block_max_tf (TFIDF is monotone in tf and dl-free, so
+        idf·(1+ln(block_max_tf)) is sound) — telemetry records
+        similarity=tfidf.
 
         ``rank_boost=(col, w)`` (Elasticsearch ``rank_feature``;
         needs :meth:`set_attributes`): adds ``u6(w · ln(1 +
@@ -3131,9 +3161,6 @@ class InvertedIndex:
         if collapse_by is not None and prune:
             prune = False
             self.last_prune_stats = {"mode": "collapse_exhaustive"}
-        if sim != "bm25" and prune:
-            prune = False
-            self.last_prune_stats = {"mode": "tfidf_exhaustive"}
         if rank_boost is not None and prune:
             prune = False
             self.last_prune_stats = {"mode": "rank_boost_exhaustive"}
@@ -3153,7 +3180,8 @@ class InvertedIndex:
             res = self._search_distributed_pruned(qtype, present, k,
                                                   where=where,
                                                   wmap=bmap,
-                                                  exclude=not_present)
+                                                  exclude=not_present,
+                                                  sim=sim)
             if res is not None:
                 return res
             # label the telemetry honestly: the pruned plan declined

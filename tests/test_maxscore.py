@@ -439,3 +439,41 @@ def test_pruned_matches_exact(big_index):
             assert [d for d, _ in pruned] == [d for d, _ in exact], (q, k)
             for (pd, ps), (ed, es) in zip(pruned, exact):
                 assert ps == pytest.approx(es, rel=1e-12), (q, k, pd)
+
+
+def test_distributed_pruned_tfidf(bm_index):
+    """similarity="tfidf" through the SAME two-phase pruned plan:
+    bounds recomputed from stats-invariant block_max_tf (TFIDF is
+    dl-free and monotone in tf), rows identical to the exhaustive
+    tfidf plan, telemetry labeled. k=3 keeps >= k distinct essential
+    scores on this fixture (both rare terms share one idf, so only 4
+    distinct tf-driven score values exist)."""
+    from invertedindex_spark import InvertedIndex
+
+    idx = InvertedIndex(bm_index.spark, bm_index.warehouse_dir)
+    idx.DIST_BOOST_DF_MIN = 1024
+    q = "OR qqrarea qqrareb hotterm"
+    want = [(r["doc_no"], r["score"]) for r in
+            idx.search_distributed(q, 3, similarity="tfidf").collect()]
+    got = [(r["doc_no"], r["score"]) for r in
+           idx.search_distributed(q, 3, prune=True,
+                                  similarity="tfidf").collect()]
+    assert got == want and got
+    st = idx.last_prune_stats
+    assert st.get("mode") == "distributed", st
+    assert st.get("similarity") == "tfidf", st
+    assert st.get("boost_terms", 0) >= 1, st
+    assert st["blocks_decoded"] < st["blocks_before"], st
+    # tfidf ranking really differs from bm25 here (dl-free)
+    bm = [(r["doc_no"], r["score"]) for r in
+          idx.search_distributed(q, 3).collect()]
+    assert [s for _, s in bm] != [s for _, s in want]
+
+    a = [(r["doc_no"], r["score"]) for r in
+         idx.search_distributed("AND qqrarea hotterm", 5,
+                                similarity="tfidf").collect()]
+    ap = [(r["doc_no"], r["score"]) for r in
+          idx.search_distributed("AND qqrarea hotterm", 5, prune=True,
+                                 similarity="tfidf").collect()]
+    assert ap == a and ap
+    assert idx.last_prune_stats.get("mode") == "distributed"

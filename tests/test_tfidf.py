@@ -71,17 +71,22 @@ def test_all_paths_agree(tfidf_idx):
         assert d == s and d
 
 
-def test_prune_demotes_honestly(tfidf_idx):
+def test_prune_paths_honest(tfidf_idx):
     base = _rows(tfidf_idx.search("OR red green", k=10,
                                   similarity="tfidf"))
+    # driver kernels demote (they are BM25-bound-specific)
     pr = _rows(tfidf_idx.search("OR red green", k=10, prune=True,
                                 similarity="tfidf"))
     assert pr == base
     assert tfidf_idx.last_prune_stats["mode"] == "tfidf_exhaustive"
+    # the distributed pruned plan SERVES tfidf (computed tf-only
+    # bounds) or falls back — rows identical either way; the deep
+    # engagement assertions live in test_maxscore
     prd = _rows(tfidf_idx.search_distributed(
         "OR red green", k=10, prune=True, similarity="tfidf"))
     assert prd == base
-    assert tfidf_idx.last_prune_stats["mode"] == "tfidf_exhaustive"
+    assert tfidf_idx.last_prune_stats["mode"] in (
+        "distributed", "distributed_fallback")
 
 
 def test_composes_with_not_and_boosts(tfidf_idx):
