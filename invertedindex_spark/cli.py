@@ -109,7 +109,8 @@ def main(argv=None):
     quit_codes = {"Q", "q", "QUIT", "quit", "EXIT", "exit"}
     print("Starting the command line..")
     print("Input Format: [AND|OR|PHRASE] term1 ... termN "
-          "(OR supports term*, term~ and term^weight)")
+          "(OR supports term*, term~ and term^weight; "
+          "BOOL <expr> nests AND/OR/NOT with parens)")
     try:
         while True:
             try:
@@ -125,6 +126,16 @@ def main(argv=None):
             try:
                 from .functions.textproc import split_inline_boosts
 
+                parts = line.split(None, 1)
+                if parts[0].upper() == "BOOL":
+                    hits = idx.search_boolean(
+                        parts[1] if len(parts) > 1 else "",
+                        args.k, prune=args.prune,
+                        similarity=args.similarity)
+                    for doc_no, score in hits:
+                        print(doc_no, score)
+                    print(f"{time.time() - t0} seconds")
+                    continue
                 clean, boosts = split_inline_boosts(line)
                 hits = idx.search(clean, args.k, prune=args.prune,
                                   boosts=boosts or None,
@@ -137,7 +148,8 @@ def main(argv=None):
             except ValueError as e:
                 print(e)
                 print("Input Format: [AND|OR|PHRASE] term1 ... termN "
-                      "(OR supports term*, term~ and term^weight)")
+                      "(OR supports term*, term~ and term^weight; "
+                      "BOOL <expr> nests AND/OR/NOT with parens)")
             print(f"{time.time() - t0} seconds")
     finally:
         if own_session:

@@ -689,6 +689,62 @@ SELECT row_number() OVER (ORDER BY score_u6 DESC) AS rank, d.doc_no,
 FROM dedup JOIN docs d USING (doc_id)"""
 
 
+BOOL_EXPR = "(fast OR key) AND (scan OR join) AND NOT table"
+
+
+def q_bool_topk(spark, sf_dir):
+    """Nested boolean search (Lucene BooleanQuery trees — an engine
+    extension over the reference's flat [AND|OR] grammar,
+    QueryProcessor.java:135-174): the TREE picks the match set, and
+    matches score as the plain disjunctive u6 BM25 sum over the
+    distinct POSITIVE leaf terms they hold (filter-then-rank, the
+    where= contract). One keyed shuffle builds per-doc leaf sets; the
+    tree evaluates as a Column expression over array_contains
+    (InvertedIndex.search_boolean_distributed)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    idx = get_index(spark, sf_dir)
+    res = idx.search_boolean_distributed(BOOL_EXPR, k=K)
+    w = Window.orderBy(F.desc("score"))
+    return res.select(F.row_number().over(w).alias("rank"), "doc_no",
+                      _u6(F.col("score")).alias("score_u6"))
+
+
+def sql_bool_topk(k: int = K) -> str:
+    """Oracle twin of BOOL_EXPR: per-doc leaf membership flags via
+    bool_or, the tree as a plain SQL boolean over them, scores summed
+    over the positive leaves only (boolquery.to_sql generates the same
+    shape for arbitrary trees)."""
+    return _base_cte() + f""",
+mem AS (
+  SELECT doc_id,
+         bool_or(term = 'fast')  AS l_fast,
+         bool_or(term = 'key')   AS l_key,
+         bool_or(term = 'scan')  AS l_scan,
+         bool_or(term = 'join')  AS l_join,
+         bool_or(term = 'table') AS l_table
+  FROM tf
+  WHERE term IN ('fast', 'key', 'scan', 'join', 'table')
+  GROUP BY doc_id
+), m AS (
+  SELECT doc_id FROM mem
+  WHERE (l_fast OR l_key) AND (l_scan OR l_join) AND NOT l_table
+), scores AS (
+  SELECT tf.doc_id, CAST(sum({_bm25_u6_expr()}) AS BIGINT) AS score_u6
+  FROM tf JOIN lex USING (term) CROSS JOIN stats
+  JOIN m ON m.doc_id = tf.doc_id
+  WHERE tf.term IN ('fast', 'key', 'scan', 'join')
+  GROUP BY tf.doc_id
+), dedup AS (
+  SELECT score_u6, min(doc_id) AS doc_id
+  FROM scores GROUP BY score_u6
+  ORDER BY score_u6 DESC LIMIT {k}
+)
+SELECT row_number() OVER (ORDER BY score_u6 DESC) AS rank, d.doc_no,
+       score_u6
+FROM dedup JOIN docs d USING (doc_id)"""
+
+
 FUZZY_TOKEN = "qery"     # deliberate typo of "query" (dist 1)
 
 
@@ -3775,6 +3831,7 @@ def extra_queries():
         "match_count": q_match_count,
         "bm25_topk_prefix": q_bm25_topk_prefix,
         "bm25_topk_range": q_bm25_topk_range,
+        "bool_topk": q_bool_topk,
         "sorted_topk": q_sorted_topk,
         "corpus_mix": q_corpus_mix,
         "top_terms": q_top_terms,
@@ -3814,6 +3871,7 @@ def extra_oracle_sql(query_vec=None, sf_dir=None):
         "match_count": sql_match_count(),
         "bm25_topk_prefix": sql_bm25_topk_prefix(),
         "bm25_topk_range": sql_bm25_topk_range(),
+        "bool_topk": sql_bool_topk(),
         "sorted_topk": sql_sorted_topk(),
         "corpus_mix": sql_corpus_mix(),
         "top_terms": sql_top_terms(),

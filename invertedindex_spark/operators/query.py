@@ -1671,6 +1671,138 @@ class InvertedIndex:
         return (joined.orderBy(order, F.asc("doc_id"))
                 .select("doc_no", "sort_value").limit(k))
 
+    def _analyzed_bool_tree(self, expr: str):
+        from . import boolquery
+
+        tree = boolquery.analyze(
+            boolquery.parse(expr), stopwords=self.stopwords,
+            stemming=self.stemming)
+        if tree is not None:
+            boolquery.check_not_pure_negative(tree)
+        return tree
+
+    def search_boolean(self, expr: str, k: int = 20,
+                       prune: bool = False,
+                       where: str | None = None,
+                       similarity: str = "bm25"):
+        """Nested boolean query (Lucene BooleanQuery trees — see
+        operators/boolquery.py for grammar and semantics):
+        ``"(fast AND (key OR order)) AND NOT legacy"`` →
+        [(doc_no, score)] descending. The tree picks the match set;
+        matches score as the plain disjunctive sum over the DISTINCT
+        positive leaf terms they hold (filter-then-rank — the where=
+        contract, so ``prune=True`` stays exact: the tree is one more
+        allowed-mask conjunct and stored bounds remain sound)."""
+        from . import boolquery
+
+        sim = self._check_similarity(similarity)
+        tree = self._analyzed_bool_tree(expr)
+        if tree is None:
+            return []
+        key = ("BOOL", repr(tree), k, prune, where, sim)
+        if key in self._cache:
+            self._cache.move_to_end(key)
+            return self._cache[key]
+        lv = set(boolquery.leaves(tree))
+        pos = set(boolquery.positive_leaves(tree))
+        present = self._present_terms(lv)
+        pos_present = sorted(pos & present)
+        if not pos_present:
+            # no positive leaf exists in the vocabulary — nothing can
+            # match (non-pure-negative trees need positive support)
+            return []
+        decoded = self._fetch_decoded(present)
+        memo: dict = {}
+
+        def member(t):
+            m = memo.get(t)
+            if m is None:
+                m = np.zeros(self.num_docs, dtype=bool)
+                hit = decoded.get(t)
+                if hit is not None:
+                    d = hit[0]
+                    m[d[d < self.num_docs]] = True
+                memo[t] = m
+            return m
+
+        mask = boolquery.evaluate(tree, member)
+        if where is not None:
+            mask = mask & self._allowed_mask(where)
+        if self._tomb_count:
+            mask = mask & self._alive_mask()
+        if sim != "bm25" and prune:
+            prune = False
+            self.last_prune_stats = {"mode": "tfidf_exhaustive"}
+        if prune:
+            doc_ids, scores = self._score_terms_pruned(
+                pos_present, "OR", k, mask=mask)
+        else:
+            doc_ids, scores = self._score_terms(
+                set(pos_present), "OR", mask=mask, sim=sim)
+        top_ids, top_scores = queue_topk_np(doc_ids, scores, k)
+        result = self._attach_doc_nos(top_ids, top_scores)
+        self._cache[key] = result
+        if len(self._cache) > self._cache_size:
+            self._cache.popitem(last=False)
+        return result
+
+    def search_boolean_distributed(self, expr: str, k: int = 20,
+                                   where: str | None = None,
+                                   similarity: str = "bm25"):
+        """:meth:`search_boolean` as one pure DataFrame plan. Match
+        set: the union decode of every leaf term groups to per-doc
+        leaf sets (one keyed shuffle) and the tree evaluates as a
+        Column expression over array_contains; scoring semi-joins the
+        positive leaves' decode against it. Out-of-vocabulary leaves
+        are never-matching columns — no special cases."""
+        from pyspark.sql import functions as F
+
+        from . import boolquery
+
+        sim = self._check_similarity(similarity)
+        tree = self._analyzed_bool_tree(expr)
+        empty = "doc_no string, score double"
+        if tree is None:
+            return self.spark.createDataFrame([], empty)
+        lv = set(boolquery.leaves(tree))
+        pos = set(boolquery.positive_leaves(tree))
+        present = self._present_terms(lv)
+        pos_present = sorted(pos & present)
+        if not pos_present:
+            return self.spark.createDataFrame([], empty)
+        per_doc = (self._drop_tombstoned(
+            self.decoded_postings_df(present)
+            .select("term", "doc_id"))
+            .groupBy("doc_id")
+            .agg(F.collect_set("term").alias("ts")))
+        match_col = boolquery.evaluate(
+            tree, lambda t: F.array_contains(F.col("ts"), t))
+        ids = per_doc.where(match_col).select("doc_id")
+        if where is not None:
+            ids = ids.join(self._allowed_ids_df(where), "doc_id",
+                           "left_semi")
+        exploded = (self._drop_tombstoned(
+            self.decoded_postings_df(set(pos_present)))
+            .join(ids, "doc_id", "left_semi"))
+        if sim == "tfidf":
+            part = scoring.tfidf_col(F.col("tf"), F.col("df"),
+                                     F.lit(float(self.num_docs)))
+        else:
+            part = scoring.bm25_col(F.col("tf"), F.col("dl"),
+                                    F.col("df"),
+                                    F.lit(float(self.num_docs)),
+                                    F.lit(self.avg_doc_len))
+        agg = (exploded.withColumn("partial", scoring.u6_col(part))
+               .groupBy("doc_id")
+               .agg(F.sum("partial").alias("score_u6")))
+        top = (agg.groupBy("score_u6")
+               .agg(F.min("doc_id").alias("doc_id"))
+               .orderBy(F.desc("score_u6")).limit(k))
+        return (self.docs.join(F.broadcast(top), "doc_id")
+                .select("doc_no",
+                        (F.col("score_u6") / F.lit(1e6)).alias("score"))
+                .orderBy(F.desc("score")))
+
     # -- logical deletes (tombstones) -----------------------------------
     @property
     def _tomb_count(self) -> int:
