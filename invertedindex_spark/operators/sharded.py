@@ -485,6 +485,77 @@ class ShardedIndex:
                         (F.col("score_u6") / F.lit(1e6)).alias("score"))
                 .orderBy(F.desc("score")))
 
+    def search_boolean_distributed(self, expr: str, k: int = 20,
+                                   similarity: str = "bm25"):
+        """:meth:`InvertedIndex.search_boolean_distributed` served
+        scatter-gather: documents never span shards, so per-doc leaf
+        sets are shard-local facts — each shard's leaf-filtered decode
+        scatters at GLOBAL doc ids, one keyed shuffle groups them, and
+        the tree evaluates as a Column expression over the union.
+        Matches score as the disjunctive u6 sum over their positive
+        leaves under the GLOBAL blended dfs — row-identical to
+        ``merge_warehouses(shards) → compact``."""
+        from pyspark.sql import functions as F
+
+        from . import boolquery
+
+        sim = self.idxs[0]._check_similarity(similarity)
+        empty = "doc_no string, score double"
+        tree = boolquery.analyze(boolquery.parse(expr),
+                                 stopwords=self.stopwords,
+                                 stemming=self.stemming)
+        if tree is None:
+            return self.spark.createDataFrame([], empty)
+        boolquery.check_not_pure_negative(tree)
+        lv = set(boolquery.leaves(tree))
+        pos = set(boolquery.positive_leaves(tree))
+        parts, present = [], set()
+        for idx, off in zip(self.idxs, self.offsets):
+            want = idx._present_terms(lv)
+            present |= want
+            if not want:
+                continue
+            parts.append(
+                idx._drop_tombstoned(idx.decoded_postings_df(want))
+                .select("term",
+                        (F.col("doc_id") + F.lit(int(off)))
+                        .alias("doc_id"), "tf", "dl"))
+        pos_present = sorted(pos & present)
+        if not pos_present or not parts:
+            return self.spark.createDataFrame([], empty)
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        per_doc = (u.groupBy("doc_id")
+                   .agg(F.collect_set("term").alias("ts")))
+        match_col = boolquery.evaluate(
+            tree, lambda t: F.array_contains(F.col("ts"), t))
+        ids = per_doc.where(match_col).select("doc_id")
+        gdf = self._global_df(set(pos_present))
+        gdf_df = F.broadcast(self.spark.createDataFrame(
+            sorted(gdf.items()), "term string, gdf long"))
+        if sim == "tfidf":
+            part = scoring.tfidf_col(F.col("tf"), F.col("gdf"),
+                                     F.lit(float(self.num_docs)))
+        else:
+            part = scoring.bm25_col(F.col("tf"), F.col("dl"),
+                                    F.col("gdf"),
+                                    F.lit(float(self.num_docs)),
+                                    F.lit(self.avg_doc_len))
+        scored = (u.where(F.col("term").isin(pos_present))
+                  .join(ids, "doc_id", "left_semi")
+                  .join(gdf_df, "term")
+                  .withColumn("partial", scoring.u6_col(part)))
+        agg = (scored.groupBy("doc_id")
+               .agg(F.sum("partial").alias("score_u6")))
+        top = (agg.groupBy("score_u6")
+               .agg(F.min("doc_id").alias("doc_id"))
+               .orderBy(F.desc("score_u6")).limit(k))
+        return (self._docs_union().join(F.broadcast(top), "doc_id")
+                .select("doc_no",
+                        (F.col("score_u6") / F.lit(1e6)).alias("score"))
+                .orderBy(F.desc("score")))
+
     def facet_counts(self, query: str, by: str, top: int = 10,
                      where: str | None = None):
         """:meth:`InvertedIndex.facet_counts` served scatter-gather:

@@ -108,6 +108,24 @@ def test_slop_and_pagination_parity(setup):
         sh.search_distributed("OR hotterm", slop=2)
 
 
+def test_boolean_parity_with_single_warehouse(setup):
+    """Nested BooleanQuery trees scatter-gather == merged: per-doc
+    leaf sets are shard-local facts (documents never span shards),
+    scored under the GLOBAL blended dfs."""
+    ref, sh = setup["ref"], setup["sharded"]
+    for expr in ["(hotterm AND (def OR import)) AND NOT parties",
+                 "hotterm OR (quick AND def)",
+                 "def AND -class",
+                 "hotterm AND zzznope",          # OOV conjunct
+                 "hotterm AND NOT zzznope"]:     # OOV under NOT
+        got = _rows(sh.search_boolean_distributed(expr, k=10))
+        want = _rows(ref.search_boolean_distributed(expr, k=10))
+        assert got == want, expr
+    # pure-negative rejection reaches the sharded path too
+    with pytest.raises(ValueError, match="pure-negative"):
+        sh.search_boolean_distributed("NOT hotterm")
+
+
 def test_unknown_terms_follow_merged_semantics(setup):
     sh = setup["sharded"]
     assert _rows(sh.search_distributed("AND hotterm zzznothere")) == []
