@@ -745,6 +745,83 @@ SELECT row_number() OVER (ORDER BY score_u6 DESC) AS rank, d.doc_no,
 FROM dedup JOIN docs d USING (doc_id)"""
 
 
+RM3_TERMS = ["fast", "key", "order"]
+RM3_FB_DOCS, RM3_FB_TERMS, RM3_OW = 5, 8, 0.5
+
+
+def q_rm3_topk(spark, sf_dir):
+    """RM3-style pseudo-relevance feedback (Lavrenko & Croft 2001;
+    Anserini BM25+RM3 defaults): the query's top fb_docs documents
+    vote expansion terms by rm(t) = Σ u6(tf/dl) (integer micro-units,
+    associative on both engines), the top fb_terms blend with the
+    original terms at w = ow/|Q| + (1−ow)·rm/Σrm, and the weighted OR
+    rescores (InvertedIndex.search_rm3_distributed — the boosted
+    exhaustive plan under the RM3 weight map)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    idx = get_index(spark, sf_dir)
+    res = idx.search_rm3_distributed(
+        "OR " + " ".join(RM3_TERMS), k=K, fb_docs=RM3_FB_DOCS,
+        fb_terms=RM3_FB_TERMS, orig_weight=RM3_OW)
+    w = Window.orderBy(F.desc("score"))
+    return res.select(F.row_number().over(w).alias("rank"), "doc_no",
+                      _u6(F.col("score")).alias("score_u6"))
+
+
+def sql_rm3_topk(k: int = K) -> str:
+    from .functions.scoring import U6
+    tlist = ", ".join(f"'{t}'" for t in RM3_TERMS)
+    vals = ", ".join(f"('{t}')" for t in RM3_TERMS)
+    nq, ow = len(RM3_TERMS), RM3_OW
+    # w sums orig-mass first then expansion-mass — the engine adds in
+    # the same order, so the doubles (and the floor boundary of the
+    # final u6 partial) are bit-identical
+    w_expr = (
+        f"(CASE WHEN o.term IS NOT NULL THEN {ow!r} / {nq} "
+        "ELSE 0.0 END) + "
+        f"(CASE WHEN r.term IS NOT NULL THEN (1.0 - {ow!r}) * "
+        "(CAST(r.rm AS DOUBLE) / CAST(t.tot AS DOUBLE)) "
+        "ELSE 0.0 END)")
+    partial = (f"CAST(floor((w.w) * ({_bm25_expr()}) * {U6} + 0.5) "
+               "AS BIGINT)")
+    return _base_cte() + f""",
+q0 AS (
+  SELECT tf.doc_id, CAST(sum({_bm25_u6_expr()}) AS BIGINT) AS score_u6
+  FROM tf JOIN lex USING (term) CROSS JOIN stats
+  WHERE tf.term IN ({tlist})
+  GROUP BY tf.doc_id
+), fb AS (
+  SELECT min(doc_id) AS doc_id
+  FROM q0 GROUP BY score_u6
+  ORDER BY score_u6 DESC LIMIT {RM3_FB_DOCS}
+), rm AS (
+  SELECT term, CAST(sum(CAST(floor(
+           tf.tf / CAST(tf.dl AS DOUBLE) * {U6} + 0.5)
+         AS BIGINT)) AS BIGINT) AS rm
+  FROM tf JOIN fb USING (doc_id)
+  GROUP BY term
+  ORDER BY rm DESC, term ASC LIMIT {RM3_FB_TERMS}
+), tot AS (
+  SELECT CAST(sum(rm) AS BIGINT) AS tot FROM rm
+), orig AS (
+  SELECT * FROM (VALUES {vals}) v(term)
+), w AS (
+  SELECT coalesce(o.term, r.term) AS term, {w_expr} AS w
+  FROM orig o FULL OUTER JOIN rm r ON o.term = r.term CROSS JOIN tot t
+), scores AS (
+  SELECT tf.doc_id, CAST(sum({partial}) AS BIGINT) AS score_u6
+  FROM tf JOIN lex USING (term) JOIN w USING (term) CROSS JOIN stats
+  GROUP BY tf.doc_id
+), dedup AS (
+  SELECT score_u6, min(doc_id) AS doc_id
+  FROM scores GROUP BY score_u6
+  ORDER BY score_u6 DESC LIMIT {k}
+)
+SELECT row_number() OVER (ORDER BY score_u6 DESC) AS rank, d.doc_no,
+       score_u6
+FROM dedup JOIN docs d USING (doc_id)"""
+
+
 FUZZY_TOKEN = "qery"     # deliberate typo of "query" (dist 1)
 
 
@@ -3832,6 +3909,7 @@ def extra_queries():
         "bm25_topk_prefix": q_bm25_topk_prefix,
         "bm25_topk_range": q_bm25_topk_range,
         "bool_topk": q_bool_topk,
+        "rm3_topk": q_rm3_topk,
         "sorted_topk": q_sorted_topk,
         "corpus_mix": q_corpus_mix,
         "top_terms": q_top_terms,
@@ -3872,6 +3950,7 @@ def extra_oracle_sql(query_vec=None, sf_dir=None):
         "bm25_topk_prefix": sql_bm25_topk_prefix(),
         "bm25_topk_range": sql_bm25_topk_range(),
         "bool_topk": sql_bool_topk(),
+        "rm3_topk": sql_rm3_topk(),
         "sorted_topk": sql_sorted_topk(),
         "corpus_mix": sql_corpus_mix(),
         "top_terms": sql_top_terms(),

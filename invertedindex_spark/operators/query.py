@@ -1803,6 +1803,129 @@ class InvertedIndex:
                         (F.col("score_u6") / F.lit(1e6)).alias("score"))
                 .orderBy(F.desc("score")))
 
+    def rm3_expand(self, query: str, fb_docs: int = 10,
+                   fb_terms: int = 10, orig_weight: float = 0.5):
+        """RM3-style pseudo-relevance feedback (Lavrenko & Croft 2001
+        relevance models; the Anserini BM25+RM3 defaults fbTerms=10,
+        fbDocs=10, originalQueryWeight=0.5): run the OR query, take
+        the top ``fb_docs`` ranked documents (post tie-dedup) as
+        pseudo-relevant, weight their index terms by
+        ``rm(t) = Σ_d u6(tf/dl)`` (integer micro-units — associative,
+        so the DuckDB oracle sums bit-identically), keep the top
+        ``fb_terms`` by (rm desc, term asc), and blend:
+        ``w(t) = ow·1[t ∈ Q]/|Q| + (1−ow)·rm(t)/Σrm``. Returns the
+        stored-term → weight map for the weighted-OR rescore (terms
+        are stored vocabulary — never re-analyzed), or None when the
+        query matches nothing. Scale shape: the feedback decode is a
+        union of ≤ fb_docs single-doc block-range scans (the
+        more_like_this seed-read path), never a full-index decode."""
+        from pyspark.sql import functions as F
+
+        if not 0.0 <= float(orig_weight) <= 1.0:
+            raise ValueError(
+                f"orig_weight must be in [0, 1] (got {orig_weight})")
+        if fb_docs < 1 or fb_terms < 1:
+            raise ValueError("fb_docs and fb_terms must be >= 1")
+        qtype, terms = preprocess_query(
+            query, stopwords=self.stopwords, stemming=self.stemming)
+        if qtype != "OR":
+            raise ValueError(
+                "RM3 expansion applies to OR queries (feedback over "
+                "a conjunctive match set is not defined here)")
+        terms = sorted(set(terms))
+        if not terms:
+            return None
+        present = self._present_terms(set(terms))
+        if not present:
+            return None
+        mask = self._alive_mask() if self._tomb_count else None
+        doc_ids, scores = self._score_terms(present, "OR", mask=mask)
+        top_ids, _ = queue_topk_np(doc_ids, scores, fb_docs)
+        if top_ids.size == 0:
+            return None
+        ow, nq = float(orig_weight), len(terms)
+        wmap = {t: ow / nq for t in terms}
+        parts = []
+        for sid in sorted(int(i) for i in top_ids):
+            parts.append(
+                self.decoded_postings_df(doc_range=(sid, sid))
+                .where(F.col("doc_id") == sid)
+                .select("term", "tf", "dl"))
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        rm_rows = (u.withColumn(
+            "c", scoring.u6_col(F.col("tf") / F.col("dl")))
+            .groupBy("term").agg(F.sum("c").alias("rm"))
+            .orderBy(F.desc("rm"), F.asc("term"))
+            .limit(fb_terms).collect())
+        tot = sum(int(r["rm"]) for r in rm_rows)
+        if tot > 0:
+            for r in rm_rows:
+                # a + b with a = the orig-term mass (0.0 when not an
+                # original term) — the oracle's CASE sums in the same
+                # order, so the doubles are bit-identical
+                wmap[r["term"]] = (wmap.get(r["term"], 0.0)
+                                   + (1.0 - ow)
+                                   * (int(r["rm"]) / tot))
+        # zero-weight terms (ow=1 expansion, ow=0 originals) score 0
+        # everywhere but would still admit their docs to the match
+        # set — drop them so the weight map IS the query
+        return {t: w for t, w in wmap.items() if w > 0.0}
+
+    def search_rm3(self, query: str, k: int = 20, fb_docs: int = 10,
+                   fb_terms: int = 10, orig_weight: float = 0.5):
+        """:meth:`rm3_expand` + weighted-OR rescore on the driver
+        kernels: [(doc_no, score)] descending, reference tie-dedup."""
+        wmap = self.rm3_expand(query, fb_docs=fb_docs,
+                               fb_terms=fb_terms,
+                               orig_weight=orig_weight)
+        if not wmap:
+            return []
+        key = ("RM3", tuple(sorted(wmap.items())), k)
+        if key in self._cache:
+            self._cache.move_to_end(key)
+            return self._cache[key]
+        mask = self._alive_mask() if self._tomb_count else None
+        doc_ids, scores = self._score_terms(set(wmap), "OR",
+                                            mask=mask, wmap=wmap)
+        top_ids, top_scores = queue_topk_np(doc_ids, scores, k)
+        result = self._attach_doc_nos(top_ids, top_scores)
+        self._cache[key] = result
+        if len(self._cache) > self._cache_size:
+            self._cache.popitem(last=False)
+        return result
+
+    def search_rm3_distributed(self, query: str, k: int = 20,
+                               fb_docs: int = 10, fb_terms: int = 10,
+                               orig_weight: float = 0.5):
+        """:meth:`search_rm3` with the rescore as one pure DataFrame
+        plan (the boosted exhaustive plan under the RM3 weight map)."""
+        from pyspark.sql import functions as F
+
+        wmap = self.rm3_expand(query, fb_docs=fb_docs,
+                               fb_terms=fb_terms,
+                               orig_weight=orig_weight)
+        if not wmap:
+            return self.spark.createDataFrame(
+                [], "doc_no string, score double")
+        dec = self._drop_tombstoned(
+            self.decoded_postings_df(set(wmap)))
+        part = scoring.bm25_col(F.col("tf"), F.col("dl"), F.col("df"),
+                                F.lit(float(self.num_docs)),
+                                F.lit(self.avg_doc_len))
+        agg = (dec.withColumn("partial",
+                              scoring.weighted_u6_col(part, wmap))
+               .groupBy("doc_id")
+               .agg(F.sum("partial").alias("score_u6")))
+        top = (agg.groupBy("score_u6")
+               .agg(F.min("doc_id").alias("doc_id"))
+               .orderBy(F.desc("score_u6")).limit(k))
+        return (self.docs.join(F.broadcast(top), "doc_id")
+                .select("doc_no",
+                        (F.col("score_u6") / F.lit(1e6)).alias("score"))
+                .orderBy(F.desc("score")))
+
     # -- logical deletes (tombstones) -----------------------------------
     @property
     def _tomb_count(self) -> int:
