@@ -2500,6 +2500,67 @@ SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
 FROM sc GROUP BY doc_id"""
 
 
+DSIR_BUCKETS = 2048
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023): every document of
+    the corpus scored by how much its hashed unigram+bigram feature
+    profile resembles the TARGET slice (doc_id % 5 == 0 — a stand-in
+    for "high-quality reference corpus") versus the raw pool. Per-
+    bucket log-probability ratios are quantized to micro-nat BIGINTs
+    before the per-doc sum, so both engines do exact integer
+    arithmetic (operators/dsir.py)."""
+    from pyspark.sql import functions as F
+
+    from .operators.dsir import dsir_weights
+    docs = _docs_df(spark, sf_dir)
+    return dsir_weights(docs, docs.where(F.col("doc_id") % 5 == 0),
+                        buckets=DSIR_BUCKETS)
+
+
+def sql_dsir_weights() -> str:
+    b = DSIR_BUCKETS
+    return _raw_tok_cte() + f""",
+t AS (SELECT doc_id, tokens FROM src WHERE len(tokens) >= 1),
+feats AS (
+  SELECT doc_id, unnest(tokens) AS ft FROM t
+  UNION ALL
+  SELECT doc_id, w1 || ' ' || w2 AS ft FROM (
+    SELECT doc_id, unnest(tokens[1:len(tokens) - 1]) AS w1,
+           unnest(tokens[2:len(tokens)]) AS w2
+    FROM t WHERE len(tokens) >= 2)
+), df_feats AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(ft), 1, 15)) AS BIGINT) % {b}
+           AS f,
+         CAST(count(*) AS BIGINT) AS c
+  FROM feats GROUP BY doc_id, f
+), scnt AS (
+  SELECT f, CAST(sum(c) AS BIGINT) AS s FROM df_feats GROUP BY f
+), tcnt AS (
+  SELECT f, CAST(sum(c) AS BIGINT) AS t FROM df_feats
+  WHERE doc_id % 5 = 0 GROUP BY f
+), stot AS (
+  SELECT coalesce(CAST(sum(s) AS BIGINT), 0) AS stot FROM scnt
+), ttot AS (
+  SELECT coalesce(CAST(sum(t) AS BIGINT), 0) AS ttot FROM tcnt
+), sc AS (
+  SELECT d.doc_id, d.c,
+         CAST(round(ln((coalesce(tc.t, 0) + 1.0) / (ttot + {b}))
+                    * 1e6) AS BIGINT)
+       - CAST(round(ln((s.s + 1.0) / (stot + {b}))
+                    * 1e6) AS BIGINT) AS r_u6
+  FROM df_feats d
+  LEFT JOIN tcnt tc USING (f)
+  JOIN scnt s USING (f)
+  CROSS JOIN stot CROSS JOIN ttot
+)
+SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_feats,
+       CAST(sum(c * r_u6) AS BIGINT) AS logw_u6
+FROM sc GROUP BY doc_id"""
+
+
 def q_top_collocations(spark, sf_dir):
     """Strongest bigram collocations by PMI (Church & Hanks): corpus
     analytics / tokenizer-merge signal over the same token stream as
@@ -3910,6 +3971,7 @@ def extra_queries():
         "bm25_topk_range": q_bm25_topk_range,
         "bool_topk": q_bool_topk,
         "rm3_topk": q_rm3_topk,
+        "dsir_weights": q_dsir_weights,
         "sorted_topk": q_sorted_topk,
         "corpus_mix": q_corpus_mix,
         "top_terms": q_top_terms,
@@ -3951,6 +4013,7 @@ def extra_oracle_sql(query_vec=None, sf_dir=None):
         "bm25_topk_range": sql_bm25_topk_range(),
         "bool_topk": sql_bool_topk(),
         "rm3_topk": sql_rm3_topk(),
+        "dsir_weights": sql_dsir_weights(),
         "sorted_topk": sql_sorted_topk(),
         "corpus_mix": sql_corpus_mix(),
         "top_terms": sql_top_terms(),

@@ -59,7 +59,8 @@ QUERIES = ["exact_dedup", "token_counts", "token_stats", "lang_id",
            "train_test_split", "domain_stats", "contamination_check",
            "cross_dedup", "doc_chunks", "pack_sequences",
            "token_budget_select", "top_collocations",
-           "near_dup_components", "boilerplate_shingles", "pii_scrub"]
+           "near_dup_components", "boilerplate_shingles", "pii_scrub",
+           "dsir_weights"]
 
 
 @pytest.mark.parametrize("seed", [11, 17, 23])
