@@ -3265,6 +3265,60 @@ ORDER BY list_cosine_similarity(v, {qlit}) DESC, vec_id ASC
 LIMIT {K}"""
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): k-means-partitioned semantic
+    dedup — assign every embedding to its nearest IVF centroid (the
+    shared margin-guarded coarse quantizer), mark within-cluster
+    exact-cosine >= threshold components, keep the min-id
+    representative of each (operators/similarity.semantic_dedup)."""
+    from pyspark.sql import functions as F
+
+    from .operators.similarity import semantic_dedup
+    cent = _ivf_centroids(sf_dir)
+    out = semantic_dedup(_emb_df(spark, sf_dir), cent,
+                         NEAR_DUP_THRESHOLD)
+    return out.select("vec_id", F.col("cluster").cast("long")
+                      .alias("cluster"), "component_id", "keep")
+
+
+def sql_semantic_dedup(centroids=None, sf_dir=None):
+    if centroids is None:
+        centroids = _ivf_centroids(sf_dir)
+    dots = ", ".join(f"list_dot_product(v, {_qvec_sql_literal(c)})"
+                     for c in centroids)
+    cut = int(round(NEAR_DUP_THRESHOLD * 1e6))
+    return f"""
+WITH RECURSIVE
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE embedding IS NOT NULL),
+d AS (SELECT vec_id, v, [{dots}] AS dots FROM e),
+a AS (SELECT vec_id, v,
+        list_position(dots, list_aggregate(dots, 'max')) - 1 AS cluster
+      FROM d),
+pairs AS (
+  SELECT x.vec_id AS pa, y.vec_id AS pb
+  FROM a x JOIN a y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+  WHERE list_dot_product(x.v, x.v) > 0 AND list_dot_product(y.v, y.v) > 0
+    AND CAST(round(1e6 * list_cosine_similarity(x.v, y.v)) AS BIGINT)
+        >= {cut}
+), ee AS (
+  SELECT pa AS a, pb AS b FROM pairs
+  UNION SELECT pb AS a, pa AS b FROM pairs
+), reach(src, dst) AS (
+  SELECT a, b FROM ee
+  UNION
+  SELECT r.src, ee.b FROM reach r JOIN ee ON r.dst = ee.a
+), comp AS (
+  SELECT src AS vec_id,
+         CAST(least(src, min(dst)) AS BIGINT) AS component_id
+  FROM reach GROUP BY src
+)
+SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster,
+       coalesce(c.component_id, a.vec_id) AS component_id,
+       coalesce(c.component_id, a.vec_id) = a.vec_id AS keep
+FROM a LEFT JOIN comp c USING (vec_id)"""
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (dedup family): multi-table
     hyperplane-LSH candidate generation + exact cosine >= threshold."""
@@ -3972,6 +4026,7 @@ def extra_queries():
         "bool_topk": q_bool_topk,
         "rm3_topk": q_rm3_topk,
         "dsir_weights": q_dsir_weights,
+        "semantic_dedup": q_semantic_dedup,
         "sorted_topk": q_sorted_topk,
         "corpus_mix": q_corpus_mix,
         "top_terms": q_top_terms,
@@ -4036,4 +4091,5 @@ def extra_oracle_sql(query_vec=None, sf_dir=None):
         out["stem_on_topk_and"] = _python_oracle_topk_values(
             sf_dir, "AND " + " ".join(AND_TERMS))
         out["bpe_token_counts"] = sql_bpe_token_counts(sf_dir)
+        out["semantic_dedup"] = sql_semantic_dedup(sf_dir=sf_dir)
     return out

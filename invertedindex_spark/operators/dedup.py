@@ -298,6 +298,18 @@ def near_dup_components(df, perms, n_bands: int, band_width: int,
                                shingle_n, max_bucket)
              .where(F.col("j") >= min_jaccard)
              .select("a", "b"))
+    return min_label_components(pairs, max_iter=max_iter)
+
+
+def min_label_components(pairs, max_iter: int = 25):
+    """(doc_id, component_id) connected components of an undirected
+    edge list ``pairs`` (columns a, b) by distributed min-label
+    propagation — the shared kernel behind near_dup_components and
+    semantic_dedup (see that docstring for the scale shape and the
+    monotone convergence probe). Only nodes incident to >= 1 edge
+    appear; components are labeled by their smallest member id."""
+    from pyspark.sql import functions as F
+
     e = (pairs.union(pairs.select(F.col("b").alias("a"),
                                   F.col("a").alias("b")))
          .distinct().localCheckpoint(eager=False))
@@ -324,7 +336,7 @@ def near_dup_components(df, perms, n_bands: int, band_width: int,
         prev = cur
     else:
         raise RuntimeError(
-            f"near_dup_components did not converge in {max_iter} "
+            f"min_label_components did not converge in {max_iter} "
             "iterations (graph diameter exceeds max_iter)")
     return labels.select(F.col("doc").alias("doc_id"),
                          F.col("lbl").alias("component_id"))

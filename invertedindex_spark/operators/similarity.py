@@ -402,6 +402,20 @@ def near_dup_pairs(df, tables: list[list[list[float]]], threshold: float,
                 names=["vid", "t", "bk"])
 
     buckets = base.mapInArrow(bucketize, "vid long, t int, bk long")
+    return _verified_pairs(base, buckets, threshold,
+                           max_bucket=max_bucket)
+
+
+def _verified_pairs(base, buckets, threshold: float,
+                    max_bucket: int | None = None):
+    """Bucket-grouped candidate pairs + exact cosine verification —
+    the shared tail of near_dup_pairs (buckets = LSH bands) and
+    semantic_dedup (buckets = k-means clusters). ``base`` is
+    (vid, v); ``buckets`` is (vid, t, bk); returns
+    (id_a, id_b, cos_u6) with cos_u6 >= round(threshold * 1e6)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
     grouped = (buckets.groupBy("t", "bk")
                .agg(F.sort_array(F.collect_list("vid")).alias("ids"))
                .where(F.size("ids") > 1))
@@ -465,6 +479,57 @@ def near_dup_pairs(df, tables: list[list[list[float]]], threshold: float,
 
     return paired.select("id_a", "id_b", "va", "vb").mapInArrow(
         verify, "id_a long, id_b long, cos_u6 long")
+
+
+def semantic_dedup(df, centroids, threshold: float,
+                   id_col: str = "vec_id", emb_col: str = "embedding",
+                   max_cluster: int | None = None, max_iter: int = 25):
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): k-means-partitioned
+    semantic dedup over an embedding column. Every vector assigns to
+    its nearest centroid (one vectorized Arrow matmul pass, no
+    shuffle); WITHIN each cluster, pairs with exact cosine >=
+    ``threshold`` are semantic duplicates; duplicate components keep
+    one representative each. Returns
+    (``id_col``, cluster, component_id, keep) for every non-null
+    vector — keep=False means "drop in curation".
+
+    Deviations from the paper, documented: the representative is the
+    component's MIN id (the engine's exact-dedup keep-first rule —
+    deterministic and oracle-expressible; the paper keeps the lowest
+    centroid-similarity member), and duplicate pairs spanning two
+    clusters are invisible by design — that is SemDeDup's own trade
+    (the k-means partition is what bounds the pair expansion, making
+    this the scale path next to the LSH-banded
+    :func:`near_dup_pairs`).
+
+    Scale shape: assignment is narrow; the only wide ops are the
+    per-cluster groupBy and the component propagation over the
+    (sparse) duplicate edges. ``max_cluster`` guards degenerate
+    clusters exactly like LSH ``max_bucket``. Zero-norm vectors drop
+    inside the verify kernel (cosine undefined), so they always keep.
+    """
+    from pyspark.sql import functions as F
+
+    from .dedup import min_label_components
+
+    a = ivf_assign(df, centroids, id_col=id_col, emb_col=emb_col)
+    base = a.select(F.col(id_col).alias("vid"),
+                    F.col(emb_col).alias("v"))
+    buckets = a.select(F.col(id_col).alias("vid"),
+                       F.lit(0).alias("t"),
+                       F.col("cluster").cast("long").alias("bk"))
+    pairs = _verified_pairs(base, buckets, threshold,
+                            max_bucket=max_cluster)
+    comp = min_label_components(
+        pairs.select(F.col("id_a").alias("a"),
+                     F.col("id_b").alias("b")), max_iter=max_iter)
+    cid = F.coalesce(F.col("component_id"), F.col(id_col))
+    return (a.select(id_col, "cluster")
+            .join(comp.withColumnRenamed("doc_id", id_col),
+                  id_col, "left")
+            .select(id_col, "cluster", cid.alias("component_id"),
+                    (cid == F.col(id_col)).alias("keep")))
 
 
 # ---------------------------------------------------------------------
