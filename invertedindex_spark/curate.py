@@ -7,7 +7,12 @@ documents parquet, and prints one JSON summary line.
 Usage:
     python -m invertedindex_spark.curate in.parquet out_dir \\
         [--min-quality-u6 450000] [--langs en] [--remove-spans-k 8] \\
-        [--token-budget N] [--report] [--cpus N]
+        [--token-budget N] [--dsir-target t.parquet --dsir-keep N] \\
+        [--report] [--cpus N]
+
+``--dsir-target t.parquet --dsir-keep N``: after cleaning, keep the N
+documents whose hashed-ngram profile is most target-like (DSIR
+importance weights, operators/dsir.py).
 
 ``--token-budget N``: after cleaning, cut to the first documents
 whose running whitespace-token total fits N (prefix semantics,
@@ -38,6 +43,14 @@ def main(argv=None):
                          "k-shingle spans from kept docs")
     ap.add_argument("--token-budget", type=int, default=None,
                     help="prefix cut at N total whitespace tokens")
+    ap.add_argument("--dsir-target", default=None, metavar="PARQUET",
+                    help="DSIR data selection: keep the --dsir-keep "
+                         "docs most like this target corpus "
+                         "(doc_id, text parquet)")
+    ap.add_argument("--dsir-keep", type=int, default=None,
+                    help="how many docs DSIR selection keeps")
+    ap.add_argument("--dsir-buckets", type=int, default=8192,
+                    help="DSIR hashed-feature buckets")
     ap.add_argument("--report", action="store_true",
                     help="print per-source domain_stats JSON lines")
     ap.add_argument("--cpus", type=int, default=None,
@@ -61,6 +74,14 @@ def main(argv=None):
                              if args.min_quality_u6 is not None
                              else DEFAULT_MIN_QUALITY_U6)}
     kept = kept_documents(docs, remove_spans_k=args.remove_spans_k, **kw)
+    if args.dsir_target is not None:
+        if args.dsir_keep is None:
+            ap.error("--dsir-target requires --dsir-keep N")
+        from .operators.dsir import dsir_select
+        target = spark.read.parquet(args.dsir_target)
+        sel = dsir_select(kept, target, n=args.dsir_keep,
+                          buckets=args.dsir_buckets)
+        kept = kept.join(sel.select("doc_id"), "doc_id", "left_semi")
     if args.token_budget is not None:
         from .operators.packing import select_token_budget
         kept = select_token_budget(kept, args.token_budget)

@@ -596,6 +596,42 @@ def test_curate_cli_end_to_end(spark, tmp_path, capsys):
     assert {r["source"] for r in reports} <= {"web", "wiki"}
 
 
+def test_curate_cli_dsir_selection(spark, tmp_path, capsys):
+    """--dsir-target/--dsir-keep: post-clean DSIR data selection keeps
+    the N most target-like documents."""
+    import json
+
+    from invertedindex_spark import curate
+
+    src = str(tmp_path / "dsir_in.parquet")
+    targety = ("the python code review of the merge request is "
+               "in the pipeline and the tests pass")
+    sourcy = ("the banana smoothie recipe for the breakfast is "
+              "on the holiday travel list at the beach")
+    rows = [(i, (targety if i < 3 else sourcy) + f" filler {i}", "web")
+            for i in range(10)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string") \
+        .write.mode("overwrite").parquet(src)
+    tgt = str(tmp_path / "dsir_target.parquet")
+    spark.createDataFrame(
+        [(100 + j, targety + " extra") for j in range(3)],
+        "doc_id long, text string").write.parquet(tgt)
+    out = str(tmp_path / "dsir_out")
+    rc = curate.main([src, out, "--min-quality-u6", "0",
+                      "--dsir-target", tgt, "--dsir-keep", "3"])
+    assert rc == 0
+    summary = json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["kept_docs"] == 3
+    kept_ids = {r["doc_id"]
+                for r in spark.read.parquet(out).collect()}
+    assert kept_ids == {0, 1, 2}
+    # --dsir-target without --dsir-keep is a usage error
+    with pytest.raises(SystemExit):
+        curate.main([src, out, "--dsir-target", tgt])
+
+
 def test_clean_corpus_repetition_stage(spark):
     """The optional Gopher A1.1 repetition verdict: a doc whose line
     structure repeats past the paper thresholds drops as 'repetitive';
