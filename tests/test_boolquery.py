@@ -206,6 +206,36 @@ def test_all_stopword_tree_returns_empty(bool_idx):
     assert bool_idx.search_boolean_distributed("the OR a").count() == 0
 
 
+def test_fresh_stream_warehouse_parity(spark, tmp_path):
+    """BOOL on an uncompacted stream warehouse (fresh=True) equals the
+    batch-built twin — _present_terms and _fetch_decoded are
+    fresh-aware, incl. vocabulary that only exists in partials."""
+    from invertedindex_spark.streaming import append_batch
+
+    cfg = IndexConfig(num_blocks=2, stemming=False)
+    rows = list(enumerate(TEXTS))
+    df1 = spark.createDataFrame(rows[:4], "doc_id long, text string")
+    df2 = spark.createDataFrame(rows[4:], "doc_id long, text string")
+    wh_s = str(tmp_path / "stream")
+    append_batch(spark, from_documents(df1), wh_s, cfg,
+                 blocks_per_batch=2)
+    append_batch(spark, from_documents(df2), wh_s, cfg,
+                 blocks_per_batch=2)
+    fresh = InvertedIndex(spark, wh_s, fresh=True)
+    wh_b = str(tmp_path / "batch")
+    build_index(spark, from_documents(
+        spark.createDataFrame(rows, "doc_id long, text string")),
+        wh_b, cfg)
+    batch = InvertedIndex(spark, wh_b)
+    for expr in ["(red AND (green OR blue)) AND NOT legacy",
+                 "red OR (green AND blue)",
+                 "pad AND NOT red"]:        # 'pad' is batch-2 vocab
+        assert _rows(fresh.search_boolean(expr)) == \
+            _rows(batch.search_boolean(expr)), expr
+        assert _rows(fresh.search_boolean_distributed(expr)) == \
+            _rows(batch.search_boolean_distributed(expr)), expr
+
+
 def test_cli_bool_grammar(bool_idx, monkeypatch, capsys):
     from invertedindex_spark import cli
 

@@ -96,6 +96,35 @@ def test_oov_query_returns_empty(rm3_idx):
     assert rm3_idx.rm3_expand("OR zzznope") is None
 
 
+def test_fresh_stream_warehouse_parity(spark, tmp_path):
+    """RM3 on an uncompacted stream warehouse (fresh=True) equals the
+    batch-built twin — the feedback decode's doc_range path must union
+    partial segments too."""
+    from invertedindex_spark.streaming import append_batch
+
+    cfg = IndexConfig(num_blocks=2, stemming=False)
+    rows = list(enumerate(TEXTS))
+    wh_s = str(tmp_path / "stream")
+    append_batch(spark, from_documents(spark.createDataFrame(
+        rows[:4], "doc_id long, text string")), wh_s, cfg,
+        blocks_per_batch=2)
+    append_batch(spark, from_documents(spark.createDataFrame(
+        rows[4:], "doc_id long, text string")), wh_s, cfg,
+        blocks_per_batch=2)
+    fresh = InvertedIndex(spark, wh_s, fresh=True)
+    wh_b = str(tmp_path / "batch")
+    build_index(spark, from_documents(spark.createDataFrame(
+        rows, "doc_id long, text string")), wh_b, cfg)
+    batch = InvertedIndex(spark, wh_b)
+    assert fresh.rm3_expand("OR spark index", fb_docs=3,
+                            fb_terms=5) == \
+        batch.rm3_expand("OR spark index", fb_docs=3, fb_terms=5)
+    assert _rows(fresh.search_rm3("OR spark index", k=6, fb_docs=3,
+                                  fb_terms=5)) == \
+        _rows(batch.search_rm3("OR spark index", k=6, fb_docs=3,
+                               fb_terms=5))
+
+
 def test_guards(rm3_idx):
     with pytest.raises(ValueError, match="OR queries"):
         rm3_idx.search_rm3("AND spark index")
