@@ -390,19 +390,27 @@ def main():
 
             idx_cached.set_attributes(
                 idx_cached.docs.select("doc_no", "doc_len"))
+            # feature queries MUST use the synth corpus's vocabulary —
+            # out-of-vocabulary terms would measure empty no-op
+            # queries (an earlier revision timed "fast key order"
+            # here, which this corpus does not contain)
             fl("not_driver", lambda: idx_cached.search(
-                "OR fast key order -table", 10, prune=True))
+                "OR hotterm quick brown -latency", 10, prune=True))
             fl("tfidf_driver", lambda: idx_cached.search(
-                "OR fast key order", 10, similarity="tfidf"))
+                "OR hotterm quick brown", 10, similarity="tfidf"))
             fl("range_driver", lambda: idx_cached.search(
-                "OR fast sa..sd", 10))
+                "OR hotterm pa..pe", 10))
             fl("rank_boost_distributed", lambda: idx_cached
-               .search_distributed("OR fast key order", 10,
+               .search_distributed("OR hotterm quick brown", 10,
                                    rank_boost=("doc_len", 0.05))
                .collect())
             fl("sorted_distributed", lambda: idx_cached
-               .search_sorted("OR fast key order", by="doc_len",
+               .search_sorted("OR hotterm quick brown", by="doc_len",
                               k=10).collect())
+            fl("bool_driver", lambda: idx_cached.search_boolean(
+                "(hotterm AND (quick OR brown)) AND NOT latency", 10))
+            fl("rm3_driver", lambda: idx_cached.search_rm3(
+                "OR hotterm quick brown", 10, fb_docs=5, fb_terms=8))
             extras["feature_latency_ms"] = feat
 
         # batch_search_distributed is deliberately NOT benched here: its
