@@ -1835,8 +1835,15 @@ class InvertedIndex:
         terms = sorted(set(terms))
         if not terms:
             return None
+        ow_f = float(orig_weight)
+        ck = ("RM3X", frozenset(terms), fb_docs, fb_terms, ow_f)
+        if ck in self._cache:
+            self._cache.move_to_end(ck)
+            hit = self._cache[ck]
+            return dict(hit) if hit is not None else None
         present = self._present_terms(set(terms))
         if not present:
+            self._cache[ck] = None
             return None
         mask = self._alive_mask() if self._tomb_count else None
         doc_ids, scores = self._score_terms(present, "OR", mask=mask)
@@ -1845,15 +1852,10 @@ class InvertedIndex:
             return None
         ow, nq = float(orig_weight), len(terms)
         wmap = {t: ow / nq for t in terms}
-        parts = []
-        for sid in sorted(int(i) for i in top_ids):
-            parts.append(
-                self.decoded_postings_df(doc_range=(sid, sid))
-                .where(F.col("doc_id") == sid)
-                .select("term", "tf", "dl"))
-        u = parts[0]
-        for p in parts[1:]:
-            u = u.unionByName(p)
+        fb = sorted(int(i) for i in top_ids)
+        u = (self.decoded_postings_df(doc_points=fb)
+             .where(F.col("doc_id").isin(fb))
+             .select("term", "tf", "dl"))
         rm_rows = (u.withColumn(
             "c", scoring.u6_col(F.col("tf") / F.col("dl")))
             .groupBy("term").agg(F.sum("c").alias("rm"))
@@ -1871,7 +1873,11 @@ class InvertedIndex:
         # zero-weight terms (ow=1 expansion, ow=0 originals) score 0
         # everywhere but would still admit their docs to the match
         # set — drop them so the weight map IS the query
-        return {t: w for t, w in wmap.items() if w > 0.0}
+        out = {t: w for t, w in wmap.items() if w > 0.0}
+        self._cache[ck] = dict(out)
+        if len(self._cache) > self._cache_size:
+            self._cache.popitem(last=False)
+        return out
 
     def search_rm3(self, query: str, k: int = 20, fb_docs: int = 10,
                    fb_terms: int = 10, orig_weight: float = 0.5):
@@ -2491,7 +2497,8 @@ class InvertedIndex:
                          .select("term").distinct().collect())}
         return present
 
-    def decoded_postings_df(self, terms=None, doc_range=None):
+    def decoded_postings_df(self, terms=None, doc_range=None,
+                            doc_points=None):
         """Posting payloads → (term, df, doc_id, tf, dl) DataFrame via an
         Arrow decode pass; filter pushed to the parquet scan. Fresh
         handles union the uncompacted partial segments and recompute
@@ -2507,16 +2514,33 @@ class InvertedIndex:
         SUPERSET of the range — callers still filter/join on doc_id.
         Caveat: with ``doc_range`` set, the ``df`` column reflects only
         in-range rows on fresh (merged-on-read) handles — range
-        callers must take df from the lexicon instead."""
+        callers must take df from the lexicon instead.
+
+        ``doc_points=[ids]``: the multi-point twin — one OR-chain of
+        containment predicates, so a handful of scattered docIds (RM3
+        feedback docs) decode their covering rows ONCE in one scan,
+        where a [min, max] range over scattered points would decode
+        nearly everything. Same superset/df caveats as doc_range."""
         import pyarrow as pa
         from pyspark.sql import functions as F
 
+        if doc_range is not None and doc_points is not None:
+            raise ValueError("pass doc_range or doc_points, not both")
+        if doc_points is not None and not doc_points:
+            raise ValueError("doc_points must be non-empty")
         if self._compacted_tables_exist():
             df = self.postings
             if doc_range is not None:
                 lo, hi = doc_range
                 df = df.where((F.col("first_doc_id") <= int(hi))
                               & (F.col("last_doc_id") >= int(lo)))
+            if doc_points is not None:
+                pred = None
+                for pt in sorted(set(int(x) for x in doc_points)):
+                    c = ((F.col("first_doc_id") <= pt)
+                         & (F.col("last_doc_id") >= pt))
+                    pred = c if pred is None else (pred | c)
+                df = df.where(pred)
             df = df.select("term", "df", "doc_ids_vbyte",
                            "freqs_vbyte", "dls_vbyte")
         else:   # never-compacted stream warehouse: partials only
@@ -2570,6 +2594,9 @@ class InvertedIndex:
             # partial segments carry no last_doc_id; the first-id
             # bound alone still prunes segments past the range
             p = p.where(F.col("first_doc_id") <= int(doc_range[1]))
+        if doc_points is not None:
+            p = p.where(F.col("first_doc_id")
+                        <= int(max(int(x) for x in doc_points)))
         p = p.select("term", F.col("df_b").alias("df"),
                      F.col("doc_gaps_vb").alias("doc_ids_vbyte"),
                      F.col("tfs_vb").alias("freqs_vbyte"),
