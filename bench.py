@@ -56,15 +56,27 @@ ONLY = os.environ.get("BENCH_ONLY", "")  # comma-separated subset
 def _default_ab_ref() -> str:
     """Most recent end-of-round commit (the driver commits each round
     as 'round N: ...'), so the baseline auto-advances to the previous
-    round's HEAD without per-round edits; literal fallback = round 4."""
+    round's HEAD without per-round edits; literal fallback = round 4.
+    HEAD itself is never a valid baseline — if the latest round-stamp
+    commit IS HEAD (the driver stamps the round before benching), the
+    next-older round commit is the control, else the A/B would compare
+    identical code and always report ~1.0."""
     import subprocess
 
     try:
         here = os.path.dirname(os.path.abspath(__file__))
+        head = subprocess.run(
+            ["git", "-C", here, "rev-parse", "HEAD"],
+            capture_output=True, text=True, timeout=30).stdout.strip()
         r = subprocess.run(
-            ["git", "-C", here, "log", "--grep", "^round ", "-n", "1",
-             "--format=%h"], capture_output=True, text=True, timeout=30)
-        return r.stdout.strip() or "bf26e0a"
+            ["git", "-C", here, "log", "-E", "--grep",
+             "^round [0-9]+:", "-n", "3", "--format=%H %h"],
+            capture_output=True, text=True, timeout=30)
+        for line in r.stdout.splitlines():
+            full, short = line.split()
+            if full != head:
+                return short
+        return "bf26e0a"
     except Exception:
         return "bf26e0a"
 

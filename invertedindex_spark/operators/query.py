@@ -76,28 +76,94 @@ def queue_topk_np(doc_ids: np.ndarray, scores: np.ndarray, k: int):
     return doc_ids[keep], scores[keep]
 
 
+#: the regex characters on which Java regex (Spark ``rlike``), RE2
+#: (pyarrow / DuckDB) and Python ``re`` have identical semantics over
+#: the engine's [a-z0-9]* stored-term alphabet — expand_regexp rejects
+#: anything else so one pattern means one thing in every engine
+_REGEXP_PORTABLE = frozenset("abcdefghijklmnopqrstuvwxyz0123456789"
+                             ".*+?[]-|()")
+
+
+def _regexp_literal_prefix(pattern: str) -> str:
+    """Conservative guaranteed literal prefix of every string matching
+    ``pattern`` — the range-pruning key for the lexicon scan (Lucene's
+    CompiledAutomaton commonPrefix, reduced to what the portable
+    subset needs). Any top-level ``|`` or any ``(`` can route around
+    leading literals, so those patterns prune nothing; a ``*``/``?``
+    quantifier makes its operand optional, so the operand leaves the
+    prefix, while ``+`` keeps it (one occurrence is guaranteed)."""
+    if "|" in pattern or "(" in pattern:
+        return ""
+    lits = []
+    for i, ch in enumerate(pattern):
+        if ch in "abcdefghijklmnopqrstuvwxyz0123456789":
+            lits.append(ch)
+            continue
+        if ch in "*?" and lits:
+            lits.pop()
+        break
+    return "".join(lits)
+
+
+def wildcard_to_regexp(token: str) -> str:
+    """Lucene WildcardQuery → RegexpQuery translation: ``*`` = any run
+    of term characters, ``?`` = exactly one; every other character
+    must be a term literal ([a-z0-9] after lowercasing — anything the
+    tokenizer would split on cannot appear inside a stored term, so a
+    wildcard over it could never match and is rejected loudly)."""
+    out = []
+    for ch in token.lower():
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        elif ch in "abcdefghijklmnopqrstuvwxyz0123456789":
+            out.append(ch)
+        else:
+            raise ValueError(
+                f"illegal wildcard {token!r}: {ch!r} is not a term "
+                "character (stored terms are [a-z0-9]*)")
+    return "".join(out)
+
+
 def preprocess_with_rewrites(query: str, *, stopwords, stemming,
                              expand_prefix, expand_fuzzy,
-                             expand_range=None):
+                             expand_range=None, expand_regexp=None):
     """The full query grammar shared by :class:`InvertedIndex` and
     :class:`~..operators.sharded.ShardedIndex`: ``preprocess_query``
-    plus ``term*`` wildcard, ``term~`` fuzzy, and ``lo..hi`` term-
-    range rewrites (engine extensions; the reference grammar is plain
+    plus ``term*`` wildcard, ``term~`` fuzzy, ``lo..hi`` term-range,
+    ``/pattern/`` regexp, and mid-pattern ``te*m``/``t?m`` wildcard
+    rewrites (engine extensions; the reference grammar is plain
     [AND|OR] terms). Each trailing-star token expands via
     ``expand_prefix``, each trailing-tilde token via ``expand_fuzzy``,
     each two-sided ``..`` token via ``expand_range`` (Lucene
-    TermRangeQuery ``[a TO b]``, inclusive), and the expansions join
-    the term set. OR-only: under AND a wildcard/fuzzy/range clause
+    TermRangeQuery ``[a TO b]``, inclusive), each slash-delimited
+    token via ``expand_regexp`` (Lucene RegexpQuery, whole-term
+    anchored), each token with an interior ``*``/``?`` via the
+    WildcardQuery → regexp translation, and the expansions join the
+    term set. OR-only: under AND a wildcard/fuzzy/range/regexp clause
     would need per-clause any-of grouping the reference top-k
     contract has no shape for, and PHRASE adjacency is
     position-ordered — both raise."""
     if ("*" not in query and "~" not in query
-            and ".." not in query):
+            and ".." not in query and "/" not in query
+            and "?" not in query):
         return preprocess_query(query, stopwords=stopwords,
                                 stemming=stemming)
-    base, prefixes, fuzzies, ranges = [], [], [], []
+    base, prefixes, fuzzies, ranges, regexps = [], [], [], [], []
     for i, p in enumerate(query.split()):
-        if i > 0 and len(p) > 1 and p.endswith("*"):
+        if (i > 0 and len(p) > 2 and p.startswith("/")
+                and p.endswith("/") and expand_regexp is not None):
+            regexps.append(p[1:-1])
+        elif (i > 0 and len(p) > 1 and expand_regexp is not None
+                and ("?" in p or "*" in p[:-1])
+                and set(p) <= set("abcdefghijklmnopqrstuvwxyz"
+                                  "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+                                  "0123456789*?")):
+            # interior wildcard (te*m / t?m) — the pure-trailing-star
+            # form stays on the cheaper range-only prefix path below
+            regexps.append(wildcard_to_regexp(p))
+        elif i > 0 and len(p) > 1 and p.endswith("*"):
             prefixes.append(p[:-1])
         elif i > 0 and len(p) > 1 and p.endswith("~"):
             fuzzies.append(p[:-1])
@@ -109,13 +175,14 @@ def preprocess_with_rewrites(query: str, *, stopwords, stemming,
             base.append(p)
     qtype, terms = preprocess_query(" ".join(base), stopwords=stopwords,
                                     stemming=stemming)
-    if not prefixes and not fuzzies and not ranges:
+    if not prefixes and not fuzzies and not ranges and not regexps:
         return qtype, terms
     if qtype != "OR":
         raise ValueError(
-            "prefix (term*), fuzzy (term~) and range (lo..hi) terms "
-            "are OR-only: AND would need any-of clause grouping and "
-            f"PHRASE is position-ordered (got {qtype})")
+            "prefix (term*), fuzzy (term~), range (lo..hi), regexp "
+            "(/pat/) and wildcard (te*m) terms are OR-only: AND would "
+            "need any-of clause grouping and PHRASE is "
+            f"position-ordered (got {qtype})")
     for p in prefixes:
         toks = tokenize_text(p)
         if len(toks) != 1:
@@ -135,6 +202,8 @@ def preprocess_with_rewrites(query: str, *, stopwords, stemming,
                     "normalize to exactly one token")
             bounds.append(toks[0][:MAX_TERM_LEN])
         terms = set(terms) | set(expand_range(bounds[0], bounds[1]))
+    for pat in regexps:
+        terms = set(terms) | set(expand_regexp(pat))
     return qtype, terms
 
 
@@ -447,6 +516,65 @@ class InvertedIndex:
     # -- prefix (wildcard) expansion -------------------------------------
     MAX_PREFIX_EXPAND = 32
 
+    def _scan_term_range(self, lo: str, hi: str | None,
+                         inclusive: bool, limit: int,
+                         rlike: str | None = None):
+        """Lexicographically-first ``limit`` STORED vocabulary terms
+        with term >= ``lo`` and term < ``hi`` (``inclusive=False``) or
+        term <= ``hi`` (``inclusive=True``); ``hi=None`` is unbounded
+        above. The one bounded range scan behind expand_prefix,
+        expand_range AND expand_regexp: row-group-pruned on the
+        term-sorted lexicon (pyarrow point path or Spark pushdown path
+        by io_mode), plus the fresh-partials block window where
+        uncompacted vocabulary lives. ``rlike`` (an anchored regex in
+        the portable subset — see :meth:`expand_regexp`) filters terms
+        BEFORE the cap, executed engine-side (RE2 in the pyarrow path,
+        Java regex in the Spark paths — identical on the subset)."""
+        found: set[str] = set()
+        if self._compacted_tables_exist():
+            if self.io_mode == "local":
+                import pyarrow.compute as pc
+                import pyarrow.dataset as ds
+
+                flt = ds.field("term") >= lo
+                if hi is not None:
+                    flt = flt & ((ds.field("term") <= hi) if inclusive
+                                 else (ds.field("term") < hi))
+                t = (ds.dataset(f"{self.warehouse_dir}/lexicon",
+                                format="parquet")
+                     .to_table(columns=["term"], filter=flt))
+                col = t.column("term")
+                if rlike is not None:
+                    col = col.filter(
+                        pc.match_substring_regex(col, rlike))
+                found |= set(col.to_pylist())
+            else:
+                from pyspark.sql import functions as F
+
+                c = F.col("term") >= lo
+                if hi is not None:
+                    c = c & ((F.col("term") <= hi) if inclusive
+                             else (F.col("term") < hi))
+                if rlike is not None:
+                    c = c & F.col("term").rlike(rlike)
+                found |= {r["term"] for r in
+                          (self.lexicon.where(c).select("term")
+                           .orderBy("term").limit(limit).collect())}
+        p = self._fresh_partials_sdf()
+        if p is not None:
+            from pyspark.sql import functions as F
+
+            c = F.col("term") >= lo
+            if hi is not None:
+                c = c & ((F.col("term") <= hi) if inclusive
+                         else (F.col("term") < hi))
+            if rlike is not None:
+                c = c & F.col("term").rlike(rlike)
+            found |= {r["term"] for r in
+                      (p.where(c).select("term").distinct()
+                       .orderBy("term").limit(limit).collect())}
+        return sorted(found)[:limit]
+
     def expand_prefix(self, prefix: str, limit: int | None = None):
         """Lexicographically-first ``limit`` STORED vocabulary terms
         starting with ``prefix`` — the Lucene PrefixQuery rewrite over
@@ -468,38 +596,8 @@ class InvertedIndex:
         last = prefix[-1]
         hi = (prefix[:-1] + chr(ord(last) + 1)
               if ord(last) < 0x10FFFF else None)
-        found: set[str] = set()
-        if self._compacted_tables_exist():
-            if self.io_mode == "local":
-                import pyarrow.dataset as ds
-
-                flt = ds.field("term") >= prefix
-                if hi is not None:
-                    flt = flt & (ds.field("term") < hi)
-                t = (ds.dataset(f"{self.warehouse_dir}/lexicon",
-                                format="parquet")
-                     .to_table(columns=["term"], filter=flt))
-                found |= set(t.column("term").to_pylist())
-            else:
-                from pyspark.sql import functions as F
-
-                c = F.col("term") >= prefix
-                if hi is not None:
-                    c = c & (F.col("term") < hi)
-                found |= {r["term"] for r in
-                          (self.lexicon.where(c).select("term")
-                           .orderBy("term").limit(limit).collect())}
-        p = self._fresh_partials_sdf()
-        if p is not None:
-            from pyspark.sql import functions as F
-
-            c = F.col("term") >= prefix
-            if hi is not None:
-                c = c & (F.col("term") < hi)
-            found |= {r["term"] for r in
-                      (p.where(c).select("term").distinct()
-                       .orderBy("term").limit(limit).collect())}
-        return sorted(found)[:limit]
+        return self._scan_term_range(prefix, hi, inclusive=False,
+                                     limit=limit)
 
     def expand_range(self, lo: str, hi: str,
                      limit: int | None = None):
@@ -515,32 +613,51 @@ class InvertedIndex:
         limit = self.MAX_PREFIX_EXPAND if limit is None else limit
         if lo > hi:
             return []
-        found: set[str] = set()
-        if self._compacted_tables_exist():
-            if self.io_mode == "local":
-                import pyarrow.dataset as ds
+        return self._scan_term_range(lo, hi, inclusive=True,
+                                     limit=limit)
 
-                flt = (ds.field("term") >= lo) & (ds.field("term") <= hi)
-                t = (ds.dataset(f"{self.warehouse_dir}/lexicon",
-                                format="parquet")
-                     .to_table(columns=["term"], filter=flt))
-                found |= set(t.column("term").to_pylist())
-            else:
-                from pyspark.sql import functions as F
+    def expand_regexp(self, pattern: str, limit: int | None = None):
+        """Lexicographically-first ``limit`` STORED vocabulary terms
+        whose ENTIRE text matches ``pattern`` — the Lucene RegexpQuery
+        rewrite (which is likewise whole-term-anchored). Patterns are
+        restricted to the portable regex subset (lowercase/digit
+        literals, ``. * + ? [ ] - | ( )``) on which Java regex, RE2
+        (pyarrow + the DuckDB oracle) and Python ``re`` agree, so the
+        expansion is engine-independent; anything fancier raises.
 
-                c = (F.col("term") >= lo) & (F.col("term") <= hi)
-                found |= {r["term"] for r in
-                          (self.lexicon.where(c).select("term")
-                           .orderBy("term").limit(limit).collect())}
-        p = self._fresh_partials_sdf()
-        if p is not None:
-            from pyspark.sql import functions as F
+        Scale shape: like Lucene, which walks only the terms sharing
+        the automaton's common literal prefix, the scan is pruned to
+        the row groups overlapping [prefix, prefix+1) when the pattern
+        opens with literals; a pattern with no usable prefix honestly
+        scans the whole (vocabulary-sized, corpus-independent) lexicon
+        term column — never the postings. The regex itself runs
+        engine-side (RE2 / Java codegen) before the cap, so only
+        matching terms reach the driver."""
+        if not pattern:
+            raise ValueError("expand_regexp: empty pattern")
+        bad = set(pattern) - _REGEXP_PORTABLE
+        if bad:
+            raise ValueError(
+                f"expand_regexp: {pattern!r} uses {sorted(bad)!r} "
+                "outside the portable subset [a-z0-9.*+?\\[\\]\\-|()] "
+                "(the subset where Java regex, RE2 and Python re "
+                "agree)")
+        import re as _re
 
-            c = (F.col("term") >= lo) & (F.col("term") <= hi)
-            found |= {r["term"] for r in
-                      (p.where(c).select("term").distinct()
-                       .orderBy("term").limit(limit).collect())}
-        return sorted(found)[:limit]
+        try:
+            _re.compile(pattern)
+        except _re.error as exc:
+            raise ValueError(
+                f"expand_regexp: invalid pattern {pattern!r}: {exc}")
+        limit = self.MAX_PREFIX_EXPAND if limit is None else limit
+        pre = _regexp_literal_prefix(pattern)
+        lo, hi = "", None
+        if pre:
+            lo = pre
+            hi = pre[:-1] + chr(ord(pre[-1]) + 1)
+        return self._scan_term_range(
+            lo, hi, inclusive=False, limit=limit,
+            rlike=f"^(?:{pattern})$")
 
     # -- spell suggestion / fuzzy expansion -------------------------------
     MAX_FUZZY_EXPAND = 8
@@ -571,7 +688,9 @@ class InvertedIndex:
                 f"suggest: {token!r} must normalize to exactly one "
                 "token")
         tok = toks[0]
-        if not os.path.isdir(f"{self.warehouse_dir}/lexicon"):
+        # io_mode-aware: os.path.isdir is meaningless on a remote
+        # (io_mode='spark') warehouse whose lexicon Spark can read
+        if not self._compacted_tables_exist():
             raise ValueError(
                 "suggest requires a compacted warehouse (the stream-"
                 "fresh vocabulary has no lexicon yet — compact() "
@@ -643,7 +762,8 @@ class InvertedIndex:
             query, stopwords=self.stopwords, stemming=self.stemming,
             expand_prefix=self.expand_prefix,
             expand_fuzzy=self.expand_fuzzy,
-            expand_range=self.expand_range)
+            expand_range=self.expand_range,
+            expand_regexp=self.expand_regexp)
 
     def _term_row_groups(self):
         """Build the term → parquet-row-group map ONCE by reading only
@@ -754,6 +874,13 @@ class InvertedIndex:
         self._cache.clear()
         self._term_cache.clear()
         self._row_cache.clear()
+        # attr-derived warm arrays are indexed by docId and sized
+        # num_docs — stale copies after an append (IndexError past the
+        # old size) or a purge remap (silently wrong keys) otherwise;
+        # _pos_cache entries hold pre-compaction positional payloads
+        self._collapse_key_arrays.clear()
+        self._rank_feature_arrays.clear()
+        self._pos_cache.clear()
         if self.io_mode == "local":
             import pyarrow.parquet as pq
 
@@ -1549,9 +1676,10 @@ class InvertedIndex:
         ``OR`` counts docs matching ANY query term, ``AND`` docs
         matching ALL; ``where=`` restricts the match set first.
         Returns DataFrame(``by``, n_docs) ordered (n_docs desc, value
-        asc), capped at ``top``. Terms are matched exactly (no ``*``
-        wildcard here — the match set of an expanded prefix is not a
-        ranked list, so expansion adds nothing facets can use).
+        asc), capped at ``top``. The full query grammar applies —
+        ``-term`` exclusions and ``term*``/``term~``/``lo..hi``
+        rewrites expand before matching (via :meth:`_match_ids`), the
+        same set a search with that query string would rank.
 
         100 TB shape: selective postings decode (term filter pushed to
         the scan — O(query-term lists), never the index), distinct /

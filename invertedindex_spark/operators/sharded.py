@@ -173,6 +173,18 @@ class ShardedIndex:
         return [t for t, _df, _d in
                 self.suggest(token, top=limit, max_dist=max_dist)]
 
+    def expand_regexp(self, pattern: str, limit: int | None = None):
+        """Whole-term regexp match over the UNION vocabulary — exact
+        vs the merged lexicon by the same argument as
+        :meth:`expand_prefix` (any term in the merged cap is within
+        its own shard's cap; validation and the portable-subset guard
+        run once per shard, identically)."""
+        limit = self.MAX_PREFIX_EXPAND if limit is None else limit
+        found: set = set()
+        for idx in self.idxs:
+            found |= set(idx.expand_regexp(pattern, limit=limit))
+        return sorted(found)[:limit]
+
     def set_attributes(self, attrs_df, key: str = "doc_no"):
         """External per-document attribute table for
         :meth:`facet_counts` — keyed by the collection-wide document
@@ -305,7 +317,8 @@ class ShardedIndex:
             query, stopwords=self.stopwords, stemming=self.stemming,
             expand_prefix=self.expand_prefix,
             expand_fuzzy=self.expand_fuzzy,
-            expand_range=self.expand_range)
+            expand_range=self.expand_range,
+            expand_regexp=self.expand_regexp)
         if slop and qtype != "PHRASE":
             raise ValueError("slop= applies to PHRASE queries only")
         if msm > 1 and qtype != "OR":
@@ -416,11 +429,16 @@ class ShardedIndex:
         group's members)."""
         from pyspark.sql import functions as F
 
-        from ..functions.textproc import preprocess_query
-
         base = self.idxs[0]
-        qtype, terms = preprocess_query(
-            query, stopwords=self.stopwords, stemming=self.stemming)
+        # same grammar as the single-warehouse twin (which routes
+        # through _preprocess_with_prefixes): term*/term~/lo..hi
+        # rewrites expand against the CROSS-SHARD vocabulary
+        qtype, terms = preprocess_with_rewrites(
+            query, stopwords=self.stopwords, stemming=self.stemming,
+            expand_prefix=self.expand_prefix,
+            expand_fuzzy=self.expand_fuzzy,
+            expand_range=self.expand_range,
+            expand_regexp=self.expand_regexp)
         if qtype == "PHRASE":
             raise ValueError(
                 "synonym search supports AND/OR queries")
@@ -560,7 +578,9 @@ class ShardedIndex:
                      where: str | None = None):
         """:meth:`InvertedIndex.facet_counts` served scatter-gather:
         per-``by``-value document counts over the FULL AND/OR match
-        set across every shard, ``where=`` restricting the match set
+        set across every shard, with the same query grammar as the
+        merged warehouse (``-term`` exclusions and ``term*``/``term~``/
+        ``lo..hi`` rewrites), ``where=`` restricting the match set
         first. Requires :meth:`set_attributes` (keyed by doc_no —
         shard-independent)."""
         from pyspark.sql import functions as F
@@ -568,8 +588,14 @@ class ShardedIndex:
         if self._attrs_df is None:
             raise ValueError(
                 "facet_counts requires set_attributes(attrs_df)")
-        qtype, terms = preprocess_query(query, stopwords=self.stopwords,
-                                        stemming=self.stemming)
+        query, nots = split_not_terms(query, stopwords=self.stopwords,
+                                      stemming=self.stemming)
+        qtype, terms = preprocess_with_rewrites(
+            query, stopwords=self.stopwords, stemming=self.stemming,
+            expand_prefix=self.expand_prefix,
+            expand_fuzzy=self.expand_fuzzy,
+            expand_range=self.expand_range,
+            expand_regexp=self.expand_regexp)
         if qtype == "PHRASE":
             raise ValueError(
                 "facet_counts supports AND/OR queries (a PHRASE match "
@@ -588,6 +614,10 @@ class ShardedIndex:
                    .select("doc_id"))
         else:
             ids = u.select("doc_id").distinct()
+        if nots:
+            ex = self._excluded_union(nots)
+            if ex is not None:
+                ids = ids.join(ex, "doc_id", "left_anti")
         md = ids.join(self._docs_union(), "doc_id")
         if where is not None:
             allowed = (self._attrs_df.where(F.expr(where))

@@ -411,11 +411,23 @@ def append_batch(spark, corpus_batch: Corpus, warehouse_dir: str,
                 append_metrics["prior_scan_skipped"] = True
                 staged = flagged.drop("_maybe_dup")
             else:
-                prior = (spark.read
-                         .parquet(os.path.join(warehouse_dir, "docs"))
-                         .where(F.col("ingest")
-                                < state["next_block_id"])
-                         .select("content_sha256").distinct())
+                prior_docs = (spark.read
+                              .parquet(os.path.join(warehouse_dir,
+                                                    "docs"))
+                              .where(F.col("ingest")
+                                     < state["next_block_id"]))
+                # tombstoned rows stay in docs/ until the next purge,
+                # but a logically deleted document must NOT block
+                # re-ingest of identical content — otherwise
+                # delete_docs() + append_batch(same text, dedup=True)
+                # in the pre-purge window drops the new doc and the
+                # content becomes unreachable forever
+                tombs = _committed_tombstones(spark, warehouse_dir,
+                                              manifest)
+                if tombs is not None:
+                    prior_docs = prior_docs.join(tombs, "doc_id",
+                                                 "left_anti")
+                prior = prior_docs.select("content_sha256").distinct()
                 if flagged is not None:
                     # only the bloom-positive candidates pay the join
                     neg = (flagged.where(~F.col("_maybe_dup"))
