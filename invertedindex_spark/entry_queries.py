@@ -898,6 +898,66 @@ def sql_bm25_topk_fuzzy():
     return _topk_fuzzy_sql(["fast"], [FUZZY_TOKEN])
 
 
+REGEXP_PATTERN = "s[lm][a-z]*"       # → {slow, small}: no prefix query
+WILDCARD_TOKEN = "c*mer"             # → customer (interior wildcard)
+
+
+def q_bm25_topk_regexp(spark, sf_dir):
+    """Regexp + interior-wildcard search (Lucene RegexpQuery /
+    WildcardQuery): '/s[lm][a-z]*/' rewrites to every whole-term
+    vocabulary match via a literal-prefix-pruned lexicon scan
+    (InvertedIndex.expand_regexp — the regex runs engine-side, RE2 or
+    Java codegen, before the 32-term cap), 'c*mer' translates * → any
+    run / ? → one char into the same rewrite; both then serve as a
+    plain OR. The pattern is restricted to the portable regex subset
+    on which Java regex, RE2 and DuckDB agree — which is exactly what
+    makes this oracle pair sound."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    idx = get_index(spark, sf_dir)
+    res = idx.search_distributed(
+        f"OR fast /{REGEXP_PATTERN}/ {WILDCARD_TOKEN}", k=K)
+    w = Window.orderBy(F.desc("score"))
+    return res.select(F.row_number().over(w).alias("rank"), "doc_no",
+                      _u6(F.col("score")).alias("score_u6"))
+
+
+def _topk_regexp_sql(terms, patterns, k=K, max_expand=32) -> str:
+    """_topk_sql with regexp expansion: each pattern admits the
+    lexicographically-first ``max_expand`` whole-term vocabulary
+    matches (regexp_full_match == the engine's ^(?:pat)$ anchor; the
+    engine cap in InvertedIndex.MAX_PREFIX_EXPAND)."""
+    preds = []
+    if terms:
+        tlist = ", ".join(f"'{t}'" for t in terms)
+        preds.append(f"tf.term IN ({tlist})")
+    for p in patterns:
+        preds.append(
+            f"tf.term IN (SELECT term FROM lex WHERE "
+            f"regexp_full_match(term, '{p}') "
+            f"ORDER BY term LIMIT {max_expand})")
+    where = " OR ".join(preds)
+    return _base_cte() + f""",
+scores AS (
+  SELECT tf.doc_id, CAST(sum({_bm25_u6_expr()}) AS BIGINT) AS score_u6
+  FROM tf JOIN lex USING (term) CROSS JOIN stats
+  WHERE {where}
+  GROUP BY tf.doc_id
+), dedup AS (
+  SELECT score_u6, min(doc_id) AS doc_id
+  FROM scores GROUP BY score_u6
+  ORDER BY score_u6 DESC LIMIT {k}
+)
+SELECT row_number() OVER (ORDER BY score_u6 DESC) AS rank, d.doc_no,
+       score_u6
+FROM dedup JOIN docs d USING (doc_id)"""
+
+
+def sql_bm25_topk_regexp():
+    wc_rx = WILDCARD_TOKEN.replace("*", ".*").replace("?", ".")
+    return _topk_regexp_sql(["fast"], [REGEXP_PATTERN, wc_rx])
+
+
 BOOSTS = {"fast": 2.5, "table": 0.5}
 
 
@@ -4023,6 +4083,7 @@ def extra_queries():
         "match_count": q_match_count,
         "bm25_topk_prefix": q_bm25_topk_prefix,
         "bm25_topk_range": q_bm25_topk_range,
+        "bm25_topk_regexp": q_bm25_topk_regexp,
         "bool_topk": q_bool_topk,
         "rm3_topk": q_rm3_topk,
         "dsir_weights": q_dsir_weights,
@@ -4066,6 +4127,7 @@ def extra_oracle_sql(query_vec=None, sf_dir=None):
         "match_count": sql_match_count(),
         "bm25_topk_prefix": sql_bm25_topk_prefix(),
         "bm25_topk_range": sql_bm25_topk_range(),
+        "bm25_topk_regexp": sql_bm25_topk_regexp(),
         "bool_topk": sql_bool_topk(),
         "rm3_topk": sql_rm3_topk(),
         "dsir_weights": sql_dsir_weights(),
