@@ -983,6 +983,27 @@ def write_rg_index(spark, warehouse_dir: str) -> int:
     return ds.dataset(out_dir, format="parquet").count_rows()
 
 
+def write_lexicon_rev(spark, warehouse_dir: str) -> None:
+    """Persist the REVERSED-term lexicon sidecar (``lexicon_rev/``:
+    rev_term, term — globally sorted by rev_term). Lucene's
+    ReverseStringFilter idea: a regexp/wildcard with no literal
+    PREFIX but a guaranteed literal SUFFIX (``.*tion``, ``*ing``)
+    prunes this table's row groups by [reversed(suffix),
+    reversed(suffix)+1) exactly the way prefix expansion prunes the
+    forward lexicon — O(matching range) instead of O(vocabulary).
+    Vocabulary-sized (corpus-independent), rebuilt with the lexicon
+    at every build/compact; old warehouses without it fall back to
+    the full-vocabulary scan (still never the postings)."""
+    from pyspark.sql import functions as F
+
+    lex_dir = os.path.join(warehouse_dir, "lexicon")
+    out_dir = os.path.join(warehouse_dir, "lexicon_rev")
+    (spark.read.parquet(lex_dir)
+     .select(F.reverse(F.col("term")).alias("rev_term"), "term")
+     .orderBy("rev_term")
+     .write.mode("overwrite").parquet(out_dir))
+
+
 # ---------------------------------------------------------------------
 # driver
 # ---------------------------------------------------------------------
@@ -1206,6 +1227,9 @@ def build_index(spark, corpus, warehouse_dir: str,
                     F.first("term_upper_bound")
                     .alias("term_upper_bound")))
         lex.write.mode("overwrite").parquet(paths["lexicon"])
+        # suffix-pruning twin (reads the lexicon just written; a
+        # vocabulary-sized global sort, trivial next to the merge)
+        write_lexicon_rev(spark, warehouse_dir)
 
     # the two tail jobs read the postings table independently (rg_index
     # is local-warehouse only — the sidecar generator walks the files
@@ -1231,6 +1255,7 @@ def build_index(spark, corpus, warehouse_dir: str,
         _mark_stage(manifest, warehouse_dir, "rg_index", rows=rg_rows)
     if need_lex:
         _mark_stage(manifest, warehouse_dir, "lexicon")
+        _mark_stage(manifest, warehouse_dir, "lexicon_rev")
     lexicon = spark.read.parquet(paths["lexicon"])
 
     # per-block lineage metrics (terms/postings per partition) —

@@ -105,6 +105,26 @@ def _regexp_literal_prefix(pattern: str) -> str:
     return "".join(lits)
 
 
+def _regexp_literal_suffix(pattern: str) -> str:
+    """Conservative guaranteed literal SUFFIX of every string matching
+    ``pattern`` — the range-pruning key for the REVERSED lexicon scan
+    when the pattern has no usable prefix (``.*tion``). Right-to-left
+    mirror of :func:`_regexp_literal_prefix`: scanning from the end,
+    any special char stops the run (a quantifier there quantifies a
+    char further LEFT, so everything already collected stays
+    guaranteed); top-level ``|`` or any group can route around the
+    trailing literals, so those patterns prune nothing."""
+    if "|" in pattern or "(" in pattern:
+        return ""
+    lits = []
+    for ch in reversed(pattern):
+        if ch in "abcdefghijklmnopqrstuvwxyz0123456789":
+            lits.append(ch)
+            continue
+        break
+    return "".join(reversed(lits))
+
+
 def wildcard_to_regexp(token: str) -> str:
     """Lucene WildcardQuery → RegexpQuery translation: ``*`` = any run
     of term characters, ``?`` = exactly one; every other character
@@ -270,6 +290,15 @@ class InvertedIndex:
         # filled by the last search(prune=True): block-max pruning
         # counters (blocks_before/blocks_decoded/acc_dropped)
         self.last_prune_stats: dict = {}
+        # filled by the last expand_regexp: which scan shape served it
+        # (prefix | suffix | full) — test/telemetry introspection
+        self.last_expand_stats: dict = {}
+        # reversed-term lexicon sidecar (suffix-pruned regexp scans);
+        # stage-gated so pre-sidecar warehouses fall back to the full
+        # vocabulary scan (io_mode-safe: no driver-local isdir)
+        self._has_rev_lexicon = bool(
+            (manifest.get("stages", {}).get("lexicon_rev") or {})
+            .get("done"))
         # positional sidecar (PHRASE queries): present when the build
         # ran with IndexConfig(positions=True). Decoded per-term
         # position arrays are LRU-cached alongside the postings decode
@@ -650,14 +679,68 @@ class InvertedIndex:
             raise ValueError(
                 f"expand_regexp: invalid pattern {pattern!r}: {exc}")
         limit = self.MAX_PREFIX_EXPAND if limit is None else limit
+        anchored = f"^(?:{pattern})$"
         pre = _regexp_literal_prefix(pattern)
-        lo, hi = "", None
         if pre:
-            lo = pre
-            hi = pre[:-1] + chr(ord(pre[-1]) + 1)
+            self.last_expand_stats = {"path": "prefix", "key": pre}
+            return self._scan_term_range(
+                pre, pre[:-1] + chr(ord(pre[-1]) + 1),
+                inclusive=False, limit=limit, rlike=anchored)
+        suf = _regexp_literal_suffix(pattern)
+        if suf and self._has_rev_lexicon:
+            self.last_expand_stats = {"path": "suffix", "key": suf}
+            return self._scan_term_suffix(suf, limit=limit,
+                                          rlike=anchored)
+        self.last_expand_stats = {"path": "full", "key": ""}
         return self._scan_term_range(
-            lo, hi, inclusive=False, limit=limit,
-            rlike=f"^(?:{pattern})$")
+            "", None, inclusive=False, limit=limit, rlike=anchored)
+
+    def _scan_term_suffix(self, suffix: str, limit: int, rlike: str):
+        """Suffix-pruned vocabulary scan over the ``lexicon_rev``
+        sidecar (terms keyed by their REVERSAL, globally sorted):
+        row groups outside [reversed(suffix), reversed(suffix)+1) are
+        skipped by parquet min/max stats — the suffix twin of
+        :meth:`_scan_term_range`'s prefix pruning, Lucene's
+        ReverseStringFilter trick. The regex still verifies each
+        survivor engine-side; fresh-partials vocabulary (no sidecar
+        until compaction) takes the plain regex scan — bounded by the
+        uncompacted window, not the corpus."""
+        rev = suffix[::-1]
+        rev_hi = rev[:-1] + chr(ord(rev[-1]) + 1)
+        found: set[str] = set()
+        if self._compacted_tables_exist():
+            if self.io_mode == "local":
+                import pyarrow.compute as pc
+                import pyarrow.dataset as ds
+
+                flt = ((ds.field("rev_term") >= rev)
+                       & (ds.field("rev_term") < rev_hi))
+                t = (ds.dataset(f"{self.warehouse_dir}/lexicon_rev",
+                                format="parquet")
+                     .to_table(columns=["term"], filter=flt))
+                col = t.column("term")
+                col = col.filter(pc.match_substring_regex(col, rlike))
+                found |= set(col.to_pylist())
+            else:
+                from pyspark.sql import functions as F
+
+                c = ((F.col("rev_term") >= rev)
+                     & (F.col("rev_term") < rev_hi)
+                     & F.col("term").rlike(rlike))
+                found |= {r["term"] for r in
+                          (self.spark.read.parquet(
+                              f"{self.warehouse_dir}/lexicon_rev")
+                           .where(c).select("term")
+                           .orderBy("term").limit(limit).collect())}
+        p = self._fresh_partials_sdf()
+        if p is not None:
+            from pyspark.sql import functions as F
+
+            found |= {r["term"] for r in
+                      (p.where(F.col("term").rlike(rlike))
+                       .select("term").distinct()
+                       .orderBy("term").limit(limit).collect())}
+        return sorted(found)[:limit]
 
     # -- spell suggestion / fuzzy expansion -------------------------------
     MAX_FUZZY_EXPAND = 8

@@ -1513,6 +1513,8 @@ def compact(spark, warehouse_dir: str,
            .agg(F.first("df").alias("df"), F.sum("cf").alias("cf"),
                 F.first("term_upper_bound").alias("term_upper_bound")))
     lex.write.mode("overwrite").parquet(paths["lexicon"])
+    # suffix-pruning twin follows the lexicon through every compaction
+    B.write_lexicon_rev(spark, warehouse_dir)
     # refresh the term→row-group sidecar for the new postings
     # generation (parallel metadata-only pass; hardlinked buckets keep
     # their file names, so an affected-buckets-only refresh is a
@@ -1520,7 +1522,8 @@ def compact(spark, warehouse_dir: str,
     if os.path.isdir(paths["postings"]):
         B.write_rg_index(spark, warehouse_dir)
         manifest.setdefault("stages", {})["rg_index"] = {"done": True}
-    done_stages = ["docs", "stats", "partials", "lexicon", "postings"]
+    done_stages = ["docs", "stats", "partials", "lexicon",
+                   "lexicon_rev", "postings"]
     if cfg.positions:
         done_stages += ["pos_partials", "positions"]
     for s in done_stages:

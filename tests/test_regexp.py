@@ -15,6 +15,7 @@ import pytest
 from invertedindex_spark import (IndexConfig, InvertedIndex, build_index,
                                  corpus)
 from invertedindex_spark.operators.query import (_regexp_literal_prefix,
+                                                 _regexp_literal_suffix,
                                                  wildcard_to_regexp)
 from invertedindex_spark.streaming import append_batch
 
@@ -89,6 +90,47 @@ def test_expand_regexp_semantics(spark, wh):
     assert idx_s.expand_regexp("tabl|take") == ["tabl", "take"]
 
 
+def test_suffix_extraction():
+    assert _regexp_literal_suffix("[a-z]*l") == "l"
+    assert _regexp_literal_suffix(".*tion") == "tion"
+    assert _regexp_literal_suffix("ab*cd") == "cd"
+    assert _regexp_literal_suffix("abc*") == ""     # c optional
+    assert _regexp_literal_suffix("ab[cd]") == ""   # class at end
+    assert _regexp_literal_suffix("tabl|take") == ""
+    assert _regexp_literal_suffix("a(b)c") == ""
+
+
+def test_suffix_pruned_expansion(spark, wh):
+    idx = InvertedIndex(spark, wh)
+    assert idx._has_rev_lexicon
+    # no literal prefix, guaranteed literal suffix → the lexicon_rev
+    # sidecar path; same answer as the full-vocabulary scan
+    assert idx.expand_regexp("[a-z]*l") == ["tabl", "tail"]
+    assert idx.last_expand_stats["path"] == "suffix"
+    assert idx.last_expand_stats["key"] == "l"
+    assert idx.expand_regexp("ta[a-z]*") and \
+        idx.last_expand_stats["path"] == "prefix"
+    assert idx.expand_regexp("tabl|take") == ["tabl", "take"]
+    assert idx.last_expand_stats["path"] == "full"
+    # sidecar-less fallback (pre-sidecar warehouse): identical rows
+    idx2 = InvertedIndex(spark, wh)
+    idx2._has_rev_lexicon = False
+    assert idx2.expand_regexp("[a-z]*l") == ["tabl", "tail"]
+    assert idx2.last_expand_stats["path"] == "full"
+    # spark io_mode takes the pushdown suffix path, same answer
+    idx_s = InvertedIndex(spark, wh, io_mode="spark")
+    assert idx_s.expand_regexp("[a-z]*l") == ["tabl", "tail"]
+    assert idx_s.last_expand_stats["path"] == "suffix"
+
+
+def test_leading_wildcard_search(spark, wh):
+    idx = InvertedIndex(spark, wh)
+    # *ail — Lucene leading wildcard, served via the reversed lexicon
+    assert idx.search("OR fast *ail", k=10) == \
+        idx.search("OR fast tail", k=10)
+    assert idx.last_expand_stats["path"] == "suffix"
+
+
 def test_regexp_search_equals_explicit_or(spark, wh):
     idx = InvertedIndex(spark, wh)
     want = idx.search("OR fast tabl tail", k=10)
@@ -150,6 +192,15 @@ def test_regexp_sees_fresh_vocab(spark, tmp_path):
     assert fresh.expand_regexp("ta[a-z]*z") == ["tazz"]
     hits = {d for d, _ in fresh.search("OR /ta[a-z]*z/", k=5)}
     assert hits == {"repo:g0.py@c1"}
+    # suffix path on a fresh handle: compacted side scans the sidecar,
+    # the uncompacted window scans partials — the new vocab shows up
+    assert fresh.expand_regexp("[a-z]*zz") == ["tazz"]
+    assert fresh.last_expand_stats["path"] == "suffix"
+    # compaction folds it into lexicon_rev for plain handles
+    from invertedindex_spark.streaming import compact as _compact
+    _compact(spark, wh, cfg)
+    assert InvertedIndex(spark, wh).expand_regexp("[a-z]*zz") == \
+        ["tazz"]
 
 
 def test_sharded_regexp(spark, tmp_path_factory):
