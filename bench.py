@@ -423,6 +423,10 @@ def main():
                 "(hotterm AND (quick OR brown)) AND NOT latency", 10))
             fl("rm3_driver", lambda: idx_cached.search_rm3(
                 "OR hotterm quick brown", 10, fb_docs=5, fb_terms=8))
+            # regexp rewrites: /qu…/ takes the prefix-pruned lexicon
+            # scan, *own the reversed-lexicon suffix scan
+            fl("regexp_driver", lambda: idx_cached.search(
+                "OR hotterm /qu[a-z]*/ *own", 10))
             extras["feature_latency_ms"] = feat
 
         # batch_search_distributed is deliberately NOT benched here: its

@@ -847,6 +847,30 @@ WHERE levenshtein(term, '{FUZZY_TOKEN}') <= {max_dist}
 ORDER BY dist ASC, df DESC, term ASC LIMIT {top}"""
 
 
+COMPLETE_PREFIX = "s"
+
+
+def q_autocomplete(spark, sf_dir):
+    """Autocomplete: the 5 most frequent stored vocabulary terms
+    starting with 's' (the ES completion-suggester analogue at term
+    granularity), ranked (df desc, term asc) —
+    InvertedIndex.complete_df, the same row-group-pruned
+    [prefix, prefix+1) lexicon range scan as prefix expansion, then
+    TakeOrdered. Deterministic LIMIT boundary: term asc breaks df
+    ties on both sides."""
+    idx = get_index(spark, sf_dir)
+    return idx.complete_df(COMPLETE_PREFIX, top=5)
+
+
+def sql_autocomplete(top: int = 5) -> str:
+    p = COMPLETE_PREFIX
+    hi = p[:-1] + chr(ord(p[-1]) + 1)
+    return _base_cte() + f"""
+SELECT term, df FROM lex
+WHERE term >= '{p}' AND term < '{hi}'
+ORDER BY df DESC, term ASC LIMIT {top}"""
+
+
 def q_bm25_topk_fuzzy(spark, sf_dir):
     """Fuzzy search: 'qery~' rewrites to the nearest ≤8 vocabulary
     terms within 2 edits (InvertedIndex.expand_fuzzy — the Lucene
@@ -4064,6 +4088,7 @@ def extra_queries():
         "facet_counts": q_facet_counts,
         "facet_stats": q_facet_stats,
         "did_you_mean": q_did_you_mean,
+        "autocomplete": q_autocomplete,
         "bm25_topk_fuzzy": q_bm25_topk_fuzzy,
         "sharded_topk": q_sharded_topk,
         "bm25_topk_boosted": q_bm25_topk_boosted,
@@ -4110,6 +4135,7 @@ def extra_oracle_sql(query_vec=None, sf_dir=None):
         "facet_counts": sql_facet_counts(),
         "facet_stats": sql_facet_stats(),
         "did_you_mean": sql_did_you_mean(),
+        "autocomplete": sql_autocomplete(),
         "bm25_topk_fuzzy": sql_bm25_topk_fuzzy(),
         "sharded_topk": sql_sharded_topk(),
         "bm25_topk_boosted": sql_bm25_topk_boosted(),

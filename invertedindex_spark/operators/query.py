@@ -824,6 +824,75 @@ class InvertedIndex:
                 for r in self.suggest_df(tok, top=top,
                                          max_dist=max_dist).collect()]
 
+    def complete_df(self, prefix: str, top: int = 5):
+        """Autocomplete (the ES completion-suggester / Lucene
+        suggest-on-prefix analogue at term granularity): the ``top``
+        most frequent STORED vocabulary terms starting with
+        ``prefix``, ranked (df desc, term asc) — a total deterministic
+        order. The prefix is lowercased like a query token but never
+        stemmed (a half-typed word fed to a stemmer completes toward
+        the wrong stem); matching is against stored forms. Returns
+        DataFrame(term, df). Requires a compacted warehouse, like
+        :meth:`suggest_df` (uncompacted fresh vocabulary has no
+        authoritative df yet).
+
+        Scale shape: the same row-group-pruned [prefix, prefix+1)
+        lexicon range scan as :meth:`expand_prefix` — O(matching
+        range), not O(vocabulary) — then TakeOrdered for the top-k.
+        No shuffle, no UDF, no driver-side vocabulary."""
+        from pyspark.sql import functions as F
+
+        if not prefix:
+            raise ValueError("complete: empty prefix")
+        prefix = prefix.lower()
+        if not self._compacted_tables_exist():
+            raise ValueError(
+                "complete requires a compacted warehouse (the stream-"
+                "fresh vocabulary has no lexicon yet — compact() "
+                "first)")
+        hi = (prefix[:-1] + chr(ord(prefix[-1]) + 1)
+              if ord(prefix[-1]) < 0x10FFFF else None)
+        c = F.col("term") >= prefix
+        if hi is not None:
+            c = c & (F.col("term") < hi)
+        out = (self.lexicon.select("term", "df").where(c)
+               .orderBy(F.desc("df"), F.asc("term")))
+        # top=None: the whole prefix range (scatter-gather callers
+        # re-rank against cross-shard df sums before capping)
+        return out if top is None else out.limit(top)
+
+    def complete(self, prefix: str, top: int = 5):
+        """Driver-side :meth:`complete_df`: list of (term, df). Local
+        mode reads the pruned lexicon range with pyarrow — no Spark
+        job on the interactive path (the point of the reference's
+        mmapped lexicon, QueryProcessor.java:50-53)."""
+        if not prefix:
+            raise ValueError("complete: empty prefix")
+        prefix = prefix.lower()
+        if not self._compacted_tables_exist():
+            raise ValueError(
+                "complete requires a compacted warehouse (the stream-"
+                "fresh vocabulary has no lexicon yet — compact() "
+                "first)")
+        if self.io_mode == "local":
+            import pyarrow.dataset as ds
+
+            flt = ds.field("term") >= prefix
+            if ord(prefix[-1]) < 0x10FFFF:
+                flt = flt & (ds.field("term")
+                             < prefix[:-1] + chr(ord(prefix[-1]) + 1))
+            t = (ds.dataset(f"{self.warehouse_dir}/lexicon",
+                            format="parquet")
+                 .to_table(columns=["term", "df"], filter=flt))
+            hits = sorted(zip(t.column("df").to_pylist(),
+                              t.column("term").to_pylist()),
+                          key=lambda x: (-x[0], x[1]))
+            if top is not None:
+                hits = hits[:top]
+            return [(term, df) for df, term in hits]
+        return [(r["term"], r["df"])
+                for r in self.complete_df(prefix, top=top).collect()]
+
     def expand_fuzzy(self, token: str, limit: int | None = None,
                      max_dist: int = 2):
         """Stored terms a ``term~`` fuzzy token rewrites to: the

@@ -156,6 +156,22 @@ class ShardedIndex:
             hits = hits[:top]
         return [(term, -negdf, dist) for dist, negdf, term in hits]
 
+    def complete(self, prefix: str, top: int = 5):
+        """:meth:`InvertedIndex.complete` over the union vocabulary:
+        gather each shard's FULL prefix range (vocabulary-range-sized,
+        like suggest's full edit ball), sum df per term across shards,
+        then rank (df desc, term asc) — capping per shard first would
+        rank by shard-local popularity and diverge from the merged
+        warehouse."""
+        acc: dict = {}
+        for idx in self.idxs:
+            for term, df in idx.complete(prefix, top=None):
+                acc[term] = acc.get(term, 0) + df
+        hits = sorted((-df, term) for term, df in acc.items())
+        if top is not None:
+            hits = hits[:top]
+        return [(term, -negdf) for negdf, term in hits]
+
     def expand_range(self, lo: str, hi: str,
                      limit: int | None = None):
         """Inclusive [lo, hi] over the UNION vocabulary — exact vs the

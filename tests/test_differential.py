@@ -182,7 +182,7 @@ IDX_QUERIES = ["doc_table", "collection_stats", "term_stats",
                "bm25_topk_phrase_sloppy", "score_explain",
                "bm25_topk_page2", "bm25_topk_not", "tfidf_topk",
                "bm25_topk_range", "bool_topk", "rm3_topk",
-               "bm25_topk_regexp"]
+               "bm25_topk_regexp", "autocomplete"]
 
 
 @pytest.mark.parametrize("seed", [31, 37, 41, 43, 47])

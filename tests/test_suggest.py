@@ -120,3 +120,60 @@ def test_guards(sug_idx, spark, tmp_path):
     fresh = InvertedIndex(spark, wh, fresh=True)
     with pytest.raises(ValueError, match="compact"):
         fresh.suggest_df("fast")
+
+
+# -- autocomplete (prefix top-df completion) ---------------------------
+
+def test_complete_order_df_then_term(sug_idx):
+    got = [(r["term"], r["df"])
+           for r in sug_idx.complete_df("q", top=5).collect()]
+    assert got == [("query", 3), ("qty", 2)]
+    assert sug_idx.complete("q", top=5) == got       # driver path
+    assert sug_idx.complete("q", top=1) == [("query", 3)]
+    assert sug_idx.complete("Q") == got              # lowercased
+    assert sug_idx.complete("zz") == []
+    # spark io_mode twin
+    idx_s = InvertedIndex(sug_idx.spark, sug_idx.warehouse_dir,
+                          io_mode="spark")
+    assert idx_s.complete("q", top=5) == got
+
+
+def test_complete_guards(sug_idx, spark, tmp_path):
+    with pytest.raises(ValueError, match="empty prefix"):
+        sug_idx.complete("")
+    with pytest.raises(ValueError, match="empty prefix"):
+        sug_idx.complete_df("")
+    from invertedindex_spark.streaming import append_batch
+
+    df = spark.createDataFrame([(0, "fast data")],
+                               "doc_id long, text string")
+    wh = str(tmp_path / "cstreamwh")
+    append_batch(spark, from_documents(df), wh,
+                 IndexConfig(num_blocks=1, stemming=False),
+                 blocks_per_batch=1)
+    fresh = InvertedIndex(spark, wh, fresh=True)
+    with pytest.raises(ValueError, match="compact"):
+        fresh.complete("fa")
+
+
+def test_complete_sharded_sums_dfs(spark, tmp_path):
+    """Cross-shard df sums can promote a term that is top in NO
+    single shard — capping per shard first would miss it."""
+    from invertedindex_spark.operators.sharded import ShardedIndex
+
+    # shard0: quay df 2, query df 1; shard1: quay 1, query 2 —
+    # merged: quay 3, query 3 → tie broken by term asc (quay first);
+    # per-shard top-1s alone would disagree with the merged order
+    s0 = ["quay quay query", "quay extra"]
+    s1 = ["query query quay", "query extra"]
+    whs = []
+    for i, texts in enumerate([s0, s1]):
+        df = spark.createDataFrame(
+            [(j + 10 * i, t) for j, t in enumerate(texts)],
+            "doc_id long, text string")
+        wh = str(tmp_path / f"cwh{i}")
+        build_index(spark, from_documents(df), wh,
+                    IndexConfig(num_blocks=1, stemming=False))
+        whs.append(wh)
+    sh = ShardedIndex(spark, whs)
+    assert sh.complete("qu", top=2) == [("quay", 3), ("query", 3)]
