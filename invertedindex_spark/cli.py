@@ -127,6 +127,15 @@ def main(argv=None):
                 from .functions.textproc import split_inline_boosts
 
                 parts = line.split(None, 1)
+                if parts[0].upper() == "COMPLETE":
+                    if len(parts) < 2 or not parts[1].strip():
+                        raise ValueError(
+                            "COMPLETE needs a prefix: COMPLETE <pre>")
+                    for term, df in idx.complete(parts[1].strip(),
+                                                 top=args.k):
+                        print(term, df)
+                    print(f"{time.time() - t0} seconds")
+                    continue
                 if parts[0].upper() == "BOOL":
                     hits = idx.search_boolean(
                         parts[1] if len(parts) > 1 else "",

@@ -156,6 +156,18 @@ def test_complete_guards(sug_idx, spark, tmp_path):
         fresh.complete("fa")
 
 
+def test_cli_complete_command(sug_idx, monkeypatch, capsys):
+    from invertedindex_spark import cli
+
+    lines = iter(["COMPLETE q", "COMPLETE", "q"])
+    monkeypatch.setattr("builtins.input", lambda *_: next(lines))
+    rc = cli.main([sug_idx.warehouse_dir])
+    assert rc in (0, None)
+    out = capsys.readouterr().out
+    assert "query 3" in out and "qty 2" in out
+    assert "COMPLETE needs a prefix" in out
+
+
 def test_complete_sharded_sums_dfs(spark, tmp_path):
     """Cross-shard df sums can promote a term that is top in NO
     single shard — capping per shard first would miss it."""
