@@ -3926,6 +3926,73 @@ SELECT term, df AS n_postings, CAST(1 AS BOOLEAN) AS roundtrip_ok
 FROM lex"""
 
 
+# ---------------------------------------------------------------------
+# percolator (reverse search / saved-search alerting)
+# ---------------------------------------------------------------------
+
+PERC_QUERIES = [
+    ("alert_or", "OR slow small"),
+    ("alert_and", "AND fast table"),
+    ("alert_phrase", "PHRASE " + " ".join(PHRASE_TERMS)),
+]
+
+
+def q_percolator_matches(spark, sf_dir):
+    """Percolation of the documents table against a registered
+    saved-search set (operators/percolate.py — the Lucene/ES
+    percolator inverted: each incoming document probes the bounded,
+    broadcast query set): one row per (query, document) match under
+    the exact index-time analysis pipeline (stemming off, matching
+    the sf warehouse config). OR = any term present, AND = all terms,
+    PHRASE = all terms + adjacency in the post-stopword token
+    stream."""
+    from pyspark.sql import functions as F
+
+    from .operators.percolate import percolate, register_queries
+
+    pq = register_queries(PERC_QUERIES, stemming=False)
+    out = percolate(_docs_df(spark, sf_dir), pq)
+    return out.select(
+        "qid", F.col("doc_id").cast("string").alias("doc_no"))
+
+
+def sql_percolator_matches(queries=None) -> str:
+    """Oracle twin: per-(doc, qid) distinct-term hit counts against a
+    VALUES literal of the ANALYZED query terms; OR gates on presence,
+    AND/PHRASE on hits == n_terms, PHRASE additionally on the padded
+    space-joined token stream containing the ordered phrase (the same
+    LIKE probe as sql_bm25_topk_phrase). ``queries`` defaults to
+    PERC_QUERIES; the fuzz suite passes its own corpus-vocabulary
+    sets."""
+    from .operators.percolate import register_queries
+
+    pq = register_queries(queries or PERC_QUERIES, stemming=False)
+    qt = ", ".join(f"('{qid}', '{t}')"
+                   for qid, _, terms, _, _ in pq.entries for t in terms)
+    meta = ", ".join(
+        f"('{qid}', '{qtype}', {n}, '{phrase or ''}')"
+        for qid, qtype, _, n, phrase in pq.entries)
+    return f"""
+WITH tok AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_no,
+         {terms_sql(tokens_sql('text'))} AS terms
+  FROM documents WHERE text IS NOT NULL AND length(text) > 0
+), qt(qid, term) AS (VALUES {qt}),
+meta(qid, qtype, n_terms, phrase) AS (VALUES {meta}),
+hits AS (
+  SELECT doc_no, qid, count(*) AS h
+  FROM (SELECT doc_no, unnest(list_distinct(terms)) AS term
+        FROM tok) p
+  JOIN qt USING (term) GROUP BY doc_no, qid
+)
+SELECT h.qid, h.doc_no
+FROM hits h JOIN meta m USING (qid) JOIN tok USING (doc_no)
+WHERE (m.qtype = 'OR' OR h.h = m.n_terms)
+  AND (m.qtype <> 'PHRASE'
+       OR (' ' || array_to_string(tok.terms, ' ') || ' ')
+           LIKE ('% ' || m.phrase || ' %'))"""
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -4084,6 +4151,7 @@ def extra_queries():
     addition kept outside the capped driver registry from day one
     (differential fuzz + contract pytest are its gates)."""
     return {
+        "percolator_matches": q_percolator_matches,
         "pii_scrub": q_pii_scrub,
         "facet_counts": q_facet_counts,
         "facet_stats": q_facet_stats,
@@ -4131,6 +4199,7 @@ def extra_oracle_sql(query_vec=None, sf_dir=None):
     """Oracle twins for :func:`extra_queries` (same parameter contract
     as :func:`all_oracle_sql`)."""
     out = {
+        "percolator_matches": sql_percolator_matches(),
         "pii_scrub": sql_pii_scrub(),
         "facet_counts": sql_facet_counts(),
         "facet_stats": sql_facet_stats(),

@@ -1,0 +1,168 @@
+"""Percolator: reverse search over a registered query set.
+
+The Lucene/Elasticsearch percolator primitive (MemoryIndex +
+PercolatorQuery): instead of a query probing a document index, each
+incoming DOCUMENT probes a stored set of queries — the saved-search /
+alerting building block for a continuously-ingested corpus ("tell me
+when a doc matching `AND table scan` arrives"). The query grammar is
+the reference's flat ``[AND|OR] term...`` (QueryProcessor.java:135-174)
+plus this engine's ``PHRASE`` extension, analyzed by the SAME
+preprocessing pipeline as indexing/search (tokenize → stopword filter →
+truncate → stem; ``functions/textproc.preprocess_query``), so a
+percolated match is exactly "this doc would be a match-set member of
+that query once indexed".
+
+100 TB shape: the registered query set is the BOUNDED side (thousands
+to low millions of tiny rows — it is held driver-side and broadcast),
+documents are the unbounded side. One narrow Arrow tokenize pass over
+the document batch (the build hot-path kernel, no per-row Python), an
+explode to DISTINCT (doc, term) pairs joined against the broadcast
+query-term table — the join output is bounded by matches, never
+|docs| × |queries| — and one groupBy((doc, qid)) count: ``>= 1`` gates
+OR, ``== n_terms`` gates AND and PHRASE candidacy. PHRASE adjacency
+verifies on a SECOND tokenize pass restricted by a semi-join to
+phrase-candidate docs only (the doc is in hand, so no positional
+sidecar is needed; candidates are a tiny fraction of the stream).
+Nothing here shuffles document text except that bounded candidate
+re-read.
+
+Streaming: ``percolate`` is narrow + broadcast-join + one keyed
+aggregation, so it drops into ``foreachBatch`` unchanged — each
+micro-batch's alerts are the batch percolation of its rows
+(parity asserted in tests/test_percolate.py).
+"""
+
+from __future__ import annotations
+
+from ..functions.textproc import preprocess_query
+
+__all__ = ["PercolatorQueries", "register_queries", "percolate"]
+
+
+class PercolatorQueries:
+    """Analyzed, registered query set. Holds per query:
+    (qid, qtype, sorted distinct terms, n_terms, phrase) where
+    ``phrase`` is the ordered post-pipeline token sequence (PHRASE
+    only — adjacency is order-sensitive and keeps duplicates). Queries
+    that analyze to zero terms (all stopwords / empty) match nothing,
+    Lucene's MatchNoDocsQuery; they stay registered so re-registration
+    round-trips, but never join."""
+
+    def __init__(self, entries, stopwords: bool, stemming: bool):
+        self.entries = entries
+        self.stopwords = stopwords
+        self.stemming = stemming
+
+    def __len__(self):
+        return len(self.entries)
+
+
+def register_queries(pairs, *, stopwords: bool = True,
+                     stemming: bool = True) -> PercolatorQueries:
+    """Analyze and register ``[(qid, query_string), ...]``. The
+    stopwords/stemming flags must match the pipeline the matched
+    documents will be (or are) indexed under — they are captured here
+    so :func:`percolate` cannot tokenize the two sides differently.
+    Duplicate qids and non-string qids fail loudly."""
+    seen = set()
+    entries = []
+    for qid, q in pairs:
+        if not isinstance(qid, str) or not qid:
+            raise ValueError(f"qid must be a non-empty string: {qid!r}")
+        if qid in seen:
+            raise ValueError(f"duplicate qid {qid!r}")
+        seen.add(qid)
+        qtype, terms = preprocess_query(q, stopwords=stopwords,
+                                        stemming=stemming)
+        if qtype == "PHRASE":
+            phrase = " ".join(terms)
+            tset = sorted(set(terms))
+        else:
+            phrase = None
+            tset = sorted(terms)
+        entries.append((qid, qtype, tset, len(tset), phrase))
+    return PercolatorQueries(entries, stopwords, stemming)
+
+
+def _tokenize(docs, id_col: str, text_col: str, stopwords: bool,
+              stemming: bool):
+    """(id, terms array) via the build hot-path Arrow kernel —
+    identical semantics to the indexed token stream."""
+    import pyarrow as pa
+    from pyspark.sql import functions as F
+
+    from ..functions.textproc import tokenize_terms_arrow
+
+    pre = docs.select(F.col(id_col).alias("_pid"),
+                      F.col(text_col).alias("_ptext"))
+    stop, stem = stopwords, stemming
+
+    def tok(iterator):
+        pa.set_cpu_count(1)
+        for batch in iterator:
+            terms = tokenize_terms_arrow(
+                batch.column("_ptext"), stopwords=stop, truncate=True,
+                stemming=stem)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("_pid"), terms], names=["_pid", "terms"])
+
+    id_type = dict(docs.dtypes)[id_col]
+    return pre.mapInArrow(tok, f"_pid {id_type}, terms array<string>")
+
+
+def percolate(docs, queries: PercolatorQueries, *,
+              id_col: str = "doc_id", text_col: str = "text"):
+    """Match every document row against every registered query.
+    Returns DataFrame(``id_col``, qid) — one row per (document, query)
+    match. NULL/empty/all-stopword documents match nothing (they would
+    never enter the index either: Indexer.java:72-84 drops them)."""
+    from pyspark.sql import functions as F
+
+    spark = docs.sparkSession
+    qterm_rows = [(qid, t) for qid, _, terms, _, _ in queries.entries
+                  for t in terms]
+    qmeta_rows = [(qid, qtype, n, phrase)
+                  for qid, qtype, _, n, phrase in queries.entries]
+    out_schema = docs.select(F.col(id_col)).schema \
+        .add("qid", "string")
+    if not qterm_rows:
+        return spark.createDataFrame([], out_schema)
+    qterms = spark.createDataFrame(qterm_rows, "qid string, term string")
+    qmeta = spark.createDataFrame(
+        qmeta_rows, "qid string, qtype string, n_terms int, phrase string")
+
+    toks = _tokenize(docs, id_col, text_col,
+                     queries.stopwords, queries.stemming)
+    matched = (toks
+               .select("_pid", F.explode(F.array_distinct("terms"))
+                       .alias("term"))
+               .join(F.broadcast(qterms), "term")
+               .groupBy("_pid", "qid")
+               .agg(F.count("*").alias("_hits"))
+               .join(F.broadcast(qmeta), "qid")
+               .where((F.col("qtype") == "OR")
+                      | (F.col("_hits") == F.col("n_terms"))))
+    flat = (matched.where(F.col("qtype") != "PHRASE")
+            .select(F.col("_pid").alias(id_col), "qid"))
+    if not any(e[1] == "PHRASE" for e in queries.entries):
+        return flat
+
+    # PHRASE adjacency: re-tokenize ONLY candidate docs (left-semi
+    # pushes the id filter into the docs scan) and probe the padded
+    # space-joined token stream — adjacency in the post-stopword
+    # stream, exactly the positional index's domain.
+    cand = matched.where(F.col("qtype") == "PHRASE") \
+                  .select("_pid", "qid", "phrase")
+    cand_docs = docs.join(
+        cand.select(F.col("_pid").alias(id_col)).distinct(),
+        id_col, "left_semi")
+    padded = _tokenize(cand_docs, id_col, text_col,
+                       queries.stopwords, queries.stemming) \
+        .select("_pid", F.concat(F.lit(" "),
+                                 F.array_join("terms", " "),
+                                 F.lit(" ")).alias("_padded"))
+    verified = (cand.join(padded, "_pid")
+                .where(F.col("_padded").contains(
+                    F.concat(F.lit(" "), F.col("phrase"), F.lit(" "))))
+                .select(F.col("_pid").alias(id_col), "qid"))
+    return flat.unionByName(verified)

@@ -1,0 +1,150 @@
+"""Percolator (reverse search): semantics, guards, streaming parity,
+and a differential fuzz of random query sets against the DuckDB oracle
+builder."""
+
+import random
+
+import pytest
+
+from invertedindex_spark.operators.percolate import (
+    percolate, register_queries,
+)
+
+
+def _perc(spark, docs_rows, queries, **kw):
+    docs = spark.createDataFrame(docs_rows, "doc_id bigint, text string")
+    pq = register_queries(queries, **kw)
+    return {(r["doc_id"], r["qid"])
+            for r in percolate(docs, pq).collect()}
+
+
+DOCS = [
+    (0, "the fast table scan"),
+    (1, "scan the fast"),
+    (2, "slow sort merge"),
+    (3, None),
+    (4, ""),
+    (5, "the and of"),          # all stopwords → never matches
+    (6, "fast FAST fast scan"),
+]
+
+
+def test_or_and_phrase_semantics(spark):
+    got = _perc(spark, DOCS, [
+        ("q_or", "OR fast sort"),
+        ("q_and", "AND fast scan"),
+        ("q_ph", "PHRASE fast scan"),
+        ("q_none", "OR the of"),      # analyzes to zero terms
+        ("q_ph1", "PHRASE scan"),     # single-term phrase == presence
+    ], stemming=False)
+    assert got == {
+        (0, "q_or"), (0, "q_and"), (0, "q_ph1"),
+        (1, "q_or"), (1, "q_and"), (1, "q_ph1"),
+        (2, "q_or"),
+        # doc 6: 'fast fast fast scan' — adjacency holds
+        (6, "q_or"), (6, "q_and"), (6, "q_ph"), (6, "q_ph1"),
+    }
+    # doc 0 'fast table scan': terms not adjacent post-stopword → no
+    # q_ph; doc 1 'scan … fast': wrong order → no q_ph
+
+
+def test_phrase_adjacency_is_post_stopword(spark):
+    # 'fast the scan': the stopword drops, leaving fast/scan ADJACENT
+    # in the processed stream — exactly the positional index's domain
+    got = _perc(spark, [(0, "fast the scan")],
+                [("p", "PHRASE fast scan")], stemming=False)
+    assert got == {(0, "p")}
+
+
+def test_stemming_flag_applies_to_both_sides(spark):
+    got = _perc(spark, [(0, "running tables")],
+                [("s", "OR run table")], stemming=True)
+    assert got == {(0, "s")}
+    assert _perc(spark, [(0, "running tables")],
+                 [("s", "OR run table")], stemming=False) == set()
+
+
+def test_empty_query_set_and_guards(spark):
+    docs = spark.createDataFrame([(0, "x")], "doc_id bigint, text string")
+    out = percolate(docs, register_queries([]))
+    assert out.count() == 0 and out.columns == ["doc_id", "qid"]
+    with pytest.raises(ValueError, match="duplicate qid"):
+        register_queries([("a", "OR x"), ("a", "OR y")])
+    with pytest.raises(ValueError, match="non-empty string"):
+        register_queries([("", "OR x")])
+    with pytest.raises(ValueError, match="illegal query type"):
+        register_queries([("a", "NEAR x y")])
+
+
+def test_custom_id_and_text_columns(spark):
+    docs = spark.createDataFrame([("d9", "fast scan")],
+                                 "ext string, body string")
+    pq = register_queries([("q", "AND fast scan")], stemming=False)
+    rows = percolate(docs, pq, id_col="ext", text_col="body").collect()
+    assert [(r["ext"], r["qid"]) for r in rows] == [("d9", "q")]
+
+
+def test_streaming_microbatch_parity(spark):
+    """foreachBatch contract: percolating each micro-batch
+    independently unions to the batch percolation of all rows."""
+    pq = register_queries([("q_or", "OR fast sort"),
+                           ("q_ph", "PHRASE fast scan")], stemming=False)
+    batches = [DOCS[:3], DOCS[3:5], DOCS[5:]]
+    per_batch = set()
+    for b in batches:
+        docs = spark.createDataFrame(b, "doc_id bigint, text string")
+        per_batch |= {(r["doc_id"], r["qid"])
+                      for r in percolate(docs, pq).collect()}
+    assert per_batch == _perc(spark, DOCS,
+                              [("q_or", "OR fast sort"),
+                               ("q_ph", "PHRASE fast scan")],
+                              stemming=False)
+
+
+_VOCAB = ["fast", "slow", "scan", "sort", "table", "key", "the",
+          "a1b2c3", "x" * 25, "naïve", "0"]
+
+
+@pytest.mark.parametrize("seed", [3, 13, 29])
+def test_percolate_fuzz_vs_oracle(spark, duck, tmp_path, seed):
+    """Random corpora × random query sets, engine vs the DuckDB oracle
+    builder (sql_percolator_matches(queries=...))."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from invertedindex_spark import entry_queries as EQ
+
+    rng = random.Random(seed)
+    rows = []
+    for i in range(80):
+        kind = rng.randrange(8)
+        if kind == 0:
+            text = None
+        elif kind == 1:
+            text = ""
+        else:
+            text = " ".join(rng.choice(_VOCAB)
+                            for _ in range(rng.randrange(1, 9)))
+        rows.append((i, text))
+    path = str(tmp_path / "documents.parquet")
+    pq_.write_table(
+        pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "text": pa.array([r[1] for r in rows], pa.string())}),
+        path)
+    duck.execute("CREATE OR REPLACE VIEW documents AS "
+                 f"SELECT * FROM read_parquet('{path}')")
+    queries = []
+    for j in range(6):
+        qt = rng.choice(["OR", "AND", "PHRASE"])
+        terms = [rng.choice(_VOCAB)
+                 for _ in range(rng.randrange(1, 4))]
+        queries.append((f"q{j}", f"{qt} " + " ".join(terms)))
+
+    docs = spark.read.parquet(path)
+    got = {(r["qid"], str(r["doc_id"]))
+           for r in percolate(
+               docs, register_queries(queries, stemming=False))
+           .collect()}
+    want = {(q, d) for q, d in duck.execute(
+        EQ.sql_percolator_matches(queries=queries)).fetchall()}
+    assert got == want, f"seed {seed}: {sorted(got ^ want)[:5]}"
