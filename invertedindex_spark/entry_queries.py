@@ -3993,6 +3993,56 @@ WHERE (m.qtype = 'OR' OR h.h = m.n_terms)
            LIKE ('% ' || m.phrase || ' %'))"""
 
 
+# ---------------------------------------------------------------------
+# significant terms (ES sampler + significant_terms)
+# ---------------------------------------------------------------------
+
+SIG_SAMPLE, SIG_TOP = 20, 10
+
+
+def q_significant_terms(spark, sf_dir):
+    """Terms over-represented in the top-20 ranked docs of
+    ``OR slow scan`` vs the corpus background, JLH-scored
+    (InvertedIndex.significant_terms — the ES sampler +
+    significant_terms combo). The foreground decode is the bounded
+    multi-point doc_points scan; the score is u6-quantized through
+    the shared floor so both engines agree bit-for-bit."""
+    idx = get_index(spark, sf_dir)
+    return idx.significant_terms("OR slow scan", top=SIG_TOP,
+                                 sample=SIG_SAMPLE)
+
+
+def sql_significant_terms() -> str:
+    """Oracle twin: the same distinct-score dedup picks the sample
+    docs; fg = per-term doc counts within the sample, bg = lexicon
+    df; identical IEEE expression shape for JLH before the shared u6
+    floor."""
+    fgp = "(CAST(fg AS DOUBLE) / nf.n)"
+    bgp = "(CAST(df AS DOUBLE) / CAST(stats.num_docs AS DOUBLE))"
+    return _base_cte() + f""",
+qscores AS (
+  SELECT tf.doc_id, CAST(sum({_bm25_u6_expr()}) AS BIGINT) AS score_u6
+  FROM tf JOIN lex USING (term) CROSS JOIN stats
+  WHERE tf.term IN ('slow', 'scan')
+  GROUP BY tf.doc_id
+), samp AS (
+  SELECT min(doc_id) AS doc_id
+  FROM qscores GROUP BY score_u6
+  ORDER BY score_u6 DESC LIMIT {SIG_SAMPLE}
+), nf AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n FROM samp
+), fgc AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS fg
+  FROM tf WHERE doc_id IN (SELECT doc_id FROM samp)
+  GROUP BY term
+)
+SELECT term, fg, df,
+       CAST(floor((({fgp} - {bgp}) * ({fgp} / {bgp})) * 1000000
+                  + 0.5) AS BIGINT) AS score_u6
+FROM fgc JOIN lex USING (term) CROSS JOIN stats CROSS JOIN nf
+ORDER BY score_u6 DESC, term ASC LIMIT {SIG_TOP}"""
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -4152,6 +4202,7 @@ def extra_queries():
     (differential fuzz + contract pytest are its gates)."""
     return {
         "percolator_matches": q_percolator_matches,
+        "significant_terms": q_significant_terms,
         "pii_scrub": q_pii_scrub,
         "facet_counts": q_facet_counts,
         "facet_stats": q_facet_stats,
@@ -4200,6 +4251,7 @@ def extra_oracle_sql(query_vec=None, sf_dir=None):
     as :func:`all_oracle_sql`)."""
     out = {
         "percolator_matches": sql_percolator_matches(),
+        "significant_terms": sql_significant_terms(),
         "pii_scrub": sql_pii_scrub(),
         "facet_counts": sql_facet_counts(),
         "facet_stats": sql_facet_stats(),

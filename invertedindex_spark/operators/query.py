@@ -2212,6 +2212,78 @@ class InvertedIndex:
                         (F.col("score_u6") / F.lit(1e6)).alias("score"))
                 .orderBy(F.desc("score")))
 
+    def significant_terms(self, query: str, top: int = 10,
+                          sample: int = 50):
+        """Significant-terms aggregation (the Elasticsearch
+        ``sampler`` + ``significant_terms`` combo): terms
+        over-represented in the query's top-``sample`` ranked
+        documents relative to the corpus background, scored by JLH
+        (Elasticsearch's default): ``(fg% − bg%) × (fg% / bg%)`` with
+        fg% = fg/|sample| and bg% = df/N — "what is this result set
+        ABOUT, beyond the query terms themselves". Returns
+        DataFrame(term, fg, df, score_u6) ordered (score_u6 desc,
+        term asc), capped at ``top``; the score is quantized to
+        micro-units through the shared u6 floor so the DuckDB twin is
+        bit-identical (both engines evaluate the same IEEE double
+        expression shape).
+
+        100 TB shape: the foreground is a BOUNDED sample (ES's own
+        recommendation — a significance scan over an unbounded match
+        set is a full reread), so the fg decode is the RM3 feedback
+        path: one multi-point ``doc_points`` postings scan covering
+        the sample docs, never a full-index decode. The background df
+        joins the lexicon (plus, on fresh handles, the summed
+        partial-segment dfs — the same union-df convention as
+        ``_light_rows``); one groupBy(term) shuffle bounded by the
+        sample's vocabulary."""
+        from pyspark.sql import functions as F
+
+        if top < 1 or sample < 1:
+            raise ValueError("top and sample must be >= 1")
+        qtype, terms = preprocess_query(
+            query, stopwords=self.stopwords, stemming=self.stemming)
+        if qtype not in ("AND", "OR"):
+            raise ValueError(
+                f"significant_terms applies to AND/OR queries "
+                f"(got {qtype})")
+        schema = "term string, fg bigint, df bigint, score_u6 bigint"
+        present = self._present_terms(set(terms))
+        if not present:
+            return self.spark.createDataFrame([], schema)
+        mask = self._alive_mask() if self._tomb_count else None
+        doc_ids, scores = self._score_terms(present, qtype, mask=mask)
+        top_ids, _ = queue_topk_np(doc_ids, scores, sample)
+        if top_ids.size == 0:
+            return self.spark.createDataFrame([], schema)
+        fb = sorted(int(i) for i in top_ids)
+        fg = (self.decoded_postings_df(doc_points=fb)
+              .where(F.col("doc_id").isin(fb))
+              .groupBy("term").agg(F.count("*").alias("fg")))
+        # fresh-aware background df: compacted lexicon + summed
+        # partial-segment dfs (partial-only vocabulary exists nowhere
+        # else until compaction)
+        if self._compacted_tables_exist():
+            bg = self.lexicon.select("term", "df")
+        else:
+            bg = self.spark.createDataFrame([], "term string, df long")
+        p = self._fresh_partials_sdf()
+        if p is not None:
+            pf = p.groupBy("term").agg(F.sum("df_b").alias("df_p"))
+            bg = (bg.join(pf, "term", "full_outer")
+                  .select("term",
+                          (F.coalesce(F.col("df"), F.lit(0))
+                           + F.coalesce(F.col("df_p"), F.lit(0)))
+                          .alias("df")))
+        n_fg = float(len(fb))
+        fgp = F.col("fg").cast("double") / F.lit(n_fg)
+        bgp = F.col("df").cast("double") / F.lit(float(self.num_docs))
+        jlh = (fgp - bgp) * (fgp / bgp)
+        return (fg.join(bg, "term")
+                .select("term", "fg", "df",
+                        scoring.u6_col(jlh).alias("score_u6"))
+                .orderBy(F.desc("score_u6"), F.asc("term"))
+                .limit(top))
+
     # -- logical deletes (tombstones) -----------------------------------
     @property
     def _tomb_count(self) -> int:
