@@ -136,6 +136,18 @@ def main(argv=None):
                         print(term, df)
                     print(f"{time.time() - t0} seconds")
                     continue
+                if parts[0].upper() == "SIGTERMS":
+                    if len(parts) < 2 or not parts[1].strip():
+                        raise ValueError(
+                            "SIGTERMS needs a query: "
+                            "SIGTERMS [AND|OR] term1 ... termN")
+                    rows = idx.significant_terms(
+                        parts[1].strip(), top=args.k).collect()
+                    for r in rows:
+                        print(r["term"], r["fg"], r["df"],
+                              r["score_u6"] / 1e6)
+                    print(f"{time.time() - t0} seconds")
+                    continue
                 if parts[0].upper() == "BOOL":
                     hits = idx.search_boolean(
                         parts[1] if len(parts) > 1 else "",

@@ -73,6 +73,18 @@ def test_guards_and_empty(sig_idx, spark):
     assert sig_idx.significant_terms("OR nosuchterm").count() == 0
 
 
+def test_cli_sigterms_command(sig_idx, monkeypatch, capsys):
+    from invertedindex_spark import cli
+
+    lines = iter(["SIGTERMS OR fast", "SIGTERMS", "q"])
+    monkeypatch.setattr("builtins.input", lambda *_: next(lines))
+    rc = cli.main([sig_idx.warehouse_dir])
+    assert rc in (0, None)
+    out = capsys.readouterr().out
+    assert "zebra 4 4" in out
+    assert "SIGTERMS needs a query" in out
+
+
 def test_fresh_handle_sees_appended_vocabulary(sig_idx, spark,
                                                tmp_path_factory):
     """New vocabulary that exists only in uncompacted partial blocks
