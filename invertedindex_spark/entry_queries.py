@@ -3934,6 +3934,7 @@ PERC_QUERIES = [
     ("alert_or", "OR slow small"),
     ("alert_and", "AND fast table"),
     ("alert_phrase", "PHRASE " + " ".join(PHRASE_TERMS)),
+    ("alert_not", "OR slow -small"),
 ]
 
 
@@ -3967,27 +3968,33 @@ def sql_percolator_matches(queries=None) -> str:
     from .operators.percolate import register_queries
 
     pq = register_queries(queries or PERC_QUERIES, stemming=False)
-    qt = ", ".join(f"('{qid}', '{t}')"
-                   for qid, _, terms, _, _ in pq.entries for t in terms)
+    qt = ", ".join(
+        [f"('{qid}', '{t}', FALSE)"
+         for qid, _, terms, _, _, _ in pq.entries for t in terms]
+        + [f"('{qid}', '{t}', TRUE)"
+           for qid, _, _, _, _, nots in pq.entries for t in nots])
     meta = ", ".join(
         f"('{qid}', '{qtype}', {n}, '{phrase or ''}')"
-        for qid, qtype, _, n, phrase in pq.entries)
+        for qid, qtype, _, n, phrase, _ in pq.entries)
     return f"""
 WITH tok AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_no,
          {terms_sql(tokens_sql('text'))} AS terms
   FROM documents WHERE text IS NOT NULL AND length(text) > 0
-), qt(qid, term) AS (VALUES {qt}),
+), qt(qid, term, neg) AS (VALUES {qt}),
 meta(qid, qtype, n_terms, phrase) AS (VALUES {meta}),
 hits AS (
-  SELECT doc_no, qid, count(*) AS h
+  SELECT doc_no, qid,
+         count(*) FILTER (WHERE NOT neg) AS h,
+         count(*) FILTER (WHERE neg) AS nh
   FROM (SELECT doc_no, unnest(list_distinct(terms)) AS term
         FROM tok) p
   JOIN qt USING (term) GROUP BY doc_no, qid
 )
 SELECT h.qid, h.doc_no
 FROM hits h JOIN meta m USING (qid) JOIN tok USING (doc_no)
-WHERE (m.qtype = 'OR' OR h.h = m.n_terms)
+WHERE h.nh = 0
+  AND ((m.qtype = 'OR' AND h.h >= 1) OR h.h = m.n_terms)
   AND (m.qtype <> 'PHRASE'
        OR (' ' || array_to_string(tok.terms, ' ') || ' ')
            LIKE ('% ' || m.phrase || ' %'))"""

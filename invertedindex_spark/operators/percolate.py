@@ -6,9 +6,10 @@ incoming DOCUMENT probes a stored set of queries — the saved-search /
 alerting building block for a continuously-ingested corpus ("tell me
 when a doc matching `AND table scan` arrives"). The query grammar is
 the reference's flat ``[AND|OR] term...`` (QueryProcessor.java:135-174)
-plus this engine's ``PHRASE`` extension, analyzed by the SAME
-preprocessing pipeline as indexing/search (tokenize → stopword filter →
-truncate → stem; ``functions/textproc.preprocess_query``), so a
+plus this engine's ``PHRASE`` and ``-term`` MUST_NOT extensions,
+analyzed by the SAME preprocessing pipeline as indexing/search
+(tokenize → stopword filter → truncate → stem;
+``functions/textproc.preprocess_query`` / ``split_not_terms``), so a
 percolated match is exactly "this doc would be a match-set member of
 that query once indexed".
 
@@ -18,13 +19,13 @@ documents are the unbounded side. One narrow Arrow tokenize pass over
 the document batch (the build hot-path kernel, no per-row Python), an
 explode to DISTINCT (doc, term) pairs joined against the broadcast
 query-term table — the join output is bounded by matches, never
-|docs| × |queries| — and one groupBy((doc, qid)) count: ``>= 1`` gates
-OR, ``== n_terms`` gates AND and PHRASE candidacy. PHRASE adjacency
-verifies on a SECOND tokenize pass restricted by a semi-join to
-phrase-candidate docs only (the doc is in hand, so no positional
-sidecar is needed; candidates are a tiny fraction of the stream).
-Nothing here shuffles document text except that bounded candidate
-re-read.
+|docs| × |queries| — and one groupBy((doc, qid)) count: positive hits
+``>= 1`` gate OR, ``== n_terms`` gate AND and PHRASE candidacy, and
+any negative hit vetoes (MUST_NOT). PHRASE adjacency verifies on a
+SECOND tokenize pass restricted by a semi-join to phrase-candidate
+docs only (the doc is in hand, so no positional sidecar is needed;
+candidates are a tiny fraction of the stream). Nothing here shuffles
+document text except that bounded candidate re-read.
 
 Streaming: ``percolate`` is narrow + broadcast-join + one keyed
 aggregation, so it drops into ``foreachBatch`` unchanged — each
@@ -34,19 +35,20 @@ micro-batch's alerts are the batch percolation of its rows
 
 from __future__ import annotations
 
-from ..functions.textproc import preprocess_query
+from ..functions.textproc import preprocess_query, split_not_terms
 
 __all__ = ["PercolatorQueries", "register_queries", "percolate"]
 
 
 class PercolatorQueries:
     """Analyzed, registered query set. Holds per query:
-    (qid, qtype, sorted distinct terms, n_terms, phrase) where
-    ``phrase`` is the ordered post-pipeline token sequence (PHRASE
-    only — adjacency is order-sensitive and keeps duplicates). Queries
-    that analyze to zero terms (all stopwords / empty) match nothing,
-    Lucene's MatchNoDocsQuery; they stay registered so re-registration
-    round-trips, but never join."""
+    (qid, qtype, sorted distinct positive terms, n_terms, phrase,
+    sorted negative terms) where ``phrase`` is the ordered
+    post-pipeline token sequence (PHRASE only — adjacency is
+    order-sensitive and keeps duplicates). Queries that analyze to
+    zero positive terms (all stopwords / empty) match nothing,
+    Lucene's MatchNoDocsQuery; they stay registered so
+    re-registration round-trips, but never join."""
 
     def __init__(self, entries, stopwords: bool, stemming: bool):
         self.entries = entries
@@ -63,7 +65,9 @@ def register_queries(pairs, *, stopwords: bool = True,
     stopwords/stemming flags must match the pipeline the matched
     documents will be (or are) indexed under — they are captured here
     so :func:`percolate` cannot tokenize the two sides differently.
-    Duplicate qids and non-string qids fail loudly."""
+    Duplicate qids, non-string qids, and pure-negative queries (only
+    ``-term`` clauses survive analysis — an unbounded match set) fail
+    loudly."""
     seen = set()
     entries = []
     for qid, q in pairs:
@@ -72,6 +76,8 @@ def register_queries(pairs, *, stopwords: bool = True,
         if qid in seen:
             raise ValueError(f"duplicate qid {qid!r}")
         seen.add(qid)
+        q, nots = split_not_terms(q, stopwords=stopwords,
+                                  stemming=stemming)
         qtype, terms = preprocess_query(q, stopwords=stopwords,
                                         stemming=stemming)
         if qtype == "PHRASE":
@@ -80,7 +86,13 @@ def register_queries(pairs, *, stopwords: bool = True,
         else:
             phrase = None
             tset = sorted(terms)
-        entries.append((qid, qtype, tset, len(tset), phrase))
+        if nots and not tset:
+            raise ValueError(
+                f"pure-negative query {qid!r}: at least one positive "
+                "term is required (MUST_NOT alone matches an "
+                "unbounded set)")
+        entries.append((qid, qtype, tset, len(tset), phrase,
+                        sorted(nots)))
     return PercolatorQueries(entries, stopwords, stemming)
 
 
@@ -119,29 +131,38 @@ def percolate(docs, queries: PercolatorQueries, *,
     from pyspark.sql import functions as F
 
     spark = docs.sparkSession
-    qterm_rows = [(qid, t) for qid, _, terms, _, _ in queries.entries
+    qterm_rows = [(qid, t, False)
+                  for qid, _, terms, _, _, _ in queries.entries
                   for t in terms]
+    qterm_rows += [(qid, t, True)
+                   for qid, _, _, _, _, nots in queries.entries
+                   for t in nots]
     qmeta_rows = [(qid, qtype, n, phrase)
-                  for qid, qtype, _, n, phrase in queries.entries]
+                  for qid, qtype, _, n, phrase, _ in queries.entries]
     out_schema = docs.select(F.col(id_col)).schema \
         .add("qid", "string")
-    if not qterm_rows:
+    if not any(e[2] for e in queries.entries):
         return spark.createDataFrame([], out_schema)
-    qterms = spark.createDataFrame(qterm_rows, "qid string, term string")
+    qterms = spark.createDataFrame(
+        qterm_rows, "qid string, term string, neg boolean")
     qmeta = spark.createDataFrame(
         qmeta_rows, "qid string, qtype string, n_terms int, phrase string")
 
     toks = _tokenize(docs, id_col, text_col,
                      queries.stopwords, queries.stemming)
+    pos_hit = F.sum(F.when(F.col("neg"), 0).otherwise(1))
+    neg_hit = F.sum(F.when(F.col("neg"), 1).otherwise(0))
     matched = (toks
                .select("_pid", F.explode(F.array_distinct("terms"))
                        .alias("term"))
                .join(F.broadcast(qterms), "term")
                .groupBy("_pid", "qid")
-               .agg(F.count("*").alias("_hits"))
+               .agg(pos_hit.alias("_hits"), neg_hit.alias("_vetoes"))
                .join(F.broadcast(qmeta), "qid")
-               .where((F.col("qtype") == "OR")
-                      | (F.col("_hits") == F.col("n_terms"))))
+               .where((F.col("_vetoes") == 0)
+                      & (((F.col("qtype") == "OR")
+                          & (F.col("_hits") >= 1))
+                         | (F.col("_hits") == F.col("n_terms")))))
     flat = (matched.where(F.col("qtype") != "PHRASE")
             .select(F.col("_pid").alias(id_col), "qid"))
     if not any(e[1] == "PHRASE" for e in queries.entries):

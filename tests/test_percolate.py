@@ -101,6 +101,31 @@ def test_streaming_microbatch_parity(spark):
                               stemming=False)
 
 
+def test_not_clause_vetoes(spark):
+    docs = [(0, "fast red"), (1, "fast scan"),
+            (2, "slow sort merge"), (3, "slow sort")]
+    got = _perc(spark, docs, [
+        ("n", "OR fast -scan"),
+        ("n2", "AND slow sort -merge"),
+    ], stemming=False)
+    assert got == {(0, "n"), (3, "n2")}
+
+
+def test_pure_negative_query_refused(spark):
+    with pytest.raises(ValueError, match="pure-negative"):
+        register_queries([("p", "OR -fast")])
+
+
+def test_percolate_plan_broadcasts_query_set(spark):
+    """The bounded query set must broadcast; the document side joins
+    it without a sort-merge exchange of doc terms against queries."""
+    docs = spark.createDataFrame(DOCS, "doc_id bigint, text string")
+    pq = register_queries([("q", "OR fast sort")], stemming=False)
+    plan = percolate(docs, pq)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
 _VOCAB = ["fast", "slow", "scan", "sort", "table", "key", "the",
           "a1b2c3", "x" * 25, "naïve", "0"]
 
@@ -134,11 +159,23 @@ def test_percolate_fuzz_vs_oracle(spark, duck, tmp_path, seed):
     duck.execute("CREATE OR REPLACE VIEW documents AS "
                  f"SELECT * FROM read_parquet('{path}')")
     queries = []
-    for j in range(6):
+    # negatives must analyze to exactly one non-stopword token
+    # ('naïve' splits on the non-ASCII char and would raise)
+    nonstop = ["fast", "slow", "scan", "sort", "table", "key",
+               "a1b2c3", "0"]
+    for j in range(8):
         qt = rng.choice(["OR", "AND", "PHRASE"])
-        terms = [rng.choice(_VOCAB)
-                 for _ in range(rng.randrange(1, 4))]
-        queries.append((f"q{j}", f"{qt} " + " ".join(terms)))
+        if rng.random() < 0.4:
+            # MUST_NOT clause: positives from non-stopword vocab so
+            # the query can never analyze pure-negative
+            terms = [rng.choice(nonstop)
+                     for _ in range(rng.randrange(1, 4))]
+            q = f"{qt} " + " ".join(terms) + f" -{rng.choice(nonstop)}"
+        else:
+            terms = [rng.choice(_VOCAB)
+                     for _ in range(rng.randrange(1, 4))]
+            q = f"{qt} " + " ".join(terms)
+        queries.append((f"q{j}", q))
 
     docs = spark.read.parquet(path)
     got = {(r["qid"], str(r["doc_id"]))
