@@ -432,6 +432,78 @@ class ShardedIndex:
                         (F.col("score_u6") / F.lit(1e6)).alias("score"))
                 .orderBy(F.desc("score")))
 
+    def significant_terms(self, query: str, top: int = 10,
+                          sample: int = 50):
+        """:meth:`InvertedIndex.significant_terms` served
+        scatter-gather, row-identical to the merged warehouse: the
+        sample is the GLOBAL top-``sample`` ranked docs (global
+        blended dfs, global tie-dedup), the foreground decode maps
+        each winner back to its shard's local docId space (documents
+        never span shards) and unions the bounded per-shard
+        ``doc_points`` scans, and the background df is the summed
+        per-shard lexicon — one distributed union + groupBy(term),
+        no index bytes move between shards."""
+        from pyspark.sql import functions as F
+
+        if top < 1 or sample < 1:
+            raise ValueError("top and sample must be >= 1")
+        qtype, terms = preprocess_query(
+            query, stopwords=self.stopwords, stemming=self.stemming)
+        if qtype not in ("AND", "OR"):
+            raise ValueError(
+                f"significant_terms applies to AND/OR queries "
+                f"(got {qtype})")
+        schema = "term string, fg bigint, df bigint, score_u6 bigint"
+        u, present = self._match_union(qtype, terms)
+        if u is None:
+            return self.spark.createDataFrame([], schema)
+        gdf = self._global_df(present)
+        gdf_df = F.broadcast(self.spark.createDataFrame(
+            sorted(gdf.items()), "term string, gdf long"))
+        part = scoring.bm25_col(F.col("tf"), F.col("dl"), F.col("gdf"),
+                                F.lit(float(self.num_docs)),
+                                F.lit(self.avg_doc_len))
+        agg = (u.join(gdf_df, "term")
+               .withColumn("partial", scoring.u6_col(part))
+               .groupBy("doc_id")
+               .agg(F.sum("partial").alias("score_u6"),
+                    F.count("*").alias("nt")))
+        if qtype == "AND":
+            agg = agg.where(F.col("nt") == len(present))
+        winners = (agg.groupBy("score_u6")
+                   .agg(F.min("doc_id").alias("doc_id"))
+                   .orderBy(F.desc("score_u6")).limit(sample))
+        fb = sorted(int(r["doc_id"]) for r in winners.collect())
+        if not fb:
+            return self.spark.createDataFrame([], schema)
+        bounds = self.offsets[1:] + [self.num_docs]
+        parts = []
+        for idx, off, hi in zip(self.idxs, self.offsets, bounds):
+            local = [g - off for g in fb if off <= g < hi]
+            if not local:
+                continue
+            parts.append(idx.decoded_postings_df(doc_points=local)
+                         .where(F.col("doc_id").isin(local))
+                         .select("term"))
+        fg_u = parts[0]
+        for p in parts[1:]:
+            fg_u = fg_u.unionByName(p)
+        fg = fg_u.groupBy("term").agg(F.count("*").alias("fg"))
+        bg_u = self.idxs[0].lexicon.select("term", "df")
+        for idx in self.idxs[1:]:
+            bg_u = bg_u.unionByName(idx.lexicon.select("term", "df"))
+        bg = bg_u.groupBy("term").agg(F.sum("df").alias("df"))
+        n_fg = float(len(fb))
+        fgp = F.col("fg").cast("double") / F.lit(n_fg)
+        bgp = (F.col("df").cast("double")
+               / F.lit(float(self.num_docs)))
+        jlh = (fgp - bgp) * (fgp / bgp)
+        return (fg.join(bg, "term")
+                .select("term", "fg", "df",
+                        scoring.u6_col(jlh).alias("score_u6"))
+                .orderBy(F.desc("score_u6"), F.asc("term"))
+                .limit(top))
+
     def synonym_search_distributed(self, query: str, synonyms: dict,
                                    k: int = 20):
         """:meth:`InvertedIndex.synonym_search_distributed` served

@@ -85,6 +85,45 @@ def test_cli_sigterms_command(sig_idx, monkeypatch, capsys):
     assert "SIGTERMS needs a query" in out
 
 
+def test_sharded_matches_merged(sig_idx, spark, tmp_path_factory):
+    """Scatter-gather significant_terms must be row-identical to the
+    single merged warehouse — global sample, summed dfs, same JLH."""
+    from invertedindex_spark.operators.sharded import ShardedIndex
+
+    root = tmp_path_factory.mktemp("sig_shards")
+    texts = [
+        "fast zebra common one",
+        "fast zebra common one two",
+        "fast zebra common one two three",
+        "fast zebra common one two three four",
+        "slow common pad",
+        "slow common pad pad2",
+        "slow common pad pad2 pad3",
+        "slow common pad pad2 pad3 pad4",
+    ]
+    whs = []
+    for i, lo, hi in ((0, 0, 4), (1, 4, 8)):
+        df = spark.createDataFrame(
+            [(j, texts[j]) for j in range(lo, hi)],
+            "doc_id long, text string")
+        wh = str(root / f"shard{i}")
+        build_index(spark, from_documents(df), wh,
+                    IndexConfig(num_blocks=2, stemming=False))
+        whs.append(wh)
+    sh = ShardedIndex(spark, whs)
+    for q, smp in (("OR fast", 4), ("OR fast slow", 6),
+                   ("AND slow pad", 3)):
+        merged = [tuple(r) for r in
+                  sig_idx.significant_terms(q, top=20,
+                                            sample=smp).collect()]
+        sharded = [tuple(r) for r in
+                   sh.significant_terms(q, top=20,
+                                        sample=smp).collect()]
+        assert merged == sharded, q
+    with pytest.raises(ValueError, match="AND/OR"):
+        sh.significant_terms("PHRASE fast zebra")
+
+
 def test_fresh_handle_sees_appended_vocabulary(sig_idx, spark,
                                                tmp_path_factory):
     """New vocabulary that exists only in uncompacted partial blocks
