@@ -427,6 +427,9 @@ def main():
             # scan, *own the reversed-lexicon suffix scan
             fl("regexp_driver", lambda: idx_cached.search(
                 "OR hotterm /qu[a-z]*/ *own", 10))
+            fl("sigterms_distributed", lambda: idx_cached
+               .significant_terms("OR hotterm quick brown", top=10,
+                                  sample=50).collect())
             extras["feature_latency_ms"] = feat
 
         # batch_search_distributed is deliberately NOT benched here: its
@@ -463,6 +466,12 @@ def main():
             n_runs=3)
         run("contamination",
             lambda: eq.q_contamination_check(spark, SF_DIR).count(),
+            n_runs=3)
+        # round-5: percolator throughput — the full sf documents table
+        # against the registered saved-search set (broadcast join +
+        # one keyed count; the streaming-alerting shape)
+        run("percolate",
+            lambda: eq.q_percolator_matches(spark, SF_DIR).count(),
             n_runs=3)
     finally:
         shutil.rmtree(wh, ignore_errors=True)
