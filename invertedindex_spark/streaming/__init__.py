@@ -1,3 +1,4 @@
+from .alerts import percolate_batch_to, percolate_stream
 from .incremental import (append_batch, compact, delete_docs,
                           delete_docs_where, start_incremental_build,
                           upsert_docs)
@@ -5,4 +6,5 @@ from .shards import merge_warehouses
 
 __all__ = ["append_batch", "compact", "delete_docs",
            "delete_docs_where", "merge_warehouses",
+           "percolate_batch_to", "percolate_stream",
            "start_incremental_build", "upsert_docs"]

@@ -100,6 +100,19 @@ try:
     minhash_lsh_pairs(docs, perms, n_bands=4, band_width=4,
                       max_bucket=64).count()
     dc = time.perf_counter() - tc
+
+    # percolator at this parallelism: the streaming-alerting shape —
+    # one narrow Arrow tokenize of the slice + broadcast query-term
+    # join + one keyed count (embarrassingly parallel by design)
+    from invertedindex_spark.operators.percolate import (
+        percolate, register_queries)
+    pqs = register_queries(
+        [("q_or", "OR hotterm quick brown"),
+         ("q_and", "AND public return"),
+         ("q_ph", "PHRASE quick brown")], stemming=False)
+    tp = time.perf_counter()
+    percolate(docs, pqs, id_col="doc_id", text_col="text").count()
+    dp = time.perf_counter() - tp
 except BaseException:
     shutil.rmtree(wh, ignore_errors=True)
     raise
@@ -108,7 +121,8 @@ print(json.dumps({"cpus": cpus,
                   "secs": round(dt, 2),
                   "docs_per_sec": round(m["stats"]["num_docs"] / dt, 1),
                   "query_pruned_secs": round(dq, 2),
-                  "minhash_lsh_secs": round(dc, 2)}))
+                  "minhash_lsh_secs": round(dc, 2),
+                  "percolate_secs": round(dp, 2)}))
 shutil.rmtree(wh, ignore_errors=True)   # a 2M-doc warehouse per rep adds up
 spark.stop()
 """
@@ -153,7 +167,8 @@ def main():
     # each level (components are timed inside the same child runs)
     comp_eff = {}
     for key, label in (("query_pruned_secs", "query_pruned"),
-                       ("minhash_lsh_secs", "minhash_lsh")):
+                       ("minhash_lsh_secs", "minhash_lsh"),
+                       ("percolate_secs", "percolate")):
         lo_min = min(r[key] for r in runs[lo] if key in r)
         hi_min = min(r[key] for r in runs[hi] if key in r)
         comp_eff[label] = {
@@ -186,6 +201,7 @@ run's JVM threads + Python workers still fit the 32 physical cores).
 | index build | {t_lo} | {t_hi} | {speedup:.2f}× | {eff:.3f} |
 | distributed-pruned queries (6) | {comp_eff['query_pruned']['local%d_secs' % lo]} | {comp_eff['query_pruned']['local%d_secs' % hi]} | {comp_eff['query_pruned']['speedup']:.2f}× | {comp_eff['query_pruned']['efficiency']:.3f} |
 | minhash-lsh near-dup | {comp_eff['minhash_lsh']['local%d_secs' % lo]} | {comp_eff['minhash_lsh']['local%d_secs' % hi]} | {comp_eff['minhash_lsh']['speedup']:.2f}× | {comp_eff['minhash_lsh']['efficiency']:.3f} |
+| percolator (saved-search alerting) | {comp_eff['percolate']['local%d_secs' % lo]} | {comp_eff['percolate']['local%d_secs' % hi]} | {comp_eff['percolate']['speedup']:.2f}× | {comp_eff['percolate']['efficiency']:.3f} |
 
 build docs/s: local[{lo}] {results[0]['docs_per_sec']} → local[{hi}]
 {results[1]['docs_per_sec']}. Headline (build) scaling efficiency =

@@ -126,6 +126,50 @@ def test_percolate_plan_broadcasts_query_set(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
 
 
+def test_percolate_stream_alerts(spark, tmp_path):
+    """Real readStream → percolate_stream: the alert sink equals the
+    batch percolation of every row; a replayed batch_id overwrites its
+    own partition instead of duplicating alerts."""
+    import pyspark.sql.functions as F
+
+    from invertedindex_spark.streaming import (
+        percolate_batch_to, percolate_stream,
+    )
+
+    src_dir = str(tmp_path / "src")
+    rows = [(str(i), t) for i, t in enumerate(
+        ["fast table scan", "slow sort", "fast scan", "the of", ""]
+        * 4)]
+    schema = "doc_no string, content string"
+    for c, lo in enumerate(range(0, len(rows), 10)):
+        spark.createDataFrame(rows[lo:lo + 10], schema) \
+            .coalesce(1).write.parquet(f"{src_dir}/chunk={c}")
+    pq = register_queries([("q_or", "OR fast sort"),
+                           ("q_ph", "PHRASE fast scan")],
+                          stemming=False)
+    alerts_dir = str(tmp_path / "alerts")
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(src_dir + "/chunk=*"))
+    q = percolate_stream(stream, pq, alerts_dir,
+                         checkpoint_dir=str(tmp_path / "ckpt"),
+                         trigger={"availableNow": True})
+    q.awaitTermination(120)
+    got = {(r["doc_no"], r["qid"])
+           for r in spark.read.parquet(alerts_dir).collect()}
+    want_df = percolate(spark.createDataFrame(rows, schema), pq,
+                        id_col="doc_no", text_col="content")
+    want = {(r["doc_no"], r["qid"]) for r in want_df.collect()}
+    assert got == want and len(got) > 0
+    # replay: same batch_id rewritten in place — counts unchanged
+    n_before = spark.read.parquet(alerts_dir).count()
+    batch0 = spark.createDataFrame(rows[:10], schema)
+    percolate_batch_to(batch0, 0, pq, alerts_dir)
+    assert spark.read.parquet(alerts_dir).count() == n_before
+    with pytest.raises(ValueError, match="at least one registered"):
+        percolate_stream(stream, register_queries([]), alerts_dir)
+
+
 _VOCAB = ["fast", "slow", "scan", "sort", "table", "key", "the",
           "a1b2c3", "x" * 25, "naïve", "0"]
 
