@@ -3935,6 +3935,7 @@ PERC_QUERIES = [
     ("alert_and", "AND fast table"),
     ("alert_phrase", "PHRASE " + " ".join(PHRASE_TERMS)),
     ("alert_not", "OR slow -small"),
+    ("alert_bool", "BOOL (slow OR small) AND NOT fast"),
 ]
 
 
@@ -3967,22 +3968,54 @@ def sql_percolator_matches(queries=None) -> str:
     sets."""
     from .operators.percolate import register_queries
 
+    from .operators import boolquery
+
     pq = register_queries(queries or PERC_QUERIES, stemming=False)
+    flat = [e for e in pq.entries if e[1] != "BOOL"]
+    trees = [(qid, terms, tree)
+             for qid, qtype, terms, _, _, _, tree in pq.entries
+             if qtype == "BOOL" and tree is not None]
     qt = ", ".join(
         [f"('{qid}', '{t}', FALSE)"
-         for qid, _, terms, _, _, _ in pq.entries for t in terms]
+         for qid, _, terms, _, _, _, _ in flat for t in terms]
         + [f"('{qid}', '{t}', TRUE)"
-           for qid, _, _, _, _, nots in pq.entries for t in nots])
+           for qid, _, _, _, _, nots, _ in flat for t in nots])
     meta = ", ".join(
         f"('{qid}', '{qtype}', {n}, '{phrase or ''}')"
-        for qid, qtype, _, n, phrase, _ in pq.entries)
+        for qid, qtype, _, n, phrase, _, _ in flat)
+    parts = []
+    if qt:
+        parts.append(f"""
+SELECT h.qid, h.doc_no
+FROM hits h JOIN meta m USING (qid) JOIN tok USING (doc_no)
+WHERE h.nh = 0
+  AND ((m.qtype = 'OR' AND h.h >= 1) OR h.h = m.n_terms)
+  AND (m.qtype <> 'PHRASE'
+       OR (' ' || array_to_string(tok.terms, ' ') || ' ')
+           LIKE ('% ' || m.phrase || ' %'))""")
+    for qid, terms, tree in trees:
+        flags = ", ".join(
+            f"bool_or(term = '{t}') AS f_{t}" for t in terms)
+        tlist = ", ".join(f"'{t}'" for t in terms)
+        cond = boolquery.to_sql(tree, lambda t: f"f_{t}")
+        parts.append(f"""
+SELECT '{qid}' AS qid, doc_no FROM (
+  SELECT doc_no, {flags}
+  FROM (SELECT doc_no, unnest(list_distinct(terms)) AS term
+        FROM tok) p
+  WHERE term IN ({tlist}) GROUP BY doc_no
+) WHERE {cond}""")
+    body = "\nUNION ALL\n".join(parts) if parts else \
+        "SELECT CAST(NULL AS VARCHAR) AS qid, " \
+        "CAST(NULL AS VARCHAR) AS doc_no WHERE FALSE"
     return f"""
 WITH tok AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_no,
          {terms_sql(tokens_sql('text'))} AS terms
   FROM documents WHERE text IS NOT NULL AND length(text) > 0
-), qt(qid, term, neg) AS (VALUES {qt}),
-meta(qid, qtype, n_terms, phrase) AS (VALUES {meta}),
+), qt(qid, term, neg) AS (VALUES {qt if qt else "(NULL, NULL, NULL)"}),
+meta(qid, qtype, n_terms, phrase) AS
+  (VALUES {meta if meta else "(NULL, NULL, NULL, NULL)"}),
 hits AS (
   SELECT doc_no, qid,
          count(*) FILTER (WHERE NOT neg) AS h,
@@ -3991,13 +4024,7 @@ hits AS (
         FROM tok) p
   JOIN qt USING (term) GROUP BY doc_no, qid
 )
-SELECT h.qid, h.doc_no
-FROM hits h JOIN meta m USING (qid) JOIN tok USING (doc_no)
-WHERE h.nh = 0
-  AND ((m.qtype = 'OR' AND h.h >= 1) OR h.h = m.n_terms)
-  AND (m.qtype <> 'PHRASE'
-       OR (' ' || array_to_string(tok.terms, ' ') || ' ')
-           LIKE ('% ' || m.phrase || ' %'))"""
+{body}"""
 
 
 # ---------------------------------------------------------------------

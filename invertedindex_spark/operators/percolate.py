@@ -6,12 +6,12 @@ incoming DOCUMENT probes a stored set of queries — the saved-search /
 alerting building block for a continuously-ingested corpus ("tell me
 when a doc matching `AND table scan` arrives"). The query grammar is
 the reference's flat ``[AND|OR] term...`` (QueryProcessor.java:135-174)
-plus this engine's ``PHRASE`` and ``-term`` MUST_NOT extensions,
-analyzed by the SAME preprocessing pipeline as indexing/search
-(tokenize → stopword filter → truncate → stem;
-``functions/textproc.preprocess_query`` / ``split_not_terms``), so a
-percolated match is exactly "this doc would be a match-set member of
-that query once indexed".
+plus this engine's ``PHRASE``, ``-term`` MUST_NOT, and nested
+``BOOL <expr>`` BooleanQuery-tree extensions, analyzed by the SAME
+preprocessing pipeline as indexing/search
+(``functions/textproc.preprocess_query`` / ``split_not_terms`` /
+``operators/boolquery.analyze``), so a percolated match is exactly
+"this doc would be a match-set member of that query once indexed".
 
 100 TB shape: the registered query set is the BOUNDED side (thousands
 to low millions of tiny rows — it is held driver-side and broadcast),
@@ -42,12 +42,15 @@ __all__ = ["PercolatorQueries", "register_queries", "percolate"]
 
 class PercolatorQueries:
     """Analyzed, registered query set. Holds per query:
-    (qid, qtype, sorted distinct positive terms, n_terms, phrase,
-    sorted negative terms) where ``phrase`` is the ordered
+    (qid, qtype, sorted distinct join terms, n_terms, phrase,
+    sorted negative terms, tree) where ``phrase`` is the ordered
     post-pipeline token sequence (PHRASE only — adjacency is
-    order-sensitive and keeps duplicates). Queries that analyze to
-    zero positive terms (all stopwords / empty) match nothing,
-    Lucene's MatchNoDocsQuery; they stay registered so
+    order-sensitive and keeps duplicates) and ``tree`` the analyzed
+    BooleanQuery AST (BOOL only — its join terms are ALL leaves, so
+    every doc that could flip the tree is a candidate; the
+    pure-negative check guarantees leafless docs evaluate False).
+    Queries that analyze to zero join terms (all stopwords / empty)
+    match nothing, Lucene's MatchNoDocsQuery; they stay registered so
     re-registration round-trips, but never join."""
 
     def __init__(self, entries, stopwords: bool, stemming: bool):
@@ -68,6 +71,8 @@ def register_queries(pairs, *, stopwords: bool = True,
     Duplicate qids, non-string qids, and pure-negative queries (only
     ``-term`` clauses survive analysis — an unbounded match set) fail
     loudly."""
+    from . import boolquery
+
     seen = set()
     entries = []
     for qid, q in pairs:
@@ -76,6 +81,19 @@ def register_queries(pairs, *, stopwords: bool = True,
         if qid in seen:
             raise ValueError(f"duplicate qid {qid!r}")
         seen.add(qid)
+        head = q.split(None, 1)
+        if head and head[0].upper() == "BOOL":
+            node = boolquery.analyze(
+                boolquery.parse(head[1] if len(head) > 1 else ""),
+                stopwords=stopwords, stemming=stemming)
+            if node is not None:
+                boolquery.check_not_pure_negative(node)
+                tset = sorted(set(boolquery.leaves(node)))
+            else:
+                tset = []
+            entries.append((qid, "BOOL", tset, len(tset), None, [],
+                            node))
+            continue
         q, nots = split_not_terms(q, stopwords=stopwords,
                                   stemming=stemming)
         qtype, terms = preprocess_query(q, stopwords=stopwords,
@@ -92,7 +110,7 @@ def register_queries(pairs, *, stopwords: bool = True,
                 "term is required (MUST_NOT alone matches an "
                 "unbounded set)")
         entries.append((qid, qtype, tset, len(tset), phrase,
-                        sorted(nots)))
+                        sorted(nots), None))
     return PercolatorQueries(entries, stopwords, stemming)
 
 
@@ -130,15 +148,20 @@ def percolate(docs, queries: PercolatorQueries, *,
     never enter the index either: Indexer.java:72-84 drops them)."""
     from pyspark.sql import functions as F
 
+    from . import boolquery
+
     spark = docs.sparkSession
     qterm_rows = [(qid, t, False)
-                  for qid, _, terms, _, _, _ in queries.entries
+                  for qid, _, terms, _, _, _, _ in queries.entries
                   for t in terms]
     qterm_rows += [(qid, t, True)
-                   for qid, _, _, _, _, nots in queries.entries
+                   for qid, _, _, _, _, nots, _ in queries.entries
                    for t in nots]
     qmeta_rows = [(qid, qtype, n, phrase)
-                  for qid, qtype, _, n, phrase, _ in queries.entries]
+                  for qid, qtype, _, n, phrase, _, _ in queries.entries]
+    bool_trees = {qid: tree
+                  for qid, qtype, _, _, _, _, tree in queries.entries
+                  if qtype == "BOOL" and tree is not None}
     out_schema = docs.select(F.col(id_col)).schema \
         .add("qid", "string")
     if not any(e[2] for e in queries.entries):
@@ -152,19 +175,36 @@ def percolate(docs, queries: PercolatorQueries, *,
                      queries.stopwords, queries.stemming)
     pos_hit = F.sum(F.when(F.col("neg"), 0).otherwise(1))
     neg_hit = F.sum(F.when(F.col("neg"), 1).otherwise(0))
-    matched = (toks
+    aggs = [pos_hit.alias("_hits"), neg_hit.alias("_vetoes")]
+    if bool_trees:
+        # matched-leaf sets only matter to BOOL trees; bounded by the
+        # query's own leaf count, never the doc's vocabulary
+        aggs.append(F.collect_set("term").alias("_mterms"))
+    grouped = (toks
                .select("_pid", F.explode(F.array_distinct("terms"))
                        .alias("term"))
                .join(F.broadcast(qterms), "term")
                .groupBy("_pid", "qid")
-               .agg(pos_hit.alias("_hits"), neg_hit.alias("_vetoes"))
-               .join(F.broadcast(qmeta), "qid")
-               .where((F.col("_vetoes") == 0)
-                      & (((F.col("qtype") == "OR")
-                          & (F.col("_hits") >= 1))
-                         | (F.col("_hits") == F.col("n_terms")))))
+               .agg(*aggs)
+               .join(F.broadcast(qmeta), "qid"))
+    matched = grouped.where(
+        (F.col("qtype") != "BOOL")
+        & (F.col("_vetoes") == 0)
+        & (((F.col("qtype") == "OR") & (F.col("_hits") >= 1))
+           | (F.col("_hits") == F.col("n_terms"))))
     flat = (matched.where(F.col("qtype") != "PHRASE")
             .select(F.col("_pid").alias(id_col), "qid"))
+    if bool_trees:
+        # per-tree Column predicate over the matched-leaf set — one
+        # filter branch per registered BOOL query (bounded set), all
+        # over the single shared candidate frame
+        cand_b = grouped.where(F.col("qtype") == "BOOL")
+        for qid, tree in sorted(bool_trees.items()):
+            pred = boolquery.evaluate(
+                tree, lambda t: F.array_contains(F.col("_mterms"), t))
+            flat = flat.unionByName(
+                cand_b.where(F.col("qid") == qid).where(pred)
+                .select(F.col("_pid").alias(id_col), "qid"))
     if not any(e[1] == "PHRASE" for e in queries.entries):
         return flat
 

@@ -114,6 +114,20 @@ def test_not_clause_vetoes(spark):
 def test_pure_negative_query_refused(spark):
     with pytest.raises(ValueError, match="pure-negative"):
         register_queries([("p", "OR -fast")])
+    with pytest.raises(ValueError, match="pure-negative"):
+        register_queries([("p", "BOOL fast OR NOT scan")])
+
+
+def test_bool_tree_queries(spark):
+    docs = [(0, "fast red"), (1, "fast scan"), (2, "slow sort merge"),
+            (3, "slow sort"), (4, "red green")]
+    got = _perc(spark, docs, [
+        ("b1", "BOOL (fast OR slow) AND NOT scan"),
+        ("b2", "BOOL red AND (green OR fast)"),
+        ("b3", "BOOL the AND of"),  # analyzes to nothing → no matches
+    ], stemming=False)
+    assert got == {(0, "b1"), (2, "b1"), (3, "b1"),
+                   (0, "b2"), (4, "b2")}
 
 
 def test_percolate_plan_broadcasts_query_set(spark):
@@ -220,6 +234,10 @@ def test_percolate_fuzz_vs_oracle(spark, duck, tmp_path, seed):
                      for _ in range(rng.randrange(1, 4))]
             q = f"{qt} " + " ".join(terms)
         queries.append((f"q{j}", q))
+    # two BOOL trees per seed (positive root guaranteed)
+    a, b, c = (rng.choice(nonstop) for _ in range(3))
+    queries.append(("qb0", f"BOOL ({a} OR {b}) AND NOT {c}"))
+    queries.append(("qb1", f"BOOL {a} AND ({b} OR NOT {c})"))
 
     docs = spark.read.parquet(path)
     got = {(r["qid"], str(r["doc_id"]))
