@@ -676,6 +676,25 @@ class ShardedIndex:
         if self._attrs_df is None:
             raise ValueError(
                 "facet_counts requires set_attributes(attrs_df)")
+        md = self._facet_match_docs("facet_counts", query, where)
+        if md is None:
+            return self.spark.createDataFrame(
+                [], f"{by} string, n_docs long")
+        attrs = self._attrs_df.select(
+            F.col(self._attrs_key).cast("string").alias("doc_no"),
+            F.col(by))
+        return (md.join(attrs, "doc_no")
+                .groupBy(by).agg(F.count("*").alias("n_docs"))
+                .orderBy(F.desc("n_docs"), F.asc(by)).limit(top))
+
+    def _facet_match_docs(self, op: str, query: str,
+                          where: str | None):
+        """The facet scatter shared by counts and stats: the FULL
+        AND/OR match set (grammar incl. ``-term`` and rewrites) as a
+        (doc_id, doc_no) frame, where=-restricted; None on an empty
+        match set."""
+        from pyspark.sql import functions as F
+
         query, nots = split_not_terms(query, stopwords=self.stopwords,
                                       stemming=self.stemming)
         qtype, terms = preprocess_with_rewrites(
@@ -686,15 +705,14 @@ class ShardedIndex:
             expand_regexp=self.expand_regexp)
         if qtype == "PHRASE":
             raise ValueError(
-                "facet_counts supports AND/OR queries (a PHRASE match "
+                f"{op} supports AND/OR queries (a PHRASE match "
                 "set needs position evaluation — run "
                 "search_distributed() instead)")
         if not terms:
             raise ValueError("query has no terms after preprocessing")
         u, present = self._match_union(qtype, set(terms))
         if u is None:
-            return self.spark.createDataFrame(
-                [], f"{by} string, n_docs long")
+            return None
         if qtype == "AND":
             ids = (u.groupBy("doc_id")
                    .agg(F.count_distinct("term").alias("nt"))
@@ -712,9 +730,37 @@ class ShardedIndex:
                        .select(F.col(self._attrs_key).cast("string")
                                .alias("doc_no")).distinct())
             md = md.join(allowed, "doc_no", "left_semi")
+        return md
+
+    def facet_stats(self, query: str, by: str, metric: str,
+                    top: int = 10, where: str | None = None):
+        """:meth:`InvertedIndex.facet_stats` served scatter-gather:
+        per-``by``-value doc count + sum/min/max of numeric attribute
+        ``metric`` over the FULL match set across every shard —
+        row-identical to the merged warehouse (count/sum/min/max are
+        associative across shards; the attribute table is keyed by
+        the shard-independent doc_no)."""
+        from pyspark.sql import functions as F
+
+        if self._attrs_df is None:
+            raise ValueError(
+                "facet_stats requires set_attributes(attrs_df)")
+        for c in (by, metric):
+            if c not in self._attrs_df.columns:
+                raise ValueError(
+                    f"facet_stats: no attribute column {c!r} "
+                    f"(have {self._attrs_df.columns})")
+        cols = [F.count("*").alias("n_docs"),
+                F.sum(metric).alias(f"sum_{metric}"),
+                F.min(metric).alias(f"min_{metric}"),
+                F.max(metric).alias(f"max_{metric}")]
+        md = self._facet_match_docs("facet_stats", query, where)
+        if md is None:
+            return (self._attrs_df.select(by, metric).limit(0)
+                    .groupBy(by).agg(*cols))
         attrs = self._attrs_df.select(
             F.col(self._attrs_key).cast("string").alias("doc_no"),
-            F.col(by))
+            F.col(by), F.col(metric))
         return (md.join(attrs, "doc_no")
-                .groupBy(by).agg(F.count("*").alias("n_docs"))
+                .groupBy(by).agg(*cols)
                 .orderBy(F.desc("n_docs"), F.asc(by)).limit(top))

@@ -225,6 +225,21 @@ def test_prefix_fuzzy_suggest_facets_parity(spark, setup):
             ref.facet_counts("OR hotterm quick", by="bucket",
                              where="bucket = '1'").collect()]
     assert got == want and got
+    # metric sub-aggregation twin: count/sum/min/max are associative
+    # across shards, so rows must be identical to the merged warehouse
+    attrs2 = attrs.join(
+        ref.docs.select("doc_no", F.col("doc_len").alias("dl")),
+        "doc_no")
+    ref.set_attributes(attrs2)
+    sh.set_attributes(attrs2)
+    for q in ["OR hotterm quick", "AND def import"]:
+        got = [tuple(r) for r in
+               sh.facet_stats(q, by="bucket", metric="dl").collect()]
+        want = [tuple(r) for r in
+                ref.facet_stats(q, by="bucket", metric="dl").collect()]
+        assert got == want and got, q
+    with pytest.raises(ValueError, match="no attribute column"):
+        sh.facet_stats("OR hotterm", by="bucket", metric="nope")
 
 
 def test_guards(spark, setup, tmp_path):
