@@ -190,6 +190,21 @@ def test_fielded_plan_term_filters_both_fields(spark, sf0001_dir):
     assert fdf.count() > 0
 
 
+def test_significant_terms_fg_decode_is_point_filtered(spark,
+                                                       sf0001_dir):
+    """significant_terms' foreground decode is the bounded doc_points
+    scan (the more_like_this lesson): the containment predicates on
+    [first_doc_id, last_doc_id] must reach the parquet scan feeding
+    the mapInArrow decode — never a full-index decode for a sample."""
+    idx = _index(spark, sf0001_dir)
+    dec = idx.decoded_postings_df(doc_points=[3, 9])
+    pushed = pushed_filters(dec)
+    assert any("first_doc_id" in f for f in pushed), pushed
+    assert any("last_doc_id" in f for f in pushed), pushed
+    out = idx.significant_terms("OR fast table", top=5, sample=8)
+    assert out.count() > 0
+
+
 def test_more_like_this_seed_decode_is_range_filtered(spark, sf0001_dir):
     """The more-like-this seed-term extraction must not decode the
     whole postings table for one document (round-4 verdict #2): the
