@@ -15,7 +15,11 @@ preprocessing pipeline as indexing/search
 
 100 TB shape: the registered query set is the BOUNDED side (thousands
 to low millions of tiny rows — it is held driver-side and broadcast),
-documents are the unbounded side. One narrow Arrow tokenize pass over
+documents are the unbounded side. The flat OR/AND/NOT/PHRASE families
+scale to that whole range (they ride the broadcast join); BOOL trees
+compile into one CASE-chain expression — practical to thousands of
+registered trees, not millions (the Lucene percolator has the same
+per-query evaluation tail after its candidate filter). One narrow Arrow tokenize pass over
 the document batch (the build hot-path kernel, no per-row Python), an
 explode to DISTINCT (doc, term) pairs joined against the broadcast
 query-term table — the join output is bounded by matches, never
@@ -195,17 +199,24 @@ def percolate(docs, queries: PercolatorQueries, *,
     flat = (matched.where(F.col("qtype") != "PHRASE")
             .select(F.col("_pid").alias(id_col), "qid"))
     if bool_trees:
-        # per-tree Column predicate over the matched-leaf set — one
-        # filter branch per registered BOOL query (bounded set), all
-        # over the single shared candidate frame
-        cand_b = grouped.where(F.col("qtype") == "BOOL")
-        for qid, tree in sorted(bool_trees.items()):
+        # ONE filter over the shared candidate frame: a CASE chain
+        # dispatching each row to its query's tree predicate over the
+        # matched-leaf set. A union-per-query shape would replicate
+        # the aggregate subtree once per registered BOOL query and
+        # blow up plan analysis at saved-search scale; the CASE chain
+        # keeps the plan one expression wide.
+        cond = F.lit(False)
+        for qid, tree in sorted(bool_trees.items(), reverse=True):
             pred = boolquery.evaluate(
                 tree, lambda t: F.array_contains(F.col("_mterms"), t))
-            flat = flat.unionByName(
-                cand_b.where(F.col("qid") == qid).where(pred)
-                .select(F.col("_pid").alias(id_col), "qid"))
-    if not any(e[1] == "PHRASE" for e in queries.entries):
+            cond = F.when(F.col("qid") == qid, pred).otherwise(cond)
+        flat = flat.unionByName(
+            grouped.where(F.col("qtype") == "BOOL").where(cond)
+            .select(F.col("_pid").alias(id_col), "qid"))
+    if not any(e[1] == "PHRASE" and e[2] for e in queries.entries):
+        # no phrase query with surviving terms — skip the candidate
+        # re-tokenize branch entirely (an all-stopword PHRASE entry
+        # can never match, so it must not cost a second pass forever)
         return flat
 
     # PHRASE adjacency: re-tokenize ONLY candidate docs (left-semi

@@ -227,6 +227,43 @@ def preprocess_with_rewrites(query: str, *, stopwords, stemming,
     return qtype, terms
 
 
+def check_sig_query(query: str, *, stopwords, stemming, top, sample):
+    """Shared significant_terms front door (merged + sharded): guard
+    top/sample, split ``-term`` MUST_NOT clauses, analyze, and demand
+    AND/OR. ONE definition so the two serve paths can never drift."""
+    if top < 1 or sample < 1:
+        raise ValueError("top and sample must be >= 1")
+    query, nots = split_not_terms(query, stopwords=stopwords,
+                                  stemming=stemming)
+    qtype, terms = preprocess_query(query, stopwords=stopwords,
+                                    stemming=stemming)
+    if qtype not in ("AND", "OR"):
+        raise ValueError(
+            f"significant_terms applies to AND/OR queries "
+            f"(got {qtype})")
+    return qtype, terms, nots
+
+
+def jlh_rank(fg, bg, n_fg: int, num_docs: int, top: int):
+    """Shared significant_terms tail: join foreground counts (term,
+    fg) with background dfs (term, df), score JLH in the ONE fixed
+    IEEE expression shape — ``(fg/n − df/N) × ((fg/n) / (df/N))`` —
+    quantize through the shared u6 floor, order (score_u6 desc,
+    term asc), cap at ``top``. The merged and sharded paths both call
+    this, so their doubles (and the DuckDB oracle twin's floor
+    boundary) stay bit-identical."""
+    from pyspark.sql import functions as F
+
+    fgp = F.col("fg").cast("double") / F.lit(float(n_fg))
+    bgp = F.col("df").cast("double") / F.lit(float(num_docs))
+    jlh = (fgp - bgp) * (fgp / bgp)
+    return (fg.join(bg, "term")
+            .select("term", "fg", "df",
+                    scoring.u6_col(jlh).alias("score_u6"))
+            .orderBy(F.desc("score_u6"), F.asc("term"))
+            .limit(top))
+
+
 class InvertedIndex:
     """Query handle over a warehouse built by operators.build.
 
@@ -2225,7 +2262,10 @@ class InvertedIndex:
         term asc), capped at ``top``; the score is quantized to
         micro-units through the shared u6 floor so the DuckDB twin is
         bit-identical (both engines evaluate the same IEEE double
-        expression shape).
+        expression shape). The sample obeys search semantics: an
+        unknown term empties an AND match set
+        (QueryProcessor.java:202-214), ``-term`` MUST_NOT clauses
+        veto sample membership.
 
         100 TB shape: the foreground is a BOUNDED sample (ES's own
         recommendation — a significance scan over an unbounded match
@@ -2238,19 +2278,19 @@ class InvertedIndex:
         sample's vocabulary."""
         from pyspark.sql import functions as F
 
-        if top < 1 or sample < 1:
-            raise ValueError("top and sample must be >= 1")
-        qtype, terms = preprocess_query(
-            query, stopwords=self.stopwords, stemming=self.stemming)
-        if qtype not in ("AND", "OR"):
-            raise ValueError(
-                f"significant_terms applies to AND/OR queries "
-                f"(got {qtype})")
+        qtype, terms, nots = check_sig_query(
+            query, stopwords=self.stopwords, stemming=self.stemming,
+            top=top, sample=sample)
         schema = "term string, fg bigint, df bigint, score_u6 bigint"
         present = self._present_terms(set(terms))
-        if not present:
+        if not present or (qtype == "AND"
+                           and len(present) < len(set(terms))):
             return self.spark.createDataFrame([], schema)
         mask = self._alive_mask() if self._tomb_count else None
+        if nots:
+            ex = self._not_allowed_mask(frozenset(nots))
+            if ex is not None:
+                mask = ex if mask is None else (mask & ex)
         doc_ids, scores = self._score_terms(present, qtype, mask=mask)
         top_ids, _ = queue_topk_np(doc_ids, scores, sample)
         if top_ids.size == 0:
@@ -2274,15 +2314,7 @@ class InvertedIndex:
                           (F.coalesce(F.col("df"), F.lit(0))
                            + F.coalesce(F.col("df_p"), F.lit(0)))
                           .alias("df")))
-        n_fg = float(len(fb))
-        fgp = F.col("fg").cast("double") / F.lit(n_fg)
-        bgp = F.col("df").cast("double") / F.lit(float(self.num_docs))
-        jlh = (fgp - bgp) * (fgp / bgp)
-        return (fg.join(bg, "term")
-                .select("term", "fg", "df",
-                        scoring.u6_col(jlh).alias("score_u6"))
-                .orderBy(F.desc("score_u6"), F.asc("term"))
-                .limit(top))
+        return jlh_rank(fg, bg, len(fb), self.num_docs, top)
 
     # -- logical deletes (tombstones) -----------------------------------
     @property

@@ -40,7 +40,8 @@ import os
 from ..functions import scoring
 from ..functions.textproc import preprocess_query, split_not_terms
 from .build import read_manifest
-from .query import InvertedIndex, preprocess_with_rewrites
+from .query import (InvertedIndex, check_sig_query, jlh_rank,
+                    preprocess_with_rewrites)
 
 # fields that change what a stored term MEANS — these must agree
 # across shards; layout fields (codec, merge_width, num_blocks) may
@@ -445,18 +446,17 @@ class ShardedIndex:
         no index bytes move between shards."""
         from pyspark.sql import functions as F
 
-        if top < 1 or sample < 1:
-            raise ValueError("top and sample must be >= 1")
-        qtype, terms = preprocess_query(
-            query, stopwords=self.stopwords, stemming=self.stemming)
-        if qtype not in ("AND", "OR"):
-            raise ValueError(
-                f"significant_terms applies to AND/OR queries "
-                f"(got {qtype})")
+        qtype, terms, nots = check_sig_query(
+            query, stopwords=self.stopwords, stemming=self.stemming,
+            top=top, sample=sample)
         schema = "term string, fg bigint, df bigint, score_u6 bigint"
         u, present = self._match_union(qtype, terms)
         if u is None:
             return self.spark.createDataFrame([], schema)
+        if nots:
+            ex = self._excluded_union(nots)
+            if ex is not None:
+                u = u.join(ex, "doc_id", "left_anti")
         gdf = self._global_df(present)
         gdf_df = F.broadcast(self.spark.createDataFrame(
             sorted(gdf.items()), "term string, gdf long"))
@@ -493,16 +493,7 @@ class ShardedIndex:
         for idx in self.idxs[1:]:
             bg_u = bg_u.unionByName(idx.lexicon.select("term", "df"))
         bg = bg_u.groupBy("term").agg(F.sum("df").alias("df"))
-        n_fg = float(len(fb))
-        fgp = F.col("fg").cast("double") / F.lit(n_fg)
-        bgp = (F.col("df").cast("double")
-               / F.lit(float(self.num_docs)))
-        jlh = (fgp - bgp) * (fgp / bgp)
-        return (fg.join(bg, "term")
-                .select("term", "fg", "df",
-                        scoring.u6_col(jlh).alias("score_u6"))
-                .orderBy(F.desc("score_u6"), F.asc("term"))
-                .limit(top))
+        return jlh_rank(fg, bg, len(fb), self.num_docs, top)
 
     def synonym_search_distributed(self, query: str, synonyms: dict,
                                    k: int = 20):

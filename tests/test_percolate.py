@@ -130,6 +130,18 @@ def test_bool_tree_queries(spark):
                    (0, "b2"), (4, "b2")}
 
 
+def test_allstopword_phrase_skips_candidate_pass(spark):
+    """A PHRASE query whose terms all vanish in analysis can never
+    match — it must not trigger the second candidate tokenize pass
+    on every call (exactly one MapInArrow in the plan)."""
+    docs = spark.createDataFrame(DOCS, "doc_id bigint, text string")
+    pq = register_queries([("p", "PHRASE the of"),
+                           ("q", "OR fast")], stemming=False)
+    plan = percolate(docs, pq)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("MapInArrow") == 1, plan
+
+
 def test_percolate_plan_broadcasts_query_set(spark):
     """The bounded query set must broadcast; the document side joins
     it without a sort-merge exchange of doc terms against queries."""

@@ -71,6 +71,25 @@ def test_guards_and_empty(sig_idx, spark):
     with pytest.raises(ValueError, match=">= 1"):
         sig_idx.significant_terms("OR fast", top=0)
     assert sig_idx.significant_terms("OR nosuchterm").count() == 0
+    # search semantics: one unknown term empties an AND match set
+    # (review finding: present-subset scoring silently sampled docs
+    # the AND query does not match)
+    assert sig_idx.significant_terms(
+        "AND fast nosuchterm").count() == 0
+
+
+def test_not_clause_vetoes_sample(sig_idx):
+    """'-term' MUST_NOT excludes docs from the sample (the same
+    exclusion search applies) instead of silently scoring the
+    negated term as positive (review finding)."""
+    rows = {r["term"]: r for r in
+            sig_idx.significant_terms("OR fast slow -zebra", top=20,
+                                      sample=8).collect()}
+    # every fast doc carries zebra and is vetoed: the sample is the 4
+    # slow docs only ('common' would be idf-0 and collapse the sample)
+    assert "zebra" not in rows and "fast" not in rows
+    assert rows["pad"]["fg"] == 4
+    assert rows["slow"]["fg"] == 4
 
 
 def test_cli_sigterms_command(sig_idx, monkeypatch, capsys):
@@ -112,7 +131,8 @@ def test_sharded_matches_merged(sig_idx, spark, tmp_path_factory):
         whs.append(wh)
     sh = ShardedIndex(spark, whs)
     for q, smp in (("OR fast", 4), ("OR fast slow", 6),
-                   ("AND slow pad", 3)):
+                   ("AND slow pad", 3), ("OR fast slow -zebra", 8),
+                   ("AND fast nosuchterm", 4)):
         merged = [tuple(r) for r in
                   sig_idx.significant_terms(q, top=20,
                                             sample=smp).collect()]
