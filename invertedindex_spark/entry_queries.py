@@ -3926,6 +3926,68 @@ SELECT term, df AS n_postings, CAST(1 AS BOOLEAN) AS roundtrip_ok
 FROM lex"""
 
 
+NEAR_SLOP = 1
+
+
+def q_bm25_topk_near(spark, sf_dir):
+    """Unordered proximity (Lucene SpanNearQuery inOrder=false — the
+    NEAR/k operator): the phrase terms must co-occur within a
+    (k−1)+slop token window in ANY order
+    (search_distributed(ordered=False)); filter-then-rank scoring
+    like PHRASE. Probe = the phrase REVERSED, so the ordered chain
+    alone would miss every exact-adjacency doc."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    idx = get_index(spark, sf_dir)
+    q = "PHRASE " + " ".join(reversed(PHRASE_TERMS))
+    res = idx.search_distributed(q, k=K, slop=NEAR_SLOP, ordered=False)
+    w = Window.orderBy(F.desc("score"))
+    return res.select(F.row_number().over(w).alias("rank"), "doc_no",
+                      _u6(F.col("score")).alias("score_u6"))
+
+
+def sql_bm25_topk_near(k: int = K) -> str:
+    """Oracle: a choice of one position per distinct term with
+    greatest − least ≤ (k_terms − 1) + slop exists (order-free k-way
+    positional self-join — the window predicate is exactly the
+    engine's exists-window scan)."""
+    uniq = sorted(set(PHRASE_TERMS))
+    tlist = ", ".join(f"'{t}'" for t in uniq)
+    width = len(uniq) - 1 + NEAR_SLOP
+    t1, t2, t3 = uniq
+    return _base_cte() + f""",
+scores AS (
+  SELECT tf.doc_id, CAST(sum({_bm25_u6_expr()}) AS BIGINT) AS score_u6
+  FROM tf JOIN lex USING (term) CROSS JOIN stats
+  WHERE tf.term IN ({tlist})
+  GROUP BY tf.doc_id
+), pos AS (
+  SELECT doc_id, term, pos FROM (
+    SELECT doc_id, unnest(terms) AS term,
+           generate_subscripts(terms, 1) AS pos
+    FROM docs)
+  WHERE term IN ({tlist})
+), matched AS (
+  SELECT DISTINCT p1.doc_id
+  FROM pos p1 JOIN pos p2 ON p2.doc_id = p1.doc_id
+       JOIN pos p3 ON p3.doc_id = p1.doc_id
+  WHERE p1.term = '{t1}' AND p2.term = '{t2}' AND p3.term = '{t3}'
+    AND greatest(p1.pos, p2.pos, p3.pos)
+        - least(p1.pos, p2.pos, p3.pos) <= {width}
+), fscores AS (
+  SELECT s.doc_id, s.score_u6
+  FROM scores s JOIN matched USING (doc_id)
+), dedup AS (
+  SELECT score_u6, min(doc_id) AS doc_id
+  FROM fscores GROUP BY score_u6
+  ORDER BY score_u6 DESC LIMIT {k}
+)
+SELECT row_number() OVER (ORDER BY score_u6 DESC) AS rank, d.doc_no,
+       score_u6
+FROM dedup JOIN docs d USING (doc_id)"""
+
+
 # ---------------------------------------------------------------------
 # percolator (reverse search / saved-search alerting)
 # ---------------------------------------------------------------------
@@ -4237,6 +4299,7 @@ def extra_queries():
     return {
         "percolator_matches": q_percolator_matches,
         "significant_terms": q_significant_terms,
+        "bm25_topk_near": q_bm25_topk_near,
         "pii_scrub": q_pii_scrub,
         "facet_counts": q_facet_counts,
         "facet_stats": q_facet_stats,
@@ -4286,6 +4349,7 @@ def extra_oracle_sql(query_vec=None, sf_dir=None):
     out = {
         "percolator_matches": sql_percolator_matches(),
         "significant_terms": sql_significant_terms(),
+        "bm25_topk_near": sql_bm25_topk_near(),
         "pii_scrub": sql_pii_scrub(),
         "facet_counts": sql_facet_counts(),
         "facet_stats": sql_facet_stats(),

@@ -3190,6 +3190,55 @@ class InvertedIndex:
                        .where(F.size("_s") > 0))
         return acc.select("doc_id")
 
+    def _near_docs_df(self, terms, slop: int = 0, pos_df=None):
+        """DataFrame[doc_id] of documents whose DISTINCT ``terms`` all
+        occur within a token window of ``len(terms) − 1 + slop``
+        positions, in ANY order — Lucene SpanNearQuery(inOrder=false)
+        / the classic NEAR/k operator; slop 0 means the terms are
+        mutually adjacent in some permutation. Duplicate query terms
+        collapse to one clause (documented deviation from Lucene's
+        distinct-spans rule for repeated clauses).
+
+        Predicate: a window [x, x+w] containing one occurrence of
+        every term exists ⇔ some choice of positions has
+        max − min ≤ w, and the minimal such x is itself one of the
+        terms' positions — so candidate starts are the union of the
+        per-term position arrays. Evaluated as one nested
+        higher-order-function scan per doc (exists over the union,
+        all-terms exists within the window); the same join-chain
+        doc-narrowing as PHRASE runs first, so the HOF only touches
+        docs holding every term."""
+        from pyspark.sql import functions as F
+
+        uniq = sorted(set(terms))
+        if pos_df is None:
+            pos_df = self.decoded_positions_df(uniq)
+        acc = None
+        for i, t in enumerate(uniq):
+            cur = (pos_df.where(F.col("term") == t)
+                   .select("doc_id",
+                           F.col("positions").alias(f"_p{i}")))
+            acc = cur if acc is None else acc.join(cur, "doc_id")
+        if len(uniq) == 1:
+            return acc.select("doc_id")
+        width = len(uniq) - 1 + int(slop)
+        union = F.col("_p0")
+        for i in range(1, len(uniq)):
+            union = F.array_union(union, F.col(f"_p{i}"))
+
+        def _window_ok(x):
+            # NB: inner lambdas stay SINGLE-arg (a 2-arg HOF lambda is
+            # the (element, index) form — a default-arg capture would
+            # silently bind x to the array index); x comes from this
+            # enclosing scope instead
+            ok = F.lit(True)
+            for arr in [F.col(f"_p{i}") for i in range(len(uniq))]:
+                ok = ok & F.exists(
+                    arr, lambda q: (q >= x) & (q <= x + F.lit(width)))
+            return ok
+
+        return acc.where(F.exists(union, _window_ok)).select("doc_id")
+
     # -- distributed dynamic pruning ----------------------------------
     # caps for the two driver-side materializations of the pruned plan:
     # the essential-phase accumulator table and the refined wanted set.
@@ -3719,7 +3768,8 @@ class InvertedIndex:
                            min_should_match: int = 0,
                            collapse_by: str | None = None,
                            similarity: str = "bm25",
-                           rank_boost: tuple | None = None):
+                           rank_boost: tuple | None = None,
+                           ordered: bool = True):
         """Same query, pure DataFrame plan; returns a DataFrame
         (doc_no, score) ordered by score desc. Scales to posting lists
         that must never be collected to the driver. ``-term`` tokens
@@ -3746,6 +3796,12 @@ class InvertedIndex:
         weight-1 upper bounds and block maxima are scaled by each
         term's weight at query time (sound by monotonicity;
         telemetry records boosted=True).
+
+        ``ordered=False`` (PHRASE only): Lucene
+        SpanNearQuery(inOrder=false) — the distinct phrase terms must
+        co-occur within a ``len(terms) − 1 + slop`` token window in
+        ANY order (:meth:`_near_docs_df`); scoring and every other
+        knob compose unchanged.
 
         ``slop=N`` (PHRASE only — the Lucene ``"…"~N`` surface,
         ordered): terms must occur in order with total extra gap ≤ N;
@@ -3818,6 +3874,10 @@ class InvertedIndex:
         qtype, terms = self._preprocess_with_prefixes(query)
         if slop and qtype != "PHRASE":
             raise ValueError("slop= applies to PHRASE queries only")
+        if not ordered and qtype != "PHRASE":
+            raise ValueError(
+                "ordered=False applies to PHRASE queries only "
+                "(unordered proximity is a positional predicate)")
         if msm > 1 and qtype != "OR":
             raise ValueError(
                 "min_should_match applies to OR queries only")
@@ -3870,9 +3930,9 @@ class InvertedIndex:
             # the distributed phrase-occurrence plan — scoring stays
             # the BM25 sum of the unique terms (filter-then-rank, the
             # same contract as the driver kernel and where=)
-            exploded = exploded.join(
-                self._phrase_docs_df(terms, slop=slop),
-                "doc_id", "left_semi")
+            occ = (self._phrase_docs_df(terms, slop=slop) if ordered
+                   else self._near_docs_df(terms, slop=slop))
+            exploded = exploded.join(occ, "doc_id", "left_semi")
         if where is not None:
             exploded = exploded.join(self._allowed_ids_df(where),
                                      "doc_id", "left_semi")

@@ -182,7 +182,8 @@ IDX_QUERIES = ["doc_table", "collection_stats", "term_stats",
                "bm25_topk_phrase_sloppy", "score_explain",
                "bm25_topk_page2", "bm25_topk_not", "tfidf_topk",
                "bm25_topk_range", "bool_topk", "rm3_topk",
-               "bm25_topk_regexp", "autocomplete", "significant_terms"]
+               "bm25_topk_regexp", "autocomplete", "significant_terms",
+               "bm25_topk_near"]
 
 
 @pytest.mark.parametrize("seed", [31, 37, 41, 43, 47])
@@ -230,7 +231,7 @@ RANKED_QUERIES = ["bm25_topk_or", "bm25_topk_and", "bm25_topk_filtered",
                   "bm25_topk_synonyms", "fielded_topk", "bm25_topk_msm",
                   "bm25_topk_collapse", "bm25_topk_not", "tfidf_topk",
                   "bm25_topk_ranked", "bool_topk", "rm3_topk",
-                  "bm25_topk_regexp", "significant_terms"]
+                  "bm25_topk_regexp", "significant_terms", "bm25_topk_near"]
 
 
 def test_differential_duplicate_texts_in_topk(spark, duck, tmp_path):

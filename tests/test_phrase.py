@@ -178,6 +178,55 @@ def test_sloppy_phrase_matches_reference(built):
     assert checked > 0  # non-vacuous
 
 
+def _ref_near_doc_nos(doc_terms, phrase, slop):
+    """Unordered (NEAR) reference: exists a choice of one position per
+    DISTINCT term with max − min ≤ (n_uniq − 1) + slop — brute force
+    over the cartesian product."""
+    import itertools
+
+    uniq = sorted(set(phrase))
+    width = len(uniq) - 1 + slop
+    hit = set()
+    for dn, ts in doc_terms:
+        pos = {t: [i for i, x in enumerate(ts) if x == t] for t in uniq}
+        if any(not pos[t] for t in uniq):
+            continue
+        if any(max(c) - min(c) <= width
+               for c in itertools.product(*(pos[t] for t in uniq))):
+            hit.add(dn)
+    return hit
+
+
+def test_unordered_near_matches_reference(built):
+    """ordered=False (Lucene SpanNearQuery inOrder=false): reversed
+    common bigrams — where the ordered chain misses — must still hit
+    any doc whose terms co-occur within the window, matching the
+    brute-force reference rank-for-rank."""
+    idx, oracle, doc_terms, _rows = built
+    checked = 0
+    for phrase in _common_ngrams(doc_terms, 2, want=3):
+        rev = list(reversed(phrase))
+        for slop in (0, 2):
+            allowed = _ref_near_doc_nos(doc_terms, rev, slop)
+            scores = {d: s for d, s in
+                      oracle._scores(set(rev), False).items()
+                      if oracle.doc_nos[d] in allowed}
+            ref = [(dn, s / 1e6)
+                   for dn, s in oracle.queue_select(scores, 10)]
+            got = [(r["doc_no"], r["score"]) for r in
+                   idx.search_distributed(
+                       "PHRASE " + " ".join(rev), k=10,
+                       slop=slop, ordered=False).collect()]
+            _assert_ranked(got, ref)
+            checked += len(ref)
+            # unordered ⊇ ordered at equal slop
+            assert (_ref_sloppy_doc_nos(doc_terms, rev, slop)
+                    <= allowed)
+    assert checked > 0
+    with pytest.raises(ValueError, match="ordered=False"):
+        idx.search_distributed("OR fast scan", ordered=False)
+
+
 def test_sloppy_zero_equals_exact_and_guards(built):
     idx, _oracle, doc_terms, _rows = built
     phrase = _common_ngrams(doc_terms, 2, want=1)[0]
