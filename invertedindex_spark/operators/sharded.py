@@ -210,7 +210,8 @@ class ShardedIndex:
         self._attrs_key = key
 
     # -- the query path --------------------------------------------------
-    def _match_union(self, qtype, terms, slop: int = 0):
+    def _match_union(self, qtype, terms, slop: int = 0,
+                     ordered: bool = True):
         """The scatter phase shared by search and facets: per-shard
         term-filtered selective decodes with GLOBAL doc ids, unioned.
         Returns (union_df | None, present_terms)."""
@@ -238,9 +239,10 @@ class ShardedIndex:
             dec = (idx._drop_tombstoned(idx.decoded_postings_df(want))
                    .select("term", "doc_id", "tf", "dl"))
             if qtype == "PHRASE":
-                dec = dec.join(
-                    idx._phrase_docs_df(list(terms), slop=slop),
-                    "doc_id", "left_semi")
+                occ = (idx._phrase_docs_df(list(terms), slop=slop)
+                       if ordered
+                       else idx._near_docs_df(list(terms), slop=slop))
+                dec = dec.join(occ, "doc_id", "left_semi")
             parts.append(dec.withColumn(
                 "doc_id", F.col("doc_id") + F.lit(int(off))))
         if not parts:
@@ -292,7 +294,8 @@ class ShardedIndex:
                            min_should_match: int = 0,
                            collapse_by: str | None = None,
                            similarity: str = "bm25",
-                           rank_boost: tuple | None = None):
+                           rank_boost: tuple | None = None,
+                           ordered: bool = True):
         """[AND|OR|PHRASE] term1 … termN (incl. ``term*`` / ``term~``
         rewrites) → DataFrame (doc_no, score) ordered by score desc —
         the single-warehouse :meth:`InvertedIndex.search_distributed`
@@ -338,10 +341,15 @@ class ShardedIndex:
             expand_regexp=self.expand_regexp)
         if slop and qtype != "PHRASE":
             raise ValueError("slop= applies to PHRASE queries only")
+        if not ordered and qtype != "PHRASE":
+            raise ValueError(
+                "ordered=False applies to PHRASE queries only "
+                "(unordered proximity is a positional predicate)")
         if msm > 1 and qtype != "OR":
             raise ValueError(
                 "min_should_match applies to OR queries only")
-        u, present = self._match_union(qtype, terms, slop=slop)
+        u, present = self._match_union(qtype, terms, slop=slop,
+                                       ordered=ordered)
         if u is None:
             return self.spark.createDataFrame(
                 [], "doc_no string, score double")

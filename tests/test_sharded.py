@@ -140,7 +140,7 @@ def test_phrase_and_cross_shard_ties(spark, tmp_path):
     merged warehouse would return; PHRASE must match across shards."""
     cfg = IndexConfig(num_blocks=1, stemming=False, positions=True)
     h1 = [(0, "fast data pipeline"), (1, "dup text here")]
-    h2 = [(2, "dup text here"), (3, "data pipeline slow")]
+    h2 = [(2, "dup text here"), (3, "data pipeline slow slow")]
 
     def mk(rows, wh):
         df = spark.createDataFrame(rows, "doc_id long, text string")
@@ -172,6 +172,17 @@ def test_phrase_and_cross_shard_ties(spark, tmp_path):
         "PHRASE fast pipeline", k=5, slop=1).collect()} == {"0"}
     assert sh.search_distributed("PHRASE fast pipeline", k=5,
                                  slop=0).count() == 0
+    # unordered proximity: 'pipeline data' misses ordered but hits
+    # docs 0 and 3 unordered — exactly like the merged warehouse
+    for q, ordered in (("PHRASE pipeline data", False),
+                       ("PHRASE pipeline data", True)):
+        assert _rows(sh.search_distributed(q, k=5, ordered=ordered)) \
+            == _rows(ref.search_distributed(q, k=5, ordered=ordered))
+    assert {r["doc_no"] for r in sh.search_distributed(
+        "PHRASE pipeline data", k=5, ordered=False).collect()} \
+        == {"0", "3"}
+    assert sh.search_distributed("PHRASE pipeline data",
+                                 k=5).count() == 0
 
 
 def test_mixed_codec_shards(spark, tmp_path):
