@@ -67,3 +67,72 @@ def percolate_stream(stream_df, queries: PercolatorQueries,
     if trigger:
         writer = writer.trigger(**trigger)
     return writer.start()
+
+
+def main(argv=None) -> int:
+    """Batch alerting CLI: percolate a parquet corpus against a saved
+    query TSV (the reference's ``qid \\t query`` batch format; the
+    full percolator grammar — ``OR/AND/PHRASE/-term/BOOL …`` — is
+    taken verbatim when the query names its own type, else wrapped as
+    OR like the reference batch runner)::
+
+        python -m invertedindex_spark.streaming.alerts \\
+            docs.parquet queries.tsv alerts_out/ [--id-col doc_no]
+            [--text-col content] [--no-stemming]
+    """
+    import argparse
+    import json
+
+    from ..operators.percolate import percolate, register_queries
+
+    ap = argparse.ArgumentParser(
+        prog="invertedindex_spark.streaming.alerts",
+        description="batch percolation: corpus parquet × saved-search "
+                    "TSV -> (id, qid) alert parquet")
+    ap.add_argument("docs", help="corpus parquet path")
+    ap.add_argument("queries", help="qid\\tquery TSV")
+    ap.add_argument("out", help="alert parquet output dir")
+    ap.add_argument("--id-col", default="doc_no")
+    ap.add_argument("--text-col", default="content")
+    ap.add_argument("--no-stemming", action="store_true")
+    args = ap.parse_args(argv)
+
+    from pyspark import SparkContext
+    from pyspark.sql import SparkSession
+
+    _HEADS = ("OR ", "AND ", "PHRASE ", "BOOL ")
+    pairs = []
+    with open(args.queries, encoding="utf-8") as f:
+        for line in f:
+            line = line.rstrip("\r\n")
+            sep = line.find("\t")
+            if not line or sep == -1:
+                continue
+            q = line[sep + 1:]
+            if not q.upper().startswith(_HEADS):
+                q = "OR " + q
+            pairs.append((line[:sep], q))
+    pq = register_queries(pairs, stemming=not args.no_stemming)
+
+    own_session = SparkContext._active_spark_context is None
+    spark = (SparkSession.builder.master("local[*]")
+             .appName("invertedindex-alerts")
+             .config("spark.ui.enabled", "false").getOrCreate())
+    try:
+        docs = spark.read.parquet(args.docs)
+        out = percolate(docs, pq, id_col=args.id_col,
+                        text_col=args.text_col)
+        out.write.mode("overwrite").parquet(args.out)
+        n = spark.read.parquet(args.out).count()
+        print(json.dumps({"queries": len(pq), "alerts": n,
+                          "out": args.out}))
+    finally:
+        if own_session:
+            spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())

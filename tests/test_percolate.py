@@ -196,6 +196,29 @@ def test_percolate_stream_alerts(spark, tmp_path):
         percolate_stream(stream, register_queries([]), alerts_dir)
 
 
+def test_alerts_cli_end_to_end(spark, tmp_path, capsys):
+    """Batch alerting CLI: parquet corpus × qid\\tquery TSV → alert
+    parquet; bare queries wrap as OR (the reference batch rule), typed
+    queries pass through the full grammar."""
+    from invertedindex_spark.streaming.alerts import main
+
+    docs = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [("a", "fast table scan"), ("b", "slow sort"), ("c", "")],
+        "doc_no string, content string").write.parquet(docs)
+    tsv = tmp_path / "queries.tsv"
+    tsv.write_text("q1\tfast sort\n"            # bare → OR
+                   "q2\tAND fast scan\n"
+                   "q3\tBOOL slow AND NOT sort\n")
+    out = str(tmp_path / "alerts")
+    rc = main([docs, str(tsv), out, "--no-stemming"])
+    assert rc == 0
+    got = {(r["doc_no"], r["qid"])
+           for r in spark.read.parquet(out).collect()}
+    assert got == {("a", "q1"), ("b", "q1"), ("a", "q2")}
+    assert '"alerts": 3' in capsys.readouterr().out
+
+
 _VOCAB = ["fast", "slow", "scan", "sort", "table", "key", "the",
           "a1b2c3", "x" * 25, "naïve", "0"]
 
