@@ -2250,7 +2250,8 @@ class InvertedIndex:
                 .orderBy(F.desc("score")))
 
     def significant_terms(self, query: str, top: int = 10,
-                          sample: int = 50):
+                          sample: int = 50,
+                          where: str | None = None):
         """Significant-terms aggregation (the Elasticsearch
         ``sampler`` + ``significant_terms`` combo): terms
         over-represented in the query's top-``sample`` ranked
@@ -2264,8 +2265,10 @@ class InvertedIndex:
         bit-identical (both engines evaluate the same IEEE double
         expression shape). The sample obeys search semantics: an
         unknown term empties an AND match set
-        (QueryProcessor.java:202-214), ``-term`` MUST_NOT clauses
-        veto sample membership.
+        (QueryProcessor.java:202-214), ``-term`` MUST_NOT clauses and
+        ``where=`` attribute predicates (needs
+        :meth:`set_attributes`) veto sample membership — the ES
+        filter context.
 
         100 TB shape: the foreground is a BOUNDED sample (ES's own
         recommendation — a significance scan over an unbounded match
@@ -2291,6 +2294,9 @@ class InvertedIndex:
             ex = self._not_allowed_mask(frozenset(nots))
             if ex is not None:
                 mask = ex if mask is None else (mask & ex)
+        if where is not None:
+            wm = self._allowed_mask(where)
+            mask = wm if mask is None else (mask & wm)
         doc_ids, scores = self._score_terms(present, qtype, mask=mask)
         top_ids, _ = queue_topk_np(doc_ids, scores, sample)
         if top_ids.size == 0:

@@ -295,7 +295,8 @@ class ShardedIndex:
                            collapse_by: str | None = None,
                            similarity: str = "bm25",
                            rank_boost: tuple | None = None,
-                           ordered: bool = True):
+                           ordered: bool = True,
+                           where: str | None = None):
         """[AND|OR|PHRASE] term1 … termN (incl. ``term*`` / ``term~``
         rewrites) → DataFrame (doc_no, score) ordered by score desc —
         the single-warehouse :meth:`InvertedIndex.search_distributed`
@@ -318,7 +319,11 @@ class ShardedIndex:
         ``rank_boost=(col, w)`` the Elasticsearch rank_feature prior
         — one left join of the gathered (doc_id, score) aggregates
         against the GLOBAL attribute table, fused before tie-dedup
-        exactly like the single-warehouse plan."""
+        exactly like the single-warehouse plan;
+        ``where=`` attribute-predicate filtering of the match set
+        (needs :meth:`set_attributes`; filter-then-rank, stats stay
+        collection-global — the single-warehouse contract);
+        ``ordered=False`` the unordered proximity twin on PHRASE."""
         from pyspark.sql import functions as F
 
         sim = self.idxs[0]._check_similarity(similarity)
@@ -357,6 +362,17 @@ class ShardedIndex:
             ex = self._excluded_union(nots)
             if ex is not None:
                 u = u.join(ex, "doc_id", "left_anti")
+        if where is not None:
+            if self._attrs_df is None:
+                raise ValueError(
+                    "where= requires set_attributes(attrs_df)")
+            allowed = (self._attrs_df.where(F.expr(where))
+                       .select(F.col(self._attrs_key).cast("string")
+                               .alias("doc_no")).distinct())
+            ok_ids = (self._docs_union()
+                      .join(allowed, "doc_no", "left_semi")
+                      .select("doc_id"))
+            u = u.join(ok_ids, "doc_id", "left_semi")
         gdf = self._global_df(present)
         gdf_df = F.broadcast(self.spark.createDataFrame(
             sorted(gdf.items()), "term string, gdf long"))
@@ -442,7 +458,8 @@ class ShardedIndex:
                 .orderBy(F.desc("score")))
 
     def significant_terms(self, query: str, top: int = 10,
-                          sample: int = 50):
+                          sample: int = 50,
+                          where: str | None = None):
         """:meth:`InvertedIndex.significant_terms` served
         scatter-gather, row-identical to the merged warehouse: the
         sample is the GLOBAL top-``sample`` ranked docs (global
@@ -465,6 +482,17 @@ class ShardedIndex:
             ex = self._excluded_union(nots)
             if ex is not None:
                 u = u.join(ex, "doc_id", "left_anti")
+        if where is not None:
+            if self._attrs_df is None:
+                raise ValueError(
+                    "where= requires set_attributes(attrs_df)")
+            allowed = (self._attrs_df.where(F.expr(where))
+                       .select(F.col(self._attrs_key).cast("string")
+                               .alias("doc_no")).distinct())
+            ok_ids = (self._docs_union()
+                      .join(allowed, "doc_no", "left_semi")
+                      .select("doc_id"))
+            u = u.join(ok_ids, "doc_id", "left_semi")
         gdf = self._global_df(present)
         gdf_df = F.broadcast(self.spark.createDataFrame(
             sorted(gdf.items()), "term string, gdf long"))

@@ -236,6 +236,13 @@ def test_prefix_fuzzy_suggest_facets_parity(spark, setup):
             ref.facet_counts("OR hotterm quick", by="bucket",
                              where="bucket = '1'").collect()]
     assert got == want and got
+    # where= on ranked search scatter-gather == merged
+    for q in ["OR hotterm quick", "AND def import"]:
+        got = _rows(sh.search_distributed(q, k=10,
+                                          where="bucket = '1'"))
+        want = _rows(ref.search_distributed(q, k=10,
+                                            where="bucket = '1'"))
+        assert got == want and got, q
     # metric sub-aggregation twin: count/sum/min/max are associative
     # across shards, so rows must be identical to the merged warehouse
     attrs2 = attrs.join(

@@ -92,6 +92,25 @@ def test_not_clause_vetoes_sample(sig_idx):
     assert rows["slow"]["fg"] == 4
 
 
+def test_where_filters_sample(sig_idx, spark):
+    """where= (the ES filter context) restricts sample membership:
+    only attribute-allowed docs can vote foreground terms."""
+    from pyspark.sql import functions as F
+
+    attrs = spark.createDataFrame(
+        [(i, "keep" if i >= 4 else "drop") for i in range(8)],
+        "doc_id long, bucket string")
+    sig_idx.set_attributes(attrs, key="doc_id")
+    rows = {r["term"]: r for r in
+            sig_idx.significant_terms("OR fast slow", top=20,
+                                      sample=8,
+                                      where="bucket = 'keep'")
+            .collect()}
+    # fast docs (0-3) are filtered out: no zebra, slow docs only
+    assert "zebra" not in rows and "fast" not in rows
+    assert rows["pad"]["fg"] == 4 and rows["slow"]["fg"] == 4
+
+
 def test_cli_sigterms_command(sig_idx, monkeypatch, capsys):
     from invertedindex_spark import cli
 
@@ -140,6 +159,22 @@ def test_sharded_matches_merged(sig_idx, spark, tmp_path_factory):
                    sh.significant_terms(q, top=20,
                                         sample=smp).collect()]
         assert merged == sharded, q
+    # where= parity (the ES filter context) across shards
+    attrs = spark.createDataFrame(
+        [(i, "keep" if i % 2 == 0 else "drop") for i in range(8)],
+        "doc_id long, bucket string")
+    sig_idx.set_attributes(attrs, key="doc_id")
+    sh.set_attributes(attrs.select(
+        attrs.doc_id.cast("string").alias("doc_no"), "bucket"))
+    merged = [tuple(r) for r in
+              sig_idx.significant_terms(
+                  "OR fast slow", top=20, sample=8,
+                  where="bucket = 'keep'").collect()]
+    sharded = [tuple(r) for r in
+               sh.significant_terms(
+                   "OR fast slow", top=20, sample=8,
+                   where="bucket = 'keep'").collect()]
+    assert merged == sharded and merged
     with pytest.raises(ValueError, match="AND/OR"):
         sh.significant_terms("PHRASE fast zebra")
 
