@@ -2124,8 +2124,11 @@ LEFT JOIN ns USING (doc_id)"""
 
 
 def q_jaccard_top_pairs(spark, sf_dir):
-    """Exact n-gram (unigram-set) Jaccard over all pairs — the O(n^2)
-    baseline the LSH variant approximates; broadcast self-join."""
+    """Exact unigram-set Jaccard top pairs via an inverted-index
+    similarity join: candidates only from pairs sharing >= 1 token
+    (zero-overlap pairs have j = 0 and can't reach a positive top-k),
+    pair count == |A ∩ B|. Same answers as the all-pairs oracle,
+    Σ df(t)² work instead of n²."""
     from pyspark.sql import functions as F
     from .operators.dedup import jaccard_top_pairs
     return (jaccard_top_pairs(_docs_df(spark, sf_dir), top=20)

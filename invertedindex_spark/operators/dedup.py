@@ -119,19 +119,72 @@ def dedup_against(df, ref_df):
     return df.join(fresh, "doc_id", "left_semi")
 
 
-def jaccard_top_pairs(df, top: int = 20):
-    """Exact token-set Jaccard over all pairs (the O(n²) baseline the
-    LSH variant approximates); broadcast self-join — small n only."""
+def jaccard_top_pairs(df, top: int = 20, max_df: int | None = None):
+    """Exact token-set Jaccard top pairs via an inverted-index
+    similarity join (the standard exact set-similarity-join shape:
+    candidates can only be pairs sharing >= 1 token, so zero-overlap
+    pairs — j = 0 by definition — never materialize).
+
+    Scale shape (replaces the former all-pairs broadcast cross join,
+    which shuffled n² rows unconditionally): one explode to
+    (token, doc_id), one ``groupBy(token)`` building per-token doc
+    lists, in-task pair expansion via the shared
+    :func:`sorted_pairs_expr` HOF, then ``groupBy(a, b)`` — the pair
+    count IS the exact intersection size, so j follows from two joins
+    against the n-row doc-size table (no hint; AQE broadcasts it).
+    Pair-row volume is Σ_t df(t)² instead of always-n²; the global
+    top-k compiles to TakeOrdered, never a full sort.
+
+    ``max_df``: the hot-token guard for web scale — a token present in
+    b docs expands b² pair rows, so one boilerplate token in 10⁶ docs
+    is quadratic on its own. Tokens with df > max_df are dropped from
+    CANDIDATE GENERATION only; surviving candidates are re-verified
+    exactly against the full token sets (the PPJoin candidate/verify
+    split, Xiao et al. 2008), so reported j values stay exact — only
+    pairs sharing NOTHING BUT hot tokens are missed (those are
+    near-duplicate noise, not signal: a ubiquitous token contributes
+    equally to every doc). Default None = fully exact.
+    """
     from pyspark.sql import functions as F
 
-    t = _tokens(df).select(
-        "doc_id", F.array_distinct("tokens").alias("s"))
-    a, b = t.alias("a"), t.alias("b")
-    pairs = (a.join(F.broadcast(b), F.col("a.doc_id") < F.col("b.doc_id"))
-             .select(F.col("a.doc_id").alias("a"),
-                     F.col("b.doc_id").alias("b"),
-                     (F.size(F.array_intersect("a.s", "b.s"))
-                      / F.size(F.array_union("a.s", "b.s"))).alias("j")))
+    t = (_tokens(df)
+         .select("doc_id", F.array_distinct("tokens").alias("s"))
+         .where(F.size("s") > 0))
+    lists = (t.select("doc_id", F.explode("s").alias("tok"))
+             .groupBy("tok")
+             .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+             .where(F.size("ids") > 1))
+    if max_df is not None:
+        lists = lists.where(F.size("ids") <= max_df)
+    pair_rows = (lists.select(F.explode(sorted_pairs_expr("ids"))
+                              .alias("p"))
+                 .select(F.col("p.a").alias("a"), F.col("p.b").alias("b")))
+    if max_df is None:
+        # exact path: the per-pair row count IS |A ∩ B|
+        inter = pair_rows.groupBy("a", "b").agg(
+            F.count(F.lit(1)).alias("inter"))
+        sizes = t.select("doc_id", F.size("s").alias("n"))
+        pairs = (inter
+                 .join(sizes.withColumnRenamed("doc_id", "a")
+                            .withColumnRenamed("n", "na"), "a")
+                 .join(sizes.withColumnRenamed("doc_id", "b")
+                            .withColumnRenamed("n", "nb"), "b")
+                 .select("a", "b",
+                         (F.col("inter")
+                          / (F.col("na") + F.col("nb") - F.col("inter")))
+                         .alias("j")))
+    else:
+        # guarded path: candidates from rare tokens, exact re-verify
+        cand = pair_rows.distinct()
+        sets = t
+        pairs = (sets.withColumnRenamed("doc_id", "a")
+                     .withColumnRenamed("s", "sa")
+                 .join(cand, "a")
+                 .join(sets.withColumnRenamed("doc_id", "b")
+                           .withColumnRenamed("s", "sb"), "b")
+                 .select("a", "b",
+                         (F.size(F.array_intersect("sa", "sb"))
+                          / F.size(F.array_union("sa", "sb"))).alias("j")))
     return pairs.orderBy(F.desc("j"), F.asc("a"), F.asc("b")).limit(top)
 
 

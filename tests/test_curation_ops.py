@@ -267,3 +267,59 @@ def test_mix_corpus_per_source_budgets(spark):
         mix_corpus(df, {"web": 0.0}, 10)
     with pytest.raises(ValueError, match="at least one"):
         mix_corpus(df, {}, 10)
+
+
+def test_jaccard_top_pairs_inverted_index_exact(spark):
+    """The inverted-index similarity join must reproduce the exact
+    all-pairs answer: pair counts from token postings ARE |A ∩ B|, so
+    j = inter / (|A| + |B| - inter) with no approximation. Hand-built
+    corpus with known overlaps; zero-overlap pairs (j = 0) are
+    legitimately absent from the candidate stream."""
+    from invertedindex_spark.operators.dedup import jaccard_top_pairs
+
+    docs = _docs(spark, [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma epsilon"),   # j(1,2) = 3/5
+        (3, "alpha beta zeta eta"),        # j(1,3) = 2/6, j(2,3) = 2/6
+        (4, "theta iota kappa"),           # no overlap with 1-3
+    ])
+    got = {(r["a"], r["b"]): round(r["j"], 6)
+           for r in jaccard_top_pairs(docs, top=10).collect()}
+    assert got == {(1, 2): round(3 / 5, 6),
+                   (1, 3): round(2 / 6, 6),
+                   (2, 3): round(2 / 6, 6)}
+
+
+def test_jaccard_top_pairs_max_df_guard_stays_exact(spark):
+    """max_df drops hot tokens from CANDIDATE GENERATION only; any
+    surviving candidate is re-verified against full token sets, so j
+    values are exact even though the hot token was skipped during
+    candidate expansion. 'the' is in all 4 docs (df=4 > max_df=3);
+    docs 1/2 still pair via rare tokens and their j must count 'the'
+    in the intersection."""
+    from invertedindex_spark.operators.dedup import jaccard_top_pairs
+
+    docs = _docs(spark, [
+        (1, "the alpha beta"),
+        (2, "the alpha gamma"),     # candidate via 'alpha'; j = 2/4
+        (3, "the delta epsilon"),
+        (4, "the zeta eta"),
+    ])
+    got = {(r["a"], r["b"]): round(r["j"], 6)
+           for r in jaccard_top_pairs(docs, top=10,
+                                      max_df=3).collect()}
+    # pairs sharing ONLY 'the' are missed by design; (1,2) is exact
+    assert got == {(1, 2): round(2 / 4, 6)}
+
+
+def test_jaccard_top_pairs_no_cartesian_in_plan(spark):
+    """The plan must contain no cartesian/broadcast-nested-loop pair
+    expansion — candidates come from the token-postings equality
+    joins only."""
+    from invertedindex_spark.operators.dedup import jaccard_top_pairs
+
+    docs = _docs(spark, [(i, f"tok{i} tok{i+1}") for i in range(1, 9)])
+    plan = jaccard_top_pairs(docs, top=5)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
