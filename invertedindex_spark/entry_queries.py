@@ -1126,6 +1126,23 @@ def q_fielded_topk(spark, sf_dir):
                       _u6(F.col("score")).alias("score_u6"))
 
 
+def q_fielded_dismax_topk(spark, sf_dir):
+    """Multi-field best_fields search (Lucene DisjunctionMaxQuery /
+    ES multi_match best_fields, tie_breaker=0.3): a doc scores as its
+    BEST field's score plus 0.3× the remaining fields' scores. The
+    per-field sums are exact int64 u6; the tb term is ONE double
+    multiply of an exact integer, floored back to u6 — bit-identical
+    in Spark and DuckDB."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    fi = get_fielded(spark, sf_dir)
+    res = fi.search_distributed("OR " + " ".join(OR_TERMS), k=K,
+                                fuse="max", tie_breaker=0.3)
+    w = Window.orderBy(F.desc("score"))
+    return res.select(F.row_number().over(w).alias("rank"), "doc_no",
+                      _u6(F.col("score")).alias("score_u6"))
+
+
 def _field_cte(suffix: str, field_expr: str) -> str:
     toks = tokens_sql("ftext")
     return f"""
@@ -1152,7 +1169,10 @@ src_{suffix} AS (
 )"""
 
 
-def sql_fielded_topk(k: int = K) -> str:
+def _fielded_sc_prefix() -> str:
+    """Shared WITH-prefix of the fielded oracles: per-field tokenize
+    / tf / lexicon / stats CTEs plus the weighted u6 partial tables
+    ``sc_t`` / ``sc_b`` over the OR query terms."""
     from .functions.scoring import U6
     tlist = ", ".join(f"'{t}'" for t in OR_TERMS)
     split = "(string_split(text, ' '))"
@@ -1173,7 +1193,11 @@ sc_{s} AS (
   WHERE tf_{s}.term IN ({tlist})
 )""")
     return ("WITH " + ", ".join(c.strip().lstrip() for c in ctes)
-            + ", " + ", ".join(s.strip() for s in scs) + f""",
+            + ", " + ", ".join(s.strip() for s in scs))
+
+
+def sql_fielded_topk(k: int = K) -> str:
+    return _fielded_sc_prefix() + f""",
 uni AS (
   SELECT * FROM sc_t UNION ALL SELECT * FROM sc_b
 ), fused AS (
@@ -1186,7 +1210,37 @@ uni AS (
 )
 SELECT row_number() OVER (ORDER BY score_u6 DESC) AS rank, doc_no,
        score_u6
-FROM dedup""")
+FROM dedup"""
+
+
+def sql_fielded_dismax_topk(k: int = K, tb: float = 0.3) -> str:
+    """Oracle twin of :func:`q_fielded_dismax_topk`: per-field int64
+    sums first (the field-level AND gate is vacuous under OR), then
+    ``mx + floor(tb·(sm−mx) + 0.5)`` — the same ONE IEEE multiply of
+    an exact integer the engine performs, so the floor boundary
+    agrees bit-for-bit."""
+    return _fielded_sc_prefix() + f""",
+sf_t AS (
+  SELECT doc_no, CAST(sum(partial) AS BIGINT) AS s
+  FROM sc_t GROUP BY doc_no
+), sf_b AS (
+  SELECT doc_no, CAST(sum(partial) AS BIGINT) AS s
+  FROM sc_b GROUP BY doc_no
+), uni AS (
+  SELECT * FROM sf_t UNION ALL SELECT * FROM sf_b
+), fused AS (
+  SELECT doc_no,
+         max(s) + CAST(floor({tb!r} * (sum(s) - max(s)) + 0.5)
+                       AS BIGINT) AS score_u6
+  FROM uni GROUP BY doc_no
+), dedup AS (
+  SELECT score_u6, min(doc_no) AS doc_no
+  FROM fused GROUP BY score_u6
+  ORDER BY score_u6 DESC LIMIT {k}
+)
+SELECT row_number() OVER (ORDER BY score_u6 DESC) AS rank, doc_no,
+       score_u6
+FROM dedup"""
 
 
 def q_bm25_topk_page2(spark, sf_dir):
@@ -4314,6 +4368,7 @@ def extra_queries():
         "score_explain": q_score_explain,
         "hybrid_rrf_topk": q_hybrid_rrf_topk,
         "fielded_topk": q_fielded_topk,
+        "fielded_dismax_topk": q_fielded_dismax_topk,
         "bm25_topk_synonyms": q_bm25_topk_synonyms,
         "bm25_topk_phrase_sloppy": q_bm25_topk_phrase_sloppy,
         "bpe_token_counts": q_bpe_token_counts,
@@ -4363,6 +4418,7 @@ def extra_oracle_sql(query_vec=None, sf_dir=None):
         "bm25_topk_boosted": sql_bm25_topk_boosted(),
         "score_explain": sql_score_explain(),
         "fielded_topk": sql_fielded_topk(),
+        "fielded_dismax_topk": sql_fielded_dismax_topk(),
         "bm25_topk_synonyms": sql_bm25_topk_synonyms(),
         "bm25_topk_phrase_sloppy": sql_bm25_topk_phrase_sloppy(),
         "bm25_topk_page2": sql_bm25_topk_page2(),

@@ -57,7 +57,9 @@ class FieldedIndex:
         self.stemming = base.stemming
 
     def search_distributed(self, query: str, k: int = 20,
-                           boosts: dict | None = None):
+                           boosts: dict | None = None,
+                           fuse: str = "sum",
+                           tie_breaker: float = 0.0):
         """[AND|OR] term1 … termN → DataFrame (doc_no, score) ordered
         by score desc. A term matches a document if it occurs in ANY
         field (the Lucene multi-field semantics): OR ranks every doc
@@ -69,10 +71,35 @@ class FieldedIndex:
         partial at 6×): each (field, term) partial is
         u6((w_field × w_term) × BM25_field), the product computed
         driver-side so the quantization still happens after ONE
-        multiply."""
+        multiply.
+
+        ``fuse``: ``"sum"`` (default, the BM25F-style per-field sum
+        documented above) or ``"max"`` — Lucene's DisjunctionMaxQuery
+        / the Elasticsearch ``multi_match`` ``best_fields`` type: a
+        document scores as its BEST field's score plus ``tie_breaker``
+        times the other fields' scores,
+        ``max_f(S_f) + tb · (Σ_f S_f − max_f S_f)``, where
+        S_f = Σ_t u6 partials within field f (exact int64). The tb
+        term is ONE float multiply of an exact integer, floored back
+        to u6 — bit-identical across engines (the established
+        one-multiply quantization recipe). tb=0 is pure dis_max; tb=1
+        reproduces ``fuse="sum"`` exactly (integer identity).
+
+        Match semantics under ``fuse="max"`` follow best_fields: AND
+        requires all query terms to co-occur in a SINGLE field of the
+        doc (each per-field clause is an AND query; dis_max takes the
+        best matching field), while ``fuse="sum"``'s AND accepts
+        cross-field coverage. OR is the same union either way."""
         from pyspark.sql import functions as F
         from ..functions.textproc import preprocess_query
 
+        if fuse not in ("sum", "max"):
+            raise ValueError(
+                f"fuse must be 'sum' or 'max' (got {fuse!r})")
+        tb = float(tie_breaker)
+        if not 0.0 <= tb <= 1.0:
+            raise ValueError(
+                f"tie_breaker must be in [0, 1] (got {tie_breaker})")
         bmap = (self.fields[0][1]._normalize_boosts(boosts)
                 if boosts else {})
         qtype, terms = preprocess_query(query, stopwords=self.stopwords,
@@ -110,14 +137,37 @@ class FieldedIndex:
             parts.append(
                 part.join(idx.docs.select("doc_id", "doc_no"), "doc_id")
                 .select("doc_no", "term", "partial"))
-        u = parts[0]
-        for p in parts[1:]:
-            u = u.unionByName(p)
-        agg = (u.groupBy("doc_no")
-               .agg(F.sum("partial").alias("score_u6"),
-                    F.count_distinct("term").alias("nt")))
-        if qtype == "AND":
-            agg = agg.where(F.col("nt") == len(terms))
+        if fuse == "max":
+            # per-field per-doc scores first (field-level AND gate),
+            # then the dis_max combination across fields: still one
+            # keyed shuffle per field + one fuse shuffle, no joins
+            per_field = []
+            for p in parts:
+                f_agg = (p.groupBy("doc_no")
+                         .agg(F.sum("partial").alias("s"),
+                              F.count_distinct("term").alias("nt")))
+                if qtype == "AND":
+                    f_agg = f_agg.where(F.col("nt") == len(terms))
+                per_field.append(f_agg.select("doc_no", "s"))
+            u = per_field[0]
+            for p in per_field[1:]:
+                u = u.unionByName(p)
+            agg = (u.groupBy("doc_no")
+                   .agg(F.max("s").alias("mx"), F.sum("s").alias("sm"))
+                   .select("doc_no",
+                           (F.col("mx") + F.floor(
+                               F.lit(tb) * (F.col("sm") - F.col("mx"))
+                               + F.lit(0.5)).cast("long"))
+                           .alias("score_u6")))
+        else:
+            u = parts[0]
+            for p in parts[1:]:
+                u = u.unionByName(p)
+            agg = (u.groupBy("doc_no")
+                   .agg(F.sum("partial").alias("score_u6"),
+                        F.count_distinct("term").alias("nt")))
+            if qtype == "AND":
+                agg = agg.where(F.col("nt") == len(terms))
         # tie rule for this family: min doc_no per distinct score
         top = (agg.groupBy("score_u6")
                .agg(F.min("doc_no").alias("doc_no"))

@@ -91,3 +91,69 @@ def test_guards(fielded, spark):
         FieldedIndex(spark, [("only", "somewhere", 1.0)])
     with pytest.raises(ValueError, match="weight"):
         FieldedIndex(spark, [("a", "x", 1.0), ("b", "y", 0.0)])
+    with pytest.raises(ValueError, match="fuse"):
+        fielded.search_distributed("OR fast", fuse="avg")
+    with pytest.raises(ValueError, match="tie_breaker"):
+        fielded.search_distributed("OR fast", fuse="max",
+                                   tie_breaker=1.5)
+
+
+def test_dismax_tb1_is_integer_identical_to_sum(fielded):
+    """tie_breaker=1 reproduces fuse='sum' EXACTLY: the tb term is
+    floor((sm-mx)+0.5) on exact int64s — an integer identity, not an
+    approximation."""
+    for q in ("OR fast data table", "AND fast table"):
+        assert (_rows(fielded.search_distributed(q, k=5, fuse="max",
+                                                 tie_breaker=1.0))
+                == _rows(fielded.search_distributed(q, k=5)))
+
+
+def test_dismax_tb0_is_best_field(fielded):
+    """tb=0 scores every doc as its single best field; a doc whose
+    match lives in ONE field (doc 4: title-only 'fast') scores the
+    same under max and sum, and every dis_max score is bounded by
+    [best-field, sum]."""
+    mx = dict(_rows(fielded.search_distributed("OR fast data", k=5,
+                                               fuse="max")))
+    sm = dict(_rows(fielded.search_distributed("OR fast data", k=5)))
+    assert mx["4"] == sm["4"]          # single-field doc: mx == sum
+    for d, s in mx.items():
+        assert s <= sm[d] + 1e-9       # dis_max ≤ sum everywhere
+    mid = dict(_rows(fielded.search_distributed(
+        "OR fast data", k=5, fuse="max", tie_breaker=0.4)))
+    for d in mx:
+        assert mx[d] - 1e-9 <= mid[d] <= sm[d] + 1e-9
+
+
+def test_dismax_and_requires_single_field_coverage(spark, tmp_path):
+    """best_fields AND semantics: each per-field clause is a full AND
+    query and dis_max takes the best matching field — a doc covering
+    the terms only ACROSS fields (alpha in title, beta in body)
+    matches fuse='sum' but NOT fuse='max'."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(0, "alpha", "beta"),          # cross-field only
+         (1, "alpha beta", "gamma"),    # single-field (title)
+         (2, "gamma", "alpha beta")],   # single-field (body)
+        "doc_id long, t string, b string")
+    whs = {}
+    for col in ("t", "b"):
+        wh = str(tmp_path / f"wh_{col}")
+        build_index(spark, from_documents(
+            df.select("doc_id", F.col(col).alias("text"))), wh,
+            IndexConfig(num_blocks=1, stemming=False))
+        whs[col] = wh
+    fi = FieldedIndex(spark, [("title", whs["t"], 2.0),
+                              ("body", whs["b"], 1.0)])
+    sum_docs = {d for d, _ in _rows(
+        fi.search_distributed("AND alpha beta", k=5))}
+    max_docs = {d for d, _ in _rows(
+        fi.search_distributed("AND alpha beta", k=5, fuse="max"))}
+    assert sum_docs == {"0", "1", "2"}
+    assert max_docs == {"1", "2"}
+    # OR is the same union either way
+    assert ({d for d, _ in _rows(
+        fi.search_distributed("OR alpha beta", k=5, fuse="max"))}
+        == {d for d, _ in _rows(
+            fi.search_distributed("OR alpha beta", k=5))})
