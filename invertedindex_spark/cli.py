@@ -67,7 +67,7 @@ def main(argv=None):
                     help="batch mode: write run lines here (default "
                          "stdout)")
     ap.add_argument("--tag", default="01", help="TREC run tag")
-    ap.add_argument("--similarity", choices=["bm25", "tfidf"],
+    ap.add_argument("--similarity", choices=["bm25", "tfidf", "lmdir"],
                     default="bm25",
                     help="scoring function (ScoringFunctions.java)")
     args = ap.parse_args(argv)

@@ -22,7 +22,8 @@ from __future__ import annotations
 import os
 import random
 
-from .functions.scoring import bm25_sql, bm25_u6_sql, tfidf_u6_sql
+from .functions.scoring import (bm25_sql, bm25_u6_sql, lmdir_u6_sql,
+                                tfidf_u6_sql)
 from .functions.textproc import (
     STOPWORDS, doc_len_sql, stopword_array_sql, terms_sql, tokens_sql,
 )
@@ -1360,6 +1361,42 @@ def q_tfidf_topk(spark, sf_dir):
 def sql_tfidf_topk(k: int = K) -> str:
     tlist = ", ".join(f"'{t}'" for t in OR_TERMS)
     part = tfidf_u6_sql("tf.tf", "lex.df", "stats.num_docs")
+    return _base_cte() + f""",
+scores AS (
+  SELECT tf.doc_id, CAST(sum({part}) AS BIGINT) AS score_u6
+  FROM tf JOIN lex USING (term) CROSS JOIN stats
+  WHERE tf.term IN ({tlist})
+  GROUP BY tf.doc_id
+), dedup AS (
+  SELECT score_u6, min(doc_id) AS doc_id
+  FROM scores GROUP BY score_u6
+  ORDER BY score_u6 DESC LIMIT {k}
+)
+SELECT row_number() OVER (ORDER BY score_u6 DESC) AS rank, d.doc_no,
+       score_u6
+FROM dedup JOIN docs d USING (doc_id)"""
+
+
+def q_lmdir_topk(spark, sf_dir):
+    """Query-likelihood language-model ranking (Lucene
+    LMDirichletSimilarity, Zhai & Lafferty 2001): the flagship OR
+    query scored as max(0, ln(1 + tf/(mu·cf/T)) + ln(mu/(dl+mu))),
+    mu=2000. Same distributed plan as BM25 plus one tiny per-term cf
+    aggregate broadcast back onto the decode (cf is a collection
+    stat, attached BEFORE query-time filters)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    idx = get_index(spark, sf_dir)
+    res = idx.search_distributed("OR " + " ".join(OR_TERMS), k=K,
+                                 similarity="lmdir")
+    w = Window.orderBy(F.desc("score"))
+    return res.select(F.row_number().over(w).alias("rank"), "doc_no",
+                      _u6(F.col("score")).alias("score_u6"))
+
+
+def sql_lmdir_topk(k: int = K) -> str:
+    tlist = ", ".join(f"'{t}'" for t in OR_TERMS)
+    part = lmdir_u6_sql("tf.tf", "tf.dl", "lex.cf", "stats.num_tokens")
     return _base_cte() + f""",
 scores AS (
   SELECT tf.doc_id, CAST(sum({part}) AS BIGINT) AS score_u6
@@ -4376,6 +4413,7 @@ def extra_queries():
         "bm25_topk_msm": q_bm25_topk_msm,
         "bm25_topk_not": q_bm25_topk_not,
         "tfidf_topk": q_tfidf_topk,
+        "lmdir_topk": q_lmdir_topk,
         "repetition_signals": q_repetition_signals,
         "bm25_topk_ranked": q_bm25_topk_ranked,
         "bm25_topk_collapse": q_bm25_topk_collapse,
@@ -4425,6 +4463,7 @@ def extra_oracle_sql(query_vec=None, sf_dir=None):
         "bm25_topk_msm": sql_bm25_topk_msm(),
         "bm25_topk_not": sql_bm25_topk_not(),
         "tfidf_topk": sql_tfidf_topk(),
+        "lmdir_topk": sql_lmdir_topk(),
         "repetition_signals": sql_repetition_signals(),
         "bm25_topk_ranked": sql_bm25_topk_ranked(),
         "bm25_topk_collapse": sql_bm25_topk_collapse(),

@@ -17,7 +17,8 @@ import numpy as np
 __all__ = ["K_BM25", "B_BM25", "bm25_col", "bm25_np", "bm25_sql",
            "tfidf_np", "tfidf_col", "tfidf_u6_np", "tfidf_sql",
            "tfidf_u6_sql", "U6", "u6_np", "u6_col", "bm25_u6_np",
-           "bm25_u6_col", "bm25_u6_sql"]
+           "bm25_u6_col", "bm25_u6_sql", "MU_LMD", "lmdir_np",
+           "lmdir_col", "lmdir_sql", "lmdir_u6_np", "lmdir_u6_sql"]
 
 K_BM25 = 1.2   # Constants.java:46
 B_BM25 = 0.75  # Constants.java:45
@@ -194,4 +195,62 @@ def bm25_u6_sql(tf_expr: str, doc_len_expr: str, df_expr: str,
     DOUBLE-valued, hence the cast)."""
     inner = bm25_sql(tf_expr, doc_len_expr, df_expr, num_docs_expr,
                      avg_doc_len_expr)
+    return f"CAST(floor(({inner}) * {U6} + 0.5) AS BIGINT)"
+
+
+# -- LM Dirichlet similarity (query-likelihood language model) ---------
+# Zhai & Lafferty 2001; Lucene's LMDirichletSimilarity formulation:
+#
+#   score(t, d) = max(0, ln(1 + tf / (mu * (cf/T))) + ln(mu / (dl+mu)))
+#
+# where cf is the term's collection frequency, T the total token count
+# and mu the Dirichlet prior (Lucene default 2000). Monotone increasing
+# in tf and decreasing in dl, so (max_tf, min_dl) block stats bound it;
+# decreasing in cf, so an UNDER-counted cf only loosens a bound. The
+# clamp at 0 is Lucene's (scores are query-likelihood ratios against
+# the collection prior; negatives mean "worse than background").
+MU_LMD = 2000.0
+
+
+def lmdir_np(tf, doc_len, cf, num_tokens):
+    """Vectorized NumPy form (float64; the expression tree below is
+    mirrored operation-for-operation by the Column and SQL twins)."""
+    tf = np.asarray(tf, dtype=np.float64)
+    dl = np.asarray(doc_len, dtype=np.float64)
+    cf = np.asarray(cf, dtype=np.float64)
+    s = (np.log(1.0 + tf / (MU_LMD * (cf / float(num_tokens))))
+         + np.log(MU_LMD / (dl + MU_LMD)))
+    return np.maximum(s, 0.0)
+
+
+def lmdir_col(tf, doc_len, cf, num_tokens):
+    """Spark Column twin (all-JVM, codegen'd)."""
+    from pyspark.sql import functions as F
+
+    tf = tf.cast("double")
+    dl = doc_len.cast("double")
+    cf = cf.cast("double")
+    s = (F.log(F.lit(1.0) + tf / (F.lit(MU_LMD) * (cf / num_tokens)))
+         + F.log(F.lit(MU_LMD) / (dl + F.lit(MU_LMD))))
+    return F.greatest(s, F.lit(0.0))
+
+
+def lmdir_sql(tf_expr: str, doc_len_expr: str, cf_expr: str,
+              num_tokens_expr: str) -> str:
+    """ANSI-SQL twin runnable by DuckDB."""
+    return (
+        f"greatest(ln(1.0 + CAST({tf_expr} AS DOUBLE) / ({MU_LMD!r} * "
+        f"(CAST({cf_expr} AS DOUBLE) / CAST({num_tokens_expr} AS DOUBLE))))"
+        f" + ln({MU_LMD!r} / (CAST({doc_len_expr} AS DOUBLE) + {MU_LMD!r}))"
+        f", 0.0)")
+
+
+def lmdir_u6_np(tf, doc_len, cf, num_tokens):
+    """Quantized LM-Dirichlet partial (the only form kernels sum)."""
+    return u6_np(lmdir_np(tf, doc_len, cf, num_tokens))
+
+
+def lmdir_u6_sql(tf_expr: str, doc_len_expr: str, cf_expr: str,
+                 num_tokens_expr: str) -> str:
+    inner = lmdir_sql(tf_expr, doc_len_expr, cf_expr, num_tokens_expr)
     return f"CAST(floor(({inner}) * {U6} + 0.5) AS BIGINT)"

@@ -298,6 +298,7 @@ class InvertedIndex:
             srow = spark.read.parquet(f"{warehouse_dir}/stats").collect()[0]
         self.num_docs = srow["num_docs"]
         self.avg_doc_len = srow["avg_doc_len"]
+        self.num_tokens = int(srow["num_tokens"])
         self._cache: OrderedDict = OrderedDict()  # Guava LRU parity (:36)
         self._cache_size = cache_size
         self._lexicon_map = None
@@ -1080,6 +1081,7 @@ class InvertedIndex:
                 f"{self.warehouse_dir}/stats").collect()[0]
         self.num_docs = srow["num_docs"]
         self.avg_doc_len = srow["avg_doc_len"]
+        self.num_tokens = int(srow["num_tokens"])
         manifest = self._read_manifest()
         self._bounds_fresh = self._bounds_fresh_from(manifest)
         self._tomb_meta = manifest.get("tombstones") or {}
@@ -2049,7 +2051,7 @@ class InvertedIndex:
             mask = mask & self._alive_mask()
         if sim != "bm25" and prune:
             prune = False
-            self.last_prune_stats = {"mode": "tfidf_exhaustive"}
+            self.last_prune_stats = {"mode": f"{sim}_exhaustive"}
         if prune:
             doc_ids, scores = self._score_terms_pruned(
                 pos_present, "OR", k, mask=mask)
@@ -2099,16 +2101,10 @@ class InvertedIndex:
             ids = ids.join(self._allowed_ids_df(where), "doc_id",
                            "left_semi")
         exploded = (self._drop_tombstoned(
-            self.decoded_postings_df(set(pos_present)))
+            self._attach_cf(
+                self.decoded_postings_df(set(pos_present)), sim))
             .join(ids, "doc_id", "left_semi"))
-        if sim == "tfidf":
-            part = scoring.tfidf_col(F.col("tf"), F.col("df"),
-                                     F.lit(float(self.num_docs)))
-        else:
-            part = scoring.bm25_col(F.col("tf"), F.col("dl"),
-                                    F.col("df"),
-                                    F.lit(float(self.num_docs)),
-                                    F.lit(self.avg_doc_len))
+        part = self._sim_part_col(sim)
         agg = (exploded.withColumn("partial", scoring.u6_col(part))
                .groupBy("doc_id")
                .agg(F.sum("partial").alias("score_u6")))
@@ -2451,13 +2447,15 @@ class InvertedIndex:
         NULL keys share a group); demotes ``prune=True``
         (mode=collapse_exhaustive).
 
-        ``similarity``: ``"bm25"`` (default) or ``"tfidf"`` — the
+        ``similarity``: ``"bm25"`` (default), ``"tfidf"`` — the
         reference's two scoring functions
         (``ScoringFunctions.java:7-17``; TFIDF is the commented-out
         alternative at LexiconTermBinaryIndexing.java:49):
-        ln(N/df)·(1+ln(tf)), no length normalization. The stored
-        upper bounds are BM25 bounds, so ``prune=True`` demotes to
-        the exhaustive kernel (mode=tfidf_exhaustive)."""
+        ln(N/df)·(1+ln(tf)), no length normalization — or
+        ``"lmdir"`` (Lucene LMDirichletSimilarity, Zhai & Lafferty
+        2001: max(0, ln(1+tf/(μ·cf/T)) + ln(μ/(dl+μ))), μ=2000).
+        The stored upper bounds are BM25 bounds, so ``prune=True``
+        demotes to the exhaustive kernel (mode=<sim>_exhaustive)."""
         sim = self._check_similarity(similarity)
         bmap = self._normalize_boosts(boosts) if boosts else {}
         query, nots = split_not_terms(query, stopwords=self.stopwords,
@@ -2501,7 +2499,7 @@ class InvertedIndex:
             # stored TUB/block-max are BM25 bounds — not sound for a
             # different similarity; serve exhaustively
             prune = False
-            self.last_prune_stats = {"mode": "tfidf_exhaustive"}
+            self.last_prune_stats = {"mode": f"{sim}_exhaustive"}
         if rank_boost is not None and prune:
             # the static boost can promote a doc past the text-score
             # θ, so the pruned kernels' threshold is unsound here
@@ -2613,6 +2611,11 @@ class InvertedIndex:
             bfs.append(np.concatenate(
                 [[r["first_doc_id"]],
                  np.asarray(r["skip_doc_ids"], dtype=np.int64)]))
+            if sim == "lmdir":
+                # no cf in the persisted block stats yet — decline so
+                # the caller serves exhaustively (sound, never a wrong
+                # bound); lmdir pruning needs a cf-aware bound pass
+                return None
             if sim == "tfidf":
                 bms.append(scoring.u6_np(idf * (1.0 + np.log(
                     np.asarray(mt, dtype=np.float64)))))
@@ -2737,22 +2740,63 @@ class InvertedIndex:
                                 k, stats=stats)
 
     def _check_similarity(self, similarity: str) -> str:
-        """Validate the similarity selector (the reference's two
-        scoring functions, ScoringFunctions.java:7-17)."""
-        if similarity not in ("bm25", "tfidf"):
+        """Validate the similarity selector: the reference's two
+        scoring functions (ScoringFunctions.java:7-17) plus the
+        query-likelihood language model (Lucene
+        LMDirichletSimilarity, Zhai & Lafferty 2001)."""
+        if similarity not in ("bm25", "tfidf", "lmdir"):
             raise ValueError(
-                f"similarity must be 'bm25' or 'tfidf' "
+                f"similarity must be 'bm25', 'tfidf' or 'lmdir' "
                 f"(got {similarity!r})")
         return similarity
 
-    def _partial_np(self, tf, dl, df, sim: str):
+    def _partial_np(self, tf, dl, df, sim: str, cf=None):
         """The one per-(term,doc) float partial definition shared by
-        every driver kernel: BM25 (default) or the reference's TFIDF
-        (length-free, ScoringFunctions.java:14-17)."""
+        every driver kernel: BM25 (default), the reference's TFIDF
+        (length-free, ScoringFunctions.java:14-17), or LM Dirichlet
+        (``cf`` = the term's collection frequency, required)."""
         if sim == "tfidf":
             return scoring.tfidf_np(tf, df, self.num_docs)
+        if sim == "lmdir":
+            return scoring.lmdir_np(tf, dl, cf, self.num_tokens)
         return scoring.bm25_np(tf, dl, df, self.num_docs,
                                self.avg_doc_len)
+
+    def _sim_part_col(self, sim: str, df_col: str = "df"):
+        """The one per-(term,doc) float partial as a Spark Column —
+        the distributed twin of :meth:`_partial_np`. ``lmdir`` reads
+        the ``cf`` column attached by :meth:`_attach_cf`."""
+        from pyspark.sql import functions as F
+
+        if sim == "tfidf":
+            return scoring.tfidf_col(F.col("tf"), F.col(df_col),
+                                     F.lit(float(self.num_docs)))
+        if sim == "lmdir":
+            return scoring.lmdir_col(F.col("tf"), F.col("dl"),
+                                     F.col("cf"),
+                                     F.lit(float(self.num_tokens)))
+        return scoring.bm25_col(F.col("tf"), F.col("dl"),
+                                F.col(df_col),
+                                F.lit(float(self.num_docs)),
+                                F.lit(self.avg_doc_len))
+
+    def _attach_cf(self, decoded_sdf, sim: str):
+        """For ``sim="lmdir"``: attach each term's collection
+        frequency as a ``cf`` column. MUST be called on the RAW
+        selective decode, BEFORE tombstone/where/match filters — cf
+        is a collection-level statistic (like the stored df, it does
+        not shrink under query-time filters; the driver kernel's twin
+        sums tf pre-mask). One tiny per-term aggregate (map-side
+        combined, ≤ query-term rows) broadcast-joined back — never a
+        per-term window, which would put a hot term's whole postings
+        list in one task."""
+        if sim != "lmdir":
+            return decoded_sdf
+        from pyspark.sql import functions as F
+
+        cfs = (decoded_sdf.groupBy("term")
+               .agg(F.sum("tf").alias("cf")))
+        return decoded_sdf.join(F.broadcast(cfs), "term")
 
     def _score_terms(self, terms, qtype, mask=None, wmap=None, msm=0,
                      sim: str = "bm25"):
@@ -2766,6 +2810,10 @@ class InvertedIndex:
         # regardless of set-iteration (hash-seed) effects — the oracle
         # accumulates in the same sorted order (oracle.py _scores)
         for t, (d, tf, dl, df) in sorted(decoded.items()):
+            # collection frequency BEFORE any query-time mask — cf is
+            # a collection statistic like the stored df (the
+            # distributed twin attaches it pre-filter, _attach_cf)
+            cf = float(tf.sum()) if sim == "lmdir" else None
             if mask is not None:
                 d, tf, dl, df = self._mask_dec((d, tf, dl, df), mask)
             all_ids.append(d)
@@ -2774,10 +2822,10 @@ class InvertedIndex:
                 # u6(w * partial): same evaluation order as the
                 # distributed boosted plan's u6_col(w_col * partial)
                 all_scores.append(scoring.u6_np(
-                    w * self._partial_np(tf, dl, df, sim)))
+                    w * self._partial_np(tf, dl, df, sim, cf=cf)))
             else:
                 all_scores.append(scoring.u6_np(
-                    self._partial_np(tf, dl, df, sim)))
+                    self._partial_np(tf, dl, df, sim, cf=cf)))
         ids = np.concatenate(all_ids)
         sc = np.concatenate(all_scores)
         if ids.size == 0:
@@ -3355,7 +3403,8 @@ class InvertedIndex:
         excluding here excludes everywhere."""
         from pyspark.sql import functions as F
 
-        ess = self._drop_tombstoned(self.decoded_postings_df(terms))
+        ess = self._drop_tombstoned(
+            self._attach_cf(self.decoded_postings_df(terms), sim))
         if where is not None:
             ess = ess.join(self._allowed_ids_df(where),
                            "doc_id", "left_semi")
@@ -3365,14 +3414,7 @@ class InvertedIndex:
                     self.decoded_postings_df(set(exclude)))
                 .select("doc_id"),
                 "doc_id", "left_anti")
-        if sim == "tfidf":
-            part = scoring.tfidf_col(F.col("tf"), F.col("df"),
-                                     F.lit(float(self.num_docs)))
-        else:
-            part = scoring.bm25_col(F.col("tf"), F.col("dl"),
-                                    F.col("df"),
-                                    F.lit(float(self.num_docs)),
-                                    F.lit(self.avg_doc_len))
+        part = self._sim_part_col(sim)
         # the shared CASE-weighted partial definition keeps
         # pruned == exhaustive bit-for-bit
         scored = ess.withColumn(
@@ -3846,15 +3888,19 @@ class InvertedIndex:
         ``prune=True`` (collapse removes docs, so the unfiltered θ
         overshoots; mode=collapse_exhaustive).
 
-        ``similarity``: ``"bm25"`` (default) or ``"tfidf"`` — the
+        ``similarity``: ``"bm25"`` (default), ``"tfidf"`` — the
         reference's alternative scoring function
         (ScoringFunctions.java:14-17; ln(N/df)·(1+ln(tf)), no length
-        normalization). Same plan, one different partial expression.
-        ``prune=True`` serves TFIDF through the SAME two-phase pruned
-        plan: bounds are recomputed from the stats-invariant
-        block_max_tf (TFIDF is monotone in tf and dl-free, so
-        idf·(1+ln(block_max_tf)) is sound) — telemetry records
-        similarity=tfidf.
+        normalization) — or ``"lmdir"`` (Lucene
+        LMDirichletSimilarity: query-likelihood with Dirichlet
+        smoothing, μ=2000; the per-term collection frequency rides
+        as one broadcast aggregate attached before filters). Same
+        plan, one different partial expression. ``prune=True``
+        serves TFIDF through the SAME two-phase pruned plan: bounds
+        are recomputed from the stats-invariant block_max_tf (TFIDF
+        is monotone in tf and dl-free, so idf·(1+ln(block_max_tf))
+        is sound) — telemetry records similarity=tfidf; lmdir
+        demotes (mode=lmdir_exhaustive — block stats carry no cf).
 
         ``rank_boost=(col, w)`` (Elasticsearch ``rank_feature``;
         needs :meth:`set_attributes`): adds ``u6(w · ln(1 +
@@ -3899,6 +3945,11 @@ class InvertedIndex:
         if after_score is not None and prune:
             prune = False
             self.last_prune_stats = {"mode": "after_exhaustive"}
+        if sim == "lmdir" and prune:
+            # the persisted block stats carry no cf; a cf-aware bound
+            # pass would be needed for a sound lmdir pruned plan
+            prune = False
+            self.last_prune_stats = {"mode": "lmdir_exhaustive"}
         if qtype == "PHRASE":
             self._require_positions()
         present = self._present_terms(set(terms))
@@ -3920,7 +3971,8 @@ class InvertedIndex:
             # (legacy bounds / tiny boost side / accumulator overflow)
             # and the exhaustive plan below served the query
             self.last_prune_stats["mode"] = "distributed_fallback"
-        exploded = self._drop_tombstoned(self.decoded_postings_df(present))
+        exploded = self._drop_tombstoned(
+            self._attach_cf(self.decoded_postings_df(present), sim))
         if not_present:
             # Lucene MUST_NOT: one anti-join against the negated
             # terms' selective decode (duplicate right rows are fine
@@ -3942,14 +3994,7 @@ class InvertedIndex:
         if where is not None:
             exploded = exploded.join(self._allowed_ids_df(where),
                                      "doc_id", "left_semi")
-        if sim == "tfidf":
-            part = scoring.tfidf_col(F.col("tf"), F.col("df"),
-                                     F.lit(float(self.num_docs)))
-        else:
-            part = scoring.bm25_col(F.col("tf"), F.col("dl"),
-                                    F.col("df"),
-                                    F.lit(float(self.num_docs)),
-                                    F.lit(self.avg_doc_len))
+        part = self._sim_part_col(sim)
         scored = exploded.withColumn(
             "partial", scoring.weighted_u6_col(part, bmap))
         agg = (scored.groupBy("doc_id")

@@ -98,11 +98,8 @@ class ShardedIndex:
             self.offsets.append(tot)
             tot += idx.num_docs
         self.num_docs = tot
-        # exact global token count: avg_doc_len was stored as
-        # num_tokens / num_docs in double, so the product rounds back
-        # to the integer it came from
-        self.num_tokens = sum(
-            round(i.num_docs * i.avg_doc_len) for i in self.idxs)
+        # exact global token count (each shard's stats row stores it)
+        self.num_tokens = sum(i.num_tokens for i in self.idxs)
         self.avg_doc_len = (self.num_tokens / self.num_docs
                             if self.num_docs else 0.0)
         self.stopwords = base.stopwords
@@ -120,6 +117,45 @@ class ShardedIndex:
             for t, row in idx.lookup(terms).items():
                 out[t] = out.get(t, 0) + int(row["df"])
         return out
+
+    def _global_cf(self, terms):
+        """term → collection-wide cf (total tf), the same scatter as
+        :meth:`_global_df` — cross-shard sums are exact because no
+        doc spans shards."""
+        out: dict = {}
+        for idx in self.idxs:
+            for t, row in idx.lookup(terms).items():
+                out[t] = out.get(t, 0) + int(row["cf"])
+        return out
+
+    def _stats_partial(self, terms, sim: str):
+        """(broadcast per-term global-stats frame, partial Column):
+        the cross-shard twin of ``InvertedIndex._sim_part_col`` —
+        BM25/TFIDF read the global df, lmdir the global cf and the
+        summed token count (``self.num_tokens``). The stats side is
+        ≤32 rows, always broadcast."""
+        from pyspark.sql import functions as F
+
+        gdf = self._global_df(terms)
+        if sim == "lmdir":
+            gcf = self._global_cf(terms)
+            sdf = F.broadcast(self.spark.createDataFrame(
+                sorted((t, n, gcf[t]) for t, n in gdf.items()),
+                "term string, gdf long, cf long"))
+            return sdf, scoring.lmdir_col(
+                F.col("tf"), F.col("dl"), F.col("cf"),
+                F.lit(float(self.num_tokens)))
+        sdf = F.broadcast(self.spark.createDataFrame(
+            sorted(gdf.items()), "term string, gdf long"))
+        if sim == "tfidf":
+            part = scoring.tfidf_col(F.col("tf"), F.col("gdf"),
+                                     F.lit(float(self.num_docs)))
+        else:
+            part = scoring.bm25_col(F.col("tf"), F.col("dl"),
+                                    F.col("gdf"),
+                                    F.lit(float(self.num_docs)),
+                                    F.lit(self.avg_doc_len))
+        return sdf, part
 
     # -- query rewrites (merged-warehouse-exact) ---------------------------
     MAX_PREFIX_EXPAND = InvertedIndex.MAX_PREFIX_EXPAND
@@ -373,17 +409,7 @@ class ShardedIndex:
                       .join(allowed, "doc_no", "left_semi")
                       .select("doc_id"))
             u = u.join(ok_ids, "doc_id", "left_semi")
-        gdf = self._global_df(present)
-        gdf_df = F.broadcast(self.spark.createDataFrame(
-            sorted(gdf.items()), "term string, gdf long"))
-        if sim == "tfidf":
-            part = scoring.tfidf_col(F.col("tf"), F.col("gdf"),
-                                     F.lit(float(self.num_docs)))
-        else:
-            part = scoring.bm25_col(F.col("tf"), F.col("dl"),
-                                    F.col("gdf"),
-                                    F.lit(float(self.num_docs)),
-                                    F.lit(self.avg_doc_len))
+        gdf_df, part = self._stats_partial(present, sim)
         scored = u.join(gdf_df, "term").withColumn(
             "partial", scoring.weighted_u6_col(part, bmap))
         agg = (scored.groupBy("doc_id")
@@ -664,17 +690,7 @@ class ShardedIndex:
         match_col = boolquery.evaluate(
             tree, lambda t: F.array_contains(F.col("ts"), t))
         ids = per_doc.where(match_col).select("doc_id")
-        gdf = self._global_df(set(pos_present))
-        gdf_df = F.broadcast(self.spark.createDataFrame(
-            sorted(gdf.items()), "term string, gdf long"))
-        if sim == "tfidf":
-            part = scoring.tfidf_col(F.col("tf"), F.col("gdf"),
-                                     F.lit(float(self.num_docs)))
-        else:
-            part = scoring.bm25_col(F.col("tf"), F.col("dl"),
-                                    F.col("gdf"),
-                                    F.lit(float(self.num_docs)),
-                                    F.lit(self.avg_doc_len))
+        gdf_df, part = self._stats_partial(set(pos_present), sim)
         scored = (u.where(F.col("term").isin(pos_present))
                   .join(ids, "doc_id", "left_semi")
                   .join(gdf_df, "term")

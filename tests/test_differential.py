@@ -181,7 +181,7 @@ IDX_QUERIES = ["doc_table", "collection_stats", "term_stats",
                "bm25_topk_boosted", "bm25_topk_synonyms",
                "bm25_topk_phrase_sloppy", "score_explain",
                "bm25_topk_page2", "bm25_topk_not", "tfidf_topk",
-               "bm25_topk_range", "bool_topk", "rm3_topk",
+               "lmdir_topk", "bm25_topk_range", "bool_topk", "rm3_topk",
                "bm25_topk_regexp", "autocomplete", "significant_terms",
                "bm25_topk_near"]
 
@@ -230,7 +230,7 @@ RANKED_QUERIES = ["bm25_topk_or", "bm25_topk_and", "bm25_topk_filtered",
                   "sharded_topk", "bm25_topk_boosted", "score_explain",
                   "bm25_topk_synonyms", "fielded_topk", "bm25_topk_msm",
                   "bm25_topk_collapse", "bm25_topk_not", "tfidf_topk",
-                  "bm25_topk_ranked", "bool_topk", "rm3_topk",
+                  "lmdir_topk", "bm25_topk_ranked", "bool_topk", "rm3_topk",
                   "bm25_topk_regexp", "significant_terms", "bm25_topk_near"]
 
 
