@@ -1413,6 +1413,69 @@ SELECT row_number() OVER (ORDER BY score_u6 DESC) AS rank, d.doc_no,
 FROM dedup JOIN docs d USING (doc_id)"""
 
 
+RESCORE_WINDOW = 50
+RESCORE_QW = 1.0
+RESCORE_RW = 2.0
+RESCORE_TERMS = ["fast", "table"]
+
+
+def q_rescore_topk(spark, sf_dir):
+    """Two-stage retrieval (Lucene QueryRescorer / ES rescore): BM25
+    top-50 window on the flagship OR query, re-ranked by
+    floor(1.0·s1+0.5) + floor(2.0·s2+0.5) where s2 is the window
+    docs' LM-Dirichlet score under 'OR fast table'. The expensive
+    second similarity touches ≤ window rows — the retrieve-then-
+    rerank shape that keeps reranking cheap at scale."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    idx = get_index(spark, sf_dir)
+    res = idx.rescore_distributed(
+        "OR " + " ".join(OR_TERMS), k=K, window=RESCORE_WINDOW,
+        rescore_query="OR " + " ".join(RESCORE_TERMS),
+        rescore_similarity="lmdir",
+        query_weight=RESCORE_QW, rescore_weight=RESCORE_RW)
+    w = Window.orderBy(F.desc("score"))
+    return res.select(F.row_number().over(w).alias("rank"), "doc_no",
+                      _u6(F.col("score")).alias("score_u6"))
+
+
+def sql_rescore_topk(k: int = K) -> str:
+    tlist = ", ".join(f"'{t}'" for t in OR_TERMS)
+    rlist = ", ".join(f"'{t}'" for t in RESCORE_TERMS)
+    p1 = _bm25_u6_expr()
+    p2 = lmdir_u6_sql("tf.tf", "tf.dl", "lex.cf", "stats.num_tokens")
+    return _base_cte() + f""",
+sc1 AS (
+  SELECT tf.doc_id, CAST(sum({p1}) AS BIGINT) AS s1
+  FROM tf JOIN lex USING (term) CROSS JOIN stats
+  WHERE tf.term IN ({tlist})
+  GROUP BY tf.doc_id
+), w AS (
+  SELECT s1, min(doc_id) AS doc_id FROM sc1 GROUP BY s1
+  ORDER BY s1 DESC LIMIT {RESCORE_WINDOW}
+), sc2 AS (
+  SELECT tf.doc_id, CAST(sum({p2}) AS BIGINT) AS s2
+  FROM tf JOIN lex USING (term) CROSS JOIN stats
+  WHERE tf.term IN ({rlist})
+  GROUP BY tf.doc_id
+), blended AS (
+  SELECT w.doc_id,
+         CAST(floor({RESCORE_QW!r} * CAST(w.s1 AS DOUBLE) + 0.5)
+              AS BIGINT)
+         + CAST(floor({RESCORE_RW!r} * CAST(coalesce(sc2.s2, 0)
+                                            AS DOUBLE) + 0.5)
+                AS BIGINT) AS score_u6
+  FROM w LEFT JOIN sc2 USING (doc_id)
+), dedup AS (
+  SELECT score_u6, min(doc_id) AS doc_id
+  FROM blended GROUP BY score_u6
+  ORDER BY score_u6 DESC LIMIT {k}
+)
+SELECT row_number() OVER (ORDER BY score_u6 DESC) AS rank, d.doc_no,
+       score_u6
+FROM dedup JOIN docs d USING (doc_id)"""
+
+
 RANK_FEATURE_W = 0.05
 
 
@@ -4414,6 +4477,7 @@ def extra_queries():
         "bm25_topk_not": q_bm25_topk_not,
         "tfidf_topk": q_tfidf_topk,
         "lmdir_topk": q_lmdir_topk,
+        "rescore_topk": q_rescore_topk,
         "repetition_signals": q_repetition_signals,
         "bm25_topk_ranked": q_bm25_topk_ranked,
         "bm25_topk_collapse": q_bm25_topk_collapse,
@@ -4464,6 +4528,7 @@ def extra_oracle_sql(query_vec=None, sf_dir=None):
         "bm25_topk_not": sql_bm25_topk_not(),
         "tfidf_topk": sql_tfidf_topk(),
         "lmdir_topk": sql_lmdir_topk(),
+        "rescore_topk": sql_rescore_topk(),
         "repetition_signals": sql_repetition_signals(),
         "bm25_topk_ranked": sql_bm25_topk_ranked(),
         "bm25_topk_collapse": sql_bm25_topk_collapse(),

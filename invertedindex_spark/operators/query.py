@@ -4325,6 +4325,144 @@ class InvertedIndex:
                         (F.col("score_u6") / F.lit(1e6))
                         .alias("score")))
 
+    # -- two-stage retrieval: rescoring ---------------------------------
+    def _rescore_args(self, query: str, k: int, window: int,
+                      rescore_query, rescore_similarity: str,
+                      query_weight, rescore_weight):
+        """Shared validation + analysis for the rescore twins.
+        Returns (qtype, terms, rterms, rsim, qw, rw)."""
+        rsim = self._check_similarity(rescore_similarity)
+        qw, rw = float(query_weight), float(rescore_weight)
+        if qw < 0 or rw < 0:
+            raise ValueError(
+                f"rescore weights must be >= 0 "
+                f"(got {query_weight}, {rescore_weight})")
+        if int(window) < int(k):
+            raise ValueError(
+                f"window must be >= k (got window={window}, k={k})")
+        rq = query if rescore_query is None else rescore_query
+        for q in (query, rq):
+            _, nq = split_not_terms(q, stopwords=self.stopwords,
+                                    stemming=self.stemming)
+            if nq:
+                raise ValueError(
+                    "rescore does not take -term clauses "
+                    "(compose where=/MUST_NOT on the first stage "
+                    "via search_distributed instead)")
+        qtype, terms = self._preprocess_with_prefixes(query)
+        if qtype not in ("AND", "OR"):
+            raise ValueError(
+                "rescore first-stage query must be AND/OR")
+        rtype, rterms = self._preprocess_with_prefixes(rq)
+        if rtype not in ("AND", "OR"):
+            raise ValueError("rescore query must be AND/OR")
+        # the rescore stage is additive over matched terms (ES
+        # rescore query in OR form); AND input just contributes its
+        # terms the same way
+        return qtype, terms, rterms, rsim, qw, rw
+
+    def rescore(self, query: str, k: int = 20, window: int = 100,
+                rescore_query: str | None = None,
+                rescore_similarity: str = "lmdir",
+                query_weight: float = 1.0,
+                rescore_weight: float = 1.0,
+                where: str | None = None):
+        """Two-stage retrieval (Lucene ``QueryRescorer`` / the ES
+        ``rescore`` block): stage 1 ranks the BM25 top-``window``
+        (this engine's distinct-score/min-docId dedup defines the
+        window members); stage 2 re-scores ONLY those docs under
+        ``rescore_query`` (default: the same query) with
+        ``rescore_similarity``, and the final ranking orders by
+
+            u6' = floor(qw·s1 + 0.5) + floor(rw·s2 + 0.5)
+
+        — each weight is ONE double multiply of an exact int64 u6
+        sum, floored back (the established one-multiply quantization
+        recipe), so the distributed twin and the DuckDB oracle agree
+        bit-for-bit. A window doc the rescore query misses keeps
+        s2 = 0 (ES total-fallthrough semantics)."""
+        qtype, terms, rterms, rsim, qw, rw = self._rescore_args(
+            query, k, window, rescore_query, rescore_similarity,
+            query_weight, rescore_weight)
+        mask = self._allowed_mask(where) if where is not None else None
+        if self._tomb_count:
+            am = self._alive_mask()
+            mask = am if mask is None else (mask & am)
+        ids1, s1 = self._score_terms(terms, qtype, mask=mask)
+        wid, ws1 = queue_topk_np(ids1, s1, int(window))
+        if wid.size == 0:
+            return []
+        # stage 2 scores only the window docs (winner mask bounds the
+        # kernel exactly like where= does)
+        winmask = np.zeros(self.num_docs, dtype=bool)
+        winmask[wid] = True
+        ids2, s2 = self._score_terms(set(rterms), "OR", mask=winmask,
+                                     sim=rsim)
+        m = dict(zip(ids2.tolist(), s2.tolist()))
+        s2w = np.asarray([m.get(int(d), 0) for d in wid],
+                         dtype=np.int64)
+        final = (np.floor(qw * ws1.astype(np.float64) + 0.5)
+                 + np.floor(rw * s2w.astype(np.float64) + 0.5)) \
+            .astype(np.int64)
+        top_ids, top_scores = queue_topk_np(wid, final, k)
+        return self._attach_doc_nos(top_ids, top_scores)
+
+    def rescore_distributed(self, query: str, k: int = 20,
+                            window: int = 100,
+                            rescore_query: str | None = None,
+                            rescore_similarity: str = "lmdir",
+                            query_weight: float = 1.0,
+                            rescore_weight: float = 1.0,
+                            where: str | None = None,
+                            prune: bool = False):
+        """:meth:`rescore` as a distributed plan. Stage 1 is the
+        full :meth:`search_distributed` machinery (so ``prune=True``
+        gives the two-phase pruned plan a ``window``-sized k — the
+        retrieve-then-rerank shape that makes rescoring cheap at
+        scale: the expensive second similarity touches ≤ window
+        rows). Stage 2 semi-joins the rescore terms' selective decode
+        against the broadcast window (cf attached pre-filter for
+        lmdir), one keyed sum, then the blended u6' re-rank."""
+        from pyspark.sql import functions as F
+
+        qtype, terms, rterms, rsim, qw, rw = self._rescore_args(
+            query, k, window, rescore_query, rescore_similarity,
+            query_weight, rescore_weight)
+        first = self.search_distributed(query, k=int(window),
+                                        where=where, prune=prune)
+        wdf = (self.docs.join(F.broadcast(first), "doc_no")
+               .select("doc_id",
+                       F.round(F.col("score") * F.lit(1e6))
+                       .cast("long").alias("s1")))
+        present = self._present_terms(set(rterms))
+        if present:
+            dec = self._drop_tombstoned(self._attach_cf(
+                self.decoded_postings_df(present), rsim))
+            dec = dec.join(F.broadcast(wdf.select("doc_id")),
+                           "doc_id", "left_semi")
+            part = self._sim_part_col(rsim)
+            s2 = (dec.withColumn("partial", scoring.u6_col(part))
+                  .groupBy("doc_id")
+                  .agg(F.sum("partial").alias("s2")))
+            blended = (wdf.join(s2, "doc_id", "left")
+                       .na.fill({"s2": 0}))
+        else:
+            blended = wdf.withColumn("s2", F.lit(0).cast("long"))
+        fin = blended.select(
+            "doc_id",
+            (F.floor(F.lit(qw) * F.col("s1").cast("double")
+                     + F.lit(0.5)).cast("long")
+             + F.floor(F.lit(rw) * F.col("s2").cast("double")
+                       + F.lit(0.5)).cast("long")).alias("score_u6"))
+        top = (fin.groupBy("score_u6")
+               .agg(F.min("doc_id").alias("doc_id"))
+               .orderBy(F.desc("score_u6")).limit(k))
+        return (self.docs.join(F.broadcast(top), "doc_id")
+                .select("doc_no",
+                        (F.col("score_u6") / F.lit(1e6))
+                        .alias("score"))
+                .orderBy(F.desc("score")))
+
     def batch_search_distributed(self, queries, k: int = 100,
                                  prune: bool = False):
         """Evaluate a whole query batch as ONE distributed plan — the

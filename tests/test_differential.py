@@ -230,7 +230,8 @@ RANKED_QUERIES = ["bm25_topk_or", "bm25_topk_and", "bm25_topk_filtered",
                   "sharded_topk", "bm25_topk_boosted", "score_explain",
                   "bm25_topk_synonyms", "fielded_topk", "bm25_topk_msm",
                   "bm25_topk_collapse", "bm25_topk_not", "tfidf_topk",
-                  "lmdir_topk", "bm25_topk_ranked", "bool_topk", "rm3_topk",
+                  "lmdir_topk", "rescore_topk", "bm25_topk_ranked",
+                  "bool_topk", "rm3_topk",
                   "bm25_topk_regexp", "significant_terms", "bm25_topk_near"]
 
 
