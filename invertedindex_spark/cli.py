@@ -157,6 +157,21 @@ def main(argv=None):
                         print(doc_no, score)
                     print(f"{time.time() - t0} seconds")
                     continue
+                if parts[0].upper() == "RESCORE":
+                    # RESCORE <first query> | <rescore query>
+                    body = parts[1] if len(parts) > 1 else ""
+                    if "|" not in body:
+                        raise ValueError(
+                            "RESCORE needs: RESCORE OR t1 t2 | "
+                            "OR r1 r2   (stage 1 | rescore query)")
+                    q1, q2 = (s.strip() for s in body.split("|", 1))
+                    hits = idx.rescore(
+                        q1, k=args.k, window=max(args.k, 100),
+                        rescore_query=q2 or None)
+                    for doc_no, score in hits:
+                        print(doc_no, score)
+                    print(f"{time.time() - t0} seconds")
+                    continue
                 clean, boosts = split_inline_boosts(line)
                 hits = idx.search(clean, args.k, prune=args.prune,
                                   boosts=boosts or None,

@@ -106,6 +106,18 @@ def test_pruned_first_stage_row_identical(r_idx):
     assert pr == base
 
 
+def test_cli_rescore_command(r_idx, monkeypatch, capsys):
+    from invertedindex_spark import cli
+
+    lines = iter(["RESCORE OR red | OR green", "RESCORE OR red", "q"])
+    monkeypatch.setattr("builtins.input", lambda *_: next(lines))
+    rc = cli.main([r_idx.warehouse_dir])
+    assert rc in (0, None)
+    out = capsys.readouterr().out
+    assert "0 " in out or "0\t" in out or "0" in out.split()
+    assert "RESCORE needs" in out
+
+
 def test_guards(r_idx):
     with pytest.raises(ValueError, match="window"):
         r_idx.rescore("OR red", k=10, window=5)
