@@ -2102,7 +2102,8 @@ class InvertedIndex:
                            "left_semi")
         exploded = (self._drop_tombstoned(
             self._attach_cf(
-                self.decoded_postings_df(set(pos_present)), sim))
+                self.decoded_postings_df(set(pos_present)), sim,
+                terms=pos_present))
             .join(ids, "doc_id", "left_semi"))
         part = self._sim_part_col(sim)
         agg = (exploded.withColumn("partial", scoring.u6_col(part))
@@ -2583,7 +2584,8 @@ class InvertedIndex:
             np.asarray(r["block_max"], dtype=np.float64) for r in rs]))
         return bf, bm, int(rs[-1]["last_doc_id"])
 
-    def _computed_block_bounds(self, rs, sim: str = "bm25"):
+    def _computed_block_bounds(self, rs, sim: str = "bm25",
+                               cf=None):
         """(block_first, block_bounds, last_doc_id) for a term's rows
         under the CURRENT collection stats, assembled from the
         persisted stats-invariant per-block (max_tf, min_dl): the BM25
@@ -2612,10 +2614,19 @@ class InvertedIndex:
                 [[r["first_doc_id"]],
                  np.asarray(r["skip_doc_ids"], dtype=np.int64)]))
             if sim == "lmdir":
-                # no cf in the persisted block stats yet — decline so
-                # the caller serves exhaustively (sound, never a wrong
-                # bound); lmdir pruning needs a cf-aware bound pass
-                return None
+                if cf is None:
+                    # caller couldn't supply cf — decline (sound
+                    # fallback to exhaustive), never a wrong bound
+                    return None
+                # lmdir is monotone increasing in tf and decreasing
+                # in dl AND cf, so lmdir(block_max_tf, block_min_dl,
+                # cf) is a sound per-block bound; an UNDER-counted cf
+                # (e.g. a stale lexicon) only loosens it further
+                bms.append(scoring.u6_np(scoring.lmdir_np(
+                    np.asarray(mt, dtype=np.int64),
+                    np.asarray(md, dtype=np.int64),
+                    float(cf), self.num_tokens)))
+                continue
             if sim == "tfidf":
                 bms.append(scoring.u6_np(idf * (1.0 + np.log(
                     np.asarray(mt, dtype=np.float64)))))
@@ -2780,20 +2791,35 @@ class InvertedIndex:
                                 F.lit(float(self.num_docs)),
                                 F.lit(self.avg_doc_len))
 
-    def _attach_cf(self, decoded_sdf, sim: str):
+    def _attach_cf(self, decoded_sdf, sim: str, terms=None):
         """For ``sim="lmdir"``: attach each term's collection
         frequency as a ``cf`` column. MUST be called on the RAW
         selective decode, BEFORE tombstone/where/match filters — cf
         is a collection-level statistic (like the stored df, it does
         not shrink under query-time filters; the driver kernel's twin
-        sums tf pre-mask). One tiny per-term aggregate (map-side
-        combined, ≤ query-term rows) broadcast-joined back — never a
-        per-term window, which would put a hot term's whole postings
-        list in one task."""
+        sums tf pre-mask).
+
+        Fast path (compacted, non-fresh handle, ``terms`` given): the
+        lexicon already stores cf = Σ stored tf, so a literal map
+        column costs zero extra decode passes. Fresh handles (or
+        callers without the term set) fall back to one tiny per-term
+        aggregate over the decode itself (map-side combined, ≤
+        query-term rows) broadcast-joined back — same exact integer,
+        never a per-term window (a hot term's whole postings list
+        must not land in one task)."""
         if sim != "lmdir":
             return decoded_sdf
         from pyspark.sql import functions as F
 
+        if (terms is not None and not self.fresh
+                and self._compacted_tables_exist()):
+            rows = self.lookup(set(terms))
+            if rows:
+                lits = [x for t in sorted(rows)
+                        for x in (F.lit(t),
+                                  F.lit(int(rows[t]["cf"])))]
+                return decoded_sdf.withColumn(
+                    "cf", F.create_map(*lits)[F.col("term")])
         cfs = (decoded_sdf.groupBy("term")
                .agg(F.sum("tf").alias("cf")))
         return decoded_sdf.join(F.broadcast(cfs), "term")
@@ -3370,6 +3396,14 @@ class InvertedIndex:
                       and not any(r.get("_partial")
                                   for rs in by_term.values()
                                   for r in rs))
+        cfs = {}
+        if sim == "lmdir":
+            # exact cf per term from the lexicon (compacted handles:
+            # lexicon cf == Σ stored tf by construction); a term the
+            # lexicon misses (fresh partial-only) declines the plan
+            cfs = self.lookup(set(by_term))
+            if len(cfs) != len(by_term):
+                return None
         out = {}
         for t, rs in by_term.items():
             if use_stored:
@@ -3377,7 +3411,9 @@ class InvertedIndex:
                 tub = int(scoring.u6_np(
                     float(rs[0]["term_upper_bound"])))
             else:
-                ba = self._computed_block_bounds(rs, sim=sim)
+                ba = self._computed_block_bounds(
+                    rs, sim=sim,
+                    cf=int(cfs[t]["cf"]) if sim == "lmdir" else None)
                 if ba is None:
                     return None
                 bf, bm, last = ba
@@ -3404,7 +3440,8 @@ class InvertedIndex:
         from pyspark.sql import functions as F
 
         ess = self._drop_tombstoned(
-            self._attach_cf(self.decoded_postings_df(terms), sim))
+            self._attach_cf(self.decoded_postings_df(terms), sim,
+                            terms=terms))
         if where is not None:
             ess = ess.join(self._allowed_ids_df(where),
                            "doc_id", "left_semi")
@@ -3483,6 +3520,7 @@ class InvertedIndex:
         self._boost_bc = bc
         use_pfd = self.codec == "pfd"
         num_docs, avg_dl = float(self.num_docs), self.avg_doc_len
+        num_toks = float(self.num_tokens)
 
         pay_cols = ["term", "first_doc_id", "last_doc_id",
                     "doc_ids_vbyte", "freqs_vbyte", "skip_doc_ids",
@@ -3563,6 +3601,10 @@ class InvertedIndex:
                     if sim_kind == "tfidf":
                         s = scoring.u6_np(wt * (idf * (
                             1.0 + np.log(tf[m].astype(np.float64)))))
+                    elif sim_kind == "lmdir":
+                        # idf slot carries the term's cf for lmdir
+                        s = scoring.u6_np(wt * scoring.lmdir_np(
+                            tf[m], wdls[widx], idf, num_toks))
                     else:
                         s = scoring.u6_np(wt * (scoring.factor_np(
                             tf[m], wdls[widx], avg_dl) * idf))
@@ -3652,6 +3694,15 @@ class InvertedIndex:
         wmap = wmap or {}
         by_term = self._light_rows(present)
         if len(by_term) != len(present):
+            return None
+        if sim == "lmdir" and any(r.get("_partial")
+                                  for rs in by_term.values()
+                                  for r in rs):
+            # merged-on-read partials make the lexicon cf stale vs
+            # the exhaustive plan's union cf — decline rather than
+            # score with a diverging cf (pruned == exhaustive is the
+            # invariant)
+            stats["lmdir_fresh_fallback"] = True
             return None
         bounds = self._term_bounds_for_pruning(by_term, sim=sim)
         if bounds is None:
@@ -3748,10 +3799,20 @@ class InvertedIndex:
             return self.spark.createDataFrame(
                 [], "doc_no string, score double")
 
-        idf_map = {t: (float(np.log(float(self.num_docs)
-                                    / float(dfs[t]))),
-                       float(wmap.get(t, 1.0)))
-                   for t in boost}
+        if sim == "lmdir":
+            # score_info carries (cf, weight) per boost term — the
+            # executor kernel's lmdir branch reads cf where the
+            # bm25/tfidf branches read idf
+            lex = self.lookup(set(boost))
+            if len(lex) != len(boost):
+                return None
+            idf_map = {t: (float(lex[t]["cf"]),
+                           float(wmap.get(t, 1.0))) for t in boost}
+        else:
+            idf_map = {t: (float(np.log(float(self.num_docs)
+                                        / float(dfs[t]))),
+                           float(wmap.get(t, 1.0)))
+                       for t in boost}
         boost_df = self._boost_partials_df(
             boost, wanted_ids, wanted_dls, idf_map, sim=sim)
         # Arrow-native survivor table: a python-tuple createDataFrame
@@ -3899,8 +3960,12 @@ class InvertedIndex:
         serves TFIDF through the SAME two-phase pruned plan: bounds
         are recomputed from the stats-invariant block_max_tf (TFIDF
         is monotone in tf and dl-free, so idf·(1+ln(block_max_tf))
-        is sound) — telemetry records similarity=tfidf; lmdir
-        demotes (mode=lmdir_exhaustive — block stats carry no cf).
+        is sound) — telemetry records similarity=tfidf. lmdir prunes
+        too: bounds = lmdir(block_max_tf, block_min_dl, lexicon cf)
+        (monotone in tf/dl, DEcreasing in cf, so an under-counted cf
+        only loosens a bound); the plan declines on merged-on-read
+        partials (lexicon cf would diverge from the exhaustive
+        plan's union cf — pruned == exhaustive is the invariant).
 
         ``rank_boost=(col, w)`` (Elasticsearch ``rank_feature``;
         needs :meth:`set_attributes`): adds ``u6(w · ln(1 +
@@ -3945,11 +4010,6 @@ class InvertedIndex:
         if after_score is not None and prune:
             prune = False
             self.last_prune_stats = {"mode": "after_exhaustive"}
-        if sim == "lmdir" and prune:
-            # the persisted block stats carry no cf; a cf-aware bound
-            # pass would be needed for a sound lmdir pruned plan
-            prune = False
-            self.last_prune_stats = {"mode": "lmdir_exhaustive"}
         if qtype == "PHRASE":
             self._require_positions()
         present = self._present_terms(set(terms))
@@ -3972,7 +4032,8 @@ class InvertedIndex:
             # and the exhaustive plan below served the query
             self.last_prune_stats["mode"] = "distributed_fallback"
         exploded = self._drop_tombstoned(
-            self._attach_cf(self.decoded_postings_df(present), sim))
+            self._attach_cf(self.decoded_postings_df(present), sim,
+                            terms=present))
         if not_present:
             # Lucene MUST_NOT: one anti-join against the negated
             # terms' selective decode (duplicate right rows are fine
@@ -4437,7 +4498,8 @@ class InvertedIndex:
         present = self._present_terms(set(rterms))
         if present:
             dec = self._drop_tombstoned(self._attach_cf(
-                self.decoded_postings_df(present), rsim))
+                self.decoded_postings_df(present), rsim,
+                terms=present))
             dec = dec.join(F.broadcast(wdf.select("doc_id")),
                            "doc_id", "left_semi")
             part = self._sim_part_col(rsim)

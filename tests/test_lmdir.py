@@ -93,14 +93,19 @@ def test_all_paths_agree(lm_idx):
 def test_prune_demotes_honestly(lm_idx):
     base = _rows(lm_idx.search("OR red green", k=10,
                                similarity="lmdir"))
+    # driver kernels demote (they are BM25-bound-specific)
     pr = _rows(lm_idx.search("OR red green", k=10, prune=True,
                              similarity="lmdir"))
     assert pr == base
     assert lm_idx.last_prune_stats["mode"] == "lmdir_exhaustive"
+    # the distributed pruned plan SERVES lmdir (cf-aware computed
+    # bounds) or declines at toy scale — rows identical either way;
+    # the deep engagement assertions live in test_maxscore
     prd = _rows(lm_idx.search_distributed(
         "OR red green", k=10, prune=True, similarity="lmdir"))
     assert prd == base
-    assert lm_idx.last_prune_stats["mode"] == "lmdir_exhaustive"
+    assert lm_idx.last_prune_stats["mode"] in (
+        "distributed", "distributed_fallback")
 
 
 def test_composes_with_not_and_boosts(lm_idx):

@@ -477,3 +477,40 @@ def test_distributed_pruned_tfidf(bm_index):
                                  similarity="tfidf").collect()]
     assert ap == a and ap
     assert idx.last_prune_stats.get("mode") == "distributed"
+
+
+def test_distributed_pruned_lmdir(bm_index):
+    """similarity="lmdir" through the two-phase pruned plan: bounds
+    = lmdir(block_max_tf, block_min_dl, cf, T) (monotone in tf/dl,
+    DEcreasing in cf — an under-counted cf only loosens it); the
+    executor kernel reads each boost term's exact lexicon cf from
+    the score_info broadcast. Rows identical to the exhaustive lmdir
+    plan, telemetry labeled."""
+    from invertedindex_spark import InvertedIndex
+
+    idx = InvertedIndex(bm_index.spark, bm_index.warehouse_dir)
+    idx.DIST_BOOST_DF_MIN = 1024
+    q = "OR qqrarea qqrareb hotterm"
+    want = [(r["doc_no"], r["score"]) for r in
+            idx.search_distributed(q, 3, similarity="lmdir").collect()]
+    got = [(r["doc_no"], r["score"]) for r in
+           idx.search_distributed(q, 3, prune=True,
+                                  similarity="lmdir").collect()]
+    assert got == want and got
+    st = idx.last_prune_stats
+    assert st.get("mode") == "distributed", st
+    assert st.get("similarity") == "lmdir", st
+    assert st["blocks_decoded"] < st["blocks_before"], st
+    # and the driver exhaustive kernel agrees with the plan
+    drv = [(d, round(s, 9)) for d, s in
+           idx.search(q, 3, similarity="lmdir")]
+    assert drv == [(d, round(s, 9)) for d, s in want]
+
+    a = [(r["doc_no"], r["score"]) for r in
+         idx.search_distributed("AND qqrarea hotterm", 5,
+                                similarity="lmdir").collect()]
+    ap = [(r["doc_no"], r["score"]) for r in
+          idx.search_distributed("AND qqrarea hotterm", 5, prune=True,
+                                 similarity="lmdir").collect()]
+    assert ap == a and ap
+    assert idx.last_prune_stats.get("mode") == "distributed"
