@@ -430,6 +430,17 @@ def main():
             fl("sigterms_distributed", lambda: idx_cached
                .significant_terms("OR hotterm quick brown", top=10,
                                   sample=50).collect())
+            fl("lmdir_driver", lambda: idx_cached.search(
+                "OR hotterm quick brown", 10, similarity="lmdir"))
+            fl("lmdir_pruned_distributed", lambda: idx_cached
+               .search_distributed("OR hotterm quick brown", 10,
+                                   prune=True, similarity="lmdir")
+               .collect())
+            fl("rescore_distributed", lambda: idx_cached
+               .rescore_distributed("OR hotterm quick brown", 10,
+                                    window=50,
+                                    rescore_query="OR quick brown",
+                                    rescore_weight=2.0).collect())
             extras["feature_latency_ms"] = feat
 
         # batch_search_distributed is deliberately NOT benched here: its
