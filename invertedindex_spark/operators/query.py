@@ -4415,12 +4415,15 @@ class InvertedIndex:
             raise ValueError(
                 "rescore first-stage query must be AND/OR")
         rtype, rterms = self._preprocess_with_prefixes(rq)
-        if rtype not in ("AND", "OR"):
-            raise ValueError("rescore query must be AND/OR")
-        # the rescore stage is additive over matched terms (ES
-        # rescore query in OR form); AND input just contributes its
-        # terms the same way
-        return qtype, terms, rterms, rsim, qw, rw
+        # rescore-query semantics (per type, the ES rescore shapes):
+        # OR — additive over matched terms; AND — only docs holding
+        # EVERY term earn s2; PHRASE — only docs containing the exact
+        # phrase earn s2 (the canonical match_phrase rescore), scored
+        # as the sim-sum of the phrase's unique terms (the engine's
+        # filter-then-rank phrase contract)
+        if rtype == "PHRASE":
+            self._require_positions()
+        return qtype, terms, rtype, rterms, rsim, qw, rw
 
     def rescore(self, query: str, k: int = 20, window: int = 100,
                 rescore_query: str | None = None,
@@ -4441,8 +4444,11 @@ class InvertedIndex:
         sum, floored back (the established one-multiply quantization
         recipe), so the distributed twin and the DuckDB oracle agree
         bit-for-bit. A window doc the rescore query misses keeps
-        s2 = 0 (ES total-fallthrough semantics)."""
-        qtype, terms, rterms, rsim, qw, rw = self._rescore_args(
+        s2 = 0 (ES total-fallthrough semantics). The rescore query
+        may be OR (additive), AND (all-terms gate) or PHRASE (the
+        canonical match_phrase proximity rescore: only docs
+        containing the exact phrase earn s2)."""
+        qtype, terms, rtype, rterms, rsim, qw, rw = self._rescore_args(
             query, k, window, rescore_query, rescore_similarity,
             query_weight, rescore_weight)
         mask = self._allowed_mask(where) if where is not None else None
@@ -4457,8 +4463,13 @@ class InvertedIndex:
         # kernel exactly like where= does)
         winmask = np.zeros(self.num_docs, dtype=bool)
         winmask[wid] = True
-        ids2, s2 = self._score_terms(set(rterms), "OR", mask=winmask,
-                                     sim=rsim)
+        if rtype == "PHRASE":
+            winmask &= self._phrase_mask(rterms)
+            ids2, s2 = self._score_terms(set(rterms), "OR",
+                                         mask=winmask, sim=rsim)
+        else:
+            ids2, s2 = self._score_terms(set(rterms), rtype,
+                                         mask=winmask, sim=rsim)
         m = dict(zip(ids2.tolist(), s2.tolist()))
         s2w = np.asarray([m.get(int(d), 0) for d in wid],
                          dtype=np.int64)
@@ -4486,7 +4497,7 @@ class InvertedIndex:
         lmdir), one keyed sum, then the blended u6' re-rank."""
         from pyspark.sql import functions as F
 
-        qtype, terms, rterms, rsim, qw, rw = self._rescore_args(
+        qtype, terms, rtype, rterms, rsim, qw, rw = self._rescore_args(
             query, k, window, rescore_query, rescore_similarity,
             query_weight, rescore_weight)
         first = self.search_distributed(query, k=int(window),
@@ -4496,17 +4507,27 @@ class InvertedIndex:
                        F.round(F.col("score") * F.lit(1e6))
                        .cast("long").alias("s1")))
         present = self._present_terms(set(rterms))
-        if present:
+        gated = (rtype != "OR" and len(present) < len(set(rterms)))
+        if present and not gated:
             dec = self._drop_tombstoned(self._attach_cf(
                 self.decoded_postings_df(present), rsim,
                 terms=present))
             dec = dec.join(F.broadcast(wdf.select("doc_id")),
                            "doc_id", "left_semi")
+            if rtype == "PHRASE":
+                dec = dec.join(self._phrase_docs_df(rterms),
+                               "doc_id", "left_semi")
             part = self._sim_part_col(rsim)
             s2 = (dec.withColumn("partial", scoring.u6_col(part))
                   .groupBy("doc_id")
-                  .agg(F.sum("partial").alias("s2")))
-            blended = (wdf.join(s2, "doc_id", "left")
+                  .agg(F.sum("partial").alias("s2"),
+                       F.count("*").alias("nt")))
+            if rtype == "AND":
+                # all-terms gate: one row per (term, doc) in the
+                # selective decode, so nt == distinct matched terms
+                s2 = s2.where(F.col("nt") == len(present))
+            blended = (wdf.join(s2.select("doc_id", "s2"),
+                                "doc_id", "left")
                        .na.fill({"s2": 0}))
         else:
             blended = wdf.withColumn("s2", F.lit(0).cast("long"))

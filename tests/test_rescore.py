@@ -106,6 +106,65 @@ def test_pruned_first_stage_row_identical(r_idx):
     assert pr == base
 
 
+def test_and_rescore_gates_all_terms(r_idx):
+    # AND rescore: only docs holding EVERY rescore term earn s2 —
+    # doc 2 is the only red+green doc; doc 0 (red only) gets no boost
+    plain = _rows(r_idx.search("OR red", k=5))
+    re_and = _rows(r_idx.rescore("OR red", k=5, window=5,
+                                 rescore_query="AND red green",
+                                 rescore_weight=100.0))
+    assert re_and[0][0] == "2"
+    assert [d for d, _ in re_and if d != "2"] \
+        == [d for d, _ in plain if d != "2"]
+    d = _rows(r_idx.rescore_distributed(
+        "OR red", k=5, window=5, rescore_query="AND red green",
+        rescore_weight=100.0))
+    assert d == re_and
+    # an out-of-vocabulary AND term gates EVERY doc to s2=0
+    assert (_rows(r_idx.rescore("OR red", k=3, window=5,
+                                rescore_query="AND red zzz",
+                                rescore_weight=100.0))
+            == _rows(r_idx.search("OR red", k=3)))
+    assert (_rows(r_idx.rescore_distributed(
+        "OR red", k=3, window=5, rescore_query="AND red zzz",
+        rescore_weight=100.0))
+        == _rows(r_idx.search("OR red", k=3)))
+
+
+def test_phrase_rescore_is_proximity_gated(spark, tmp_path):
+    # the canonical match_phrase rescore needs a positional index
+    df = spark.createDataFrame(
+        list(enumerate(TEXTS)), "doc_id long, text string")
+    wh = str(tmp_path / "wh_pos")
+    build_index(spark, from_documents(df), wh,
+                IndexConfig(num_blocks=2, stemming=False,
+                            positions=True))
+    idx = InvertedIndex(spark, wh)
+    # doc 2 'red red green' contains the exact phrase 'red green';
+    # doc 3 has green but never after red
+    re = _rows(idx.rescore("OR red green", k=5, window=5,
+                           rescore_query="PHRASE red green",
+                           rescore_weight=100.0))
+    assert re[0][0] == "2"
+    d = _rows(idx.rescore_distributed(
+        "OR red green", k=5, window=5,
+        rescore_query="PHRASE red green", rescore_weight=100.0))
+    assert d == re
+    # a phrase that occurs nowhere leaves the first pass unchanged
+    assert (_rows(idx.rescore("OR red green", k=3, window=5,
+                              rescore_query="PHRASE green red",
+                              rescore_weight=100.0))
+            == _rows(idx.search("OR red green", k=3)))
+
+
+def test_phrase_rescore_requires_positions(r_idx):
+    # RuntimeError, not ValueError: missing index capability, not a
+    # malformed query (the _require_positions contract)
+    with pytest.raises(RuntimeError, match="positions"):
+        r_idx.rescore("OR red", k=2, window=5,
+                      rescore_query="PHRASE red green")
+
+
 def test_cli_rescore_command(r_idx, monkeypatch, capsys):
     from invertedindex_spark import cli
 
