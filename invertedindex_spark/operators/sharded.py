@@ -483,6 +483,95 @@ class ShardedIndex:
                         (F.col("score_u6") / F.lit(1e6)).alias("score"))
                 .orderBy(F.desc("score")))
 
+    def rescore_distributed(self, query: str, k: int = 20,
+                            window: int = 100,
+                            rescore_query: str | None = None,
+                            rescore_similarity: str = "lmdir",
+                            query_weight: float = 1.0,
+                            rescore_weight: float = 1.0,
+                            where: str | None = None):
+        """:meth:`InvertedIndex.rescore_distributed` served
+        scatter-gather, row-identical to the merged warehouse: stage 1
+        is the sharded (merged-exact) ranked search capped at
+        ``window``; stage 2 re-scores the broadcast window under the
+        GLOBAL statistics (summed dfs / cf / num_tokens via
+        :meth:`_stats_partial`) over the per-shard selective decodes —
+        :meth:`_match_union` already yields global doc ids and the
+        phrase gate, so the blend is the merged recipe verbatim:
+        u6' = floor(qw·s1+0.5) + floor(rw·s2+0.5), tie → min global
+        doc_id per distinct score."""
+        from pyspark.sql import functions as F
+
+        base = self.idxs[0]
+        rsim = base._check_similarity(rescore_similarity)
+        qw, rw = float(query_weight), float(rescore_weight)
+        if qw < 0 or rw < 0:
+            raise ValueError(
+                f"rescore weights must be >= 0 "
+                f"(got {query_weight}, {rescore_weight})")
+        if int(window) < int(k):
+            raise ValueError(
+                f"window must be >= k (got window={window}, k={k})")
+        rq = query if rescore_query is None else rescore_query
+        for q in (query, rq):
+            _, nq = split_not_terms(q, stopwords=self.stopwords,
+                                    stemming=self.stemming)
+            if nq:
+                raise ValueError(
+                    "rescore does not take -term clauses")
+        qtype, _terms = preprocess_with_rewrites(
+            query, stopwords=self.stopwords, stemming=self.stemming,
+            expand_prefix=self.expand_prefix,
+            expand_fuzzy=self.expand_fuzzy,
+            expand_range=self.expand_range,
+            expand_regexp=self.expand_regexp)
+        if qtype not in ("AND", "OR"):
+            raise ValueError(
+                "rescore first-stage query must be AND/OR")
+        rtype, rterms = preprocess_with_rewrites(
+            rq, stopwords=self.stopwords, stemming=self.stemming,
+            expand_prefix=self.expand_prefix,
+            expand_fuzzy=self.expand_fuzzy,
+            expand_range=self.expand_range,
+            expand_regexp=self.expand_regexp)
+        first = self.search_distributed(query, k=int(window),
+                                        where=where)
+        wdf = (self._docs_union().join(F.broadcast(first), "doc_no")
+               .select("doc_id",
+                       F.round(F.col("score") * F.lit(1e6))
+                       .cast("long").alias("s1")))
+        u, present = self._match_union(rtype, rterms)
+        if u is not None:
+            u = u.join(F.broadcast(wdf.select("doc_id")),
+                       "doc_id", "left_semi")
+            sdf, part = self._stats_partial(present, rsim)
+            s2 = (u.join(sdf, "term")
+                  .withColumn("partial", scoring.u6_col(part))
+                  .groupBy("doc_id")
+                  .agg(F.sum("partial").alias("s2"),
+                       F.count("*").alias("nt")))
+            if rtype == "AND":
+                s2 = s2.where(F.col("nt") == len(present))
+            blended = (wdf.join(s2.select("doc_id", "s2"),
+                                "doc_id", "left")
+                       .na.fill({"s2": 0}))
+        else:
+            blended = wdf.withColumn("s2", F.lit(0).cast("long"))
+        fin = blended.select(
+            "doc_id",
+            (F.floor(F.lit(qw) * F.col("s1").cast("double")
+                     + F.lit(0.5)).cast("long")
+             + F.floor(F.lit(rw) * F.col("s2").cast("double")
+                       + F.lit(0.5)).cast("long")).alias("score_u6"))
+        top = (fin.groupBy("score_u6")
+               .agg(F.min("doc_id").alias("doc_id"))
+               .orderBy(F.desc("score_u6")).limit(k))
+        return (self._docs_union().join(F.broadcast(top), "doc_id")
+                .select("doc_no",
+                        (F.col("score_u6") / F.lit(1e6))
+                        .alias("score"))
+                .orderBy(F.desc("score")))
+
     def significant_terms(self, query: str, top: int = 10,
                           sample: int = 50,
                           where: str | None = None):

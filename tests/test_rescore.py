@@ -177,6 +177,42 @@ def test_cli_rescore_command(r_idx, monkeypatch, capsys):
     assert "RESCORE needs" in out
 
 
+def test_sharded_rescore_parity(spark, tmp_path_factory):
+    """ShardedIndex.rescore_distributed == the merged warehouse on
+    every rescore-query type (OR / AND / PHRASE) and similarity."""
+    from invertedindex_spark.operators.sharded import ShardedIndex
+
+    root = tmp_path_factory.mktemp("rescoresh")
+    cfg = IndexConfig(num_blocks=2, stemming=False, positions=True)
+    whs = []
+    for i, chunk in enumerate([TEXTS[:3], TEXTS[3:]]):
+        df = spark.createDataFrame(
+            [(j + (0 if i == 0 else 3), t)
+             for j, t in enumerate(chunk)],
+            "doc_id long, text string")
+        wh = str(root / f"wh{i}")
+        build_index(spark, from_documents(df), wh, cfg)
+        whs.append(wh)
+    sh = ShardedIndex(spark, whs)
+    df_all = spark.createDataFrame(
+        list(enumerate(TEXTS)), "doc_id long, text string")
+    wh_all = str(root / "whall")
+    build_index(spark, from_documents(df_all), wh_all, cfg)
+    one = InvertedIndex(spark, wh_all)
+    cases = [dict(rescore_query="OR green", rescore_weight=10.0),
+             dict(rescore_query="AND red green",
+                  rescore_weight=100.0),
+             dict(rescore_query="PHRASE red green",
+                  rescore_weight=100.0),
+             dict(rescore_query="OR green",
+                  rescore_similarity="bm25", query_weight=0.5)]
+    for kw in cases:
+        assert (_rows(sh.rescore_distributed("OR red", k=5, window=5,
+                                             **kw))
+                == _rows(one.rescore_distributed("OR red", k=5,
+                                                 window=5, **kw))), kw
+
+
 def test_guards(r_idx):
     with pytest.raises(ValueError, match="window"):
         r_idx.rescore("OR red", k=10, window=5)
