@@ -4250,7 +4250,8 @@ class InvertedIndex:
 
     def explain_distributed(self, query: str, k: int = 10,
                             where: str | None = None,
-                            boosts: dict | None = None):
+                            boosts: dict | None = None,
+                            similarity: str = "bm25"):
         """Lucene-style ``explain``: per-term score contributions for
         the query's top-k documents, as ONE distributed plan —
         DataFrame (rank, doc_no, term, tf, partial_u6, score_u6), one
@@ -4266,6 +4267,7 @@ class InvertedIndex:
         from pyspark.sql import Window
         from pyspark.sql import functions as F
 
+        sim = self._check_similarity(similarity)
         bmap = self._normalize_boosts(boosts) if boosts else {}
         qtype, terms = self._preprocess_with_prefixes(query)
         if qtype == "PHRASE":
@@ -4277,23 +4279,14 @@ class InvertedIndex:
         if not present or (qtype != "OR" and len(present)
                            < len(set(terms))):
             return self.spark.createDataFrame([], empty)
-        exploded = self._drop_tombstoned(
-            self.decoded_postings_df(present))
+        exploded = self._drop_tombstoned(self._attach_cf(
+            self.decoded_postings_df(present), sim, terms=present))
         if where is not None:
             exploded = exploded.join(self._allowed_ids_df(where),
                                      "doc_id", "left_semi")
-        bm25 = scoring.bm25_col(F.col("tf"), F.col("dl"), F.col("df"),
-                                F.lit(float(self.num_docs)),
-                                F.lit(self.avg_doc_len))
-        if bmap:
-            w_col = F.lit(1.0)
-            for t, w in sorted(bmap.items()):
-                w_col = (F.when(F.col("term") == F.lit(t), F.lit(w))
-                         .otherwise(w_col))
-            partial = scoring.u6_col(w_col * bm25)
-        else:
-            partial = scoring.u6_col(bm25)
-        scored = exploded.withColumn("partial", partial)
+        part = self._sim_part_col(sim)
+        scored = exploded.withColumn(
+            "partial", scoring.weighted_u6_col(part, bmap))
         agg = (scored.groupBy("doc_id")
                .agg(F.sum("partial").alias("score_u6"),
                     F.count("*").alias("nt")))

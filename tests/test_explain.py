@@ -45,6 +45,34 @@ def test_explain_reconstructs_search(exp_idx):
     assert [ranks[d] for d in ordered] == list(range(1, len(ordered) + 1))
 
 
+def test_explain_similarity_variants(exp_idx):
+    """explain(similarity=) reconstructs the matching ranked search
+    for tfidf and lmdir exactly (same partials, same tie dedup)."""
+    for sim in ("tfidf", "lmdir"):
+        res = exp_idx.search_distributed("OR fast table data", k=4,
+                                         similarity=sim)
+        want = {r["doc_no"]: round(r["score"], 9)
+                for r in res.collect()}
+        exp = exp_idx.explain_distributed("OR fast table data", k=4,
+                                          similarity=sim)
+        rows = exp.collect()
+        assert {r["doc_no"] for r in rows} == set(want), sim
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r["doc_no"], []).append(r)
+        for doc_no, rs in by_doc.items():
+            assert sum(r["partial_u6"] for r in rs) \
+                == rs[0]["score_u6"], sim
+            assert round(rs[0]["score_u6"] / 1e6, 9) == want[doc_no]
+    # the three similarities genuinely explain different partials
+    p = {}
+    for sim in ("bm25", "tfidf", "lmdir"):
+        rows = exp_idx.explain_distributed("OR fast", k=2,
+                                           similarity=sim).collect()
+        p[sim] = {(r["doc_no"], r["partial_u6"]) for r in rows}
+    assert p["bm25"] != p["tfidf"] != p["lmdir"]
+
+
 def test_explain_boosted_and_conjunctive(exp_idx):
     exp = exp_idx.explain_distributed("AND fast table", k=3,
                                       boosts={"table": 4.0})
