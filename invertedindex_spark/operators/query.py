@@ -4306,7 +4306,8 @@ class InvertedIndex:
                         "score_u6")
                 .orderBy("rank", "term"))
 
-    def _batch_phrase_top(self, phrase_qs, coerce, qid_t, k):
+    def _batch_phrase_top(self, phrase_qs, coerce, qid_t, k,
+                          sim: str = "bm25"):
         """Shared-scan batch plan for the PHRASE entries: ONE
         positions+postings decode for the union of every phrase's
         vocabulary (persisted for the duration of planning), each
@@ -4358,14 +4359,13 @@ class InvertedIndex:
                   for t in dict.fromkeys(ts)]
         qterms = self.spark.createDataFrame(
             q_rows, f"qid {qid_t}, term string")
-        exploded = self._drop_tombstoned(
-            self.decoded_postings_df({t for _q, t in q_rows}))
+        ph_terms = {t for _q, t in q_rows}
+        exploded = self._drop_tombstoned(self._attach_cf(
+            self.decoded_postings_df(ph_terms), sim, terms=ph_terms))
         scored = (exploded.join(F.broadcast(qterms), "term")
                   .join(allowed, ["qid", "doc_id"], "left_semi")
-                  .withColumn("partial", scoring.bm25_u6_col(
-                      F.col("tf"), F.col("dl"), F.col("df"),
-                      F.lit(float(self.num_docs)),
-                      F.lit(self.avg_doc_len))))
+                  .withColumn("partial",
+                              scoring.u6_col(self._sim_part_col(sim))))
         agg = (scored.groupBy("qid", "doc_id")
                .agg(F.sum("partial").alias("score_u6")))
         per_score = (agg.groupBy("qid", "score_u6")
@@ -4540,7 +4540,8 @@ class InvertedIndex:
                 .orderBy(F.desc("score")))
 
     def batch_search_distributed(self, queries, k: int = 100,
-                                 prune: bool = False):
+                                 prune: bool = False,
+                                 similarity: str = "bm25"):
         """Evaluate a whole query batch as ONE distributed plan — the
         Spark-first form of the reference's sequential 6,980-query TREC
         loop (``QueryProcessorTest.java:76-108``): the postings scan
@@ -4574,6 +4575,11 @@ class InvertedIndex:
         caveat shared by every pruned path: equal-float final scores
         across distinct docs — tested corpora never hit it).
         """
+        sim = self._check_similarity(similarity)
+        if sim != "bm25" and prune:
+            # batched pruning thresholds are BM25-bound-backed only
+            prune = False
+            self.last_prune_stats = {"mode": f"batch_{sim}_exhaustive"}
         # qid column type follows the caller: all-int qids come back as
         # longs (joinable against the caller's keys); anything else is
         # coerced to string
@@ -4611,7 +4617,7 @@ class InvertedIndex:
         phrase_df = None
         if phrase_qs:
             phrase_df = self._batch_phrase_top(phrase_qs, coerce,
-                                               qid_t, k)
+                                               qid_t, k, sim=sim)
         if not parsed:
             if phrase_df is None:
                 return self.spark.createDataFrame(
@@ -4629,14 +4635,15 @@ class InvertedIndex:
                 # honest telemetry: the whole batch ran exhaustive
                 self.last_prune_stats["mode"] = \
                     "batch_distributed_fallback"
-        rest = (self._batch_exhaustive_top(parsed, qid_t, k) if parsed
-                else None)
+        rest = (self._batch_exhaustive_top(parsed, qid_t, k, sim=sim)
+                if parsed else None)
         for part in (pruned_df, phrase_df):
             if part is not None:
                 rest = part if rest is None else rest.unionByName(part)
         return rest.orderBy("qid", "rank")
 
-    def _batch_exhaustive_top(self, parsed, qid_t, k):
+    def _batch_exhaustive_top(self, parsed, qid_t, k,
+                              sim: str = "bm25"):
         """The exhaustive batch plan over pre-parsed (qid, term, qtype,
         n_terms) rows — one postings scan for the union of terms,
         broadcast fan-out, per-qid queue semantics. Returns the
@@ -4647,13 +4654,12 @@ class InvertedIndex:
         qterms = self.spark.createDataFrame(
             parsed, f"qid {qid_t}, term string, qtype string, n_terms int")
         all_terms = {p[1] for p in parsed}
-        exploded = self._drop_tombstoned(
-            self.decoded_postings_df(all_terms))
+        exploded = self._drop_tombstoned(self._attach_cf(
+            self.decoded_postings_df(all_terms), sim,
+            terms=all_terms))
         scored = (exploded.join(F.broadcast(qterms), "term")
-                  .withColumn("partial", scoring.bm25_u6_col(
-                      F.col("tf"), F.col("dl"), F.col("df"),
-                      F.lit(float(self.num_docs)),
-                      F.lit(self.avg_doc_len))))
+                  .withColumn("partial",
+                              scoring.u6_col(self._sim_part_col(sim))))
         agg = (scored.groupBy("qid", "qtype", "n_terms", "doc_id")
                .agg(F.sum("partial").alias("score_u6"),
                     F.count("*").alias("nt")))

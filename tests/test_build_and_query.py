@@ -161,6 +161,40 @@ def test_batch_distributed_matches_sequential(built):
         assert s == pytest.approx(want_scores[(qid, rank)], rel=1e-12)
 
 
+def test_batch_distributed_similarity(built):
+    """similarity= on the batched plan: one scan, every qid scored
+    under the selected family — identical to the sequential path and
+    to per-query search_distributed; PHRASE entries share it too;
+    prune demotes honestly for non-bm25."""
+    spark, wh, _m, _o = built
+    idx = InvertedIndex(spark, wh)
+    batch = [(i, q) for i, q in enumerate(QUERIES)]
+    for sim in ("tfidf", "lmdir"):
+        want = idx.batch_search(batch, k=10, similarity=sim)
+        got = [(r["qid"], r["rank"], r["doc_no"], r["score"])
+               for r in idx.batch_search_distributed(
+                   batch, k=10, similarity=sim).collect()]
+        assert (sorted((q, r, d) for q, r, d, _s in got)
+                == sorted((q, r, d) for q, r, d, _s in want)), sim
+        ws = {(q, r): s for q, r, _d, s in want}
+        for qid, rank, _d, s in got:
+            assert s == pytest.approx(ws[(qid, rank)], rel=1e-12)
+        # prune demotes whole-batch for non-bm25, rows unchanged
+        pruned = [(r["qid"], r["rank"], r["doc_no"], r["score"])
+                  for r in idx.batch_search_distributed(
+                      batch, k=10, prune=True,
+                      similarity=sim).collect()]
+        assert sorted(pruned) == sorted(got)
+        assert idx.last_prune_stats["mode"] == f"batch_{sim}_exhaustive"
+    # the families genuinely rank differently somewhere in the batch
+    bm = {(r["qid"], r["rank"]): r["score"]
+          for r in idx.batch_search_distributed(batch, k=10).collect()}
+    lm = {(r["qid"], r["rank"]): r["score"]
+          for r in idx.batch_search_distributed(
+              batch, k=10, similarity="lmdir").collect()}
+    assert any(bm[k] != lm[k] for k in bm.keys() & lm.keys())
+
+
 def test_illegal_query_type_raises(built):
     spark, wh, _m, _o = built
     idx = InvertedIndex(spark, wh)

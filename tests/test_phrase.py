@@ -492,6 +492,27 @@ def test_batch_distributed_with_phrase_queries(built):
     idx._cache.clear()
 
 
+def test_batch_distributed_phrase_similarity(built):
+    """PHRASE entries in a similarity= batch score under the selected
+    family too (the shared phrase scan's scoring pass dispatches the
+    same partial as everything else)."""
+    idx, _oracle, doc_terms, _ = built
+    ph = _common_ngrams(doc_terms, 2, want=1)[0]
+    t = ph[0]
+    batch = [(1, f"OR {t} data"), (2, "PHRASE " + " ".join(ph))]
+    for sim in ("tfidf", "lmdir"):
+        got = {(r["qid"], r["rank"], r["doc_no"], round(r["score"], 9))
+               for r in idx.batch_search_distributed(
+                   batch, k=10, similarity=sim).collect()}
+        want = set()
+        for qid, q in batch:
+            for rank, (dn, sc) in enumerate(
+                    idx.search(q, k=10, similarity=sim), start=1):
+                want.add((qid, rank, dn, round(sc, 9)))
+        assert got == want, sim
+        idx._cache.clear()
+
+
 def test_batch_distributed_phrase_heavy_shared_scan(built):
     """A phrase-HEAVY batch through the shared-scan plan: several
     phrases (plus an unknown-term phrase that must yield no rows, the
