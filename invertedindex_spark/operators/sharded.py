@@ -483,6 +483,69 @@ class ShardedIndex:
                         (F.col("score_u6") / F.lit(1e6)).alias("score"))
                 .orderBy(F.desc("score")))
 
+    def explain_distributed(self, query: str, k: int = 10,
+                            where: str | None = None,
+                            boosts: dict | None = None,
+                            similarity: str = "bm25"):
+        """:meth:`InvertedIndex.explain_distributed` served
+        scatter-gather, row-identical to the merged warehouse: the
+        per-shard selective decodes carry GLOBAL doc ids
+        (:meth:`_match_union`), partials evaluate under the GLOBAL
+        statistics (:meth:`_stats_partial`), the winner set is the
+        same distinct-score/min-docId dedup, and the breakdown
+        re-joins the already-scored frame against the broadcast
+        winners."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        sim = self.idxs[0]._check_similarity(similarity)
+        bmap = (self.idxs[0]._normalize_boosts(boosts)
+                if boosts else {})
+        qtype, terms = preprocess_with_rewrites(
+            query, stopwords=self.stopwords, stemming=self.stemming,
+            expand_prefix=self.expand_prefix,
+            expand_fuzzy=self.expand_fuzzy,
+            expand_range=self.expand_range,
+            expand_regexp=self.expand_regexp)
+        if qtype == "PHRASE":
+            raise ValueError(
+                "explain_distributed supports AND/OR queries")
+        empty = ("rank int, doc_no string, term string, tf long, "
+                 "partial_u6 long, score_u6 long")
+        u, present = self._match_union(qtype, terms)
+        if u is None:
+            return self.spark.createDataFrame([], empty)
+        if where is not None:
+            if self._attrs_df is None:
+                raise ValueError(
+                    "where= requires set_attributes(attrs_df)")
+            allowed = (self._attrs_df.where(F.expr(where))
+                       .select(F.col(self._attrs_key).cast("string")
+                               .alias("doc_no")).distinct())
+            ok_ids = (self._docs_union()
+                      .join(allowed, "doc_no", "left_semi")
+                      .select("doc_id"))
+            u = u.join(ok_ids, "doc_id", "left_semi")
+        gdf_df, part = self._stats_partial(present, sim)
+        scored = u.join(gdf_df, "term").withColumn(
+            "partial", scoring.weighted_u6_col(part, bmap))
+        agg = (scored.groupBy("doc_id")
+               .agg(F.sum("partial").alias("score_u6"),
+                    F.count("*").alias("nt")))
+        if qtype == "AND":
+            agg = agg.where(F.col("nt") == len(present))
+        top = (agg.groupBy("score_u6")
+               .agg(F.min("doc_id").alias("doc_id"))
+               .orderBy(F.desc("score_u6")).limit(k))
+        w = Window.orderBy(F.desc("score_u6"))
+        return (scored.join(F.broadcast(top), "doc_id")
+                .join(self._docs_union(), "doc_id")
+                .select(F.dense_rank().over(w).alias("rank"),
+                        "doc_no", "term", "tf",
+                        F.col("partial").alias("partial_u6"),
+                        "score_u6")
+                .orderBy("rank", "term"))
+
     def rescore_distributed(self, query: str, k: int = 20,
                             window: int = 100,
                             rescore_query: str | None = None,

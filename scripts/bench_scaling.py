@@ -75,6 +75,17 @@ try:
         idx.search_distributed(q, k=10, prune=True).collect()
     dq = time.perf_counter() - tq
 
+    # two-stage rescore at this parallelism: pruned window retrieval
+    # + LM-Dirichlet rerank of the broadcast window (retrieve-then-
+    # rerank — the expensive second similarity touches <= window rows)
+    idx.rescore_distributed(qs[0], k=10, window=100,
+                            prune=True).collect()  # warm
+    tr = time.perf_counter()
+    for q in qs:
+        idx.rescore_distributed(q, k=10, window=100,
+                                prune=True).collect()
+    dr = time.perf_counter() - tr
+
     # curation-family operator at this parallelism: MinHash-LSH
     # near-dup pairs (signature pass + band-bucket join — the dedup
     # scale shape). max_bucket=64 is the operator's web-scale
@@ -121,6 +132,7 @@ print(json.dumps({"cpus": cpus,
                   "secs": round(dt, 2),
                   "docs_per_sec": round(m["stats"]["num_docs"] / dt, 1),
                   "query_pruned_secs": round(dq, 2),
+                  "rescore_secs": round(dr, 2),
                   "minhash_lsh_secs": round(dc, 2),
                   "percolate_secs": round(dp, 2)}))
 shutil.rmtree(wh, ignore_errors=True)   # a 2M-doc warehouse per rep adds up
@@ -167,6 +179,7 @@ def main():
     # each level (components are timed inside the same child runs)
     comp_eff = {}
     for key, label in (("query_pruned_secs", "query_pruned"),
+                       ("rescore_secs", "rescore"),
                        ("minhash_lsh_secs", "minhash_lsh"),
                        ("percolate_secs", "percolate")):
         lo_min = min(r[key] for r in runs[lo] if key in r)
@@ -200,6 +213,7 @@ run's JVM threads + Python workers still fit the 32 physical cores).
 |---|---|---|---|---|
 | index build | {t_lo} | {t_hi} | {speedup:.2f}× | {eff:.3f} |
 | distributed-pruned queries (6) | {comp_eff['query_pruned']['local%d_secs' % lo]} | {comp_eff['query_pruned']['local%d_secs' % hi]} | {comp_eff['query_pruned']['speedup']:.2f}× | {comp_eff['query_pruned']['efficiency']:.3f} |
+| rescore (pruned window + lmdir rerank, 4) | {comp_eff['rescore']['local%d_secs' % lo]} | {comp_eff['rescore']['local%d_secs' % hi]} | {comp_eff['rescore']['speedup']:.2f}× | {comp_eff['rescore']['efficiency']:.3f} |
 | minhash-lsh near-dup | {comp_eff['minhash_lsh']['local%d_secs' % lo]} | {comp_eff['minhash_lsh']['local%d_secs' % hi]} | {comp_eff['minhash_lsh']['speedup']:.2f}× | {comp_eff['minhash_lsh']['efficiency']:.3f} |
 | percolator (saved-search alerting) | {comp_eff['percolate']['local%d_secs' % lo]} | {comp_eff['percolate']['local%d_secs' % hi]} | {comp_eff['percolate']['speedup']:.2f}× | {comp_eff['percolate']['efficiency']:.3f} |
 

@@ -73,6 +73,48 @@ def test_explain_similarity_variants(exp_idx):
     assert p["bm25"] != p["tfidf"] != p["lmdir"]
 
 
+def test_sharded_explain_parity(exp_idx, spark, tmp_path_factory):
+    """ShardedIndex.explain_distributed == the merged warehouse,
+    per (doc, term) row, across similarities and boosts."""
+    from invertedindex_spark.operators.sharded import ShardedIndex
+
+    texts = ["fast fast data", "table table data extra", "fast table",
+             "data data data pad pad", "fast data table mix",
+             "pad pad pad pad"]
+    root = tmp_path_factory.mktemp("explainsh")
+    whs = []
+    for i, chunk in enumerate([texts[:3], texts[3:]]):
+        df = spark.createDataFrame(
+            [(j + (0 if i == 0 else 3), t)
+             for j, t in enumerate(chunk)],
+            "doc_id long, text string")
+        wh = str(root / f"wh{i}")
+        build_index(spark, from_documents(df), wh,
+                    IndexConfig(num_blocks=2, stemming=False))
+        whs.append(wh)
+    sh = ShardedIndex(spark, whs)
+    df_all = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string")
+    wh_all = str(root / "whall")
+    build_index(spark, from_documents(df_all), wh_all,
+                IndexConfig(num_blocks=2, stemming=False))
+    one = InvertedIndex(spark, wh_all)
+
+    def rows(df):
+        return sorted((r["rank"], r["doc_no"], r["term"], r["tf"],
+                       r["partial_u6"], r["score_u6"])
+                      for r in df.collect())
+
+    for kw in (dict(), dict(similarity="lmdir"),
+               dict(boosts={"table": 2.0})):
+        assert (rows(sh.explain_distributed("OR fast table data", k=4,
+                                            **kw))
+                == rows(one.explain_distributed("OR fast table data",
+                                                k=4, **kw))), kw
+    assert (rows(sh.explain_distributed("AND fast data", k=4))
+            == rows(one.explain_distributed("AND fast data", k=4)))
+
+
 def test_explain_boosted_and_conjunctive(exp_idx):
     exp = exp_idx.explain_distributed("AND fast table", k=3,
                                       boosts={"table": 4.0})
