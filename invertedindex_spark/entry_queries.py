@@ -1984,6 +1984,80 @@ SELECT row_number() OVER (ORDER BY score_u6 DESC) AS rank, d.doc_no,
 FROM dedup JOIN docs d USING (doc_id)"""
 
 
+PP_TERMS = ["slow", "key"]
+PP_PREFIX = "col"
+
+
+def q_bm25_topk_phrase_prefix(spark, sf_dir):
+    """match_phrase_prefix (ES search-as-you-type): the fixed terms
+    adjacent in the processed token stream, immediately followed by
+    ANY stored term with the given prefix — the engine's PrefixQuery
+    rewrite capped at MAX_PREFIX_EXPAND lexicographically-first
+    expansions, evaluated as ONE virtual phrase position (union of
+    the expansions' per-doc position arrays). Filter-then-rank: BM25
+    sum of the unique CONCRETE terms. Runs the distributed plan."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    idx = get_index(spark, sf_dir)
+    q = "PHRASE " + " ".join(PP_TERMS) + " " + PP_PREFIX + "*"
+    res = idx.search_distributed(q, k=K)
+    w = Window.orderBy(F.desc("score"))
+    return res.select(F.row_number().over(w).alias("rank"), "doc_no",
+                      _u6(F.col("score")).alias("score_u6"))
+
+
+def sql_bm25_topk_phrase_prefix(k: int = K) -> str:
+    """Oracle: the expansion set is the lexicographically-first
+    MAX_PREFIX_EXPAND vocabulary terms with the prefix (ORDER BY term
+    LIMIT n — DuckDB varchar order is binary, matching the engine's
+    sorted() over ascii tokens), so the engine cap is encoded exactly
+    rather than assumed non-binding."""
+    from .operators.query import InvertedIndex
+
+    cap = InvertedIndex.MAX_PREFIX_EXPAND
+    uniq = list(dict.fromkeys(PP_TERMS))
+    tlist = ", ".join(f"'{t}'" for t in uniq)
+    joins, conds = [], []
+    for i, t in enumerate(PP_TERMS[1:], start=1):
+        joins.append(f"JOIN pos p{i + 1} ON p{i + 1}.doc_id = "
+                     f"p1.doc_id AND p{i + 1}.pos = p1.pos + {i}")
+        conds.append(f"p{i + 1}.term = '{t}'")
+    n = len(PP_TERMS)
+    joins.append(f"JOIN pos pe ON pe.doc_id = p1.doc_id "
+                 f"AND pe.pos = p1.pos + {n}")
+    cond = " AND ".join([f"p1.term = '{PP_TERMS[0]}'"] + conds)
+    return _base_cte() + f""",
+scores AS (
+  SELECT tf.doc_id, CAST(sum({_bm25_u6_expr()}) AS BIGINT) AS score_u6
+  FROM tf JOIN lex USING (term) CROSS JOIN stats
+  WHERE tf.term IN ({tlist})
+  GROUP BY tf.doc_id
+), exp AS (
+  SELECT term FROM lex WHERE term LIKE '{PP_PREFIX}%'
+  ORDER BY term LIMIT {cap}
+), pos AS (
+  SELECT doc_id, term, pos FROM (
+    SELECT doc_id, unnest(terms) AS term,
+           generate_subscripts(terms, 1) AS pos
+    FROM docs)
+), matched AS (
+  SELECT DISTINCT p1.doc_id
+  FROM pos p1 {' '.join(joins)}
+       JOIN exp ON pe.term = exp.term
+  WHERE {cond}
+), fscores AS (
+  SELECT s.doc_id, s.score_u6
+  FROM scores s JOIN matched USING (doc_id)
+), dedup AS (
+  SELECT score_u6, min(doc_id) AS doc_id
+  FROM fscores GROUP BY score_u6
+  ORDER BY score_u6 DESC LIMIT {k}
+)
+SELECT row_number() OVER (ORDER BY score_u6 DESC) AS rank, d.doc_no,
+       score_u6
+FROM dedup JOIN docs d USING (doc_id)"""
+
+
 FILTER_WHERE = "lang = 'en'"
 
 
@@ -4471,6 +4545,7 @@ def extra_queries():
         "fielded_dismax_topk": q_fielded_dismax_topk,
         "bm25_topk_synonyms": q_bm25_topk_synonyms,
         "bm25_topk_phrase_sloppy": q_bm25_topk_phrase_sloppy,
+        "bm25_topk_phrase_prefix": q_bm25_topk_phrase_prefix,
         "bpe_token_counts": q_bpe_token_counts,
         "bm25_topk_page2": q_bm25_topk_page2,
         "bm25_topk_msm": q_bm25_topk_msm,
@@ -4523,6 +4598,7 @@ def extra_oracle_sql(query_vec=None, sf_dir=None):
         "fielded_dismax_topk": sql_fielded_dismax_topk(),
         "bm25_topk_synonyms": sql_bm25_topk_synonyms(),
         "bm25_topk_phrase_sloppy": sql_bm25_topk_phrase_sloppy(),
+        "bm25_topk_phrase_prefix": sql_bm25_topk_phrase_prefix(),
         "bm25_topk_page2": sql_bm25_topk_page2(),
         "bm25_topk_msm": sql_bm25_topk_msm(),
         "bm25_topk_not": sql_bm25_topk_not(),

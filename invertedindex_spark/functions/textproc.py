@@ -39,7 +39,7 @@ __all__ = [
     "STOPWORDS", "MAX_TERM_LEN", "MAX_QUERY_LENGTH",
     "tokens_col", "terms_col", "doc_len_col",
     "tokenize_text", "process_tokens", "preprocess_query",
-    "split_inline_boosts", "split_not_terms",
+    "split_inline_boosts", "split_not_terms", "split_phrase_prefix",
     "tokens_sql", "terms_sql", "doc_len_sql", "stopword_array_sql",
 ]
 
@@ -259,6 +259,24 @@ def split_inline_boosts(query: str) -> tuple[str, dict]:
         else:
             clean.append(tok)
     return " ".join(clean), boosts
+
+
+def split_phrase_prefix(query: str) -> tuple[str, str | None]:
+    """Elasticsearch ``match_phrase_prefix`` grammar: ``'PHRASE quick
+    bro*'`` → ``('PHRASE quick', 'bro')``; anything else →
+    ``(query, None)``. Only a PURE trailing-star token ([a-zA-Z0-9]+
+    then ``*``) in the LAST position of a ``PHRASE`` query is a
+    phrase-prefix — interior stars, non-final stars and non-phrase
+    heads fall through unchanged to the OR-rewrite grammar (or its
+    errors). The returned prefix is RAW — callers normalize it like
+    the OR prefix path (single-token check, truncate, never stem:
+    expansion matches STORED vocabulary forms)."""
+    parts = query.split()
+    if (len(parts) >= 2 and parts[0].lower() == "phrase"
+            and len(parts[-1]) > 1 and parts[-1].endswith("*")
+            and "*" not in parts[-1][:-1]):
+        return " ".join(parts[:-1]), parts[-1][:-1]
+    return query, None
 
 
 def split_not_terms(query: str, *, stopwords: bool = True,

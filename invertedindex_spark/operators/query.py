@@ -40,7 +40,8 @@ import numpy as np
 
 from ..functions import codec, scoring
 from ..functions.textproc import (MAX_TERM_LEN, preprocess_query,
-                                  split_not_terms, tokenize_text)
+                                  split_not_terms, split_phrase_prefix,
+                                  tokenize_text)
 from .build import read_manifest
 
 __all__ = ["InvertedIndex", "queue_topk_np"]
@@ -225,6 +226,23 @@ def preprocess_with_rewrites(query: str, *, stopwords, stemming,
     for pat in regexps:
         terms = set(terms) | set(expand_regexp(pat))
     return qtype, terms
+
+
+def phrase_prefix_expansions(prefix: str, expand_prefix):
+    """Stored-vocabulary expansions for a ``PHRASE … pre*`` trailing
+    prefix (ES ``match_phrase_prefix``): normalized exactly like the
+    OR-rewrite prefix path — tokenize, require exactly one token,
+    truncate to the stored term length, NEVER stem (expansion matches
+    STORED vocabulary forms) — then the engine's PrefixQuery rewrite
+    (lexicographically-first ``MAX_PREFIX_EXPAND`` stored terms; the
+    analogue of ES's ``max_expansions``, default 50 there, 32 here to
+    match every other rewrite in this engine)."""
+    toks = tokenize_text(prefix)
+    if len(toks) != 1:
+        raise ValueError(
+            f"illegal phrase prefix {prefix + '*'!r}: must "
+            "normalize to exactly one token")
+    return list(expand_prefix(toks[0][:MAX_TERM_LEN]))
 
 
 def check_sig_query(query: str, *, stopwords, stemming, top, sample):
@@ -1562,13 +1580,21 @@ class InvertedIndex:
     # phrase adjacency becomes sorted-set intersection of shifted keys
     _POS_KEY_SHIFT = 32
 
-    def _phrase_doc_ids(self, terms):
+    def _phrase_doc_ids(self, terms, last_any=None):
         """doc_ids (ascending) containing ``terms`` as an exact
         adjacent sequence in the post-filter token stream. Kernel:
         pack (doc, pos) into int64 keys per term, shift term i's keys
         by -i, intersect left-to-right starting from the rarest term —
         after the chain, the surviving keys are the phrase start
-        positions."""
+        positions.
+
+        ``last_any``: an extra FINAL phrase position matching ANY of
+        the given terms (the phrase-prefix virtual last term — ES
+        ``match_phrase_prefix``): its key set is the union of the
+        member terms' packed keys, which stays duplicate-free because
+        a (doc, pos) slot holds exactly one stored term. An empty
+        ``last_any`` matches nothing (the clause must match, like
+        every other phrase position)."""
         self._require_positions()
         if not terms:
             return np.zeros(0, dtype=np.int64)
@@ -1579,27 +1605,38 @@ class InvertedIndex:
         keys = {}
         for t, (d, tf, flat, _bounds) in dec.items():
             keys[t] = (np.repeat(d, tf) << self._POS_KEY_SHIFT) | flat
+        chain = [keys[t] for t in terms]
+        if last_any is not None:
+            exp = [e for e in dict.fromkeys(last_any)]
+            edec = self._decoded_positions(exp)
+            parts = [
+                (np.repeat(d, tf) << self._POS_KEY_SHIFT) | flat
+                for _t, (d, tf, flat, _b) in edec.items()]
+            if not parts:
+                return np.zeros(0, dtype=np.int64)
+            chain.append(np.sort(np.concatenate(parts))
+                         if len(parts) > 1 else parts[0])
         # intersect cheapest-first: chain cost is bounded by the
         # smallest positional payload among the phrase's terms
-        order = sorted(range(len(terms)),
-                       key=lambda i: keys[terms[i]].size)
+        order = sorted(range(len(chain)),
+                       key=lambda i: chain[i].size)
         i0 = order[0]
-        k0 = keys[terms[i0]]
+        k0 = chain[i0]
         surv = k0[(k0 & 0xFFFFFFFF) >= i0] - i0
         for i in order[1:]:
             if surv.size == 0:
                 break
-            ki = keys[terms[i]]
+            ki = chain[i]
             ki = ki[(ki & 0xFFFFFFFF) >= i] - i
             surv = np.intersect1d(surv, ki, assume_unique=True)
         return np.unique(surv >> self._POS_KEY_SHIFT)
 
-    def _phrase_mask(self, terms):
+    def _phrase_mask(self, terms, last_any=None):
         """Boolean allowed-mask over docIds for a phrase — feeds the
         same mask machinery as filtered search, so PHRASE composes
         with ``where=`` and reuses the exact scoring kernels."""
         mask = np.zeros(self.num_docs, dtype=bool)
-        ids = self._phrase_doc_ids(terms)
+        ids = self._phrase_doc_ids(terms, last_any=last_any)
         if ids.size:
             mask[ids[ids < self.num_docs]] = True
         return mask
@@ -2456,12 +2493,33 @@ class InvertedIndex:
         ``"lmdir"`` (Lucene LMDirichletSimilarity, Zhai & Lafferty
         2001: max(0, ln(1+tf/(μ·cf/T)) + ln(μ/(dl+μ))), μ=2000).
         The stored upper bounds are BM25 bounds, so ``prune=True``
-        demotes to the exhaustive kernel (mode=<sim>_exhaustive)."""
+        demotes to the exhaustive kernel (mode=<sim>_exhaustive).
+
+        ``PHRASE fixed … pre*`` (trailing star on the LAST phrase
+        token) is ES ``match_phrase_prefix`` (search-as-you-type):
+        one extra final phrase position matching ANY of the capped
+        PrefixQuery expansions; survivors still score as the BM25 sum
+        of the CONCRETE terms (filter-then-rank — documented
+        deviation from Lucene MultiPhraseQuery's blended stats)."""
         sim = self._check_similarity(similarity)
         bmap = self._normalize_boosts(boosts) if boosts else {}
         query, nots = split_not_terms(query, stopwords=self.stopwords,
                                       stemming=self.stemming)
+        query, pfx = split_phrase_prefix(query)
         qtype, terms = self._preprocess_with_prefixes(query)
+        pexp = None
+        if pfx is not None:
+            # ES match_phrase_prefix: the trailing pre* is one more
+            # phrase position matching ANY stored expansion. Scoring
+            # stays the BM25 sum of the CONCRETE terms (filter-then-
+            # rank — expansion-independent scores; documented
+            # deviation from Lucene MultiPhraseQuery's blended stats)
+            if not terms:
+                raise ValueError(
+                    "phrase-prefix needs at least one concrete term "
+                    "before the trailing pre* (a lone prefix is the "
+                    "OR rewrite: 'OR pre*')")
+            pexp = phrase_prefix_expansions(pfx, self.expand_prefix)
         msm = int(min_should_match)
         if msm < 0:
             raise ValueError(
@@ -2469,8 +2527,11 @@ class InvertedIndex:
         if msm > 1 and qtype != "OR":
             raise ValueError(
                 "min_should_match applies to OR queries only")
-        key = (qtype,
-               tuple(terms) if qtype == "PHRASE" else frozenset(terms),
+        tkey = (tuple(terms) if qtype == "PHRASE"
+                else frozenset(terms))
+        if pfx is not None:
+            tkey = tkey + (pfx + "*",)
+        key = (qtype, tkey,
                k, prune, where, frozenset(bmap.items()), after_score,
                msm, collapse_by, nots, sim, rank_boost)
         if key in self._cache:
@@ -2519,7 +2580,7 @@ class InvertedIndex:
             # the BM25 sum of the phrase's unique terms — the same
             # filter-then-rank contract as attribute filters, so the
             # same doc scores identically under phrase and AND
-            pmask = self._phrase_mask(terms)
+            pmask = self._phrase_mask(terms, last_any=pexp)
             if mask is not None:
                 pmask &= mask
             doc_ids, scores = self._score_terms(set(terms), "OR",
@@ -3193,7 +3254,8 @@ class InvertedIndex:
         return df.mapInArrow(
             decode, "term string, doc_id long, positions array<long>")
 
-    def _phrase_docs_df(self, terms, pos_df=None, slop: int = 0):
+    def _phrase_docs_df(self, terms, pos_df=None, slop: int = 0,
+                        last_any=None):
         """DataFrame[doc_id] of documents containing ``terms`` as an
         adjacent sequence — the cluster-scale twin of
         :meth:`_phrase_doc_ids`: per-occurrence position arrays stay
@@ -3213,12 +3275,39 @@ class InvertedIndex:
         transform), which minimizes the final window per start, so
         greedy-match ⇔ any-chain-match. Same join-chain shape as the
         exact path; higher-order functions run interpreted, the honest
-        cost of positional windows."""
+        cost of positional windows.
+
+        ``last_any``: an extra FINAL phrase position matching ANY of
+        the given stored terms (phrase-prefix): materialized as one
+        virtual term whose per-doc position array is the sorted
+        flatten of the member terms' arrays — the union is
+        duplicate-free because a (doc, pos) slot holds exactly one
+        stored term — then the unchanged exact/slop join chains run
+        over ``terms + [virtual]``."""
         from pyspark.sql import functions as F
 
+        last_any = (list(dict.fromkeys(last_any))
+                    if last_any is not None else None)
         uniq = list(dict.fromkeys(terms))
         if pos_df is None:
-            pos_df = self.decoded_positions_df(uniq)
+            pos_df = self.decoded_positions_df(
+                uniq + [e for e in (last_any or []) if e not in uniq])
+        if last_any is not None:
+            # reserved name: "\x00" can never tokenize into a stored
+            # term, so the virtual term cannot collide with a real one
+            virt = "\x00phrase_prefix"
+            vpos = (pos_df.where(F.col("term").isin(last_any))
+                    .select("doc_id", F.explode("positions")
+                            .alias("_x"))
+                    .groupBy("doc_id")
+                    .agg(F.array_sort(F.collect_list("_x"))
+                         .alias("positions"))
+                    .select(F.lit(virt).alias("term"), "doc_id",
+                            "positions"))
+            pos_df = (pos_df.where(F.col("term").isin(uniq))
+                      .select("term", "doc_id", "positions")
+                      .unionByName(vpos))
+            terms = list(terms) + [virt]
         if slop:
             acc = None
             for t in terms:
@@ -3917,6 +4006,11 @@ class InvertedIndex:
         slop 0 is exact adjacency. Filter-then-rank like exact PHRASE:
         survivors score as the BM25 sum of the unique terms.
 
+        ``PHRASE fixed … pre*`` is ES ``match_phrase_prefix``: one
+        extra final phrase position matching ANY capped PrefixQuery
+        expansion (composes with ``slop=``); scores stay the BM25 sum
+        of the CONCRETE terms — see :meth:`search`.
+
         ``after_score=`` (search-after pagination): return the next k
         results STRICTLY BELOW that score — page 2 is
         ``after_score=<last score of page 1>``. The distinct-score
@@ -3988,7 +4082,26 @@ class InvertedIndex:
         bmap = self._normalize_boosts(boosts) if boosts else {}
         query, nots = split_not_terms(query, stopwords=self.stopwords,
                                       stemming=self.stemming)
+        query, pfx = split_phrase_prefix(query)
         qtype, terms = self._preprocess_with_prefixes(query)
+        pexp = None
+        if pfx is not None:
+            # ES match_phrase_prefix — same contract as :meth:`search`
+            if not terms:
+                raise ValueError(
+                    "phrase-prefix needs at least one concrete term "
+                    "before the trailing pre* (a lone prefix is the "
+                    "OR rewrite: 'OR pre*')")
+            if not ordered:
+                raise ValueError(
+                    "phrase-prefix is ordered by definition "
+                    "(ordered=False applies to plain PHRASE)")
+            pexp = phrase_prefix_expansions(pfx, self.expand_prefix)
+            if not pexp:
+                # the prefix matches no stored vocabulary: the final
+                # phrase position can never match (AND-of-clauses)
+                return self.spark.createDataFrame(
+                    [], "doc_no string, score double")
         if slop and qtype != "PHRASE":
             raise ValueError("slop= applies to PHRASE queries only")
         if not ordered and qtype != "PHRASE":
@@ -4049,8 +4162,9 @@ class InvertedIndex:
             # the distributed phrase-occurrence plan — scoring stays
             # the BM25 sum of the unique terms (filter-then-rank, the
             # same contract as the driver kernel and where=)
-            occ = (self._phrase_docs_df(terms, slop=slop) if ordered
-                   else self._near_docs_df(terms, slop=slop))
+            occ = (self._phrase_docs_df(terms, slop=slop,
+                                        last_any=pexp)
+                   if ordered else self._near_docs_df(terms, slop=slop))
             exploded = exploded.join(occ, "doc_id", "left_semi")
         if where is not None:
             exploded = exploded.join(self._allowed_ids_df(where),
@@ -4117,7 +4231,18 @@ class InvertedIndex:
                 f"min_should_match must be >= 0 (got {msm})")
         query, nots = split_not_terms(query, stopwords=self.stopwords,
                                       stemming=self.stemming)
+        query, pfx = split_phrase_prefix(query)
         qtype, terms = self._preprocess_with_prefixes(query)
+        pexp = None
+        if pfx is not None:
+            if not terms:
+                raise ValueError(
+                    "phrase-prefix needs at least one concrete term "
+                    "before the trailing pre* (a lone prefix is the "
+                    "OR rewrite: 'OR pre*')")
+            pexp = phrase_prefix_expansions(pfx, self.expand_prefix)
+            if not pexp:
+                return 0
         if slop and qtype != "PHRASE":
             raise ValueError("slop= applies to PHRASE queries only")
         if msm > 1 and qtype != "OR":
@@ -4141,7 +4266,7 @@ class InvertedIndex:
                 "doc_id", "left_anti")
         if qtype == "PHRASE":
             exploded = exploded.join(
-                self._phrase_docs_df(terms, slop=slop),
+                self._phrase_docs_df(terms, slop=slop, last_any=pexp),
                 "doc_id", "left_semi")
         if where is not None:
             exploded = exploded.join(self._allowed_ids_df(where),

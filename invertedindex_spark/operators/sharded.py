@@ -38,9 +38,12 @@ from __future__ import annotations
 import os
 
 from ..functions import scoring
-from ..functions.textproc import preprocess_query, split_not_terms
+from ..functions.textproc import (preprocess_query,
+                                  split_not_terms,
+                                  split_phrase_prefix)
 from .build import read_manifest
 from .query import (InvertedIndex, check_sig_query, jlh_rank,
+                    phrase_prefix_expansions,
                     preprocess_with_rewrites)
 
 # fields that change what a stored term MEANS — these must agree
@@ -247,7 +250,7 @@ class ShardedIndex:
 
     # -- the query path --------------------------------------------------
     def _match_union(self, qtype, terms, slop: int = 0,
-                     ordered: bool = True):
+                     ordered: bool = True, last_any=None):
         """The scatter phase shared by search and facets: per-shard
         term-filtered selective decodes with GLOBAL doc ids, unioned.
         Returns (union_df | None, present_terms)."""
@@ -275,7 +278,13 @@ class ShardedIndex:
             dec = (idx._drop_tombstoned(idx.decoded_postings_df(want))
                    .select("term", "doc_id", "tf", "dl"))
             if qtype == "PHRASE":
-                occ = (idx._phrase_docs_df(list(terms), slop=slop)
+                # phrase-prefix: the virtual last clause evaluates
+                # per shard over the GLOBAL expansion set ∩ this
+                # shard's vocabulary (absent members simply have no
+                # positional rows) — exactly what the merged
+                # warehouse evaluates, shard-locally
+                occ = (idx._phrase_docs_df(list(terms), slop=slop,
+                                           last_any=last_any)
                        if ordered
                        else idx._near_docs_df(list(terms), slop=slop))
                 dec = dec.join(occ, "doc_id", "left_semi")
@@ -374,12 +383,35 @@ class ShardedIndex:
                 if boosts else {})
         query, nots = split_not_terms(query, stopwords=self.stopwords,
                                       stemming=self.stemming)
+        query, pfx = split_phrase_prefix(query)
         qtype, terms = preprocess_with_rewrites(
             query, stopwords=self.stopwords, stemming=self.stemming,
             expand_prefix=self.expand_prefix,
             expand_fuzzy=self.expand_fuzzy,
             expand_range=self.expand_range,
             expand_regexp=self.expand_regexp)
+        pexp = None
+        if pfx is not None:
+            # ES match_phrase_prefix, scatter-gather: ONE GLOBAL
+            # expansion set over the union vocabulary (capped like
+            # every rewrite), evaluated shard-locally — unlike ES,
+            # whose per-shard expansion famously makes sharded
+            # match_phrase_prefix results differ from a single index;
+            # here the merged-warehouse parity bar forces the global
+            # rewrite
+            if not terms:
+                raise ValueError(
+                    "phrase-prefix needs at least one concrete term "
+                    "before the trailing pre* (a lone prefix is the "
+                    "OR rewrite: 'OR pre*')")
+            if not ordered:
+                raise ValueError(
+                    "phrase-prefix is ordered by definition "
+                    "(ordered=False applies to plain PHRASE)")
+            pexp = phrase_prefix_expansions(pfx, self.expand_prefix)
+            if not pexp:
+                return self.spark.createDataFrame(
+                    [], "doc_no string, score double")
         if slop and qtype != "PHRASE":
             raise ValueError("slop= applies to PHRASE queries only")
         if not ordered and qtype != "PHRASE":
@@ -390,7 +422,7 @@ class ShardedIndex:
             raise ValueError(
                 "min_should_match applies to OR queries only")
         u, present = self._match_union(qtype, terms, slop=slop,
-                                       ordered=ordered)
+                                       ordered=ordered, last_any=pexp)
         if u is None:
             return self.spark.createDataFrame(
                 [], "doc_no string, score double")
