@@ -2815,6 +2815,88 @@ SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
 FROM sc GROUP BY doc_id"""
 
 
+PS_QUERY = "fast kye scn"
+PS_TOP = 5
+PS_CAND = 5
+PS_DIST = 2
+
+
+def q_phrase_suggest(spark, sf_dir):
+    """ES phrase suggester: whole-query spell correction — each token
+    admits its ≤5 nearest vocabulary terms within 2 edits (distance
+    asc, frequency desc, term asc; un-correctable tokens keep
+    themselves), and every candidate combination ranks by add-one-
+    smoothed bigram-LM NLL in micro-nats (operators/lm.py —
+    suggester and lm_perplexity share one model). Deterministic:
+    integer score sums, lexicographic tie order."""
+    from .operators.lm import suggest_phrase
+    return suggest_phrase(_docs_df(spark, sf_dir), PS_QUERY,
+                          top=PS_TOP, cand=PS_CAND, max_dist=PS_DIST)
+
+
+def sql_phrase_suggest(query: str | None = None, top: int = PS_TOP,
+                       cand: int = PS_CAND,
+                       max_dist: int = PS_DIST) -> str:
+    """Oracle: per-token candidate CTEs (banded levenshtein over the
+    unigram table, engine order, NOT-EXISTS fallback to the raw
+    token), a cross-join candidate-phrase table, and positional LEFT
+    JOINs against the bigram/unigram counts — COALESCE(·, 0) is the
+    pure-smoothing mass for out-of-model candidates/bigrams. Same
+    byte==codepoint levenshtein parity domain as did_you_mean."""
+    from .functions.textproc import tokenize_text
+
+    toks = tokenize_text(query if query is not None else PS_QUERY)
+    ctes, froms = [], []
+    for i, tok in enumerate(toks):
+        ctes.append(f"""
+c{i} AS (SELECT w FROM (
+  SELECT w, u, levenshtein(w, '{tok}') AS d FROM ucnt
+  WHERE levenshtein(w, '{tok}') <= {max_dist}
+  ORDER BY d, u DESC, w LIMIT {cand})),
+c{i}f AS (SELECT w FROM c{i} UNION ALL
+          SELECT '{tok}' WHERE NOT EXISTS (SELECT 1 FROM c{i}))""")
+        froms.append(f"c{i}f")
+    sug = " || ' ' || ".join(f"{f}.w" for f in froms)
+    cols = ", ".join(f"{f}.w AS w{i}" for i, f in enumerate(froms))
+    # u{j} aliases the unigram count of phrase position j; bigram i
+    # (w{i-1} → w{i}) smooths with its LEFT word's count u{i-1}
+    parts = ["CAST(round(ln((tt.tsize + v.vsize) / "
+             "(coalesce(u0.u, 0) + 1.0)) * 1e6) AS BIGINT)"]
+    joins = ["LEFT JOIN ucnt u0 ON u0.w = ph.w0"]
+    for j in range(1, len(toks) - 1):
+        joins.append(f"LEFT JOIN ucnt u{j} ON u{j}.w = ph.w{j}")
+    for i in range(1, len(toks)):
+        joins.append(f"LEFT JOIN gbc b{i} ON b{i}.w1 = ph.w{i - 1} "
+                     f"AND b{i}.w2 = ph.w{i}")
+        parts.append(
+            f"CAST(round(ln((coalesce(u{i - 1}.u, 0) + v.vsize) / "
+            f"(coalesce(b{i}.b, 0) + 1.0)) * 1e6) AS BIGINT)")
+    join_sql = "\n ".join(joins)
+    return _raw_tok_cte() + """,
+t AS (SELECT doc_id, tokens FROM src WHERE len(tokens) >= 2),
+bg AS (SELECT doc_id,
+              unnest(tokens[1:len(tokens) - 1]) AS w1,
+              unnest(tokens[2:len(tokens)]) AS w2
+       FROM t),
+dbc AS (SELECT doc_id, w1, w2, count(*) AS c FROM bg
+        GROUP BY doc_id, w1, w2),
+gbc AS (SELECT w1, w2, CAST(sum(c) AS BIGINT) AS b FROM dbc
+        GROUP BY w1, w2),
+ucnt AS (SELECT w, CAST(count(*) AS BIGINT) AS u
+         FROM (SELECT unnest(tokens) AS w FROM t) GROUP BY w),
+v AS (SELECT CAST(count(*) AS BIGINT) AS vsize FROM ucnt),
+tt AS (SELECT CAST(sum(u) AS BIGINT) AS tsize FROM ucnt),""" + \
+        ",".join(ctes) + f""",
+ph AS (SELECT {cols}, {sug} AS suggestion
+       FROM {' CROSS JOIN '.join(froms)})
+SELECT suggestion,
+       {' + '.join(parts)} AS score_u6
+FROM ph
+ {join_sql}
+ CROSS JOIN v CROSS JOIN tt
+ORDER BY score_u6, suggestion LIMIT {top}"""
+
+
 DSIR_BUCKETS = 2048
 
 
@@ -4546,6 +4628,7 @@ def extra_queries():
         "bm25_topk_synonyms": q_bm25_topk_synonyms,
         "bm25_topk_phrase_sloppy": q_bm25_topk_phrase_sloppy,
         "bm25_topk_phrase_prefix": q_bm25_topk_phrase_prefix,
+        "phrase_suggest": q_phrase_suggest,
         "bpe_token_counts": q_bpe_token_counts,
         "bm25_topk_page2": q_bm25_topk_page2,
         "bm25_topk_msm": q_bm25_topk_msm,
@@ -4599,6 +4682,7 @@ def extra_oracle_sql(query_vec=None, sf_dir=None):
         "bm25_topk_synonyms": sql_bm25_topk_synonyms(),
         "bm25_topk_phrase_sloppy": sql_bm25_topk_phrase_sloppy(),
         "bm25_topk_phrase_prefix": sql_bm25_topk_phrase_prefix(),
+        "phrase_suggest": sql_phrase_suggest(),
         "bm25_topk_page2": sql_bm25_topk_page2(),
         "bm25_topk_msm": sql_bm25_topk_msm(),
         "bm25_topk_not": sql_bm25_topk_not(),

@@ -140,3 +140,102 @@ def top_collocations(df, top: int = 20, min_count: int = 5):
     return (j.select("w1", "w2", F.col("b").alias("pair_count"),
                      pmi.alias("pmi_u6"))
             .orderBy(F.desc("pmi_u6"), "w1", "w2").limit(top))
+
+
+def suggest_phrase(df, query: str, top: int = 5, cand: int = 5,
+                   max_dist: int = 2, max_tokens: int = 6):
+    """Whole-query spell correction — the Elasticsearch *phrase
+    suggester* (``suggest.phrase``; Lucene ``PhraseSuggester``)
+    re-expressed over this module's bigram LM instead of Lucene's
+    shard-local Laplace model. Each query token admits the ``cand``
+    nearest vocabulary terms within ``max_dist`` edits (the
+    did-you-mean order: distance asc, frequency desc, term asc — the
+    token itself sorts first at distance 0 when stored, ES's
+    real-word channel); a token with NO in-vocabulary neighbour keeps
+    itself as its sole candidate (ES marks such positions
+    un-correctable rather than dropping them). Every candidate
+    combination is then ranked by its add-one-smoothed LM negative
+    log-likelihood::
+
+        score = NLL(w1) + Σ_i NLL(w_{i+1} | w_i)
+        NLL(w)       = ln((T + V) / (U(w) + 1))        # unigram start
+        NLL(w2 | w1) = ln((U(w1) + V) / (B(w1,w2) + 1))
+
+    with T = total tokens, V = vocabulary size, U/B the unigram/
+    bigram counts of :func:`train_bigram_lm` (so the suggester and
+    ``lm_perplexity`` share one model). Each NLL quantizes to
+    micro-nat BIGINTs BEFORE the sum — the established associative
+    recipe — and ties order lexicographically on the suggestion, so
+    the top-k is deterministic in both engines. Returns
+    DataFrame(suggestion, score_u6) ascending (lower = more likely;
+    the identity phrase is itself a ranked candidate, like ES before
+    ``collate`` pruning).
+
+    Scale shape: candidate generation is one narrow banded-
+    levenshtein scan of the vocabulary per query token (≤
+    ``max_tokens``), collected bounded (≤ ``cand`` rows each); the
+    candidate-phrase table is bounded by cand^n_tokens and broadcast;
+    counts are the LM's two keyed map-side-combined shuffles; scoring
+    joins are equality joins of the tiny phrase table against the
+    unigram/bigram tables. Nothing all-pairs, no windows, no UDFs.
+    """
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from ..functions.textproc import tokenize_text
+
+    toks = tokenize_text(query)
+    if not toks:
+        raise ValueError(
+            "suggest_phrase: query has no tokens")
+    if len(toks) > max_tokens:
+        raise ValueError(
+            f"suggest_phrase: {len(toks)} tokens > max_tokens="
+            f"{max_tokens} (the candidate product is exponential in "
+            "query length — raise max_tokens deliberately)")
+    uni, gbc, vdf = train_bigram_lm(df)
+    spark = df.sparkSession
+    # per-token candidates: banded levenshtein over the vocabulary,
+    # (dist asc, u desc, w asc) — Spark's 3-arg levenshtein returns
+    # -1 past the threshold, hence >= 0
+    cands = []
+    for tok in toks:
+        d = F.levenshtein(F.col("w"), F.lit(tok), max_dist)
+        rows = (uni.select("w", "u", d.alias("d"))
+                .where(F.col("d") >= 0)
+                .orderBy("d", F.desc("u"), "w")
+                .limit(cand).collect())
+        cands.append([r["w"] for r in rows] or [tok])
+    phrases = [" ".join(ws)
+               for ws in itertools.product(*cands)]
+    starts = spark.createDataFrame(
+        [(p, p.split(" ", 1)[0]) for p in phrases],
+        "suggestion string, w string")
+    pair_rows = []
+    for p in phrases:
+        ws = p.split(" ")
+        for w1, w2 in zip(ws, ws[1:]):
+            pair_rows.append((p, w1, w2))
+    tdf = uni.agg(F.sum("u").alias("tsize"))
+    u6 = lambda c: F.round(c * 1e6).cast("long")   # noqa: E731
+    start_nll = u6(F.log(
+        (F.col("tsize") + F.col("vsize"))
+        / (F.coalesce(F.col("u"), F.lit(0)) + F.lit(1.0))))
+    s = (starts.join(uni, "w", "left")
+         .crossJoin(F.broadcast(vdf)).crossJoin(F.broadcast(tdf))
+         .select("suggestion", start_nll.alias("nll_u6")))
+    if pair_rows:
+        pairs = spark.createDataFrame(
+            pair_rows, "suggestion string, w1 string, w2 string")
+        pair_nll = u6(F.log(
+            (F.coalesce(F.col("u"), F.lit(0)) + F.col("vsize"))
+            / (F.coalesce(F.col("b"), F.lit(0)) + F.lit(1.0))))
+        s = s.unionByName(
+            pairs.join(gbc, ["w1", "w2"], "left")
+            .join(uni.withColumnRenamed("w", "w1"), "w1", "left")
+            .crossJoin(F.broadcast(vdf))
+            .select("suggestion", pair_nll.alias("nll_u6")))
+    return (s.groupBy("suggestion")
+            .agg(F.sum("nll_u6").alias("score_u6"))
+            .orderBy("score_u6", "suggestion").limit(top))

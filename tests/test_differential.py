@@ -60,7 +60,8 @@ QUERIES = ["exact_dedup", "token_counts", "token_stats", "lang_id",
            "cross_dedup", "doc_chunks", "pack_sequences",
            "token_budget_select", "top_collocations",
            "near_dup_components", "boilerplate_shingles", "pii_scrub",
-           "dsir_weights", "percolator_matches", "jaccard_top_pairs"]
+           "dsir_weights", "percolator_matches", "jaccard_top_pairs",
+           "phrase_suggest"]
 
 
 @pytest.mark.parametrize("seed", [11, 17, 23])
