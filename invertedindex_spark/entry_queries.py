@@ -1615,6 +1615,62 @@ SELECT row_number() OVER (ORDER BY score_u6 DESC) AS rank, d.doc_no,
 FROM dedup JOIN docs d USING (doc_id)"""
 
 
+GROUPED_N = 3
+GROUPED_K = 5
+
+
+def q_grouped_topk(spark, sf_dir):
+    """Grouped top-k (ES terms + top_hits / Lucene grouping): the
+    flagship OR query bucketed by `source`, each bucket returning its
+    best 3 hits (per-bucket reference tie-dedup: equal score ⇒ min
+    docId), buckets ranked by their best hit (best score desc, best
+    docId asc), capped at 5. collapse_by is the n=1 special case —
+    here every surviving bucket shows its own hits. NULL keys drop
+    (ES missing-field semantics). Key-partitioned window — never a
+    global window; bucket cap via TakeOrdered broadcast back."""
+    from pyspark.sql import functions as F
+    idx = get_index(spark, sf_dir)
+    idx.set_attributes(_docs_df(spark, sf_dir).select("doc_id", "source"),
+                       key="doc_id")
+    res = idx.search_grouped("OR " + " ".join(OR_TERMS), by="source",
+                             n_per_group=GROUPED_N, k_groups=GROUPED_K)
+    return res.select("grp_rank", "key", "hit_rank", "doc_no",
+                      _u6(F.col("score")).alias("score_u6"))
+
+
+def sql_grouped_topk(n: int = GROUPED_N, kg: int = GROUPED_K) -> str:
+    tlist = ", ".join(f"'{t}'" for t in OR_TERMS)
+    return _base_cte() + f""",
+scores AS (
+  SELECT tf.doc_id, CAST(sum({_bm25_u6_expr()}) AS BIGINT) AS score_u6
+  FROM tf JOIN lex USING (term) CROSS JOIN stats
+  WHERE tf.term IN ({tlist})
+  GROUP BY tf.doc_id
+), keyed AS (
+  SELECT s.score_u6, s.doc_id, dd.source AS key
+  FROM scores s JOIN docs d USING (doc_id)
+  LEFT JOIN documents dd ON CAST(dd.doc_id AS VARCHAR) = d.doc_no
+  WHERE dd.source IS NOT NULL
+), nn AS (
+  SELECT key, score_u6, min(doc_id) AS doc_id
+  FROM keyed GROUP BY key, score_u6
+), hits AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY key ORDER BY score_u6 DESC) AS hit_rank
+  FROM nn
+), hn AS (
+  SELECT * FROM hits WHERE hit_rank <= {n}
+), gro AS (
+  SELECT key, row_number() OVER (
+    ORDER BY score_u6 DESC, doc_id ASC) AS grp_rank
+  FROM hn WHERE hit_rank = 1
+  ORDER BY score_u6 DESC, doc_id ASC LIMIT {kg}
+)
+SELECT CAST(gro.grp_rank AS INTEGER) AS grp_rank, hn.key,
+       CAST(hn.hit_rank AS INTEGER) AS hit_rank, d.doc_no, hn.score_u6
+FROM hn JOIN gro USING (key) JOIN docs d USING (doc_id)"""
+
+
 BPE_MERGES = 16
 
 
@@ -4629,6 +4685,7 @@ def extra_queries():
         "bm25_topk_phrase_sloppy": q_bm25_topk_phrase_sloppy,
         "bm25_topk_phrase_prefix": q_bm25_topk_phrase_prefix,
         "phrase_suggest": q_phrase_suggest,
+        "grouped_topk": q_grouped_topk,
         "bpe_token_counts": q_bpe_token_counts,
         "bm25_topk_page2": q_bm25_topk_page2,
         "bm25_topk_msm": q_bm25_topk_msm,
@@ -4683,6 +4740,7 @@ def extra_oracle_sql(query_vec=None, sf_dir=None):
         "bm25_topk_phrase_sloppy": sql_bm25_topk_phrase_sloppy(),
         "bm25_topk_phrase_prefix": sql_bm25_topk_phrase_prefix(),
         "phrase_suggest": sql_phrase_suggest(),
+        "grouped_topk": sql_grouped_topk(),
         "bm25_topk_page2": sql_bm25_topk_page2(),
         "bm25_topk_msm": sql_bm25_topk_msm(),
         "bm25_topk_not": sql_bm25_topk_not(),

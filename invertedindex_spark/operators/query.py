@@ -245,6 +245,40 @@ def phrase_prefix_expansions(prefix: str, expand_prefix):
     return list(expand_prefix(toks[0][:MAX_TERM_LEN]))
 
 
+def grouped_topk(keyed, docs_df, n_per_group: int, k_groups: int):
+    """The grouped-top-k tail shared by
+    :meth:`InvertedIndex.search_grouped` and its sharded twin:
+    ``keyed`` = (key, doc_id, score_u6) over the full match set with
+    NULL keys already dropped, ``docs_df`` = (doc_id, doc_no).
+
+    Per bucket the reference tie-dedup runs first (equal score ⇒ min
+    docId — groupBy(key, score), associative integer domain), then a
+    key-PARTITIONED row_number keeps the best ``n_per_group`` distinct
+    scores. Buckets rank by (best score desc, best docId asc) — a
+    total order because a doc belongs to exactly one bucket — capped
+    with TakeOrdered; the final grp_rank window runs over only the
+    ``k_groups`` surviving rows (bounded, deliberately post-limit),
+    broadcast back onto the bounded hit set."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    dedup = (keyed.groupBy("key", "score_u6")
+             .agg(F.min("doc_id").alias("doc_id")))
+    w = Window.partitionBy("key").orderBy(F.desc("score_u6"))
+    hits = (dedup.withColumn("hit_rank", F.row_number().over(w))
+            .where(F.col("hit_rank") <= n_per_group))
+    order = [F.desc("score_u6"), F.asc("doc_id")]
+    gro = (hits.where(F.col("hit_rank") == 1)
+           .orderBy(*order).limit(k_groups)
+           .select("key", F.row_number().over(
+               Window.orderBy(*order)).alias("grp_rank")))
+    return (hits.join(F.broadcast(gro), "key")
+            .join(docs_df.select("doc_id", "doc_no"), "doc_id")
+            .select("grp_rank", "key", "hit_rank", "doc_no",
+                    (F.col("score_u6") / F.lit(1e6)).alias("score"))
+            .orderBy("grp_rank", "hit_rank"))
+
+
 def check_sig_query(query: str, *, stopwords, stemming, top, sample):
     """Shared significant_terms front door (merged + sharded): guard
     top/sample, split ``-term`` MUST_NOT clauses, analyze, and demand
@@ -1972,6 +2006,114 @@ class InvertedIndex:
                 .join(attrs, "doc_no")
                 .groupBy(by).agg(*cols)
                 .orderBy(F.desc("n_docs"), F.asc(by)).limit(top))
+
+    def _scored_match_agg(self, query: str, where: str | None = None,
+                          similarity: str = "bm25"):
+        """(doc_id, score_u6) over the query's FULL match set — the
+        exhaustive AND/OR scoring core of :meth:`search_distributed`
+        without the top-k tail: selective decode, MUST_NOT anti-join,
+        where= semi-join, one keyed u6 partial sum per doc (AND gated
+        on all terms). None when no term matches. The scatter for
+        operators that consume the whole ranked match set (grouped
+        top-k) rather than a global top-k."""
+        from pyspark.sql import functions as F
+
+        sim = self._check_similarity(similarity)
+        query, nots = split_not_terms(query, stopwords=self.stopwords,
+                                      stemming=self.stemming)
+        qtype, terms = self._preprocess_with_prefixes(query)
+        if qtype == "PHRASE":
+            raise ValueError(
+                "match-set operators support AND/OR queries (a PHRASE "
+                "match set needs position evaluation — run search() "
+                "instead)")
+        present = self._present_terms(set(terms))
+        if not present or (qtype != "OR" and len(present)
+                           < len(set(terms))):
+            return None
+        exploded = self._drop_tombstoned(
+            self._attach_cf(self.decoded_postings_df(present), sim,
+                            terms=present))
+        not_present = self._present_terms(set(nots)) if nots else set()
+        if not_present:
+            exploded = exploded.join(
+                self._drop_tombstoned(
+                    self.decoded_postings_df(not_present))
+                .select("doc_id"),
+                "doc_id", "left_anti")
+        if where is not None:
+            exploded = exploded.join(self._allowed_ids_df(where),
+                                     "doc_id", "left_semi")
+        part = self._sim_part_col(sim)
+        agg = (exploded
+               .withColumn("partial", scoring.u6_col(part))
+               .groupBy("doc_id")
+               .agg(F.sum("partial").alias("score_u6"),
+                    F.count("*").alias("nt")))
+        if qtype == "AND":
+            agg = agg.where(F.col("nt") == len(present))
+        return agg.select("doc_id", "score_u6")
+
+    def search_grouped(self, query: str, by: str,
+                       n_per_group: int = 3, k_groups: int = 10,
+                       where: str | None = None,
+                       similarity: str = "bm25"):
+        """Grouped top-k — the ES ``terms`` aggregation with a
+        ``top_hits`` sub-aggregation / Lucene grouping (TopGroups):
+        the query's FULL match set bucketed by attribute ``by``
+        (requires :meth:`set_attributes`), each bucket returning its
+        best ``n_per_group`` hits; buckets rank by their best hit.
+        ``collapse_by`` is the n=1 special case, but unlike collapse
+        the buckets don't compete in one global top-k — every
+        surviving bucket shows its own hits (the "best result per
+        source/repo/category" page).
+
+        Semantics, all deterministic: docs with a NULL ``by`` don't
+        bucket (ES drops missing-field docs unless ``missing`` is
+        set — documented ES parity). Within a bucket the reference
+        tie-dedup applies PER BUCKET (equal score ⇒ min docId), then
+        hits order (score desc, hit_rank 1..n). Buckets order (best
+        score desc, best docId asc — total, best docs are distinct
+        across buckets), capped at ``k_groups``. AND/OR + ``-term``
+        + ``where=`` + ``similarity=`` (same rules as facets/sorted;
+        PHRASE raises). Returns DataFrame(grp_rank, key, hit_rank,
+        doc_no, score).
+
+        100 TB shape: the scored match set is the exhaustive
+        distributed plan (selective decode, one keyed sum); the
+        window is PARTITIONED BY the bucket key — never a global
+        window; the bucket cap is a TakeOrdered over one row per
+        bucket, broadcast back onto the bounded hit set."""
+        from pyspark.sql import functions as F
+
+        if self._attrs_df is None:
+            raise ValueError(
+                "search_grouped requires set_attributes(attrs_df)")
+        if by not in self._attrs_df.columns:
+            raise ValueError(
+                f"search_grouped by={by!r}: no such attribute column "
+                f"(have {self._attrs_df.columns})")
+        n_per_group = int(n_per_group)
+        k_groups = int(k_groups)
+        if n_per_group < 1 or k_groups < 1:
+            raise ValueError(
+                "search_grouped: n_per_group and k_groups must be "
+                ">= 1")
+        empty = ("grp_rank int, key string, hit_rank int, "
+                 "doc_no string, score double")
+        agg = self._scored_match_agg(query, where=where,
+                                     similarity=similarity)
+        if agg is None:
+            return self.spark.createDataFrame([], empty)
+        keys = self._attrs_df.select(
+            F.col(self._attrs_key).cast("string").alias("doc_no"),
+            F.col(by).cast("string").alias("key"))
+        keyed = (agg.join(self.docs.select("doc_id", "doc_no"),
+                          "doc_id")
+                 .join(keys, "doc_no")
+                 .where(F.col("key").isNotNull())
+                 .select("key", "doc_id", "score_u6"))
+        return grouped_topk(keyed, self.docs, n_per_group, k_groups)
 
     def search_sorted(self, query: str, by: str, k: int = 20,
                       ascending: bool = False,

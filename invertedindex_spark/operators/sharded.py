@@ -914,6 +914,84 @@ class ShardedIndex:
                 .groupBy(by).agg(F.count("*").alias("n_docs"))
                 .orderBy(F.desc("n_docs"), F.asc(by)).limit(top))
 
+    def search_grouped(self, query: str, by: str,
+                       n_per_group: int = 3, k_groups: int = 10,
+                       where: str | None = None,
+                       similarity: str = "bm25"):
+        """:meth:`InvertedIndex.search_grouped` (ES terms + top_hits
+        / Lucene grouping) served scatter-gather, row-identical to
+        the merged warehouse: per-doc scores gather under the GLOBAL
+        statistics (documents never span shards, so per-bucket
+        dedup/windows see complete buckets); the attribute table is
+        keyed by the shard-independent doc_no; the shared
+        :func:`~.query.grouped_topk` tail then ranks buckets and
+        hits exactly like the single warehouse."""
+        from pyspark.sql import functions as F
+
+        from .query import grouped_topk
+
+        sim = self.idxs[0]._check_similarity(similarity)
+        if self._attrs_df is None:
+            raise ValueError(
+                "search_grouped requires set_attributes(attrs_df)")
+        if by not in self._attrs_df.columns:
+            raise ValueError(
+                f"search_grouped by={by!r}: no such attribute column "
+                f"(have {self._attrs_df.columns})")
+        n_per_group = int(n_per_group)
+        k_groups = int(k_groups)
+        if n_per_group < 1 or k_groups < 1:
+            raise ValueError(
+                "search_grouped: n_per_group and k_groups must be "
+                ">= 1")
+        empty = ("grp_rank int, key string, hit_rank int, "
+                 "doc_no string, score double")
+        query, nots = split_not_terms(query, stopwords=self.stopwords,
+                                      stemming=self.stemming)
+        qtype, terms = preprocess_with_rewrites(
+            query, stopwords=self.stopwords, stemming=self.stemming,
+            expand_prefix=self.expand_prefix,
+            expand_fuzzy=self.expand_fuzzy,
+            expand_range=self.expand_range,
+            expand_regexp=self.expand_regexp)
+        if qtype == "PHRASE":
+            raise ValueError(
+                "search_grouped supports AND/OR queries (a PHRASE "
+                "match set needs position evaluation — run "
+                "search_distributed() instead)")
+        u, present = self._match_union(qtype, set(terms))
+        if u is None:
+            return self.spark.createDataFrame([], empty)
+        if nots:
+            ex = self._excluded_union(nots)
+            if ex is not None:
+                u = u.join(ex, "doc_id", "left_anti")
+        if where is not None:
+            allowed = (self._attrs_df.where(F.expr(where))
+                       .select(F.col(self._attrs_key).cast("string")
+                               .alias("doc_no")).distinct())
+            ok_ids = (self._docs_union()
+                      .join(allowed, "doc_no", "left_semi")
+                      .select("doc_id"))
+            u = u.join(ok_ids, "doc_id", "left_semi")
+        gdf_df, part = self._stats_partial(present, sim)
+        agg = (u.join(gdf_df, "term")
+               .withColumn("partial", scoring.weighted_u6_col(part, {}))
+               .groupBy("doc_id")
+               .agg(F.sum("partial").alias("score_u6"),
+                    F.count("*").alias("nt")))
+        if qtype == "AND":
+            agg = agg.where(F.col("nt") == len(present))
+        keys = self._attrs_df.select(
+            F.col(self._attrs_key).cast("string").alias("doc_no"),
+            F.col(by).cast("string").alias("key"))
+        keyed = (agg.join(self._docs_union(), "doc_id")
+                 .join(keys, "doc_no")
+                 .where(F.col("key").isNotNull())
+                 .select("key", "doc_id", "score_u6"))
+        return grouped_topk(keyed, self._docs_union(),
+                            n_per_group, k_groups)
+
     def _facet_match_docs(self, op: str, query: str,
                           where: str | None):
         """The facet scatter shared by counts and stats: the FULL

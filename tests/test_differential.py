@@ -232,7 +232,7 @@ RANKED_QUERIES = ["bm25_topk_or", "bm25_topk_and", "bm25_topk_filtered",
                   "bm25_topk_synonyms", "fielded_topk", "bm25_topk_msm",
                   "bm25_topk_collapse", "bm25_topk_not", "tfidf_topk",
                   "lmdir_topk", "rescore_topk", "bm25_topk_ranked",
-                  "bool_topk", "rm3_topk",
+                  "bool_topk", "rm3_topk", "grouped_topk",
                   "bm25_topk_regexp", "significant_terms", "bm25_topk_near"]
 
 
