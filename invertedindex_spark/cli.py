@@ -136,6 +136,22 @@ def main(argv=None):
                         print(term, df)
                     print(f"{time.time() - t0} seconds")
                     continue
+                if parts[0].upper() == "TERMVECTORS":
+                    if len(parts) < 2 or not parts[1].strip():
+                        raise ValueError(
+                            "TERMVECTORS needs a document: "
+                            "TERMVECTORS <doc_no>")
+                    tv = idx.term_vectors(parts[1].strip())
+                    for r in tv.collect():
+                        d = r.asDict()
+                        print(d["term"], d["tf"],
+                              *(["pos=" + ",".join(
+                                  str(p) for p in d["positions"])]
+                                if "positions" in d else []),
+                              *([f"df={d['df']} cf={d['cf']}"]
+                                if "df" in d else []))
+                    print(f"{time.time() - t0} seconds")
+                    continue
                 if parts[0].upper() == "SIGTERMS":
                     if len(parts) < 2 or not parts[1].strip():
                         raise ValueError(

@@ -1615,6 +1615,33 @@ SELECT row_number() OVER (ORDER BY score_u6 DESC) AS rank, d.doc_no,
 FROM dedup JOIN docs d USING (doc_id)"""
 
 
+TV_DOC = "42"
+
+
+def q_term_vectors(spark, sf_dir):
+    """ES _termvectors: one stored document's term vector — term, tf,
+    0-based positions in the post-filter token stream, plus df/cf
+    collection statistics from the lexicon. Point-lookup plan: the
+    doc_points row-range predicate prunes posting AND positional rows
+    before the Arrow decode (O(rows covering the doc), never the
+    index)."""
+    idx = get_index(spark, sf_dir)
+    return idx.term_vectors(TV_DOC)
+
+
+def sql_term_vectors() -> str:
+    return _base_cte() + f""",
+doc AS (SELECT doc_id, terms FROM docs WHERE doc_no = '{TV_DOC}'),
+pos AS (SELECT unnest(terms) AS term,
+               generate_subscripts(terms, 1) - 1 AS p
+        FROM doc),
+tv AS (SELECT term, CAST(count(*) AS BIGINT) AS tf,
+              list_sort(list(p)) AS positions
+       FROM pos GROUP BY term)
+SELECT tv.term, tv.tf, tv.positions, lex.df, lex.cf
+FROM tv JOIN lex USING (term) ORDER BY term"""
+
+
 GROUPED_N = 3
 GROUPED_K = 5
 
@@ -4686,6 +4713,7 @@ def extra_queries():
         "bm25_topk_phrase_prefix": q_bm25_topk_phrase_prefix,
         "phrase_suggest": q_phrase_suggest,
         "grouped_topk": q_grouped_topk,
+        "term_vectors": q_term_vectors,
         "bpe_token_counts": q_bpe_token_counts,
         "bm25_topk_page2": q_bm25_topk_page2,
         "bm25_topk_msm": q_bm25_topk_msm,
@@ -4741,6 +4769,7 @@ def extra_oracle_sql(query_vec=None, sf_dir=None):
         "bm25_topk_phrase_prefix": sql_bm25_topk_phrase_prefix(),
         "phrase_suggest": sql_phrase_suggest(),
         "grouped_topk": sql_grouped_topk(),
+        "term_vectors": sql_term_vectors(),
         "bm25_topk_page2": sql_bm25_topk_page2(),
         "bm25_topk_msm": sql_bm25_topk_msm(),
         "bm25_topk_not": sql_bm25_topk_not(),

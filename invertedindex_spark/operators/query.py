@@ -2115,6 +2115,69 @@ class InvertedIndex:
                  .select("key", "doc_id", "score_u6"))
         return grouped_topk(keyed, self.docs, n_per_group, k_groups)
 
+    def term_vectors(self, doc_no: str, positions: bool | None = None,
+                     term_statistics: bool = True):
+        """The ES ``_termvectors`` API: one stored document's term
+        vector — every indexed term with its within-doc frequency,
+        optionally its 0-based positions in the post-filter token
+        stream (``positions``, default = whether the warehouse has
+        the positional sidecar), and optionally collection term
+        statistics df/cf (``term_statistics``, the ES
+        ``term_statistics=true`` flag — lexicon-backed, so it needs a
+        compacted warehouse like :meth:`complete_df`; on a fresh
+        handle over an appended-but-uncompacted tail the stats
+        reflect the last compaction — the same approximation ES
+        documents for its shard-local term statistics). Returns
+        DataFrame(term, tf[, positions][, df, cf]) ordered by term.
+
+        Unknown or deleted documents raise (the tombstone filter runs
+        on the decode, so a tombstoned doc looks exactly like an
+        absent one).
+
+        Scale shape: the same point-lookup plan as the
+        `more_like_this` seed read — ``doc_points`` prunes posting
+        rows by [first_doc_id, last_doc_id] BEFORE the Arrow decode
+        (O(rows covering the doc), never the index), and the
+        positional decode is pruned by the same range; the doc's
+        distinct-term list (bounded by its stored doc_len) is the
+        only driver materialization."""
+        from pyspark.sql import functions as F
+
+        rows = (self.docs.where(F.col("doc_no") == doc_no)
+                .select("doc_id").collect())
+        if not rows:
+            raise ValueError(f"term_vectors: unknown doc_no {doc_no!r}")
+        did = int(rows[0]["doc_id"])
+        tv = (self._drop_tombstoned(
+                self.decoded_postings_df(doc_points=[did]))
+              .where(F.col("doc_id") == did)
+              .select("term", "tf"))
+        # the doc's distinct terms: bounded by its doc_len — the
+        # RM3-seed-class driver materialization (also the deleted-doc
+        # probe: a tombstoned doc decodes to nothing)
+        terms = [r["term"] for r in tv.select("term").collect()]
+        if not terms:
+            raise ValueError(
+                f"term_vectors: unknown or deleted doc_no {doc_no!r}")
+        if positions is None:
+            positions = self.has_positions
+        if positions:
+            pos = (self.decoded_positions_df(terms,
+                                             doc_range=(did, did))
+                   .where(F.col("doc_id") == did)
+                   .select("term", "positions"))
+            tv = tv.join(pos, "term")
+        if term_statistics:
+            if not self._compacted_tables_exist():
+                raise ValueError(
+                    "term_vectors(term_statistics=True) requires a "
+                    "compacted warehouse (the stream-fresh vocabulary "
+                    "has no lexicon yet — compact() first, or pass "
+                    "term_statistics=False)")
+            tv = tv.join(self.lexicon.select("term", "df", "cf"),
+                         "term")
+        return tv.orderBy("term")
+
     def search_sorted(self, query: str, by: str, k: int = 20,
                       ascending: bool = False,
                       where: str | None = None):
@@ -3301,24 +3364,36 @@ class InvertedIndex:
                 .withColumn("df", F.count("*").over(
                     Window.partitionBy("term"))))
 
-    def decoded_positions_df(self, terms):
+    def decoded_positions_df(self, terms, doc_range=None):
         """Positional payloads → (term, doc_id, positions array<long>)
         DataFrame. One term-filtered scan of each sidecar table, an
         equality join on (term, grp) — both tables share the term-hash
         bucket layout, so the join moves only the queried terms' rows —
         and one Arrow decode pass that explodes per-doc position
         arrays. The doc/tf streams come from the aligned postings row;
-        positional streams are always VByte."""
+        positional streams are always VByte.
+
+        ``doc_range=(lo, hi)``: prune COMPACTED posting rows whose
+        [first_doc_id, last_doc_id] span misses the range before the
+        join/decode — the :meth:`decoded_postings_df` point-lookup
+        predicate; output is a row-grain SUPERSET of the range
+        (callers still filter on doc_id). The fresh partial tail is
+        not pruned (segments carry no last_doc_id) — it is bounded by
+        the uncompacted append window by construction."""
         import pyarrow as pa
         from pyspark.sql import functions as F
 
         self._require_positions()
         if (self._compacted_positions_exist()
                 and self._compacted_tables_exist()):
-            post = (self.postings
-                    .where(F.col("term").isin(list(terms)))
-                    .select("term", "grp", "doc_ids_vbyte",
-                            "freqs_vbyte"))
+            post = self.postings.where(F.col("term").isin(list(terms)))
+            if doc_range is not None:
+                lo, hi = doc_range
+                post = post.where(
+                    (F.col("first_doc_id") <= int(hi))
+                    & (F.col("last_doc_id") >= int(lo)))
+            post = post.select("term", "grp", "doc_ids_vbyte",
+                               "freqs_vbyte")
             pos = (self.positions
                    .where(F.col("term").isin(list(terms)))
                    .select("term", "grp", "pos_vb"))
