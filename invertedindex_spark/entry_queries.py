@@ -4025,6 +4025,36 @@ FROM md JOIN documents dd ON CAST(dd.doc_id AS VARCHAR) = md.doc_no
 GROUP BY dd.source ORDER BY n_docs DESC, source ASC LIMIT {top}"""
 
 
+HIST_INTERVAL = 50
+
+
+def q_facet_histogram(spark, sf_dir):
+    """ES histogram aggregation: doc counts per fixed-width n_chars
+    bucket (floor(v/interval)*interval, double keys — the ES key
+    formula verbatim) over the full disjunctive match set. One
+    division+floor+multiply expression shape, IEEE-identical in both
+    engines; NULL values drop; empty buckets absent."""
+    idx = get_index(spark, sf_dir)
+    idx.set_attributes(
+        _docs_df(spark, sf_dir).select("doc_id", "n_chars"),
+        key="doc_id")
+    return idx.facet_histogram("OR " + " ".join(OR_TERMS),
+                               by="n_chars", interval=HIST_INTERVAL)
+
+
+def sql_facet_histogram(interval: int = HIST_INTERVAL) -> str:
+    tlist = ", ".join(f"'{t}'" for t in OR_TERMS)
+    return _base_cte() + f""",
+m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({tlist})),
+md AS (SELECT d.doc_no FROM m JOIN docs d USING (doc_id))
+SELECT floor(CAST(dd.n_chars AS DOUBLE) / {float(interval)})
+         * {float(interval)} AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM md JOIN documents dd ON CAST(dd.doc_id AS VARCHAR) = md.doc_no
+WHERE dd.n_chars IS NOT NULL
+GROUP BY bucket ORDER BY bucket"""
+
+
 def q_facet_stats(spark, sf_dir):
     """Facet metric sub-aggregation (ES terms+stats agg): per-source
     doc count plus sum/min/max of n_chars over the full disjunctive
@@ -4714,6 +4744,7 @@ def extra_queries():
         "phrase_suggest": q_phrase_suggest,
         "grouped_topk": q_grouped_topk,
         "term_vectors": q_term_vectors,
+        "facet_histogram": q_facet_histogram,
         "bpe_token_counts": q_bpe_token_counts,
         "bm25_topk_page2": q_bm25_topk_page2,
         "bm25_topk_msm": q_bm25_topk_msm,
@@ -4770,6 +4801,7 @@ def extra_oracle_sql(query_vec=None, sf_dir=None):
         "phrase_suggest": sql_phrase_suggest(),
         "grouped_topk": sql_grouped_topk(),
         "term_vectors": sql_term_vectors(),
+        "facet_histogram": sql_facet_histogram(),
         "bm25_topk_page2": sql_bm25_topk_page2(),
         "bm25_topk_msm": sql_bm25_topk_msm(),
         "bm25_topk_not": sql_bm25_topk_not(),

@@ -1037,6 +1037,43 @@ class ShardedIndex:
             md = md.join(allowed, "doc_no", "left_semi")
         return md
 
+    def facet_histogram(self, query: str, by: str, interval,
+                        where: str | None = None):
+        """:meth:`InvertedIndex.facet_histogram` served
+        scatter-gather: fixed-width numeric buckets over the FULL
+        match set across every shard — counts are associative across
+        shards and the bucket key formula is per-document, so the
+        gathered histogram is row-identical to the merged
+        warehouse."""
+        from pyspark.sql import functions as F
+
+        if self._attrs_df is None:
+            raise ValueError(
+                "facet_histogram requires set_attributes(attrs_df)")
+        if by not in self._attrs_df.columns:
+            raise ValueError(
+                f"facet_histogram: no attribute column {by!r} "
+                f"(have {self._attrs_df.columns})")
+        interval = float(interval)
+        if not interval > 0:
+            raise ValueError(
+                f"facet_histogram: interval must be > 0 "
+                f"(got {interval})")
+        md = self._facet_match_docs("facet_histogram", query, where)
+        if md is None:
+            return self.spark.createDataFrame(
+                [], "bucket double, n_docs long")
+        attrs = self._attrs_df.select(
+            F.col(self._attrs_key).cast("string").alias("doc_no"),
+            F.col(by).cast("double").alias("_v"))
+        bucket = (F.floor(F.col("_v") / F.lit(interval))
+                  .cast("double") * F.lit(interval)).alias("bucket")
+        return (md.join(attrs, "doc_no")
+                .where(F.col("_v").isNotNull())
+                .select(bucket)
+                .groupBy("bucket").agg(F.count("*").alias("n_docs"))
+                .orderBy("bucket"))
+
     def facet_stats(self, query: str, by: str, metric: str,
                     top: int = 10, where: str | None = None):
         """:meth:`InvertedIndex.facet_stats` served scatter-gather:

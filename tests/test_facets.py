@@ -123,3 +123,32 @@ def test_facet_stats(facet_idx, spark):
                 [(i, s) for i, s in
                  [(0, "a"), (1, "a"), (2, "b"), (3, "b"), (4, "c")]],
                 "doc_id long, src string"), key="doc_id")
+
+
+def test_facet_histogram(facet_idx, spark):
+    """ES histogram agg: floor(v/interval)*interval double keys,
+    negative values floor DOWNWARD, NULLs drop, buckets ascending."""
+    rows = [(0, "a", 12), (1, "a", 55), (2, "b", -3), (3, "b", None),
+            (4, "c", 7)]
+    facet_idx.set_attributes(
+        spark.createDataFrame(rows, "doc_id long, src string, "
+                                    "price long"), key="doc_id")
+    try:
+        got = [tuple(r) for r in facet_idx.facet_histogram(
+            "OR fast data", by="price", interval=10).collect()]
+        # match set = docs 0,1,2,3: 12→10, 55→50, -3→-10, NULL drops
+        assert got == [(-10.0, 1), (10.0, 1), (50.0, 1)]
+        # fractional interval keeps the double key formula
+        got = [tuple(r) for r in facet_idx.facet_histogram(
+            "OR fast data", by="price", interval=2.5).collect()]
+        assert got == [(-5.0, 1), (10.0, 1), (55.0, 1)]
+        with pytest.raises(ValueError, match="interval"):
+            facet_idx.facet_histogram("OR fast", by="price", interval=0)
+        with pytest.raises(ValueError, match="no attribute column"):
+            facet_idx.facet_histogram("OR fast", by="nope", interval=1)
+    finally:
+        facet_idx.set_attributes(
+            spark.createDataFrame(
+                [(i, s) for i, s in
+                 [(0, "a"), (1, "a"), (2, "b"), (3, "b"), (4, "c")]],
+                "doc_id long, src string"), key="doc_id")

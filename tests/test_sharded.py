@@ -258,6 +258,15 @@ def test_prefix_fuzzy_suggest_facets_parity(spark, setup):
         assert got == want and got, q
     with pytest.raises(ValueError, match="no attribute column"):
         sh.facet_stats("OR hotterm", by="bucket", metric="nope")
+    # histogram twin: bucket counts associative across shards
+    for q in ["OR hotterm quick", "AND def import"]:
+        got = [tuple(r) for r in
+               sh.facet_histogram(q, by="dl", interval=5).collect()]
+        want = [tuple(r) for r in
+                ref.facet_histogram(q, by="dl", interval=5).collect()]
+        assert got == want and got, q
+    with pytest.raises(ValueError, match="interval"):
+        sh.facet_histogram("OR hotterm", by="dl", interval=-1)
 
 
 def test_guards(spark, setup, tmp_path):
