@@ -4025,6 +4025,39 @@ FROM md JOIN documents dd ON CAST(dd.doc_id AS VARCHAR) = md.doc_no
 GROUP BY dd.source ORDER BY n_docs DESC, source ASC LIMIT {top}"""
 
 
+def q_facet_percentiles(spark, sf_dir):
+    """ES terms + percentiles sub-agg: per-source p25/p50/p75 of
+    n_chars over the full disjunctive match set — EXACT lower
+    nearest-rank (value at floor((n−1)·p) of the sorted bucket)
+    instead of ES's approximate TDigest, so the oracle is
+    value-exact. NULL metrics drop; n_docs counts the measured
+    rows."""
+    idx = get_index(spark, sf_dir)
+    idx.set_attributes(
+        _docs_df(spark, sf_dir).select("doc_id", "source", "n_chars"),
+        key="doc_id")
+    return idx.facet_percentiles("OR " + " ".join(OR_TERMS),
+                                 by="source", metric="n_chars")
+
+
+def sql_facet_percentiles(top: int = 10) -> str:
+    tlist = ", ".join(f"'{t}'" for t in OR_TERMS)
+    sel = ", ".join(
+        f"l[CAST(floor((n_docs - 1) * {p / 100.0}) AS BIGINT) + 1] "
+        f"AS p{p}" for p in (25, 50, 75))
+    return _base_cte() + f""",
+m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({tlist})),
+md AS (SELECT d.doc_no FROM m JOIN docs d USING (doc_id)),
+v AS (SELECT dd.source AS source, CAST(dd.n_chars AS DOUBLE) AS _v
+      FROM md JOIN documents dd ON CAST(dd.doc_id AS VARCHAR) = md.doc_no
+      WHERE dd.n_chars IS NOT NULL),
+b AS (SELECT source, list(_v ORDER BY _v) AS l,
+             CAST(count(*) AS BIGINT) AS n_docs
+      FROM v GROUP BY source)
+SELECT source, n_docs, {sel}
+FROM b ORDER BY n_docs DESC, source ASC LIMIT {top}"""
+
+
 HIST_INTERVAL = 50
 
 
@@ -4745,6 +4778,7 @@ def extra_queries():
         "grouped_topk": q_grouped_topk,
         "term_vectors": q_term_vectors,
         "facet_histogram": q_facet_histogram,
+        "facet_percentiles": q_facet_percentiles,
         "bpe_token_counts": q_bpe_token_counts,
         "bm25_topk_page2": q_bm25_topk_page2,
         "bm25_topk_msm": q_bm25_topk_msm,
@@ -4802,6 +4836,7 @@ def extra_oracle_sql(query_vec=None, sf_dir=None):
         "grouped_topk": sql_grouped_topk(),
         "term_vectors": sql_term_vectors(),
         "facet_histogram": sql_facet_histogram(),
+        "facet_percentiles": sql_facet_percentiles(),
         "bm25_topk_page2": sql_bm25_topk_page2(),
         "bm25_topk_msm": sql_bm25_topk_msm(),
         "bm25_topk_not": sql_bm25_topk_not(),

@@ -245,6 +245,37 @@ def phrase_prefix_expansions(prefix: str, expand_prefix):
     return list(expand_prefix(toks[0][:MAX_TERM_LEN]))
 
 
+def _pct_col_name(p: float) -> str:
+    """p25, p50, p99_9 — the ES percentiles key, column-safe."""
+    s = f"{p:g}".replace(".", "_")
+    return f"p{s}"
+
+
+def _percentiles_tail(vals, by, ps, top: int):
+    """The per-bucket exact nearest-rank percentile tail shared by
+    :meth:`InvertedIndex.facet_percentiles` and its sharded twin:
+    ``vals`` = rows with the bucket column ``by`` and non-NULL double
+    ``_v``. One key-partitioned window (row_number by value + bucket
+    count), then each percentile is a conditional max at index
+    ``floor((n−1) × p/100)`` — one surviving row per (bucket,
+    percentile), never a global sort."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy(by).orderBy("_v")
+    c = (vals.select(by, "_v")
+         .withColumn("_rn", F.row_number().over(w))
+         .withColumn("_n", F.count("*").over(Window.partitionBy(by))))
+    aggs = [F.max("_n").alias("n_docs")]
+    for p in ps:
+        idx = F.floor((F.col("_n") - 1) * F.lit(p / 100.0))
+        aggs.append(F.max(F.when(F.col("_rn") - 1 == idx,
+                                 F.col("_v")))
+                    .alias(_pct_col_name(p)))
+    return (c.groupBy(by).agg(*aggs)
+            .orderBy(F.desc("n_docs"), F.asc(by)).limit(top))
+
+
 def grouped_topk(keyed, docs_df, n_per_group: int, k_groups: int):
     """The grouped-top-k tail shared by
     :meth:`InvertedIndex.search_grouped` and its sharded twin:
@@ -2013,6 +2044,54 @@ class InvertedIndex:
                 .select(bucket)
                 .groupBy("bucket").agg(F.count("*").alias("n_docs"))
                 .orderBy("bucket"))
+
+    def facet_percentiles(self, query: str, by: str, metric: str,
+                          percents=(25, 50, 75), top: int = 10,
+                          where: str | None = None):
+        """The ES ``percentiles`` sub-aggregation under a ``terms``
+        bucket: per value of attribute ``by`` over the query's FULL
+        match set, the requested percentiles of numeric attribute
+        ``metric``. EXACT lower nearest-rank percentiles — the value
+        at index ``floor((n−1) × p/100)`` of the bucket's ascending
+        non-NULL values — instead of ES's approximate TDigest sketch
+        (documented deviation: deterministic and oracle-exact; the
+        sketch is the memory-bound path ES needs because it streams,
+        Spark's shuffle sorts the bucket anyway). NULL metrics drop
+        entirely (ES skips missing values); ``n_docs`` counts the
+        non-NULL rows the percentiles ran over. Returns
+        DataFrame(``by``, n_docs, p<p1>, p<p2>, …) ordered (n_docs
+        desc, value asc), capped at ``top``.
+
+        100 TB shape: the same match-set scatter as
+        :meth:`facet_counts`; rank selection is a key-PARTITIONED
+        window (row_number + count over the bucket) — never a global
+        sort; one row per (bucket, requested percentile) survives to
+        the pivot."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        if self._attrs_df is None:
+            raise ValueError(
+                "facet_percentiles requires set_attributes(attrs_df)")
+        for c in (by, metric):
+            if c not in self._attrs_df.columns:
+                raise ValueError(
+                    f"facet_percentiles: no attribute column {c!r} "
+                    f"(have {self._attrs_df.columns})")
+        ps = [float(p) for p in percents]
+        if not ps or any(not 0 <= p <= 100 for p in ps):
+            raise ValueError(
+                f"facet_percentiles: percents must be in [0, 100] "
+                f"(got {list(percents)})")
+        ids = self._match_ids(query, where=where)
+        attrs = self._attrs_df.select(
+            F.col(self._attrs_key).cast("string").alias("doc_no"),
+            F.col(by), F.col(metric).cast("double").alias("_v"))
+        vals = (attrs.limit(0) if ids is None else
+                ids.join(self.docs.select("doc_id", "doc_no"),
+                         "doc_id")
+                .join(attrs, "doc_no")).where(F.col("_v").isNotNull())
+        return _percentiles_tail(vals, by, ps, top)
 
     def facet_stats(self, query: str, by: str, metric: str,
                     top: int = 10, where: str | None = None):

@@ -1074,6 +1074,44 @@ class ShardedIndex:
                 .groupBy("bucket").agg(F.count("*").alias("n_docs"))
                 .orderBy("bucket"))
 
+    def facet_percentiles(self, query: str, by: str, metric: str,
+                          percents=(25, 50, 75), top: int = 10,
+                          where: str | None = None):
+        """:meth:`InvertedIndex.facet_percentiles` served
+        scatter-gather: exact nearest-rank percentiles need the
+        bucket's COMPLETE value multiset, and the gathered match set
+        delivers exactly that (documents never span shards) — the
+        shared :func:`~.query._percentiles_tail` then selects ranks
+        identically to the merged warehouse. (ES merges per-shard
+        TDigest sketches instead and is approximate; this plan is
+        exact — same documented deviation as the single
+        warehouse.)"""
+        from pyspark.sql import functions as F
+
+        from .query import _percentiles_tail
+
+        if self._attrs_df is None:
+            raise ValueError(
+                "facet_percentiles requires set_attributes(attrs_df)")
+        for c in (by, metric):
+            if c not in self._attrs_df.columns:
+                raise ValueError(
+                    f"facet_percentiles: no attribute column {c!r} "
+                    f"(have {self._attrs_df.columns})")
+        ps = [float(p) for p in percents]
+        if not ps or any(not 0 <= p <= 100 for p in ps):
+            raise ValueError(
+                f"facet_percentiles: percents must be in [0, 100] "
+                f"(got {list(percents)})")
+        md = self._facet_match_docs("facet_percentiles", query, where)
+        attrs = self._attrs_df.select(
+            F.col(self._attrs_key).cast("string").alias("doc_no"),
+            F.col(by), F.col(metric).cast("double").alias("_v"))
+        vals = (attrs.limit(0) if md is None
+                else md.join(attrs, "doc_no")) \
+            .where(F.col("_v").isNotNull())
+        return _percentiles_tail(vals, by, ps, top)
+
     def facet_stats(self, query: str, by: str, metric: str,
                     top: int = 10, where: str | None = None):
         """:meth:`InvertedIndex.facet_stats` served scatter-gather:

@@ -152,3 +152,43 @@ def test_facet_histogram(facet_idx, spark):
                 [(i, s) for i, s in
                  [(0, "a"), (1, "a"), (2, "b"), (3, "b"), (4, "c")]],
                 "doc_id long, src string"), key="doc_id")
+
+
+def test_facet_percentiles(facet_idx, spark):
+    """ES terms+percentiles sub-agg, exact lower nearest-rank:
+    value at floor((n-1)*p/100) of the bucket's sorted non-NULL
+    values; NULL metrics drop; n_docs counts measured rows."""
+    rows = [(0, "a", 10), (1, "a", 30), (2, "b", 5), (3, "b", None),
+            (4, "c", 7)]
+    facet_idx.set_attributes(
+        spark.createDataFrame(rows, "doc_id long, src string, "
+                                    "price long"), key="doc_id")
+    try:
+        got = [tuple(r) for r in facet_idx.facet_percentiles(
+            "OR fast data", by="src", metric="price").collect()]
+        # a: [10,30] n=2 -> idx floor(1*p): p25→10, p50→10, p75→10
+        #   (floor(0.25)=0, floor(0.5)=0, floor(0.75)=0)
+        # b: [5] n=1 -> all 5 (doc 3's NULL dropped)
+        assert got == [("a", 2, 10.0, 10.0, 10.0),
+                       ("b", 1, 5.0, 5.0, 5.0)]
+        got = [tuple(r) for r in facet_idx.facet_percentiles(
+            "OR fast data", by="src", metric="price",
+            percents=(0, 50, 100)).collect()]
+        assert got == [("a", 2, 10.0, 10.0, 30.0),
+                       ("b", 1, 5.0, 5.0, 5.0)]
+        assert got and facet_idx.facet_percentiles(
+            "OR fast data", by="src", metric="price",
+            percents=(99.9,)).columns == ["src", "n_docs", "p99_9"]
+        with pytest.raises(ValueError, match="percents"):
+            facet_idx.facet_percentiles("OR fast", by="src",
+                                        metric="price",
+                                        percents=(101,))
+        with pytest.raises(ValueError, match="no attribute column"):
+            facet_idx.facet_percentiles("OR fast", by="src",
+                                        metric="nope")
+    finally:
+        facet_idx.set_attributes(
+            spark.createDataFrame(
+                [(i, s) for i, s in
+                 [(0, "a"), (1, "a"), (2, "b"), (3, "b"), (4, "c")]],
+                "doc_id long, src string"), key="doc_id")

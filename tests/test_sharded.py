@@ -267,6 +267,16 @@ def test_prefix_fuzzy_suggest_facets_parity(spark, setup):
         assert got == want and got, q
     with pytest.raises(ValueError, match="interval"):
         sh.facet_histogram("OR hotterm", by="dl", interval=-1)
+    # percentiles twin: exact nearest-rank needs the COMPLETE bucket
+    # multiset — the gathered match set delivers it
+    for q in ["OR hotterm quick", "AND def import"]:
+        got = [tuple(r) for r in
+               sh.facet_percentiles(q, by="bucket",
+                                    metric="dl").collect()]
+        want = [tuple(r) for r in
+                ref.facet_percentiles(q, by="bucket",
+                                      metric="dl").collect()]
+        assert got == want and got, q
 
 
 def test_guards(spark, setup, tmp_path):
