@@ -4143,6 +4143,94 @@ def _pii_augmented_docs(spark, sf_dir):
     return d.select("doc_id", aug.alias("text"))
 
 
+def _c4_augmented_docs(spark, sf_dir):
+    """documents with deterministic line structure planted by
+    doc_id % 5 (3 proper sentence lines / a curly brace / lorem ipsum
+    / one short sentence / untouched) — the sf corpus is
+    punctuation-free word soup, so an un-augmented C4 pass would
+    verify only the too_few_lines path. Replicated literally in the
+    oracle CTE."""
+    from pyspark.sql import functions as F
+
+    d = _docs_df(spark, sf_dir)
+    base = F.coalesce(F.col("text"), F.lit(""))
+    sid = F.col("doc_id").cast("string")
+    good = F.concat(F.lit("\nThis sentence line number "), sid,
+                    F.lit(" has enough words here.\nAnother proper "
+                          "sentence follows right here too.\nA third "
+                          "closing sentence ends the page."))
+    aug = (F.when(F.col("doc_id") % 5 == 0, F.concat(base, good))
+           .when(F.col("doc_id") % 5 == 1,
+                 F.concat(base, F.lit(" { code block }"), good))
+           .when(F.col("doc_id") % 5 == 2,
+                 F.concat(base, F.lit("\nLorem Ipsum dolor sit."),
+                          good))
+           .when(F.col("doc_id") % 5 == 3,
+                 F.concat(base,
+                          F.lit("\nOnly one good sentence here today.")))
+           .otherwise(base))
+    return d.select("doc_id", aug.alias("text"))
+
+
+def q_c4_clean(spark, sf_dir):
+    """C4 cleaning heuristics (Raffel et al. 2020 §2.2): line rules
+    (terminal punctuation, ≥5 words, no 'javascript') + page rules
+    (curly brace / lorem ipsum / <3 surviving lines) in fixed
+    precedence, over documents with deterministic line structure
+    planted by doc_id % 5. Pure Column expressions — line handling
+    stays inside per-row array HOFs, no shuffle/join/UDF."""
+    from .operators.quality import c4_clean
+    return c4_clean(_c4_augmented_docs(spark, sf_dir))
+
+
+def sql_c4_clean() -> str:
+    good = ("chr(10) || 'This sentence line number ' || "
+            "CAST(doc_id AS VARCHAR) || ' has enough words here.' || "
+            "chr(10) || 'Another proper sentence follows right here "
+            "too.' || chr(10) || 'A third closing sentence ends the "
+            "page.'")
+    return f"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE
+           WHEN doc_id % 5 = 0 THEN coalesce(text, '') || {good}
+           WHEN doc_id % 5 = 1 THEN coalesce(text, '')
+                || ' {{ code block }}' || {good}
+           WHEN doc_id % 5 = 2 THEN coalesce(text, '')
+                || chr(10) || 'Lorem Ipsum dolor sit.' || {good}
+           WHEN doc_id % 5 = 3 THEN coalesce(text, '')
+                || chr(10) || 'Only one good sentence here today.'
+           ELSE coalesce(text, '')
+         END AS text
+  FROM documents
+), c AS (
+  SELECT doc_id, text,
+         string_split(text, chr(10)) AS lines,
+         list_filter(string_split(text, chr(10)),
+           l -> regexp_matches(l, '[.!?"][ \t\r]*$')
+                AND len(list_filter(string_split(l, ' '),
+                                    w -> w <> '')) >= 5
+                AND NOT contains(lower(l), 'javascript')) AS kept
+  FROM aug
+), v AS (
+  SELECT doc_id, lines, kept,
+         CASE
+           WHEN contains(text, '{{') THEN 'curly_brace'
+           WHEN contains(lower(text), 'lorem ipsum')
+             THEN 'lorem_ipsum'
+           WHEN len(kept) < 3 THEN 'too_few_lines'
+           ELSE 'keep'
+         END AS verdict
+  FROM c
+)
+SELECT doc_id, verdict,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST(len(kept) AS BIGINT) AS n_kept,
+       CASE WHEN verdict = 'keep'
+            THEN array_to_string(kept, chr(10)) END AS clean_text
+FROM v ORDER BY doc_id"""
+
+
 def q_pii_scrub(spark, sf_dir):
     from .operators.pii import pii_scrub
     return pii_scrub(_pii_augmented_docs(spark, sf_dir))
@@ -4779,6 +4867,7 @@ def extra_queries():
         "term_vectors": q_term_vectors,
         "facet_histogram": q_facet_histogram,
         "facet_percentiles": q_facet_percentiles,
+        "c4_clean": q_c4_clean,
         "bpe_token_counts": q_bpe_token_counts,
         "bm25_topk_page2": q_bm25_topk_page2,
         "bm25_topk_msm": q_bm25_topk_msm,
@@ -4837,6 +4926,7 @@ def extra_oracle_sql(query_vec=None, sf_dir=None):
         "term_vectors": sql_term_vectors(),
         "facet_histogram": sql_facet_histogram(),
         "facet_percentiles": sql_facet_percentiles(),
+        "c4_clean": sql_c4_clean(),
         "bm25_topk_page2": sql_bm25_topk_page2(),
         "bm25_topk_msm": sql_bm25_topk_msm(),
         "bm25_topk_not": sql_bm25_topk_not(),

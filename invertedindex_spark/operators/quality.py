@@ -223,3 +223,68 @@ def repetition_signals(df, **thresholds):
            <= th["max_dup_line_char_frac_u6"])
         & (F.col("dup_para_char_frac_u6")
            <= th["max_dup_para_char_frac_u6"]))
+
+
+def c4_clean(df, min_line_words: int = 5, min_kept_lines: int = 3):
+    """The C4 cleaning heuristics (Raffel et al. 2020, "Exploring the
+    Limits of Transfer Learning with a Unified Text-to-Text
+    Transformer" §2.2 — the public Common Crawl → C4 recipe), as one
+    narrow per-document pass:
+
+    Line rules (a line survives iff ALL hold):
+    * ends in a terminal punctuation mark (``. ! ? "`` after
+      stripping trailing space/tab/CR — explicit char list, the
+      Java↔RE2↔DuckDB parity practice);
+    * holds at least ``min_line_words`` whitespace-separated words
+      (single-space split, empties dropped);
+    * does not mention "javascript" (case-insensitive).
+
+    Page rules (the whole document drops, in this fixed precedence —
+    first matching reason wins, so the verdict is deterministic):
+    * ``curly_brace`` — any ``{`` anywhere (code, not prose);
+    * ``lorem_ipsum`` — the placeholder phrase (case-insensitive);
+    * ``too_few_lines`` — fewer than ``min_kept_lines`` surviving
+      lines (C4's "fewer than 3 sentences", at line granularity like
+      the public implementation);
+    * otherwise ``keep``.
+
+    Returns (doc_id, verdict, n_lines, n_kept, clean_text) —
+    ``clean_text`` is the newline-join of surviving lines for kept
+    pages, NULL for dropped ones (the `substring_span_removal`
+    output convention).
+
+    Scale shape: pure Column expressions over one text scan — the
+    line explode stays INSIDE per-row array HOFs (filter/transform),
+    so there is no shuffle, no join, no UDF and no row expansion at
+    all; composes with the curation pipeline exactly like
+    :func:`gopher_quality`. 100 TB cost = one narrow scan."""
+    from pyspark.sql import functions as F
+
+    text = F.coalesce(F.col("text"), F.lit(""))
+    lines = F.split(text, "\n", -1)
+
+    def _line_ok(line):
+        # terminal punctuation allowing trailing space/tab/CR —
+        # explicit char classes (no \s shorthand: Java's includes
+        # \x0b, RE2's does not)
+        term = line.rlike('[.!?"][ \t\r]*$')
+        words = F.size(F.filter(F.split(line, " ", -1),
+                                lambda w: w != F.lit("")))
+        js = F.lower(line).contains("javascript")
+        return term & (words >= F.lit(int(min_line_words))) & ~js
+
+    kept = F.filter(lines, _line_ok)
+    verdict = (F.when(text.contains("{"), F.lit("curly_brace"))
+               .when(F.lower(text).contains("lorem ipsum"),
+                     F.lit("lorem_ipsum"))
+               .when(F.size(kept) < F.lit(int(min_kept_lines)),
+                     F.lit("too_few_lines"))
+               .otherwise(F.lit("keep")))
+    return (df.select(
+        "doc_id",
+        verdict.alias("verdict"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.when(verdict == "keep", F.array_join(kept, "\n"))
+        .alias("clean_text"))
+        .orderBy("doc_id"))

@@ -126,3 +126,44 @@ def test_repetition_thresholds_overridable(spark):
     loose = repetition_signals(df, max_dup_line_frac_u6=600_000,
                                max_dup_line_char_frac_u6=600_000)
     assert loose.collect()[0]["repetition_keep"] is True
+
+
+def test_c4_clean_semantics(spark):
+    """C4 rules (Raffel et al. 2020 §2.2): line survival = terminal
+    punctuation + ≥5 words + no 'javascript'; page verdict precedence
+    curly_brace > lorem_ipsum > too_few_lines > keep."""
+    from invertedindex_spark.operators.quality import c4_clean
+
+    good = ("One proper sentence with enough words.\n"
+            "Another proper sentence with enough words!\n"
+            "A third proper sentence with enough words?")
+    rows = [
+        (0, good),                                      # keep
+        (1, good + "\nif (x) { return; }"),             # curly wins
+        (2, good + "\nlorem ipsum filler text."),       # lorem
+        (3, "Too short.\nNo terminal punctuation line "
+            "with many words\nAnother proper sentence "
+            "with enough words."),                      # 1 kept < 3
+        (4, good + "\nEnable JavaScript to view this page."),
+        (5, None),                                      # null text
+        (6, good + '\nHe said "stop right there now."'),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in c4_clean(df).collect()}
+    assert got[0]["verdict"] == "keep" and got[0]["n_kept"] == 3
+    assert got[0]["clean_text"] == good
+    assert got[1]["verdict"] == "curly_brace"
+    assert got[1]["clean_text"] is None
+    assert got[2]["verdict"] == "lorem_ipsum"
+    assert got[3]["verdict"] == "too_few_lines"
+    assert got[3]["n_kept"] == 1 and got[3]["n_lines"] == 3
+    # the javascript line drops but the page keeps its 3 good lines
+    assert got[4]["verdict"] == "keep" and got[4]["n_kept"] == 3
+    assert "JavaScript" not in got[4]["clean_text"]
+    assert got[5]["verdict"] == "too_few_lines"
+    # closing-quote terminal punctuation counts
+    assert got[6]["n_kept"] == 4
+    # thresholds are parameters
+    loose = {r["doc_id"]: r["verdict"] for r in
+             c4_clean(df, min_kept_lines=1).collect()}
+    assert loose[3] == "keep"
