@@ -4143,6 +4143,74 @@ def _pii_augmented_docs(spark, sf_dir):
     return d.select("doc_id", aug.alias("text"))
 
 
+def q_paragraph_dedup(spark, sf_dir):
+    """Corpus-wide exact paragraph dedup (RefinedWeb / MassiveText):
+    repeated non-empty paragraphs keep only their first global
+    occurrence (min (doc_id, position)); empty paragraphs are
+    structure and always survive. Documents get a shared boilerplate
+    paragraph planted by doc_id % 3 (mirrored in the oracle), so the
+    winner/cut paths are non-vacuous on the word-soup sf corpus.
+    Shuffle key is the paragraph sha256 — hash-width keys, text rides
+    the row payload."""
+    from pyspark.sql import functions as F
+
+    from .operators.dedup import paragraph_dedup
+    d = _docs_df(spark, sf_dir)
+    base = F.coalesce(F.col("text"), F.lit(""))
+    sid = F.col("doc_id").cast("string")
+    shared = F.lit("\n\nShared footer paragraph for dedup.")
+    aug = (F.when(F.col("doc_id") % 3 == 0, F.concat(base, shared))
+           .when(F.col("doc_id") % 3 == 1,
+                 F.concat(base, shared, F.lit("\n\nUnique tail "),
+                          sid, F.lit(".")))
+           .otherwise(base))
+    return paragraph_dedup(d.select("doc_id", aug.alias("text")))
+
+
+def sql_paragraph_dedup() -> str:
+    sep = "chr(10) || chr(10)"
+    return f"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE
+           WHEN doc_id % 3 = 0 THEN coalesce(text, '') || {sep}
+                || 'Shared footer paragraph for dedup.'
+           WHEN doc_id % 3 = 1 THEN coalesce(text, '') || {sep}
+                || 'Shared footer paragraph for dedup.' || {sep}
+                || 'Unique tail ' || CAST(doc_id AS VARCHAR) || '.'
+           ELSE coalesce(text, '')
+         END AS text
+  FROM documents
+), p AS (
+  SELECT doc_id, para, idx FROM (
+    SELECT doc_id,
+           unnest(string_split(text, {sep})) AS para,
+           generate_subscripts(string_split(text, {sep}), 1) - 1
+             AS idx
+    FROM aug)
+), c AS (
+  SELECT doc_id, idx, para, row_number() OVER (
+    PARTITION BY para ORDER BY doc_id, idx) AS rn
+  FROM p WHERE length(para) > 0
+), k AS (
+  SELECT doc_id, idx, para FROM c WHERE rn = 1
+  UNION ALL
+  SELECT doc_id, idx, para FROM p WHERE length(para) = 0
+), r AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         string_agg(para, {sep} ORDER BY idx) AS clean_text
+  FROM k GROUP BY doc_id
+), n AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, {sep})) AS BIGINT) AS n_paras
+  FROM aug
+)
+SELECT n.doc_id, n.n_paras,
+       coalesce(r.n_kept, 0) AS n_kept,
+       coalesce(r.clean_text, '') AS clean_text
+FROM n LEFT JOIN r USING (doc_id) ORDER BY doc_id"""
+
+
 def _c4_augmented_docs(spark, sf_dir):
     """documents with deterministic line structure planted by
     doc_id % 5 (3 proper sentence lines / a curly brace / lorem ipsum
@@ -4868,6 +4936,7 @@ def extra_queries():
         "facet_histogram": q_facet_histogram,
         "facet_percentiles": q_facet_percentiles,
         "c4_clean": q_c4_clean,
+        "paragraph_dedup": q_paragraph_dedup,
         "bpe_token_counts": q_bpe_token_counts,
         "bm25_topk_page2": q_bm25_topk_page2,
         "bm25_topk_msm": q_bm25_topk_msm,
@@ -4927,6 +4996,7 @@ def extra_oracle_sql(query_vec=None, sf_dir=None):
         "facet_histogram": sql_facet_histogram(),
         "facet_percentiles": sql_facet_percentiles(),
         "c4_clean": sql_c4_clean(),
+        "paragraph_dedup": sql_paragraph_dedup(),
         "bm25_topk_page2": sql_bm25_topk_page2(),
         "bm25_topk_msm": sql_bm25_topk_msm(),
         "bm25_topk_not": sql_bm25_topk_not(),

@@ -584,3 +584,76 @@ def substring_dup_stats(df, k: int = 8):
         .otherwise(F.lit(0).cast("long"))
     return out.select("doc_id", "n_shingles", "n_dup_shingles",
                       frac.alias("dup_frac_u6"))
+
+
+def paragraph_dedup(df, sep: str = "\n\n"):
+    """Corpus-wide EXACT paragraph deduplication — the RefinedWeb /
+    MassiveText curation step (Penedo et al. 2023 §3.3 "exact
+    deduplication at the paragraph level"; Rae et al. 2021 A1.2):
+    every repeated non-empty paragraph keeps only its FIRST global
+    occurrence (min (doc_id, position) — a total, deterministic
+    winner rule) and later copies are cut from their documents.
+    Complements :func:`remove_duplicate_spans` (which removes
+    repeated word 8-grams WITHIN whatever span structure) by
+    operating on exact ``sep``-delimited blocks across the corpus —
+    the classic boilerplate killer (nav bars, footers, license
+    headers).
+
+    Empty paragraphs (from leading/trailing/double separators) are
+    structure, not content: they never dedup and always survive, so
+    a document's separator layout is preserved around the cuts.
+
+    Returns (doc_id, n_paras, n_kept, clean_text) for EVERY input
+    document (NULL text ⇒ 1 empty paragraph, clean_text "");
+    ``clean_text`` re-joins the surviving paragraphs with ``sep``.
+
+    Scale shape: posexplode to (doc_id, idx, para) — O(total
+    paragraphs), the indexer's row class; the winner aggregation
+    groups by the paragraph's sha256 so the SHUFFLE KEY is hash-width
+    while paragraph text rides only the row payload; one equality
+    join back on the hash (AQE-broadcast when the duplicate set is
+    small); per-doc reassembly is a groupBy(doc_id) sort_array —
+    never a window over the corpus, nothing all-pairs."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    # F.split takes a REGEX — escape so ``sep`` is literal like the
+    # DuckDB string_split twin
+    pat = re.escape(sep)
+    base = df.select("doc_id",
+                     F.coalesce(F.col("text"), F.lit(""))
+                     .alias("text"))
+    paras = base.select(
+        "doc_id",
+        F.posexplode(F.split("text", pat, -1))
+        .alias("idx", "para"))
+    content = paras.where(F.length("para") > 0).withColumn(
+        "sha", F.sha2(F.col("para"), 256))
+    win = content.groupBy("sha").agg(
+        F.min(F.struct("doc_id", "idx")).alias("w"))
+    survivors = (content.join(win, "sha")
+                 .where((F.col("doc_id") == F.col("w.doc_id"))
+                        & (F.col("idx") == F.col("w.idx")))
+                 .select("doc_id", "idx", "para"))
+    kept = survivors.unionByName(
+        paras.where(F.length("para") == 0))
+    rebuilt = (kept.groupBy("doc_id")
+               .agg(F.count("*").alias("n_kept"),
+                    F.array_join(
+                        F.transform(
+                            F.sort_array(F.collect_list(
+                                F.struct("idx", "para"))),
+                            lambda s: s["para"]),
+                        sep).alias("clean_text")))
+    n = base.select(
+        "doc_id",
+        F.size(F.split("text", pat, -1)).cast("long")
+        .alias("n_paras"))
+    return (n.join(rebuilt, "doc_id", "left")
+            .select("doc_id", "n_paras",
+                    F.coalesce("n_kept", F.lit(0)).cast("long")
+                    .alias("n_kept"),
+                    F.coalesce("clean_text", F.lit(""))
+                    .alias("clean_text"))
+            .orderBy("doc_id"))

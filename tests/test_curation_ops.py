@@ -323,3 +323,43 @@ def test_jaccard_top_pairs_no_cartesian_in_plan(spark):
         .executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_paragraph_dedup_semantics(spark):
+    """RefinedWeb-style exact paragraph dedup: first global occurrence
+    (min (doc_id, idx)) survives, later copies cut; empty paragraphs
+    are structure and never dedup; NULL text yields one empty
+    paragraph."""
+    from invertedindex_spark.operators.dedup import paragraph_dedup
+
+    shared = "This exact paragraph repeats across documents."
+    rows = [
+        (0, f"Intro zero.\n\n{shared}\n\nOutro zero."),
+        (1, f"{shared}\n\nUnique one."),          # shared cut (doc 0 won)
+        (2, f"Unique two.\n\n{shared}"),          # shared cut
+        (3, f"{shared}\n\n{shared}"),             # both copies cut
+        (4, "\n\nLonely.\n\n"),                   # empty paras survive
+        (5, None),
+        (6, f"Intro zero.\n\nFresh six."),        # 'Intro zero.' cut too
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict()
+           for r in paragraph_dedup(df).collect()}
+    assert got[0]["clean_text"] == rows[0][1]     # winner keeps all
+    assert (got[0]["n_paras"], got[0]["n_kept"]) == (3, 3)
+    assert got[1]["clean_text"] == "Unique one."
+    assert (got[1]["n_paras"], got[1]["n_kept"]) == (2, 1)
+    assert got[2]["clean_text"] == "Unique two."
+    assert got[3]["clean_text"] == ""
+    assert (got[3]["n_paras"], got[3]["n_kept"]) == (2, 0)
+    # leading/trailing separators: 2 empty paras survive around text
+    assert got[4]["clean_text"] == "\n\nLonely.\n\n"
+    assert (got[4]["n_paras"], got[4]["n_kept"]) == (3, 3)
+    assert got[5]["clean_text"] == "" and got[5]["n_paras"] == 1
+    assert got[6]["clean_text"] == "Fresh six."
+    # custom separator is literal, not regex
+    df2 = spark.createDataFrame(
+        [(0, "a||b"), (1, "a||c")], "doc_id long, text string")
+    got2 = {r["doc_id"]: r["clean_text"]
+            for r in paragraph_dedup(df2, sep="||").collect()}
+    assert got2 == {0: "a||b", 1: "c"}

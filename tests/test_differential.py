@@ -61,7 +61,7 @@ QUERIES = ["exact_dedup", "token_counts", "token_stats", "lang_id",
            "token_budget_select", "top_collocations",
            "near_dup_components", "boilerplate_shingles", "pii_scrub",
            "dsir_weights", "percolator_matches", "jaccard_top_pairs",
-           "phrase_suggest", "c4_clean"]
+           "phrase_suggest", "c4_clean", "paragraph_dedup"]
 
 
 @pytest.mark.parametrize("seed", [11, 17, 23])
