@@ -7,6 +7,7 @@ documents parquet, and prints one JSON summary line.
 Usage:
     python -m invertedindex_spark.curate in.parquet out_dir \\
         [--min-quality-u6 450000] [--langs en] [--remove-spans-k 8] \\
+        [--c4] [--para-dedup [--para-sep '\\n\\n']] \\
         [--token-budget N] [--dsir-target t.parquet --dsir-keep N] \\
         [--report] [--cpus N]
 
@@ -41,6 +42,20 @@ def main(argv=None):
     ap.add_argument("--remove-spans-k", type=int, default=None,
                     help="also remove cross-document duplicated "
                          "k-shingle spans from kept docs")
+    ap.add_argument("--c4", action="store_true",
+                    help="apply the C4 line/page cleaning first "
+                         "(Raffel et al. 2020: terminal-punctuation "
+                         "lines, curly-brace / lorem-ipsum / "
+                         "too-few-lines page drops)")
+    ap.add_argument("--para-dedup", action="store_true",
+                    help="corpus-wide exact paragraph dedup on kept "
+                         "docs (first occurrence wins; docs emptied "
+                         "by the cuts drop)")
+    ap.add_argument("--para-sep", default="\\n\\n",
+                    help=r"paragraph separator for --para-dedup "
+                         r"(literal; \n escapes honored — after "
+                         r"--c4, which rejoins lines with a single "
+                         r"newline, pass \n; default \n\n)")
     ap.add_argument("--token-budget", type=int, default=None,
                     help="prefix cut at N total whitespace tokens")
     ap.add_argument("--dsir-target", default=None, metavar="PARQUET",
@@ -69,11 +84,31 @@ def main(argv=None):
     t0 = time.time()
     docs = spark.read.parquet(args.input)
     n_in = docs.count()
+    if args.c4:
+        from pyspark.sql import functions as F
+
+        from .operators.quality import c4_clean
+        cc = c4_clean(docs.select("doc_id", "text"))
+        docs = docs.drop("text").join(
+            cc.where(F.col("verdict") == "keep")
+            .select("doc_id", F.col("clean_text").alias("text")),
+            "doc_id")
     kw = {"keep_langs": tuple(args.langs.split(",")),
           "min_quality_u6": (args.min_quality_u6
                              if args.min_quality_u6 is not None
                              else DEFAULT_MIN_QUALITY_U6)}
     kept = kept_documents(docs, remove_spans_k=args.remove_spans_k, **kw)
+    if args.para_dedup:
+        from pyspark.sql import functions as F
+
+        from .operators.dedup import paragraph_dedup
+        sep = args.para_sep.replace("\\n", "\n").replace(
+            "\\t", "\t")
+        pd_ = paragraph_dedup(kept.select("doc_id", "text"), sep=sep)
+        kept = kept.drop("text").join(
+            pd_.where(F.length("clean_text") > 0)
+            .select("doc_id", F.col("clean_text").alias("text")),
+            "doc_id")
     if args.dsir_target is not None:
         if args.dsir_keep is None:
             ap.error("--dsir-target requires --dsir-keep N")

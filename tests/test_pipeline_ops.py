@@ -661,3 +661,41 @@ def test_clean_corpus_repetition_stage(spark):
                         max_dup_para_frac_u6=1_000_000,
                         max_dup_para_char_frac_u6=1_000_000)).collect()}
     assert loose[1] == "kept"
+
+
+def test_curate_cli_c4_and_para_dedup(spark, tmp_path, capsys):
+    """--c4 applies the C4 line/page cleaning before the verdict
+    pipeline; --para-dedup cuts corpus-wide repeated paragraphs from
+    kept docs (docs emptied by the cuts drop)."""
+    import json
+
+    from invertedindex_spark import curate
+
+    good = ("the quick brown fox document runs fast and keeps "
+            "enough plain words to pass the many filters today.")
+    footer = "this exact footer paragraph repeats across documents."
+    src = str(tmp_path / "c4_in.parquet")
+    rows = [(i, f"{good}\n\n{good}\n\n{good}\n\n{footer}", "web")
+            for i in range(6)]
+    rows += [(10, good + " { code }", "web"),       # C4 curly drop
+             (11, "no terminal punctuation here at all", "web")]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string") \
+        .write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "c4_out")
+    rc = curate.main([src, out, "--c4", "--para-dedup",
+                      "--para-sep", "\\n",
+                      "--min-quality-u6", "0"])
+    assert rc == 0
+    summary = json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1])
+    kept = {r["doc_id"]: r["text"]
+            for r in spark.read.parquet(out).collect()}
+    assert summary["input_docs"] == 8
+    assert 10 not in kept and 11 not in kept      # C4 page drops
+    # C4 joins surviving LINES with a single newline; --para-sep \\n
+    # dedups at that line granularity: doc 0 keeps one copy of each
+    # distinct line, docs 1..5 lose every (now-duplicate) line and
+    # drop entirely
+    assert set(kept) == {0}
+    assert kept[0] == f"{good}\n{footer}"
