@@ -3908,6 +3908,44 @@ FROM q"""
 SESSION_GAP_MIN = 30
 
 
+FUNNEL_STEPS = ["view", "click", "purchase"]
+FUNNEL_WITHIN = 21600
+
+
+def q_event_funnel(spark, sf_dir):
+    """Funnel conversion (view → click → purchase within 6 h):
+    distinct users whose greedy per-start event chain reaches each
+    step inside the window — the sloppy-phrase minimal-window lemma
+    on event time. Integer-microsecond arithmetic end-to-end
+    (unix_micros ↔ epoch_us), strict > ordering on ties."""
+    from .operators.events import event_funnel
+    return event_funnel(_events_df(spark, sf_dir), FUNNEL_STEPS,
+                        within_seconds=FUNNEL_WITHIN)
+
+
+def sql_event_funnel(steps=None, within: int = FUNNEL_WITHIN) -> str:
+    steps = list(steps or FUNNEL_STEPS)
+    w_us = within * 1_000_000
+    ctes = [f"""
+s1 AS (SELECT DISTINCT user_id, t_us AS t1, t_us AS tp FROM e
+       WHERE event_type = '{steps[0]}')"""]
+    for i, s in enumerate(steps[1:], 2):
+        ctes.append(f"""
+s{i} AS (SELECT s{i - 1}.user_id, s{i - 1}.t1,
+              min(e.t_us) AS tp
+       FROM s{i - 1} JOIN e ON e.user_id = s{i - 1}.user_id
+            AND e.event_type = '{s}' AND e.t_us > s{i - 1}.tp
+       GROUP BY s{i - 1}.user_id, s{i - 1}.t1
+       HAVING min(e.t_us) - s{i - 1}.t1 <= {w_us})""")
+    sels = [
+        f"SELECT {i} AS step_index, '{s}' AS step, "
+        f"CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM s{i}"
+        for i, s in enumerate(steps, 1)]
+    return ("WITH e AS (SELECT user_id, event_type, epoch_us(ts) "
+            "AS t_us FROM events)," + ",".join(ctes) + "\n"
+            + "\nUNION ALL ".join(sels) + "\nORDER BY step_index")
+
+
 def q_events_windowed(spark, sf_dir):
     """Tumbling 1-hour window counts + value sums per event type — the
     batch twin of the watermarked streaming aggregation (late-data drop
@@ -4937,6 +4975,7 @@ def extra_queries():
         "facet_percentiles": q_facet_percentiles,
         "c4_clean": q_c4_clean,
         "paragraph_dedup": q_paragraph_dedup,
+        "event_funnel": q_event_funnel,
         "bpe_token_counts": q_bpe_token_counts,
         "bm25_topk_page2": q_bm25_topk_page2,
         "bm25_topk_msm": q_bm25_topk_msm,
@@ -4997,6 +5036,7 @@ def extra_oracle_sql(query_vec=None, sf_dir=None):
         "facet_percentiles": sql_facet_percentiles(),
         "c4_clean": sql_c4_clean(),
         "paragraph_dedup": sql_paragraph_dedup(),
+        "event_funnel": sql_event_funnel(),
         "bm25_topk_page2": sql_bm25_topk_page2(),
         "bm25_topk_msm": sql_bm25_topk_msm(),
         "bm25_topk_not": sql_bm25_topk_not(),

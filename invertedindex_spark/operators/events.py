@@ -195,3 +195,78 @@ def sessionize_stateful(df, gap_seconds: int = 1800,
                 fn, SESSION_SCHEMA,
                 "ts_us array<long>, vals array<double>",
                 "append", GroupStateTimeout.EventTimeTimeout))
+
+
+def event_funnel(df, steps, within_seconds: int = 3600,
+                 ts_col: str = "ts", user_col: str = "user_id",
+                 type_col: str = "event_type"):
+    """Funnel analysis — the product-analytics sequence-conversion
+    query (Amplitude/Mixpanel-style: "of users who VIEWED, how many
+    then CLICKED, then PURCHASED, all within the window?"): for each
+    funnel step k, the number of distinct users having SOME step-1
+    event followed by in-order occurrences of steps 2..k with the
+    whole chain inside ``within_seconds`` of that start.
+
+    Kernel: per (user, start) greedy chaining — each next step takes
+    its EARLIEST event strictly after the running chain time. Greedy
+    minimizes every chain time (induction), so greedy-within-window ⇔
+    some-chain-within-window — the same minimal-window lemma as the
+    sloppy-phrase kernel (operators/query._phrase_docs_df), applied
+    to event time instead of token positions. Every step-1 event is a
+    candidate start (a later start can succeed where the earliest
+    fails the window), exactly like phrase chaining tries every
+    anchor position.
+
+    Window arithmetic runs on integer MICROSECONDS (unix_micros ↔
+    DuckDB epoch_us) — no float seconds, no truncation-direction
+    divergence between engines. Strict ``>`` ordering: a same-
+    timestamp pair never chains (simultaneous events have no order).
+
+    Returns DataFrame(step_index, step, n_users) in funnel order —
+    n_users is non-increasing by construction.
+
+    Scale shape: one equality join per funnel step on the user key,
+    each followed by a map-side-combinable min-aggregation on
+    (user, start); candidate starts are bounded by the user's step-1
+    event count. No windows over the corpus, nothing all-pairs;
+    repeated steps re-filter the same narrow typed slice of one
+    cached scan."""
+    from pyspark.sql import functions as F
+
+    steps = list(steps)
+    if len(steps) < 2:
+        raise ValueError(
+            f"event_funnel needs >= 2 steps (got {steps})")
+    within_us = int(within_seconds) * 1_000_000
+    if within_us < 0:
+        raise ValueError(
+            f"within_seconds must be >= 0 (got {within_seconds})")
+    e = df.select(F.col(user_col).alias("user_id"),
+                  F.col(type_col).alias("event_type"),
+                  F.unix_micros(F.col(ts_col).cast("timestamp"))
+                  .alias("t_us"))
+    chain = (e.where(F.col("event_type") == steps[0])
+             .select("user_id", F.col("t_us").alias("t1"))
+             .distinct()
+             .withColumn("tprev", F.col("t1")))
+    levels = [chain]
+    for s in steps[1:]:
+        nxt = (e.where(F.col("event_type") == s)
+               .select("user_id", F.col("t_us").alias("tn")))
+        chain = (chain.join(nxt, "user_id")
+                 .where(F.col("tn") > F.col("tprev"))
+                 .groupBy("user_id", "t1")
+                 .agg(F.min("tn").alias("tprev"))
+                 .where(F.col("tprev") - F.col("t1")
+                        <= F.lit(within_us)))
+        levels.append(chain)
+    parts = []
+    for i, (s, ch) in enumerate(zip(steps, levels), 1):
+        parts.append(ch.agg(
+            F.count_distinct("user_id").alias("n_users"))
+            .select(F.lit(i).alias("step_index"),
+                    F.lit(s).alias("step"), "n_users"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("step_index")

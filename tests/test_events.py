@@ -181,3 +181,49 @@ def test_stateful_sessionizer_hot_key_state_cap(spark, tmp_path, utc):
     spans = sorted((r["session_start"], r["session_end"]) for r in rows)
     for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
         assert s2 > s1
+
+
+def test_event_funnel_semantics(spark):
+    """Funnel kernel edges: every step-1 event is a candidate start
+    (a later start can convert where the earliest start's window
+    fails); tied timestamps never chain (strict >); counts are
+    non-increasing; guards."""
+    import datetime as dt
+
+    from invertedindex_spark.operators.events import event_funnel
+
+    t0 = dt.datetime(2024, 3, 1)
+
+    def ev(uid, secs, typ):
+        return (uid, t0 + dt.timedelta(seconds=secs), typ)
+
+    rows = [
+        # user 1: earliest view at 0 has no click within 100s, but
+        # the view at 500 does — every-start semantics must convert
+        ev(1, 0, "view"), ev(1, 500, "view"), ev(1, 550, "click"),
+        ev(1, 560, "buy"),
+        # user 2: full chain but click is AT the same instant as the
+        # view — strict > breaks the chain
+        ev(2, 0, "view"), ev(2, 0, "click"), ev(2, 10, "buy"),
+        # user 3: chain in order but buy lands outside the window
+        # from ITS start
+        ev(3, 0, "view"), ev(3, 50, "click"), ev(3, 400, "buy"),
+        # user 4: steps out of order
+        ev(4, 0, "click"), ev(4, 10, "view"), ev(4, 20, "buy"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string")
+    got = [tuple(r) for r in
+           event_funnel(df, ["view", "click", "buy"],
+                        within_seconds=100).collect()]
+    # step1: users 1,2,3,4 viewed; step2: user 1 (late start) and
+    # user 3 (click at 50); user 2 blocked by the tie, user 4 has no
+    # click after its view; step3: user 1 only (user 3's buy at 400
+    # exceeds the window, user 4's buy follows no click-after-view)
+    assert got == [(1, "view", 4), (2, "click", 2), (3, "buy", 1)]
+    ns = [n for _i, _s, n in got]
+    assert ns == sorted(ns, reverse=True)
+    with pytest.raises(ValueError, match=">= 2 steps"):
+        event_funnel(df, ["view"])
+    with pytest.raises(ValueError, match="within_seconds"):
+        event_funnel(df, ["view", "click"], within_seconds=-1)
