@@ -3946,6 +3946,38 @@ s{i} AS (SELECT s{i - 1}.user_id, s{i - 1}.t1,
             + "\nUNION ALL ".join(sels) + "\nORDER BY step_index")
 
 
+RET_BUCKET_US = 86400 * 1_000_000   # "1 day"
+RET_MAX_OFFSET = 8
+
+
+def q_cohort_retention(spark, sf_dir):
+    """Cohort retention: users cohorted by the epoch-anchored 1-day
+    bucket of their first event; each (cohort, offset) row counts the
+    cohort's distinct users active in cohort-day + offset. Counts
+    only (rates are caller-side division — float-fragile across
+    engines); bucket keys are integer microseconds, timezone-free."""
+    from .operators.events import cohort_retention
+    return cohort_retention(_events_df(spark, sf_dir), "1 day",
+                            max_offset=RET_MAX_OFFSET)
+
+
+def sql_cohort_retention(width_us: int = RET_BUCKET_US,
+                         max_offset: int = RET_MAX_OFFSET) -> str:
+    return f"""
+WITH e AS (SELECT user_id, epoch_us(ts) AS t_us FROM events),
+b AS (SELECT DISTINCT user_id,
+             CAST(floor(CAST(t_us AS DOUBLE) / {width_us}) AS BIGINT)
+               AS bk
+      FROM e),
+c AS (SELECT user_id, min(bk) AS cb FROM b GROUP BY user_id)
+SELECT cb * {width_us} AS cohort_us,
+       CAST(bk - cb AS BIGINT) AS "offset",
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM b JOIN c USING (user_id)
+WHERE bk - cb <= {max_offset}
+GROUP BY cb, bk ORDER BY cohort_us, "offset" """
+
+
 def q_events_windowed(spark, sf_dir):
     """Tumbling 1-hour window counts + value sums per event type — the
     batch twin of the watermarked streaming aggregation (late-data drop
@@ -4976,6 +5008,7 @@ def extra_queries():
         "c4_clean": q_c4_clean,
         "paragraph_dedup": q_paragraph_dedup,
         "event_funnel": q_event_funnel,
+        "cohort_retention": q_cohort_retention,
         "bpe_token_counts": q_bpe_token_counts,
         "bm25_topk_page2": q_bm25_topk_page2,
         "bm25_topk_msm": q_bm25_topk_msm,
@@ -5037,6 +5070,7 @@ def extra_oracle_sql(query_vec=None, sf_dir=None):
         "c4_clean": sql_c4_clean(),
         "paragraph_dedup": sql_paragraph_dedup(),
         "event_funnel": sql_event_funnel(),
+        "cohort_retention": sql_cohort_retention(),
         "bm25_topk_page2": sql_bm25_topk_page2(),
         "bm25_topk_msm": sql_bm25_topk_msm(),
         "bm25_topk_not": sql_bm25_topk_not(),

@@ -270,3 +270,71 @@ def event_funnel(df, steps, within_seconds: int = 3600,
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("step_index")
+
+
+def cohort_retention(df, bucket: str = "1 week", max_offset: int = 8,
+                     ts_col: str = "ts", user_col: str = "user_id"):
+    """Cohort retention — the other classic product-analytics table
+    (funnel's sibling): users are cohorted by the time bucket of
+    their FIRST event; ``retained[k]`` counts the cohort's distinct
+    users with ANY event in cohort-bucket + k. Row (cohort_start,
+    offset, n_users) for offsets 0..``max_offset`` that have at
+    least one retained user — offset 0 is the cohort size by
+    construction (every user is active in their first bucket), so
+    rates are ``n_users(k) / n_users(0)`` caller-side (a stored rate
+    would be float-division fragile across engines; counts are
+    exact).
+
+    Buckets are fixed-width tumbling windows of ``bucket`` (a Spark
+    interval string, e.g. "1 week" / "1 day") anchored at the epoch —
+    the `windowed_event_counts` convention, reproduced in DuckDB by
+    integer-microsecond floor division (epoch-anchored, so both
+    engines bucket identically with no calendar arithmetic).
+
+    Scale shape: one min-aggregation per user (the cohort
+    assignment), one equality join back on the user key, one
+    (cohort, offset) keyed count — map-side combinable throughout;
+    nothing all-pairs, no windows over the corpus."""
+    from pyspark.sql import functions as F
+
+    max_offset = int(max_offset)
+    if max_offset < 0:
+        raise ValueError(
+            f"max_offset must be >= 0 (got {max_offset})")
+    width_us = _interval_us(df.sparkSession, bucket)
+    e = df.select(F.col(user_col).alias("user_id"),
+                  F.unix_micros(F.col(ts_col).cast("timestamp"))
+                  .alias("t_us"))
+    b = e.select("user_id",
+                 F.floor(F.col("t_us") / F.lit(width_us))
+                 .alias("bk")).distinct()
+    cohort = b.groupBy("user_id").agg(F.min("bk").alias("cb"))
+    j = (b.join(cohort, "user_id")
+         .withColumn("offset", (F.col("bk") - F.col("cb"))
+                     .cast("long"))
+         .where(F.col("offset") <= F.lit(max_offset)))
+    return (j.groupBy("cb", "offset")
+            .agg(F.count_distinct("user_id").alias("n_users"))
+            .select((F.col("cb") * F.lit(width_us)).cast("long")
+                    .alias("cohort_us"),
+                    "offset", "n_users")
+            .orderBy("cohort_us", "offset"))
+
+
+def _interval_us(spark, bucket: str) -> int:
+    """A Spark interval string's fixed width in microseconds —
+    evaluated by Spark itself (one tiny literal query, no parsing
+    drift), restricted to day-time intervals (calendar months vary
+    in width and cannot anchor fixed tumbling buckets)."""
+    from pyspark.sql import functions as F
+
+    epoch = F.lit("1970-01-01 00:00:00").cast("timestamp")
+    row = spark.range(1).select(
+        (F.unix_micros(epoch + F.expr(f"INTERVAL '{bucket}'"))
+         - F.unix_micros(epoch)).alias("us")).collect()
+    us = int(row[0]["us"])
+    if us <= 0:
+        raise ValueError(
+            f"bucket must be a positive day-time interval "
+            f"(got {bucket!r})")
+    return us

@@ -159,7 +159,7 @@ def test_differential_events_queries(spark, duck, tmp_path, seed):
     qs = {**EQ.all_queries(), **EQ.extra_queries()}
     oracles = {**EQ.all_oracle_sql(), **EQ.extra_oracle_sql()}
     for name in ["events_windowed", "events_sessions",
-                 "event_funnel"]:
+                 "event_funnel", "cohort_retention"]:
         sdf = qs[name](spark, sf_dir)
         srows = sorted(tuple(row[c] for c in sdf.columns)
                        for row in sdf.collect())

@@ -227,3 +227,37 @@ def test_event_funnel_semantics(spark):
         event_funnel(df, ["view"])
     with pytest.raises(ValueError, match="within_seconds"):
         event_funnel(df, ["view", "click"], within_seconds=-1)
+
+
+def test_cohort_retention_semantics(spark):
+    """Cohort assignment = first-event bucket; offset k counts
+    distinct returners; buckets are epoch-anchored fixed-width;
+    max_offset caps the table; one-event users appear at offset 0
+    only."""
+    import datetime as dt
+
+    from invertedindex_spark.operators.events import cohort_retention
+
+    day = dt.timedelta(days=1)
+    d0 = dt.datetime(1970, 1, 1)          # epoch-anchored on purpose
+
+    def ev(uid, d, h=0):
+        return (uid, d0 + d * day + dt.timedelta(hours=h), "x")
+
+    rows = [
+        ev(1, 0), ev(1, 1), ev(1, 2),     # cohort day0, back d1 d2
+        ev(2, 0, 23), ev(2, 2),           # cohort day0, back d2 only
+        ev(3, 1), ev(3, 1, 5),            # cohort day1, never back
+        ev(4, 0), ev(4, 9),               # d9 beyond max_offset=2
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string")
+    got = [tuple(r) for r in
+           cohort_retention(df, "1 day", max_offset=2).collect()]
+    us = 86400 * 1_000_000
+    assert got == [(0, 0, 3), (0, 1, 1), (0, 2, 2),
+                   (1 * us, 0, 1)]
+    with pytest.raises(ValueError, match="max_offset"):
+        cohort_retention(df, "1 day", max_offset=-1)
+    with pytest.raises(Exception):
+        cohort_retention(df, "not an interval")
