@@ -3442,6 +3442,37 @@ ORDER BY list_cosine_similarity(embedding::DOUBLE[], {lit}) DESC, vec_id ASC
 LIMIT {K}"""
 
 
+ANN_FILTER = "label = 2"
+
+
+def q_ann_filtered_topk(spark, sf_dir):
+    """Filtered vector search (the pre-filter contract every vector
+    store markets): exact cosine top-k restricted to rows matching an
+    attribute predicate BEFORE ranking — the true top-k of the
+    matching subset, which post-filtering a global top-k cannot
+    deliver. Catalyst pushes the predicate into the embeddings
+    scan."""
+    from pyspark.sql import functions as F
+    from .operators.similarity import cosine_topk
+    q = _query_vec(spark, sf_dir)
+    top = cosine_topk(_emb_df(spark, sf_dir), q, K, exclude_id=0,
+                      where=ANN_FILTER)
+    return (top.where(F.col("cos").isNotNull())
+            .select("vec_id", _u6(F.col("cos")).alias("cos_u6")))
+
+
+def sql_ann_filtered_topk(q):
+    lit = _qvec_sql_literal(q)
+    return f"""
+SELECT vec_id,
+       CAST(round(1e6 * list_cosine_similarity(embedding::DOUBLE[], {lit}))
+            AS BIGINT) AS cos_u6
+FROM embeddings WHERE vec_id <> 0 AND {ANN_FILTER}
+  AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+ORDER BY list_cosine_similarity(embedding::DOUBLE[], {lit}) DESC, vec_id ASC
+LIMIT {K}"""
+
+
 def _bucket_sql_for(planes, vec_expr: str = "embedding::DOUBLE[]") -> str:
     parts = []
     for i, plane in enumerate(planes):
@@ -5009,6 +5040,7 @@ def extra_queries():
         "paragraph_dedup": q_paragraph_dedup,
         "event_funnel": q_event_funnel,
         "cohort_retention": q_cohort_retention,
+        "ann_filtered_topk": q_ann_filtered_topk,
         "bpe_token_counts": q_bpe_token_counts,
         "bm25_topk_page2": q_bm25_topk_page2,
         "bm25_topk_msm": q_bm25_topk_msm,
@@ -5105,6 +5137,7 @@ def extra_oracle_sql(query_vec=None, sf_dir=None):
             "where vec_id = 0").fetchone()[0]]
     if query_vec is not None:
         out["hybrid_rrf_topk"] = sql_hybrid_rrf_topk(query_vec)
+        out["ann_filtered_topk"] = sql_ann_filtered_topk(query_vec)
     if sf_dir is not None:
         out["stem_on_topk_and"] = _python_oracle_topk_values(
             sf_dir, "AND " + " ".join(AND_TERMS))

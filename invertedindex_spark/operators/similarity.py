@@ -94,9 +94,20 @@ def cosine_col(q: list[float], col_name: str = "embedding"):
 
 
 def cosine_topk(df, q: list[float], k: int = 10, id_col: str = "vec_id",
-                exclude_id=None, emb_col: str = "embedding"):
+                exclude_id=None, emb_col: str = "embedding",
+                where: str | None = None):
+    """Exact cosine top-k. ``where`` (an ANSI boolean expression over
+    ``df``'s columns) is PRE-FILTER semantics — the filtered vector
+    search every vector store markets: the predicate restricts the
+    candidate set BEFORE ranking, so the result is the true top-k of
+    the matching subset (post-filtering a global top-k instead can
+    return fewer than k or even zero matching rows). Catalyst pushes
+    the predicate into the scan, so a selective filter prunes I/O
+    before any arithmetic."""
     from pyspark.sql import functions as F
 
+    if where is not None:
+        df = df.where(F.expr(where))
     scored = df.select(id_col, cosine_col(q, emb_col).alias("cos"))
     if exclude_id is not None:
         scored = scored.where(F.col(id_col) != exclude_id)
@@ -170,7 +181,8 @@ def probe_buckets(planes, q: list[float], probes: int = 1) -> list[int]:
 
 
 def bucketize_table(df, planes, path: str, id_col: str = "vec_id",
-                    emb_col: str = "embedding"):
+                    emb_col: str = "embedding",
+                    keep_cols: tuple = ()):
     """Persist the embedding table partitioned by LSH bucket — the ANN
     serving layout: one bucketize pass at write time, then every query
     lists only its probe buckets' directories (partition pruning,
@@ -184,7 +196,7 @@ def bucketize_table(df, planes, path: str, id_col: str = "vec_id",
     # query results with cos=NULL rows — same isNotNull policy as
     # ivf_assign
     out = (df.where(F.col(emb_col).isNotNull())
-           .select(id_col, emb_col)
+           .select(id_col, emb_col, *keep_cols)
            .withColumn("bucket", bucket_col(planes, emb_col)))
     out.write.mode("overwrite").partitionBy("bucket").parquet(path)
     return path
@@ -193,7 +205,8 @@ def bucketize_table(df, planes, path: str, id_col: str = "vec_id",
 def lsh_topk_bucketed(spark, path: str, planes, q: list[float],
                       k: int = 10, id_col: str = "vec_id",
                       exclude_id=None, probes: int = 1,
-                      emb_col: str = "embedding"):
+                      emb_col: str = "embedding",
+                      where: str | None = None):
     """ANN over a :func:`bucketize_table` layout: reads only the query's
     probe-bucket partition(s). ``emb_col`` must match the column the
     table was bucketized with."""
@@ -202,12 +215,13 @@ def lsh_topk_bucketed(spark, path: str, planes, q: list[float],
     buckets = probe_buckets(planes, q, probes)
     cand = (spark.read.parquet(path)
             .where(F.col("bucket").isin(buckets)))
-    return cosine_topk(cand, q, k, id_col, exclude_id, emb_col)
+    return cosine_topk(cand, q, k, id_col, exclude_id, emb_col,
+                       where=where)
 
 
 def lsh_topk(df, planes, q: list[float], k: int = 10,
              id_col: str = "vec_id", exclude_id=None,
-             emb_col: str = "embedding"):
+             emb_col: str = "embedding", where: str | None = None):
     """ANN restricted to the query vector's bucket, bucketizing on the
     fly — the one-shot/ad-hoc form. For a serving path (many queries
     against one table) persist the layout once with
@@ -216,6 +230,11 @@ def lsh_topk(df, planes, q: list[float], k: int = 10,
     from pyspark.sql import functions as F
 
     qb = query_bucket(planes, q)
+    if where is not None:
+        # pre-filter before hashing: the query's bucket is
+        # data-independent, so filtering only shrinks the candidates
+        df = df.where(F.expr(where))
+        where = None
     cand = (df.where(F.col(emb_col).isNotNull())
             .withColumn("bucket", bucket_col(planes, emb_col))
             .where(F.col("bucket") == qb))
@@ -294,12 +313,20 @@ def ivf_assign(df, centroids, id_col: str = "vec_id",
 
 
 def ivf_table(df, centroids, path: str, id_col: str = "vec_id",
-              emb_col: str = "embedding"):
+              emb_col: str = "embedding", keep_cols: tuple = ()):
     """Persist the IVF layout: embeddings partitioned by cluster.
     Queries then list only their nprobe nearest clusters' directories
-    (partition pruning), touching ~nprobe/k of the data."""
-    (ivf_assign(df, centroids, id_col, emb_col)
-     .write.mode("overwrite").partitionBy("cluster").parquet(path))
+    (partition pruning), touching ~nprobe/k of the data.
+
+    ``keep_cols``: attribute columns to persist alongside the vectors
+    (the vector-store metadata convention) — :func:`ivf_topk_table`'s
+    ``where=`` can then filter on them with the predicate pushed into
+    the pruned scan. One id-keyed join at BUILD time; query time pays
+    nothing."""
+    out = ivf_assign(df, centroids, id_col, emb_col)
+    if keep_cols:
+        out = out.join(df.select(id_col, *keep_cols), id_col)
+    (out.write.mode("overwrite").partitionBy("cluster").parquet(path))
     return path
 
 
@@ -315,7 +342,7 @@ def query_clusters(centroids, q, nprobe: int = 1) -> list[int]:
 
 def ivf_topk(df, centroids, q, k: int = 10, nprobe: int = 1,
              id_col: str = "vec_id", exclude_id=None,
-             emb_col: str = "embedding"):
+             emb_col: str = "embedding", where: str | None = None):
     """IVF ANN, assigning on the fly (one-shot form): score only the
     vectors whose cluster is among the query's nprobe nearest. For a
     serving path persist :func:`ivf_table` and use
@@ -323,6 +350,14 @@ def ivf_topk(df, centroids, q, k: int = 10, nprobe: int = 1,
     from pyspark.sql import functions as F
 
     probe = query_clusters(centroids, q, nprobe)
+    if where is not None:
+        # pre-filter BEFORE assignment (ivf_assign projects attribute
+        # columns away): cheaper and identical — the probe set comes
+        # from the query alone, so filtering can only shrink the
+        # probed candidates (the standard IVF filtered-search
+        # contract; recall vs brute-filtered is the usual nprobe
+        # story, never worse for filtering)
+        df = df.where(F.expr(where))
     cand = (ivf_assign(df, centroids, id_col, emb_col)
             .where(F.col("cluster").isin(probe)))
     return cosine_topk(cand, q, k, id_col, exclude_id, emb_col)
@@ -330,7 +365,8 @@ def ivf_topk(df, centroids, q, k: int = 10, nprobe: int = 1,
 
 def ivf_topk_table(spark, path: str, centroids, q, k: int = 10,
                    nprobe: int = 1, id_col: str = "vec_id",
-                   exclude_id=None, emb_col: str = "embedding"):
+                   exclude_id=None, emb_col: str = "embedding",
+                   where: str | None = None):
     """IVF ANN over a persisted :func:`ivf_table` layout. ``emb_col``
     must match the column the table was written with."""
     from pyspark.sql import functions as F
@@ -338,7 +374,8 @@ def ivf_topk_table(spark, path: str, centroids, q, k: int = 10,
     probe = query_clusters(centroids, q, nprobe)
     cand = (spark.read.parquet(path)
             .where(F.col("cluster").isin(probe)))
-    return cosine_topk(cand, q, k, id_col, exclude_id, emb_col)
+    return cosine_topk(cand, q, k, id_col, exclude_id, emb_col,
+                       where=where)
 
 
 def near_dup_pairs(df, tables: list[list[list[float]]], threshold: float,

@@ -215,3 +215,66 @@ def test_more_like_this_seed_decode_is_range_filtered(spark, sf0001_dir):
     pushed = pushed_filters(dec)
     assert any("first_doc_id" in f for f in pushed), pushed
     assert any("last_doc_id" in f for f in pushed), pushed
+
+
+def test_filtered_ann_prefilter_semantics(spark, tmp_path):
+    """Filtered vector search: where= is PRE-filter (the true top-k
+    of the matching subset), pushed into the scan; brute / LSH / IVF
+    and both persisted layouts (keep_cols metadata) agree; IVF with
+    all clusters probed equals brute-filtered exactly."""
+    import random
+
+    from invertedindex_spark.operators.similarity import (
+        bucketize_table, cosine_topk, ivf_table, ivf_topk,
+        ivf_topk_table, kmeans_centroids, lsh_topk,
+        lsh_topk_bucketed,
+    )
+
+    rng = random.Random(3)
+    dim, n = 8, 120
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(dim)], i % 3)
+            for i in range(n)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    q = [rng.uniform(-1, 1) for _ in range(dim)]
+
+    full = [r["vec_id"] for r in cosine_topk(df, q, k=5).collect()]
+    filt = cosine_topk(df, q, k=5, where="label = 1")
+    got = [(r["vec_id"], r["cos"]) for r in filt.collect()]
+    assert got and all(v % 3 == 1 for v, _c in got)
+    # pre-filter is NOT post-filter: the subset top-k differs from
+    # filtering the global top-k on this data
+    post = [v for v in full if v % 3 == 1][:5]
+    assert [v for v, _c in got] != post or len(post) < 5
+    # brute reference over the subset
+    sub = cosine_topk(df.where("label = 1"), q, k=5)
+    assert [tuple(r) for r in sub.collect()] == got
+    # predicate reaches the scan (pushdown)
+    plan = filt._jdf.queryExecution().executedPlan().toString()
+    assert "label" in plan
+    # IVF with every cluster probed == brute-filtered
+    cent = kmeans_centroids(
+        [r[1] for r in rows], k=4, iters=4, seed=5)
+    ivf = ivf_topk(df, cent, q, k=5, nprobe=4, where="label = 1")
+    assert [tuple(r) for r in ivf.collect()] == got
+    # persisted layouts carry metadata via keep_cols
+    ipath = str(tmp_path / "ivf")
+    ivf_table(df, cent, ipath, keep_cols=("label",))
+    ivt = ivf_topk_table(spark, ipath, cent, q, k=5, nprobe=4,
+                         where="label = 1")
+    assert [tuple(r) for r in ivt.collect()] == got
+    planes = [[rng.uniform(-1, 1) for _ in range(dim)]
+              for _ in range(2)]
+    bpath = str(tmp_path / "lsh")
+    bucketize_table(df, planes, bpath, keep_cols=("label",))
+    lb = lsh_topk_bucketed(spark, bpath, planes, q, k=5, probes=3,
+                           where="label = 1")
+    ld = lsh_topk(df, planes, q, k=5, where="label = 1")
+    # LSH is approximate (probe sequence = base + Hamming-1
+    # neighbors): results honor the filter and are a subset of the
+    # filtered candidate space, scores descending
+    for res in ([tuple(r) for r in lb.collect()],
+                [tuple(r) for r in ld.collect()]):
+        assert res and all(v % 3 == 1 for v, _c in res)
+        scores = [c for _v, c in res]
+        assert scores == sorted(scores, reverse=True)
