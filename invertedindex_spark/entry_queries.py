@@ -2335,6 +2335,27 @@ SELECT sha256(text) AS content_sha256, count(*) AS n_docs,
 FROM documents WHERE text IS NOT NULL GROUP BY sha256(text)"""
 
 
+def q_normalized_dedup(spark, sf_dir):
+    """Normalized ("fuzzy-exact") dedup: exact grouping AFTER the
+    standard web-pipeline canonicalization (lowercase, strip
+    non-[a-z0-9]/whitespace, collapse whitespace runs, trim —
+    explicit ASCII classes, never \\s/\\w shorthand) — catches
+    case/punctuation/whitespace near-copies byte hashing misses.
+    Same one-aggregation shape as exact_dedup."""
+    from .operators.dedup import normalized_dedup
+    return normalized_dedup(_docs_df(spark, sf_dir))
+
+
+def sql_normalized_dedup():
+    norm = ("trim(regexp_replace(regexp_replace(lower(text), "
+            "'[^a-z0-9 \t\r\n\f\x0b]', '', 'g'), "
+            "'[ \t\r\n\f\x0b]+', ' ', 'g'))")
+    return f"""
+SELECT sha256({norm}) AS norm_sha256, count(*) AS n_docs,
+       min(doc_id) AS keep_doc_id
+FROM documents WHERE text IS NOT NULL GROUP BY sha256({norm})"""
+
+
 def q_substring_dup_stats(spark, sf_dir):
     """Per-document exact substring-duplication profile (word
     8-shingles shared with any other doc) — the Lee et al. 2022
@@ -5041,6 +5062,7 @@ def extra_queries():
         "event_funnel": q_event_funnel,
         "cohort_retention": q_cohort_retention,
         "ann_filtered_topk": q_ann_filtered_topk,
+        "normalized_dedup": q_normalized_dedup,
         "bpe_token_counts": q_bpe_token_counts,
         "bm25_topk_page2": q_bm25_topk_page2,
         "bm25_topk_msm": q_bm25_topk_msm,
@@ -5103,6 +5125,7 @@ def extra_oracle_sql(query_vec=None, sf_dir=None):
         "paragraph_dedup": sql_paragraph_dedup(),
         "event_funnel": sql_event_funnel(),
         "cohort_retention": sql_cohort_retention(),
+        "normalized_dedup": sql_normalized_dedup(),
         "bm25_topk_page2": sql_bm25_topk_page2(),
         "bm25_topk_msm": sql_bm25_topk_msm(),
         "bm25_topk_not": sql_bm25_topk_not(),

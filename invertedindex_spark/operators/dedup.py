@@ -657,3 +657,45 @@ def paragraph_dedup(df, sep: str = "\n\n"):
                     F.coalesce("clean_text", F.lit(""))
                     .alias("clean_text"))
             .orderBy("doc_id"))
+
+
+def normalize_text_col(col):
+    """The canonical form ``normalized_dedup`` hashes — the standard
+    pre-hash normalization of web-corpus pipelines (Dolma/RefinedWeb
+    style "fuzzy-exact" dedup): lowercase, strip every character
+    outside [a-z0-9] and whitespace, collapse runs of space / tab /
+    CR / LF / FF / VT to one space, trim. Explicit ASCII classes
+    throughout (no ``\\s``/``\\w`` shorthand — Java and RE2 disagree
+    exactly there), so the DuckDB twin is literal. Pure Column
+    expression; exposed so tests/oracles share ONE definition."""
+    from pyspark.sql import functions as F
+
+    c = F.lower(col)
+    c = F.regexp_replace(c, "[^a-z0-9 \t\r\n\f\x0b]", "")
+    c = F.regexp_replace(c, "[ \t\r\n\f\x0b]+", " ")
+    return F.trim(c)
+
+
+def normalized_dedup(df):
+    """Normalized ("fuzzy-exact") dedup: :func:`exact_dedup` after
+    :func:`normalize_text_col` — catches near-copies that differ only
+    in case, punctuation, or whitespace layout (re-wrapped lines,
+    smart-quote swaps, trailing-space drift), which byte-exact
+    hashing misses and MinHash is overkill for. Returns
+    (norm_sha256, n_docs, keep_doc_id) per normalized group with
+    ≥ 1 non-empty normalized form; docs normalizing to the empty
+    string group under the empty-form hash like any other group (the
+    caller decides whether all-punctuation docs are duplicates or
+    garbage — corpus_clean's empty/low-quality verdicts already
+    handle the latter).
+
+    Scale shape: identical to :func:`exact_dedup` — one narrow
+    normalize pass, one (sha, doc_id) aggregation; hash-width shuffle
+    keys."""
+    from pyspark.sql import functions as F
+
+    return (df.where(F.col("text").isNotNull())
+            .groupBy(F.sha2(normalize_text_col(F.col("text")), 256)
+                     .alias("norm_sha256"))
+            .agg(F.count("*").alias("n_docs"),
+                 F.min("doc_id").alias("keep_doc_id")))

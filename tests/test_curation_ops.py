@@ -363,3 +363,23 @@ def test_paragraph_dedup_semantics(spark):
     got2 = {r["doc_id"]: r["clean_text"]
             for r in paragraph_dedup(df2, sep="||").collect()}
     assert got2 == {0: "a||b", 1: "c"}
+
+
+def test_normalized_dedup_semantics(spark):
+    """Fuzzy-exact dedup: case / punctuation / whitespace-layout
+    variants hash to one group; genuinely different texts don't;
+    all-punctuation docs share the empty-form group."""
+    from invertedindex_spark.operators.dedup import normalized_dedup
+
+    rows = [
+        (0, "The quick Brown Fox!"),
+        (1, "the  quick\tbrown\nfox"),      # ws layout + case
+        (2, "the quick brown fox..."),      # punctuation
+        (3, "the quick brown foxes"),       # different content
+        (4, "!!!"), (5, "---"),             # both normalize to ""
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["keep_doc_id"]: r["n_docs"]
+           for r in normalized_dedup(df).collect()}
+    assert got == {0: 3, 3: 1, 4: 2}
