@@ -2335,6 +2335,48 @@ SELECT sha256(text) AS content_sha256, count(*) AS n_docs,
 FROM documents WHERE text IS NOT NULL GROUP BY sha256(text)"""
 
 
+def q_corpus_drift(spark, sf_dir):
+    """Snapshot vocabulary drift (ingest monitoring): per shared-
+    vocab term, add-one-smoothed log-odds of relative frequency in
+    snapshot A (even doc_ids) vs B (odd doc_ids) in micro-nats —
+    one fixed-associativity double expression then round, the
+    lm/DSIR recipe. Top 20 A-shifted terms over the noise floor."""
+    from pyspark.sql import functions as F
+
+    from .operators.report import corpus_drift
+    d = _docs_df(spark, sf_dir)
+    return corpus_drift(d.where(F.col("doc_id") % 2 == 0),
+                        d.where(F.col("doc_id") % 2 == 1))
+
+
+def sql_corpus_drift(top: int = 20, min_count: int = 5) -> str:
+    toks = tokens_sql("text")
+    side = ("SELECT unnest({t}) AS term FROM documents "
+            "WHERE text IS NOT NULL AND length(text) > 0 "
+            "AND doc_id % 2 = {p}")
+    expr = ("ln((CAST(count_a + 1 AS DOUBLE) * "
+            "CAST(tb + v AS DOUBLE)) / (CAST(count_b + 1 AS DOUBLE) "
+            "* CAST(ta + v AS DOUBLE)))")
+    return f"""
+WITH ca AS (SELECT term, CAST(count(*) AS BIGINT) AS count_a
+            FROM ({side.format(t=toks, p=0)}) GROUP BY term),
+cb AS (SELECT term, CAST(count(*) AS BIGINT) AS count_b
+       FROM ({side.format(t=toks, p=1)}) GROUP BY term),
+j AS (SELECT coalesce(ca.term, cb.term) AS term,
+             coalesce(count_a, 0) AS count_a,
+             coalesce(count_b, 0) AS count_b
+      FROM ca FULL OUTER JOIN cb ON ca.term = cb.term),
+t AS (SELECT CAST(sum(count_a) AS BIGINT) AS ta,
+             CAST(sum(count_b) AS BIGINT) AS tb,
+             CAST(count(*) AS BIGINT) AS v
+      FROM j)
+SELECT term, count_a, count_b,
+       CAST(round({expr} * 1e6) AS BIGINT) AS drift_u6
+FROM j CROSS JOIN t
+WHERE count_a + count_b >= {min_count}
+ORDER BY drift_u6 DESC, term ASC LIMIT {top}"""
+
+
 def q_normalized_dedup(spark, sf_dir):
     """Normalized ("fuzzy-exact") dedup: exact grouping AFTER the
     standard web-pipeline canonicalization (lowercase, strip
@@ -5063,6 +5105,7 @@ def extra_queries():
         "cohort_retention": q_cohort_retention,
         "ann_filtered_topk": q_ann_filtered_topk,
         "normalized_dedup": q_normalized_dedup,
+        "corpus_drift": q_corpus_drift,
         "bpe_token_counts": q_bpe_token_counts,
         "bm25_topk_page2": q_bm25_topk_page2,
         "bm25_topk_msm": q_bm25_topk_msm,
@@ -5126,6 +5169,7 @@ def extra_oracle_sql(query_vec=None, sf_dir=None):
         "event_funnel": sql_event_funnel(),
         "cohort_retention": sql_cohort_retention(),
         "normalized_dedup": sql_normalized_dedup(),
+        "corpus_drift": sql_corpus_drift(),
         "bm25_topk_page2": sql_bm25_topk_page2(),
         "bm25_topk_msm": sql_bm25_topk_msm(),
         "bm25_topk_not": sql_bm25_topk_not(),

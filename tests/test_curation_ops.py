@@ -383,3 +383,29 @@ def test_normalized_dedup_semantics(spark):
     got = {r["keep_doc_id"]: r["n_docs"]
            for r in normalized_dedup(df).collect()}
     assert got == {0: 3, 3: 1, 4: 2}
+
+
+def test_corpus_drift_semantics(spark):
+    """Drift sign and magnitude: a term only in A drifts positive, a
+    term only in B negative, balanced terms near zero; min_count
+    suppresses rare noise; swapping the arguments negates ranks."""
+    from invertedindex_spark.operators.report import corpus_drift
+
+    a = spark.createDataFrame(
+        [(0, "alpha alpha alpha beta common common"),
+         (1, "alpha common rare")],
+        "doc_id long, text string")
+    b = spark.createDataFrame(
+        [(0, "gamma gamma gamma beta common common"),
+         (1, "gamma common")],
+        "doc_id long, text string")
+    got = {r["term"]: r for r in
+           corpus_drift(a, b, top=10, min_count=2).collect()}
+    assert "rare" not in got                  # noise floor
+    assert got["alpha"]["drift_u6"] > 0
+    assert got["gamma"]["drift_u6"] < 0
+    assert abs(got["common"]["drift_u6"]) < abs(got["alpha"]["drift_u6"])
+    assert got["alpha"]["count_a"] == 4 and got["alpha"]["count_b"] == 0
+    rev = {r["term"]: r["drift_u6"] for r in
+           corpus_drift(b, a, top=10, min_count=2).collect()}
+    assert rev["alpha"] == -got["alpha"]["drift_u6"]

@@ -52,7 +52,7 @@ def _random_docs(seed: int, n: int):
 # queries whose oracles read only the documents table and whose inputs
 # this fixture can reach (index queries build warehouses — covered by
 # the main contract test at the driver's scale instead)
-QUERIES = ["exact_dedup", "normalized_dedup", "token_counts", "token_stats", "lang_id",
+QUERIES = ["exact_dedup", "normalized_dedup", "corpus_drift", "token_counts", "token_stats", "lang_id",
            "simhash32", "doc_fingerprint", "minhash_signatures",
            "corpus_clean", "substring_dup_stats", "substring_spans",
            "substring_span_removal", "gopher_quality", "lm_perplexity",
