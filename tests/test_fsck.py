@@ -93,3 +93,45 @@ def test_cli_green(spark, built, capsys):
              capsys.readouterr().out.strip().splitlines()]
     assert lines[-1]["ok"] is True
     assert all(c["ok"] for c in lines[:-1])
+
+
+def test_snapshot_warehouse_isolated(spark, tmp_path):
+    """Hardlink snapshot: O(files) clone; serving the snapshot after
+    appending+compacting the ORIGINAL still answers from snapshot-
+    time state; fsck green on both; refuses to overwrite."""
+    from invertedindex_spark import InvertedIndex
+    from invertedindex_spark.streaming import (append_batch, compact,
+                                               snapshot_warehouse)
+
+    cfg = IndexConfig(num_blocks=2)
+    wh = str(tmp_path / "orig")
+    append_batch(spark, _corpus(spark, seed=21, n=40), wh, cfg,
+                 blocks_per_batch=2)
+    compact(spark, wh, cfg)
+    snap = str(tmp_path / "snap")
+    m = snapshot_warehouse(wh, snap)
+    assert m["files"] == m["linked"] + m["copied"]
+    assert m["linked"] > 0 and m["copied"] >= 1   # manifest copied
+    base = InvertedIndex(spark, snap)
+    n0 = base.num_docs
+    q = "OR hotterm jump vector"
+    r0 = base.search(q, k=10)
+    assert InvertedIndex(spark, wh).search(q, k=10) == r0
+    # mutate the ORIGINAL: append + compact (rewrites/purges files)
+    append_batch(spark, _corpus(spark, seed=22, n=25), wh, cfg,
+                 blocks_per_batch=2)
+    compact(spark, wh, cfg)
+    grown = InvertedIndex(spark, wh)
+    assert grown.num_docs > n0
+    # the snapshot still serves snapshot-time state
+    again = InvertedIndex(spark, snap)
+    assert again.num_docs == n0
+    assert again.search(q, k=10) == r0
+    checks = verify_warehouse(spark, snap, sample_terms=16)
+    assert all(c["ok"] for c in checks), checks
+    checks = verify_warehouse(spark, wh, sample_terms=16)
+    assert all(c["ok"] for c in checks), checks
+    with pytest.raises(ValueError, match="already exists"):
+        snapshot_warehouse(wh, snap)
+    with pytest.raises(ValueError, match="no such warehouse"):
+        snapshot_warehouse(str(tmp_path / "nope"), str(tmp_path / "x"))
