@@ -4222,6 +4222,26 @@ SELECT source, n_docs, {sel}
 FROM b ORDER BY n_docs DESC, source ASC LIMIT {top}"""
 
 
+def q_facet_cardinality(spark, sf_dir):
+    """ES cardinality agg: distinct sources across the full
+    disjunctive match set (exact path — the HLL++ approx=True twin
+    is the documented scale path, same sketch family ES uses)."""
+    idx = get_index(spark, sf_dir)
+    idx.set_attributes(_docs_df(spark, sf_dir).select("doc_id", "source"),
+                       key="doc_id")
+    return idx.facet_cardinality("OR " + " ".join(OR_TERMS),
+                                 by="source")
+
+
+def sql_facet_cardinality() -> str:
+    tlist = ", ".join(f"'{t}'" for t in OR_TERMS)
+    return _base_cte() + f""",
+m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({tlist})),
+md AS (SELECT d.doc_no FROM m JOIN docs d USING (doc_id))
+SELECT CAST(count(DISTINCT dd.source) AS BIGINT) AS n_values
+FROM md JOIN documents dd ON CAST(dd.doc_id AS VARCHAR) = md.doc_no"""
+
+
 HIST_INTERVAL = 50
 
 
@@ -5106,6 +5126,7 @@ def extra_queries():
         "ann_filtered_topk": q_ann_filtered_topk,
         "normalized_dedup": q_normalized_dedup,
         "corpus_drift": q_corpus_drift,
+        "facet_cardinality": q_facet_cardinality,
         "bpe_token_counts": q_bpe_token_counts,
         "bm25_topk_page2": q_bm25_topk_page2,
         "bm25_topk_msm": q_bm25_topk_msm,
@@ -5170,6 +5191,7 @@ def extra_oracle_sql(query_vec=None, sf_dir=None):
         "cohort_retention": sql_cohort_retention(),
         "normalized_dedup": sql_normalized_dedup(),
         "corpus_drift": sql_corpus_drift(),
+        "facet_cardinality": sql_facet_cardinality(),
         "bm25_topk_page2": sql_bm25_topk_page2(),
         "bm25_topk_msm": sql_bm25_topk_msm(),
         "bm25_topk_not": sql_bm25_topk_not(),

@@ -2045,6 +2045,45 @@ class InvertedIndex:
                 .groupBy("bucket").agg(F.count("*").alias("n_docs"))
                 .orderBy("bucket"))
 
+    def facet_cardinality(self, query: str, by: str,
+                          where: str | None = None,
+                          approx: bool = False):
+        """The ES ``cardinality`` aggregation: the number of distinct
+        values of attribute ``by`` across the query's FULL match set
+        (how many repos/domains/languages matched). NULLs don't count
+        (SQL count-distinct semantics, = ES missing-field drop).
+        Returns DataFrame(n_values) — one row.
+
+        ``approx=True`` uses Spark's HyperLogLog++
+        (``approx_count_distinct``, default rsd) — the SAME sketch
+        family ES uses for this agg, for the same reason: exact
+        count-distinct shuffles every distinct value, the sketch
+        ships constant-size state per partition. The exact default is
+        the oracle-checkable path; at 10^9-cardinality attributes the
+        sketch is the scale path (documented ES-parity tradeoff)."""
+        from pyspark.sql import functions as F
+
+        if self._attrs_df is None:
+            raise ValueError(
+                "facet_cardinality requires set_attributes(attrs_df)")
+        if by not in self._attrs_df.columns:
+            raise ValueError(
+                f"facet_cardinality: no attribute column {by!r} "
+                f"(have {self._attrs_df.columns})")
+        ids = self._match_ids(query, where=where)
+        agg = (F.approx_count_distinct(by) if approx
+               else F.count_distinct(by))
+        if ids is None:
+            return (self._attrs_df.select(by).limit(0)
+                    .agg(agg.alias("n_values")))
+        attrs = self._attrs_df.select(
+            F.col(self._attrs_key).cast("string").alias("doc_no"),
+            F.col(by))
+        return (ids.join(self.docs.select("doc_id", "doc_no"),
+                         "doc_id")
+                .join(attrs, "doc_no")
+                .agg(agg.alias("n_values")))
+
     def facet_percentiles(self, query: str, by: str, metric: str,
                           percents=(25, 50, 75), top: int = 10,
                           where: str | None = None):

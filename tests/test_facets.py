@@ -192,3 +192,21 @@ def test_facet_percentiles(facet_idx, spark):
                 [(i, s) for i, s in
                  [(0, "a"), (1, "a"), (2, "b"), (3, "b"), (4, "c")]],
                 "doc_id long, src string"), key="doc_id")
+
+
+def test_facet_cardinality(facet_idx):
+    """ES cardinality agg: distinct attr values over the FULL match
+    set; NULLs don't count; approx=True (HLL++) lands near exact on
+    tiny cardinalities; where= composes."""
+    got = facet_idx.facet_cardinality("OR fast data", by="src")
+    assert [r["n_values"] for r in got.collect()] == [2]   # a, b
+    ap = facet_idx.facet_cardinality("OR fast data", by="src",
+                                     approx=True)
+    assert [r["n_values"] for r in ap.collect()] == [2]
+    w = facet_idx.facet_cardinality("OR fast data", by="src",
+                                    where="src = 'a'")
+    assert [r["n_values"] for r in w.collect()] == [1]
+    empty = facet_idx.facet_cardinality("OR zzzzqx", by="src")
+    assert [r["n_values"] for r in empty.collect()] == [0]
+    with pytest.raises(ValueError, match="no attribute column"):
+        facet_idx.facet_cardinality("OR fast", by="nope")
