@@ -441,6 +441,13 @@ def main():
                                     window=50,
                                     rescore_query="OR quick brown",
                                     rescore_weight=2.0).collect())
+            fl("grouped_distributed", lambda: idx_cached
+               .search_grouped("OR hotterm quick brown",
+                               by="doc_len", n_per_group=3,
+                               k_groups=10).collect())
+            fl("histogram_distributed", lambda: idx_cached
+               .facet_histogram("OR hotterm quick brown",
+                                by="doc_len", interval=5).collect())
             extras["feature_latency_ms"] = feat
 
         # batch_search_distributed is deliberately NOT benched here: its
