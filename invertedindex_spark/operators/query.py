@@ -2280,6 +2280,51 @@ class InvertedIndex:
                  .select("key", "doc_id", "score_u6"))
         return grouped_topk(keyed, self.docs, n_per_group, k_groups)
 
+    def index_stats(self) -> dict:
+        """The ES ``_stats`` / ``_cat/indices`` analogue: one dict of
+        collection statistics, configuration, capabilities, and disk
+        footprint — the operational at-a-glance view (``fsck`` is the
+        deep-check sibling). Driver-cheap: the collection numbers are
+        already loaded, the vocabulary size is one lexicon row-count
+        (column-pruned), disk bytes are a directory walk."""
+        import glob as _glob
+
+        n_terms = None
+        if self._compacted_tables_exist():
+            if self.io_mode == "local":
+                import pyarrow.dataset as ds
+
+                n_terms = sum(
+                    f.count_rows() for f in ds.dataset(
+                        f"{self.warehouse_dir}/lexicon",
+                        format="parquet").get_fragments())
+            else:
+                n_terms = self.lexicon.count()
+        bytes_by_table: dict[str, int] = {}
+        for sub in sorted(os.listdir(self.warehouse_dir)):
+            p = os.path.join(self.warehouse_dir, sub)
+            if os.path.isdir(p):
+                bytes_by_table[sub] = sum(
+                    os.path.getsize(f) for f in _glob.glob(
+                        f"{p}/**/*", recursive=True)
+                    if os.path.isfile(f))
+        m = self._read_manifest()
+        return {
+            "num_docs": self.num_docs,
+            "num_tokens": self.num_tokens,
+            "avg_doc_len": self.avg_doc_len,
+            "num_terms": n_terms,
+            "tombstoned": self._tomb_count,
+            "codec": self.codec,
+            "stemming": self.stemming,
+            "stopwords": self.stopwords,
+            "positions": bool(self.has_positions),
+            "fresh": bool(self.fresh),
+            "stages": sorted(m.get("stages", {})),
+            "bytes_by_table": bytes_by_table,
+            "bytes_total": sum(bytes_by_table.values()),
+        }
+
     def term_vectors(self, doc_no: str, positions: bool | None = None,
                      term_statistics: bool = True):
         """The ES ``_termvectors`` API: one stored document's term

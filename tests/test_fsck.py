@@ -135,3 +135,16 @@ def test_snapshot_warehouse_isolated(spark, tmp_path):
         snapshot_warehouse(wh, snap)
     with pytest.raises(ValueError, match="no such warehouse"):
         snapshot_warehouse(str(tmp_path / "nope"), str(tmp_path / "x"))
+
+
+def test_index_stats(spark, built):
+    from invertedindex_spark import InvertedIndex
+
+    st = InvertedIndex(spark, built).index_stats()
+    assert st["num_docs"] > 0 and st["num_tokens"] > 0
+    assert st["num_terms"] and st["num_terms"] > 10
+    assert st["positions"] is True and st["codec"] == "vbyte"
+    assert st["tombstoned"] == 0 and not st["fresh"]
+    assert st["bytes_by_table"].get("postings", 0) > 0
+    assert st["bytes_total"] >= sum(st["bytes_by_table"].values())
+    assert "merge" in " ".join(st["stages"]) or st["stages"]
