@@ -4879,23 +4879,34 @@ class InvertedIndex:
         self._require_positions()
         parsed = []
         for qid, q in phrase_qs:
+            head, pfx = split_phrase_prefix(q)
             _qt, terms = preprocess_query(
-                q, stopwords=self.stopwords, stemming=self.stemming)
-            parsed.append((coerce(qid), terms))
-        vocab = {t for _q, ts in parsed for t in ts}
+                head, stopwords=self.stopwords,
+                stemming=self.stemming)
+            pexp = (phrase_prefix_expansions(pfx, self.expand_prefix)
+                    if pfx is not None else None)
+            parsed.append((coerce(qid), terms, pexp))
+        vocab = {t for _q, ts, _p in parsed for t in ts}
         found = self._present_terms(vocab)
-        parsed = [(qid, ts) for qid, ts in parsed
-                  if ts and all(t in found for t in ts)]
+        # fixed terms follow the AND rule; a phrase-prefix whose
+        # prefix matches no stored vocabulary can never satisfy its
+        # final clause — same drop
+        parsed = [(qid, ts, pexp) for qid, ts, pexp in parsed
+                  if ts and all(t in found for t in ts)
+                  and (pexp is None or pexp)]
         if not parsed:
             return None
-        uniq_terms = sorted({t for _q, ts in parsed for t in ts})
+        uniq_terms = sorted(
+            {t for _q, ts, _p in parsed for t in ts}
+            | {e for _q, _ts, pexp in parsed for e in (pexp or [])})
         pos_df = (self.decoded_positions_df(uniq_terms)
                   .persist(StorageLevel.MEMORY_AND_DISK))
         try:
             frames = []
-            for qid, ts in parsed:
+            for qid, ts, pexp in parsed:
                 frames.append(
-                    self._phrase_docs_df(ts, pos_df=pos_df)
+                    self._phrase_docs_df(ts, pos_df=pos_df,
+                                         last_any=pexp)
                     .select(F.lit(qid).cast(qid_t).alias("qid"),
                             "doc_id"))
             allowed = frames[0]
@@ -4907,7 +4918,9 @@ class InvertedIndex:
             allowed = allowed.localCheckpoint(eager=True)
         finally:
             pos_df.unpersist()
-        q_rows = [(qid, t) for qid, ts in parsed
+        # scoring stays over the CONCRETE terms (the phrase-prefix
+        # expansions gate matching only — single-query contract)
+        q_rows = [(qid, t) for qid, ts, _p in parsed
                   for t in dict.fromkeys(ts)]
         qterms = self.spark.createDataFrame(
             q_rows, f"qid {qid_t}, term string")
@@ -5146,11 +5159,17 @@ class InvertedIndex:
         phrase_qs = []   # PHRASE entries run the single-query plan
         for qid, q in queries:
             try:
+                head, _pfx = split_phrase_prefix(q)
                 qtype, terms = preprocess_query(
-                    q, stopwords=self.stopwords, stemming=self.stemming)
+                    head, stopwords=self.stopwords,
+                    stemming=self.stemming)
             except ValueError:
                 continue
             if qtype == "PHRASE":
+                # plain PHRASE and phrase-prefix both take the shared
+                # batch phrase plan (which re-splits per entry —
+                # without the split here, the tokenizer would silently
+                # strip the star and treat the prefix as a literal)
                 phrase_qs.append((qid, q))
             else:
                 prepped.append((qid, qtype, terms))

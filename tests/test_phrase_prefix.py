@@ -354,3 +354,33 @@ def test_result_cached_per_prefix(built):
     assert idx.search(qp, k=10) == plain
     assert idx.search(qpp, k=10) == pp
     _assert_ranked(pp, _ref_topk(oracle, doc_terms, phrase, pfx))
+
+
+def test_batch_plan_serves_phrase_prefix(built):
+    """batch_search_distributed: phrase-prefix entries ride the
+    shared batch phrase plan row-identically to the single-query
+    plan; a no-expansion prefix yields no rows for that qid (batch
+    skip policy); plain phrases in the same batch are unaffected."""
+    idx, _sh, _o, doc_terms = built
+    cases = _cases(doc_terms, want=2)
+    batch = []
+    expected = {}
+    for i, (phrase, pfx) in enumerate(cases):
+        q = "PHRASE " + " ".join(phrase) + " " + pfx + "*"
+        batch.append((i, q))
+        expected[i] = [(r["doc_no"], round(r["score"], 9)) for r in
+                       idx.search_distributed(q, k=10).collect()]
+    plain = "PHRASE " + " ".join(cases[0][0])
+    batch.append((77, plain))
+    expected[77] = [(r["doc_no"], round(r["score"], 9)) for r in
+                    idx.search_distributed(plain, k=10).collect()]
+    batch.append((88, "PHRASE " + " ".join(cases[0][0]) + " zzzqx*"))
+    got: dict = {}
+    for r in idx.batch_search_distributed(batch, k=10).collect():
+        got.setdefault(r["qid"], []).append(
+            (r["rank"], r["doc_no"], round(r["score"], 9)))
+    for qid, rows in got.items():
+        got[qid] = [(dn, s) for _rk, dn, s in sorted(rows)]
+    assert 88 not in got
+    for qid, want in expected.items():
+        assert got.get(qid, []) == want, qid
