@@ -828,6 +828,80 @@ class ShardedIndex:
                         (F.col("score_u6") / F.lit(1e6)).alias("score"))
                 .orderBy(F.desc("score")))
 
+    def count_matches(self, query: str, where: str | None = None,
+                      slop: int = 0,
+                      min_should_match: int = 0) -> int:
+        """:meth:`InvertedIndex.count_matches` (Lucene TotalHits)
+        served scatter-gather: one distributed count over the
+        gathered match union — documents never span shards, so
+        per-doc distinct/AND/mm facts are shard-local and the global
+        count is exactly the merged warehouse's. PHRASE (+ ``slop=``)
+        chains per shard like ranked phrase serving; ``-term``
+        exclusion anti-joins the cross-shard negated union; ``where=``
+        needs :meth:`set_attributes` (doc_no-keyed, one table for
+        every shard)."""
+        from pyspark.sql import functions as F
+
+        slop = int(slop)
+        if slop < 0:
+            raise ValueError(f"slop must be >= 0 (got {slop})")
+        msm = int(min_should_match)
+        if msm < 0:
+            raise ValueError(
+                f"min_should_match must be >= 0 (got {msm})")
+        query, nots = split_not_terms(query, stopwords=self.stopwords,
+                                      stemming=self.stemming)
+        query, pfx = split_phrase_prefix(query)
+        qtype, terms = preprocess_with_rewrites(
+            query, stopwords=self.stopwords, stemming=self.stemming,
+            expand_prefix=self.expand_prefix,
+            expand_fuzzy=self.expand_fuzzy,
+            expand_range=self.expand_range,
+            expand_regexp=self.expand_regexp)
+        pexp = None
+        if pfx is not None:
+            if not terms:
+                raise ValueError(
+                    "phrase-prefix needs at least one concrete term "
+                    "before the trailing pre* (a lone prefix is the "
+                    "OR rewrite: 'OR pre*')")
+            pexp = phrase_prefix_expansions(pfx, self.expand_prefix)
+            if not pexp:
+                return 0
+        if slop and qtype != "PHRASE":
+            raise ValueError("slop= applies to PHRASE queries only")
+        if msm > 1 and qtype != "OR":
+            raise ValueError(
+                "min_should_match applies to OR queries only")
+        u, present = self._match_union(qtype, terms, slop=slop,
+                                       last_any=pexp)
+        if u is None:
+            return 0
+        if nots:
+            ex = self._excluded_union(nots)
+            if ex is not None:
+                u = u.join(ex, "doc_id", "left_anti")
+        if where is not None:
+            if self._attrs_df is None:
+                raise ValueError(
+                    "where= requires set_attributes(attrs_df)")
+            allowed = (self._attrs_df.where(F.expr(where))
+                       .select(F.col(self._attrs_key).cast("string")
+                               .alias("doc_no")).distinct())
+            ok_ids = (self._docs_union()
+                      .join(allowed, "doc_no", "left_semi")
+                      .select("doc_id"))
+            u = u.join(ok_ids, "doc_id", "left_semi")
+        if qtype == "AND":
+            return (u.groupBy("doc_id")
+                    .agg(F.count_distinct("term").alias("nt"))
+                    .where(F.col("nt") == len(present)).count())
+        if msm > 1:
+            return (u.groupBy("doc_id")
+                    .agg(F.count_distinct("term").alias("nt"))
+                    .where(F.col("nt") >= msm).count())
+        return u.select("doc_id").distinct().count()
+
     def search_boolean_distributed(self, expr: str, k: int = 20,
                                    similarity: str = "bm25"):
         """:meth:`InvertedIndex.search_boolean_distributed` served

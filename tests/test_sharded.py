@@ -307,3 +307,33 @@ def test_guards(spark, setup, tmp_path):
     delete_docs(spark, wh_t, ["0"])
     with pytest.raises(ValueError, match="tombstones"):
         ShardedIndex(spark, [setup["a"], wh_t])
+
+
+def test_count_matches_parity(spark, setup):
+    """ShardedIndex.count_matches == the merged warehouse for every
+    grammar arm: OR / AND / PHRASE (+slop) / -term / msm / where= /
+    phrase-prefix — per-doc facts are shard-local, counts sum."""
+    from pyspark.sql import functions as F
+
+    ref, sh = setup["ref"], setup["sharded"]
+    for kwargs, q in [
+        ({}, "OR hotterm quick"),
+        ({}, "AND def import"),
+        ({}, "OR hotterm quick -class"),
+        ({"min_should_match": 2}, "OR hotterm quick brown"),
+        ({}, "PHRASE fast pipeline"),
+        ({"slop": 1}, "PHRASE fast pipeline"),
+        ({}, "PHRASE fast pip*"),
+        ({}, "OR zzzzqx"),
+    ]:
+        got = sh.count_matches(q, **kwargs)
+        want = ref.count_matches(q, **kwargs)
+        assert got == want, (q, kwargs, got, want)
+    attrs = ref.docs.select(
+        "doc_no", F.pmod(F.xxhash64("doc_no"), F.lit(3))
+        .cast("string").alias("bucket"))
+    ref.set_attributes(attrs)
+    sh.set_attributes(attrs)
+    q = "OR hotterm quick"
+    assert sh.count_matches(q, where="bucket = '1'") == \
+        ref.count_matches(q, where="bucket = '1'") > 0
