@@ -828,6 +828,38 @@ class ShardedIndex:
                         (F.col("score_u6") / F.lit(1e6)).alias("score"))
                 .orderBy(F.desc("score")))
 
+    def term_vectors(self, doc_no: str, positions: bool | None = None,
+                     term_statistics: bool = True):
+        """:meth:`InvertedIndex.term_vectors` served scatter-gather:
+        the document lives in exactly ONE shard, so tf/positions
+        delegate to the owner; the df/cf term statistics blend as
+        CROSS-SHARD SUMS (the dfs_query_then_fetch scatter), so —
+        unlike raw ES, whose per-shard termvector stats are
+        documented-approximate — the sharded vector is row-identical
+        to the merged warehouse."""
+        from pyspark.sql import functions as F
+
+        owner = None
+        for idx in self.idxs:
+            if (idx.docs.where(F.col("doc_no") == doc_no)
+                    .limit(1).count()):
+                owner = idx
+                break
+        if owner is None:
+            raise ValueError(f"term_vectors: unknown doc_no {doc_no!r}")
+        tv = owner.term_vectors(doc_no, positions=positions,
+                                term_statistics=False)
+        if not term_statistics:
+            return tv
+        terms = [r["term"] for r in tv.select("term").collect()]
+        gdf = self._global_df(terms)
+        gcf = self._global_cf(terms)
+        stats = self.spark.createDataFrame(
+            [(t, int(gdf.get(t, 0)), int(gcf.get(t, 0)))
+             for t in terms],
+            "term string, df long, cf long")
+        return tv.join(F.broadcast(stats), "term").orderBy("term")
+
     def count_matches(self, query: str, where: str | None = None,
                       slop: int = 0,
                       min_should_match: int = 0) -> int:

@@ -337,3 +337,25 @@ def test_count_matches_parity(spark, setup):
     q = "OR hotterm quick"
     assert sh.count_matches(q, where="bucket = '1'") == \
         ref.count_matches(q, where="bucket = '1'") > 0
+
+
+def test_term_vectors_parity(setup):
+    """Sharded term_vectors == merged: tf/positions from the owning
+    shard, df/cf blended as cross-shard sums (exact, unlike ES's
+    shard-local approximation)."""
+    ref, sh = setup["ref"], setup["sharded"]
+    # one doc from each half (shard A and shard B ownership)
+    from pyspark.sql import functions as F
+
+    d = ref.docs
+    dns = [r["doc_no"] for r in d.orderBy("doc_id").limit(1).collect()]
+    dns += [r["doc_no"] for r in
+            d.orderBy(F.desc("doc_id")).limit(1).collect()]
+    for dn in dns:
+        got = [(r["term"], r["tf"], list(r["positions"]), r["df"],
+                r["cf"]) for r in sh.term_vectors(dn).collect()]
+        want = [(r["term"], r["tf"], list(r["positions"]), r["df"],
+                 r["cf"]) for r in ref.term_vectors(dn).collect()]
+        assert got == want and got, dn
+    with pytest.raises(ValueError, match="unknown doc_no"):
+        sh.term_vectors("no:such@doc")
