@@ -81,24 +81,57 @@ def vbyte_encode(values: np.ndarray, lens: np.ndarray | None = None) -> bytes:
 
 
 def vbyte_decode(stream: bytes) -> np.ndarray:
-    """Decode a VByte stream to int64 values (EncodingUtils.decode)."""
+    """Decode a VByte stream to int64 values (EncodingUtils.decode).
+
+    Shape-adaptive single definition (all branches produce identical
+    arrays; round-trip + golden tested):
+
+    * all values 1-byte → the terminator digits ARE the values;
+    * mostly 1-byte (non-terminator bytes ≤ 25% of values — the shape
+      of real gap/tf streams) → decode terminators directly, then
+      scatter-add the few high-order digits (``np.add.at``);
+    * mixed widths → per-byte positional weights + one
+      ``np.add.reduceat`` (no per-width boolean passes);
+    * multibyte-heavy (avg ≥ 2 bytes/value) → the classic Horner loop
+      over byte positions, which wins when few values are ever "done".
+    """
     b = np.frombuffer(stream, dtype=np.uint8)
     if b.size == 0:
         return np.zeros(0, dtype=np.int64)
-    term = np.flatnonzero(b >= 128)   # terminator positions
+    term_mask = b >= 128
+    term = np.flatnonzero(term_mask)   # terminator positions
     if term.size == 0 or term[-1] != b.size - 1:
         raise ValueError("truncated VByte stream")
+    nvals = term.size
+    vals = (b[term] & 0x7F).astype(np.int64)
+    n_extra = b.size - nvals
+    if n_extra == 0:                   # every value fits one byte
+        return vals
+    if n_extra * 4 <= nvals:
+        # sparse high-order digits: fix up the terminator-only decode
+        nonterm = np.flatnonzero(~term_mask)
+        vid = np.searchsorted(term, nonterm)
+        e = term[vid] - nonterm        # byte distance to the last byte
+        np.add.at(vals, vid, b[nonterm].astype(np.int64) << (7 * e))
+        return vals
     starts = np.empty_like(term)
     starts[0] = 0
     starts[1:] = term[:-1] + 1
+    if n_extra >= nvals:
+        # avg width >= 2 bytes: Horner over byte positions
+        digits = (b & 0x7F).astype(np.int64)
+        n = np.zeros(nvals, dtype=np.int64)
+        width = int((term - starts).max()) + 1
+        for k in range(width):
+            pos = starts + k
+            alive = pos <= term
+            n[alive] = n[alive] * 128 + digits[pos[alive]]
+        return n
     digits = (b & 0x7F).astype(np.int64)
-    n = np.zeros(term.size, dtype=np.int64)
-    width = int((term - starts).max()) + 1
-    for k in range(width):
-        pos = starts + k
-        alive = pos <= term
-        n[alive] = n[alive] * 128 + digits[pos[alive]]
-    return n
+    val_id = np.cumsum(term_mask) - term_mask
+    e = term[val_id] - np.arange(b.size, dtype=np.int64)
+    np.left_shift(digits, 7 * e, out=digits)
+    return np.add.reduceat(digits, starts)
 
 
 def vbyte_encode_runs(values: np.ndarray, starts, ends) -> list:

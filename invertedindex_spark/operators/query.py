@@ -391,6 +391,12 @@ class InvertedIndex:
         # of the reference keeping hot posting ranges in page cache
         self._term_cache: OrderedDict = OrderedDict()
         self._term_cache_size = 512
+        # u6-quantized BM25 partial per posting (term → int64 array
+        # aligned with the decoded arrays). A pure function of the
+        # decoded postings + the live collection stats, so serving it
+        # from cache is value-identical to recomputing; cleared with
+        # the decode caches whenever stats can change (refresh()).
+        self._partial_cache: OrderedDict = OrderedDict()
         # raw (compressed) posting rows per term — feeds both the
         # exact-path decode cache above and the pruned kernels, so a
         # repeated term never re-reads parquet; None = unknown term
@@ -1146,6 +1152,7 @@ class InvertedIndex:
         self._has_inv_bounds = None
         self._cache.clear()
         self._term_cache.clear()
+        self._partial_cache.clear()
         self._row_cache.clear()
         # attr-derived warm arrays are indexed by docId and sized
         # num_docs — stale copies after an append (IndexError past the
@@ -1446,7 +1453,8 @@ class InvertedIndex:
         # whole docs-table column scan just to skip one dl stream
         lens = self._doc_lens
         if lens is not None:   # per-doc array beats re-decoding the
-            dl = lens[d].astype(np.int64)   # per-posting dl stream
+            dl = lens[d]       # per-posting dl stream (int32 is fine:
+            # every consumer converts to float64 for scoring)
         else:
             dl = np.concatenate([self._row_decode(r)(r["dls_vbyte"])
                                  for r in rs])
@@ -1471,7 +1479,7 @@ class InvertedIndex:
         d = np.concatenate([p[0] for p in parts])
         tf = np.concatenate([p[1] for p in parts])
         if lens is not None:
-            dl = lens[d].astype(np.int64)
+            dl = lens[d]   # int32 is fine: consumers score in float64
         else:
             dl = np.concatenate([p[2] for p in parts])
         return d, tf, dl, int(rs[0]["df"])
@@ -2509,7 +2517,8 @@ class InvertedIndex:
                 pos_present, "OR", k, mask=mask)
         else:
             doc_ids, scores = self._score_terms(
-                set(pos_present), "OR", mask=mask, sim=sim)
+                set(pos_present), "OR", mask=mask, sim=sim,
+                topk_hint=k)
         top_ids, top_scores = queue_topk_np(doc_ids, scores, k)
         result = self._attach_doc_nos(top_ids, top_scores)
         self._cache[key] = result
@@ -2989,6 +2998,12 @@ class InvertedIndex:
             self.last_prune_stats = {"mode": "after_exhaustive"}
         if bmap and prune:
             self.last_prune_stats = {"mode": "boost_exhaustive"}
+        # the fused dense-OR top-k prefilter is sound only when the
+        # candidate set goes straight to queue_topk_np — any
+        # post-transform (static boost, collapse, search-after) can
+        # promote/demote docs across the text-score threshold
+        hint = (k if (rank_boost is None and collapse_by is None
+                      and after_score is None) else None)
         if qtype == "PHRASE":
             # adjacency restricts WHICH docs may rank (the phrase
             # mask composes with where= by AND); survivors score as
@@ -3000,14 +3015,14 @@ class InvertedIndex:
                 pmask &= mask
             doc_ids, scores = self._score_terms(set(terms), "OR",
                                                 mask=pmask, wmap=bmap,
-                                                sim=sim)
+                                                sim=sim, topk_hint=hint)
         elif prune and not bmap:
             doc_ids, scores = self._score_terms_pruned(
                 terms, qtype, k, mask=mask)
         else:
             doc_ids, scores = self._score_terms(terms, qtype, mask=mask,
                                                 wmap=bmap, msm=msm,
-                                                sim=sim)
+                                                sim=sim, topk_hint=hint)
         if rank_boost is not None and doc_ids.size:
             col_name, w = rank_boost
             fv = self._rank_feature_array(col_name)
@@ -3132,7 +3147,8 @@ class InvertedIndex:
         min_df = min(rs[0]["df"] for rs in by_term.values())
         if scoring.dense_ok(self.num_docs, min_df):
             stats["dense_fallback"] = True
-            return self._score_terms(terms, qtype, mask=mask)
+            return self._score_terms(terms, qtype, mask=mask,
+                                     topk_hint=k)
         # bound source: while the persisted TUB/block_max reflect the
         # live stats (batch builds, post-compaction) use them — they
         # are EXACT maxima, the tightest pruning possible. After an
@@ -3152,7 +3168,8 @@ class InvertedIndex:
                     ba = self._computed_block_bounds(rs)
                     if ba is None:
                         stats["stale_bounds_fallback"] = True
-                        return self._score_terms(terms, qtype, mask=mask)
+                        return self._score_terms(terms, qtype, mask=mask,
+                                                 topk_hint=k)
                     bmap[t] = ba
                 stats["computed_bounds"] = True
         if qtype == "AND":
@@ -3300,59 +3317,127 @@ class InvertedIndex:
                .agg(F.sum("tf").alias("cf")))
         return decoded_sdf.join(F.broadcast(cfs), "term")
 
+    def _u6_partial(self, t, dec):
+        """The u6-quantized BM25 partial per posting of one term's
+        decoded arrays, LRU-cached. Pure function of the arrays and
+        the live collection stats (both fixed for a handle between
+        refresh()es), so the cached value is bit-identical to a
+        recompute — it just skips re-running the float kernel over
+        millions of postings on every repeated query term."""
+        hit = self._partial_cache.get(t)
+        if hit is not None:
+            self._partial_cache.move_to_end(t)
+            return hit
+        d, tf, dl, df = dec
+        sc = scoring.bm25_u6_np(tf, dl, df, self.num_docs,
+                                self.avg_doc_len)
+        self._partial_cache[t] = sc
+        if len(self._partial_cache) > self._term_cache_size:
+            self._partial_cache.popitem(last=False)
+        return sc
+
     def _score_terms(self, terms, qtype, mask=None, wmap=None, msm=0,
-                     sim: str = "bm25"):
+                     sim: str = "bm25", topk_hint: int | None = None):
         decoded = self._fetch_decoded(terms)
         if (not decoded) or (qtype == "AND" and len(decoded) < len(terms)):
             z = np.zeros(0, dtype=np.int64)
             return z, z
-        all_ids = []
-        all_scores = []
+        per_ids = []
+        per_scores = []
         # sorted term order: per-doc sums accumulate in a fixed order
         # regardless of set-iteration (hash-seed) effects — the oracle
-        # accumulates in the same sorted order (oracle.py _scores)
+        # accumulates in the same sorted order (oracle.py _scores);
+        # u6 integer sums are order-independent anyway
         for t, (d, tf, dl, df) in sorted(decoded.items()):
-            # collection frequency BEFORE any query-time mask — cf is
-            # a collection statistic like the stored df (the
-            # distributed twin attaches it pre-filter, _attach_cf)
-            cf = float(tf.sum()) if sim == "lmdir" else None
-            if mask is not None:
-                d, tf, dl, df = self._mask_dec((d, tf, dl, df), mask)
-            all_ids.append(d)
             w = float((wmap or {}).get(t, 1.0))
-            if w != 1.0:
-                # u6(w * partial): same evaluation order as the
-                # distributed boosted plan's u6_col(w_col * partial)
-                all_scores.append(scoring.u6_np(
-                    w * self._partial_np(tf, dl, df, sim, cf=cf)))
+            if sim == "bm25" and w == 1.0:
+                # the hot path: cached quantized partial. Masking the
+                # partial AFTER scoring equals scoring masked arrays —
+                # the partial is elementwise in (tf, dl).
+                sc = self._u6_partial(t, (d, tf, dl, df))
             else:
-                all_scores.append(scoring.u6_np(
-                    self._partial_np(tf, dl, df, sim, cf=cf)))
-        ids = np.concatenate(all_ids)
-        sc = np.concatenate(all_scores)
-        if ids.size == 0:
+                # collection frequency BEFORE any query-time mask — cf
+                # is a collection statistic like the stored df (the
+                # distributed twin attaches it pre-filter, _attach_cf)
+                cf = float(tf.sum()) if sim == "lmdir" else None
+                if w != 1.0:
+                    # u6(w * partial): same evaluation order as the
+                    # distributed boosted plan's u6_col(w_col * partial)
+                    sc = scoring.u6_np(
+                        w * self._partial_np(tf, dl, df, sim, cf=cf))
+                else:
+                    sc = scoring.u6_np(
+                        self._partial_np(tf, dl, df, sim, cf=cf))
+            if mask is not None:
+                keep = mask[d]
+                d, sc = d[keep], sc[keep]
+            per_ids.append(d)
+            per_scores.append(sc)
+        total = sum(d.size for d in per_ids)
+        if total == 0:
             z = np.zeros(0, dtype=np.int64)
             return z, z
+        n_terms = len(per_ids)
+        if n_terms == 1:
+            # one postings list is already unique + docId-ascending;
+            # AND (count == 1) and OR (count >= 1 ≥ msm≤1… msm>1 is
+            # rejected upstream for single-term) both keep every row
+            if msm <= 1:
+                return per_ids[0], per_scores[0]
         # dense accumulators are O(N) in the docId space regardless of
         # how few postings the query touches; the sort path is
         # O(P log P) — rare-term queries must not pay an O(N)
         # allocation tax (crossover + ceiling: scoring.dense_ok)
-        if scoring.dense_ok(self.num_docs, ids.size):
-            # float64 bincount weights are exact for integral u6 sums
-            # below 2**53 — cast back is lossless
-            w = np.bincount(ids, weights=sc)
-            cnt = np.bincount(ids)
-            keep = (cnt == len(decoded)) if qtype == "AND" \
-                else (cnt >= max(1, msm))
+        if scoring.dense_ok(self.num_docs, total):
+            # per-term scatter-add: docIds are unique within one term,
+            # so fancy-index += is a well-defined single add per slot;
+            # int64 sums of u6 partials are exact (the old float64
+            # bincount path round-tripped losslessly — this skips the
+            # concat + float path entirely)
+            w_buf = np.zeros(self.num_docs, dtype=np.int64)
+            for d, sc in zip(per_ids, per_scores):
+                w_buf[d] += sc
+            if qtype == "AND" or msm > 1:
+                cnt = np.zeros(self.num_docs, dtype=np.int8)
+                for d in per_ids:
+                    cnt[d] += 1
+                keep = (cnt == n_terms) if qtype == "AND" \
+                    else (cnt >= msm)
+            else:
+                if topk_hint is not None:
+                    # fused top-k prefilter: the caller feeds the
+                    # result straight into queue_topk_np, which keeps
+                    # only docs whose score ties one of the k largest
+                    # DISTINCT scores. The dense array's absent slots
+                    # hold 0, which can only ADD the value 0 to the
+                    # distinct-score set — so whenever the k-th
+                    # largest distinct of the dense array is > 0 it
+                    # EQUALS the k-th largest distinct candidate
+                    # score, and extracting w >= s* yields exactly the
+                    # rows queue_topk_np's own prefilter would keep
+                    # (boundary ties included). s* <= 0 (score-0
+                    # candidates or < k distinct) falls back to the
+                    # exhaustive extraction below.
+                    from .maxscore import kth_largest_distinct
+
+                    s_star = kth_largest_distinct(w_buf, topk_hint)
+                    if s_star > 0:
+                        uniq = np.flatnonzero(w_buf >= s_star)
+                        return uniq, w_buf[uniq]
+                keep = np.zeros(self.num_docs, dtype=bool)
+                for d in per_ids:
+                    keep[d] = True
             uniq = np.flatnonzero(keep)
-            return uniq, w[uniq].astype(np.int64)
+            return uniq, w_buf[uniq]
+        ids = np.concatenate(per_ids)
+        sc = np.concatenate(per_scores)
         order = np.argsort(ids, kind="stable")
         ids, sc = ids[order], sc[order]
         uniq, start = np.unique(ids, return_index=True)
         sums = np.add.reduceat(sc, start)
         if qtype == "AND" or msm > 1:
             counts = np.diff(np.append(start, ids.size))
-            keep = (counts == len(decoded)) if qtype == "AND" \
+            keep = (counts == n_terms) if qtype == "AND" \
                 else (counts >= msm)
             uniq, sums = uniq[keep], sums[keep]
         return uniq, sums
@@ -5013,7 +5098,8 @@ class InvertedIndex:
         if self._tomb_count:
             am = self._alive_mask()
             mask = am if mask is None else (mask & am)
-        ids1, s1 = self._score_terms(terms, qtype, mask=mask)
+        ids1, s1 = self._score_terms(terms, qtype, mask=mask,
+                                     topk_hint=int(window))
         wid, ws1 = queue_topk_np(ids1, s1, int(window))
         if wid.size == 0:
             return []
