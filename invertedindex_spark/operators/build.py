@@ -111,6 +111,16 @@ class IndexConfig:
 # stale.
 PARTIALS_FORMAT_VERSION = 3
 
+# When ``merge_width`` is unset, one merged posting row spans at most
+# this many SPIMI blocks. A single-row-per-term layout makes a hot
+# term's parquet cell grow with the collection (GBs at web scale —
+# one task must hold it on both the merge and the decode side); an
+# 8-block cap bounds the cell at any scale and gives the distributed
+# decode ≥ num_blocks/8-way parallelism per hot term. Warehouses with
+# num_blocks ≤ 8 (the sf0.01/sf0.001 oracle builds) keep exactly one
+# row per term, so small-corpus layouts are byte-identical to before.
+SEGMENT_GROUP_BLOCKS = 8
+
 PARTIAL_SCHEMA = (
     "block_id int, term string, first_doc_id long, df_b long, "
     "max_tf long, min_dl long, "
@@ -570,8 +580,8 @@ def _merge_partials(partials, cfg: IndexConfig, num_docs: int,
     from pyspark.sql import functions as F
 
     k1, b = scoring.K_BM25, scoring.B_BM25
-    width = cfg.merge_width
-    grp = (F.col("block_id") / width).cast("int") if width else F.lit(0)
+    width = cfg.merge_width or SEGMENT_GROUP_BLOCKS
+    grp = (F.col("block_id") / width).cast("int")
     # HASH partition by term: all segments of a term co-partition (the
     # merge invariant) and heavyweight terms scatter uniformly across
     # partitions. repartitionByRange was measured 5x slower end-to-end
@@ -887,8 +897,8 @@ def _merge_pos_partials(pos_partials, cfg: IndexConfig,
     import pyarrow as pa
     from pyspark.sql import functions as F
 
-    width = cfg.merge_width
-    grp = (F.col("block_id") / width).cast("int") if width else F.lit(0)
+    width = cfg.merge_width or SEGMENT_GROUP_BLOCKS
+    grp = (F.col("block_id") / width).cast("int")
     shuffled = (pos_partials.withColumn("grp", grp)
                 .repartition(num_partitions, "term")
                 .sortWithinPartitions("term", "grp", "block_id"))

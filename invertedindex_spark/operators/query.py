@@ -3574,6 +3574,18 @@ class InvertedIndex:
                     "freqs_vbyte binary, dls_vbyte binary")
         if terms is not None:
             df = df.where(F.col("term").isin(list(terms)))
+            # spread the term-filtered (compressed) block rows across
+            # the cluster BEFORE the Arrow decode: a point lookup
+            # matches only a handful of parquet splits, so without
+            # this the decode of millions of postings runs inside 1-3
+            # scan tasks while every other core idles. The shuffle
+            # moves only the queried terms' compressed segments
+            # (≈ index bytes of those terms — block rows, never
+            # decoded postings); the explicit partition count keeps
+            # AQE from coalescing the small shuffle back into one
+            # task. Full-index decodes (terms=None) never shuffle.
+            df = df.repartition(
+                self.spark.sparkContext.defaultParallelism)
         use_pfd = self.codec == "pfd"
 
         def decode(iterator):
@@ -3615,6 +3627,8 @@ class InvertedIndex:
         # (always VByte) and recompute df as the per-term union count
         if terms is not None:
             p = p.where(F.col("term").isin(list(terms)))
+            p = p.repartition(    # same spread as the compacted side
+                self.spark.sparkContext.defaultParallelism)
         if doc_range is not None:
             # partial segments carry no last_doc_id; the first-id
             # bound alone still prunes segments past the range
@@ -3658,6 +3672,69 @@ class InvertedIndex:
         return (out.unionByName(fresh_rows)
                 .withColumn("df", F.count("*").over(
                     Window.partitionBy("term"))))
+
+    def _scored_postings_sdf(self, terms, sim, wmap=None):
+        """(doc_id, partial) in ONE Arrow pass that decodes AND scores
+        inside the worker — the exhaustive distributed plan's
+        narrow-boundary shape: only the two int64 columns the per-doc
+        aggregation consumes cross the Python→JVM boundary (term
+        strings and the tf/dl/df streams never leave the task), and
+        the u6 partial comes from the NumPy twin of the Column
+        expression (same float64 expression tree — the bit-parity the
+        driver kernel and every oracle already rely on). Serves
+        bm25/tfidf on compacted, non-fresh handles; lmdir (needs the
+        cf attach) and merged-on-read handles decline (None) and the
+        caller uses the general decode + Column path."""
+        import pyarrow as pa
+        from pyspark.sql import functions as F
+
+        if (sim == "lmdir" or not self._compacted_tables_exist()
+                or self._fresh_partials_sdf() is not None):
+            return None
+        df = (self.postings
+              .select("term", "df", "doc_ids_vbyte", "freqs_vbyte",
+                      "dls_vbyte")
+              .where(F.col("term").isin(list(terms)))
+              .repartition(self.spark.sparkContext.defaultParallelism))
+        use_pfd = self.codec == "pfd"
+        n_docs, avgdl = self.num_docs, self.avg_doc_len
+        live = {t: float(w) for t, w in (wmap or {}).items()
+                if float(w) != 1.0}
+
+        def decode_score(iterator):
+            stream_dec = codec.pfd_decode if use_pfd else codec.vbyte_decode
+            for batch in iterator:
+                dfs = batch.column("df").to_numpy(zero_copy_only=False)
+                trms = batch.column("term").to_pylist()
+                ids_b = batch.column("doc_ids_vbyte").to_pylist()
+                tf_b = batch.column("freqs_vbyte").to_pylist()
+                dl_b = batch.column("dls_vbyte").to_pylist()
+                id_out, sc_out = [], []
+                for i, (ib, fb, lb) in enumerate(zip(ids_b, tf_b, dl_b)):
+                    d = codec.gap_decode(stream_dec(ib))
+                    if not d.size:
+                        continue
+                    tf = stream_dec(fb)
+                    if sim == "tfidf":
+                        p = scoring.tfidf_np(tf, float(dfs[i]), n_docs)
+                    else:
+                        dl = stream_dec(lb)
+                        p = scoring.bm25_np(tf, dl, float(dfs[i]),
+                                            n_docs, avgdl)
+                    w = live.get(trms[i], 1.0)
+                    # u6(w * partial): the same evaluation order as
+                    # weighted_u6_col / the driver kernel
+                    sc = scoring.u6_np(w * p if w != 1.0 else p)
+                    id_out.append(d)
+                    sc_out.append(sc)
+                if not id_out:
+                    continue
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(np.concatenate(id_out)),
+                     pa.array(np.concatenate(sc_out))],
+                    names=["doc_id", "partial"])
+
+        return df.mapInArrow(decode_score, "doc_id long, partial long")
 
     def decoded_positions_df(self, terms, doc_range=None):
         """Positional payloads → (term, doc_id, positions array<long>)
@@ -4656,9 +4733,17 @@ class InvertedIndex:
             # (legacy bounds / tiny boost side / accumulator overflow)
             # and the exhaustive plan below served the query
             self.last_prune_stats["mode"] = "distributed_fallback"
-        exploded = self._drop_tombstoned(
-            self._attach_cf(self.decoded_postings_df(present), sim,
-                            terms=present))
+        fused = self._scored_postings_sdf(present, sim, wmap=bmap)
+        if fused is not None:
+            # guide-§4 narrow boundary: decode+score in one Arrow
+            # pass, only (doc_id, partial) reaches the JVM. Row
+            # filters (tombstones, MUST_NOT, phrase, where=) key on
+            # doc_id and commute with per-row scoring.
+            exploded = self._drop_tombstoned(fused)
+        else:
+            exploded = self._drop_tombstoned(
+                self._attach_cf(self.decoded_postings_df(present), sim,
+                                terms=present))
         if not_present:
             # Lucene MUST_NOT: one anti-join against the negated
             # terms' selective decode (duplicate right rows are fine
@@ -4681,9 +4766,12 @@ class InvertedIndex:
         if where is not None:
             exploded = exploded.join(self._allowed_ids_df(where),
                                      "doc_id", "left_semi")
-        part = self._sim_part_col(sim)
-        scored = exploded.withColumn(
-            "partial", scoring.weighted_u6_col(part, bmap))
+        if fused is not None:
+            scored = exploded
+        else:
+            part = self._sim_part_col(sim)
+            scored = exploded.withColumn(
+                "partial", scoring.weighted_u6_col(part, bmap))
         agg = (scored.groupBy("doc_id")
                .agg(F.sum("partial").alias("score_u6"),
                     F.count("*").alias("nt")))
