@@ -157,16 +157,53 @@ def get_sharded(spark, sf_dir: str):
     return sh
 
 
-def _docs_df(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+# a LIGHT operator (cheap per-row map work) only pays off the spread
+# shuffle once the single-task map stage would dominate; below this
+# row count the extra exchange costs more than it saves. Heavy
+# operators (shingle/hash/aggregation-dense) spread at any size.
+_LIGHT_SPREAD_ROWS = int(os.environ.get("IIS_LIGHT_SPREAD_ROWS",
+                                        "500000"))
+
+
+def _spread(spark, df, path=None, heavy=True):
+    """Raise a small scan's parallelism to the core count: the sf
+    tables are single small parquet files, so without this every
+    map-side stage (tokenize, shingle, hash, partial aggregation) of
+    every operator runs inside ONE scan task while the other cores
+    idle. Only widens — a real multi-split input at scale is never
+    coalesced, and the one-time shuffle moves just the scanned bytes.
+    ``heavy=False`` operators skip the shuffle until the table is big
+    enough (parquet footer row count) for single-task map work to
+    dominate. Row order is not part of any operator contract (keys
+    are content-derived; ranked outputs order explicitly)."""
+    n = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    if not heavy and path is not None:
+        try:
+            import pyarrow.parquet as pq
+
+            if pq.ParquetFile(path).metadata.num_rows \
+                    < _LIGHT_SPREAD_ROWS:
+                return df
+        except Exception:
+            pass   # unknown size: spread (the safe default at scale)
+    return df.repartition(n)
+
+
+def _docs_df(spark, sf_dir, heavy=True):
+    p = f"{sf_dir}/documents.parquet"
+    return _spread(spark, spark.read.parquet(p), path=p, heavy=heavy)
 
 
 def _emb_df(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    p = f"{sf_dir}/embeddings.parquet"
+    return _spread(spark, spark.read.parquet(p), path=p)
 
 
 def _events_df(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    p = f"{sf_dir}/events.parquet"
+    return _spread(spark, spark.read.parquet(p), path=p)
 
 
 def _u6(col):
@@ -2694,7 +2731,7 @@ FROM kg"""
 
 def q_token_stats(spark, sf_dir):
     from .operators.textstats import token_stats
-    return token_stats(_docs_df(spark, sf_dir))
+    return token_stats(_docs_df(spark, sf_dir, heavy=False))
 
 
 def sql_token_stats():
@@ -3213,7 +3250,7 @@ def q_contamination_check(spark, sf_dir):
     from .operators.decontaminate import contamination
     from .operators.sampling import _bucket_col
 
-    docs = _docs_df(spark, sf_dir).select("doc_id", "text")
+    docs = _docs_df(spark, sf_dir, heavy=False).select("doc_id", "text")
     b = _bucket_col(F.col("doc_id"), "bench")
     bench = docs.where(b < 50_000)
     train = docs.where(b >= 50_000)
@@ -3310,7 +3347,7 @@ def q_pack_sequences(spark, sf_dir):
     (range partition + per-partition offsets), operators/packing.py."""
     from .operators.packing import pack_sequences
     return pack_sequences(
-        _docs_df(spark, sf_dir).select("doc_id", "text"), budget=256)
+        _docs_df(spark, sf_dir, heavy=False).select("doc_id", "text"), budget=256)
 
 
 def sql_pack_sequences():
@@ -4146,7 +4183,7 @@ FROM s GROUP BY user_id, sid"""
 
 def q_token_counts(spark, sf_dir):
     from .operators.textstats import token_counts
-    return token_counts(_docs_df(spark, sf_dir))
+    return token_counts(_docs_df(spark, sf_dir, heavy=False))
 
 
 def sql_token_counts():

@@ -89,14 +89,21 @@ def tokens_col(content):
     """
     from pyspark.sql import functions as F
 
-    # all-separator ⟺ no alphanumeric char at all — a cheap rlike
-    # probe, so the expensive clean/trim/split subtree is evaluated at
-    # most once per row (a trimmed == '' guard would duplicate it)
-    cleaned = F.regexp_replace(F.lower(content), "[^a-zA-Z0-9]", " ")
-    trimmed = F.regexp_replace(cleaned, " +$", "")
-    return F.when(~content.rlike("[a-zA-Z0-9]"),
-                  F.array().cast("array<string>")) \
-        .otherwise(F.split(trimmed, " +"))
+    # ONE separator-run split instead of the old replace-all-to-space
+    # + trim + split-on-spaces chain (3 full regex passes + an rlike
+    # probe — measured 3-4x slower under explode on the bench corpus).
+    # Equivalence: both pipelines operate on the SAME lowered string,
+    # and [^a-z0-9] after lower() is exactly the old [^a-zA-Z0-9]
+    # separator class, so the alnum runs (= tokens, incl. the leading
+    # empty-token quirk for separator-initial text) are identical.
+    # The anchored strip removes the trailing separator run so split
+    # yields no trailing empty (the old " +$" trim, same chars); a
+    # fully-stripped-away document leaves stripped == "" whose split
+    # would be [""] — mapped to [] like Java's split. (The guard
+    # compares the stripped STRING, not a recomputed array.)
+    stripped = F.regexp_replace(F.lower(content), "[^a-z0-9]+$", "")
+    return F.when(stripped == "", F.array().cast("array<string>")) \
+        .otherwise(F.split(stripped, "[^a-z0-9]+"))
 
 
 def _not_stopword(tok):

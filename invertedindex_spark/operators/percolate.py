@@ -191,6 +191,16 @@ def percolate(docs, queries: PercolatorQueries, *,
                .groupBy("_pid", "qid")
                .agg(*aggs)
                .join(F.broadcast(qmeta), "qid"))
+    has_phrase = any(e[1] == "PHRASE" and e[2] for e in queries.entries)
+    if bool_trees or has_phrase:
+        # the flat, BOOL and PHRASE branches all read this frame, and
+        # Catalyst re-executes the whole tokenize+join+aggregate
+        # subtree once per union branch (no cross-branch CSE) —
+        # measured 3x the document tokenize cost on the bench corpus.
+        # A lazy localCheckpoint materializes the (match-bounded,
+        # small) frame once; lineage truncation is fine here, the
+        # frame is consumed within the same plan.
+        grouped = grouped.localCheckpoint(eager=False)
     matched = grouped.where(
         (F.col("qtype") != "BOOL")
         & (F.col("_vetoes") == 0)
@@ -213,7 +223,7 @@ def percolate(docs, queries: PercolatorQueries, *,
         flat = flat.unionByName(
             grouped.where(F.col("qtype") == "BOOL").where(cond)
             .select(F.col("_pid").alias(id_col), "qid"))
-    if not any(e[1] == "PHRASE" and e[2] for e in queries.entries):
+    if not has_phrase:
         # no phrase query with surviving terms — skip the candidate
         # re-tokenize branch entirely (an all-stopword PHRASE entry
         # can never match, so it must not cost a second pass forever)

@@ -453,34 +453,21 @@ def _verified_pairs(base, buckets, threshold: float,
     import numpy as np
     from pyspark.sql import functions as F
 
-    grouped = (buckets.groupBy("t", "bk")
-               .agg(F.sort_array(F.collect_list("vid")).alias("ids"))
-               .where(F.size("ids") > 1))
+    # vectors travel ONCE into their bucket group (≈ one copy of the
+    # table per LSH band) and every bucket verifies ITS OWN pairs
+    # inside the task. The former plan materialized O(Σ b²) candidate
+    # pair rows, distinct-shuffled them, and then shipped TWO
+    # embedding arrays per pair through a double join — pair-grain
+    # traffic (~1 KB/pair at dim 64) that dominated the whole
+    # operator. Pair-grain rows now never exist outside a task; only
+    # pairs at or above the threshold leave it.
+    grouped = (buckets.join(base, "vid")
+               .groupBy("t", "bk")
+               .agg(F.sort_array(
+                   F.collect_list(F.struct("vid", "v"))).alias("rows"))
+               .where(F.size("rows") > 1))
     if max_bucket is not None:
-        grouped = grouped.where(F.size("ids") <= max_bucket)
-    # in-bucket pair expansion, hybrid by bucket size: HOF expansion
-    # materializes all O(b²) structs inside ONE row, so buckets beyond
-    # _HOF_PAIR_CAP (≈1M structs) would OOM a task — those rare
-    # degenerate buckets expand through an exploded self-join instead,
-    # which streams the same b² pairs across the shuffle
-    small = grouped.where(F.size("ids") <= _HOF_PAIR_CAP)
-    big = grouped.where(F.size("ids") > _HOF_PAIR_CAP)
-    from .dedup import sorted_pairs_expr
-
-    small_pairs = (small.select(
-        F.explode(sorted_pairs_expr("ids")).alias("p"))
-        .select(F.col("p.a").alias("id_a"),
-                F.col("p.b").alias("id_b")))
-    big_rows = big.select("t", "bk", F.explode("ids").alias("vid"))
-    big_pairs = (big_rows.select(F.col("vid").alias("id_a"), "t", "bk")
-                 .join(big_rows.select(F.col("vid").alias("id_b"),
-                                       "t", "bk"), ["t", "bk"])
-                 .where(F.col("id_a") < F.col("id_b"))
-                 .select("id_a", "id_b"))
-    cand = small_pairs.unionByName(big_pairs).distinct()
-    ea = base.select(F.col("vid").alias("id_a"), F.col("v").alias("va"))
-    eb = base.select(F.col("vid").alias("id_b"), F.col("v").alias("vb"))
-    paired = cand.join(ea, "id_a").join(eb, "id_b")
+        grouped = grouped.where(F.size("rows") <= max_bucket)
 
     cut = int(round(threshold * 1e6))
 
@@ -488,34 +475,72 @@ def _verified_pairs(base, buckets, threshold: float,
         import pyarrow as pa
 
         for batch in iterator:
-            n = batch.num_rows
-            if n == 0:
+            col = batch.column("rows")
+            if len(col) == 0:
                 continue
-            ia = batch.column("id_a").to_numpy(zero_copy_only=False)
-            ib = batch.column("id_b").to_numpy(zero_copy_only=False)
-            va = _flat_matrix(batch.column("va"), n)
-            vb = _flat_matrix(batch.column("vb"), n)
-            dots = np.einsum("ij,ij->i", va, vb)
-            # zero-norm vectors: cosine undefined (0/0) → drop, which
-            # is exactly what the SQL oracle does (NaN fails >= cut)
-            with np.errstate(invalid="ignore", divide="ignore"):
-                cos = dots / (np.linalg.norm(va, axis=1)
-                              * np.linalg.norm(vb, axis=1))
-            cos = np.where(np.isfinite(cos), cos, -np.inf)
-            # round half AWAY from zero (Spark F.round / DuckDB round
-            # convention) — np.round's half-to-even can flip a
-            # boundary pair between engines
-            x = cos * 1e6
-            u6f = np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5))
-            keep = u6f >= cut
-            u6 = u6f[keep].astype(np.int64)
-            yield pa.RecordBatch.from_arrays(
-                [pa.array(ia[keep]), pa.array(ib[keep]),
-                 pa.array(u6)],
-                names=["id_a", "id_b", "cos_u6"])
+            flat = col.flatten()        # struct rows of every bucket
+            vids = flat.field("vid").to_numpy(zero_copy_only=False)
+            mat = _flat_matrix(flat.field("v"), len(flat))
+            offs = col.offsets.to_numpy(zero_copy_only=False)
+            offs = offs - offs[0]   # flatten() drops any slice offset
+            norms = np.linalg.norm(mat, axis=1)
+            out_a, out_b, out_u6 = [], [], []
+            for g in range(len(col)):
+                lo, hi = int(offs[g]), int(offs[g + 1])
+                b = hi - lo
+                if b < 2:
+                    continue
+                # sort_array ordered the structs by vid ascending, so
+                # triu pairs are (a < b) — the same pair orientation
+                # the sorted-ids HOF expansion produced
+                # anchor-chunked pair enumeration bounds memory on
+                # degenerate buckets (b² pairs never materialize at
+                # once); each chunk uses the SAME per-pair einsum +
+                # norm-product arithmetic as the former pair-joined
+                # verify, so cos_u6 values are bit-identical
+                i0 = 0
+                while i0 < b - 1:
+                    i1 = min(b - 1, i0 + max(1, (1 << 18) // b))
+                    cnt = (b - 1) - np.arange(i0, i1)
+                    ii = np.repeat(np.arange(i0, i1), cnt)
+                    jj = (np.arange(cnt.sum())
+                          - np.repeat(np.cumsum(cnt) - cnt, cnt)
+                          + ii + 1)
+                    va = mat[lo + ii]
+                    vb = mat[lo + jj]
+                    dots = np.einsum("ij,ij->i", va, vb)
+                    # zero-norm vectors: cosine undefined (0/0) →
+                    # drop, exactly what the SQL oracle does (NaN
+                    # fails >= cut)
+                    with np.errstate(invalid="ignore",
+                                     divide="ignore"):
+                        cos = dots / (norms[lo + ii] * norms[lo + jj])
+                    cos = np.where(np.isfinite(cos), cos, -np.inf)
+                    # round half AWAY from zero (Spark F.round /
+                    # DuckDB round convention) — np.round's
+                    # half-to-even can flip a boundary pair
+                    x = cos * 1e6
+                    u6f = np.where(x >= 0, np.floor(x + 0.5),
+                                   np.ceil(x - 0.5))
+                    keep = u6f >= cut
+                    if keep.any():
+                        out_a.append(vids[lo + ii[keep]])
+                        out_b.append(vids[lo + jj[keep]])
+                        out_u6.append(u6f[keep].astype(np.int64))
+                    i0 = i1
+            if out_a:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(np.concatenate(out_a)),
+                     pa.array(np.concatenate(out_b)),
+                     pa.array(np.concatenate(out_u6))],
+                    names=["id_a", "id_b", "cos_u6"])
 
-    return paired.select("id_a", "id_b", "va", "vb").mapInArrow(
-        verify, "id_a long, id_b long, cos_u6 long")
+    # distinct AFTER verification: a pair colliding in several bands
+    # verifies to the same deterministic row each time — the former
+    # plan deduped candidates pre-verify, this dedups the (tiny)
+    # above-threshold output instead
+    return grouped.select("rows").mapInArrow(
+        verify, "id_a long, id_b long, cos_u6 long").distinct()
 
 
 def semantic_dedup(df, centroids, threshold: float,
