@@ -397,23 +397,63 @@ def min_label_components(pairs, max_iter: int = 25):
 
 def simhash32(df):
     """(doc_id, simhash32): 32-bit SimHash over tf-weighted tokens —
-    full-width hash so bit 31 carries signal too."""
+    full-width hash so bit 31 carries signal too.
+
+    One shuffle-free Arrow pass: Σ_distinct tf·sign(bit) equals
+    Σ_occurrences sign(bit) in exact integer arithmetic, so the
+    per-doc bit sums reduce over the raw token stream directly —
+    no (doc, token) tf aggregation, no 32-column shuffle (the former
+    plan's two exchanges + 32 conditional sums were the whole cost).
+    The hash is the same md5-derived 32-bit value, computed once per
+    DISTINCT token per batch."""
+    import numpy as np
     from pyspark.sql import functions as F
 
-    tok = (_tokens(df)
-           .select("doc_id", F.explode("tokens").alias("t"))
-           .groupBy("doc_id", "t").agg(F.count("*").alias("tf"))
-           .withColumn("h", _h32_col(F.col("t"))))
-    bit_sums = [F.sum(
-        F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1,
-               F.col("tf")).otherwise(-F.col("tf"))).alias(f"b{j}")
-        for j in range(32)]
-    sums = tok.groupBy("doc_id").agg(*bit_sums)
-    sim = None
-    for j in range(32):
-        bit = F.when(F.col(f"b{j}") >= 0, F.lit(2 ** j)).otherwise(F.lit(0))
-        sim = bit if sim is None else sim + bit
-    return sums.select("doc_id", sim.cast("long").alias("simhash32"))
+    base = df.where(F.col("text").isNotNull() & (F.length("text") > 0)) \
+             .select("doc_id", "text")
+
+    def kernel(iterator):
+        import hashlib
+
+        import pyarrow as pa
+
+        from ..functions.textproc import tokenize_terms_arrow
+
+        weights = (np.int64(1) << np.arange(32, dtype=np.int64))
+        for batch in iterator:
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            toks = tokenize_terms_arrow(
+                batch.column("text"), stopwords=False, truncate=False,
+                stemming=False)
+            offs = toks.offsets.to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            offs = offs - offs[0]
+            vals = toks.values.to_numpy(zero_copy_only=False)
+            lens = offs[1:] - offs[:-1]
+            keep_doc = lens > 0      # token-empty docs emit no row
+            if not keep_doc.any():
+                continue
+            uniq, inv = np.unique(vals, return_inverse=True)
+            # same value as _h32_col: first 8 md5 hex digits
+            h_uniq = np.fromiter(
+                (int(hashlib.md5(u.encode("utf-8")).hexdigest()[:8],
+                     16) for u in uniq),
+                dtype=np.int64, count=uniq.size)
+            starts = offs[:-1][keep_doc]
+            n_tok = lens[keep_doc]
+            sim = np.zeros(starts.size, dtype=np.int64)
+            # per bit: sign sum = 2 * (#occurrences with bit set) −
+            # n_tokens — exact integers, 1-D arrays only (a per-
+            # occurrence (n, 32) sign matrix would blow batch memory)
+            for j in range(32):
+                bit_occ = ((h_uniq >> j) & 1)[inv]
+                set_cnt = np.add.reduceat(bit_occ, starts)
+                sim += ((2 * set_cnt - n_tok) >= 0) * weights[j]
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids[keep_doc]), pa.array(sim)],
+                names=["doc_id", "simhash32"])
+
+    return base.mapInArrow(kernel, "doc_id long, simhash32 long")
 
 
 def doc_fingerprint(df):

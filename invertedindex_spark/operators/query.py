@@ -3318,12 +3318,17 @@ class InvertedIndex:
         return decoded_sdf.join(F.broadcast(cfs), "term")
 
     def _u6_partial(self, t, dec):
-        """The u6-quantized BM25 partial per posting of one term's
-        decoded arrays, LRU-cached. Pure function of the arrays and
-        the live collection stats (both fixed for a handle between
-        refresh()es), so the cached value is bit-identical to a
-        recompute — it just skips re-running the float kernel over
-        millions of postings on every repeated query term."""
+        """(scores, max) — the u6-quantized BM25 partial per posting
+        of one term's decoded arrays, LRU-cached. Pure function of the
+        arrays and the live collection stats (both fixed for a handle
+        between refresh()es), so the cached value is bit-identical to
+        a recompute — it just skips re-running the float kernel over
+        millions of postings on every repeated query term. Stored as
+        int32 when every value fits (a BM25 u6 partial is ≤
+        ln(N)·1e6, so it always does): halves both the cache
+        footprint and the dense-accumulator memory traffic; the
+        returned max lets the kernel prove its int32 sums can't
+        overflow before choosing the narrow accumulator."""
         hit = self._partial_cache.get(t)
         if hit is not None:
             self._partial_cache.move_to_end(t)
@@ -3331,10 +3336,14 @@ class InvertedIndex:
         d, tf, dl, df = dec
         sc = scoring.bm25_u6_np(tf, dl, df, self.num_docs,
                                 self.avg_doc_len)
-        self._partial_cache[t] = sc
+        mx = int(sc.max()) if sc.size else 0
+        if mx <= np.iinfo(np.int32).max:
+            sc = sc.astype(np.int32)
+        entry = (sc, mx)
+        self._partial_cache[t] = entry
         if len(self._partial_cache) > self._term_cache_size:
             self._partial_cache.popitem(last=False)
-        return sc
+        return entry
 
     def _score_terms(self, terms, qtype, mask=None, wmap=None, msm=0,
                      sim: str = "bm25", topk_hint: int | None = None):
@@ -3344,17 +3353,19 @@ class InvertedIndex:
             return z, z
         per_ids = []
         per_scores = []
+        per_max = []   # per-term score maxima (None = unbounded int64)
         # sorted term order: per-doc sums accumulate in a fixed order
         # regardless of set-iteration (hash-seed) effects — the oracle
         # accumulates in the same sorted order (oracle.py _scores);
         # u6 integer sums are order-independent anyway
         for t, (d, tf, dl, df) in sorted(decoded.items()):
             w = float((wmap or {}).get(t, 1.0))
+            mx = None
             if sim == "bm25" and w == 1.0:
                 # the hot path: cached quantized partial. Masking the
                 # partial AFTER scoring equals scoring masked arrays —
                 # the partial is elementwise in (tf, dl).
-                sc = self._u6_partial(t, (d, tf, dl, df))
+                sc, mx = self._u6_partial(t, (d, tf, dl, df))
             else:
                 # collection frequency BEFORE any query-time mask — cf
                 # is a collection statistic like the stored df (the
@@ -3373,6 +3384,7 @@ class InvertedIndex:
                 d, sc = d[keep], sc[keep]
             per_ids.append(d)
             per_scores.append(sc)
+            per_max.append(mx)   # masking only lowers true maxima
         total = sum(d.size for d in per_ids)
         if total == 0:
             z = np.zeros(0, dtype=np.int64)
@@ -3391,10 +3403,16 @@ class InvertedIndex:
         if scoring.dense_ok(self.num_docs, total):
             # per-term scatter-add: docIds are unique within one term,
             # so fancy-index += is a well-defined single add per slot;
-            # int64 sums of u6 partials are exact (the old float64
+            # integer sums of u6 partials are exact (the old float64
             # bincount path round-tripped losslessly — this skips the
-            # concat + float path entirely)
-            w_buf = np.zeros(self.num_docs, dtype=np.int64)
+            # concat + float path entirely). When every term carries a
+            # proven max and the maxima sum below 2^31, an int32
+            # accumulator halves the scatter's memory traffic with
+            # provably identical sums.
+            fits32 = (all(m is not None for m in per_max)
+                      and sum(per_max) <= np.iinfo(np.int32).max)
+            w_buf = np.zeros(self.num_docs,
+                             dtype=np.int32 if fits32 else np.int64)
             for d, sc in zip(per_ids, per_scores):
                 w_buf[d] += sc
             if qtype == "AND" or msm > 1:
@@ -3430,7 +3448,10 @@ class InvertedIndex:
             uniq = np.flatnonzero(keep)
             return uniq, w_buf[uniq]
         ids = np.concatenate(per_ids)
-        sc = np.concatenate(per_scores)
+        # the sparse path is small — widen to int64 so reduceat sums
+        # can't overflow regardless of term count/weights
+        sc = np.concatenate([np.asarray(s, dtype=np.int64)
+                             for s in per_scores])
         order = np.argsort(ids, kind="stable")
         ids, sc = ids[order], sc[order]
         uniq, start = np.unique(ids, return_index=True)
