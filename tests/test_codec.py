@@ -179,3 +179,42 @@ def test_vbyte_head_rewrite_invariant():
         assert np.array_equal(codec.vbyte_decode(rewritten), want)
 
     check()
+
+
+def test_shape_adaptive_branches_agree():
+    """The encode/decode fast paths (all-1-byte, sparse fixup,
+    reduceat, Horner) must produce identical bytes/values — craft one
+    stream per branch and round-trip it."""
+    import numpy as np
+
+    from invertedindex_spark.functions import codec
+
+    rng = np.random.default_rng(7)
+    cases = {
+        "all_one_byte": rng.integers(0, 128, 5000),
+        # < 25% multibyte values → decode fixup / encode sparse path
+        "sparse_multibyte": np.where(rng.random(5000) < 0.05,
+                                     rng.integers(128, 10 ** 9, 5000),
+                                     rng.integers(0, 128, 5000)),
+        # ~50% 2-byte → reduceat path
+        "mixed": rng.integers(0, 16000, 5000),
+        # avg >= 2 bytes/value → Horner loop
+        "multibyte_heavy": rng.integers(10 ** 6, 10 ** 12, 5000),
+        "single_huge": np.array([2 ** 62 - 1]),
+    }
+    for name, vals in cases.items():
+        vals = np.asarray(vals, dtype=np.int64)
+        stream = codec.vbyte_encode(vals)
+        # reference bytes: independent per-value big-endian base-128
+        want = bytearray()
+        for v in vals.tolist():
+            digits = []
+            while True:
+                digits.append(v % 128)
+                v //= 128
+                if v == 0:
+                    break
+            digits[0] += 128          # MSB terminates the value
+            want.extend(reversed(digits))
+        assert stream == bytes(want), name
+        assert np.array_equal(codec.vbyte_decode(stream), vals), name

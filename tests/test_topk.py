@@ -58,3 +58,37 @@ def test_tie_dedup_keeps_lowest_doc_id():
 def test_empty():
     ids, sc = queue_topk_np(np.zeros(0, np.int64), np.zeros(0), 5)
     assert ids.size == 0 and sc.size == 0
+
+
+@given(
+    st.lists(st.tuples(st.integers(0, 300),
+                       st.integers(0, 20_000_000)),
+             min_size=1, max_size=400),
+    st.integers(1, 20),
+)
+@settings(max_examples=200, deadline=None)
+def test_fused_dense_threshold_equals_exhaustive(postings, k):
+    """queue_topk over the fused dense-OR prefilter (k-th largest
+    distinct on the dense accumulator, candidates >= s*) must equal
+    queue_topk over the full candidate set — the soundness claim the
+    topk_hint path in _score_terms rests on (absent slots contribute
+    only the value 0, so a strictly positive threshold is exact)."""
+    from invertedindex_spark.operators.maxscore import (
+        kth_largest_distinct,
+    )
+
+    N = 301
+    w = np.zeros(N, dtype=np.int64)
+    touched = np.zeros(N, dtype=bool)
+    for d, s in postings:
+        w[d] += s
+        touched[d] = True
+    full_ids = np.flatnonzero(touched)
+    full_sc = w[full_ids]
+    want = queue_topk_np(full_ids, full_sc, k)
+    s_star = kth_largest_distinct(w, k)
+    if s_star > 0:
+        ids = np.flatnonzero(w >= s_star)
+        got = queue_topk_np(ids, w[ids], k)
+        assert got[0].tolist() == want[0].tolist()
+        assert got[1].tolist() == want[1].tolist()
