@@ -3757,6 +3757,109 @@ class InvertedIndex:
 
         return df.mapInArrow(decode_score, "doc_id long, partial long")
 
+    def _topk_scored_sdf(self, terms, k, qtype, sim, wmap=None):
+        """(doc_id, score_u6) — per-task top-k representatives of the
+        plain OR/AND exhaustive plan, or None when it must decline.
+
+        Merged posting rows are build-block-group aligned: every term's
+        ``grp`` row covers the SAME contiguous docId range, so a
+        range-repartition by ``grp`` gives each task COMPLETE per-doc
+        data and the whole per-doc aggregation + distinct-score top-k
+        runs inside the Arrow pass — at most k rows per task reach the
+        JVM, and both aggregation exchanges of the general plan
+        disappear. Exactness of the union-of-per-task-top-k: a task's
+        distinct-score set is a subset of the global one, so any
+        globally top-k score ranks ≤ k within every task that holds
+        docs scoring it — each such task emits its min-docId
+        representative, and the caller's groupBy(score).min(doc_id) +
+        top-k recovers exactly the global queue semantics."""
+        import pyarrow as pa
+        from pyspark.sql import functions as F
+
+        if (sim not in ("bm25", "tfidf")
+                or not self._compacted_tables_exist()
+                or self._fresh_partials_sdf() is not None):
+            return None
+        from .build import SEGMENT_GROUP_BLOCKS
+
+        man = self._read_manifest()
+        num_blocks = int(man.get("num_blocks") or 0)
+        width = ((man.get("config") or {}).get("merge_width")
+                 or SEGMENT_GROUP_BLOCKS)
+        n_grps = max(1, -(-num_blocks // int(width))) if num_blocks \
+            else 1
+        df = (self.postings
+              .select("term", "grp", "df", "first_doc_id",
+                      "last_doc_id", "doc_ids_vbyte", "freqs_vbyte",
+                      "dls_vbyte")
+              .where(F.col("term").isin(list(terms))))
+        # ALWAYS repartition: the postings scan is hive-partitioned by
+        # term-hash bucket, so without this a doc's different terms
+        # sit in different tasks and per-task sums are partial — the
+        # correctness invariant is per-grp colocation. Range
+        # partitioning never splits equal grp keys; it measured faster
+        # than a hash repartition here (grp-key collisions stack whole
+        # groups onto one task, costing more than the sampling pass).
+        df = df.repartitionByRange(n_grps, "grp")
+        use_pfd = self.codec == "pfd"
+        n_docs, avgdl = self.num_docs, self.avg_doc_len
+        live = {t: float(w) for t, w in (wmap or {}).items()
+                if float(w) != 1.0}
+        n_req = len(set(terms)) if qtype == "AND" else 0
+        kk = int(k)
+
+        def task_topk(iterator):
+            stream_dec = codec.pfd_decode if use_pfd \
+                else codec.vbyte_decode
+            batches = list(iterator)
+            if not batches:
+                return
+            tbl = pa.Table.from_batches(batches).combine_chunks()
+            if tbl.num_rows == 0:
+                return
+            firsts = tbl.column("first_doc_id").to_numpy(
+                zero_copy_only=False)
+            lasts = tbl.column("last_doc_id").to_numpy(
+                zero_copy_only=False)
+            lo = int(firsts.min())
+            hi = int(lasts.max())
+            span = hi - lo + 1
+            dfs = tbl.column("df").to_numpy(zero_copy_only=False)
+            trms = tbl.column("term").to_pylist()
+            ids_b = tbl.column("doc_ids_vbyte").to_pylist()
+            tf_b = tbl.column("freqs_vbyte").to_pylist()
+            dl_b = tbl.column("dls_vbyte").to_pylist()
+            w = np.zeros(span, dtype=np.int64)
+            seen = np.zeros(span, dtype=np.int16)
+            for i, (ib, fb, lb) in enumerate(zip(ids_b, tf_b, dl_b)):
+                d = codec.gap_decode(stream_dec(ib))
+                if not d.size:
+                    continue
+                tf = stream_dec(fb)
+                if sim == "tfidf":
+                    p = scoring.tfidf_np(tf, float(dfs[i]), n_docs)
+                else:
+                    dl = stream_dec(lb)
+                    p = scoring.bm25_np(tf, dl, float(dfs[i]),
+                                        n_docs, avgdl)
+                wt = live.get(trms[i], 1.0)
+                sc = scoring.u6_np(wt * p if wt != 1.0 else p)
+                dl_local = d - lo
+                w[dl_local] += sc
+                seen[dl_local] += 1
+            if n_req:
+                ids_local = np.flatnonzero(seen == n_req)
+            else:
+                ids_local = np.flatnonzero(seen)
+            if not ids_local.size:
+                return
+            tid, tsc = queue_topk_np(ids_local + lo, w[ids_local], kk)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(tid), pa.array(tsc)],
+                names=["doc_id", "score_u6"])
+
+        return df.mapInArrow(task_topk, "doc_id long, score_u6 long")
+
     def decoded_positions_df(self, terms, doc_range=None):
         """Positional payloads → (term, doc_id, positions array<long>)
         DataFrame. One term-filtered scan of each sidecar table, an
@@ -4754,6 +4857,28 @@ class InvertedIndex:
             # (legacy bounds / tiny boost side / accumulator overflow)
             # and the exhaustive plan below served the query
             self.last_prune_stats["mode"] = "distributed_fallback"
+        if (qtype in ("OR", "AND") and not not_present
+                and where is None and msm <= 1
+                and collapse_by is None and rank_boost is None
+                and after_score is None and not self._tomb_count):
+            # plain OR/AND with no row filters: the grp-aligned
+            # per-task top-k plan — the per-doc aggregation and the
+            # distinct-score dedup both run inside the Arrow pass, at
+            # most k rows per task reach the JVM, and the general
+            # plan's two aggregation exchanges disappear (soundness in
+            # _topk_scored_sdf's docstring). The tiny global combine
+            # below is the SAME dedup + top-k tail as the general plan.
+            pt = self._topk_scored_sdf(present, k, qtype, sim,
+                                       wmap=bmap)
+            if pt is not None:
+                top = (pt.groupBy("score_u6")
+                       .agg(F.min("doc_id").alias("doc_id"))
+                       .orderBy(F.desc("score_u6")).limit(k))
+                return (self.docs.join(F.broadcast(top), "doc_id")
+                        .select("doc_no",
+                                (F.col("score_u6") / F.lit(1e6))
+                                .alias("score"))
+                        .orderBy(F.desc("score")))
         fused = self._scored_postings_sdf(present, sim, wmap=bmap)
         if fused is not None:
             # guide-§4 narrow boundary: decode+score in one Arrow

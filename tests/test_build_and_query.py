@@ -410,3 +410,40 @@ def test_table_format_seam(built, spark):
         check_table_format(spark, IndexConfig(table_format="iceberg"))
     with _pt.raises(ValueError, match="unknown table_format"):
         check_table_format(spark, IndexConfig(table_format="delta"))
+
+
+def test_per_task_topk_plan_multigroup(spark, tmp_path):
+    """The plain OR/AND distributed tail runs the per-doc aggregation
+    + distinct-score top-k inside the grp-aligned Arrow pass: results
+    must match the driver kernel row-for-row on a MULTI-group
+    warehouse (num_blocks > SEGMENT_GROUP_BLOCKS, so grp > 0 rows
+    exist and the colocation invariant is actually exercised), and
+    the plan must carry no doc_id aggregation exchange."""
+    wh = str(tmp_path / "wh_topk")
+    c = corpus.synthesize_source_code(spark, 3000, seed=11,
+                                      num_partitions=20)
+    build_index(spark, c, wh, IndexConfig(num_blocks=20))
+    idx = InvertedIndex(spark, wh)
+    import pyarrow.dataset as ds
+
+    grps = ds.dataset(f"{wh}/postings", format="parquet") \
+        .to_table(columns=["grp"]).column("grp").to_numpy()
+    assert grps.max() > 0            # multi-group layout engaged
+    for q in ["OR hotterm quick brown", "AND import return",
+              "OR parties", "OR hotterm quick brown fox latency"]:
+        for k in (3, 10, 50):
+            df = idx.search_distributed(q, k=k)
+            got = [(r["doc_no"], round(r["score"], 6))
+                   for r in df.collect()]
+            want = [(d, round(s, 6)) for d, s in idx.search(q, k=k)]
+            assert got == want, (q, k)
+    plan = idx.search_distributed("OR hotterm quick", k=5) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(doc_id" not in plan
+    # boosted twin rides the same tail
+    got = [(r["doc_no"], round(r["score"], 6)) for r in
+           idx.search_distributed("OR hotterm quick", k=5,
+                                  boosts={"quick": 2.0}).collect()]
+    want = [(d, round(s, 6)) for d, s in
+            idx.search("OR hotterm quick", k=5, boosts={"quick": 2.0})]
+    assert got == want
