@@ -170,24 +170,32 @@ def _spread(spark, df, path=None, heavy=True):
     tables are single small parquet files, so without this every
     map-side stage (tokenize, shingle, hash, partial aggregation) of
     every operator runs inside ONE scan task while the other cores
-    idle. Only widens — a real multi-split input at scale is never
-    coalesced, and the one-time shuffle moves just the scanned bytes.
-    ``heavy=False`` operators skip the shuffle until the table is big
-    enough (parquet footer row count) for single-task map work to
-    dominate. Row order is not part of any operator contract (keys
-    are content-derived; ranked outputs order explicitly)."""
+    idle. Only widens — an input big enough to split into ≥ core-count
+    scan tasks on its own (file bytes ≥ cores × the 128 MB default
+    split size) is left alone, so real multi-split inputs at scale
+    are never re-shuffled. ``heavy=False`` operators skip the shuffle
+    until the table is big enough (parquet footer row count) for
+    single-task map work to dominate. All probes read file metadata
+    only — a ``df.rdd.getNumPartitions()`` probe here cost 150-220 ms
+    PER QUERY in plan materialization, more than the shuffle it was
+    deciding about. Row order is not part of any operator contract
+    (keys are content-derived; ranked outputs order explicitly)."""
     n = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= n:
-        return df
-    if not heavy and path is not None:
-        try:
+    try:
+        size = os.path.getsize(path)
+        if not heavy:
             import pyarrow.parquet as pq
 
             if pq.ParquetFile(path).metadata.num_rows \
                     < _LIGHT_SPREAD_ROWS:
                 return df
-        except Exception:
-            pass   # unknown size: spread (the safe default at scale)
+        if size >= n * (128 << 20):
+            return df      # the scan already splits ≥ n ways
+    except OSError:
+        # non-local / directory input: fall back to the partition
+        # probe (plan materialization cost acceptable off the sf path)
+        if df.rdd.getNumPartitions() >= n:
+            return df
     return df.repartition(n)
 
 

@@ -432,23 +432,33 @@ def near_dup_pairs(df, tables: list[list[list[float]]], threshold: float,
             signs = (mat @ plane_mat.T) > 0          # (n, L*b)
             wbits = signs * weights                   # (n, L*b)
             bks = np.add.reduceat(wbits, starts, axis=1)  # (n, L)
+            rep = pa.array(np.repeat(
+                np.arange(n, dtype=np.int64), L))
+            # the vector rides along (one copy per table) so the
+            # verify stage needs no join back against the base scan;
+            # cast to the declared list<double> (source embeddings may
+            # be float32 — widening is value-exact)
+            vrep = emb.take(rep)
+            if vrep.type != pa.list_(pa.float64()):
+                vrep = vrep.cast(pa.list_(pa.float64()))
             yield pa.RecordBatch.from_arrays(
                 [pa.array(np.repeat(vids, L)),
                  pa.array(np.tile(np.arange(L, dtype=np.int32), n)),
-                 pa.array(bks.astype(np.int64).ravel())],
-                names=["vid", "t", "bk"])
+                 pa.array(bks.astype(np.int64).ravel()),
+                 vrep],
+                names=["vid", "t", "bk", "v"])
 
-    buckets = base.mapInArrow(bucketize, "vid long, t int, bk long")
-    return _verified_pairs(base, buckets, threshold,
-                           max_bucket=max_bucket)
+    buckets = base.mapInArrow(
+        bucketize, "vid long, t int, bk long, v array<double>")
+    return _verified_pairs(buckets, threshold, max_bucket=max_bucket)
 
 
-def _verified_pairs(base, buckets, threshold: float,
+def _verified_pairs(buckets, threshold: float,
                     max_bucket: int | None = None):
     """Bucket-grouped candidate pairs + exact cosine verification —
     the shared tail of near_dup_pairs (buckets = LSH bands) and
-    semantic_dedup (buckets = k-means clusters). ``base`` is
-    (vid, v); ``buckets`` is (vid, t, bk); returns
+    semantic_dedup (buckets = k-means clusters). ``buckets`` is
+    (vid, t, bk, v) — the vector rides with its bucket row; returns
     (id_a, id_b, cos_u6) with cos_u6 >= round(threshold * 1e6)."""
     import numpy as np
     from pyspark.sql import functions as F
@@ -461,10 +471,13 @@ def _verified_pairs(base, buckets, threshold: float,
     # traffic (~1 KB/pair at dim 64) that dominated the whole
     # operator. Pair-grain rows now never exist outside a task; only
     # pairs at or above the threshold leave it.
-    grouped = (buckets.join(base, "vid")
+    # collect UNSORTED and order by vid inside the kernel (one global
+    # lexsort): sort_array's struct comparator would have to compare
+    # the array<double> field element-by-element per comparison —
+    # wasted work when only the vid order matters
+    grouped = (buckets
                .groupBy("t", "bk")
-               .agg(F.sort_array(
-                   F.collect_list(F.struct("vid", "v"))).alias("rows"))
+               .agg(F.collect_list(F.struct("vid", "v")).alias("rows"))
                .where(F.size("rows") > 1))
     if max_bucket is not None:
         grouped = grouped.where(F.size("rows") <= max_bucket)
@@ -483,51 +496,80 @@ def _verified_pairs(base, buckets, threshold: float,
             mat = _flat_matrix(flat.field("v"), len(flat))
             offs = col.offsets.to_numpy(zero_copy_only=False)
             offs = offs - offs[0]   # flatten() drops any slice offset
+            # vid-ascending within each bucket (pairs must come out
+            # a < b): one global lexsort keyed (bucket, vid) — bucket
+            # blocks keep their offsets, rows reorder inside them
+            bs0 = offs[1:] - offs[:-1]
+            bucket_ix = np.repeat(
+                np.arange(bs0.size, dtype=np.int64), bs0)
+            perm = np.lexsort((vids, bucket_ix))
+            vids = vids[perm]
+            mat = mat[perm]
             norms = np.linalg.norm(mat, axis=1)
+            # globally vectorized pair enumeration: every non-last
+            # struct row of each bucket is an ANCHOR pairing with the
+            # later rows of ITS bucket (sort_array ordered structs by
+            # vid ascending, so pairs are a < b — the orientation the
+            # old sorted-ids HOF expansion produced). No per-bucket
+            # Python loop (it dominated tiny-scale runs); anchors are
+            # processed in pair-count-bounded chunks so degenerate
+            # buckets never materialize b² gathered rows at once.
+            # Each chunk uses the SAME per-pair einsum + norm-product
+            # arithmetic as the former pair-joined verify, so cos_u6
+            # values are bit-identical.
+            n_flat = len(flat)
+            bucket_end = np.repeat(offs[1:], offs[1:] - offs[:-1])
+            is_last = np.zeros(n_flat, dtype=bool)
+            is_last[offs[1:] - 1] = True
+            anchors = np.flatnonzero(~is_last)
+            cnt = bucket_end[anchors] - 1 - anchors
+            cum = np.cumsum(cnt)
             out_a, out_b, out_u6 = [], [], []
-            for g in range(len(col)):
-                lo, hi = int(offs[g]), int(offs[g + 1])
-                b = hi - lo
-                if b < 2:
+            chunk = 1 << 18
+
+            def emit(ii, jj):
+                va = mat[ii]
+                vb = mat[jj]
+                dots = np.einsum("ij,ij->i", va, vb)
+                # zero-norm vectors: cosine undefined (0/0) → drop,
+                # exactly what the SQL oracle does (NaN fails >= cut)
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    cos = dots / (norms[ii] * norms[jj])
+                cos = np.where(np.isfinite(cos), cos, -np.inf)
+                # round half AWAY from zero (Spark F.round / DuckDB
+                # round convention) — np.round's half-to-even can
+                # flip a boundary pair
+                x = cos * 1e6
+                u6f = np.where(x >= 0, np.floor(x + 0.5),
+                               np.ceil(x - 0.5))
+                keep = u6f >= cut
+                if keep.any():
+                    out_a.append(vids[ii[keep]])
+                    out_b.append(vids[jj[keep]])
+                    out_u6.append(u6f[keep].astype(np.int64))
+
+            a0 = 0
+            while a0 < anchors.size:
+                if cnt[a0] > chunk:
+                    # a single anchor of a degenerate bucket exceeds
+                    # the chunk: slice its j-range directly
+                    i = int(anchors[a0])
+                    hi_j = i + 1 + int(cnt[a0])
+                    for js in range(i + 1, hi_j, chunk):
+                        jj = np.arange(js, min(js + chunk, hi_j))
+                        emit(np.full(jj.size, i, dtype=np.int64), jj)
+                    a0 += 1
                     continue
-                # sort_array ordered the structs by vid ascending, so
-                # triu pairs are (a < b) — the same pair orientation
-                # the sorted-ids HOF expansion produced
-                # anchor-chunked pair enumeration bounds memory on
-                # degenerate buckets (b² pairs never materialize at
-                # once); each chunk uses the SAME per-pair einsum +
-                # norm-product arithmetic as the former pair-joined
-                # verify, so cos_u6 values are bit-identical
-                i0 = 0
-                while i0 < b - 1:
-                    i1 = min(b - 1, i0 + max(1, (1 << 18) // b))
-                    cnt = (b - 1) - np.arange(i0, i1)
-                    ii = np.repeat(np.arange(i0, i1), cnt)
-                    jj = (np.arange(cnt.sum())
-                          - np.repeat(np.cumsum(cnt) - cnt, cnt)
-                          + ii + 1)
-                    va = mat[lo + ii]
-                    vb = mat[lo + jj]
-                    dots = np.einsum("ij,ij->i", va, vb)
-                    # zero-norm vectors: cosine undefined (0/0) →
-                    # drop, exactly what the SQL oracle does (NaN
-                    # fails >= cut)
-                    with np.errstate(invalid="ignore",
-                                     divide="ignore"):
-                        cos = dots / (norms[lo + ii] * norms[lo + jj])
-                    cos = np.where(np.isfinite(cos), cos, -np.inf)
-                    # round half AWAY from zero (Spark F.round /
-                    # DuckDB round convention) — np.round's
-                    # half-to-even can flip a boundary pair
-                    x = cos * 1e6
-                    u6f = np.where(x >= 0, np.floor(x + 0.5),
-                                   np.ceil(x - 0.5))
-                    keep = u6f >= cut
-                    if keep.any():
-                        out_a.append(vids[lo + ii[keep]])
-                        out_b.append(vids[lo + jj[keep]])
-                        out_u6.append(u6f[keep].astype(np.int64))
-                    i0 = i1
+                base = int(cum[a0] - cnt[a0])
+                a1 = int(np.searchsorted(cum, base + chunk,
+                                         side="right")) + 1
+                a1 = min(max(a1, a0 + 1), anchors.size)
+                c = cnt[a0:a1]
+                ii = np.repeat(anchors[a0:a1], c)
+                jj = (np.arange(int(c.sum()))
+                      - np.repeat(np.cumsum(c) - c, c) + ii + 1)
+                emit(ii, jj)
+                a0 = a1
             if out_a:
                 yield pa.RecordBatch.from_arrays(
                     [pa.array(np.concatenate(out_a)),
@@ -576,12 +618,11 @@ def semantic_dedup(df, centroids, threshold: float,
     from .dedup import min_label_components
 
     a = ivf_assign(df, centroids, id_col=id_col, emb_col=emb_col)
-    base = a.select(F.col(id_col).alias("vid"),
-                    F.col(emb_col).alias("v"))
     buckets = a.select(F.col(id_col).alias("vid"),
                        F.lit(0).alias("t"),
-                       F.col("cluster").cast("long").alias("bk"))
-    pairs = _verified_pairs(base, buckets, threshold,
+                       F.col("cluster").cast("long").alias("bk"),
+                       F.col(emb_col).alias("v"))
+    pairs = _verified_pairs(buckets, threshold,
                             max_bucket=max_cluster)
     comp = min_label_components(
         pairs.select(F.col("id_a").alias("a"),
