@@ -1499,8 +1499,23 @@ class InvertedIndex:
                 missing.append(t)
         if missing:
             fetched = self._fetch_rows(missing)
+            todo = [t for t in missing if t in fetched]
+            if len(todo) > 1:
+                # decode terms concurrently: the NumPy kernels release
+                # the GIL on their large-array passes, so a small pool
+                # overlaps the per-term decodes (the cold-start cost of
+                # a multi-term query); results are per-term pure
+                # functions, so threading cannot change them
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(
+                        max_workers=min(8, len(todo))) as ex:
+                    decs = dict(zip(todo, ex.map(
+                        lambda t: self._decode_rows(fetched[t]), todo)))
+            else:
+                decs = {t: self._decode_rows(fetched[t]) for t in todo}
             for t in missing:
-                dec = self._decode_rows(fetched[t]) if t in fetched else None
+                dec = decs.get(t)
                 self._term_cache[t] = dec
                 if dec is not None:
                     out[t] = dec
