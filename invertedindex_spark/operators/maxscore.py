@@ -66,7 +66,10 @@ def kth_largest_distinct(scores: np.ndarray, k: int) -> float:
                 distinct = np.unique(top)
                 if distinct.size >= k:
                     return float(distinct[-k])
-    m = max(4 * k, 64)
+    # start wide enough that duplicate-heavy score sets rarely trigger
+    # the growth retry: each retry is another full O(P) partition,
+    # while the np.unique over a larger top-m slice is negligible
+    m = max(16 * k, 256)
     while m < n:
         top = np.partition(scores, n - m)[n - m:]
         distinct = np.unique(top)
