@@ -1484,9 +1484,13 @@ class InvertedIndex:
             dl = np.concatenate([p[2] for p in parts])
         return d, tf, dl, int(rs[0]["df"])
 
-    def _fetch_decoded(self, terms):
+    def _fetch_decoded(self, terms, with_partials: bool = False):
         """term -> fully decoded (doc_ids, tfs, dls, df); LRU-cached
-        per term in local mode."""
+        per term in local mode. ``with_partials=True`` (the scoring
+        callers) additionally computes each newly-decoded term's
+        quantized BM25 partial inside the same worker pool and
+        pre-fills the partial LRU — identical values to the lazy
+        per-query compute, just off the hot path."""
         out = {}
         missing = []
         for t in terms:
@@ -1500,25 +1504,50 @@ class InvertedIndex:
         if missing:
             fetched = self._fetch_rows(missing)
             todo = [t for t in missing if t in fetched]
+            # which terms should also get their u6 BM25 partial
+            # precomputed in the pool (scoring callers opt in) —
+            # membership checked in the MAIN thread, pool workers only
+            # compute, mutation happens back on the main thread
+            need_partial = (set(t for t in todo
+                                if t not in self._partial_cache)
+                            if with_partials else set())
+
+            def work(t):
+                dec = self._decode_rows(fetched[t])
+                part = None
+                if t in need_partial:
+                    d, tf, dl, df = dec
+                    sc = scoring.bm25_u6_np(tf, dl, df, self.num_docs,
+                                            self.avg_doc_len)
+                    mx = int(sc.max()) if sc.size else 0
+                    if mx <= np.iinfo(np.int32).max:
+                        sc = sc.astype(np.int32)
+                    part = (sc, mx)
+                return dec, part
+
             if len(todo) > 1:
-                # decode terms concurrently: the NumPy kernels release
-                # the GIL on their large-array passes, so a small pool
-                # overlaps the per-term decodes (the cold-start cost of
-                # a multi-term query); results are per-term pure
-                # functions, so threading cannot change them
+                # decode (and score) terms concurrently: the NumPy
+                # kernels release the GIL on their large-array passes,
+                # so a small pool overlaps the per-term work (the
+                # cold-start cost of a multi-term query); results are
+                # per-term pure functions, so threading cannot change
+                # them
                 from concurrent.futures import ThreadPoolExecutor
 
                 with ThreadPoolExecutor(
                         max_workers=min(8, len(todo))) as ex:
-                    decs = dict(zip(todo, ex.map(
-                        lambda t: self._decode_rows(fetched[t]), todo)))
+                    decs = dict(zip(todo, ex.map(work, todo)))
             else:
-                decs = {t: self._decode_rows(fetched[t]) for t in todo}
+                decs = {t: work(t) for t in todo}
             for t in missing:
-                dec = decs.get(t)
+                dec, part = decs.get(t, (None, None))
                 self._term_cache[t] = dec
                 if dec is not None:
                     out[t] = dec
+                if part is not None:
+                    self._partial_cache[t] = part
+                    if len(self._partial_cache) > self._term_cache_size:
+                        self._partial_cache.popitem(last=False)
                 if len(self._term_cache) > self._term_cache_size:
                     self._term_cache.popitem(last=False)
         return out
@@ -3362,7 +3391,8 @@ class InvertedIndex:
 
     def _score_terms(self, terms, qtype, mask=None, wmap=None, msm=0,
                      sim: str = "bm25", topk_hint: int | None = None):
-        decoded = self._fetch_decoded(terms)
+        decoded = self._fetch_decoded(terms,
+                                      with_partials=(sim == "bm25"))
         if (not decoded) or (qtype == "AND" and len(decoded) < len(terms)):
             z = np.zeros(0, dtype=np.int64)
             return z, z
