@@ -77,6 +77,51 @@ def queue_topk_np(doc_ids: np.ndarray, scores: np.ndarray, k: int):
     return doc_ids[keep], scores[keep]
 
 
+def _spark_mmh3_int(x: int, seed: int = 42) -> int:
+    """Spark's Murmur3_x86_32.hashInt (the expression behind
+    ``F.hash(int32_col)`` and HashPartitioning) in pure Python —
+    signed int32 result. Public algorithm (Murmur3 x86_32, 4-byte
+    block, Spark's default seed 42); parity with ``F.hash`` is
+    asserted in tests/test_build_and_query.py."""
+    m = 0xFFFFFFFF
+    k1 = (x & m) * 0xCC9E2D51 & m
+    k1 = ((k1 << 15) | (k1 >> 17)) & m
+    k1 = k1 * 0x1B873593 & m
+    h1 = (seed ^ k1) & m
+    h1 = ((h1 << 13) | (h1 >> 19)) & m
+    h1 = (h1 * 5 + 0xE6546B64) & m
+    h1 ^= 4                      # fmix with input length in bytes
+    h1 ^= h1 >> 16
+    h1 = h1 * 0x85EBCA6B & m
+    h1 ^= h1 >> 13
+    h1 = h1 * 0xC2B2AE35 & m
+    h1 ^= h1 >> 16
+    return h1 - (1 << 32) if h1 >= (1 << 31) else h1
+
+
+def _grp_salts(n_grps: int):
+    """Per-grp int salts such that HashPartitioning over the salt
+    column sends each grp 0..n_grps-1 to its OWN of n_grps partitions
+    (``pmod(mmh3(salt_g), n) == g``). Lets the per-task top-k plan
+    replace repartitionByRange (whose range boundaries cost one extra
+    SAMPLING job per query) with a plain hash repartition that has
+    zero collisions by construction. None when a salt search would be
+    unreasonable (huge n_grps) — caller falls back to the range
+    partitioner."""
+    if n_grps > 4096:
+        return None
+    salts = [None] * n_grps
+    found, x = 0, 0
+    limit = 512 * n_grps
+    while found < n_grps and x < limit:
+        g = _spark_mmh3_int(x) % n_grps      # pmod: non-negative
+        if salts[g] is None:
+            salts[g] = x
+            found += 1
+        x += 1
+    return salts if found == n_grps else None
+
+
 #: the regex characters on which Java regex (Spark ``rlike``), RE2
 #: (pyarrow / DuckDB) and Python ``re`` have identical semantics over
 #: the engine's [a-z0-9]* stored-term alphabet — expand_regexp rejects
@@ -397,6 +442,15 @@ class InvertedIndex:
         # from cache is value-identical to recomputing; cleared with
         # the decode caches whenever stats can change (refresh()).
         self._partial_cache: OrderedDict = OrderedDict()
+        # NOTE (r6, measured and declined): a reusable scratch arena
+        # for the dense kernel's O(num_docs) buffers was prototyped
+        # and REVERTED — explicitly re-zeroing a recycled 13-26 MB
+        # buffer (scatter-reset 3.4 ms/q, memset ~1 ms/q at 3.3M
+        # docs) costs more than np.zeros, whose calloc pages are
+        # lazily mapped AND whose untouched regions scan as the
+        # shared kernel zero page in kth_largest_distinct's full
+        # passes. Interleaved A/B: arena 1.31 s vs np.zeros 1.16 s
+        # per warm 60-query loop.
         # raw (compressed) posting rows per term — feeds both the
         # exact-path decode cache above and the pruned kernels, so a
         # repeated term never re-reads parquet; None = unknown term
@@ -3841,11 +3895,24 @@ class InvertedIndex:
         # ALWAYS repartition: the postings scan is hive-partitioned by
         # term-hash bucket, so without this a doc's different terms
         # sit in different tasks and per-task sums are partial — the
-        # correctness invariant is per-grp colocation. Range
-        # partitioning never splits equal grp keys; it measured faster
-        # than a hash repartition here (grp-key collisions stack whole
-        # groups onto one task, costing more than the sampling pass).
-        df = df.repartitionByRange(n_grps, "grp")
+        # correctness invariant is per-grp colocation. A plain hash
+        # repartition on grp stacks colliding groups onto one task and
+        # repartitionByRange pays one extra SAMPLING job per query, so
+        # the partitioning column is a per-grp SALT literal chosen so
+        # each grp hashes alone into its own partition (exact, zero
+        # extra jobs; _grp_salts). Colocation holds for ANY salt map
+        # (equal grp ⇒ equal salt ⇒ same partition) — including the
+        # out-of-range→NULL guard — and the kernel is span-based, so a
+        # task holding several complete groups stays exact; the salts
+        # only guarantee the no-collision spread.
+        salts = _grp_salts(n_grps)
+        if salts is not None:
+            salt = F.element_at(
+                F.array(*[F.lit(s) for s in salts]),
+                F.col("grp").cast("int") + F.lit(1))
+            df = df.repartition(n_grps, salt)
+        else:
+            df = df.repartitionByRange(n_grps, "grp")
         use_pfd = self.codec == "pfd"
         n_docs, avgdl = self.num_docs, self.avg_doc_len
         live = {t: float(w) for t, w in (wmap or {}).items()

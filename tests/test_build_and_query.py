@@ -447,3 +447,42 @@ def test_per_task_topk_plan_multigroup(spark, tmp_path):
     want = [(d, round(s, 6)) for d, s in
             idx.search("OR hotterm quick", k=5, boosts={"quick": 2.0})]
     assert got == want
+
+
+def test_spark_mmh3_parity_and_grp_salts(spark):
+    """_grp_salts rests on a pure-Python twin of Spark's
+    Murmur3_x86_32.hashInt: F.hash(int32) must agree value-for-value,
+    and each salt must land its grp alone in its own partition under
+    HashPartitioning (pmod(hash, n))."""
+    from pyspark.sql import functions as F
+
+    from invertedindex_spark.operators.query import (
+        _grp_salts, _spark_mmh3_int,
+    )
+
+    probe = list(range(200)) + [2**31 - 1, -1, -2**31, 123456789]
+    rows = (spark.createDataFrame([(x,) for x in probe], "x int")
+            .select("x", F.hash("x").alias("h")).collect())
+    for r in rows:
+        assert _spark_mmh3_int(r["x"]) == r["h"], r["x"]
+    for n in (1, 2, 3, 8, 17, 64):
+        salts = _grp_salts(n)
+        assert salts is not None and len(salts) == n
+        # bijection: pmod(hash(salt_g), n) == g for every g
+        assert [_spark_mmh3_int(s) % n for s in salts] == list(range(n))
+    # end-to-end: repartition(n, salt_col) puts each grp alone
+    n = 8
+    salts = _grp_salts(n)
+    df = spark.createDataFrame([(g,) for g in range(n) for _ in (0, 1)],
+                               "grp int")
+    salt = F.element_at(F.array(*[F.lit(s) for s in salts]),
+                        F.col("grp").cast("int") + F.lit(1))
+    got = (df.repartition(n, salt)
+           .select("grp", F.spark_partition_id().alias("pid"))
+           .collect())
+    by_grp = {}
+    for r in got:
+        by_grp.setdefault(r["grp"], set()).add(r["pid"])
+    assert all(len(p) == 1 for p in by_grp.values())
+    pids = [next(iter(by_grp[g])) for g in range(n)]
+    assert len(set(pids)) == n
