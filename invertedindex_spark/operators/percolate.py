@@ -14,27 +14,27 @@ preprocessing pipeline as indexing/search
 "this doc would be a match-set member of that query once indexed".
 
 100 TB shape: the registered query set is the BOUNDED side (thousands
-to low millions of tiny rows — it is held driver-side and broadcast),
-documents are the unbounded side. The flat OR/AND/NOT/PHRASE families
-scale to that whole range (they ride the broadcast join); BOOL trees
-compile into one CASE-chain expression — practical to thousands of
-registered trees, not millions (the Lucene percolator has the same
-per-query evaluation tail after its candidate filter). One narrow Arrow tokenize pass over
-the document batch (the build hot-path kernel, no per-row Python), an
-explode to DISTINCT (doc, term) pairs joined against the broadcast
-query-term table — the join output is bounded by matches, never
-|docs| × |queries| — and one groupBy((doc, qid)) count: positive hits
-``>= 1`` gate OR, ``== n_terms`` gate AND and PHRASE candidacy, and
-any negative hit vetoes (MUST_NOT). PHRASE adjacency verifies on a
-SECOND tokenize pass restricted by a semi-join to phrase-candidate
-docs only (the doc is in hand, so no positional sidecar is needed;
-candidates are a tiny fraction of the stream). Nothing here shuffles
-document text except that bounded candidate re-read.
+to low millions of tiny entries — held driver-side by contract),
+documents are the unbounded side. The whole match — tokenize,
+distinct-(doc, term) hit/veto counting against a term→query CSR
+adjacency, the per-qtype gates (positive hits ``>= 1`` for OR,
+``== n_terms`` for AND and PHRASE candidacy, any negative hit vetoes
+MUST_NOT), PHRASE adjacency on the in-hand padded token stream, and
+BOOL tree evaluation over the matched-leaf set — runs inside ONE
+narrow Arrow pass over the document batch (the build hot-path
+tokenizer; intermediate work is bounded by matches, never
+|docs| × |queries|, and only final (doc, qid) match rows leave the
+task). The query set rides the kernel closure exactly as it
+previously rode a broadcast join (r6: the old explode → broadcast
+join → groupBy → three-branch union re-ran multiple JVM stages and a
+per-call localCheckpoint analysis for the same row set); BOOL trees
+stay practical to thousands of registered trees, not millions (the
+Lucene percolator has the same per-query evaluation tail after its
+candidate filter).
 
-Streaming: ``percolate`` is narrow + broadcast-join + one keyed
-aggregation, so it drops into ``foreachBatch`` unchanged — each
-micro-batch's alerts are the batch percolation of its rows
-(parity asserted in tests/test_percolate.py).
+Streaming: ``percolate`` is one narrow map pass, so it drops into
+``foreachBatch`` unchanged — each micro-batch's alerts are the batch
+percolation of its rows (parity asserted in tests/test_percolate.py).
 """
 
 from __future__ import annotations
@@ -118,30 +118,160 @@ def register_queries(pairs, *, stopwords: bool = True,
     return PercolatorQueries(entries, stopwords, stemming)
 
 
-def _tokenize(docs, id_col: str, text_col: str, stopwords: bool,
-              stemming: bool):
-    """(id, terms array) via the build hot-path Arrow kernel —
-    identical semantics to the indexed token stream."""
+def _match_pairs(docs, id_col: str, text_col: str,
+                 queries: PercolatorQueries):
+    """(_pid, qid) — every (document, registered query) match, decided
+    entirely inside one tokenize Arrow pass.
+
+    Per batch: tokenize (the build hot-path kernel), dictionary-encode
+    the token stream and map the BATCH vocabulary onto the query
+    vocabulary (the only Python loop over strings — batch-vocab-
+    bounded), reduce to DISTINCT (doc, query-term) pairs with one
+    np.unique (identical row set to the old explode(array_distinct) ∘
+    broadcast-join), expand along a term→query CSR adjacency and
+    bincount positive hits / negative vetoes per (doc, qid). Gates are
+    the operator contract, unchanged: OR ⇔ hits ≥ 1, AND ⇔ hits ==
+    n_terms, both veto on any negative hit; PHRASE candidates
+    (hits == n_terms, no veto) verify adjacency against the padded
+    space-joined token stream of the SAME pass (built only for
+    candidate docs — no second tokenize, no semi-join); BOOL trees
+    evaluate over the matched positive-leaf set (match-bounded).
+    Only final match rows cross the Python→JVM boundary."""
+    import numpy as np
     import pyarrow as pa
     from pyspark.sql import functions as F
 
     from ..functions.textproc import tokenize_terms_arrow
+    from . import boolquery
+
+    # driver-side query tables: term→[(qid_idx, neg)] CSR adjacency +
+    # per-qid gate metadata. Bounded by the registered set (contract).
+    qids = sorted({e[0] for e in queries.entries})
+    qid_idx = {q: i for i, q in enumerate(qids)}
+    nq = len(qids)
+    QT = {"OR": 0, "AND": 1, "PHRASE": 2, "BOOL": 3}
+    qtype_arr = np.zeros(nq, dtype=np.int64)
+    nterm_arr = np.zeros(nq, dtype=np.int64)
+    probe = [None] * nq           # " phrase " contains-probes
+    trees = {}                    # qid_idx -> analyzed BOOL AST
+    adj: dict = {}
+    for qid, qtype, terms, n, phrase, nots, tree in queries.entries:
+        qi = qid_idx[qid]
+        qtype_arr[qi] = QT[qtype]
+        nterm_arr[qi] = n
+        if phrase is not None:
+            probe[qi] = " " + phrase + " "
+        if qtype == "BOOL" and tree is not None:
+            trees[qi] = tree
+        for t in terms:
+            adj.setdefault(t, []).append((qi, False))
+        for t in nots:
+            adj.setdefault(t, []).append((qi, True))
+    vocab = sorted(adj)
+    tid = {t: i for i, t in enumerate(vocab)}
+    off = np.zeros(len(vocab) + 1, dtype=np.int64)
+    tgt, neg = [], []
+    for i, t in enumerate(vocab):
+        off[i + 1] = off[i] + len(adj[t])
+        for q, n in adj[t]:
+            tgt.append(q)
+            neg.append(n)
+    tgt = np.asarray(tgt, dtype=np.int64)
+    neg = np.asarray(neg, dtype=bool)
+    need_mset = bool(trees)
+    stop, stem = queries.stopwords, queries.stemming
 
     pre = docs.select(F.col(id_col).alias("_pid"),
                       F.col(text_col).alias("_ptext"))
-    stop, stem = stopwords, stemming
 
-    def tok(iterator):
+    def match(iterator):
         pa.set_cpu_count(1)
         for batch in iterator:
             terms = tokenize_terms_arrow(
                 batch.column("_ptext"), stopwords=stop, truncate=True,
                 stemming=stem)
+            flat = terms.flatten()
+            if len(flat) == 0:
+                continue
+            lens = np.asarray(terms.value_lengths(), dtype=np.int64)
+            # batch-vocabulary dictionary → query-term ids (-1 = not
+            # a query term); the string loop is over the BATCH VOCAB
+            # only, never per occurrence
+            enc = flat.dictionary_encode()
+            dvals = enc.dictionary.to_pylist()
+            lut = np.fromiter((tid.get(v, -1) for v in dvals),
+                              dtype=np.int64, count=len(dvals))
+            occ_t = lut[np.asarray(enc.indices.to_numpy(
+                zero_copy_only=False), dtype=np.int64)]
+            occ_d = np.repeat(np.arange(lens.size, dtype=np.int64),
+                              lens)
+            hit = occ_t >= 0
+            if not hit.any():
+                continue
+            # DISTINCT (doc, query-term) pairs == the old
+            # explode(array_distinct) ∘ inner-join row set
+            pair = np.unique(occ_d[hit] * len(vocab) + occ_t[hit])
+            p_d, p_t = pair // len(vocab), pair % len(vocab)
+            # expand each matched (doc, term) along the term's
+            # adjacency (vectorized CSR walk), then one bincount per
+            # verdict input over (doc, qid) keys
+            counts = off[p_t + 1] - off[p_t]
+            e_d = np.repeat(p_d, counts)
+            e_t = np.repeat(p_t, counts)
+            total = int(counts.sum())
+            within = (np.arange(total, dtype=np.int64)
+                      - np.repeat(np.cumsum(counts) - counts, counts))
+            idx = np.repeat(off[p_t], counts) + within
+            e_q = tgt[idx]
+            e_neg = neg[idx]
+            key = e_d * nq + e_q
+            ukey, inv = np.unique(key, return_inverse=True)
+            hits = np.bincount(
+                inv, weights=(~e_neg).astype(np.float64),
+                minlength=ukey.size).astype(np.int64)
+            vetoes = np.bincount(
+                inv, weights=e_neg.astype(np.float64),
+                minlength=ukey.size).astype(np.int64)
+            out_d = ukey // nq
+            out_q = ukey % nq
+            qt = qtype_arr[out_q]
+            nt = nterm_arr[out_q]
+            # flat gates (OR / AND / PHRASE candidacy); BOOL decided
+            # by its tree alone, exactly the old branch split
+            ok = ((qt != 3) & (vetoes == 0)
+                  & (((qt == 0) & (hits >= 1)) | (hits == nt)))
+            pads: dict = {}
+            for r in np.flatnonzero(ok & (qt == 2)):
+                d = int(out_d[r])
+                s = pads.get(d)
+                if s is None:
+                    s = " " + " ".join(terms[d].as_py()) + " "
+                    pads[d] = s
+                if probe[int(out_q[r])] not in s:
+                    ok[r] = False
+            if need_mset:
+                mt: dict = {}
+                for d, t, q, n in zip(e_d, e_t, e_q, e_neg):
+                    if not n and int(q) in trees:
+                        mt.setdefault((int(d), int(q)), set()).add(
+                            vocab[int(t)])
+                for r in np.flatnonzero(qt == 3):
+                    mset = mt.get((int(out_d[r]), int(out_q[r])),
+                                  set())
+                    ok[r] = bool(boolquery.evaluate(
+                        trees[int(out_q[r])],
+                        lambda t, m=mset: np.bool_(t in m)))
+            if not ok.any():
+                continue
+            sel_d = out_d[ok]
             yield pa.RecordBatch.from_arrays(
-                [batch.column("_pid"), terms], names=["_pid", "terms"])
+                [batch.column("_pid").take(pa.array(sel_d)),
+                 pa.array([qids[int(q)] for q in out_q[ok]],
+                          pa.string())],
+                names=["_pid", "qid"])
 
     id_type = dict(docs.dtypes)[id_col]
-    return pre.mapInArrow(tok, f"_pid {id_type}, terms array<string>")
+    return pre.mapInArrow(match, f"_pid {id_type}, qid string")
 
 
 def percolate(docs, queries: PercolatorQueries, *,
@@ -152,99 +282,10 @@ def percolate(docs, queries: PercolatorQueries, *,
     never enter the index either: Indexer.java:72-84 drops them)."""
     from pyspark.sql import functions as F
 
-    from . import boolquery
-
     spark = docs.sparkSession
-    qterm_rows = [(qid, t, False)
-                  for qid, _, terms, _, _, _, _ in queries.entries
-                  for t in terms]
-    qterm_rows += [(qid, t, True)
-                   for qid, _, _, _, _, nots, _ in queries.entries
-                   for t in nots]
-    qmeta_rows = [(qid, qtype, n, phrase)
-                  for qid, qtype, _, n, phrase, _, _ in queries.entries]
-    bool_trees = {qid: tree
-                  for qid, qtype, _, _, _, _, tree in queries.entries
-                  if qtype == "BOOL" and tree is not None}
     out_schema = docs.select(F.col(id_col)).schema \
         .add("qid", "string")
     if not any(e[2] for e in queries.entries):
         return spark.createDataFrame([], out_schema)
-    qterms = spark.createDataFrame(
-        qterm_rows, "qid string, term string, neg boolean")
-    qmeta = spark.createDataFrame(
-        qmeta_rows, "qid string, qtype string, n_terms int, phrase string")
-
-    toks = _tokenize(docs, id_col, text_col,
-                     queries.stopwords, queries.stemming)
-    pos_hit = F.sum(F.when(F.col("neg"), 0).otherwise(1))
-    neg_hit = F.sum(F.when(F.col("neg"), 1).otherwise(0))
-    aggs = [pos_hit.alias("_hits"), neg_hit.alias("_vetoes")]
-    if bool_trees:
-        # matched-leaf sets only matter to BOOL trees; bounded by the
-        # query's own leaf count, never the doc's vocabulary
-        aggs.append(F.collect_set("term").alias("_mterms"))
-    grouped = (toks
-               .select("_pid", F.explode(F.array_distinct("terms"))
-                       .alias("term"))
-               .join(F.broadcast(qterms), "term")
-               .groupBy("_pid", "qid")
-               .agg(*aggs)
-               .join(F.broadcast(qmeta), "qid"))
-    has_phrase = any(e[1] == "PHRASE" and e[2] for e in queries.entries)
-    if bool_trees or has_phrase:
-        # the flat, BOOL and PHRASE branches all read this frame, and
-        # Catalyst re-executes the whole tokenize+join+aggregate
-        # subtree once per union branch (no cross-branch CSE) —
-        # measured 3x the document tokenize cost on the bench corpus.
-        # A lazy localCheckpoint materializes the (match-bounded,
-        # small) frame once; lineage truncation is fine here, the
-        # frame is consumed within the same plan.
-        grouped = grouped.localCheckpoint(eager=False)
-    matched = grouped.where(
-        (F.col("qtype") != "BOOL")
-        & (F.col("_vetoes") == 0)
-        & (((F.col("qtype") == "OR") & (F.col("_hits") >= 1))
-           | (F.col("_hits") == F.col("n_terms"))))
-    flat = (matched.where(F.col("qtype") != "PHRASE")
-            .select(F.col("_pid").alias(id_col), "qid"))
-    if bool_trees:
-        # ONE filter over the shared candidate frame: a CASE chain
-        # dispatching each row to its query's tree predicate over the
-        # matched-leaf set. A union-per-query shape would replicate
-        # the aggregate subtree once per registered BOOL query and
-        # blow up plan analysis at saved-search scale; the CASE chain
-        # keeps the plan one expression wide.
-        cond = F.lit(False)
-        for qid, tree in sorted(bool_trees.items(), reverse=True):
-            pred = boolquery.evaluate(
-                tree, lambda t: F.array_contains(F.col("_mterms"), t))
-            cond = F.when(F.col("qid") == qid, pred).otherwise(cond)
-        flat = flat.unionByName(
-            grouped.where(F.col("qtype") == "BOOL").where(cond)
-            .select(F.col("_pid").alias(id_col), "qid"))
-    if not has_phrase:
-        # no phrase query with surviving terms — skip the candidate
-        # re-tokenize branch entirely (an all-stopword PHRASE entry
-        # can never match, so it must not cost a second pass forever)
-        return flat
-
-    # PHRASE adjacency: re-tokenize ONLY candidate docs (left-semi
-    # pushes the id filter into the docs scan) and probe the padded
-    # space-joined token stream — adjacency in the post-stopword
-    # stream, exactly the positional index's domain.
-    cand = matched.where(F.col("qtype") == "PHRASE") \
-                  .select("_pid", "qid", "phrase")
-    cand_docs = docs.join(
-        cand.select(F.col("_pid").alias(id_col)).distinct(),
-        id_col, "left_semi")
-    padded = _tokenize(cand_docs, id_col, text_col,
-                       queries.stopwords, queries.stemming) \
-        .select("_pid", F.concat(F.lit(" "),
-                                 F.array_join("terms", " "),
-                                 F.lit(" ")).alias("_padded"))
-    verified = (cand.join(padded, "_pid")
-                .where(F.col("_padded").contains(
-                    F.concat(F.lit(" "), F.col("phrase"), F.lit(" "))))
-                .select(F.col("_pid").alias(id_col), "qid"))
-    return flat.unionByName(verified)
+    return _match_pairs(docs, id_col, text_col, queries) \
+        .select(F.col("_pid").alias(id_col), "qid")

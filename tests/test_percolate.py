@@ -142,14 +142,21 @@ def test_allstopword_phrase_skips_candidate_pass(spark):
     assert plan.count("MapInArrow") == 1, plan
 
 
-def test_percolate_plan_broadcasts_query_set(spark):
-    """The bounded query set must broadcast; the document side joins
-    it without a sort-merge exchange of doc terms against queries."""
+def test_percolate_plan_is_one_narrow_pass(spark):
+    """The bounded query set rides the kernel closure (r6 — it
+    previously rode a broadcast join): the whole percolation must be
+    ONE narrow Arrow pass — no join, no exchange, no second tokenize
+    of candidate docs."""
     docs = spark.createDataFrame(DOCS, "doc_id bigint, text string")
-    pq = register_queries([("q", "OR fast sort")], stemming=False)
+    pq = register_queries([("q", "OR fast sort"),
+                           ("q_ph", "PHRASE fast scan"),
+                           ("q_b", "BOOL fast AND NOT sort")],
+                          stemming=False)
     plan = percolate(docs, pq)._jdf.queryExecution() \
         .executedPlan().toString()
-    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert plan.count("MapInArrow") == 1
+    for node in ("Join", "Exchange", "Union"):
+        assert node not in plan, node
 
 
 def test_percolate_stream_alerts(spark, tmp_path):
