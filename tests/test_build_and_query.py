@@ -486,3 +486,28 @@ def test_spark_mmh3_parity_and_grp_salts(spark):
     assert all(len(p) == 1 for p in by_grp.values())
     pids = [next(iter(by_grp[g])) for g in range(n)]
     assert len(set(pids)) == n
+
+
+def test_threaded_batch_equals_sequential_search_loop(built):
+    """batch_search runs its queries on a driver thread pool (r6):
+    output must equal the sequential per-query search loop row for
+    row — including ValueError skips (illegal query) and mixed
+    OR/AND/NOT entries — and repeated batches must agree."""
+    spark, wh, _m, _o = built
+    idx = InvertedIndex(spark, wh)
+    qs = [(f"q{i}", q) for i, q in enumerate([
+        "OR fast scan", "AND table value", "OR slow",
+        "OR fast -slow", "AND nosuchterm fast",
+        "OR customer value sort", "OR fast scan",  # repeat: LRU path
+    ])]
+    want = []
+    for qid, q in qs:
+        try:
+            res = idx.search(q, 10)
+        except ValueError:
+            continue
+        want.extend((qid, r, d, s)
+                    for r, (d, s) in enumerate(res, start=1))
+    got = idx.batch_search(qs, k=10)
+    assert got == want
+    assert idx.batch_search(qs, k=10) == want
