@@ -5901,6 +5901,14 @@ class InvertedIndex:
                 except ValueError:
                     continue
             if seen and len(seen) <= self._term_cache_size:
+                if (self.io_mode == "local"
+                        and self.num_docs <= self._doc_nos_max):
+                    # one doc_len column read lets _decode_rows skip
+                    # EVERY term's dl stream decode — the single-query
+                    # path avoids this scan on purpose (one stream vs
+                    # one column scan), but a batch prefetch decodes
+                    # many terms and the trade flips
+                    self._load_doc_lens()
                 self._fetch_decoded(
                     self._present_terms(seen),
                     with_partials=(similarity == "bm25"))
